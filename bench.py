@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is forced end-to-end with a count-collecting action; per-query
+wall time is reported so regressions localize.  Queries come from the same
+registry the driver's correctness gate uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tidb2dw_spark.session import get_spark
+from tidb2dw_spark import entry_queries
+
+# headline set: the flagship merge path + the widest operators
+BENCH_QUERIES = [
+    "merge_orders",
+    "merge_lineitem_composite_pk",
+    "w1_last_writer_wins",
+    "j2_anti_join_deletes",
+    "p2_cast_projection",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("tidb2dw_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in BENCH_QUERIES if n in entry_queries.QUERIES]
+    # warm the JVM + parquet footers so timings measure the queries
+    entry_queries.QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        entry_queries.QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""End-to-end incremental consumer: snapshot load → ordered CDC merge →
+DDL barrier (schema evolution) → post-DDL merge → resume idempotence.
+
+Exercises the full SURVEY §3.1 lifecycle on the staging layout the
+reference's exporter produces (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from tidb2dw_spark.schema.table_def import TableCol, TableDefinition
+from tidb2dw_spark.schema.types import table_def_to_struct
+from tidb2dw_spark.sources.snapshot import read_snapshot_csv
+from tidb2dw_spark.streaming.consumer import IncrementConsumer
+from tidb2dw_spark.table.managed import ManagedTable
+
+
+def users_def_v1() -> TableDefinition:
+    return TableDefinition(
+        schema="tpch",
+        table="users",
+        version=1,
+        columns=[
+            TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+            TableCol(id="2", name="name", tp="varchar", precision="255"),
+            TableCol(id="3", name="age", tp="int"),
+            TableCol(id="4", name="birth", tp="date"),
+        ],
+    )
+
+
+def users_def_v2() -> TableDefinition:
+    return TableDefinition(
+        schema="tpch",
+        table="users",
+        version=2,
+        query="ALTER TABLE users ...",
+        columns=[
+            TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+            TableCol(id="2", name="color", tp="varchar", precision="255"),
+            TableCol(id="4", name="birth", tp="date"),
+            TableCol(id="6", name="gender", tp="varchar", precision="10"),
+        ],
+    )
+
+
+def write(p: Path, text: str) -> None:
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(text)
+
+
+def test_full_lifecycle(spark, tmp_path):
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    # snapshot: 4 rows, dumpling layout <db>.<table>.<n>.csv, \N null
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",\\N,1991-02-02\n')
+    write(snap / "tpch.users.000000002.csv",
+          '3,"carol",41,1992-03-03\n4,"dan",52,1993-04-04\n')
+
+    v1 = users_def_v1()
+    snap_df = read_snapshot_csv(
+        spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)
+    )
+    table = ManagedTable(tmp_path / "warehouse" / "users").create(
+        snap_df, v1.pk_columns
+    )
+    assert table.read(spark).count() == 4
+
+    # increment stream, version 1
+    v1.dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"alice2",31,1990-01-01\n'
+          '"I","users","tpch",101,5,"eve",25,1995-05-05\n')
+    write(incr / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"D","users","tpch",200,2,"bob",\\N,1991-02-02\n'
+          '"U","users","tpch",201,5,"eve2",26,1995-05-05\n')
+
+    consumer = IncrementConsumer(spark, incr, table)
+    report = consumer.poll_once()
+    assert report.files_processed == 2
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert set(rows) == {1, 3, 4, 5}
+    assert rows[1]["name"] == "alice2"
+    assert rows[5]["name"] == "eve2" and rows[5]["age"] == 26
+
+    # checkpoint markers written next to each merged file
+    assert (incr / "tpch/users/1/2024-01-01/CDC000001.csv.checkpoint").exists()
+
+    # DDL barrier: v2 renames name→color, drops age, adds gender
+    v2 = users_def_v2()
+    v2.dump(incr / "tpch/users/2/meta")
+    write(incr / "tpch/users/2/2024-01-02/CDC000001.csv",
+          '"U","users","tpch",300,3,"red",1992-03-03,"f"\n')
+    report = consumer.poll_once()
+    assert report.ddl_applied == 1
+    assert report.files_processed == 1
+    df = table.read(spark)
+    assert df.columns == ["id", "color", "birth", "gender"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[3]["color"] == "red" and rows[3]["gender"] == "f"
+    assert rows[1]["color"] == "alice2" and rows[1]["gender"] is None
+
+    # resume: a fresh consumer skips checkpointed files, applies only new ones
+    write(incr / "tpch/users/2/2024-01-02/CDC000002.csv",
+          '"D","users","tpch",400,4,"dan",1993-04-04,\\N\n')
+    consumer2 = IncrementConsumer(spark, incr, table)
+    report = consumer2.poll_once()
+    assert report.files_skipped == 3
+    assert report.files_processed == 1
+    assert report.ddl_applied == 0  # applied version persisted in manifest
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert set(rows) == {1, 3, 5}
+    assert rows[3]["gender"] == "f"  # DDL not re-applied on restart
+
+    # idempotent: nothing new → no-op
+    report = consumer2.poll_once()
+    assert report.files_processed == 0
+
+
+def test_managed_table_versions_and_vacuum(spark, tmp_path):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    t = ManagedTable(tmp_path / "t").create(df, ["k"], pk_buckets=4)
+    assert t.version() == 1
+    t.overwrite(t.read(spark).filter("k < 3"))
+    assert t.version() == 2
+    assert t.read(spark).count() == 3
+    assert t.read(spark, version=1).count() == 5  # time travel
+    removed = t.vacuum(keep_last=1)
+    assert removed == [1]

@@ -1,0 +1,113 @@
+"""Schema engine: type map, CRC'd schema files, the D4 column-diff fixture.
+
+The diff fixture is the reference's own (pkg/tidbsql/ddl_test.go:11-88) —
+the only unit-test data the reference has, ported as our regression anchor.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from tidb2dw_spark.schema import (
+    DiffAction,
+    TableCol,
+    TableDefinition,
+    diff_columns,
+    load_schema_file,
+    tidb_type_to_spark,
+    table_def_to_struct,
+)
+
+
+def users_v1() -> list[TableCol]:
+    return [
+        TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+        TableCol(id="2", name="name", tp="varchar", precision="255"),
+        TableCol(id="3", name="age", tp="int"),
+        TableCol(id="4", name="birth", tp="date"),
+    ]
+
+
+def users_v2() -> list[TableCol]:
+    return [
+        TableCol(id="5", name="id", tp="char", precision="10", is_pk="true"),
+        TableCol(id="2", name="color", tp="varchar", precision="255"),
+        TableCol(id="4", name="birth", tp="date"),
+        TableCol(id="6", name="gender", tp="varchar", precision="10"),
+    ]
+
+
+def test_diff_fixture_actions():
+    actions = {
+        (d.prev.name if d.prev else None, d.curr.name if d.curr else None): d.action
+        for d in diff_columns(users_v1(), users_v2())
+    }
+    assert actions == {
+        ("id", "id"): DiffAction.MODIFY,       # type change via new column ID
+        ("name", "color"): DiffAction.RENAME,  # same ID, same attrs
+        ("birth", "birth"): DiffAction.UNCHANGE,
+        (None, "gender"): DiffAction.ADD,
+        ("age", None): DiffAction.DROP,
+    }
+
+
+def test_diff_is_symmetric_on_identity():
+    cols = users_v1()
+    assert all(d.action == DiffAction.UNCHANGE for d in diff_columns(cols, cols))
+
+
+@pytest.mark.parametrize(
+    "tp,precision,scale,expected",
+    [
+        ("int", "11", "", T.IntegerType()),
+        ("bigint", "", "", T.LongType()),
+        ("bigint unsigned", "", "", T.DecimalType(20, 0)),
+        ("int unsigned", "", "", T.LongType()),
+        ("tinyint", "", "", T.IntegerType()),
+        ("year", "", "", T.IntegerType()),
+        ("float", "", "", T.FloatType()),
+        ("double", "", "", T.DoubleType()),
+        ("decimal", "12", "3", T.DecimalType(12, 3)),
+        ("bit", "", "", T.BooleanType()),
+        ("varchar", "255", "", T.StringType()),
+        ("json", "", "", T.StringType()),
+        ("enum", "", "", T.StringType()),
+        ("set", "", "", T.StringType()),
+        ("time", "", "", T.StringType()),
+        ("date", "", "", T.DateType()),
+        ("datetime", "", "", T.TimestampType()),
+        ("timestamp", "", "", T.TimestampType()),
+        ("varbinary", "", "", T.BinaryType()),
+        ("longblob", "", "", T.BinaryType()),
+    ],
+)
+def test_type_map(tp, precision, scale, expected):
+    assert tidb_type_to_spark(tp, precision, scale) == expected
+
+
+def test_schema_file_roundtrip(tmp_path):
+    td = TableDefinition(schema="tpch", table="users", version=7, columns=users_v1())
+    path = td.dump(tmp_path)
+    assert path.name == f"schema_7_{td.checksum()}.json"
+    loaded = load_schema_file(path)
+    assert loaded.version == 7
+    assert loaded.pk_columns == ["id"]
+    assert [c.name for c in loaded.columns] == ["id", "name", "age", "birth"]
+
+
+def test_schema_file_checksum_rejects_tamper(tmp_path):
+    td = TableDefinition(schema="tpch", table="users", version=7, columns=users_v1())
+    path = td.dump(tmp_path)
+    text = path.read_text().replace('"name"', '"nom"')
+    path.write_text(text)
+    with pytest.raises(ValueError, match="checksum"):
+        load_schema_file(path)
+
+
+def test_table_def_to_struct():
+    td = TableDefinition(schema="tpch", table="users", version=1, columns=users_v1())
+    st = table_def_to_struct(td)
+    assert [f.dataType for f in st.fields] == [
+        T.IntegerType(), T.StringType(), T.IntegerType(), T.DateType(),
+    ]

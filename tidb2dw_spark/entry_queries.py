@@ -1,0 +1,197 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string (or ``None`` for non-SQL-expressible
+operators, which the driver checks rows-only).  ``__spark_entry__.py`` is a
+thin wrapper over this module; ``tests/test_oracle_parity.py`` runs every
+pair locally so the driver's correctness gate is pre-verified.
+
+Names map to SURVEY.md §2 operator IDs (s*/p*/j*/w*/o*/d*) plus the
+training-data-pipeline families (dedup_*, sim_*, text_*, mm_*).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fixtures import (
+    CHANGELOG_SQL,
+    LINEITEM_PAYLOAD,
+    ORDERS_PAYLOAD,
+    TABLE_PK,
+    register_views,
+)
+from .operators.dedup import last_writer_wins
+from .operators.merge import apply_changelog
+from .operators.project import decode_binary_columns, metadata_row_filter
+from .sources.snapshot import read_snapshot_csv, write_snapshot_csv
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _merge_oracle(table: str, payload: str) -> str:
+    pk = TABLE_PK[table]
+    pk_pred = " AND ".join(f"f.{c} = t.{c}" for c in pk)
+    return f"""
+WITH changelog AS ({CHANGELOG_SQL[table]}),
+final AS (
+  SELECT * FROM changelog
+  QUALIFY row_number() OVER (
+    PARTITION BY {", ".join(pk)} ORDER BY commit_ts DESC, flag DESC) = 1
+)
+SELECT t.* FROM {table} t
+WHERE NOT EXISTS (SELECT 1 FROM final f WHERE {pk_pred})
+UNION ALL
+SELECT {payload} FROM final WHERE flag <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: W1 + J1/J2/J3 + P5/P6 — the reference's core merge query
+# ---------------------------------------------------------------------------
+@register("merge_orders", _merge_oracle("orders", ORDERS_PAYLOAD))
+def merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I/U/D changelog merge into orders (snowsql/sql.go:115-177 parity)."""
+    register_views(spark, sf_dir, ["orders"])
+    changelog = spark.sql(CHANGELOG_SQL["orders"])
+    return apply_changelog(spark.table("orders"), changelog, TABLE_PK["orders"])
+
+
+@register("merge_lineitem_composite_pk", _merge_oracle("lineitem", LINEITEM_PAYLOAD))
+def merge_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-PK merge (l_orderkey, l_linenumber)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    changelog = spark.sql(CHANGELOG_SQL["lineitem"])
+    return apply_changelog(spark.table("lineitem"), changelog, TABLE_PK["lineitem"])
+
+
+@register(
+    "w1_last_writer_wins",
+    f"""
+WITH changelog AS ({CHANGELOG_SQL["orders"]})
+SELECT * FROM changelog
+QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY commit_ts DESC, flag DESC) = 1
+""",
+)
+def w1_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 in isolation — newest event per PK including its flag."""
+    register_views(spark, sf_dir, ["orders"])
+    return last_writer_wins(spark.sql(CHANGELOG_SQL["orders"]), TABLE_PK["orders"])
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters P1-P6
+# ---------------------------------------------------------------------------
+@register(
+    "p1_positional_projection",
+    "SELECT c_custkey AS c1, c_name AS c2, c_nationkey AS c3, c_acctbal AS c4, "
+    "c_mktsegment AS c5 FROM customer",
+)
+def p1_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — ordinal → named columns ($5 AS col…, snowsql/sql.go:116-124)."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return df.toDF("c1", "c2", "c3", "c4", "c5")
+
+
+@register(
+    "p2_cast_projection",
+    "SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey, "
+    "o_orderstatus, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority "
+    "FROM orders",
+)
+def p2_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — per-column cast projection (databrickssql/sql.go:184-195)."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return df.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "p3_binary_decode",
+    "SELECT doc_id, hex(source) AS hex_src, decode(unhex(hex(source))) AS roundtrip "
+    "FROM documents",
+)
+def p3_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — staged hex text → bytes (TO_BINARY($n,'HEX'), snowsql/sql.go:119-121)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = df.select("doc_id", F.hex(F.col("source")).alias("hex_src"))
+    decoded = decode_binary_columns(
+        staged.withColumn("roundtrip", F.col("hex_src")), ["roundtrip"], encoding="hex"
+    )
+    return decoded.withColumn("roundtrip", F.col("roundtrip").cast("string"))
+
+
+@register(
+    "p4_metadata_row_filter",
+    f"""
+WITH changelog AS ({CHANGELOG_SQL["orders"]}),
+tagged AS (
+  SELECT flag, CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE tablename END AS tablename,
+         schemaname, commit_ts, o_orderkey
+  FROM changelog
+)
+SELECT * FROM tagged WHERE tablename IS NOT NULL
+""",
+)
+def p4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — drop stray metadata rows (redshiftsql/sql.go:143,179)."""
+    register_views(spark, sf_dir, ["orders"])
+    tagged = spark.sql(
+        f"""
+        WITH changelog AS ({CHANGELOG_SQL["orders"]})
+        SELECT flag, CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE tablename END AS tablename,
+               schemaname, commit_ts, o_orderkey
+        FROM changelog
+        """
+    )
+    return metadata_row_filter(tagged)
+
+
+@register(
+    "j2_anti_join_deletes",
+    f"""
+WITH changelog AS ({CHANGELOG_SQL["orders"]}),
+keys AS (SELECT DISTINCT o_orderkey FROM changelog WHERE flag = 'D')
+SELECT t.* FROM orders t
+WHERE NOT EXISTS (SELECT 1 FROM keys k WHERE k.o_orderkey = t.o_orderkey)
+""",
+)
+def j2_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — Redshift delete-phase anti-join (redshiftsql/sql.go:130-160)."""
+    register_views(spark, sf_dir, ["orders"])
+    changelog = spark.sql(CHANGELOG_SQL["orders"])
+    keys = changelog.filter(F.col("flag") == "D").select("o_orderkey").distinct()
+    return spark.table("orders").join(F.broadcast(keys), "o_orderkey", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot staging round-trip (S3+S6: CSV conventions incl. \N nulls)
+# ---------------------------------------------------------------------------
+@register("s6_snapshot_csv_roundtrip", "SELECT * FROM customer")
+def s6_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write customer in the staging CSV dialect, read it back typed."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tmp = tempfile.mkdtemp(prefix="tidb2dw_snap_")
+    write_snapshot_csv(df, f"{tmp}/customer")
+    return read_snapshot_csv(spark, f"{tmp}/customer", df.schema)

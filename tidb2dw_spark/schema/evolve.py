@@ -1,0 +1,77 @@
+"""D5/D6 — apply a column diff to a ManagedTable (schema evolution).
+
+The reference rewrites diffs into per-dialect ALTER statements
+(snowsql/ddl.go:41-99, redshiftsql/ddl.go:14-69, bigquerysql/ddl.go:35-98,
+databrickssql/ddl.go:12-66).  On a copy-on-write Parquet table every
+evolution is a projection + version commit, so we support the full action
+set — including MODIFY (type change), which two of the four reference
+dialects refuse (redshiftsql/ddl.go:54-55, databrickssql/ddl.go:51-52):
+
+    ADD      → lit(default) backfill (default-value rendering parity,
+               snowsql/sql.go:68-74)
+    DROP     → drop column
+    RENAME   → withColumnRenamed
+    MODIFY   → cast to the new Spark type
+
+TRUNCATE / DROP TABLE map to ``truncate_table`` / removing the table root;
+CREATE TABLE and RENAME TABLE inside a changefeed are rejected exactly like
+the reference (snowsql/ddl.go:15-39).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .diff import ColumnDiff, DiffAction
+from .types import tidb_type_to_spark
+from ..table.managed import ManagedTable
+
+# reference timodel action codes the changefeed refuses to propagate
+REJECTED_DDL_ACTIONS = {"create-table", "rename-table", "create-schema"}
+
+
+def project_column_diffs(df: DataFrame, diffs: list[ColumnDiff]) -> DataFrame:
+    """Pure-DataFrame evolution: returns *df* reshaped to the new schema."""
+    out = df
+    final_order: list[str] = []
+    for d in diffs:
+        if d.action == DiffAction.UNCHANGE:
+            final_order.append(d.curr.name)
+        elif d.action == DiffAction.RENAME:
+            out = out.withColumnRenamed(d.prev.name, d.curr.name)
+            final_order.append(d.curr.name)
+        elif d.action == DiffAction.MODIFY:
+            new_type = tidb_type_to_spark(d.curr.tp, d.curr.precision, d.curr.scale)
+            out = out.withColumn(d.curr.name, F.col(d.curr.name).cast(new_type))
+            final_order.append(d.curr.name)
+        elif d.action == DiffAction.ADD:
+            new_type = tidb_type_to_spark(d.curr.tp, d.curr.precision, d.curr.scale)
+            default = F.lit(d.curr.default).cast(new_type) if d.curr.default is not None else F.lit(None).cast(new_type)
+            out = out.withColumn(d.curr.name, default)
+            final_order.append(d.curr.name)
+        elif d.action == DiffAction.DROP:
+            out = out.drop(d.prev.name)
+    return out.select(*final_order)
+
+
+def apply_column_diffs(
+    spark: SparkSession,
+    table: ManagedTable,
+    diffs: list[ColumnDiff],
+    extra_meta: dict | None = None,
+) -> int:
+    """Commit the evolved schema as a new table version."""
+    if all(d.action == DiffAction.UNCHANGE for d in diffs):
+        if extra_meta:
+            table.update_meta(**extra_meta)
+        return table.version()
+    df = table.read(spark)
+    evolved = project_column_diffs(df, diffs)
+    return table.overwrite(evolved, new_columns=evolved.columns, extra_meta=extra_meta)
+
+
+def truncate_table(spark: SparkSession, table: ManagedTable) -> int:
+    """TRUNCATE parity (snowsql/ddl.go truncate path)."""
+    df = table.read(spark)
+    return table.overwrite(df.limit(0))
