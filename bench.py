@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "w1_last_writer_wins",
     "j2_anti_join_deletes",
     "p2_cast_projection",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "text_quality_score",
+    "sim_topk_quantized_cosine",
 ]
 
 

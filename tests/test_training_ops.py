@@ -1,0 +1,132 @@
+"""Training-data pipeline ops: semantic checks beyond oracle parity —
+planted near-duplicates must be found, LSH must approximate brute force,
+multimodal plumbing must produce exact fake-decoder outputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb2dw_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from tidb2dw_spark.functions.multimodal import (
+    _fake_image_features,
+    attach_media,
+    extract_image_features,
+)
+from tidb2dw_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from tidb2dw_spark.functions.text import LANG_STOPWORDS
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Docs with planted duplicate pairs: (1,2) near-identical, (3,4) exact,
+    5..8 unrelated."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),           # near-dup of 1
+        (3, "completely different words about spark sql engines"),
+        (4, "completely different words about spark sql engines"),  # exact dup of 3
+        (5, "unrelated text mentioning databases and storage layers"),
+        (6, "another document on streaming watermarks and state stores"),
+        (7, "numerical linear algebra with distributed matrices"),
+        (8, "cats and dogs and birds and fish in the garden"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_finds_planted_dup(planted):
+    from tidb2dw_spark.functions.text import doc_fingerprint
+
+    res = exact_dedup(planted, "doc_id", doc_fingerprint(F.col("text"))).collect()
+    by_copies = {r["keep_id"]: r["n_copies"] for r in res}
+    assert by_copies[3] == 2  # docs 3,4 collapse, min id survives
+    assert sum(r["n_copies"] for r in res) == 8
+
+
+def test_minhash_lsh_finds_near_dup(planted):
+    pairs = minhash_lsh_pairs(
+        planted, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3,
+        jaccard_threshold=0.3,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (3, 4) in found  # exact dup: jaccard 1.0
+    assert (1, 2) in found  # near dup: one word changed
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(3, 4)] == 1.0
+    assert 0.3 <= jac[(1, 2)] < 1.0
+
+
+def test_simhash_near_for_near_dup(planted):
+    rows = planted.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+    sh = {r["doc_id"]: r["sh"] for r in rows}
+    assert sh[3] == sh[4]  # identical text → identical simhash
+    assert all(0 <= v < 2 ** 32 for v in sh.values())
+    pairs = simhash_dup_pairs(planted, "doc_id", "text", max_hamming=8).collect()
+    assert (3, 4) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_lang_id_on_planted(spark):
+    rows = [(1, "the cat is on the mat and it is warm"),
+            (2, "el gato que esta en la casa y no sale"),
+            (3, "der hund ist von dem haus und das ist gut"),
+            (4, "xyzzy plugh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from tidb2dw_spark.functions.text import lang_id
+
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+    assert set(LANG_STOPWORDS) == {"en", "es", "de", "fr"}
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries, k=5, metric="cosine").collect()
+    approx = lsh_bucketed_topk(emb, queries, k=5, num_planes=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 planes → 16 buckets over 500 near-orthogonal vectors: recall is
+    # modest by construction; assert it beats random (5/500 = 1%)
+    assert recall > 0.10, f"LSH recall {recall:.2%} not better than random"
+
+
+def test_brute_force_topk_is_deterministic_and_ranked(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") == 0)
+    res = brute_force_topk(emb, queries, k=3, metric="quantized_cosine").collect()
+    assert [r["rank"] for r in res] == [1, 2, 3]
+    assert res[0]["score"] >= res[1]["score"] >= res[2]["score"]
+    assert all(r["neighbor_id"] != 0 for r in res)
+
+
+def test_multimodal_features_match_fake_decoder(spark):
+    rows = [(1, "hello world"), (2, ""), (3, "abc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = attach_media(df)
+    got = {r["doc_id"]: r for r in extract_image_features(media).collect()}
+    for doc_id, text in rows:
+        blob = text.encode()
+        assert got[doc_id]["n_bytes"] == len(blob)
+        expect = _fake_image_features(blob)
+        if blob:
+            assert got[doc_id]["feature"] == pytest.approx(expect)
+            assert got[doc_id]["mean_byte"] == pytest.approx(sum(blob) / len(blob))
+        else:
+            assert got[doc_id]["mean_byte"] is None
+
+
+def test_multimodal_metadata_schema(spark):
+    df = attach_media(spark.createDataFrame([(1, "x")], ["doc_id", "text"]))
+    meta = df.select("media_meta.*").collect()[0]
+    assert meta["media_type"] == "image"
+    assert meta["width"] == 1

@@ -195,3 +195,12 @@ def s6_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="tidb2dw_snap_")
     write_snapshot_csv(df, f"{tmp}/customer")
     return read_snapshot_csv(spark, f"{tmp}/customer", df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+from . import entry_training  # noqa: E402  (registry import)
+
+QUERIES.update(entry_training.QUERIES)
+ORACLES.update(entry_training.ORACLES)

@@ -1,0 +1,198 @@
+"""Training-data-pipeline queries for the driver contract.
+
+Registers the dedup / similarity / text-analysis / multimodal operators
+with their DuckDB oracles (built in functions.oracle_sql from the same
+constants the Spark side uses).  Imported by entry_queries for the union
+registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import oracle_sql as O
+from .functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from .functions.multimodal import attach_media, extract_image_features
+from .functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from .functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    regex_token_count,
+    token_count,
+)
+
+# tuned so each op yields non-trivial output on the word-soup testdata
+MINHASH_NUM, MINHASH_BANDS, SHINGLE_N, JACCARD_T = 16, 8, 3, 0.2
+SIMHASH_MAX_HAMMING = 2  # ≤3 keeps the 4-byte-block candidate pigeonhole exact
+NGRAM_BLOCK, NGRAM_N, NGRAM_T = "lang", 3, 0.08
+TOPK_QUERY_MOD, TOPK_K = 50, 5
+NEAR_DUP_T = 0.35  # testdata embeddings are near-orthogonal (max qcos ≈ 0.51)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register("text_features", O.TEXT_FEATURES_ORACLE)
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        regex_token_count(t).alias("n_bpe_tokens"),
+        doc_fingerprint(t).alias("fingerprint"),
+        lang_id(t).alias("lang_pred"),
+    )
+
+
+@register("text_quality_score", O.QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    return df.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@register("dedup_exact", O.EXACT_DEDUP_ORACLE)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return exact_dedup(df, "doc_id", doc_fingerprint(F.col("text")))
+
+
+@register(
+    "dedup_minhash_signature",
+    O.minhash_signature_oracle(MINHASH_NUM, SHINGLE_N),
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    sig = minhash_signatures(df, "doc_id", "text", MINHASH_NUM, SHINGLE_N)
+    return sig.select(
+        F.col("id").alias("doc_id"), F.posexplode("sig").alias("hash_idx", "minhash")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    O.minhash_lsh_pairs_oracle(MINHASH_NUM, MINHASH_BANDS, SHINGLE_N, JACCARD_T),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=JACCARD_T,
+    )
+
+
+@register("dedup_simhash", O.SIMHASH_ORACLE)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+@register("dedup_simhash_pairs", O.simhash_pairs_oracle(SIMHASH_MAX_HAMMING))
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    O.ngram_jaccard_pairs_oracle(NGRAM_BLOCK, NGRAM_N, NGRAM_T),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        block_col=NGRAM_BLOCK,
+        n=NGRAM_N,
+        threshold=NGRAM_T,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register("sim_topk_quantized_cosine", O.topk_qcos_oracle(TOPK_QUERY_MOD, TOPK_K))
+def sim_topk_qcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    return brute_force_topk(emb, queries, k=TOPK_K, metric="quantized_cosine")
+
+
+@register("sim_embedding_near_dup", O.embedding_near_dup_oracle(NEAR_DUP_T))
+def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
+
+
+@register("sim_topk_cosine")  # float cosine: rows-only (accumulation order)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    return brute_force_topk(emb, queries, k=TOPK_K, metric="cosine")
+
+
+@register("sim_lsh_bucketed_topk")  # approximate: rows-only, recall in pytest
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    return lsh_bucketed_topk(emb, queries, k=TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas — rows-only, exactness in pytest)
+# ---------------------------------------------------------------------------
+@register("mm_image_features")
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(_docs(spark, sf_dir))
+    return extract_image_features(media).drop("feature")

@@ -1,0 +1,338 @@
+"""Deduplication families for a training-data pipeline.
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard dedup — all expressed with
+JVM-side higher-order array functions (``transform``/``aggregate``/
+``filter``), no Python UDFs, so the whole pipeline stays in codegen and
+scales linearly: per-row signature computation is shuffle-free; only the
+candidate-pair join shuffles, and it shuffles *signatures* (bytes/row),
+never documents.
+
+Hashing is md5-hex-substring → integer, chosen because it is bit-identical
+in Spark (``conv(substr(md5(x),1,k),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,k))::BIGINT``) — every operator here has an exact
+cross-engine oracle.
+
+Scale design (100 TB corpus):
+- signatures: one narrow pass, column-pruned scan of (id, text) only
+- LSH banding: explode to (band, key) rows — ``bands × n`` small rows;
+  the self-join shuffles on (band, key), a uniform md5-derived key, so no
+  skew; AQE handles residual imbalance
+- verification joins fetch only shingle arrays for candidate ids
+  (semi-join pruned), never the full corpus
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+# minhash parameters: (a*H(s)+b) mod P over 28-bit md5-derived shingle
+# hashes; a,b from a fixed seed so the SQL oracle regenerates them exactly
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_SEED = 20260813
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    rng = random.Random(_SEED)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def md5_long(col: Column, hex_digits: int = 15) -> Column:
+    """First *hex_digits* of md5 as a non-negative int (≤60 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; whole text if shorter than n words."""
+    words = tokenize(text)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, id_col: str, fingerprint: Column
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one surviving id + multiplicity per
+    fingerprint.  A pure partial-aggregatable groupBy — map-side combine
+    shrinks each 100 TB scan partition to its distinct fingerprints before
+    the single shuffle."""
+    return (
+        df.select(F.col(id_col), fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    text: Column, num_hashes: int = 16, shingle_n: int = 3
+) -> Column:
+    """MinHash signature as array<long>: min over shingles of
+    (a_i * H28(shingle) + b_i) mod P for each of *num_hashes* permutations.
+
+    NOTE: as a single Column this embeds the shingle-hash subtree once per
+    hash function (Column trees are trees, not DAGs).  Fine for one-off
+    selects; pipelines should use :func:`minhash_signatures` which stages
+    shingles → hashes → signature through real projections so each level
+    is computed once per row."""
+    shingles = word_shingles(text, shingle_n)
+    hashes = F.transform(shingles, lambda s: md5_long(s, 7))
+    sig = [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+        )
+        for a, b in minhash_coeffs(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) MinHash signatures, staged so the shingle/hash arrays are
+    attributes (computed once per row) rather than subtrees duplicated into
+    every hash function — turns an O(num_hashes × bands) expression blowup
+    into three narrow projections."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    hashed = shingled.select(
+        "id", F.transform(F.col("shingles"), lambda s: md5_long(s, 7)).alias("hs")
+    )
+
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    return hashed.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("hs"), perm(a, b)))
+                for a, b in minhash_coeffs(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, key:string>> — md5 of each signature band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    cache_intermediate: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    shingle→minhash→band→bucket-join→verify: candidate pairs are ids
+    sharing ≥1 band key; each candidate is verified with the exact Jaccard
+    of its distinct shingle sets.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b, deduplicated across bands.
+
+    *cache_intermediate* persists the (id, shingles) and (id, sig) tables:
+    both feed a self-join, and without materialization Spark evaluates the
+    full text→shingle→hash lineage once per join branch — at 100 TB that
+    is two extra corpus scans; the signature table is tiny relative to the
+    corpus and is exactly what you want resident.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if cache_intermediate:
+        shingled = shingled.persist()
+        sigs = sigs.persist()
+    # band rows carry ONLY (id, band, key): the candidate self-join must not
+    # drag shingle arrays through the near-quadratic bucket explosion — at
+    # any scale that multiplies shuffle bytes by the document size
+    banded = sigs.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # fetch shingle arrays only for surviving candidate ids
+    verified = (
+        candidates.join(
+            shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            on="id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column) -> Column:
+    """32-bit SimHash over distinct words: per-bit signed vote of each
+    word's 32-bit md5-derived hash, bit set where the vote is positive.
+    Word hashes are computed once into an array, then 32 shuffle-free
+    per-row aggregates fold the votes — all codegen, no explode."""
+    hashes = F.transform(
+        F.array_distinct(tokenize(text)), lambda w: md5_long(w, 8)
+    )
+    bits = []
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bits.append(F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out + bit
+    return out
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit simhashes (native popcount)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def simhash_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the 4 bytes of the simhash
+    (a ≤max_hamming-bit difference leaves ≥1 of 4 byte-blocks identical
+    for max_hamming ≤ 3 — pigeonhole), verify with exact Hamming distance."""
+    base = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    )
+    blocked = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright(F.col("sh"), i * 8).bitwiseAND(F.lit(0xFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    left, right = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        left.join(right, on=["block", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming32(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked exact similarity)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over pairs sharing a blocking key (e.g.
+    source, language, or a length bucket) — the O(n²) pair space is
+    confined to blocks; the join shuffles on the block key only."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    )
+    left, right = base.alias("l"), base.alias("r")
+    pairs = (
+        left.join(right, on="block")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (
+                F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
+                / F.size(F.array_union(F.col("l.sh"), F.col("r.sh"))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)

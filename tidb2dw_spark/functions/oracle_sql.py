@@ -1,0 +1,269 @@
+"""DuckDB oracle SQL builders for the functions layer.
+
+Generated from the SAME Python constants as the Spark implementations
+(stopword lists, minhash coefficients, token regexes), so the two sides
+cannot drift.  Cross-engine-deterministic building blocks (verified by
+probe + test suite):
+
+- md5-hex-substring → int:  Spark ``conv(substr(md5(x),1,k),16,10)`` ≡
+  DuckDB ``('0x'||substr(md5(x),1,k))::BIGINT``
+- whitespace tokens:  ``split(trim(lower(x)),'\\s+')`` ≡
+  ``string_split_regex(trim(lower(x)),'\\s+')``
+- integer-quantized vector math (round(x*1e6) as BIGINT) — order-
+  independent exact arithmetic where float accumulation would diverge
+- single-op double arithmetic (ratios, sqrt, division) — IEEE-identical
+
+NOTE: DuckDB's lambda arrow ``->`` misparses a ``>>`` inside the body, so
+bit tests use ``(h // 2^b) % 2`` instead of shifts.
+"""
+
+from __future__ import annotations
+
+from .dedup import MINHASH_PRIME, SIMHASH_BITS, minhash_coeffs
+from .text import LANG_STOPWORDS, PUNCT_REGEX, TOKEN_REGEX
+
+# -- fragments --------------------------------------------------------------
+
+def sql_tokens(col: str) -> str:
+    return f"string_split_regex(trim(lower({col})), '\\s+')"
+
+
+def sql_md5_long(expr: str, hex_digits: int) -> str:
+    return f"('0x'||substr(md5({expr}),1,{hex_digits}))::BIGINT"
+
+
+def sql_token_count(col: str) -> str:
+    return f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE len({sql_tokens(col)}) END"
+
+
+def sql_shingles(words: str, n: int) -> str:
+    """Distinct word n-grams (whole text if shorter than n words)."""
+    return (
+        f"list_distinct([array_to_string({words}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len({words})-{n}, 0)+2)])"
+    )
+
+
+def sql_stopword_hits(words: str, stopwords: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in stopwords) + "]"
+    return f"len(list_filter({words}, w -> list_contains({arr}, w)))"
+
+
+def sql_lang_id(words: str) -> str:
+    """Mirror of text.lang_id: first lang in priority order whose hit count
+    ≥ max(1, every lower-priority lang's hits)."""
+    langs = list(LANG_STOPWORDS)
+    hits = {lg: sql_stopword_hits(words, LANG_STOPWORDS[lg]) for lg in langs}
+    cases = []
+    for i, lg in enumerate(langs):
+        rest = [hits[o] for o in langs[i + 1:]]
+        bound = f"greatest(1, {', '.join(rest)})" if rest else "1"
+        cases.append(f"WHEN {hits[lg]} >= {bound} THEN '{lg}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def sql_minhash_array(hashes: str, num_hashes: int) -> str:
+    exprs = ", ".join(
+        f"list_min(list_transform({hashes}, h -> ({a}*h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_coeffs(num_hashes)
+    )
+    return f"[{exprs}]"
+
+
+def sql_simhash(word_hashes: str) -> str:
+    """Mirror of dedup.simhash over a 32-bit word-hash list column."""
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({word_hashes}, "
+        f"v -> CASE WHEN (v // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"({bits})::BIGINT"
+
+
+def sql_quantized(vec: str, scale: int = 1_000_000) -> str:
+    return (
+        f"[(round(CAST({vec}[i] AS DOUBLE)*{scale}))::BIGINT "
+        f"for i in range(1, len({vec})+1)]"
+    )
+
+
+def sql_int_dot(qa: str, qb: str) -> str:
+    return f"list_sum([{qa}[i]*{qb}[i] for i in range(1, len({qa})+1)])"
+
+
+def sql_qcos(qa: str, qb: str) -> str:
+    """Quantized cosine: int dots (exact) + single-op double sqrt/div."""
+    return (
+        f"CAST({sql_int_dot(qa, qb)} AS DOUBLE) / "
+        f"(sqrt(CAST({sql_int_dot(qa, qa)} AS DOUBLE)) * "
+        f"sqrt(CAST({sql_int_dot(qb, qb)} AS DOUBLE)))"
+    )
+
+
+# -- whole-query oracles ----------------------------------------------------
+
+TEXT_FEATURES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {sql_tokens("text")} AS words FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       {sql_token_count("text")} AS n_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens,
+       md5(array_to_string(words, ' ')) AS fingerprint,
+       {sql_lang_id("words")} AS lang_pred
+FROM base
+"""
+
+QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {sql_tokens("text")} AS words FROM documents
+), feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {sql_token_count("text")} AS n_tokens,
+         len(regexp_extract_all(text, '{PUNCT_REGEX}')) AS n_punct,
+         {sql_stopword_hits("words", LANG_STOPWORDS["en"])} AS n_stop
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+       (CAST(0.4 AS DOUBLE) * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+        + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * CAST(4.0 AS DOUBLE))
+        + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) ELSE 0.0 END) * CAST(10.0 AS DOUBLE)))
+       ) AS quality_score
+FROM feats
+"""
+
+EXACT_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, md5(array_to_string({sql_tokens("text")}, ' ')) AS fp FROM documents
+)
+SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM base GROUP BY fp
+"""
+
+
+def minhash_signature_oracle(num_hashes: int, shingle_n: int) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens("text")} AS words FROM documents
+), sh AS (
+  SELECT doc_id, {sql_shingles("words", shingle_n)} AS shingles FROM base
+), h AS (
+  SELECT doc_id, list_transform(shingles, s -> {sql_md5_long("s", 7)}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {sql_minhash_array("hs", num_hashes)} AS sig FROM h
+)
+SELECT doc_id, generate_subscripts(sig, 1) - 1 AS hash_idx, unnest(sig) AS minhash
+FROM sig
+"""
+
+
+SIMHASH_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({sql_tokens("text")}) AS words FROM documents
+), h AS (
+  SELECT doc_id, list_transform(words, w -> {sql_md5_long("w", 8)}) AS hs FROM base
+)
+SELECT doc_id, {sql_simhash("hs")} AS simhash FROM h
+"""
+
+
+def minhash_lsh_pairs_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    rows = num_hashes // bands
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens("text")} AS words FROM documents
+), sh AS (
+  SELECT doc_id, {sql_shingles("words", shingle_n)} AS shingles FROM base
+), h AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> {sql_md5_long("s", 7)}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {sql_minhash_array("hs", num_hashes)} AS sig FROM h
+), banded AS (
+  SELECT doc_id, shingles, b,
+         md5(array_to_string(sig[b*{rows}+1:(b+1)*{rows}], ',')) AS key
+  FROM sig, range(0, {bands}) r(b)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           AS jaccard
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def simhash_pairs_oracle(max_hamming: int) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({sql_tokens("text")}) AS words FROM documents
+), h AS (
+  SELECT doc_id, list_transform(words, w -> {sql_md5_long("w", 8)}) AS hs FROM base
+), sims AS (
+  SELECT doc_id, {sql_simhash("hs")} AS sh FROM h
+), blocked AS (
+  SELECT doc_id, sh, blk, (sh // power(256, blk)::BIGINT) % 256 AS key
+  FROM sims, range(0, 4) r(blk)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM blocked l JOIN blocked r ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+def ngram_jaccard_pairs_oracle(block_col: str, n: int, threshold: float) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {block_col} AS block, {sql_shingles(sql_tokens("text"), n)} AS sh
+  FROM documents
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+       CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE) AS jaccard
+FROM base l JOIN base r ON l.block = r.block AND l.doc_id < r.doc_id
+WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+      CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE) >= {threshold}
+"""
+
+
+def topk_qcos_oracle(query_mod: int, k: int) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {sql_quantized("embedding")} AS qv
+  FROM embeddings WHERE vec_id % {query_mod} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, {sql_quantized("embedding")} AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id, {sql_qcos("qv", "cv")} AS score
+  FROM c, q WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def embedding_near_dup_oracle(threshold: float) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, {sql_quantized("embedding")} AS qv FROM embeddings
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, {sql_qcos("l.qv", "r.qv")} AS qcos
+FROM v l JOIN v r ON l.vec_id < r.vec_id
+WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
+"""

@@ -1,0 +1,237 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine/dot top-k as the exact baseline, and a sign-bit
+(random-hyperplane) LSH bucketed variant as the scale path.  Vector math
+uses ``zip_with`` + ``aggregate`` higher-order functions — JVM-side fold
+per row, no Python, no explode, no shuffle for the scoring pass.
+
+Scale design: queries are broadcast (a query set is small by definition);
+the corpus is scanned once, each partition scores its rows against all
+broadcast queries, and only (query_id, top-k candidates) leave the
+executors through a partial top-k (window over query_id after a per-
+partition filter).  At 100 TB the LSH variant prunes the scan: bucket
+signatures are precomputed into the corpus table, queries probe only
+matching buckets — partition pruning on the bucket column turns the scan
+into an index lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + fold (sequential, deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantized_dot(a: Column, b: Column, scale: int = 1_000_000) -> Column:
+    """Integer-quantized dot product: Σ round(aᵢ·s)·round(bᵢ·s) as BIGINT.
+    Exact, order-independent integer math — the cross-engine-reproducible
+    ranking key for oracle-checked top-k (float accumulation order differs
+    between engines; int64 addition cannot)."""
+    qa = F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    qb = F.transform(b, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine(a: Column, b: Column, scale: int = 1_000_000) -> Column:
+    """Cosine over integer-quantized vectors: exact int64 dots, then
+    single-op double sqrt/divide — bit-identical across engines (the
+    cross-engine-checkable stand-in for float cosine)."""
+    qa = F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    qb = F.transform(b, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+    def idot(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v_: acc + v_,
+        )
+
+    return idot(qa, qb).cast("double") / (
+        F.sqrt(idot(qa, qa).cast("double")) * F.sqrt(idot(qb, qb).cast("double"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, qcos ≥ threshold).
+
+    Exact all-pairs self-join — correct baseline and fine for modest corpora
+    / within LSH buckets; at 100 TB compose with :func:`lsh_bucket` to
+    confine the pair space (same shape as dedup.minhash_lsh_pairs)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+
+    def idot(u: Column, w: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+
+    v = df.select(F.col(id_col).alias("id"), qv.alias("qv")).withColumn(
+        "norm", F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double"))
+    )
+    left, right = v.alias("l"), v.alias("r")
+    pairs = left.join(right, F.col("l.id") < F.col("r.id")).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        (
+            idot(F.col("l.qv"), F.col("r.qv")).cast("double")
+            / (F.col("l.norm") * F.col("r.norm"))
+        ).alias("qcos"),
+    )
+    return pairs.filter(F.col("qcos") >= threshold)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × corpus scan.
+
+    Returns (query_id, neighbor_id, score, rank), self-pairs excluded,
+    ties broken by neighbor_id ascending (deterministic)."""
+    # precompute per-side quantized arrays / norms BEFORE the pair join:
+    # per-pair work is then one dot product, not three (norms are per-row,
+    # computing them inside the n×q join multiplies the work by the fan-out)
+    def qarr(c: Column) -> Column:
+        return F.transform(c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+
+    def idot(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        )
+
+    if metric in ("quantized_cosine", "quantized_dot"):
+        q = queries.select(
+            F.col(id_col).alias("query_id"), qarr(F.col(vec_col)).alias("q_vec")
+        ).withColumn("q_norm", F.sqrt(idot(F.col("q_vec"), F.col("q_vec")).cast("double")))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), qarr(F.col(vec_col)).alias("c_vec")
+        ).withColumn("c_norm", F.sqrt(idot(F.col("c_vec"), F.col("c_vec")).cast("double")))
+        dot = idot(F.col("q_vec"), F.col("c_vec"))
+        if metric == "quantized_cosine":
+            score = dot.cast("double") / (F.col("q_norm") * F.col("c_norm"))
+        else:
+            score = dot
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).withColumn("q_norm", l2_norm(F.col("q_vec")))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ).withColumn("c_norm", l2_norm(F.col("c_vec")))
+        if metric == "cosine":
+            score = dot_product(F.col("q_vec"), F.col("c_vec")) / (
+                F.col("q_norm") * F.col("c_norm")
+            )
+        elif metric == "dot":
+            score = dot_product(F.col("q_vec"), F.col("c_vec"))
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-bit LSH (random hyperplane) — the scale path
+# ---------------------------------------------------------------------------
+def _plane_component(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived, so corpus and query sides (and any engine) agree."""
+    h = md5_long(F.concat_ws("_", F.lit("plane"), F.lit(plane), dim_idx.cast("string")), 7)
+    return (h % 2001 - 1000).cast("double") / 1000.0
+
+
+def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
+    """Sign-bit bucket id: bit p = sign(vec · plane_p)."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def plane_dot(p: int):
+        def fold(acc: Column, d: Column) -> Column:
+            return acc + F.element_at(vec, d + 1).cast("double") * _plane_component(p, d)
+
+        return F.aggregate(dims, F.lit(0.0).cast("double"), fold)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing the query's LSH
+    bucket.  ~2^-num_planes of the corpus is scored per query; at scale the
+    corpus is written partitioned by bucket so the probe is partition-pruned.
+    Recall is tested against :func:`brute_force_topk` in the suite."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,105 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All pure column expressions over ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen, no Python in the hot path.  Each has an exact
+ANSI-SQL twin for the DuckDB oracle (see entry_queries), so semantics are
+pinned cross-engine: tokenization is whitespace-regex, hashes are
+md5-hex-substring (identical in both engines), ratios are single-op double
+divisions (deterministic IEEE in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# per-language stopword lists for the n-gram/stopword lang-ID heuristic;
+# order = deterministic tie-break priority
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "zu", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+PUNCT_REGEX = "[,.!?;:]"
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokens of a trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokenize(text))
+    )
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def _stopword_hits(words: Column, stopwords: list[str]) -> Column:
+    """How many words are in the stopword list (with multiplicity)."""
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-overlap language heuristic with deterministic tie-break:
+    highest hit-count wins; ties resolve in LANG_STOPWORDS order; zero hits
+    everywhere → 'und' (undetermined)."""
+    words = tokenize(text)
+    result = F.lit("und")
+    best = F.lit(0)
+    # iterate in reverse priority so earlier languages win ties via >=
+    for lang in reversed(list(LANG_STOPWORDS)):
+        hits = _stopword_hits(words, LANG_STOPWORDS[lang])
+        take = hits >= F.greatest(best, F.lit(1))
+        result = F.when(take, F.lit(lang)).otherwise(result)
+        best = F.greatest(best, hits)
+    return result
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features: length, token stats, punctuation and
+    stopword ratios, and a composite [0,1] score.  Ratios are single-op
+    double divisions — bit-identical across engines."""
+    n_chars = F.length(text)
+    words = tokenize(text)
+    n_tokens = token_count(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_REGEX), 0))
+    n_stop = _stopword_hits(words, LANG_STOPWORDS["en"])
+    nt = n_tokens.cast("double")
+    avg_token_len = F.when(n_tokens > 0, n_chars.cast("double") / nt).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(n_tokens > 0, n_stop.cast("double") / nt).otherwise(F.lit(0.0))
+    # composite: reward mid-length docs with some stopwords, punish symbol soup
+    length_ok = ((n_tokens >= 5) & (n_tokens <= 100000)).cast("double")
+    score = (
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * F.least(F.lit(1.0), stopword_ratio * 4.0)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10.0))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "quality_score": score,
+    }
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized, lowercased text (content-defined identity for
+    exact dedup across formatting differences)."""
+    normalized = F.concat_ws(" ", tokenize(text))
+    return F.md5(normalized)
