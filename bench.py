@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality_score",
     "sim_topk_quantized_cosine",
+    "q1_lineitem_agg",
+    "q_revenue_by_segment",
+    "events_tumbling_agg",
+    "events_sessionization",
 ]
 
 

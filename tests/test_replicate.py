@@ -1,0 +1,90 @@
+"""Multi-table orchestrator + metrics/status parity."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+from tidb2dw_spark.metrics import MetricsRegistry, TableStage, serve
+from tidb2dw_spark.replicate import TableReplicator, replicate_all
+from tidb2dw_spark.schema.table_def import TableCol, TableDefinition
+
+from .test_consumer import users_def_v1, write
+
+
+def pets_def() -> TableDefinition:
+    return TableDefinition(
+        schema="tpch", table="pets", version=1,
+        columns=[
+            TableCol(id="1", name="pet_id", tp="int", is_pk="true"),
+            TableCol(id="2", name="name", tp="varchar", precision="64"),
+        ],
+    )
+
+
+def _layout(tmp_path):
+    snap, incr, wh = tmp_path / "snapshot", tmp_path / "increment", tmp_path / "wh"
+    write(snap / "tpch.users.000000001.csv", '1,"alice",30,1990-01-01\n2,"bob",41,1991-02-02\n')
+    write(snap / "tpch.pets.000000001.csv", '1,"rex"\n2,"tom"\n3,"ava"\n')
+    users_def_v1().dump(incr / "tpch/users/1/meta")
+    pets_def().dump(incr / "tpch/pets/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"D","users","tpch",100,2,"bob",41,1991-02-02\n')
+    write(incr / "tpch/pets/1/2024-01-01/CDC000001.csv",
+          '"I","pets","tpch",100,4,"ivy"\n')
+    return snap, incr, wh
+
+
+def test_replicate_all_two_tables(spark, tmp_path):
+    snap, incr, wh = _layout(tmp_path)
+    reg = MetricsRegistry()
+    reps = [
+        TableReplicator(spark, snap, incr, wh, users_def_v1(), registry=reg),
+        TableReplicator(spark, snap, incr, wh, pets_def(), registry=reg),
+    ]
+    errors = replicate_all(reps)
+    assert errors == {"tpch.users": None, "tpch.pets": None}
+    assert {r["id"] for r in reps[0].table.read(spark).collect()} == {1}
+    assert {r["pet_id"] for r in reps[1].table.read(spark).collect()} == {1, 2, 3, 4}
+    snap_info = reg.snapshot()
+    assert snap_info["tables"]["tpch.users"]["stage"] == "incremental"
+    assert snap_info["tables"]["tpch.users"]["counters"]["files_processed"] == 1
+    # snapshot is idempotent: second run skips load (loadinfo marker)
+    assert reps[0].load_snapshot() is False
+
+
+def test_error_isolation(spark, tmp_path):
+    snap, incr, wh = _layout(tmp_path)
+    # corrupt pets schema file → pets fails, users succeeds
+    bad = TableDefinition(schema="tpch", table="pets", version=1, columns=[])
+    for f in (incr / "tpch/pets/1/meta").glob("*.json"):
+        f.unlink()
+    p = bad.dump(incr / "tpch/pets/1/meta")
+    p.write_text(p.read_text().replace('"Version": 1', '"Version": 9'))
+    reg = MetricsRegistry()
+    reps = [
+        TableReplicator(spark, snap, incr, wh, users_def_v1(), registry=reg),
+        TableReplicator(spark, snap, incr, wh, pets_def(), registry=reg),
+    ]
+    errors = replicate_all(reps)
+    assert errors["tpch.users"] is None
+    assert errors["tpch.pets"] is not None
+    assert reg.snapshot()["tables"]["tpch.pets"]["stage"] == "error"
+
+
+def test_metrics_http_info_endpoint():
+    reg = MetricsRegistry()
+    reg.set_stage("tpch.users", TableStage.SNAPSHOT_LOADED)
+    reg.add("tpch.users", "files_processed", 3)
+    reg.set_gauge("tpch.users", "pending_bytes", 1024)
+    server = serve(reg)
+    try:
+        port = server.server_address[1]
+        body = urllib.request.urlopen(f"http://127.0.0.1:{port}/info").read()
+        info = json.loads(body)
+        t = info["tables"]["tpch.users"]
+        assert t["stage"] == "snapshot-loaded"
+        assert t["counters"]["files_processed"] == 3
+        assert t["gauges"]["pending_bytes"] == 1024
+    finally:
+        server.shutdown()

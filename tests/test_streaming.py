@@ -1,0 +1,131 @@
+"""Structured Streaming surface: foreachBatch changelog merge equals the
+batch consumer's result; stateful sessionization equals its batch twin;
+windowed agg with watermark runs on a stream."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from tidb2dw_spark.fixtures import read_table
+from tidb2dw_spark.schema.types import table_def_to_struct
+from tidb2dw_spark.sources.snapshot import read_snapshot_csv
+from tidb2dw_spark.streaming.stream import (
+    sessionize_events_batch,
+    sessionize_events_stream,
+    stream_changelog_files,
+    windowed_event_counts,
+)
+from tidb2dw_spark.table.managed import ManagedTable
+
+from .test_consumer import users_def_v1, write
+
+
+def test_stream_changelog_merge_matches_batch(spark, tmp_path):
+    v1 = users_def_v1()
+    snap = tmp_path / "snapshot"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",\\N,1991-02-02\n3,"carol",41,1992-03-03\n')
+    snap_df = read_snapshot_csv(
+        spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)
+    )
+    table = ManagedTable(tmp_path / "wh" / "users").create(snap_df, v1.pk_columns)
+
+    cdc = tmp_path / "cdc"
+    write(cdc / "CDC000001.csv",
+          '"U","users","tpch",100,1,"alice2",31,1990-01-01\n'
+          '"I","users","tpch",101,4,"dave",22,1994-04-04\n')
+    write(cdc / "CDC000002.csv",
+          '"D","users","tpch",200,2,"bob",\\N,1991-02-02\n'
+          '"U","users","tpch",201,4,"dave2",23,1994-04-04\n')
+
+    q = stream_changelog_files(
+        spark,
+        f"{cdc}/*.csv",
+        table,
+        table_def_to_struct(v1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1]["name"] == "alice2"
+    assert rows[4]["name"] == "dave2" and rows[4]["age"] == 23
+
+    # restart with a new file: checkpoint prevents reprocessing old ones
+    write(cdc / "CDC000003.csv", '"D","users","tpch",300,3,"carol",41,1992-03-03\n')
+    q2 = stream_changelog_files(
+        spark, f"{cdc}/*.csv", table, table_def_to_struct(v1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert {r["id"] for r in table.read(spark).collect()} == {1, 4}
+
+
+def test_stream_sessionization_matches_batch_twin(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events")
+    # batch twin result: closed+open sessions; the stream (availableNow, one
+    # batch) emits only sessions closed WITHIN the batch → compare those
+    batch = sessionize_events_batch(events, gap_seconds=1800)
+    per_user_total = {
+        r["user_id"]: r["n"] for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    src = tmp_path / "events_stream"
+    events.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    out = sessionize_events_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sessions_out").collect()
+    # every emitted closed session must agree with a batch session exactly
+    batch_keys = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in batch_keys, f"stream session {key} not in batch result"
+    # stream emits strictly fewer or equal sessions per user (open ones held)
+    from collections import Counter
+
+    emitted = Counter(r["user_id"] for r in got)
+    assert all(emitted[u] <= per_user_total[u] for u in emitted)
+
+
+def test_windowed_agg_on_stream_with_watermark(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events")
+    src = tmp_path / "events_src"
+    events.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("win_out")
+    batch = windowed_event_counts(events, "1 hour")
+    # append mode emits only windows finalized past the watermark — compare
+    # the finalized subset against the batch result on shared keys
+    bkeys = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    emitted = got.collect()
+    assert len(emitted) > 0
+    for r in emitted:
+        assert bkeys[(r["window_start"], r["event_type"])] == r["n_events"]

@@ -198,6 +198,119 @@ def s6_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-stream analytics + aggregation/join coverage.  Double-typed SUMs are
+# computed as integer cents (round(x*100) as BIGINT): float accumulation
+# order differs between engines, int64 addition cannot.
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_agg",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming-capable; see streaming.stream)."""
+    from .fixtures import read_table
+    from .streaming.stream import windowed_event_counts
+
+    events = read_table(spark, sf_dir, "events")
+    return windowed_event_counts(events, "1 hour")
+
+
+@register(
+    "events_sessionization",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         COALESCE((epoch(ts) - epoch(lag(ts) OVER w) > 1800)::INT, 1) AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) — the oracle twin of the
+    applyInPandasWithState streaming operator."""
+    from .fixtures import read_table
+    from .streaming.stream import sessionize_events_batch
+
+    events = read_table(spark, sf_dir, "events")
+    return sessionize_events_batch(events, gap_seconds=1800)
+
+
+@register(
+    "q1_lineitem_agg",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style scan+agg: partial aggregation (map-side combine) over
+    a pruned 5-column scan; filter pushed to parquet."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def cents(col):
+        return F.round(col * 100.0).cast("long")
+
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
+        )
+    )
+
+
+@register(
+    "q_revenue_by_segment",
+    """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join + agg: the dim side is broadcast (no fact shuffle)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data-pipeline operators (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
 from . import entry_training  # noqa: E402  (registry import)

@@ -148,8 +148,30 @@ TABLE_PK = {
 ALL_TABLES = list(TABLE_PK)
 
 
+def read_table(spark, sf_dir: str, name: str):
+    """Read one testdata table, normalizing TIMESTAMP(NANOS) columns (which
+    Spark's parquet reader rejects) to micros timestamps by integer-dividing
+    the raw int64 — identical to DuckDB's nanos→micros truncation, so
+    oracle parity holds."""
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = NANOS_TS_COLUMNS.get(name)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols or []:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+# testdata columns stored as TIMESTAMP(NANOS) (checked via pyarrow)
+NANOS_TS_COLUMNS = {"events": ["ts"]}
+
+
 def register_views(spark, sf_dir: str, tables=None) -> None:
     """Register the testdata parquet tables as temp views (oracle parity:
     the driver pre-registers the same names in DuckDB)."""
     for name in tables or ALL_TABLES:
-        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

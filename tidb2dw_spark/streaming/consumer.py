@@ -62,11 +62,18 @@ class IncrementConsumer:
         increment_root: str | Path,
         table: ManagedTable,
         write_markers: bool = True,
+        schema_name: str | None = None,
+        table_name: str | None = None,
     ):
         self.spark = spark
         self.root = Path(increment_root)
         self.table = table
         self.write_markers = write_markers
+        # multi-table layouts share one increment root; each consumer owns
+        # exactly one (schema, table) and must ignore its neighbors'
+        # files (reference: one changefeed consumer per table)
+        self.schema_name = schema_name
+        self.table_name = table_name
         # consumer state — rebuilt each poll from listing + markers, so a
         # restarted consumer resumes safely (increment.go:43-47 parity)
         self.seen_indices: dict[DmlPathKey, int] = {}
@@ -79,9 +86,18 @@ class IncrementConsumer:
         )
 
     # -- one poll tick ----------------------------------------------------
+    def _owns(self, key: DmlPathKey) -> bool:
+        if self.schema_name is not None and key.schema != self.schema_name:
+            return False
+        if self.table_name is not None and key.table != self.table_name:
+            return False
+        return True
+
     def poll_once(self) -> ConsumerReport:
         report = ConsumerReport()
         dml_map, schema_files, file_paths = discover_increment_files(self.root)
+        dml_map = {k: v for k, v in dml_map.items() if self._owns(k)}
+        schema_files = {k: v for k, v in schema_files.items() if self._owns(k)}
         pending = diff_dml_maps(dml_map, self.seen_indices)
 
         # register every visible schema file first (S5)

@@ -1,0 +1,226 @@
+"""Structured Streaming surface (SURVEY §2.10).
+
+Three pieces:
+
+1. ``stream_changelog_files`` — the reference's incremental merge as a
+   Structured Streaming query: file-source over the CDC layout →
+   ``foreachBatch`` W1-dedup + merge into a ManagedTable.  Spark's file
+   source provides new-file detection and checkpointing (S4's index-diff
+   loop for free); within a micro-batch, ordering is irrelevant because the
+   W1 window collapses events by (pk, commit_ts); *across* batches the
+   merge is last-writer-wins idempotent.  DDL barriers are NOT expressible
+   on this path (file order is nondeterministic) — schema-evolving streams
+   use streaming.consumer.IncrementConsumer, exactly the trade-off the
+   reference resolves the same way (SURVEY §4.3.1).
+
+2. ``windowed_event_counts`` — tumbling-window aggregation with optional
+   watermark for late data (works identically over batch and stream
+   inputs; the reference has no windows, this is engine-completeness).
+
+3. ``sessionize_events`` — custom stateful operator: session windows per
+   user with an inactivity gap, via ``applyInPandasWithState`` on streams
+   and an equivalent gaps-and-islands window query for batch (the batch
+   twin is what the DuckDB oracle checks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.merge import apply_changelog
+from ..sources.envelope import envelope_schema
+from ..sources.snapshot import CSV_OPTIONS
+from ..table.managed import ManagedTable
+
+# ---------------------------------------------------------------------------
+# 1. Streaming changelog merge
+# ---------------------------------------------------------------------------
+def stream_changelog_files(
+    spark: SparkSession,
+    glob: str,
+    table: ManagedTable,
+    payload_schema: T.StructType,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start a streaming merge of CDC csv files into *table*.
+
+    Returns the StreamingQuery; callers ``awaitTermination()``.  With
+    ``available_now`` the query drains all currently-visible files and
+    stops — the batch-parity trigger (reference poll loop ≈ 12s ticks;
+    use ``processingTime`` for that behavior)."""
+    reader = spark.readStream.schema(envelope_schema(payload_schema))
+    for k, v in CSV_OPTIONS.items():
+        reader = reader.option(k, v)
+    stream = reader.csv(glob)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target = table.read(batch_df.sparkSession)
+        merged = apply_changelog(target, batch_df, table.pk_cols())
+        table.overwrite(merged)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="12 seconds")
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# 2. Tumbling-window aggregation (+watermark on streams)
+# ---------------------------------------------------------------------------
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Events per (tumbling window, event_type): count, distinct users,
+    min/max value.  Streaming-safe: with a watermark, late rows beyond the
+    bound are dropped and windows finalize incrementally."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    agg = [
+        F.count("*").alias("n_events"),
+        (F.approx_count_distinct("user_id") if df.isStreaming else F.countDistinct("user_id")).alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ]
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "event_type")
+        .agg(*agg)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Sessionization — custom stateful operator
+# ---------------------------------------------------------------------------
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def sessionize_events_batch(
+    events: DataFrame, gap_seconds: int = 1800, ts_col: str = "ts"
+) -> DataFrame:
+    """Batch sessionization: gaps-and-islands with window functions —
+    a session breaks when the gap to the previous event exceeds
+    *gap_seconds*.  Returns one row per (user, session)."""
+    ts = F.col(ts_col).cast("timestamp")
+    by_user = Window.partitionBy("user_id").orderBy(ts, "event_id")
+    flagged = events.withColumn(
+        "__new_session",
+        (
+            F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts).over(by_user))
+            > gap_seconds
+        ).cast("int"),
+    ).withColumn(
+        "__session_no",
+        F.sum(F.coalesce(F.col("__new_session"), F.lit(1))).over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "__session_no")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("__session_no")
+    )
+
+
+def sessionize_events_stream(
+    events: DataFrame, gap_seconds: int = 1800, ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState: per-user state
+    holds the open session; a processing-time timeout flushes idle ones.
+    Emits CLOSED sessions only (the batch twin emits all)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start_us, unit="us")],
+                        "session_end": [pd.Timestamp(last_us, unit="us")],
+                        "n_events": [n],
+                    }
+                )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        closed = []
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        for t in rows[ts_col]:
+            t_us = int(pd.Timestamp(t).value // 1_000)  # ns → µs (batch parity)
+            if start_us is None:
+                start_us, last_us, n = t_us, t_us, 1
+            elif t_us - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t_us, t_us, 1
+            else:
+                last_us, n = t_us, n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [n_ for _, _, n_ in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
