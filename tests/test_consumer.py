@@ -118,6 +118,46 @@ def test_full_lifecycle(spark, tmp_path):
     assert report.files_processed == 0
 
 
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """pk_buckets>0: merge() must rewrite only buckets containing batch PKs,
+    leave other buckets' files at their old version, and read back the union
+    correctly — the O(touched-data) merge path for 100 TB tables."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(100).select(
+        F.col("id").cast("long").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    t = ManagedTable(tmp_path / "bt").create(base, ["k"], pk_buckets=8)
+
+    batch = spark.createDataFrame(
+        [("U", "t", "s", 10, 3, "updated3"),
+         ("I", "t", "s", 11, 200, "new200"),
+         ("D", "t", "s", 12, 7, None)],
+        "flag string, tablename string, schemaname string, commit_ts long, k long, val string",
+    )
+    v = t.merge(spark, batch)
+    assert v == 2
+    bv = t.manifest()["bucket_versions"]
+    assert set(bv.values()) == {1, 2}  # some buckets untouched at v1
+    rows = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert len(rows) == 100  # 100 - 1 delete + 1 insert
+    assert rows[3] == "updated3" and rows[200] == "new200" and 7 not in rows
+
+    # replay the same batch: idempotent (same end state)
+    t.merge(spark, batch)
+    rows2 = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert rows2 == rows
+
+    # delete every key in one bucket → that bucket reads back empty, not error
+    all_keys = [r["k"] for r in t.read(spark).collect()]
+    wipe = spark.createDataFrame(
+        [("D", "t", "s", 20, k, None) for k in all_keys],
+        "flag string, tablename string, schemaname string, commit_ts long, k long, val string",
+    )
+    t.merge(spark, wipe)
+    assert t.read(spark).count() == 0
+
+
 def test_managed_table_versions_and_vacuum(spark, tmp_path):
     df = spark.range(5).withColumnRenamed("id", "k")
     t = ManagedTable(tmp_path / "t").create(df, ["k"], pk_buckets=4)

@@ -1,0 +1,74 @@
+"""Dialect CSV variants, JDBC option builder, DDL reject semantics, O2."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb2dw_spark.schema.evolve import (
+    UnsupportedDDLError,
+    guard_ddl_action,
+)
+from tidb2dw_spark.schema.table_def import pk_columns_from_index_rows
+from tidb2dw_spark.sources.dialects import (
+    DIALECTS,
+    decode_staged_binary,
+    encode_staged_binary,
+)
+from tidb2dw_spark.sources.jdbc import TidbSource, current_tso_query, snapshot_read_options
+
+
+@pytest.mark.parametrize("dialect,enc", [
+    ("default", "hex"), ("snowflake", "hex"), ("redshift", "hex"),
+    ("bigquery", "base64"), ("databricks", None),
+])
+def test_dialect_binary_roundtrip(spark, dialect, enc):
+    df = spark.createDataFrame([(1, bytearray(b"\x00\xffhi"))], ["id", "blob"])
+    staged = encode_staged_binary(df, ["blob"], dialect)
+    if enc is None:
+        assert staged.collect()[0]["blob"] == bytearray(b"\x00\xffhi")
+        return
+    staged_val = staged.collect()[0]["blob"]
+    assert isinstance(staged_val, str)
+    back = decode_staged_binary(staged, ["blob"], dialect).collect()[0]["blob"]
+    assert bytes(back) == b"\x00\xffhi"
+    assert DIALECTS[dialect].binary_encoding == enc
+
+
+def test_jdbc_snapshot_options_tso_fence():
+    src = TidbSource("tidb.example", 4000, "tpch", "root")
+    opts = snapshot_read_options(
+        src, "orders", snapshot_tso=449348000000000000,
+        partition_column="o_orderkey", num_partitions=16,
+        lower_bound=1, upper_bound=1_500_000,
+    )
+    assert opts["url"] == "jdbc:mysql://tidb.example:4000/tpch"
+    assert opts["sessionInitStatement"] == "SET SESSION tidb_snapshot = 449348000000000000"
+    assert opts["numPartitions"] == "16"
+    assert current_tso_query() == "SELECT @@tidb_current_ts"
+
+
+def test_jdbc_partition_bounds_required():
+    src = TidbSource("h", 4000, "d", "u")
+    with pytest.raises(ValueError, match="lower_bound"):
+        snapshot_read_options(src, "t", partition_column="id")
+
+
+@pytest.mark.parametrize("action", ["create-table", "rename-table"])
+def test_ddl_rejects(action):
+    with pytest.raises(UnsupportedDDLError, match="cannot be replicated"):
+        guard_ddl_action(action)
+
+
+@pytest.mark.parametrize("action", ["add-column", "truncate-table", "drop-table"])
+def test_ddl_supported(action):
+    guard_ddl_action(action)  # no raise
+
+
+def test_pk_columns_from_index_rows():
+    rows = [
+        {"Key_name": "idx_name", "Seq_in_index": 1, "Column_name": "name"},
+        {"Key_name": "PRIMARY", "Seq_in_index": 2, "Column_name": "l_linenumber"},
+        {"Key_name": "PRIMARY", "Seq_in_index": 1, "Column_name": "l_orderkey"},
+    ]
+    assert pk_columns_from_index_rows(rows) == ["l_orderkey", "l_linenumber"]

@@ -27,8 +27,35 @@ from .diff import ColumnDiff, DiffAction
 from .types import tidb_type_to_spark
 from ..table.managed import ManagedTable
 
-# reference timodel action codes the changefeed refuses to propagate
-REJECTED_DDL_ACTIONS = {"create-table", "rename-table", "create-schema"}
+# DDL action names the reference's rewriters refuse to propagate
+# (snowsql/ddl.go:15-39: CREATE TABLE and RENAME TABLE inside a changefeed
+# are errors; supported set is ADD/DROP/MODIFY/RENAME COLUMN, TRUNCATE,
+# DROP TABLE, DROP SCHEMA)
+REJECTED_DDL_ACTIONS = {"create-table", "rename-table"}
+SUPPORTED_DDL_ACTIONS = {
+    "add-column",
+    "drop-column",
+    "modify-column",
+    "rename-column",
+    "truncate-table",
+    "drop-table",
+    "drop-schema",
+}
+
+
+class UnsupportedDDLError(ValueError):
+    pass
+
+
+def guard_ddl_action(action: str) -> None:
+    """Reject-path parity with the reference's DDL rewriters."""
+    if action in REJECTED_DDL_ACTIONS:
+        raise UnsupportedDDLError(
+            f"DDL action {action!r} cannot be replicated through a changefeed "
+            "(reference snowsql/ddl.go:15-39 parity)"
+        )
+    if action not in SUPPORTED_DDL_ACTIONS:
+        raise UnsupportedDDLError(f"unknown DDL action {action!r}")
 
 
 def project_column_diffs(df: DataFrame, diffs: list[ColumnDiff]) -> DataFrame:

@@ -112,6 +112,15 @@ class TableDefinition:
         )
 
 
+def pk_columns_from_index_rows(rows: list[dict]) -> list[str]:
+    """O2 — ordered PRIMARY-key columns from SHOW INDEX-shaped rows
+    (dicts with Key_name / Seq_in_index / Column_name), sorted by
+    (key_name, seq_in_index) exactly like tidbsql/ddl.go:205-222."""
+    primary = [r for r in rows if r.get("Key_name") == "PRIMARY"]
+    primary.sort(key=lambda r: (r.get("Key_name", ""), int(r.get("Seq_in_index", 0))))
+    return [r["Column_name"] for r in primary]
+
+
 _SCHEMA_FILE_RE = re.compile(r"schema_(\d+)_(\d+)\.json$")
 
 

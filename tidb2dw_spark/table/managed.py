@@ -4,23 +4,29 @@ The reference's sink is a warehouse table reached over SQL; ours is a
 copy-on-write Parquet table with an atomically-swapped manifest, i.e. the
 minimal core of what Delta/Iceberg provide (this container has no Delta):
 
-    <root>/_meta/manifest.json     {"version": N, "pk": [...], "schema": ...}
-    <root>/v=N/part-*.parquet      data for version N
+    <root>/_meta/manifest.json        current version, pk, schema, and for
+                                      bucketed tables the per-bucket version map
+    <root>/v=N/part-*.parquet         plain table: data for version N
+    <root>/v=N/__pk_bucket=B/…        bucketed table: bucket B as of version N
 
-Commits write the new version directory first, then atomically replace the
-manifest (os.replace), so readers always see a complete version and a
-crashed merge leaves the table at its previous version — this is what makes
+Commits write data first, then atomically replace the manifest
+(os.replace), so readers always see a complete version and a crashed merge
+leaves the table at its previous version — this is what makes
 at-least-once file processing + idempotent merge exactly-once
-(SURVEY §2.10).  Old versions are retained for time travel / debugging and
-vacuumed explicitly.
+(SURVEY §2.10).  Old versions are retained for time travel and vacuumed
+explicitly.
 
-Scale: copy-on-write rewrites the table per merge, which is the right
-baseline for warehouse parity (the reference's MERGE also rewrites
-warehouse micro-partitions).  For 100 TB targets the write path partitions
-by a stable hash-bucket of the PK (``pk_buckets``) so (a) merge joins
-co-locate by bucket without shuffling the target and (b) a future
-partial-rewrite merge only rewrites buckets containing touched keys — the
-bucket column enables partition pruning on the anti-join side.
+Scale design — the two write paths:
+
+- ``pk_buckets == 0``: full copy-on-write per commit.  Correct baseline;
+  right for small dims.
+- ``pk_buckets > 0``: rows are hash-bucketed by PK.  ``merge()`` computes
+  the buckets touched by a changelog batch and rewrites ONLY those bucket
+  partitions; the manifest's ``bucket_versions`` map points each bucket at
+  the version that last rewrote it.  A 64 MiB CDC batch against a 100 TB
+  table rewrites a handful of buckets instead of the table — merge cost is
+  O(touched data), and the bucket column gives partition pruning on reads
+  that filter by PK hash.
 """
 
 from __future__ import annotations
@@ -67,6 +73,9 @@ class ManagedTable:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, self._manifest_path)
 
+    def _bucket_expr(self, pk_cols: list[str], n: int):
+        return F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(n))
+
     # -- write paths ------------------------------------------------------
     def create(
         self,
@@ -76,13 +85,22 @@ class ManagedTable:
         extra_meta: dict | None = None,
     ) -> "ManagedTable":
         """CREATE OR REPLACE + initial load (S6 / D3 parity)."""
-        self._write_version(df, 1, list(pk_cols), pk_buckets)
+        pk_cols = list(pk_cols)
+        columns = [c for c in df.columns if c != BUCKET_COL]
+        self._write_version_data(df, 1, pk_cols, pk_buckets)
         manifest = {
             "version": 1,
-            "pk": list(pk_cols),
+            "pk": pk_cols,
             "pk_buckets": pk_buckets,
-            "columns": df.drop(BUCKET_COL).columns if BUCKET_COL in df.columns else df.columns,
+            "columns": columns,
+            # authoritative schema: lets an empty table (no data files yet /
+            # truncated) still read with correct types
+            "schema_json": df.drop(BUCKET_COL).schema.json()
+            if BUCKET_COL in df.columns
+            else df.schema.json(),
         }
+        if pk_buckets > 0:
+            manifest["bucket_versions"] = {str(b): 1 for b in range(pk_buckets)}
         if extra_meta:
             manifest.update(extra_meta)
         self._commit(manifest)
@@ -94,59 +112,142 @@ class ManagedTable:
         new_columns: list[str] | None = None,
         extra_meta: dict | None = None,
     ) -> int:
-        """Commit *df* as the next version (used by merge & schema evolution).
-
-        *extra_meta* lands in the same atomic manifest swap, so e.g. the
-        consumer's applied source-schema version commits together with the
-        data it applies to (exactly-once across restarts)."""
+        """Commit *df* as a full next version (merge fallback & schema
+        evolution).  *extra_meta* lands in the same atomic manifest swap, so
+        e.g. the consumer's applied source-schema version commits together
+        with the data it applies to (exactly-once across restarts)."""
         m = self.manifest()
         new_version = m["version"] + 1
-        self._write_version(df, new_version, m["pk"], m.get("pk_buckets", 0))
+        self._write_version_data(df, new_version, m["pk"], m.get("pk_buckets", 0))
         m["version"] = new_version
+        if m.get("pk_buckets", 0) > 0:
+            m["bucket_versions"] = {
+                str(b): new_version for b in range(m["pk_buckets"])
+            }
         if new_columns is not None:
             m["columns"] = new_columns
+        m["schema_json"] = (
+            df.drop(BUCKET_COL).schema.json()
+            if BUCKET_COL in df.columns
+            else df.schema.json()
+        )
         if extra_meta:
             m.update(extra_meta)
         self._commit(m)
         return new_version
 
-    def update_meta(self, **kv) -> None:
-        m = self.manifest()
-        m.update(kv)
-        self._commit(m)
+    def merge(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """Apply a raw changelog batch (envelope columns + payload).
 
-    def _write_version(
+        Bucketed tables rewrite only the buckets containing touched PKs;
+        plain tables fall back to a full overwrite.  The batch is W1-deduped
+        inside (idempotent for replays of the same files)."""
+        from ..operators.merge import apply_changelog  # local: avoid cycle
+
+        m = self.manifest()
+        pk_cols, n_buckets = m["pk"], m.get("pk_buckets", 0)
+        if n_buckets <= 0:
+            merged = apply_changelog(self.read(spark), batch, pk_cols)
+            return self.overwrite(merged, extra_meta=extra_meta)
+
+        # 1. which buckets does the batch touch?  (distinct over ≤n_buckets
+        #    values — a metadata-sized driver collect)
+        touched = sorted(
+            r["b"]
+            for r in batch.select(
+                self._bucket_expr(pk_cols, n_buckets).alias("b")
+            ).distinct().collect()
+        )
+        if not touched:
+            if extra_meta:
+                self.update_meta(**extra_meta)
+            return m["version"]
+        new_version = m["version"] + 1
+
+        # 2. merge only those buckets' current data with the batch
+        target = self._read_buckets(spark, m, touched)
+        merged = apply_changelog(target, batch, pk_cols)
+
+        # 3. rewrite exactly the touched bucket partitions under the new
+        #    version; untouched buckets keep their existing files
+        out = merged.withColumn(BUCKET_COL, self._bucket_expr(pk_cols, n_buckets))
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            str(self.root / f"v={new_version}")
+        )
+        m["version"] = new_version
+        for b in touched:
+            m["bucket_versions"][str(b)] = new_version
+        if extra_meta:
+            m.update(extra_meta)
+        self._commit(m)
+        return new_version
+
+    def _write_version_data(
         self, df: DataFrame, version: int, pk_cols: list[str], pk_buckets: int
     ) -> None:
         path = str(self.root / f"v={version}")
         if pk_buckets > 0:
-            # stable hash-bucketing by PK: co-locates merge joins and enables
-            # bucket-pruned partial rewrites at scale
-            bucket = F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(pk_buckets))
-            df = df.withColumn(BUCKET_COL, bucket)
+            df = df.withColumn(BUCKET_COL, self._bucket_expr(pk_cols, pk_buckets))
             df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
         else:
             df.write.mode("overwrite").parquet(path)
 
     # -- read path --------------------------------------------------------
+    def _bucket_paths(self, m: dict, buckets) -> list[str]:
+        bv = m["bucket_versions"]
+        return [
+            str(self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}")
+            for b in buckets
+            if (self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}").exists()
+        ]
+
+    def _read_buckets(self, spark: SparkSession, m: dict, buckets) -> DataFrame:
+        paths = self._bucket_paths(m, buckets)
+        cols = m.get("columns", [])
+        if not paths:
+            # every requested bucket is empty (e.g. fully deleted): build an
+            # empty frame from the manifest's authoritative schema
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema_json"]))
+            return spark.createDataFrame([], schema=schema)
+        df = spark.read.parquet(*paths)
+        return df.select(*[c for c in cols if c in df.columns])
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest()
-        v = version if version is not None else m["version"]
-        df = spark.read.parquet(str(self.root / f"v={v}"))
-        if BUCKET_COL in df.columns:
-            df = df.drop(BUCKET_COL)
-        # manifest column order is the authoritative schema order
+        n_buckets = m.get("pk_buckets", 0)
+        if n_buckets > 0 and version is None:
+            df = self._read_buckets(spark, m, range(n_buckets))
+        else:
+            v = version if version is not None else m["version"]
+            df = spark.read.parquet(str(self.root / f"v={v}"))
+            if BUCKET_COL in df.columns:
+                df = df.drop(BUCKET_COL)
         cols = [c for c in m.get("columns", df.columns) if c in df.columns]
         return df.select(*cols)
 
     # -- maintenance ------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[int]:
-        """Drop all but the newest *keep_last* version directories."""
-        current = self.version()
+        """Drop version directories no bucket references and older than the
+        newest *keep_last* full versions."""
+        m = self.manifest()
+        current = m["version"]
+        referenced = {int(v) for v in m.get("bucket_versions", {}).values()}
         removed = []
         for p in sorted(self.root.glob("v=*")):
             v = int(p.name.split("=", 1)[1])
-            if v <= current - keep_last:
+            if v <= current - keep_last and v not in referenced:
                 shutil.rmtree(p)
                 removed.append(v)
         return removed
+
+    def update_meta(self, **kv) -> None:
+        m = self.manifest()
+        m.update(kv)
+        self._commit(m)
