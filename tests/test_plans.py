@@ -6,70 +6,68 @@ perf bug even while results stay correct."""
 
 from __future__ import annotations
 
-import re
-
-import pytest
-from pyspark.sql import functions as F
-
 from tidb2dw_spark.entry_queries import QUERIES
-
-
-def plan(df) -> str:
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from tidb2dw_spark.plans import (
+    assert_broadcast_join,
+    assert_no_shuffle,
+    assert_pushed_filter,
+    assert_read_columns_only,
+    assert_single_shuffle,
+    audit,
+)
 
 
 def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
-    p = plan(QUERIES["q1_lineitem_agg"](spark, sf_dir))
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    df = QUERIES["q1_lineitem_agg"](spark, sf_dir)
+    assert_pushed_filter(df, "IsNotNull(l_shipdate)")
+    assert_pushed_filter(df, "LessThanOrEqual(l_shipdate")
     # scan must read only the 5 referenced columns, not all 11
-    read_schema = next(line for line in p.splitlines() if "ReadSchema" in line)
-    for col in ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]:
-        assert col in read_schema
-    for col in ["l_partkey", "l_suppkey", "l_comment", "l_orderkey"]:
-        assert col not in read_schema
+    assert_read_columns_only(
+        df,
+        required=["l_returnflag", "l_linestatus", "l_quantity",
+                  "l_extendedprice", "l_discount"],
+        forbidden=["l_partkey", "l_suppkey", "l_comment", "l_orderkey"],
+    )
     # partial aggregation before the exchange (map-side combine)
+    p = audit(df).plan
     assert p.index("HashAggregate") < p.index("Exchange")
 
 
 def test_revenue_join_broadcasts_dim_side(spark, sf_dir):
-    p = plan(QUERIES["q_revenue_by_segment"](spark, sf_dir))
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert_broadcast_join(QUERIES["q_revenue_by_segment"](spark, sf_dir))
 
 
 def test_merge_broadcasts_batch_keys(spark, sf_dir):
     """The anti-join side of the merge is the (small) deduped batch keys —
     it must broadcast so the target side never shuffles."""
-    p = plan(QUERIES["merge_orders"](spark, sf_dir))
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p
-    assert "SortMergeJoin" not in p
+    a = assert_broadcast_join(QUERIES["merge_orders"](spark, sf_dir))
+    assert "LeftAnti" in a.plan
 
 
 def test_cast_projection_is_shuffle_free(spark, sf_dir):
-    p = plan(QUERIES["p2_cast_projection"](spark, sf_dir))
-    assert "Exchange" not in p
-    assert "* Project" in p  # '*' prefix = inside WholeStageCodegen
+    a = assert_no_shuffle(QUERIES["p2_cast_projection"](spark, sf_dir))
+    assert "* Project" in a.plan  # '*' prefix = inside WholeStageCodegen
 
 
 def test_window_dedup_single_shuffle(spark, sf_dir):
-    p = plan(QUERIES["w1_last_writer_wins"](spark, sf_dir))
     # one hash exchange for the PK window, nothing else
-    exchanges = re.findall(r"^\(\d+\) Exchange", p, re.M)
-    assert len(exchanges) == 1, exchanges
-    assert "hashpartitioning(o_orderkey" in p
+    assert_single_shuffle(
+        QUERIES["w1_last_writer_wins"](spark, sf_dir), key_substring="o_orderkey"
+    )
 
 
 def test_text_features_shuffle_free(spark, sf_dir):
-    p = plan(QUERIES["text_quality_score"](spark, sf_dir))
-    assert "Exchange" not in p
+    assert_no_shuffle(QUERIES["text_quality_score"](spark, sf_dir))
 
 
 def test_topk_broadcasts_queries(spark, sf_dir):
-    p = plan(QUERIES["sim_topk_quantized_cosine"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    a = audit(QUERIES["sim_topk_quantized_cosine"](spark, sf_dir))
+    assert any(j.startswith("Broadcast") for j in a.joins), a.joins
+
+
+def test_audit_parses_plan(spark, sf_dir):
+    a = audit(QUERIES["q1_lineitem_agg"](spark, sf_dir))
+    # AQE plans show no codegen stars pre-execution, so only bound the ratio
+    assert a.total_ops > 0 and 0.0 <= a.codegen_fraction <= 1.0
+    assert a.num_shuffles >= 1
+    assert a.pushed_filters and a.read_schemas
