@@ -16,7 +16,10 @@ from tidb2dw_spark.functions.dedup import (
 from tidb2dw_spark.functions.multimodal import (
     _fake_image_features,
     attach_media,
+    extract_audio_features,
     extract_image_features,
+    resize_images,
+    sample_video_frames,
 )
 from tidb2dw_spark.functions.similarity import (
     brute_force_topk,
@@ -130,3 +133,30 @@ def test_multimodal_metadata_schema(spark):
     meta = df.select("media_meta.*").collect()[0]
     assert meta["media_type"] == "image"
     assert meta["width"] == 1
+
+
+def test_resize_truncates_and_pads(spark):
+    rows = [(1, "x" * 100), (2, "y")]  # 100 bytes → truncate; 1 byte → pad
+    df = attach_media(spark.createDataFrame(rows, ["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert got[1]["width"] == 8 and got[1]["height"] == 8
+    assert bytes(got[1]["media"]) == b"x" * 64
+    assert bytes(got[2]["media"]) == b"y" + b"\x00" * 63
+    # composes into feature extraction with uniform n_bytes
+    feats = extract_image_features(resize_images(df, 8, 8)).collect()
+    assert all(r["n_bytes"] == 64 for r in feats)
+
+
+def test_audio_energy_windows(spark):
+    text = "a" * 600  # 600 bytes / 256 → 3 windows (256, 256, 88)
+    df = attach_media(spark.createDataFrame([(1, text)], ["doc_id", "text"]))
+    row = extract_audio_features(df).collect()[0]
+    assert row["n_windows"] == 3
+    assert row["energy"] == pytest.approx([97.0, 97.0, 97.0])  # ord('a') = 97
+
+
+def test_video_frame_fanout(spark):
+    df = attach_media(spark.createDataFrame([(1, "abcdefgh")], ["doc_id", "text"]))
+    frames = sample_video_frames(df, num_frames=4).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3]
+    assert b"".join(bytes(r["frame"]) for r in frames) == b"abcdefgh"

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import oracle_sql as O
+from .functions.compute import spread_for_compute
 from .functions.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -20,7 +21,13 @@ from .functions.dedup import (
     simhash,
     simhash_dup_pairs,
 )
-from .functions.multimodal import attach_media, extract_image_features
+from .functions.multimodal import (
+    attach_media,
+    extract_audio_features,
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+)
 from .functions.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -56,11 +63,16 @@ def register(name: str, oracle: str | None = None):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the tiny testdata file arrives as 1 split; the ops below are
+    # compute-bound (md5 per shingle), so spread across cores (no-op at scale)
+    # factor 2: docs have skewed lengths — 2 waves of tasks load-balance
+    return spread_for_compute(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_factor=2
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spread_for_compute(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -196,3 +208,36 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(_docs(spark, sf_dir))
     return extract_image_features(media).drop("feature")
+
+
+@register("mm_resize_then_features")
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composability check: resize output feeds feature extraction."""
+    media = attach_media(_docs(spark, sf_dir))
+    resized = resize_images(media, target_w=16, target_h=4)
+    return extract_image_features(resized).drop("feature")
+
+
+@register(
+    "mm_audio_energy",
+    # the fake kernel windows the UTF-8 byte stream: n_windows = ceil(len/256)
+    "SELECT doc_id, CAST(CEIL(COALESCE(octet_length(encode(text)), 0) / 256.0) AS INT)"
+    " AS n_windows FROM documents",
+)
+def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(_docs(spark, sf_dir))
+    return extract_audio_features(media).drop("energy")
+
+
+@register(
+    "mm_video_frame_sample",
+    # 1→num_frames fan-out per non-null blob
+    "SELECT d.doc_id, CAST(g.r AS INT) AS frame_idx FROM documents d "
+    "CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) g "
+    "WHERE d.text IS NOT NULL",
+)
+def mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N cardinality change through mapInPandas; frame bytes dropped from
+    the driver-checked output (row shape is the contract)."""
+    media = attach_media(_docs(spark, sf_dir))
+    return sample_video_frames(media, num_frames=4).drop("frame")

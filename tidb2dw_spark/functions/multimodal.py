@@ -113,3 +113,132 @@ def extract_image_features(
     # rows_per_batch maps to spark.sql.execution.arrow.maxRecordsPerBatch;
     # set session-wide since mapInPandas has no per-op knob
     return pruned.mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize plumbing: blob in → blob out with updated dimensions.
+
+    The fake kernel truncates/pads the byte stream to ``target_w*target_h``
+    deterministically (a real kernel would decode, resample with PIL/cv2 and
+    re-encode — see :func:`real_decode`).  Blob-in/blob-out keeps the operator
+    composable: output feeds :func:`extract_image_features` unchanged."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+    n = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kernel(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            return b[:n] if len(b) >= n else b + b"\x00" * (n - len(b))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["media"].map(kernel),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return pruned.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("energy", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    window_bytes: int = 256,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Windowed-energy audio features (fake kernel: mean |byte| per fixed
+    window — a real one would decode PCM and compute RMS/mel frames)."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kernel(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            return [
+                sum(b[i : i + window_bytes]) / max(len(b[i : i + window_bytes]), 1)
+                for i in range(0, len(b), window_bytes)
+            ]
+
+        for pdf in batches:
+            energies = pdf["media"].map(kernel)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_windows": energies.map(lambda e: 0 if e is None else len(e)),
+                    "energy": energies,
+                }
+            )
+
+    return pruned.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    num_frames: int = 4,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """1→N frame sampling: each video blob fans out to *num_frames* rows.
+
+    mapInPandas (not a UDF) because the operator changes cardinality; the
+    fake kernel slices the byte stream into equal-offset chunks where a real
+    one would seek keyframes with PyAV.  Blob column is projected away from
+    everything except the frame output, so the N× row fan-out never
+    multiplies non-media payload through a shuffle."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                blob = bytes(blob)
+                step = max(len(blob) // num_frames, 1)
+                for k in range(num_frames):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(blob[k * step : (k + 1) * step])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return pruned.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
