@@ -160,3 +160,21 @@ def test_video_frame_fanout(spark):
     frames = sample_video_frames(df, num_frames=4).orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3]
     assert b"".join(bytes(r["frame"]) for r in frames) == b"abcdefgh"
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    from tidb2dw_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries, k=5, metric="quantized_cosine").collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the cells (4/8) must beat random (1%) by a wide margin
+    assert recall > 0.25, f"IVF recall {recall:.2%}"
+    # deterministic: a second run returns the identical ranked list
+    again = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(approx) == key(again)

@@ -31,6 +31,7 @@ from .functions.multimodal import (
 from .functions.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from .functions.text import (
@@ -62,13 +63,16 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the tiny testdata file arrives as 1 split; the ops below are
-    # compute-bound (md5 per shingle), so spread across cores (no-op at scale)
-    # factor 2: docs have skewed lengths — 2 waves of tasks load-balance
-    return spread_for_compute(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_factor=2
-    )
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """*spread*: the tiny testdata file arrives as 1 split; the md5-heavy
+    dedup ops are compute-bound, so those spread across cores (factor 2:
+    skewed doc lengths load-balance over 2 task waves; no-op at scale).
+    Cheap per-row text ops skip it — the repartition exchange would cost
+    more than it buys."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread_for_compute(df, min_factor=2) if spread else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +125,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     O.minhash_signature_oracle(MINHASH_NUM, SHINGLE_N),
 )
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
+    df = _docs(spark, sf_dir, spread=True)
     sig = minhash_signatures(df, "doc_id", "text", MINHASH_NUM, SHINGLE_N)
     return sig.select(
         F.col("id").alias("doc_id"), F.posexplode("sig").alias("hash_idx", "minhash")
@@ -134,7 +138,7 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        _docs(spark, sf_dir),
+        _docs(spark, sf_dir, spread=True),
         "doc_id",
         "text",
         num_hashes=MINHASH_NUM,
@@ -146,14 +150,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", O.SIMHASH_ORACLE)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
+    df = _docs(spark, sf_dir, spread=True)
     return df.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 
 @register("dedup_simhash_pairs", O.simhash_pairs_oracle(SIMHASH_MAX_HAMMING))
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
+        _docs(spark, sf_dir, spread=True), "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
     )
 
 
@@ -163,7 +167,7 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir),
+        _docs(spark, sf_dir, spread=True),
         "doc_id",
         "text",
         block_col=NGRAM_BLOCK,
@@ -201,19 +205,36 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=TOPK_K)
 
 
+IVF_CENTROIDS, IVF_PROBE = 16, 4
+
+
+@register(
+    "sim_ivf_topk",
+    O.ivf_topk_oracle(TOPK_QUERY_MOD, TOPK_K, IVF_CENTROIDS, IVF_PROBE),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: approximate but *deterministic* (quantized math + fixed
+    centroid rule), so unlike LSH it gets an exact value-level oracle."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    return ivf_topk(
+        emb, queries, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas — rows-only, exactness in pytest)
 # ---------------------------------------------------------------------------
 @register("mm_image_features")
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_media(_docs(spark, sf_dir))
+    media = attach_media(_docs(spark, sf_dir, spread=True))
     return extract_image_features(media).drop("feature")
 
 
 @register("mm_resize_then_features")
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composability check: resize output feeds feature extraction."""
-    media = attach_media(_docs(spark, sf_dir))
+    media = attach_media(_docs(spark, sf_dir, spread=True))
     resized = resize_images(media, target_w=16, target_h=4)
     return extract_image_features(resized).drop("feature")
 
@@ -225,7 +246,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     " AS n_windows FROM documents",
 )
 def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_media(_docs(spark, sf_dir))
+    media = attach_media(_docs(spark, sf_dir, spread=True))
     return extract_audio_features(media).drop("energy")
 
 
@@ -239,5 +260,5 @@ def mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N cardinality change through mapInPandas; frame bytes dropped from
     the driver-checked output (row shape is the contract)."""
-    media = attach_media(_docs(spark, sf_dir))
+    media = attach_media(_docs(spark, sf_dir, spread=True))
     return sample_video_frames(media, num_frames=4).drop("frame")

@@ -267,3 +267,41 @@ SELECT l.vec_id AS id_a, r.vec_id AS id_b, {sql_qcos("l.qv", "r.qv")} AS qcos
 FROM v l JOIN v r ON l.vec_id < r.vec_id
 WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
 """
+
+
+def ivf_topk_oracle(query_mod: int, k: int, n_centroids: int, n_probe: int) -> str:
+    """Mirrors similarity.ivf_topk: centroids = n lowest-id vectors,
+    assignment = argmax quantized cosine (ties -> lowest cell), probes =
+    top n_probe cells per query, exact quantized-cosine rank inside cells."""
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         {sql_quantized("embedding")} AS qc
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+), c AS (
+  SELECT vec_id AS neighbor_id, {sql_quantized("embedding")} AS cv FROM embeddings
+), assign AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT c.neighbor_id, c.cv, cent.cell,
+           row_number() OVER (PARTITION BY c.neighbor_id
+                              ORDER BY {sql_qcos("cv", "qc")} DESC, cent.cell ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, {sql_quantized("embedding")} AS qv
+  FROM embeddings WHERE vec_id % {query_mod} = 0
+), probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_qcos("qv", "qc")} DESC, cent.cell ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {sql_qcos("cv", "qv")} AS score
+  FROM probe p JOIN assign a USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

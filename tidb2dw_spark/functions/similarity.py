@@ -177,6 +177,128 @@ def brute_force_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) — the other scale path: coarse-quantize the corpus into
+# cells, probe only the n_probe nearest cells per query
+# ---------------------------------------------------------------------------
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list[list[int]]:
+    """Deterministic coarse centroids: the *n_centroids* corpus vectors with
+    the smallest ids, integer-quantized.  (Random-init IVF; a k-means
+    refinement would only improve recall, not change the operator contract.)
+    Driver-side collect of n_centroids rows — metadata-sized, like the
+    broadcast threshold stats AQE collects."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    return [[int(round(float(x) * 1_000_000)) for x in r[vec_col]] for r in rows]
+
+
+def _cell_scores(qv: Column, centroids: list[list[int]]) -> list[Column]:
+    """Quantized-cosine score of *qv* (array<long>) against each centroid,
+    as literal-array dot products — a narrow, shuffle-free projection."""
+    import math
+
+    def idot(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        )
+
+    v_norm = F.sqrt(idot(qv, qv).cast("double"))
+    out = []
+    for qc in centroids:
+        lit_qc = F.array(*[F.lit(x).cast("long") for x in qc])
+        c_norm = math.sqrt(sum(x * x for x in qc))
+        out.append(idot(qv, lit_qc).cast("double") / (v_norm * F.lit(c_norm)))
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: each corpus vector is assigned to its
+    nearest centroid cell (argmax quantized cosine, ties → lowest cell);
+    each query probes its *n_probe* nearest cells and scores only vectors
+    in them — n_probe/n_centroids of the corpus per query.
+
+    Scale shape: centroid scoring is literal-array math inside codegen, so
+    cell assignment is a narrow map over the corpus scan — no shuffle, no
+    join.  At 100 TB the assigned corpus is written partitioned by cell and
+    probes become partition-pruned scans.  Ranking uses quantized cosine
+    throughout, so results are exactly reproducible cross-engine."""
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+
+    def qarr(c: Column) -> Column:
+        return F.transform(c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+
+    def with_cells(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias(out_id), qarr(F.col(vec_col)).alias("qv"))
+        scores = _cell_scores(F.col("qv"), centroids)
+        # struct (score, -cell): greatest/sort_array order by score then
+        # prefer the LOWER cell on ties
+        cells = F.array(
+            *[
+                F.struct(s.alias("s"), F.lit(-i).alias("negc"))
+                for i, s in enumerate(scores)
+            ]
+        )
+        return base.withColumn("cells", cells)
+
+    assigned = with_cells(corpus, "neighbor_id").select(
+        "neighbor_id",
+        "qv",
+        (-F.greatest(*[F.col("cells")[i] for i in range(n_centroids)])["negc"]).alias("cell"),
+    )
+    probes = (
+        with_cells(queries, "query_id")
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(F.col("cells"), asc=False), 1, n_probe),
+                    lambda s: -s["negc"],
+                )
+            ).alias("cell"),
+        )
+    )
+
+    def idot(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        )
+
+    scored = (
+        assigned.join(
+            F.broadcast(probes.select("query_id", F.col("qv").alias("pqv"), "cell")),
+            on="cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                idot(F.col("qv"), F.col("pqv")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double"))
+                    * F.sqrt(idot(F.col("pqv"), F.col("pqv")).cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
 # Sign-bit LSH (random hyperplane) — the scale path
 # ---------------------------------------------------------------------------
 def _plane_component(plane: int, dim_idx: Column) -> Column:
