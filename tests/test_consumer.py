@@ -158,6 +158,32 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert t.read(spark).count() == 0
 
 
+def test_bucketed_key_lookup_prunes_buckets(spark, tmp_path):
+    """read_for_keys on a bucketed table must scan only the buckets the
+    requested keys hash to, and return exactly the matching rows."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    t = ManagedTable(tmp_path / "bt").create(base, ["k"], pk_buckets=16)
+    keys = spark.createDataFrame([(7,), (8,), (9,)], "k long")
+    got = {r["k"]: r["val"] for r in t.read_for_keys(spark, keys).collect()}
+    assert got == {7: 14, 8: 16, 9: 18}
+    # pruning: 3 keys hash to ≤3 of 16 buckets
+    m = t.manifest()
+    touched = {
+        r["b"]
+        for r in keys.select(
+            t._bucket_expr(["k"], 16).alias("b")
+        ).distinct().collect()
+    }
+    assert len(touched) <= 3 < 16
+    # missing keys return nothing
+    none = t.read_for_keys(spark, spark.createDataFrame([(5000,)], "k long"))
+    assert none.count() == 0
+
+
 def test_managed_table_versions_and_vacuum(spark, tmp_path):
     df = spark.range(5).withColumnRenamed("id", "k")
     t = ManagedTable(tmp_path / "t").create(df, ["k"], pk_buckets=4)

@@ -101,6 +101,34 @@ def minhash_signature(
     return F.array(*sig)
 
 
+def minhash_fold(hs: Column, num_hashes: int) -> Column:
+    """Signature from a shingle-hash array in ONE pass: fold the array with
+    an accumulator of *num_hashes* running minima, zip_with against a
+    literal (a,b) coefficient array.  Equivalent to num_hashes separate
+    ``array_min(transform(...))`` trees but: one traversal of ``hs`` instead
+    of num_hashes, and an expression tree O(1) in num_hashes — which also
+    cuts codegen compile time, a real cost when queries are compiled per
+    micro-batch."""
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    folded = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % MINHASH_PRIME)
+        ),
+    )
+    # null text → null hash array: match the per-hash formulation (and the
+    # SQL oracle), which yields an array of nulls, not a null array
+    nulls = F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)])
+    return F.when(hs.isNull(), nulls).otherwise(folded)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -109,9 +137,8 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig) MinHash signatures, staged so the shingle/hash arrays are
-    attributes (computed once per row) rather than subtrees duplicated into
-    every hash function — turns an O(num_hashes × bands) expression blowup
-    into three narrow projections."""
+    attributes (computed once per row) and folded via :func:`minhash_fold`
+    (single traversal, O(1)-size expression tree)."""
     shingled = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
@@ -119,19 +146,7 @@ def minhash_signatures(
     hashed = shingled.select(
         "id", F.transform(F.col("shingles"), lambda s: md5_long(s, 7)).alias("hs")
     )
-
-    def perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
-
-    return hashed.select(
-        "id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("hs"), perm(a, b)))
-                for a, b in minhash_coeffs(num_hashes)
-            ]
-        ).alias("sig"),
-    )
+    return hashed.select("id", minhash_fold(F.col("hs"), num_hashes).alias("sig"))
 
 
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -184,9 +199,16 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     if cache_intermediate:
         shingled = shingled.persist()
+    # derive signatures FROM the (persisted) shingle table — tokenize+slice+
+    # md5 is the expensive pass over the corpus; recomputing it from raw text
+    # for the signature branch would scan the corpus twice
+    hashed = shingled.select(
+        "id", F.transform(F.col("shingles"), lambda s: md5_long(s, 7)).alias("hs")
+    )
+    sigs = hashed.select("id", minhash_fold(F.col("hs"), num_hashes).alias("sig"))
+    if cache_intermediate:
         sigs = sigs.persist()
     # band rows carry ONLY (id, band, key): the candidate self-join must not
     # drag shingle arrays through the near-quadratic bucket explosion — at
@@ -233,26 +255,33 @@ SIMHASH_BITS = 32
 def simhash(text: Column) -> Column:
     """32-bit SimHash over distinct words: per-bit signed vote of each
     word's 32-bit md5-derived hash, bit set where the vote is positive.
-    Word hashes are computed once into an array, then 32 shuffle-free
-    per-row aggregates fold the votes — all codegen, no explode."""
+
+    Single pass: fold the word-hash array once with a 32-slot vote
+    accumulator (zip_with against a literal bit-index array), then collapse
+    votes to the bit field — vs 32 separate aggregates this traverses the
+    array once and keeps the expression tree O(1) in bit width (fast
+    codegen compile).  All JVM-side, shuffle-free, no explode."""
     hashes = F.transform(
         F.array_distinct(tokenize(text)), lambda w: md5_long(w, 8)
     )
-    bits = []
-    for b in range(SIMHASH_BITS):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        bits.append(F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for bit in bits[1:]:
-        out = out + bit
-    return out
+    powers = F.array(*[F.lit(2 ** b).cast("long") for b in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda v, p: v
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming32(a: Column, b: Column) -> Column:

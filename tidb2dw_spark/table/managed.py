@@ -219,6 +219,27 @@ class ManagedTable:
         df = spark.read.parquet(*paths)
         return df.select(*[c for c in cols if c in df.columns])
 
+    def read_for_keys(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        """Point/batch lookup by PK: for a bucketed table, read ONLY the
+        bucket partitions the requested keys hash to, then semi-join.
+
+        This is the read-side payoff of PK bucketing: a k-key probe against
+        a 100 TB table scans ~k buckets (table_size / pk_buckets each), not
+        the table.  *keys* must carry the PK columns; it is assumed small
+        (broadcast)."""
+        m = self.manifest()
+        pk_cols, n = m["pk"], m.get("pk_buckets", 0)
+        if n <= 0:
+            return self.read(spark).join(F.broadcast(keys), on=pk_cols, how="left_semi")
+        touched = sorted(
+            r["b"]
+            for r in keys.select(self._bucket_expr(pk_cols, n).alias("b"))
+            .distinct()
+            .collect()
+        )
+        target = self._read_buckets(spark, m, touched)
+        return target.join(F.broadcast(keys), on=pk_cols, how="left_semi")
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest()
         n_buckets = m.get("pk_buckets", 0)
