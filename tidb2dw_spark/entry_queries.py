@@ -221,6 +221,32 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_agg",
+    """
+WITH exploded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - (k.k * INTERVAL '30 minutes')
+           AS window_start,
+         event_type, user_id, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(value) AS min_value, max(value) AS max_value
+FROM exploded GROUP BY 1, 2
+""",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1h window / 30min slide): each event
+    lands in duration/slide windows; partial agg combines before the
+    shuffle so the exchange carries (window, type) groups, not events."""
+    from .fixtures import read_table
+    from .streaming.stream import windowed_event_counts
+
+    events = read_table(spark, sf_dir, "events")
+    return windowed_event_counts(events, "1 hour", slide="30 minutes")
+
+
+@register(
     "events_sessionization",
     """
 WITH flagged AS (

@@ -86,10 +86,15 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str | None = None,
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Events per (tumbling window, event_type): count, distinct users,
-    min/max value.  Streaming-safe: with a watermark, late rows beyond the
-    bound are dropped and windows finalize incrementally."""
+    """Events per (tumbling — or, with *slide*, sliding — window,
+    event_type): count, distinct users, min/max value.  Streaming-safe:
+    with a watermark, late rows beyond the bound are dropped and windows
+    finalize incrementally.  A sliding window fans each row out to
+    duration/slide windows before the shuffle — the partial aggregation
+    still combines map-side, so shuffle bytes stay per-(window,type), not
+    per-event."""
     df = events
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
@@ -99,8 +104,13 @@ def windowed_event_counts(
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     ]
+    window = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
-        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "event_type")
+        df.groupBy(window.alias("w"), "event_type")
         .agg(*agg)
         .select(
             F.col("w.start").alias("window_start"),
