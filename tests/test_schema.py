@@ -111,3 +111,34 @@ def test_table_def_to_struct():
     assert [f.dataType for f in st.fields] == [
         T.IntegerType(), T.StringType(), T.IntegerType(), T.DateType(),
     ]
+
+
+def test_apply_diffs_modify_add_default_and_pk_rename(spark, tmp_path):
+    """MODIFY casts in place, ADD backfills the declared default, and a
+    PK-column RENAME updates the manifest key list so merges keep working."""
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    prev = [
+        TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+        TableCol(id="2", name="score", tp="int"),
+    ]
+    # rename id->uid keeps id/attrs; modify score int->varchar via new col ID;
+    # add flag with default
+    curr = [
+        TableCol(id="1", name="uid", tp="int", precision="11", is_pk="true"),
+        TableCol(id="4", name="score", tp="varchar", precision="10"),
+        TableCol(id="5", name="flag", tp="int", default="7"),
+    ]
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id int, score int")
+    t = ManagedTable(tmp_path / "t").create(df, ["id"])
+    diffs = diff_columns(prev, curr)
+    apply_column_diffs(spark, t, diffs)
+    assert t.pk_cols() == ["uid"]
+    out = t.read(spark)
+    assert out.columns == ["uid", "score", "flag"]
+    assert dict(out.dtypes)["score"] == "string"
+    rows = {r["uid"]: r for r in out.collect()}
+    assert rows[1]["score"] == "10" and rows[1]["flag"] == 7

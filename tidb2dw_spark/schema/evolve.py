@@ -95,7 +95,17 @@ def apply_column_diffs(
         return table.version()
     df = table.read(spark)
     evolved = project_column_diffs(df, diffs)
-    return table.overwrite(evolved, new_columns=evolved.columns, extra_meta=extra_meta)
+    # a RENAME of a PK column must follow through to the manifest's key list
+    # or every subsequent merge would join on a dropped name
+    renames = {
+        d.prev.name: d.curr.name for d in diffs if d.action == DiffAction.RENAME
+    }
+    meta = dict(extra_meta or {})
+    old_pk = table.pk_cols()
+    new_pk = [renames.get(c, c) for c in old_pk]
+    if new_pk != old_pk:
+        meta["pk"] = new_pk
+    return table.overwrite(evolved, new_columns=evolved.columns, extra_meta=meta)
 
 
 def truncate_table(spark: SparkSession, table: ManagedTable) -> int:
