@@ -178,3 +178,36 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
     again = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
     key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
     assert key(approx) == key(again)
+
+
+def test_split_is_partition_and_subset_invariant(spark):
+    """Hash-based split must not move examples when the data is
+    repartitioned or when other rows are added — the anti-leakage property
+    df.sample() lacks."""
+    from tidb2dw_spark.functions.sampling import stratified_sample, train_test_split
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in train_test_split(df, "doc_id", 0.2).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(df.repartition(17), "doc_id", 0.2).collect()
+    }
+    assert a == b
+    # subset stability: the first 100 ids get identical assignments
+    c = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(df.filter("doc_id < 100"), "doc_id", 0.2).collect()
+    }
+    assert c == {k: v for k, v in a.items() if k < 100}
+    # both classes present at a sane ratio
+    n_test = sum(1 for v in a.values() if v == "test")
+    assert 50 <= n_test <= 150
+
+    strat = df.withColumn("g", (F.col("doc_id") % 2 == 0).cast("string"))
+    s1 = {r["doc_id"] for r in stratified_sample(strat, "g", {"true": 0.5}, "doc_id").collect()}
+    s2 = {
+        r["doc_id"]
+        for r in stratified_sample(strat.repartition(7), "g", {"true": 0.5}, "doc_id").collect()
+    }
+    assert s1 == s2 and s1  # deterministic and non-empty
+    assert all(k % 2 == 0 for k in s1)  # default fraction 0 drops 'false' stratum

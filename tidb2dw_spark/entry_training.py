@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .functions import oracle_sql as O
 from .functions.compute import spread_for_compute
+from .functions.sampling import stratified_sample, train_test_split
 from .functions.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -262,3 +263,39 @@ def mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver-checked output (row shape is the contract)."""
     media = attach_media(_docs(spark, sf_dir, spread=True))
     return sample_video_frames(media, num_frames=4).drop("frame")
+
+
+# ---------------------------------------------------------------------------
+# Dataset splitting / sampling (deterministic, content-hashed)
+# ---------------------------------------------------------------------------
+SPLIT_TEST_FRAC, SPLIT_SALT = 0.1, "split"
+SAMPLE_FRACS, SAMPLE_SALT = {"en": 0.5, "es": 0.25, "de": 0.1}, "sample"
+
+
+@register(
+    "split_train_test",
+    O.train_test_split_oracle(SPLIT_TEST_FRAC, SPLIT_SALT),
+)
+def split_train_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: membership is a pure function of (salt, id) —
+    stable across runs, repartitionings, and corpus refreshes."""
+    df = train_test_split(
+        _docs(spark, sf_dir), "doc_id", test_fraction=SPLIT_TEST_FRAC, salt=SPLIT_SALT
+    )
+    return df.select("doc_id", "split")
+
+
+@register(
+    "sample_stratified_by_lang",
+    O.stratified_sample_oracle(SAMPLE_FRACS, 0.0, SAMPLE_SALT),
+)
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (data-mixture control)."""
+    df = stratified_sample(
+        _docs(spark, sf_dir),
+        strata_col="lang",
+        fractions=SAMPLE_FRACS,
+        id_col="doc_id",
+        salt=SAMPLE_SALT,
+    )
+    return df.select("doc_id", "lang")

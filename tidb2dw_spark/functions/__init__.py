@@ -14,12 +14,18 @@ from .dedup import (
     simhash_dup_pairs,
     ngram_jaccard_pairs,
 )
+from .sampling import (
+    hash_fraction,
+    stratified_sample,
+    train_test_split,
+)
 from .similarity import (
     dot_product,
     cosine_similarity,
     quantized_cosine,
     embedding_near_dup_pairs,
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -35,8 +41,12 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "hash_fraction",
+    "stratified_sample",
+    "train_test_split",
     "dot_product",
     "cosine_similarity",
     "brute_force_topk",
+    "ivf_topk",
     "lsh_bucketed_topk",
 ]

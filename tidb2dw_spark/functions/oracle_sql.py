@@ -305,3 +305,32 @@ SELECT query_id, neighbor_id, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def sql_hash_fraction(col: str, salt: str) -> str:
+    """Mirror of sampling.hash_fraction: md5-derived uniform [0,1)."""
+    expr = f"concat_ws('|', '{salt}', CAST({col} AS VARCHAR))"
+    return f"{sql_md5_long(expr, 15)} / CAST({16 ** 15} AS DOUBLE)"
+
+
+def train_test_split_oracle(test_fraction: float, salt: str) -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN {sql_hash_fraction("doc_id", salt)} < {test_fraction}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def stratified_sample_oracle(
+    fractions: dict[str, float], default_fraction: float, salt: str
+) -> str:
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN CAST({p} AS DOUBLE)"
+        for v, p in sorted(fractions.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {sql_hash_fraction("doc_id", salt)} <
+      (CASE {cases} ELSE CAST({default_fraction} AS DOUBLE) END)
+"""
