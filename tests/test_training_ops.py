@@ -211,3 +211,21 @@ def test_split_is_partition_and_subset_invariant(spark):
     }
     assert s1 == s2 and s1  # deterministic and non-empty
     assert all(k % 2 == 0 for k in s1)  # default fraction 0 drops 'false' stratum
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain (diameter 3, needs >1 propagation round), a triangle,
+    and an isolated pair must resolve to min-id components."""
+    from tidb2dw_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # keep-rule: exactly one survivor per cluster
+    survivors = [k for k, v in got.items() if k == v]
+    assert sorted(survivors) == [1, 10, 20]

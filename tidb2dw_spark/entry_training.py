@@ -15,6 +15,7 @@ from .functions import oracle_sql as O
 from .functions.compute import spread_for_compute
 from .functions.sampling import stratified_sample, train_test_split
 from .functions.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -299,3 +300,24 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=SAMPLE_SALT,
     )
     return df.select("doc_id", "lang")
+
+
+@register(
+    "dedup_components",
+    O.connected_components_oracle(
+        O.minhash_lsh_pairs_oracle(MINHASH_NUM, MINHASH_BANDS, SHINGLE_N, JACCARD_T)
+    ),
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: min-label propagation over the near-dup graph
+    (keep-rule downstream: doc_id == component survives)."""
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir, spread=True),
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=JACCARD_T,
+    )
+    return connected_components(pairs)

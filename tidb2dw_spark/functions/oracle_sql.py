@@ -334,3 +334,23 @@ SELECT doc_id, lang FROM documents
 WHERE {sql_hash_fraction("doc_id", salt)} <
       (CASE {cases} ELSE CAST({default_fraction} AS DOUBLE) END)
 """
+
+
+def connected_components_oracle(pairs_sql: str) -> str:
+    """Transitive closure over the (undirected) pair graph; component =
+    min reachable id — exactly what min-label propagation converges to."""
+    return f"""
+WITH RECURSIVE
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM ({pairs_sql})
+  UNION
+  SELECT id_b AS u, id_a AS v FROM ({pairs_sql})
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
