@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality_score",
     "sim_topk_quantized_cosine",
+    "sim_ivf_topk",
+    "split_train_test",
     "q1_lineitem_agg",
     "q_revenue_by_segment",
     "events_tumbling_agg",

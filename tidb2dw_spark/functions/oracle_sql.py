@@ -269,9 +269,19 @@ WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
 """
 
 
+def sql_cell_rank(vec: str, qc: str) -> str:
+    """Cell-ranking key dot(vec,c)/‖c‖ — same ordering as cosine for a
+    fixed row (row norm is a positive constant); mirrors
+    similarity._cell_score_structs."""
+    return (
+        f"CAST({sql_int_dot(vec, qc)} AS DOUBLE) / "
+        f"sqrt(CAST({sql_int_dot(qc, qc)} AS DOUBLE))"
+    )
+
+
 def ivf_topk_oracle(query_mod: int, k: int, n_centroids: int, n_probe: int) -> str:
     """Mirrors similarity.ivf_topk: centroids = n lowest-id vectors,
-    assignment = argmax quantized cosine (ties -> lowest cell), probes =
+    assignment = argmax dot/centroid-norm (ties -> lowest cell), probes =
     top n_probe cells per query, exact quantized-cosine rank inside cells."""
     return f"""
 WITH cent AS (
@@ -284,7 +294,7 @@ WITH cent AS (
   SELECT neighbor_id, cv, cell FROM (
     SELECT c.neighbor_id, c.cv, cent.cell,
            row_number() OVER (PARTITION BY c.neighbor_id
-                              ORDER BY {sql_qcos("cv", "qc")} DESC, cent.cell ASC) AS rn
+                              ORDER BY {sql_cell_rank("cv", "qc")} DESC, cent.cell ASC) AS rn
     FROM c CROSS JOIN cent) WHERE rn = 1
 ), q AS (
   SELECT vec_id AS query_id, {sql_quantized("embedding")} AS qv
@@ -293,7 +303,7 @@ WITH cent AS (
   SELECT query_id, qv, cell FROM (
     SELECT q.query_id, q.qv, cent.cell,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY {sql_qcos("qv", "qc")} DESC, cent.cell ASC) AS rn
+                              ORDER BY {sql_cell_rank("qv", "qc")} DESC, cent.cell ASC) AS rn
     FROM q CROSS JOIN cent) WHERE rn <= {n_probe}
 ), scored AS (
   SELECT p.query_id, a.neighbor_id, {sql_qcos("cv", "qv")} AS score

@@ -192,10 +192,36 @@ def ivf_centroids(
     return [[int(round(float(x) * 1_000_000)) for x in r[vec_col]] for r in rows]
 
 
-def _cell_scores(qv: Column, centroids: list[list[int]]) -> list[Column]:
-    """Quantized-cosine score of *qv* (array<long>) against each centroid,
-    as literal-array dot products — a narrow, shuffle-free projection."""
+def _cell_score_structs(qv: Column, centroids: list[list[int]]) -> Column:
+    """array<struct<s: double, negc: int>> — per-centroid ranking score of
+    *qv*, as ONE nested-literal matrix traversal.
+
+    Ranking key is ``dot(qv, c) / ‖c‖`` — for a fixed row, ordering over
+    cells is identical to cosine (the row norm is a positive per-row
+    constant), and dropping it keeps the per-element lambda to a single
+    fold.  The centroid matrix and norms are built with one ``F.expr`` each
+    (a thousand ``F.lit`` calls would cost seconds of Py4J round-trips) and
+    constant-fold into single literals.  One expression, evaluated once per
+    row — projection collapse cannot duplicate it (an N-separate-columns
+    formulation gets inlined N× by downstream argmax references).
+    Struct order (s, negc): max = best score, ties prefer the LOWER cell."""
     import math
+
+    matrix = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}L" for x in qc) + ")" for qc in centroids
+        )
+        + ")"
+    )
+    norm_negidx = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('nc', {math.sqrt(sum(x * x for x in qc))!r}D, 'negc', {-i})"
+            for i, qc in enumerate(centroids)
+        )
+        + ")"
+    )
 
     def idot(u: Column, v: Column) -> Column:
         return F.aggregate(
@@ -204,13 +230,14 @@ def _cell_scores(qv: Column, centroids: list[list[int]]) -> list[Column]:
             lambda acc, w: acc + w,
         )
 
-    v_norm = F.sqrt(idot(qv, qv).cast("double"))
-    out = []
-    for qc in centroids:
-        lit_qc = F.array(*[F.lit(x).cast("long") for x in qc])
-        c_norm = math.sqrt(sum(x * x for x in qc))
-        out.append(idot(qv, lit_qc).cast("double") / (v_norm * F.lit(c_norm)))
-    return out
+    return F.zip_with(
+        matrix,
+        norm_negidx,
+        lambda c, ni: F.struct(
+            (idot(qv, c).cast("double") / ni["nc"]).alias("s"),
+            ni["negc"].alias("negc"),
+        ),
+    )
 
 
 def ivf_topk(
@@ -239,21 +266,16 @@ def ivf_topk(
 
     def with_cells(df: DataFrame, out_id: str) -> DataFrame:
         base = df.select(F.col(id_col).alias(out_id), qarr(F.col(vec_col)).alias("qv"))
-        scores = _cell_scores(F.col("qv"), centroids)
-        # struct (score, -cell): greatest/sort_array order by score then
-        # prefer the LOWER cell on ties
-        cells = F.array(
-            *[
-                F.struct(s.alias("s"), F.lit(-i).alias("negc"))
-                for i, s in enumerate(scores)
-            ]
+        return base.withColumn(
+            "cells", _cell_score_structs(F.col("qv"), centroids)
         )
-        return base.withColumn("cells", cells)
 
     assigned = with_cells(corpus, "neighbor_id").select(
         "neighbor_id",
         "qv",
-        (-F.greatest(*[F.col("cells")[i] for i in range(n_centroids)])["negc"]).alias("cell"),
+        # array_max traverses the score array once (struct order: best score,
+        # ties -> lower cell)
+        (-F.array_max(F.col("cells"))["negc"]).alias("cell"),
     )
     probes = (
         with_cells(queries, "query_id")
