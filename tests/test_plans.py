@@ -71,3 +71,19 @@ def test_audit_parses_plan(spark, sf_dir):
     assert a.total_ops > 0 and 0.0 <= a.codegen_fraction <= 1.0
     assert a.num_shuffles >= 1
     assert a.pushed_filters and a.read_schemas
+
+
+def test_split_is_shuffle_free(spark, sf_dir):
+    assert_no_shuffle(QUERIES["split_train_test"](spark, sf_dir))
+
+
+def test_ivf_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
+    """Cell assignment must be a narrow map (literal matrix math) and the
+    probe side broadcast — the corpus side of the candidate join must not
+    exchange before the join."""
+    a = audit(QUERIES["sim_ivf_topk"](spark, sf_dir))
+    assert any(j.startswith("Broadcast") for j in a.joins), a.joins
+    # only the final top-k window may shuffle BY KEY (hash on query_id);
+    # round-robin spreads from spread_for_compute are load-balancing only
+    assert len(a.hash_shuffles) <= 1, a.exchanges
+    assert all("query_id" in e for e in a.hash_shuffles), a.exchanges

@@ -59,6 +59,13 @@ class PlanAudit:
         return len(self.exchanges)
 
     @property
+    def hash_shuffles(self) -> list[str]:
+        """Exchanges that repartition by key (joins/aggs/windows) — the ones
+        whose cost scales with data volume at a fixed key distribution.
+        Round-robin spreads (compute load-balancing) are excluded."""
+        return [e for e in self.exchanges if "hashpartitioning" in e]
+
+    @property
     def codegen_fraction(self) -> float:
         return self.codegen_ops / self.total_ops if self.total_ops else 0.0
 
@@ -67,14 +74,27 @@ def audit(df: DataFrame) -> PlanAudit:
     """Parse the formatted plan into a :class:`PlanAudit`."""
     p = formatted_plan(df)
     a = PlanAudit(plan=p)
-    # operator list section: lines like "(3) Exchange" / "(4) * Project"
-    for m in re.finditer(r"^\((\d+)\) (\* )?(\w[\w ]*\w)", p, re.M):
+    # operator detail sections: headers like "(3) Exchange" / "(4) * Project"
+    # at column 0, each followed by e.g. an "Arguments:" line
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        m = re.match(r"^\((\d+)\) (\* )?(\w[\w ]*\w)", line)
+        if not m:
+            continue
         a.total_ops += 1
         if m.group(2):
             a.codegen_ops += 1
         op = m.group(3)
         if op == "Exchange":
-            a.exchanges.append(op)
+            args = next(
+                (
+                    ln.split(":", 1)[1].strip()
+                    for ln in lines[i + 1 : i + 6]
+                    if ln.startswith("Arguments:")
+                ),
+                "",
+            )
+            a.exchanges.append(f"Exchange {args}".strip())
         if "Join" in op:
             a.joins.append(op)
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", p):
