@@ -321,3 +321,31 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=JACCARD_T,
     )
     return connected_components(pairs)
+
+
+CURATE_QUALITY_T = 0.75
+
+
+@register(
+    "curate_pipeline",
+    O.curate_pipeline_oracle(CURATE_QUALITY_T, SPLIT_TEST_FRAC, SPLIT_SALT),
+)
+def curate_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate -> exact-dedup survivors ->
+    leakage-safe split.  One declarative plan: the dedup keep-set join
+    broadcasts (fingerprint aggregation output is tiny relative to the
+    corpus) and the quality/split expressions fuse into the same scan —
+    the whole pipeline reads the corpus twice (once for fingerprint
+    grouping, once for output), independent of how many stages compose."""
+    docs = _docs(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    keep = exact_dedup(docs, "doc_id", doc_fingerprint(F.col("text"))).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    out = (
+        docs.join(F.broadcast(keep), on="doc_id")
+        .withColumn("quality_score", feats["quality_score"])
+        .filter(F.col("quality_score") >= CURATE_QUALITY_T)
+    )
+    out = train_test_split(out, "doc_id", SPLIT_TEST_FRAC, SPLIT_SALT)
+    return out.select("doc_id", "lang", "split", "quality_score")

@@ -364,3 +364,22 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
+
+
+def curate_pipeline_oracle(
+    quality_threshold: float, test_fraction: float, salt: str
+) -> str:
+    """Composed curation: quality gate ∘ exact-dedup keep ∘ split — each
+    stage reuses the already-verified oracle building blocks."""
+    return f"""
+WITH q AS ({QUALITY_ORACLE}),
+k AS (SELECT keep_id AS doc_id FROM ({EXACT_DEDUP_ORACLE}))
+SELECT d.doc_id, d.lang,
+       CASE WHEN {sql_hash_fraction("d.doc_id", salt)} < {test_fraction}
+            THEN 'test' ELSE 'train' END AS split,
+       q.quality_score
+FROM documents d
+JOIN q USING (doc_id)
+JOIN k USING (doc_id)
+WHERE q.quality_score >= {quality_threshold}
+"""
