@@ -2,7 +2,7 @@
 
 We don't run TiDB/TiCDC, so merge correctness is tested against changelogs
 *derived from the base tables themselves* with pure-ANSI SQL (arithmetic +
-CASE + UNION ALL only — no engine-specific functions), evaluated by BOTH
+CASE + a 2-row fan-out join — no engine-specific functions), evaluated by BOTH
 engines: Spark (``spark.sql`` over temp views) builds the batch our
 operators consume, and the DuckDB oracle embeds the same text as a CTE.
 Identical inputs by construction; no fixture files needed.
@@ -19,7 +19,10 @@ Event classes per key (FIXTURES.md §3 coverage matrix), selected by
     6 → I with key+1000000            (not-matched insert arm)
 
 commit_ts = pk*10 + seq keeps events per key strictly ordered and globally
-deterministic.
+deterministic.  Shape note: one scan + CROSS JOIN a 2-row sequence + CASE,
+instead of one UNION branch per event class — Spark inlines multi-referenced
+CTEs, so the branch form re-evaluated the source (incl. lineitem's
+dedup groupBy) once per branch.
 """
 
 from __future__ import annotations
@@ -27,45 +30,30 @@ from __future__ import annotations
 ORDERS_PAYLOAD = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
 ORDERS_CHANGELOG_SQL = """
-SELECT 'U' AS flag, 'orders' AS tablename, 'tpch' AS schemaname,
-       CAST(o_orderkey*10+1 AS BIGINT) AS commit_ts,
-       o_orderkey, o_custkey, 'U1' AS o_orderstatus,
-       o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 1
-UNION ALL
-SELECT 'U', 'orders', 'tpch', CAST(o_orderkey*10+1 AS BIGINT),
-       o_orderkey, o_custkey, 'XX', o_totalprice, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 2
-UNION ALL
-SELECT 'U', 'orders', 'tpch', CAST(o_orderkey*10+2 AS BIGINT),
-       o_orderkey, o_custkey, 'U2',
-       o_totalprice + 200.0, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 2
-UNION ALL
-SELECT 'D', 'orders', 'tpch', CAST(o_orderkey*10+1 AS BIGINT),
-       o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 3
-UNION ALL
-SELECT 'I', 'orders', 'tpch', CAST(o_orderkey*10+1 AS BIGINT),
-       o_orderkey, o_custkey, 'I4', o_totalprice, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 4
-UNION ALL
-SELECT 'D', 'orders', 'tpch', CAST(o_orderkey*10+2 AS BIGINT),
-       o_orderkey, o_custkey, 'I4', o_totalprice, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 4
-UNION ALL
-SELECT 'D', 'orders', 'tpch', CAST(o_orderkey*10+1 AS BIGINT),
-       o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 5
-UNION ALL
-SELECT 'I', 'orders', 'tpch', CAST(o_orderkey*10+2 AS BIGINT),
-       o_orderkey, o_custkey, 'R5',
-       o_totalprice + 500.0, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 5
-UNION ALL
-SELECT 'I', 'orders', 'tpch', CAST(o_orderkey*10+1 AS BIGINT),
-       o_orderkey + 1000000, o_custkey, 'N6', o_totalprice, o_orderdate, o_orderpriority
-FROM orders WHERE o_orderkey % 10 = 6
+WITH ev AS (SELECT orders.*, o_orderkey % 10 AS m FROM orders),
+f AS (
+  SELECT ev.*, k.i FROM ev
+  CROSS JOIN (SELECT 1 AS i UNION ALL SELECT 2 AS i) k
+  WHERE (k.i = 1 AND ev.m IN (1, 2, 3, 4, 5, 6))
+     OR (k.i = 2 AND ev.m IN (2, 4, 5))
+)
+SELECT CASE WHEN (m = 3) OR (m = 4 AND i = 2) OR (m = 5 AND i = 1) THEN 'D'
+            WHEN (m = 4 AND i = 1) OR (m = 5 AND i = 2) OR (m = 6) THEN 'I'
+            ELSE 'U' END AS flag,
+       'orders' AS tablename, 'tpch' AS schemaname,
+       CAST(o_orderkey*10 + i AS BIGINT) AS commit_ts,
+       CASE WHEN m = 6 THEN o_orderkey + 1000000 ELSE o_orderkey END AS o_orderkey,
+       o_custkey,
+       CASE WHEN m = 1 THEN 'U1' WHEN m = 2 AND i = 1 THEN 'XX'
+            WHEN m = 2 AND i = 2 THEN 'U2' WHEN m = 4 THEN 'I4'
+            WHEN m = 5 AND i = 2 THEN 'R5' WHEN m = 6 THEN 'N6'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN m = 1 THEN o_totalprice + 100.0
+            WHEN m = 2 AND i = 2 THEN o_totalprice + 200.0
+            WHEN m = 5 AND i = 2 THEN o_totalprice + 500.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM f
 """
 
 LINEITEM_PAYLOAD = (
@@ -90,41 +78,27 @@ _LI_SRC = """
 """
 
 LINEITEM_CHANGELOG_SQL = f"""
-WITH li_src AS ({_LI_SRC})
-SELECT 'U' AS flag, 'lineitem' AS tablename, 'tpch' AS schemaname,
-       CAST(l_orderkey*100 + l_linenumber*10 + 1 AS BIGINT) AS commit_ts,
-       l_orderkey, l_partkey, l_suppkey, l_linenumber,
-       l_quantity + 1.0 AS l_quantity, l_extendedprice, l_discount, l_tax,
-       'U' AS l_returnflag, l_linestatus, l_shipdate
-FROM li_src WHERE (l_orderkey + l_linenumber) % 10 = 1
-UNION ALL
-SELECT 'U', 'lineitem', 'tpch',
-       CAST(l_orderkey*100 + l_linenumber*10 + 1 AS BIGINT),
-       l_orderkey, l_partkey, l_suppkey, l_linenumber,
-       l_quantity, l_extendedprice, l_discount, l_tax,
-       'X', l_linestatus, l_shipdate
-FROM li_src WHERE (l_orderkey + l_linenumber) % 10 = 2
-UNION ALL
-SELECT 'U', 'lineitem', 'tpch',
-       CAST(l_orderkey*100 + l_linenumber*10 + 2 AS BIGINT),
-       l_orderkey, l_partkey, l_suppkey, l_linenumber,
-       l_quantity + 2.0, l_extendedprice, l_discount, l_tax,
-       'W', l_linestatus, l_shipdate
-FROM li_src WHERE (l_orderkey + l_linenumber) % 10 = 2
-UNION ALL
-SELECT 'D', 'lineitem', 'tpch',
-       CAST(l_orderkey*100 + l_linenumber*10 + 1 AS BIGINT),
-       l_orderkey, l_partkey, l_suppkey, l_linenumber,
-       l_quantity, l_extendedprice, l_discount, l_tax,
-       l_returnflag, l_linestatus, l_shipdate
-FROM li_src WHERE (l_orderkey + l_linenumber) % 10 = 3
-UNION ALL
-SELECT 'I', 'lineitem', 'tpch',
-       CAST(l_orderkey*100 + l_linenumber*10 + 1 AS BIGINT),
-       l_orderkey, l_partkey, l_suppkey, l_linenumber + 100,
-       l_quantity, l_extendedprice, l_discount, l_tax,
-       'N', l_linestatus, l_shipdate
-FROM li_src WHERE (l_orderkey + l_linenumber) % 10 = 4
+WITH li_src AS ({_LI_SRC}),
+ev AS (SELECT li_src.*, (l_orderkey + l_linenumber) % 10 AS m FROM li_src),
+f AS (
+  SELECT ev.*, k.i FROM ev
+  CROSS JOIN (SELECT 1 AS i UNION ALL SELECT 2 AS i) k
+  WHERE (k.i = 1 AND ev.m IN (1, 2, 3, 4)) OR (k.i = 2 AND ev.m = 2)
+)
+SELECT CASE WHEN m = 3 THEN 'D' WHEN m = 4 THEN 'I' ELSE 'U' END AS flag,
+       'lineitem' AS tablename, 'tpch' AS schemaname,
+       CAST(l_orderkey*100 + l_linenumber*10 + i AS BIGINT) AS commit_ts,
+       l_orderkey, l_partkey, l_suppkey,
+       CASE WHEN m = 4 THEN l_linenumber + 100 ELSE l_linenumber END AS l_linenumber,
+       CASE WHEN m = 1 THEN l_quantity + 1.0
+            WHEN m = 2 AND i = 2 THEN l_quantity + 2.0
+            ELSE l_quantity END AS l_quantity,
+       l_extendedprice, l_discount, l_tax,
+       CASE WHEN m = 1 THEN 'U' WHEN m = 2 AND i = 1 THEN 'X'
+            WHEN m = 2 AND i = 2 THEN 'W' WHEN m = 4 THEN 'N'
+            ELSE l_returnflag END AS l_returnflag,
+       l_linestatus, l_shipdate
+FROM f
 """
 
 CHANGELOG_SQL = {
