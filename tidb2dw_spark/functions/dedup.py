@@ -150,23 +150,23 @@ def minhash_signatures(
 
 
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, key:string>> — md5 of each signature band."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    """array<struct<band:int, key:string>> — md5 of each signature band.
+    One ``transform`` over the band indices (Column-typed slice start), so
+    the expression tree is O(1) in the band count."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("key"),
+        ),
     )
 
 
