@@ -1,0 +1,97 @@
+"""Scale-robustness operators: skew salting, continuous poll loop, and
+crash-recovery atomicity of the managed table."""
+
+from __future__ import annotations
+
+import shutil
+import threading
+
+from pyspark.sql import functions as F
+
+from tidb2dw_spark.operators.skew import salted_join
+from tidb2dw_spark.replicate import TableReplicator
+from tidb2dw_spark.table.managed import ManagedTable
+
+from .test_consumer import users_def_v1, write
+
+
+def test_salted_join_equivalent_to_plain_join(spark):
+    """90% of the fact side shares one hot key; the salted join must return
+    exactly the plain join's rows while spreading the hot key."""
+    facts = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    dims = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dim_val")
+    )
+    plain = {(r["fact_id"], r["dim_val"])
+             for r in facts.join(dims, on="k").collect()}
+    salted = {(r["fact_id"], r["dim_val"])
+              for r in salted_join(facts, dims, on=["k"], num_salts=8).collect()}
+    assert salted == plain and len(plain) == 1000
+
+
+def test_run_loop_consumes_across_polls(spark, tmp_path):
+    """The ticker loop picks up files that arrive between polls."""
+    snap, incr, wh = tmp_path / "snapshot", tmp_path / "increment", tmp_path / "wh"
+    write(snap / "tpch.users.000000001.csv", '1,"alice",30,1990-01-01\n')
+    users_def_v1().dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"I","users","tpch",100,2,"bob",20,1992-02-02\n')
+
+    rep = TableReplicator(spark, snap, incr, wh, users_def_v1())
+    stop = threading.Event()
+    polls_done = []
+
+    def run():
+        polls_done.append(rep.run_loop(poll_interval_s=0.3, stop_event=stop))
+
+    t = threading.Thread(target=run)
+    t.start()
+    import time
+
+    def wait_for(ids, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if rep.table.exists() and {
+                r["id"] for r in rep.table.read(spark).collect()
+            } == ids:
+                return True
+            time.sleep(0.3)
+        return False
+
+    # first poll applies CDC000001, then a second file arrives mid-loop
+    assert wait_for({1, 2}), "first poll never applied"
+    write(incr / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"I","users","tpch",200,3,"carol",40,1993-03-03\n')
+    assert wait_for({1, 2, 3}), "second file never picked up"
+    stop.set()
+    t.join(60)
+    assert not t.is_alive()
+    assert polls_done and polls_done[0] >= 2
+
+
+def test_crashed_merge_leaves_previous_version_readable(spark, tmp_path):
+    """Atomicity: data files written but manifest not swapped (crash between
+    the two) must leave readers on the old version, and a rerun of the same
+    merge must converge to the correct state."""
+    base = spark.range(10).select(F.col("id").alias("k"), F.lit("v").alias("val"))
+    t = ManagedTable(tmp_path / "t").create(base, ["k"])
+    batch = spark.createDataFrame(
+        [("U", "t", "s", 1, 0, "updated")],
+        "flag string, tablename string, schemaname string, commit_ts long, k long, val string",
+    )
+    # simulate the crash: write the next version's data directory by hand
+    # (as merge would), but never commit the manifest
+    merged_preview = t.read(spark)
+    merged_preview.write.mode("overwrite").parquet(str(t.root / "v=2"))
+    assert t.version() == 1  # manifest untouched
+    assert t.read(spark).count() == 10  # readers see v1 only
+
+    # recovery: the real merge just runs again (idempotent), overwriting the
+    # orphaned v=2 directory and committing atomically
+    v = t.merge(spark, batch)
+    assert v == 2 and t.version() == 2
+    rows = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert rows[0] == "updated" and len(rows) == 10

@@ -97,6 +97,29 @@ class TableReplicator:
             raise
 
 
+    def run_loop(
+        self,
+        poll_interval_s: float = 12.0,
+        stop_event: threading.Event | None = None,
+        max_polls: int | None = None,
+    ) -> int:
+        """Continuous consumption: snapshot once, then poll the increment
+        layout every *poll_interval_s* — the reference's ticker loop
+        (increment.go:373-390; default = cdc flush interval / 5 = 12 s,
+        cmd/core.go:284).  Stops on *stop_event* or after *max_polls*
+        (None = forever).  Returns the number of polls executed."""
+        stop = stop_event or threading.Event()
+        self.load_snapshot()
+        polls = 0
+        while not stop.is_set():
+            self.consume_increments()
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                break
+            stop.wait(poll_interval_s)
+        return polls
+
+
 def replicate_all(replicators: list[TableReplicator]) -> dict[str, str | None]:
     """Per-table fan-out (core.go:263-293): each table on its own thread;
     one table's failure never stops the others.  Returns fqn → error."""
