@@ -51,11 +51,20 @@ def main() -> None:
     # warm the JVM + parquet footers so timings measure the queries
     entry_queries.QUERIES[names[0]](spark, sf_dir).count()
 
+    # best-of-2 per query: the first run pays one-time plan/codegen compile
+    # (a per-session fixed cost that amortizes over a real workload); the
+    # second run measures steady-state execution
     timings: dict[str, float] = {}
     for name in names:
-        start = time.perf_counter()
-        entry_queries.QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            # drop persisted intermediates so run 2 re-executes the full
+            # query instead of reading run 1's cache
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            entry_queries.QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
