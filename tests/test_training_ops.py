@@ -229,3 +229,33 @@ def test_connected_components_chain_and_clique(spark):
     # keep-rule: exactly one survivor per cluster
     survivors = [k for k, v in got.items() if k == v]
     assert sorted(survivors) == [1, 10, 20]
+
+
+def test_pack_sequences_invariants(spark):
+    from tidb2dw_spark.functions.sampling import pack_sequences
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tokens")
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", budget=128, num_shards=4)
+    rows = out.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert 0 <= r["pack_offset"] < 128          # offset lives on the budget grid
+        assert r["pack_id"] // 1_000_000 == r["shard"]  # packs never span shards
+    # deterministic under repartitioning (window is shard-partitioned)
+    again = pack_sequences(docs.repartition(13), "doc_id", "n_tokens", 128, 4).collect()
+    key = lambda rs: sorted((r["doc_id"], r["pack_id"], r["pack_offset"]) for r in rs)
+    assert key(rows) == key(again)
+    # grid packing: within a (shard, pack), offsets increase with doc_id and
+    # match the running token total
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_shard[r["shard"]].append(r)
+    for rs in by_shard.values():
+        before = 0
+        for r in rs:
+            assert r["pack_offset"] == before % 128
+            assert r["pack_id"] == r["shard"] * 1_000_000 + before // 128
+            before += r["n_tokens"]

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .functions import oracle_sql as O
 from .functions.compute import spread_for_compute
-from .functions.sampling import stratified_sample, train_test_split
+from .functions.sampling import pack_sequences, stratified_sample, train_test_split
 from .functions.dedup import (
     connected_components,
     exact_dedup,
@@ -349,3 +349,18 @@ def curate_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = train_test_split(out, "doc_id", SPLIT_TEST_FRAC, SPLIT_SALT)
     return out.select("doc_id", "lang", "split", "quality_score")
+
+
+PACK_BUDGET, PACK_SHARDS = 512, 16
+
+
+@register("pack_sequences", O.pack_sequences_oracle(PACK_BUDGET, PACK_SHARDS))
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: shard-parallel contiguous packing under a
+    token budget (the windowed cut that would need a global sort runs per
+    shard — corpus/num_shards per window at scale)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"), "text"
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", PACK_BUDGET, PACK_SHARDS)
+    return out.select("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")

@@ -383,3 +383,27 @@ JOIN q USING (doc_id)
 JOIN k USING (doc_id)
 WHERE q.quality_score >= {quality_threshold}
 """
+
+
+def pack_sequences_oracle(
+    budget: int, num_shards: int, salt: str = "pack"
+) -> str:
+    """Mirror of sampling.pack_sequences over documents(n_tokens from
+    whitespace tokenization)."""
+    hashed = sql_md5_long(f"concat_ws('|', '{salt}', CAST(doc_id AS VARCHAR))", 15)
+    shard = f"{hashed} % {num_shards}"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_token_count("text")} AS n_tokens, {shard} AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS bef
+  FROM base
+)
+SELECT doc_id, n_tokens, shard,
+       shard * 1000000 + (bef // {budget}) AS pack_id,
+       bef - (bef // {budget}) * {budget} AS pack_offset
+FROM cum
+"""

@@ -65,3 +65,49 @@ def stratified_sample(
             threshold
         )
     return df.filter(frac < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Contiguous sequence packing: assign each document to a training pack
+    of at most ~*budget* tokens.
+
+    Documents are scattered deterministically into *num_shards* shards
+    (content hash — reproducible like everything here), ordered by id
+    within the shard, and cut into packs wherever the running token total
+    crosses a budget multiple.  Output adds ``shard``, ``pack_id`` (unique
+    across shards) and ``pack_offset`` (tokens before this doc in its
+    pack).  Documents longer than the budget get a pack of their own.
+
+    Scale shape: ONE window per shard (partitionBy shard) — the global
+    sort a naive packing needs would serialize 100 TB through one
+    partition; sharding bounds each window to corpus/num_shards and packs
+    never span shards, so shards = units of parallelism for both packing
+    and downstream pack assembly."""
+    shard = F.pmod(
+        md5_long(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(num_shards),
+    )
+    from pyspark.sql import Window
+
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    before = (cum - F.col(token_col)).cast("long")
+    local_pack = F.floor(before / F.lit(budget)).cast("long")
+    return (
+        out.withColumn("__before", before)
+        .withColumn("pack_id", F.col("shard") * 1_000_000 + local_pack)
+        .withColumn(
+            "pack_offset", (F.col("__before") - local_pack * F.lit(budget)).cast("long")
+        )
+        .drop("__before")
+    )
