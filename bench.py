@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "sim_topk_quantized_cosine",
     "sim_ivf_topk",
     "split_train_test",
+    "pack_sequences",
     "q1_lineitem_agg",
     "q_revenue_by_segment",
     "events_tumbling_agg",
