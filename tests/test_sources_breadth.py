@@ -72,3 +72,28 @@ def test_pk_columns_from_index_rows():
         {"Key_name": "PRIMARY", "Seq_in_index": 1, "Column_name": "l_orderkey"},
     ]
     assert pk_columns_from_index_rows(rows) == ["l_orderkey", "l_linenumber"]
+
+
+def test_csv_null_vs_empty_vs_quoted_newline(spark, tmp_path):
+    """Staging-contract edge semantics (SURVEY §7 hard-part 4): \\N is NULL,
+    an empty field is the empty string (EMPTY_FIELD_AS_NULL=FALSE parity,
+    snowsql/sql.go:23), and quoted embedded newlines survive
+    (AllowQuotedNewlines parity, bigquerysql/operation.go:38)."""
+    from pyspark.sql import types as T
+
+    from tidb2dw_spark.sources.snapshot import read_snapshot_csv
+
+    p = tmp_path / "tpch.t.000000001.csv"
+    p.write_text('1,\\N\n2,""\n3,"line1\nline2"\n4,plain\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    rows = {r["id"]: r["s"] for r in read_snapshot_csv(spark, str(p), schema).collect()}
+    assert rows[1] is None          # \N → NULL
+    assert rows[2] == ""            # quoted empty → empty string, NOT null
+    assert rows[3] == "line1\nline2"  # quoted newline preserved
+    assert rows[4] == "plain"
+    assert len(rows) == 4           # the embedded newline did not split a row
