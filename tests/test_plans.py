@@ -60,8 +60,23 @@ def test_text_features_shuffle_free(spark, sf_dir):
     assert_no_shuffle(QUERIES["text_quality_score"](spark, sf_dir))
 
 
-def test_topk_broadcasts_queries(spark, sf_dir):
+def test_topk_arrow_kernel_is_joinless_single_shuffle(spark, sf_dir):
+    """The arrow top-k embeds the query set in the kernel closure: no join
+    at all; the only by-key exchange is the final global rank window over
+    (partitions × queries × k) candidate rows."""
     a = audit(QUERIES["sim_topk_quantized_cosine"](spark, sf_dir))
+    assert a.joins == [], a.joins
+    assert len(a.hash_shuffles) == 1 and "query_id" in a.hash_shuffles[0], a.exchanges
+
+
+def test_topk_expr_kernel_broadcasts_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    a = audit(brute_force_topk(emb, q, k=5, metric="quantized_cosine"))
     assert any(j.startswith("Broadcast") for j in a.joins), a.joins
 
 

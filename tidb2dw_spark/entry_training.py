@@ -185,7 +185,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_qcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
-    return brute_force_topk(emb, queries, k=TOPK_K, metric="quantized_cosine")
+    return brute_force_topk(
+        emb, queries, k=TOPK_K, metric="quantized_cosine", kernel="arrow"
+    )
 
 
 @register("sim_embedding_near_dup", O.embedding_near_dup_oracle(NEAR_DUP_T))

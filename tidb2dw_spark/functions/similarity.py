@@ -115,6 +115,78 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("qcos") >= threshold)
 
 
+def _brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    metric: str,
+) -> DataFrame:
+    """Arrow kernel for quantized top-k: queries collect to the driver
+    (small by definition — same trust as a broadcast), each corpus
+    partition scores its rows against all queries with ONE int64 matmul
+    and emits only its local top-k per query; a final window ranks the
+    partitions' candidates.  Exact: integer accumulation + single IEEE
+    division, and per-partition pruning cannot drop a global top-k row.
+
+    Scale: executors ship (partitions × queries × k) candidate rows — the
+    same partial-top-k shape as the expression path, minus interpreted
+    per-element lambdas."""
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array(
+        [[_quantize_py(x) for x in r[vec_col]] for r in q_rows], dtype=np.int64
+    )
+    q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+
+    def qarr(c: Column) -> Column:
+        return F.transform(c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qarr(F.col(vec_col)).alias("qv")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["qv"].to_numpy())                      # (n, d) int64
+            nids = pdf["neighbor_id"].to_numpy()
+            D = M @ Q.T                                             # (n, m) exact
+            if metric == "quantized_cosine":
+                c_norm = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+                # operand order matches the expression path: q_norm * c_norm
+                S = D.astype(np.float64) / (q_norm[None, :] * c_norm[:, None])
+            else:  # quantized_dot
+                S = D.astype(np.float64)
+            rows_q, rows_n, rows_s = [], [], []
+            for j in range(len(qids)):
+                mask = nids != qids[j]                              # drop self-pair
+                s_j, n_j = S[mask, j], nids[mask]
+                # (score desc, neighbor_id asc): lexsort minor→major
+                order = np.lexsort((n_j, -s_j))[:k]
+                rows_q.extend([qids[j]] * len(order))
+                rows_n.extend(n_j[order])
+                rows_s.extend(s_j[order])
+            yield pd.DataFrame(
+                {"query_id": rows_q, "neighbor_id": rows_n, "score": rows_s}
+            )
+
+    cand = base.mapInPandas(kernel, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -122,11 +194,20 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     metric: str = "cosine",
+    kernel: str = "expr",
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast queries × corpus scan.
 
     Returns (query_id, neighbor_id, score, rank), self-pairs excluded,
-    ties broken by neighbor_id ascending (deterministic)."""
+    ties broken by neighbor_id ascending (deterministic).
+
+    ``kernel='arrow'`` (quantized metrics only) switches the scoring pass
+    to a vectorized int64 matmul with per-partition partial top-k — same
+    exact results, no interpreted per-element lambdas."""
+    if kernel == "arrow":
+        if metric not in ("quantized_cosine", "quantized_dot"):
+            raise ValueError("arrow kernel requires a quantized metric")
+        return _brute_force_topk_arrow(corpus, queries, id_col, vec_col, k, metric)
     # precompute per-side quantized arrays / norms BEFORE the pair join:
     # per-pair work is then one dot product, not three (norms are per-row,
     # computing them inside the n×q join multiplies the work by the fan-out)
@@ -183,6 +264,16 @@ def brute_force_topk(
 # IVF (inverted-file) — the other scale path: coarse-quantize the corpus into
 # cells, probe only the n_probe nearest cells per query
 # ---------------------------------------------------------------------------
+def _quantize_py(x: float, scale: int = 1_000_000) -> int:
+    """HALF_UP rounding of x*scale — matches Spark ``F.round`` and DuckDB
+    ``round`` (Python's built-in round is half-to-even and would diverge on
+    exact-.5 products)."""
+    import math
+
+    v = float(x) * scale
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
 def ivf_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> list[list[int]]:
@@ -192,7 +283,7 @@ def ivf_centroids(
     Driver-side collect of n_centroids rows — metadata-sized, like the
     broadcast threshold stats AQE collects."""
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    return [[int(round(float(x) * 1_000_000)) for x in r[vec_col]] for r in rows]
+    return [[_quantize_py(x) for x in r[vec_col]] for r in rows]
 
 
 def _cell_score_structs(qv: Column, centroids: list[list[int]]) -> Column:
