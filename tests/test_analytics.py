@@ -1,0 +1,177 @@
+"""Unit + plan-shape tests for the analytic-breadth operators
+(entry_analytics: as-of join, range join, rollup, top-k, quantiles, vocab).
+
+Oracle parity for all six queries is covered by test_oracle_parity.py via
+the registry; here we pin operator *semantics* on constructed edge cases
+and assert the physical plans keep their scale shape.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tidb2dw_spark import entry_analytics as ea
+from tidb2dw_spark.operators.asof import asof_join
+from tidb2dw_spark.operators.rangejoin import range_count_join
+from tidb2dw_spark.plans import audit
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # exact-ts match candidate
+            (2, 10, _ts("2024-01-01 12:00:00")),  # normal backward match
+            (3, 10, _ts("2024-01-01 08:00:00")),  # before any right row
+            (4, 99, _ts("2024-01-01 12:00:00")),  # key with no right rows
+        ],
+        "id long, k long, ts timestamp",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 10:00:00")),
+            (101, 10, _ts("2024-01-01 11:30:00")),
+            (102, 10, _ts("2024-01-01 13:00:00")),
+        ],
+        "rid long, k long, ts timestamp",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, spark):
+        out = asof_join(
+            _left(spark),
+            _right(spark),
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols={"rid": "rid", "ts": "rts"},
+        )
+        got = {r["id"]: r["rid"] for r in out.collect()}
+        # id=1 matches the equal-ts right row; id=2 the newest earlier one;
+        # id=3 and id=4 have no match → NULL
+        assert got == {1: 100, 2: 101, 3: None, 4: None}
+
+    def test_exclusive(self, spark):
+        out = asof_join(
+            _left(spark),
+            _right(spark),
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols={"rid": "rid"},
+            allow_exact_matches=False,
+        )
+        got = {r["id"]: r["rid"] for r in out.collect()}
+        assert got[1] is None  # strict <: the 10:00 right row no longer matches
+        assert got[2] == 101
+
+    def test_left_columns_preserved(self, spark):
+        out = asof_join(
+            _left(spark),
+            _right(spark),
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols={"rid": "rid"},
+        )
+        assert out.columns == ["id", "k", "ts", "rid"]
+        assert out.count() == 4
+
+    def test_single_shuffle_no_join(self, spark, sf_dir):
+        df = ea.QUERIES["events_asof_join"](spark, sf_dir)
+        a = audit(df)
+        assert a.joins == [], a.joins  # union+window — no join node at all
+        assert len(a.hash_shuffles) == 1, a.exchanges
+        assert "user_id" in a.hash_shuffles[0]
+
+
+class TestRangeCountJoin:
+    def test_window_boundaries(self, spark):
+        left = spark.createDataFrame(
+            [(1, 5, _ts("2024-01-01 10:10:00"))], "id long, k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (5, _ts("2024-01-01 10:00:00")),  # exactly -600s: inclusive
+                (5, _ts("2024-01-01 10:10:00")),  # exactly 0: inclusive
+                (5, _ts("2024-01-01 09:59:59")),  # one second too old
+                (5, _ts("2024-01-01 10:10:01")),  # in the future
+                (6, _ts("2024-01-01 10:05:00")),  # other key
+            ],
+            "k long, ts timestamp",
+        )
+        out = range_count_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", window_seconds=600
+        )
+        assert out.collect()[0]["n_in_range"] == 2
+
+    def test_zero_match_rows_kept(self, spark):
+        left = spark.createDataFrame(
+            [(1, 5, _ts("2024-01-01 10:00:00")), (2, 7, _ts("2024-01-01 10:00:00"))],
+            "id long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(5, _ts("2024-01-01 09:55:00"))], "k long, ts timestamp"
+        )
+        out = range_count_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", window_seconds=600
+        )
+        got = {r["id"]: r["n_in_range"] for r in out.collect()}
+        assert got == {1: 1, 2: 0}
+
+    def test_cross_bucket_match(self, spark):
+        # right row in the preceding bucket still matches: left at :01 of a
+        # 10-min bucket, right 9 minutes earlier in the previous bucket
+        left = spark.createDataFrame(
+            [(1, 5, _ts("2024-01-01 10:01:00"))], "id long, k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(5, _ts("2024-01-01 09:52:00"))], "k long, ts timestamp"
+        )
+        out = range_count_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", window_seconds=600
+        )
+        assert out.collect()[0]["n_in_range"] == 1
+
+    def test_plan_is_equi_join(self, spark, sf_dir):
+        df = ea.QUERIES["events_range_join"](spark, sf_dir)
+        a = audit(df)
+        assert a.joins, "expected a join node"
+        for j in a.joins:
+            assert "NestedLoop" not in j and "Cartesian" not in j, a.joins
+
+
+class TestAnalyticsPlans:
+    def test_rollup_single_shuffle_with_expand(self, spark, sf_dir):
+        df = ea.QUERIES["q_rollup_priority_status"](spark, sf_dir)
+        a = audit(df)
+        assert "Expand" in a.plan
+        assert len(a.hash_shuffles) == 1, a.exchanges
+
+    def test_top3_broadcasts_dim(self, spark, sf_dir):
+        df = ea.QUERIES["q_top3_customers_per_nation"](spark, sf_dir)
+        a = audit(df)
+        assert any("BroadcastHashJoin" in j for j in a.joins), a.joins
+
+    def test_vocab_partial_agg_before_shuffle(self, spark, sf_dir):
+        df = ea.QUERIES["text_vocab_top_terms"](spark, sf_dir)
+        a = audit(df)
+        # the exchange must carry (term, partial count), i.e. follow a
+        # partial HashAggregate — visible as hashpartitioning(term…)
+        assert any("term" in e for e in a.hash_shuffles), a.exchanges
+        assert "TakeOrderedAndProject" in a.plan  # top-k, not global sort
+
+    def test_quantiles_single_exchange_on_lang(self, spark, sf_dir):
+        df = ea.QUERIES["q_doclen_quantiles_by_lang"](spark, sf_dir)
+        a = audit(df)
+        assert len(a.hash_shuffles) <= 2, a.exchanges
+        assert any("lang" in e for e in a.hash_shuffles), a.exchanges

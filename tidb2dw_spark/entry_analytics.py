@@ -1,0 +1,270 @@
+"""Analytic-breadth queries: rollup aggregation, top-k per group, integer
+discrete quantiles, vocabulary build, as-of join, bucketed range join.
+
+Beyond SURVEY.md §2 parity (the reference computes no aggregates at all —
+§2.4), these exercise the analytic surface a warehouse user of the
+reference would run on the replicated tables, each with a DuckDB oracle.
+All money/measure sums are integer cents and all rank/quantile math is
+pure-integer so cross-engine results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .fixtures import read_table
+from .operators.asof import asof_join
+from .operators.rangejoin import range_count_join
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Rollup aggregation — subtotals + grand total in one pass
+# ---------------------------------------------------------------------------
+@register(
+    "q_rollup_priority_status",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(priority, status): Spark plans one Expand + one hash agg —
+    subtotal rows ride the same shuffle as the leaf groups (no re-scan
+    per grouping set)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus").agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group — rank window over a pre-aggregated frame
+# ---------------------------------------------------------------------------
+@register(
+    "q_top3_customers_per_nation",
+    """
+WITH rev AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_custkey, revenue_cents,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_nationkey ORDER BY revenue_cents DESC, c_custkey) AS rnk
+  FROM rev
+) WHERE rnk <= 3
+""",
+)
+def q_top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join → partial-agg'd groupBy → per-nation rank ≤ 3.
+    The window runs over the aggregated (nation, customer) frame — orders
+    of magnitude smaller than the fact — and the rank filter prunes
+    before anything downstream."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue_cents").desc(), F.col("c_custkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "revenue_cents", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete quantiles — pure-integer rank targets (ceil(q·n) as (a·n+a)//b)
+# so both engines pick identical elements; no float interpolation at all
+# ---------------------------------------------------------------------------
+@register(
+    "q_doclen_quantiles_by_lang",
+    """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS p25,
+       max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+       max(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS p75,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90
+FROM ranked GROUP BY lang
+""",
+)
+def q_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language discrete quantiles of document length: one window pass
+    (single exchange on lang) + conditional agg — never materializes a
+    sorted global copy."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+
+    def at(num: int, den: int):
+        # rank target ceil(num·n / den) computed as (num·n + den-1) DIV den
+        target = F.floor((F.lit(num) * F.col("n") + (den - 1)) / den)
+        return F.max(F.when(F.col("rn") == target, F.col("n_chars")))
+
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        at(1, 4).alias("p25"),
+        at(1, 2).alias("p50"),
+        at(3, 4).alias("p75"),
+        at(9, 10).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build — token frequencies, deterministic global top-k
+# ---------------------------------------------------------------------------
+@register(
+    "text_vocab_top_terms",
+    """
+WITH tokens AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS n FROM tokens WHERE term <> '' GROUP BY term
+)
+SELECT term, CAST(n AS BIGINT) AS n
+FROM counts
+QUALIFY row_number() OVER (ORDER BY n DESC, term) <= 200
+""",
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab build: explode→count partial-aggregates before the
+    shuffle (the exchange carries (term, partial_n), not tokens), then a
+    total-ordered top-200 over the vocab-sized frame."""
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), "term").limit(200)
+
+
+# ---------------------------------------------------------------------------
+# As-of join — most recent prior click per purchase (union+window, no join)
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_join",
+    """
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent click at or before
+    it.  See operators/asof.py: one exchange on user_id, no join."""
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "click_event_id", "ts": "click_ts"},
+    )
+    return out.filter(F.col("click_event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join — clicks within 10 minutes before each error (bucketed equi-join)
+# ---------------------------------------------------------------------------
+@register(
+    "events_range_join",
+    """
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(count(CASE WHEN c.user_id IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_clicks_10m
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000
+ AND epoch_us(c.ts) <= epoch_us(e.ts)
+GROUP BY e.event_id, e.user_id, e.ts
+""",
+)
+def events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks in the 10 minutes up to each error, same user.  See
+    operators/rangejoin.py: time-bucket quantization turns the inequality
+    predicate into an equi-join (no nested loop)."""
+    events = read_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_count_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=600,
+        count_alias="n_clicks_10m",
+    )

@@ -343,3 +343,9 @@ from . import entry_training  # noqa: E402  (registry import)
 
 QUERIES.update(entry_training.QUERIES)
 ORACLES.update(entry_training.ORACLES)
+
+# Analytic breadth (rollup / top-k / quantiles / vocab / as-of / range join)
+from . import entry_analytics  # noqa: E402  (registry import)
+
+QUERIES.update(entry_analytics.QUERIES)
+ORACLES.update(entry_analytics.ORACLES)
