@@ -77,8 +77,15 @@ def _docs(
     return spread_for_compute(df, min_factor=2) if spread else df
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread_for_compute(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """*spread=False* for Arrow-kernel ops: the vectorized matmul is cheap
+    per row, so on the tiny single-split testdata the 32-way round-robin
+    exchange plus 32 Python-worker dispatches per job cost far more than
+    they save.  Interpreted expression kernels (near-dup fold, LSH) stay
+    spread.  At cluster scale the input arrives multi-split and
+    ``spread_for_compute`` is a no-op either way."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spread_for_compute(df) if spread else df
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +190,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("sim_topk_quantized_cosine", O.topk_qcos_oracle(TOPK_QUERY_MOD, TOPK_K))
 def sim_topk_qcos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=False)  # arrow kernel: see _emb
     queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     return brute_force_topk(
         emb, queries, k=TOPK_K, metric="quantized_cosine", kernel="arrow"
@@ -219,7 +226,7 @@ IVF_CENTROIDS, IVF_PROBE = 16, 4
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: approximate but *deterministic* (quantized math + fixed
     centroid rule), so unlike LSH it gets an exact value-level oracle."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=False)  # arrow kernel: see _emb
     queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     return ivf_topk(
         emb, queries, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
