@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "q_revenue_by_segment",
     "events_tumbling_agg",
     "events_sessionization",
+    "events_asof_join",
+    "events_range_join",
+    "q_top3_customers_per_nation",
+    "text_vocab_top_terms",
 ]
 
 

@@ -170,6 +170,47 @@ class TestAnalyticsPlans:
         assert any("term" in e for e in a.hash_shuffles), a.exchanges
         assert "TakeOrderedAndProject" in a.plan  # top-k, not global sort
 
+    def test_redact_pii_shuffle_free(self, spark, sf_dir):
+        from tidb2dw_spark.plans import assert_no_shuffle
+
+        assert_no_shuffle(ea.QUERIES["text_redact_pii"](spark, sf_dir))
+
+    def test_repetition_stats_shuffle_free(self, spark, sf_dir):
+        from tidb2dw_spark.plans import assert_no_shuffle
+
+        assert_no_shuffle(ea.QUERIES["text_repetition_stats"](spark, sf_dir))
+
+    def test_repetition_semantics(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a c a"), (2, "x"), (3, "Tie tie BREAK break")],
+            "doc_id long, text string",
+        )
+        from tidb2dw_spark.functions.text import repetition_stats
+
+        out = {
+            r["doc_id"]: (r["top_word_count"], r["n_words"])
+            for r in df.select(
+                "doc_id", repetition_stats(F.col("text")).alias("s")
+            ).select("doc_id", "s.*").collect()
+        }
+        assert out == {1: (3, 5), 2: (1, 1), 3: (2, 4)}
+
+    def test_redact_pii_semantics(self, spark):
+        from tidb2dw_spark.functions.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-y.co now or call 555-123-4567 x")],
+            "doc_id long, text string",
+        )
+        c = pii_counts(F.col("text"))
+        row = df.select(
+            c["n_emails"].alias("e"),
+            c["n_phones"].alias("p"),
+            redact_pii(F.col("text")).alias("clean"),
+        ).collect()[0]
+        assert (row["e"], row["p"]) == (1, 1)
+        assert row["clean"] == "mail [EMAIL] now or call [PHONE] x"
+
     def test_quantiles_single_exchange_on_lang(self, spark, sf_dir):
         df = ea.QUERIES["q_doclen_quantiles_by_lang"](spark, sf_dir)
         a = audit(df)

@@ -1,0 +1,141 @@
+"""CLI surface: discovery, table listing, replicate modes, error paths.
+
+Reference parity: main.go subcommands + cmd/core.go run modes — exercised
+against the same staging layout the consumer tests use.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tidb2dw_spark.cli import discover_table_defs, main
+
+from .test_consumer import users_def_v1, write
+from .test_replicate import _layout, pets_def
+
+
+def test_discover_table_defs(tmp_path):
+    _layout(tmp_path)
+    defs = discover_table_defs(tmp_path / "increment")
+    assert sorted(defs) == ["tpch.pets", "tpch.users"]
+    assert defs["tpch.users"].pk_columns == ["id"]
+
+
+def test_discover_picks_lowest_version(tmp_path):
+    incr = tmp_path / "increment"
+    d1 = users_def_v1()
+    d2 = users_def_v1()
+    d2.version = 7
+    d2.dump(incr / "tpch/users/7/meta")
+    d1.dump(incr / "tpch/users/1/meta")
+    defs = discover_table_defs(incr)
+    assert defs["tpch.users"].version == 1
+
+
+def test_tables_command(tmp_path, capsys):
+    _layout(tmp_path)
+    assert main(["tables", "--storage-dir", str(tmp_path)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [t["table"] for t in out] == ["tpch.pets", "tpch.users"]
+    assert out[1]["pk"] == ["id"]
+
+
+def test_replicate_full(spark, tmp_path, capsys):
+    _layout(tmp_path)
+    wh = tmp_path / "wh"
+    rc = main(
+        [
+            "replicate",
+            "--storage-dir",
+            str(tmp_path),
+            "--warehouse-dir",
+            str(wh),
+        ]
+    )
+    assert rc == 0
+    status = json.loads(capsys.readouterr().out)
+    assert status["tables"]["tpch.users"]["stage"] == "incremental"
+    # users: snapshot (1,2) then D of 2 → {1}; pets: 3 + insert → 4 rows
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    assert {r["id"] for r in ManagedTable(wh / "users").read(spark).collect()} == {1}
+    assert ManagedTable(wh / "pets").read(spark).count() == 4
+
+
+def test_replicate_snapshot_only(spark, tmp_path, capsys):
+    _layout(tmp_path)
+    wh = tmp_path / "wh"
+    rc = main(
+        [
+            "replicate",
+            "--storage-dir",
+            str(tmp_path),
+            "--warehouse-dir",
+            str(wh),
+            "--mode",
+            "snapshot-only",
+            "--tables",
+            "tpch.users",
+        ]
+    )
+    assert rc == 0
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    # snapshot only: the delete in the changelog is NOT applied
+    assert {r["id"] for r in ManagedTable(wh / "users").read(spark).collect()} == {1, 2}
+    assert not (wh / "pets").exists()  # --tables filter respected
+
+
+def test_replicate_incremental_only_after_snapshot(spark, tmp_path, capsys):
+    _layout(tmp_path)
+    wh = tmp_path / "wh"
+    assert main(
+        ["replicate", "--storage-dir", str(tmp_path), "--warehouse-dir", str(wh),
+         "--mode", "snapshot-only"]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["replicate", "--storage-dir", str(tmp_path), "--warehouse-dir", str(wh),
+         "--mode", "incremental-only"]
+    ) == 0
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    assert {r["id"] for r in ManagedTable(wh / "users").read(spark).collect()} == {1}
+
+
+def test_replicate_loop_incremental_only(spark, tmp_path, capsys):
+    _layout(tmp_path)
+    wh = tmp_path / "wh"
+    assert main(
+        ["replicate", "--storage-dir", str(tmp_path), "--warehouse-dir", str(wh),
+         "--mode", "snapshot-only"]
+    ) == 0
+    capsys.readouterr()
+    rc = main(
+        ["replicate", "--storage-dir", str(tmp_path), "--warehouse-dir", str(wh),
+         "--mode", "incremental-only", "--loop", "--max-polls", "2",
+         "--poll-interval", "0.05"]
+    )
+    assert rc == 0
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    # two polls, same file: checkpoint markers make the merge idempotent
+    assert {r["id"] for r in ManagedTable(wh / "users").read(spark).collect()} == {1}
+
+
+def test_unknown_table_filter_fails(tmp_path):
+    _layout(tmp_path)
+    with pytest.raises(SystemExit):
+        main(
+            ["replicate", "--storage-dir", str(tmp_path), "--warehouse-dir",
+             str(tmp_path / "wh"), "--tables", "tpch.nope"]
+        )
+
+
+def test_empty_layout_returns_error(tmp_path, capsys):
+    assert main(
+        ["replicate", "--storage-dir", str(tmp_path), "--warehouse-dir",
+         str(tmp_path / "wh")]
+    ) == 1

@@ -1,0 +1,218 @@
+"""Command-line interface — the operational surface of the engine.
+
+Reference parity: main.go:37-47 (subcommand registration) and
+cmd/core.go:31-43 (run modes full / snapshot-only / incremental-only).
+Differences by design: there is one generic `replicate` command instead of
+per-warehouse subcommands (snowflake/redshift/bigquery/databricks —
+cmd/*.go) because the warehouse here is always the Spark-managed table; and
+export-side commands (s3/gcs: dumping TiDB + creating changefeeds) are out
+of scope — this engine *consumes* the staging layout those produce.
+
+Layout contract (core.go:132-148): ``--storage-dir`` holds ``snapshot/``
+(CSV dumps ``<db>.<table>.<n>.csv``) and ``increment/``
+(``<db>/<table>/<version>/…/CDC{N}.csv`` + ``meta/schema_*.json``).
+Table definitions bootstrap from the lowest schema version present; later
+versions apply as DDL barriers during consumption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+from pathlib import Path
+
+from .metrics import MetricsRegistry, serve
+from .replicate import TableReplicator, replicate_all
+from .schema.table_def import TableDefinition, load_schema_file, parse_schema_file_name
+
+
+def discover_table_defs(increment_root: str | Path) -> dict[str, TableDefinition]:
+    """fqn → bootstrap TableDefinition (lowest schema version per table),
+    from ``<root>/<schema>/<table>/<version>/meta/schema_*.json``."""
+    root = Path(increment_root)
+    defs: dict[str, TableDefinition] = {}
+    if not root.is_dir():
+        return defs
+    for meta in sorted(root.glob("*/*/*/meta/schema_*.json")):
+        if parse_schema_file_name(meta.name) is None:
+            continue
+        td = load_schema_file(meta)
+        fqn = f"{td.schema}.{td.table}"
+        if fqn not in defs or td.version < defs[fqn].version:
+            defs[fqn] = td
+    return defs
+
+
+def _select_tables(
+    defs: dict[str, TableDefinition], tables_arg: str | None
+) -> dict[str, TableDefinition]:
+    if not tables_arg:
+        return defs
+    wanted = [t.strip() for t in tables_arg.split(",") if t.strip()]
+    missing = [t for t in wanted if t not in defs]
+    if missing:
+        raise SystemExit(
+            f"unknown table(s) {missing}; discovered: {sorted(defs)} "
+            "(tables come from increment/<schema>/<table>/*/meta/schema_*.json)"
+        )
+    return {t: defs[t] for t in wanted}
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tidb2dw-spark",
+        description="PySpark-native snapshot + CDC-merge replication engine",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    rep = sub.add_parser(
+        "replicate", help="snapshot-load then merge the CDC changelog"
+    )
+    rep.add_argument("--storage-dir", required=True, help="root with snapshot/ and increment/")
+    rep.add_argument("--warehouse-dir", required=True, help="managed-table output root")
+    rep.add_argument("--tables", help="comma-separated schema.table filter (default: all discovered)")
+    rep.add_argument(
+        "--mode",
+        choices=["full", "snapshot-only", "incremental-only"],
+        default="full",
+        help="full = snapshot + increments (cmd/core.go:31-43 run modes)",
+    )
+    rep.add_argument("--pk-buckets", type=int, default=0, help="hash buckets for the managed table (0 = unbucketed)")
+    rep.add_argument("--loop", action="store_true", help="keep polling for new CDC files")
+    rep.add_argument("--poll-interval", type=float, default=12.0, help="seconds between polls (flush-interval/5 default)")
+    rep.add_argument("--max-polls", type=int, default=None, help="stop --loop after N polls (default: forever)")
+    rep.add_argument("--status-port", type=int, default=None, help="serve /info + /metrics on this port while running")
+
+    tab = sub.add_parser("tables", help="list tables discovered in the staging layout")
+    tab.add_argument("--storage-dir", required=True)
+
+    return p
+
+
+def _cmd_tables(args: argparse.Namespace) -> int:
+    defs = discover_table_defs(Path(args.storage_dir) / "increment")
+    out = [
+        {
+            "table": fqn,
+            "bootstrap_version": td.version,
+            "pk": td.pk_columns,
+            "n_columns": len(td.columns),
+        }
+        for fqn, td in sorted(defs.items())
+    ]
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_replicate(args: argparse.Namespace) -> int:
+    from .session import get_spark
+
+    storage = Path(args.storage_dir)
+    defs = _select_tables(
+        discover_table_defs(storage / "increment"), args.tables
+    )
+    if not defs:
+        print("no tables discovered under", storage / "increment", file=sys.stderr)
+        return 1
+
+    spark = get_spark("tidb2dw_spark-cli")
+    registry = MetricsRegistry()
+    reps = [
+        TableReplicator(
+            spark,
+            storage / "snapshot",
+            storage / "increment",
+            args.warehouse_dir,
+            td,
+            registry=registry,
+            pk_buckets=args.pk_buckets,
+        )
+        for _, td in sorted(defs.items())
+    ]
+
+    server = None
+    if args.status_port is not None:
+        server = serve(registry, port=args.status_port)
+    try:
+        if args.mode == "snapshot-only":
+            errors = {}
+            for r in reps:
+                try:
+                    r.load_snapshot()
+                    errors[r.fqn] = None
+                except Exception as exc:  # per-table isolation (core.go:258-261)
+                    errors[r.fqn] = str(exc)
+        elif args.loop:
+            # per-table poll loops on threads (core.go:263-293 fan-out)
+            stop = threading.Event()
+            errors = {}
+            lock = threading.Lock()
+
+            def work(rep: TableReplicator) -> None:
+                try:
+                    if args.mode == "incremental-only":
+                        rep.consume_increments()  # no snapshot probe
+                        polls = 1
+                        while not stop.is_set() and (
+                            args.max_polls is None or polls < args.max_polls
+                        ):
+                            stop.wait(args.poll_interval)
+                            if not stop.is_set():
+                                rep.consume_increments()
+                                polls += 1
+                    else:
+                        rep.run_loop(
+                            poll_interval_s=args.poll_interval,
+                            stop_event=stop,
+                            max_polls=args.max_polls,
+                        )
+                    err = None
+                except Exception as exc:
+                    err = str(exc)
+                with lock:
+                    errors[rep.fqn] = err
+
+            threads = [threading.Thread(target=work, args=(r,)) for r in reps]
+            for t in threads:
+                t.start()
+            try:
+                for t in threads:
+                    t.join()
+            except KeyboardInterrupt:
+                stop.set()
+                for t in threads:
+                    t.join()
+        else:
+            if args.mode == "incremental-only":
+                errors = {}
+                for r in reps:
+                    try:
+                        r.consume_increments()
+                        errors[r.fqn] = None
+                    except Exception as exc:
+                        errors[r.fqn] = str(exc)
+            else:
+                errors = replicate_all(reps)
+    finally:
+        if server is not None:
+            server.shutdown()
+
+    print(registry.to_json())
+    failed = {t: e for t, e in errors.items() if e}
+    if failed:
+        print("failed:", json.dumps(failed), file=sys.stderr)
+        return 1
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.command == "tables":
+        return _cmd_tables(args)
+    return _cmd_replicate(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -194,6 +194,84 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrub — inject deterministic fake PII (the synthetic corpus has none),
+# then count + redact; exercises cross-engine regex parity
+# ---------------------------------------------------------------------------
+@register(
+    "text_redact_pii",
+    r"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id || '@example.com or 555-123-4567'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+       regexp_replace(
+         regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+FROM tagged
+""",
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub pass: count then placeholder-replace emails/phones.  Pure
+    regexp codegen expressions — shuffle-free scan."""
+    from .functions.text import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tagged = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    counts = pii_counts(F.col("text"))
+    return tagged.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        redact_pii(F.col("text")).alias("clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats — boilerplate/spam signal, zero-shuffle fold
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition_stats",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, w, count(*) AS c FROM words WHERE w <> '' GROUP BY doc_id, w
+)
+SELECT doc_id, CAST(max(c) AS INT) AS top_word_count, CAST(sum(c) AS INT) AS n_words
+FROM f GROUP BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest single-word count + word total per doc — the oracle uses
+    the explode→groupBy formulation; the Spark side folds each row's
+    sorted word array in place (no shuffle at all)."""
+    from .functions.text import repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", repetition_stats(F.col("text")).alias("s")).select(
+        "doc_id", "s.top_word_count", "s.n_words"
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join — most recent prior click per purchase (union+window, no join)
 # ---------------------------------------------------------------------------
 @register(

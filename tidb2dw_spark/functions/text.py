@@ -97,6 +97,68 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+# Deliberately simple patterns that Java regex (Spark) and RE2 (DuckDB,
+# used by the oracle) interpret identically: character classes, +, {m,n} —
+# no backrefs, no lookaround.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-row counts of email / phone matches (audit before redaction)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("int"),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("int"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/phone match with a typed placeholder — the
+    standard scrub pass before corpus text reaches a training set.  Pure
+    codegen expressions (regexp_replace), shuffle-free."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+
+
+def repetition_stats(text: Column) -> Column:
+    """struct<top_word_count int, n_words int> — highest single-word
+    occurrence count and total word count (boilerplate/spam signal:
+    filter on top_word_count/n_words).
+
+    Computed with zero shuffle: sort the row's word array, then one
+    ``aggregate`` fold counts the longest equal-run — identical to
+    explode → groupBy(doc, word) → max(count) but without moving any data
+    (the explode formulation shuffles |corpus tokens| rows)."""
+    words = F.array_sort(
+        F.filter(F.split(F.lower(text), "[^a-z]+"), lambda w: w != "")
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("total"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["total"] + 1).alias("total"),
+        )
+
+    return F.aggregate(
+        words,
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("top_word_count"), acc["total"].alias("n_words")
+        ),
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the
     whitespace-normalized, lowercased text (content-defined identity for
