@@ -180,6 +180,38 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
     assert key(approx) == key(again)
 
 
+def test_ivf_index_matches_on_the_fly_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted cell-partitioned index returns bit-identical results
+    to ivf_topk, and the probe join dynamically prunes the cell
+    partitions (the scan must carry a dynamicpruning partition filter)."""
+    from tidb2dw_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from tidb2dw_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, idx, n_centroids=8)
+    assert len(cents) == 8
+
+    searched = ivf_index_topk(spark, idx, queries, k=5, n_probe=4)
+    plan = formatted_plan(searched)
+    assert "dynamicpruning" in plan.lower(), plan
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["score"], 12))
+        for r in rows
+    )
+    on_the_fly = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    assert key(searched.collect()) == key(on_the_fly.collect())
+
+    # expr kernel searches the same index identically
+    searched_expr = ivf_index_topk(spark, idx, queries, k=5, n_probe=4, kernel="expr")
+    assert key(searched_expr.collect()) == key(on_the_fly.collect())
+
+
 def test_split_is_partition_and_subset_invariant(spark):
     """Hash-based split must not move examples when the data is
     repartitioned or when other rows are added — the anti-leakage property

@@ -443,13 +443,17 @@ def ivf_topk(
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
 
+    return _probe_score_rank(assigned, probes, k, kernel)
+
+
+def _qcos_score_builder(kernel: str):
+    """score(qv, pqv) — exact quantized cosine, arrow or expression form
+    (bit-identical: integer dots, then one IEEE sqrt/division each)."""
     if kernel == "arrow":
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("double")
         def qcos_vec(a: pd.Series, b: pd.Series) -> pd.Series:
-            # int64 stacks: exact dots, then single IEEE sqrt/division —
-            # bit-identical to the expression form
             if len(a) == 0:
                 return pd.Series([], dtype="float64")
             A = np.stack(a.to_numpy())
@@ -475,6 +479,14 @@ def ivf_topk(
                 * F.sqrt(idot(pqv, pqv).cast("double"))
             )
 
+    return score_col
+
+
+def _probe_score_rank(
+    assigned: DataFrame, probes: DataFrame, k: int, kernel: str
+) -> DataFrame:
+    """Join cell-assigned corpus to broadcast probes, score, top-k."""
+    score_col = _qcos_score_builder(kernel)
     scored = (
         assigned.join(
             F.broadcast(probes.select("query_id", F.col("qv").alias("pqv"), "cell")),
@@ -489,6 +501,107 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the 100 TB shape of ivf_topk
+# ---------------------------------------------------------------------------
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    kernel: str = "arrow",
+) -> list[list[int]]:
+    """Materialize the IVF index: the cell-assigned, integer-quantized
+    corpus written as parquet **partitioned by cell**, plus the centroid
+    matrix as JSON next to it.
+
+    This is what makes IVF a *scale* path rather than a per-query saving:
+    assignment (the full-corpus pass) runs once at build time, and every
+    subsequent search touches only ``n_probe/n_centroids`` of the data as
+    a partition-pruned scan — the cell directories that were not probed
+    are never listed, opened, or read.  Returns the centroids."""
+    import json as _json
+    import os
+
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+
+    def qarr(c: Column) -> Column:
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        )
+
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qarr(F.col(vec_col)).alias("qv")
+    )
+    if kernel == "arrow":
+        assigned = _arrow_cells(base, "neighbor_id", centroids, 1).select(
+            "neighbor_id", "qv", F.col("cells")[0].alias("cell")
+        )
+    else:
+        assigned = base.withColumn(
+            "cells", _cell_score_structs(F.col("qv"), centroids)
+        ).select(
+            "neighbor_id", "qv", (-F.array_max(F.col("cells"))["negc"]).alias("cell")
+        )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "cells")
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        _json.dump(centroids, f)
+    return centroids
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Search a :func:`build_ivf_index` index.  The probe side broadcasts
+    (query_id, qv, cell); joining it to the cell-partitioned index on the
+    partition column triggers **dynamic partition pruning** — the scan
+    reads only probed cell directories (asserted in the test suite), so
+    search cost is O(probed cells), independent of index size."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = _json.load(f)
+
+    def qarr(c: Column) -> Column:
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        )
+
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), qarr(F.col(vec_col)).alias("qv")
+    )
+    if kernel == "arrow":
+        probes = _arrow_cells(qbase, "query_id", centroids, n_probe).select(
+            "query_id", "qv", F.explode("cells").alias("cell")
+        )
+    else:
+        probes = qbase.withColumn(
+            "cells", _cell_score_structs(F.col("qv"), centroids)
+        ).select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(F.col("cells"), asc=False), 1, n_probe),
+                    lambda s: -s["negc"],
+                )
+            ).alias("cell"),
+        )
+    index = spark.read.parquet(os.path.join(index_dir, "cells"))
+    return _probe_score_rank(index, probes, k, kernel)
 
 
 # ---------------------------------------------------------------------------
