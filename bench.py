@@ -32,7 +32,10 @@ BENCH_QUERIES = [
     "text_quality_score",
     "sim_topk_quantized_cosine",
     "sim_ivf_topk",
+    "sim_ivf_index_topk",
     "split_train_test",
+    "sample_cap_per_source",
+    "text_tfidf_top_terms",
     "pack_sequences",
     "q1_lineitem_agg",
     "q_revenue_by_segment",

@@ -245,6 +245,47 @@ def test_split_is_partition_and_subset_invariant(spark):
     assert all(k % 2 == 0 for k in s1)  # default fraction 0 drops 'false' stratum
 
 
+def test_cap_per_key_bounds_and_determinism(spark, sf_dir):
+    """≤ n survivors per key, exactly n where the key has ≥ n rows, and
+    the surviving set is invariant under repartitioning."""
+    from tidb2dw_spark.functions.sampling import cap_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    capped = cap_per_key(docs, "source", "doc_id", 5)
+    got = {r["source"]: r["count"] for r in capped.groupBy("source").count().collect()}
+    assert got == {k: min(v, 5) for k, v in full.items() if v > 0}
+    ids = sorted(r["doc_id"] for r in capped.select("doc_id").collect())
+    again = cap_per_key(docs.repartition(13), "source", "doc_id", 5)
+    assert ids == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_tfidf_hand_example(spark):
+    """Exact tf/df ranking on a hand-computed corpus, tie broken by term."""
+    from tidb2dw_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian  durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["term_freq"], r["doc_freq"])
+        for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    }
+    assert out == {
+        (1, 1): ("apple", 2, 1),   # 2/1 beats banana 1/2
+        (1, 2): ("banana", 1, 2),
+        (2, 1): ("banana", 1, 2),  # 0.5 == 0.5 tie → term asc
+        (2, 2): ("cherry", 1, 2),
+        (3, 1): ("durian", 2, 1),
+        (3, 2): ("cherry", 1, 2),
+    }
+
+
 def test_connected_components_chain_and_clique(spark):
     """A 4-node chain (diameter 3, needs >1 propagation round), a triangle,
     and an isolated pair must resolve to min-id components."""

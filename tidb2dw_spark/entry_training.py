@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from .functions import oracle_sql as O
 from .functions.compute import spread_for_compute
-from .functions.sampling import pack_sequences, stratified_sample, train_test_split
+from .functions.sampling import (
+    cap_per_key,
+    pack_sequences,
+    stratified_sample,
+    train_test_split,
+)
 from .functions.dedup import (
     connected_components,
     exact_dedup,
@@ -32,7 +37,9 @@ from .functions.multimodal import (
 )
 from .functions.similarity import (
     brute_force_topk,
+    build_ivf_index,
     embedding_near_dup_pairs,
+    ivf_index_topk,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -41,6 +48,7 @@ from .functions.text import (
     lang_id,
     quality_features,
     regex_token_count,
+    tfidf_top_terms,
     token_count,
 )
 
@@ -233,6 +241,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+@register(
+    "sim_ivf_index_topk",
+    O.ivf_topk_oracle(TOPK_QUERY_MOD, TOPK_K, IVF_CENTROIDS, IVF_PROBE),
+)
+def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search path of the *persisted* IVF index: bit-identical results to
+    sim_ivf_topk (same oracle), but the full-corpus assignment pass ran
+    once at build time and the probe join dynamic-partition-prunes the
+    cell-partitioned scan — the 100 TB shape, where per-query cost is
+    O(probed cells) independent of corpus size."""
+    emb = _emb(spark, sf_dir, spread=False)  # arrow kernel: see _emb
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    idx = _IVF_INDEX_DIRS.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="tidb2dw_ivf_")
+        build_ivf_index(emb, idx, n_centroids=IVF_CENTROIDS)
+        _IVF_INDEX_DIRS[sf_dir] = idx
+    return ivf_index_topk(spark, idx, queries, k=TOPK_K, n_probe=IVF_PROBE)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas — rows-only, exactness in pytest)
 # ---------------------------------------------------------------------------
@@ -309,6 +342,26 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=SAMPLE_SALT,
     )
     return df.select("doc_id", "lang")
+
+
+CAP_N, CAP_SALT = 25, "cap"
+
+
+@register("sample_cap_per_source", O.cap_per_key_oracle("source", CAP_N, CAP_SALT))
+def sample_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (≤ CAP_N docs per domain) — deterministic reservoir
+    equivalent for corpus balancing."""
+    df = cap_per_key(_docs(spark, sf_dir), "source", "doc_id", CAP_N, salt=CAP_SALT)
+    return df.select("doc_id", "source", "sample_rank")
+
+
+TFIDF_K = 3
+
+
+@register("text_tfidf_top_terms", O.tfidf_top_terms_oracle(TFIDF_K))
+def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_K rarity-weighted terms per document (keyword extraction)."""
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=TFIDF_K)
 
 
 @register(

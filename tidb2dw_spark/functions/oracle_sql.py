@@ -346,6 +346,45 @@ WHERE {sql_hash_fraction("doc_id", salt)} <
 """
 
 
+def cap_per_key_oracle(key_col: str, n: int, salt: str) -> str:
+    """Mirror of sampling.cap_per_key over documents."""
+    return f"""
+SELECT doc_id, {key_col}, sample_rank FROM (
+  SELECT doc_id, {key_col},
+         row_number() OVER (
+           PARTITION BY {key_col}
+           ORDER BY {sql_hash_fraction("doc_id", salt)}, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {n}
+"""
+
+
+def tfidf_top_terms_oracle(k: int) -> str:
+    """Mirror of text.tfidf_top_terms over documents: tf/df ranking is a
+    single IEEE division (identical both engines); hashed output columns
+    are all integer/string."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS term_freq
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term)
+SELECT doc_id, term, term_freq, doc_freq, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.term_freq, dfreq.doc_freq,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.term_freq AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE) DESC,
+                    tf.term
+         ) AS rank
+  FROM tf JOIN dfreq USING (term)
+) WHERE rank <= {k}
+"""
+
+
 def connected_components_oracle(pairs_sql: str) -> str:
     """Transitive closure over the (undirected) pair graph; component =
     min reachable id — exactly what min-label propagation converges to."""

@@ -67,6 +67,34 @@ def stratified_sample(
     return df.filter(frac < threshold)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most *n* rows per key, chosen uniformly by content hash —
+    the deterministic equivalent of per-key reservoir sampling (cap docs
+    per domain/source, a standard corpus-balancing pass).
+
+    Adds ``sample_rank`` (1-based position in the key's hash order).
+    Membership is a pure function of (salt, id): re-runs, repartitions and
+    unrelated inserts never change which rows survive.  One window per
+    key — per-partition work is bounded by the key's row count; a skewed
+    giant key is the same skew the equivalent groupBy would have, and AQE
+    splits the sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        hash_fraction(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -159,6 +159,38 @@ def repetition_stats(text: Column) -> Column:
     )
 
 
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Per-document top-*k* terms by tf-idf relevance (rarity-weighted
+    term frequency, scored as ``tf / df`` — a single IEEE division, so
+    ranking is bit-identical cross-engine; output columns are all
+    integer/string, no floats to hash).
+
+    Scale shape: explode → groupBy(doc, term) partial-aggregates map-side
+    before its shuffle (the combiner collapses repeated terms per doc, so
+    the exchange carries (doc, term, count) triples, not raw tokens); the
+    document-frequency frame is vocab-sized and the tf×df join is left to
+    AQE — broadcast when the vocab fits, shuffle-hash when a 100 TB
+    corpus's vocabulary doesn't.  The top-k window partitions by doc_id
+    (bounded per-partition work at any corpus size)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("term_freq"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("term_freq").cast("double") / F.col("doc_freq").cast("double")).desc(),
+        F.col("term"),
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "term_freq", "doc_freq", "rank")
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the
     whitespace-normalized, lowercased text (content-defined identity for
