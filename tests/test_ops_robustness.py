@@ -72,6 +72,58 @@ def test_run_loop_consumes_across_polls(spark, tmp_path):
     assert polls_done and polls_done[0] >= 2
 
 
+def _bucket_file_counts(t: ManagedTable) -> dict[int, int]:
+    m = t.manifest()
+    return {
+        b: len(
+            list(
+                (t.root / f"v={m['bucket_versions'][str(b)]}" / f"__pk_bucket={b}").glob(
+                    "*.parquet"
+                )
+            )
+        )
+        for b in range(m["pk_buckets"])
+    }
+
+
+def test_compact_bucketed_rewrites_only_fragmented_buckets(spark, tmp_path):
+    """After fragmented writes, compact() packs each over-threshold bucket
+    to one file, preserves contents exactly, leaves already-tight buckets
+    on their old version, and is a no-op when re-run."""
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    # 8-way input → up to 8 files per bucket partition
+    t = ManagedTable(tmp_path / "t").create(base.repartition(8), ["k"], pk_buckets=4)
+    before = t.read(spark).orderBy("k").collect()
+    frag = _bucket_file_counts(t)
+    assert max(frag.values()) > 1  # the premise: creation fragmented
+
+    v = t.compact(spark, max_files_per_bucket=1)
+    assert v == 2 and t.version() == 2
+    after_counts = _bucket_file_counts(t)
+    assert all(c == 1 for c in after_counts.values())
+    assert t.read(spark).orderBy("k").collect() == before
+    # already-compact → no version churn
+    assert t.compact(spark, max_files_per_bucket=1) is None
+    assert t.version() == 2
+
+    # vacuum keeps nothing stale: v1 is unreferenced once all buckets moved
+    assert t.vacuum(keep_last=1) == [1]
+    assert t.read(spark).orderBy("k").collect() == before
+
+
+def test_compact_plain_table(spark, tmp_path):
+    base = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("val"))
+    t = ManagedTable(tmp_path / "p").create(base.repartition(8), ["k"])
+    assert len(list((t.root / "v=1").rglob("*.parquet"))) > 2
+    v = t.compact(spark, max_files_per_bucket=2)
+    assert v == 2
+    assert len(list((t.root / "v=2").rglob("*.parquet"))) == 1
+    assert t.read(spark).count() == 100
+    assert t.compact(spark, max_files_per_bucket=2) is None
+
+
 def test_crashed_merge_leaves_previous_version_readable(spark, tmp_path):
     """Atomicity: data files written but manifest not swapped (crash between
     the two) must leave readers on the old version, and a rerun of the same

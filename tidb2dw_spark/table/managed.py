@@ -268,6 +268,59 @@ class ManagedTable:
                 removed.append(v)
         return removed
 
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 4,
+        target_bytes: int = 128 << 20,
+    ) -> int | None:
+        """Bin-pack small files into a new version (Delta OPTIMIZE parity).
+
+        Every merge writes each touched bucket with one file per shuffle
+        task, so a long-running CDC stream decays the table into thousands
+        of tiny files and scan cost becomes footer/open overhead instead of
+        bytes.  Compaction rewrites ONLY the buckets whose file count
+        exceeds *max_files_per_bucket* — one shuffle task per touched
+        bucket, so each lands as a single file (buckets are sized to stay
+        under ``target_bytes``; a bucket that outgrows it should be re-split
+        by raising ``pk_buckets``, not packed looser here).  Commit is the
+        same atomic manifest swap as merge: readers never observe a
+        half-compacted table and a crash leaves the previous version live.
+        Returns the new version, or None if nothing needed rewriting."""
+        m = self.manifest()
+        n = m.get("pk_buckets", 0)
+        if n <= 0:
+            vdir = self.root / f"v={m['version']}"
+            files = list(vdir.rglob("*.parquet"))
+            if len(files) <= max_files_per_bucket:
+                return None
+            total = sum(p.stat().st_size for p in files)
+            n_out = int(max(1, -(-total // target_bytes)))
+            return self.overwrite(self.read(spark).coalesce(n_out))
+
+        bv = m["bucket_versions"]
+        touched = []
+        for b in range(n):
+            bdir = self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}"
+            if bdir.exists() and len(list(bdir.glob("*.parquet"))) > max_files_per_bucket:
+                touched.append(b)
+        if not touched:
+            return None
+        new_version = m["version"] + 1
+        out = (
+            self._read_buckets(spark, m, touched)
+            .withColumn(BUCKET_COL, self._bucket_expr(m["pk"], n))
+            .repartition(len(touched), F.col(BUCKET_COL))
+        )
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            str(self.root / f"v={new_version}")
+        )
+        m["version"] = new_version
+        for b in touched:
+            m["bucket_versions"][str(b)] = new_version
+        self._commit(m)
+        return new_version
+
     def update_meta(self, **kv) -> None:
         m = self.manifest()
         m.update(kv)
