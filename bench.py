@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "events_range_join",
     "q_top3_customers_per_nation",
     "text_vocab_top_terms",
+    "events_user_interarrival",
+    "emb_label_centroid_sums",
+    "text_boilerplate_segments",
 ]
 
 

@@ -211,6 +211,49 @@ class TestAnalyticsPlans:
         assert (row["e"], row["p"]) == (1, 1)
         assert row["clean"] == "mail [EMAIL] now or call [PHONE] x"
 
+    def test_boilerplate_flags_and_reassembly(self, spark):
+        """A segment planted across most docs is flagged; dropping flagged
+        segments reconstructs the clean text (order preserved)."""
+        from tidb2dw_spark.functions.dedup import boilerplate_flags
+
+        rows = [(i, f"unique words {i}. follow us on example") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        segs = boilerplate_flags(df, "doc_id", "text", min_docs=5)
+        flagged = {r["seg"] for r in segs.filter("is_boilerplate").collect()}
+        assert flagged == {"follow us on example"}
+        clean = (
+            segs.filter(~F.col("is_boilerplate"))
+            .groupBy("doc_id")
+            .agg(F.concat_ws(". ", F.collect_list("seg")).alias("clean"))
+            .collect()
+        )
+        assert {r["doc_id"]: r["clean"] for r in clean} == {
+            i: f"unique words {i}" for i in range(8)
+        }
+
+    def test_interarrival_semantics(self, spark):
+        ts = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, ts, 7), (2, ts + dt.timedelta(seconds=3), 7),
+            (3, ts + dt.timedelta(seconds=10), 7), (4, ts, 9),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+        df.createOrReplaceTempView("__ia")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gaps = df.select(
+            "user_id",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
+        ).filter("g is not null")
+        out = {
+            r["user_id"]: (r["n"], r["lo"], r["hi"])
+            for r in gaps.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.min("g").alias("lo"), F.max("g").alias("hi"))
+            .collect()
+        }
+        assert out == {7: (2, 3_000_000, 7_000_000)}  # user 9: single event → no gaps
+
     def test_quantiles_single_exchange_on_lang(self, spark, sf_dir):
         df = ea.QUERIES["q_doclen_quantiles_by_lang"](spark, sf_dir)
         a = audit(df)

@@ -272,6 +272,140 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lead/lag — per-user interarrival gaps (integer microseconds: exact sums)
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_interarrival",
+    """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+FROM d WHERE gap_us IS NOT NULL GROUP BY user_id
+""",
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap stats between consecutive events — lag window then
+    aggregate.  One exchange on user_id shared by the window and the
+    groupBy (same partitioning, Catalyst reuses it); gaps are integer
+    microseconds so min/max/sum are order-independent exact."""
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation — two-phase partial distinct under one shuffle
+# ---------------------------------------------------------------------------
+@register(
+    "events_distinct_users_by_type",
+    """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group: Spark plans Expand + two-phase
+    aggregation, deduping (type, user) partially before the exchange —
+    the shuffle carries distinct pairs, not events."""
+    events = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding label centroids — integer-quantized element sums (exact)
+# ---------------------------------------------------------------------------
+@register(
+    "emb_label_centroid_sums",
+    """
+WITH q AS (
+  SELECT label,
+         [(round(CAST(embedding[i] AS DOUBLE)*1000000))::BIGINT
+          for i in range(1, len(embedding)+1)] AS qv
+  FROM embeddings
+),
+x AS (SELECT label, unnest(qv) AS qval,
+             unnest(generate_series(1, len(qv))) AS pos FROM q)
+SELECT label, CAST(pos AS INT) AS pos, CAST(sum(qval) AS BIGINT) AS qsum,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY label, pos
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators (element-wise sum + count over the
+    quantized vectors; centroid = qsum/n downstream).  posexplode →
+    groupBy(label, pos) partial-aggregates each scan partition down to
+    |labels|·dim cells before the one exchange — at 100 TB the shuffle
+    carries centroid-sized partials, not vectors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("qv"),
+    )
+    x = q.select("label", F.posexplode("qv").alias("pos0", "qval"))
+    return x.groupBy(
+        "label", (F.col("pos0") + 1).cast("int").alias("pos")
+    ).agg(F.sum("qval").alias("qsum"), F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate segments — cross-document segment-frequency dedup
+# ---------------------------------------------------------------------------
+@register(
+    "text_boilerplate_segments",
+    """
+WITH tagged AS (
+  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+       THEN 'subscribe to our newsletter today. ' || text ELSE text END AS text
+  FROM documents),
+segs AS (SELECT doc_id, unnest(string_split(text, '. ')) AS seg FROM tagged),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS seg_docs FROM segs GROUP BY seg)
+SELECT s.doc_id, s.seg, CAST(f.seg_docs AS BIGINT) AS seg_docs,
+       f.seg_docs >= 10 AS is_boilerplate
+FROM segs s JOIN freq f USING (seg)
+""",
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: a planted subscription prompt (the synthetic
+    corpus has no natural boilerplate) must be flagged on every fourth
+    doc while organic segments stay below the spread threshold.  See
+    functions.dedup.boilerplate_flags."""
+    from .functions.dedup import boilerplate_flags
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tagged = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("subscribe to our newsletter today. "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return boilerplate_flags(tagged, "doc_id", "text", min_docs=10)
+
+
+# ---------------------------------------------------------------------------
 # As-of join — most recent prior click per purchase (union+window, no join)
 # ---------------------------------------------------------------------------
 @register(

@@ -79,6 +79,35 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def boilerplate_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = r"\. ",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Cross-document segment-frequency dedup (C4/RefinedWeb-style
+    boilerplate detection): split each document into segments, count the
+    distinct documents each segment appears in, and flag segments whose
+    spread reaches *min_docs* — headers, footers, nav chrome, subscription
+    prompts.  Downstream reassembly drops flagged segments.
+
+    Scale shape: the (doc, segment) explode partial-aggregates its
+    distinct count map-side before one shuffle on segment; the frequency
+    frame is segment-vocabulary-sized and the flag join is left to AQE
+    (broadcast when it fits, shuffle-hash at corpus scale)."""
+    segs = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("seg")
+    )
+    freq = segs.groupBy("seg").agg(F.countDistinct(id_col).alias("seg_docs"))
+    return segs.join(freq, "seg").select(
+        id_col,
+        "seg",
+        "seg_docs",
+        (F.col("seg_docs") >= min_docs).alias("is_boilerplate"),
+    )
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 16, shingle_n: int = 3
 ) -> Column:
