@@ -259,3 +259,24 @@ class TestAnalyticsPlans:
         a = audit(df)
         assert len(a.hash_shuffles) <= 2, a.exchanges
         assert any("lang" in e for e in a.hash_shuffles), a.exchanges
+
+    def test_interarrival_window_and_agg_share_one_exchange(self, spark, sf_dir):
+        """The lag window and the groupBy both key on user_id — Catalyst
+        must plan ONE exchange, not two."""
+        a = audit(ea.QUERIES["events_user_interarrival"](spark, sf_dir))
+        assert len(a.hash_shuffles) == 1, a.exchanges
+        assert "user_id" in a.hash_shuffles[0]
+
+    def test_centroid_sums_single_exchange(self, spark, sf_dir):
+        """posexplode → partial agg: one exchange keyed on (label, pos),
+        carrying centroid-sized partials."""
+        a = audit(ea.QUERIES["emb_label_centroid_sums"](spark, sf_dir))
+        assert len(a.hash_shuffles) == 1, a.exchanges
+        assert "label" in a.hash_shuffles[0]
+
+    def test_distinct_users_two_phase(self, spark, sf_dir):
+        """count(DISTINCT) plans the two-phase shape: a (type,user) dedup
+        exchange then the final per-type exchange — never a global
+        collect-and-dedup."""
+        a = audit(ea.QUERIES["events_distinct_users_by_type"](spark, sf_dir))
+        assert len(a.hash_shuffles) == 2, a.exchanges

@@ -125,6 +125,32 @@ def test_replicate_loop_incremental_only(spark, tmp_path, capsys):
     assert {r["id"] for r in ManagedTable(wh / "users").read(spark).collect()} == {1}
 
 
+def test_optimize_command(spark, tmp_path, capsys):
+    """optimize compacts fragmented managed tables and vacuums the
+    versions compaction orphaned."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    wh = tmp_path / "wh"
+    base = spark.range(100).select(F.col("id").alias("k"), F.lit("v").alias("val"))
+    ManagedTable(wh / "tpch.users").create(base.repartition(8), ["k"], pk_buckets=2)
+    rc = main(
+        ["optimize", "--warehouse-dir", str(wh), "--max-files-per-bucket", "1"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report == [
+        {
+            "table": "tpch.users",
+            "compacted_to_version": 2,
+            "vacuumed_versions": [1],
+            "version": 2,
+        }
+    ]
+    assert ManagedTable(wh / "tpch.users").read(spark).count() == 100
+
+
 def test_unknown_table_filter_fails(tmp_path):
     _layout(tmp_path)
     with pytest.raises(SystemExit):

@@ -88,6 +88,16 @@ def _build_parser() -> argparse.ArgumentParser:
     tab = sub.add_parser("tables", help="list tables discovered in the staging layout")
     tab.add_argument("--storage-dir", required=True)
 
+    opt = sub.add_parser(
+        "optimize",
+        help="compact small files and vacuum unreferenced versions of managed tables",
+    )
+    opt.add_argument("--warehouse-dir", required=True, help="managed-table root")
+    opt.add_argument("--tables", help="comma-separated table dir names (default: all found)")
+    opt.add_argument("--max-files-per-bucket", type=int, default=4)
+    opt.add_argument("--target-bytes", type=int, default=128 << 20)
+    opt.add_argument("--vacuum-keep-last", type=int, default=1)
+
     return p
 
 
@@ -103,6 +113,50 @@ def _cmd_tables(args: argparse.Namespace) -> int:
         for fqn, td in sorted(defs.items())
     ]
     print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_optimize(args: argparse.Namespace) -> int:
+    """Table maintenance pass — the OPTIMIZE/VACUUM a warehouse would run
+    out-of-band of the merge loop (compaction commits are the same atomic
+    manifest swap as merges, so the consumer can keep running)."""
+    from .session import get_spark
+    from .table.managed import ManagedTable
+
+    root = Path(args.warehouse_dir)
+    names = (
+        [t.strip() for t in args.tables.split(",") if t.strip()]
+        if args.tables
+        else sorted(
+            p.parent.parent.name
+            for p in root.glob("*/_meta/manifest.json")
+        )
+    )
+    if not names:
+        print("no managed tables under", root, file=sys.stderr)
+        return 1
+    spark = get_spark("tidb2dw_spark-cli")
+    report = []
+    for name in names:
+        t = ManagedTable(root / name)
+        if not t.exists():
+            print(f"{name}: not a managed table", file=sys.stderr)
+            return 1
+        compacted_to = t.compact(
+            spark,
+            max_files_per_bucket=args.max_files_per_bucket,
+            target_bytes=args.target_bytes,
+        )
+        removed = t.vacuum(keep_last=args.vacuum_keep_last)
+        report.append(
+            {
+                "table": name,
+                "compacted_to_version": compacted_to,
+                "vacuumed_versions": removed,
+                "version": t.version(),
+            }
+        )
+    print(json.dumps(report, indent=2))
     return 0
 
 
@@ -211,6 +265,8 @@ def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "tables":
         return _cmd_tables(args)
+    if args.command == "optimize":
+        return _cmd_optimize(args)
     return _cmd_replicate(args)
 
 
