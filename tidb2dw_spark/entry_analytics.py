@@ -371,6 +371,33 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON extraction — the reference maps TiDB json → STRING (bigquery
+# types.go precedent); querying it back out is the warehouse-side op
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_extract_agg",
+    """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY k
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed field from the JSON-as-string column and aggregate
+    on it.  get_json_object is a codegen expression — the parse happens
+    inside the scan stage, and only the extracted int reaches the
+    shuffle."""
+    events = read_table(spark, sf_dir, "events").select("props", "user_id")
+    return events.select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"), "user_id"
+    ).groupBy("k").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Boilerplate segments — cross-document segment-frequency dedup
 # ---------------------------------------------------------------------------
 @register(

@@ -30,5 +30,12 @@ def get_spark(app_name: str = "tidb2dw_spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime Bloom-filter pushdown: when one join side is selective but
+        # above the broadcast threshold, inject a bloom filter into the big
+        # side's scan — at 100 TB this prunes shuffle input for the
+        # fact-side of dim joins that AQE can't broadcast
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # cap in-flight parquet footer/file memory at wide-scan scale
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     return builder.getOrCreate()
