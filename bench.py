@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "events_range_join",
     "q_top3_customers_per_nation",
     "text_vocab_top_terms",
+    "q_revenue_by_nation",
+    "q_orders_with_returns",
     "events_user_interarrival",
     "emb_label_centroid_sums",
     "text_boilerplate_segments",

@@ -260,6 +260,24 @@ class TestAnalyticsPlans:
         assert len(a.hash_shuffles) <= 2, a.exchanges
         assert any("lang" in e for e in a.hash_shuffles), a.exchanges
 
+    def test_revenue_by_nation_broadcasts_dims_one_agg_exchange(self, spark, sf_dir):
+        """The 4-table chain must not shuffle the fact side per dim: dims
+        broadcast, and the only hash exchange is the final n_name agg."""
+        from tidb2dw_spark.plans import formatted_plan
+
+        df = ea.QUERIES["q_revenue_by_nation"](spark, sf_dir)
+        a = audit(df)
+        plan = formatted_plan(df)
+        assert plan.lower().count("broadcasthashjoin") >= 2, plan
+        assert all("n_name" in e for e in a.hash_shuffles), a.exchanges
+
+    def test_orders_with_returns_is_semi_join_with_pushed_filter(self, spark, sf_dir):
+        from tidb2dw_spark.plans import assert_pushed_filter, formatted_plan
+
+        df = ea.QUERIES["q_orders_with_returns"](spark, sf_dir)
+        assert "leftsemi" in formatted_plan(df).lower().replace(" ", "")
+        assert_pushed_filter(df, "l_returnflag")
+
     def test_interarrival_window_and_agg_share_one_exchange(self, spark, sf_dir):
         """The lag window and the groupBy both key on user_id — Catalyst
         must plan ONE exchange, not two."""

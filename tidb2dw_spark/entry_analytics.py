@@ -272,6 +272,94 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-table join chain — fact → orders → customer → nation → region
+# ---------------------------------------------------------------------------
+@register(
+    "q_revenue_by_nation",
+    """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table join chain rolled up to nation.  The fact side stays
+    unshuffled until the final small-keyed agg: orders is the only
+    non-broadcastable dim at scale (it shuffles on orderkey with the
+    fact), customer and nation broadcast — Catalyst + AQE pick that
+    shape from the declarative plan, and the revenue expression is
+    integer cents so the rollup is order-independent exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / semi-join — orders having at least one returned lineitem
+# ---------------------------------------------------------------------------
+@register(
+    "q_orders_with_returns",
+    """
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS totalprice_cents
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+""",
+)
+def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join.  The subquery side is filtered and
+    pruned to the join key before the join, so the semi-join build input
+    is distinct orderkeys of returned items — and Spark's runtime bloom
+    filter can push that set into the orders scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    returned = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("totalprice_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lead/lag — per-user interarrival gaps (integer microseconds: exact sums)
 # ---------------------------------------------------------------------------
 @register(
