@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "text_vocab_top_terms",
     "q_revenue_by_nation",
     "q_orders_with_returns",
+    "events_type_pivot",
+    "q_cumulative_revenue_per_customer",
     "events_user_interarrival",
     "emb_label_centroid_sums",
     "text_boilerplate_segments",

@@ -278,6 +278,13 @@ class TestAnalyticsPlans:
         assert "leftsemi" in formatted_plan(df).lower().replace(" ", "")
         assert_pushed_filter(df, "l_returnflag")
 
+    def test_pivot_single_exchange_no_discovery_scan(self, spark, sf_dir):
+        """Pinned-values pivot = one conditional-agg pass: a single hash
+        exchange on user_id and no extra distinct job."""
+        a = audit(ea.QUERIES["events_type_pivot"](spark, sf_dir))
+        assert len(a.hash_shuffles) == 1, a.exchanges
+        assert "user_id" in a.hash_shuffles[0]
+
     def test_interarrival_window_and_agg_share_one_exchange(self, spark, sf_dir):
         """The lag window and the groupBy both key on user_id — Catalyst
         must plan ONE exchange, not two."""

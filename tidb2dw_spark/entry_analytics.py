@@ -459,6 +459,105 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Running-total window — explicit ROWS frame spec
+# ---------------------------------------------------------------------------
+@register(
+    "q_cumulative_revenue_per_customer",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS cum_revenue_cents
+FROM orders
+""",
+)
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total — an explicit rowsBetween frame
+    (every other window here uses the default frame).  One exchange on
+    o_custkey; integer cents keep the running sum exact under any
+    intra-frame order."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("cum_revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — event-type counts as columns (warehouse staple)
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_type_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a pinned value list, written as conditional aggregation.
+    Two deliberate scale choices: pinning the values skips the distinct
+    discovery scan ``pivot()`` needs without them, and the conditional-agg
+    form plans ONE exchange on user_id — ``groupBy().pivot().count()``
+    plans two (a (user, type) pre-aggregate, then the pivot re-aggregate),
+    shuffling the same rows twice for nothing at this cardinality."""
+    events = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return events.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery — orders above the global average price
+# ---------------------------------------------------------------------------
+@register(
+    "q_orders_above_avg",
+    """
+SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS totalprice_cents
+FROM orders
+WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) >
+      (SELECT CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+              / count(*) FROM orders)
+""",
+)
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: the 1-row global aggregate broadcasts into
+    a cross join (no second scan shape — Spark plans the agg once).  The
+    average is one BIGINT-sum / BIGINT-count division: exact IEEE in both
+    engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    priced = orders.select("o_orderkey", cents.alias("totalprice_cents"))
+    avg_row = priced.agg(
+        (F.sum("totalprice_cents").cast("double") / F.count("*")).alias("avg_cents")
+    )
+    return (
+        priced.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("totalprice_cents") > F.col("avg_cents"))
+        .select("o_orderkey", "totalprice_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON extraction — the reference maps TiDB json → STRING (bigquery
 # types.go precedent); querying it back out is the warehouse-side op
 # ---------------------------------------------------------------------------
