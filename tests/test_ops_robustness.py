@@ -124,6 +124,51 @@ def test_compact_plain_table(spark, tmp_path):
     assert t.compact(spark, max_files_per_bucket=2) is None
 
 
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Cross-batch dedup via persisted fingerprint state: batch 2 drops
+    texts already registered by batch 1, keeps novel ones, and a replayed
+    (same-id) row stays novel — idempotent for at-least-once upstreams."""
+    from tidb2dw_spark.functions.text import doc_fingerprint
+    from tidb2dw_spark.operators.incremental import IncrementalDeduper
+
+    d = IncrementalDeduper(tmp_path / "state", pk_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta")],  # 3 dups 1
+        "doc_id long, text string",
+    )
+    out1 = d.dedup_batch(
+        spark, b1, "doc_id", doc_fingerprint(F.col("text")), commit_ts=1
+    )
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]
+    assert d.state_count(spark) == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA beta"),   # dup of fp(1) after normalization
+            (11, "epsilon zeta"),  # novel
+            (1, "alpha beta"),     # replay of the registering doc
+        ],
+        "doc_id long, text string",
+    )
+    out2 = d.dedup_batch(
+        spark, b2, "doc_id", doc_fingerprint(F.col("text")), commit_ts=2
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 11]
+    assert d.state_count(spark) == 3  # only epsilon registered new state
+
+    # replaying batch 2 reproduces its survivors exactly (11 registered
+    # the fingerprint, so its replay is novel again; 10 stays a dup), and
+    # a NEW id with a seen text is dropped
+    b3 = b2.filter("doc_id != 1").union(
+        spark.createDataFrame([(20, "epsilon  zeta")], "doc_id long, text string")
+    )
+    out3 = d.dedup_batch(
+        spark, b3, "doc_id", doc_fingerprint(F.col("text")), commit_ts=3
+    )
+    assert sorted(r["doc_id"] for r in out3.collect()) == [11]
+    assert d.state_count(spark) == 3
+
+
 def test_crashed_merge_leaves_previous_version_readable(spark, tmp_path):
     """Atomicity: data files written but manifest not swapped (crash between
     the two) must leave readers on the old version, and a rerun of the same

@@ -241,6 +241,29 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_incremental_two_batches", O.INCREMENTAL_DEDUP_ORACLE)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup against persisted fingerprint state
+    (operators/incremental.py): even-id docs ingest first, odd-id docs
+    dedup against them via bucket-pruned state probes — the streaming
+    shape where a batch never rescans the corpus it dedups against."""
+    import tempfile
+
+    from .operators.incremental import IncrementalDeduper
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = IncrementalDeduper(tempfile.mkdtemp(prefix="tidb2dw_dedup_"), pk_buckets=8)
+    out1 = d.dedup_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), "doc_id",
+        doc_fingerprint(F.col("text")), commit_ts=1,
+    )
+    out2 = d.dedup_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), "doc_id",
+        doc_fingerprint(F.col("text")), commit_ts=2,
+    )
+    return out1.select("doc_id").unionAll(out2.select("doc_id"))
+
+
 _IVF_INDEX_DIRS: dict[str, str] = {}
 
 

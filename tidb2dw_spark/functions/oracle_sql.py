@@ -146,6 +146,23 @@ SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM base GROUP BY fp
 """
 
 
+INCREMENTAL_DEDUP_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({sql_tokens("text")}, ' ')) AS fp
+  FROM documents
+),
+b1 AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+b2 AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+s1 AS (SELECT min(doc_id) AS doc_id FROM b1 GROUP BY fp),
+s2 AS (
+  SELECT min(doc_id) AS doc_id FROM b2 b
+  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.fp = b.fp)
+  GROUP BY b.fp
+)
+SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+"""
+
+
 def minhash_signature_oracle(num_hashes: int, shingle_n: int) -> str:
     return f"""
 WITH base AS (
