@@ -212,6 +212,34 @@ def test_ivf_index_matches_on_the_fly_and_prunes(spark, sf_dir, tmp_path):
     assert key(searched_expr.collect()) == key(on_the_fly.collect())
 
 
+def test_ivf_index_append_matches_full_build(spark, sf_dir, tmp_path):
+    """Build from the low-id half, append the high-id half: searches must
+    be bit-identical to on-the-fly IVF over the full corpus (the low-id
+    half contains the centroid seed vectors, so frozen centroids equal
+    full-build centroids — appends only add cell files)."""
+    from tidb2dw_spark.functions.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") <= mid), idx, n_centroids=8)
+    append_to_ivf_index(emb.filter(F.col("vec_id") > mid), idx)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["score"], 12))
+        for r in rows
+    )
+    searched = ivf_index_topk(spark, idx, queries, k=5, n_probe=4)
+    full = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    assert key(searched.collect()) == key(full.collect())
+
+
 def test_split_is_partition_and_subset_invariant(spark):
     """Hash-based split must not move examples when the data is
     repartitioned or when other rows are added — the anti-leakage property

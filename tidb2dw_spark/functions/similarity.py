@@ -506,6 +506,35 @@ def _probe_score_rank(
 # ---------------------------------------------------------------------------
 # Persisted IVF index — the 100 TB shape of ivf_topk
 # ---------------------------------------------------------------------------
+def _assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    id_col: str,
+    vec_col: str,
+    kernel: str,
+) -> DataFrame:
+    """(neighbor_id, qv, cell): each vector quantized and labeled with its
+    nearest-centroid cell — a narrow map over the scan, no shuffle."""
+
+    def qarr(c: Column) -> Column:
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        )
+
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qarr(F.col(vec_col)).alias("qv")
+    )
+    if kernel == "arrow":
+        return _arrow_cells(base, "neighbor_id", centroids, 1).select(
+            "neighbor_id", "qv", F.col("cells")[0].alias("cell")
+        )
+    return base.withColumn(
+        "cells", _cell_score_structs(F.col("qv"), centroids)
+    ).select(
+        "neighbor_id", "qv", (-F.array_max(F.col("cells"))["negc"]).alias("cell")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     index_dir: str,
@@ -527,31 +556,38 @@ def build_ivf_index(
     import os
 
     centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-
-    def qarr(c: Column) -> Column:
-        return F.transform(
-            c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
-        )
-
-    base = corpus.select(
-        F.col(id_col).alias("neighbor_id"), qarr(F.col(vec_col)).alias("qv")
-    )
-    if kernel == "arrow":
-        assigned = _arrow_cells(base, "neighbor_id", centroids, 1).select(
-            "neighbor_id", "qv", F.col("cells")[0].alias("cell")
-        )
-    else:
-        assigned = base.withColumn(
-            "cells", _cell_score_structs(F.col("qv"), centroids)
-        ).select(
-            "neighbor_id", "qv", (-F.array_max(F.col("cells"))["negc"]).alias("cell")
-        )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "cells")
-    )
+    _assign_cells(corpus, centroids, id_col, vec_col, kernel).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
         _json.dump(centroids, f)
     return centroids
+
+
+def append_to_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "arrow",
+) -> None:
+    """Add vectors to an existing IVF index without rebuilding it.
+
+    New vectors are assigned to the index's FROZEN centroids (loaded from
+    ``centroids.json``) and appended as new files inside their cell
+    partitions — the ingest cost is one narrow assignment pass over the
+    new batch, independent of index size, and searches see the union
+    immediately.  Centroids staying fixed is the standard IVF trade: cell
+    balance can drift as the distribution shifts; rebuild when it does
+    (the build is itself one linear pass)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = _json.load(f)
+    _assign_cells(corpus, centroids, id_col, vec_col, kernel).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
 
 
 def ivf_index_topk(
