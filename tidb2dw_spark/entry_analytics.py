@@ -323,6 +323,55 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Star join — fact against three broadcast dims (part, supplier, nation)
+# ---------------------------------------------------------------------------
+@register(
+    "q_brand_revenue_by_supp_nation",
+    """
+SELECT n.n_name, p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name, p.p_brand
+""",
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped star join: the fact scans once through three
+    broadcast dim joins (part, supplier, nation — all small relative to
+    the fact at any SF) and shuffles only the (nation, brand) partial
+    aggregates."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # EXISTS / semi-join — orders having at least one returned lineitem
 # ---------------------------------------------------------------------------
 @register(

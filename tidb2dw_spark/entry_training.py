@@ -241,6 +241,37 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT_T, EDIT_PREFIX = 12, 40
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    f"""
+WITH p AS (
+  SELECT lang AS blk, doc_id, substr(text, 1, {EDIT_PREFIX}) AS pref
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pref, b.pref) AS INT) AS distance
+FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pref, b.pref) <= {EDIT_T}
+""",
+)
+def dedup_edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup pairs by blocked prefix Levenshtein."""
+    from .functions.dedup import edit_distance_pairs
+
+    out = edit_distance_pairs(
+        _docs(spark, sf_dir, spread=True),
+        "doc_id",
+        "text",
+        block_col="lang",
+        max_distance=EDIT_T,
+        prefix_chars=EDIT_PREFIX,
+    )
+    return out.withColumn("distance", F.col("distance").cast("int"))
+
+
 @register("dedup_incremental_two_batches", O.INCREMENTAL_DEDUP_ORACLE)
 def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch dedup against persisted fingerprint state

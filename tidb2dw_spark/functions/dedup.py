@@ -108,6 +108,42 @@ def boilerplate_flags(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_distance: int,
+    prefix_chars: int = 40,
+) -> DataFrame:
+    """Near-dup pairs by Levenshtein distance over a text prefix, blocked
+    by *block_col* (fuzzy title/header dedup — catches typo-level edits
+    that shingle-based methods need high thresholds to see).
+
+    Scale shape: the self-join is quadratic ONLY within a block, so the
+    block key is the scale lever (language, domain, length bucket, …);
+    the equi-join on the block shuffles each side once and AQE splits
+    skewed blocks.  ``prefix_chars`` caps the O(len²) per-pair cost.
+    Levenshtein is integer-exact in both engines."""
+    left = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("pa"),
+    )
+    right = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("pb"),
+    )
+    return (
+        left.join(right, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein(F.col("pa"), F.col("pb")))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 16, shingle_n: int = 3
 ) -> Column:
