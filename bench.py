@@ -66,13 +66,14 @@ def main() -> None:
     # warm the JVM + parquet footers so timings measure the queries
     entry_queries.QUERIES[names[0]](spark, sf_dir).count()
 
-    # best-of-2 per query: the first run pays one-time plan/codegen compile
-    # (a per-session fixed cost that amortizes over a real workload); the
-    # second run measures steady-state execution
+    # best-of-3 per query: the first run pays one-time plan/codegen compile
+    # (a per-session fixed cost that amortizes over a real workload); later
+    # runs measure steady-state execution, and the min damps the shared-host
+    # load noise observed between otherwise-identical runs
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # drop persisted intermediates so run 2 re-executes the full
             # query instead of reading run 1's cache
             spark.catalog.clearCache()
