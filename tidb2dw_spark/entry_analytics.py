@@ -323,6 +323,59 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 5-table chain through region — every testdata table is now covered by
+# at least one registered query
+# ---------------------------------------------------------------------------
+@register(
+    "q_revenue_by_region",
+    """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table chain rolled up to region (same broadcast-dim shape as
+    q_revenue_by_nation, one level deeper)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Star join — fact against three broadcast dims (part, supplier, nation)
 # ---------------------------------------------------------------------------
 @register(

@@ -210,6 +210,32 @@ def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
 
 
+@register("sim_paraphrase_candidates", O.paraphrase_candidates_oracle(NEAR_DUP_T))
+def sim_paraphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation op: embedding near-dup pairs annotated with
+    whether the texts actually differ — same-fingerprint pairs are exact
+    dups (drop one), different-text pairs are paraphrase candidates (the
+    interesting set for dedup policy and eval-contamination checks).  The
+    pair frame is tiny relative to the corpus, so the two fingerprint
+    joins are AQE-broadcast of the pair side at scale."""
+    pairs = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
+    fp = _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "qcos",
+            (F.col("fp_a") != F.col("fp_b")).alias("texts_differ"),
+        )
+    )
+
+
 @register("sim_topk_cosine")  # float cosine: rows-only (accumulation order)
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

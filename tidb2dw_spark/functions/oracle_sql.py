@@ -286,6 +286,22 @@ WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
 """
 
 
+def paraphrase_candidates_oracle(threshold: float) -> str:
+    """Near-dup embedding pairs annotated with whether the two documents'
+    normalized texts actually differ (paraphrase candidates)."""
+    return f"""
+WITH p AS ({embedding_near_dup_oracle(threshold)}),
+fp AS (
+  SELECT doc_id, md5(array_to_string({sql_tokens("text")}, ' ')) AS fp
+  FROM documents
+)
+SELECT p.id_a, p.id_b, p.qcos, (fa.fp <> fb.fp) AS texts_differ
+FROM p
+JOIN fp fa ON p.id_a = fa.doc_id
+JOIN fp fb ON p.id_b = fb.doc_id
+"""
+
+
 def sql_cell_rank(vec: str, qc: str) -> str:
     """Cell-ranking key dot(vec,c)/‖c‖ — same ordering as cosine for a
     fixed row (row norm is a positive constant); mirrors
