@@ -254,6 +254,19 @@ class TestAnalyticsPlans:
         }
         assert out == {7: (2, 3_000_000, 7_000_000)}  # user 9: single event → no gaps
 
+    def test_price_quartiles_one_exchange_one_sort(self, spark, sf_dir):
+        """Both ranking windows share the o_orderpriority partition key and a
+        sort-prefix-compatible order, so the plan must have exactly one hash
+        exchange and a single Sort feeding both Window operators."""
+        from tidb2dw_spark.plans import formatted_plan
+
+        df = ea.QUERIES["q_order_price_quartiles"](spark, sf_dir)
+        a = audit(df)
+        assert len(a.hash_shuffles) == 1, a.exchanges
+        assert "o_orderpriority" in a.hash_shuffles[0], a.exchanges
+        plan = formatted_plan(df)
+        assert plan.count(") Sort") == 1, plan
+
     def test_quantiles_single_exchange_on_lang(self, spark, sf_dir):
         df = ea.QUERIES["q_doclen_quantiles_by_lang"](spark, sf_dir)
         a = audit(df)

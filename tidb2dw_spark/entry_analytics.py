@@ -561,6 +561,43 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ntile + dense_rank — remaining ranking-function coverage in one pass
+# ---------------------------------------------------------------------------
+@register(
+    "q_order_price_quartiles",
+    """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY CAST(round(o_totalprice * 100.0) AS BIGINT), o_orderkey
+       ) AS INT) AS quartile,
+       CAST(dense_rank() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY CAST(round(o_totalprice * 100.0) AS BIGINT)
+       ) AS BIGINT) AS price_rank
+FROM orders
+""",
+)
+def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) on a TOTAL order (o_orderkey tiebreak — tile boundaries
+    are order-dependent, so determinism needs it) + dense_rank on cents
+    alone (tie-insensitive, equal prices share a rank).  Same partition
+    key → one exchange feeding both window sorts."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    w_total = Window.partitionBy("o_orderpriority").orderBy(cents, F.col("o_orderkey"))
+    w_price = Window.partitionBy("o_orderpriority").orderBy(cents)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.dense_rank().over(w_price).alias("price_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Running-total window — explicit ROWS frame spec
 # ---------------------------------------------------------------------------
 @register(
