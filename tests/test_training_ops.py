@@ -55,6 +55,35 @@ def test_exact_dedup_finds_planted_dup(planted):
     assert sum(r["n_copies"] for r in res) == 8
 
 
+def test_contamination_hits_planted_overlap(planted):
+    """Doc 4 (train) is an exact copy of doc 3 (eval) → every 4-gram of 4
+    is contaminated; disjoint docs must not be flagged."""
+    from tidb2dw_spark.functions.dedup import contamination_hits
+
+    hits = contamination_hits(
+        planted, "doc_id", "text", eval_pred=F.col("doc_id") <= 3, n=4
+    ).collect()
+    by_id = {r["doc_id"]: r["n_shared_grams"] for r in hits}
+    # doc 4 has 7 words → 4 distinct 4-grams, all shared with eval doc 3
+    assert by_id[4] == 4
+    # docs 5..8 share no 4-gram with docs 1..3
+    assert set(by_id) <= {4}
+
+
+def test_contamination_broadcasts_eval_single_train_exchange(spark, sf_dir):
+    """Eval gram set must broadcast (never shuffle the train corpus against
+    it); the only train-side by-key exchange is the final per-doc count."""
+    from tidb2dw_spark.entry_training import QUERIES
+    from tidb2dw_spark.plans import audit
+
+    a = audit(QUERIES["dedup_decontaminate"](spark, sf_dir))
+    assert a.joins == ["BroadcastHashJoin"], a.joins
+    doc_exchanges = [e for e in a.hash_shuffles if "doc_id" in e]
+    assert len(doc_exchanges) == 1, a.exchanges
+    # remaining exchange(s) are the eval-distinct on the gram hash only
+    assert all("gh" in e for e in a.hash_shuffles if e not in doc_exchanges), a.exchanges
+
+
 def test_minhash_lsh_finds_near_dup(planted):
     pairs = minhash_lsh_pairs(
         planted, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3,

@@ -193,6 +193,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_EVAL_MOD, DECON_N = 13, 4
+
+
+@register(
+    "dedup_decontaminate",
+    O.contamination_oracle(DECON_EVAL_MOD, DECON_N),
+)
+def dedup_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: the doc_id % 13 slice plays the held-out
+    benchmark; train docs sharing any word 4-gram with it are flagged."""
+    from .functions.dedup import contamination_hits
+
+    df = _docs(spark, sf_dir, spread=True)
+    return contamination_hits(
+        df, "doc_id", "text",
+        eval_pred=F.col("doc_id") % DECON_EVAL_MOD == 0,
+        n=DECON_N,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -108,6 +108,40 @@ def boilerplate_flags(
     )
 
 
+def contamination_hits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_pred: Column,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with the held-out eval set (the GPT-3/PaLM-style overlap check
+    run before every pretraining launch).  Returns one row per
+    contaminated train doc with its shared-distinct-gram count.
+
+    Scale shape: the eval side collapses to a distinct set of 8-byte gram
+    hashes (eval sets are benchmark-sized — MBs, not TBs) and is
+    broadcast, so the 100 TB train side never shuffles raw grams: the
+    explode → broadcast-join → partial countDistinct pipeline puts only
+    surviving (doc_id, gram_hash) pairs — contamination is rare — through
+    the single by-doc exchange.
+    """
+    sh = word_shingles(F.col(text_col), n)
+    grams = df.select(
+        F.col(id_col), eval_pred.alias("is_eval"), F.explode(sh).alias("g")
+    ).select(id_col, "is_eval", md5_long(F.col("g")).alias("gh"))
+    ev = grams.filter("is_eval").select("gh").distinct()
+    # word_shingles is array_distinct per doc, so count(*) ≡ countDistinct
+    # here — and saves the two-phase distinct's extra (id, gh) exchange
+    return (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(ev), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

@@ -257,6 +257,25 @@ WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
 """
 
 
+def contamination_oracle(eval_mod: int, n: int) -> str:
+    """Train docs sharing any word n-gram with the eval slice
+    (doc_id % eval_mod = 0), with shared-distinct-gram counts."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_shingles(sql_tokens("text"), n)} AS sh FROM documents
+), ev AS (
+  SELECT DISTINCT {sql_md5_long("g", 15)} AS gh
+  FROM (SELECT unnest(sh) AS g FROM base WHERE doc_id % {eval_mod} = 0)
+), tr AS (
+  SELECT doc_id, {sql_md5_long("g", 15)} AS gh
+  FROM (SELECT doc_id, unnest(sh) AS g FROM base WHERE doc_id % {eval_mod} <> 0)
+)
+SELECT tr.doc_id, count(DISTINCT tr.gh) AS n_shared_grams
+FROM tr JOIN ev USING (gh)
+GROUP BY tr.doc_id
+"""
+
+
 def topk_qcos_oracle(query_mod: int, k: int) -> str:
     return f"""
 WITH q AS (
