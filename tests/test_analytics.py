@@ -267,6 +267,36 @@ class TestAnalyticsPlans:
         plan = formatted_plan(df)
         assert plan.count(") Sort") == 1, plan
 
+    def test_window_value_suite_one_exchange_one_sort(self, spark, sf_dir):
+        """lead/first_value share the tie-broken sort; percent_rank/
+        cume_dist ride its prefix — one exchange, one Sort."""
+        from tidb2dw_spark.plans import formatted_plan
+
+        df = ea.QUERIES["q_window_value_suite"](spark, sf_dir)
+        a = audit(df)
+        assert len(a.hash_shuffles) == 1, a.exchanges
+        assert formatted_plan(df).count(") Sort") == 1
+
+    def test_setops_single_scan_single_exchange(self, spark, sf_dir):
+        """The flag-agg INTERSECT/EXCEPT must not re-scan orders per
+        branch: no joins, one o_custkey exchange, IN-filter pushed."""
+        from tidb2dw_spark.plans import assert_pushed_filter, formatted_plan
+
+        df = ea.QUERIES["q_customer_priority_setops"](spark, sf_dir)
+        a = audit(df)
+        assert a.joins == [], a.joins
+        assert len(a.hash_shuffles) == 1, a.exchanges
+        import re
+
+        scans = re.findall(r"\(\d+\) Scan parquet", formatted_plan(df))
+        assert len(scans) == 1, scans
+        assert_pushed_filter(df, "o_orderpriority")
+
+    def test_cube_one_expand_one_exchange(self, spark, sf_dir):
+        df = ea.QUERIES["q_cube_priority_status"](spark, sf_dir)
+        a = audit(df)
+        assert len(a.hash_shuffles) == 1, a.exchanges
+
     def test_quantiles_single_exchange_on_lang(self, spark, sf_dir):
         df = ea.QUERIES["q_doclen_quantiles_by_lang"](spark, sf_dir)
         a = audit(df)

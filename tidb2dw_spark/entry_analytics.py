@@ -833,3 +833,119 @@ def events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_seconds=600,
         count_alias="n_clicks_10m",
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function completion: lead, first_value, percent_rank, cume_dist
+# ---------------------------------------------------------------------------
+@register(
+    "q_window_value_suite",
+    """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       COALESCE(lead(cents) OVER w_total, -1) AS next_cents,
+       first_value(o_orderkey) OVER w_total AS cheapest_key,
+       percent_rank() OVER w_price AS price_pct_rank,
+       cume_dist() OVER w_price AS price_cume_dist
+FROM o
+WINDOW w_total AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey),
+       w_price AS (PARTITION BY o_orderpriority ORDER BY cents)
+""",
+)
+def q_window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset (lead), frame-start (first_value) and relative-position
+    (percent_rank / cume_dist) window functions in one pass.  lead /
+    first_value run on a TOTAL order (orderkey tiebreak — both are
+    position-sensitive); percent_rank / cume_dist are tie-insensitive so
+    they order on cents alone.  Both windows share the o_orderpriority
+    partition key → one exchange, one sort (the tie-broken order is a
+    superset of the cents order).  percent_rank = (rank-1)/(n-1) and
+    cume_dist = peers/n are each a single IEEE division — bit-identical
+    cross-engine."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    w_total = Window.partitionBy("o_orderpriority").orderBy(cents, F.col("o_orderkey"))
+    w_price = Window.partitionBy("o_orderpriority").orderBy(cents)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce(F.lead(cents).over(w_total), F.lit(-1)).alias("next_cents"),
+        F.first("o_orderkey").over(w_total).alias("cheapest_key"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+        F.cume_dist().over(w_price).alias("price_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT over customer key sets
+# ---------------------------------------------------------------------------
+@register(
+    "q_customer_priority_setops",
+    """
+WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     l AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM u INTERSECT SELECT o_custkey FROM l)
+UNION ALL
+SELECT 'urgent_only' AS tag, o_custkey FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM l)
+""",
+)
+def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT with distinct set semantics (the oracle runs the
+    literal set operators) — implemented as ONE scan + membership-flag
+    aggregation.  ``df.intersect``/``df.subtract`` would compile each
+    branch to its own distinct + semi/anti join, re-scanning the fact
+    table four times; folding membership into per-key bools makes the
+    whole query a single pushed-filter scan and a single o_custkey
+    exchange, the same trick as the pivot.  Each key lands in exactly one
+    arm (or neither), so the tagged union is a projection, not a join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    flags = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderpriority") == "1-URGENT").alias("u"),
+            F.max(F.col("o_orderpriority") == "5-LOW").alias("l"),
+        )
+    )
+    return (
+        flags.withColumn(
+            "tag",
+            F.when(F.col("u") & F.col("l"), "both").when(F.col("u"), "urgent_only"),
+        )
+        .filter(F.col("tag").isNotNull())
+        .select("tag", "o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set slices of (priority, status) in one pass
+# ---------------------------------------------------------------------------
+@register(
+    "q_cube_priority_status",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status): the 2^2 grouping sets ride ONE Expand + one
+    hash agg exchange, same shape as the rollup — the status-only slice is
+    what ROLLUP can't produce."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
