@@ -129,3 +129,75 @@ def test_windowed_agg_on_stream_with_watermark(spark, sf_dir, tmp_path):
     assert len(emitted) > 0
     for r in emitted:
         assert bkeys[(r["window_start"], r["event_type"])] == r["n_events"]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    from tidb2dw_spark.streaming.stream import interval_join_clicks_before_errors
+
+    events = read_table(spark, sf_dir, "events")
+    errors_b = events.filter(F.col("event_type") == "error")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    batch = interval_join_clicks_before_errors(errors_b, clicks_b).collect()
+    batch_keys = {(r["error_id"], r["click_ts"]) for r in batch}
+
+    src = tmp_path / "events_join_src"
+    events.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    joined = interval_join_clicks_before_errors(
+        stream.filter(F.col("event_type") == "error"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj_out").collect()
+    # inner stream-stream join over a fully-drained source = the batch join
+    assert {(r["error_id"], r["click_ts"]) for r in got} == batch_keys
+    assert len(got) == len(batch)
+
+    # cross-check vs the bucketed batch range join: total pair count agrees
+    from tidb2dw_spark.operators.rangejoin import range_count_join
+
+    counted = range_count_join(
+        errors_b.select("event_id", "user_id", "ts"),
+        clicks_b.select("user_id", "ts"),
+        on=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=600, count_alias="n",
+    )
+    total = counted.agg(F.sum("n")).collect()[0][0]
+    assert total == len(batch)
+
+
+def test_stream_dedup_within_watermark_drops_redeliveries(spark, sf_dir, tmp_path):
+    from tidb2dw_spark.streaming.stream import dedup_events_stream
+
+    events = read_table(spark, sf_dir, "events").limit(2000)
+    # at-least-once upstream: re-deliver a third of the events
+    dup = events.filter(F.col("event_id") % 3 == 0)
+    delivered = events.unionByName(dup)
+    src = tmp_path / "events_dedup_src"
+    delivered.coalesce(2).write.parquet(str(src))
+
+    n_distinct = events.select("event_id").distinct().count()
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out")
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+    # batch twin agrees
+    assert dedup_events_stream(delivered).count() == n_distinct

@@ -21,6 +21,12 @@ Three pieces:
    user with an inactivity gap, via ``applyInPandasWithState`` on streams
    and an equivalent gaps-and-islands window query for batch (the batch
    twin is what the DuckDB oracle checks).
+
+4. ``interval_join_clicks_before_errors`` — stream-stream interval join
+   (watermarks on both sides bound the join state).
+
+5. ``dedup_events_stream`` — exactly-once ingest over an at-least-once
+   upstream via ``dropDuplicatesWithinWatermark`` (bounded dedup state).
 """
 
 from __future__ import annotations
@@ -234,3 +240,60 @@ def sessionize_events_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. Stream-stream interval join
+# ---------------------------------------------------------------------------
+def interval_join_clicks_before_errors(
+    errors: DataFrame,
+    clicks: DataFrame,
+    window_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Clicks in the *window_seconds* before each error by the same user —
+    as a stream-stream inner join.  Streaming requires a watermark on BOTH
+    sides plus a time-range join condition: together they bound the
+    buffered state to watermark + interval width per side, so state never
+    grows with stream length.  Works identically on batch inputs (the
+    watermark is skipped; Catalyst plans a plain join).  The batch scale
+    path for the same semantics is operators/rangejoin.range_count_join,
+    which quantizes the interval into an equi-join instead of buffering.
+    """
+    e = errors.select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    c = clicks.select(
+        F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+    )
+    if errors.isStreaming:
+        e = e.withWatermark("error_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+    )
+    return e.join(c, cond, "inner").select(
+        "error_id", "user_id", "error_ts", "click_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Streaming ingest dedup
+# ---------------------------------------------------------------------------
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """At-least-once upstream delivery → exactly-once ingest: drop
+    re-deliveries of the same event_id.  On streams this is
+    ``dropDuplicatesWithinWatermark`` — state keeps one entry per key and
+    is EVICTED once the watermark passes it (a plain streaming
+    ``dropDuplicates`` would hold every key forever, unbounded at 100 TB/
+    day ingest; the watermark variant trades that for "duplicates arrive
+    within the lateness bound", which is what CDC/event buses guarantee).
+    Batch twin: ``dropDuplicates`` on the same key."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
