@@ -297,6 +297,21 @@ class TestAnalyticsPlans:
         a = audit(df)
         assert len(a.hash_shuffles) == 1, a.exchanges
 
+    def test_q17_window_not_self_join(self, spark, sf_dir):
+        """The correlated per-part average must be a window (one lineitem
+        exchange), not an agg + self-join (two lineitem shuffles + join);
+        part must broadcast."""
+        df = ea.QUERIES["q_small_qty_revenue_by_brand"](spark, sf_dir)
+        a = audit(df)
+        assert a.joins == ["BroadcastHashJoin"], a.joins
+        assert len(a.hash_shuffles) == 2, a.exchanges
+        assert any("l_partkey" in e for e in a.hash_shuffles), a.exchanges
+        assert any("p_brand" in e for e in a.hash_shuffles), a.exchanges
+
+    def test_monthly_stats_two_phase_distinct(self, spark, sf_dir):
+        a = audit(ea.QUERIES["q_monthly_order_stats"](spark, sf_dir))
+        assert len(a.hash_shuffles) == 2, a.exchanges
+
     def test_quantiles_single_exchange_on_lang(self, spark, sf_dir):
         df = ea.QUERIES["q_doclen_quantiles_by_lang"](spark, sf_dir)
         a = audit(df)

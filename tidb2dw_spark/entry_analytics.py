@@ -949,3 +949,86 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — correlated per-part average, pure-integer comparison
+# ---------------------------------------------------------------------------
+@register(
+    "q_small_qty_revenue_by_brand",
+    """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+  FROM lineitem
+), stats AS (
+  SELECT l_partkey, sum(q) AS sq, count(*) AS n FROM li GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM li JOIN stats USING (l_partkey) JOIN part ON p_partkey = l_partkey
+WHERE 5 * q * n < sq
+GROUP BY p_brand
+""",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity.  The correlated aggregate is a WINDOW over l_partkey — one
+    exchange — where the textbook self-join (agg + re-join) would shuffle
+    lineitem twice and join it to itself.  `qty < 0.2*avg` is rearranged
+    to `5*q*n < sum_q`, all-integer, so no float average has to agree
+    cross-engine.  part joins broadcast; the brand agg is the only other
+    exchange."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li.withColumn("sq", F.sum("q").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .filter(F.lit(5) * F.col("q") * F.col("n") < F.col("sq"))
+    )
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar aggregation — month truncation + multi-measure agg
+# ---------------------------------------------------------------------------
+@register(
+    "q_monthly_order_stats",
+    """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY 1
+""",
+)
+def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: date_trunc to month + count/distinct/sum in one
+    aggregation.  The distinct customer count plans the standard two-phase
+    expand — both exchanges carry (month, custkey) pairs at most, never
+    raw orders rows twice."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

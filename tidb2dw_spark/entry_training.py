@@ -213,6 +213,15 @@ def dedup_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_dup_ngram_stats", O.dup_ngram_stats_oracle(3))
+def text_dup_ngram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb repetition signal: per-doc count of word 3-grams
+    shared with any other document."""
+    from .functions.dedup import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(spark, sf_dir, spread=True), "doc_id", "text", n=3)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

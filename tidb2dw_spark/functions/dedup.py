@@ -142,6 +142,38 @@ def contamination_hits(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document duplicated-n-gram counts (Gopher/RefinedWeb-style
+    repetition quality signal): for each doc, how many of its distinct
+    word n-grams also appear in at least one other document.  High
+    duplicated-gram share marks template/boilerplate text that survives
+    document-level dedup.
+
+    Scale shape: grams travel as 8-byte md5 hashes; the doc-frequency
+    aggregation partial-combines map-side (shingles are per-doc distinct,
+    so count(*) IS the doc frequency), and the gram↔frequency join is
+    keyed on the uniform hash — no skew, AQE picks broadcast vs
+    shuffle-hash by the vocabulary's actual size."""
+    sh = word_shingles(F.col(text_col), n)
+    grams = df.select(F.col(id_col), F.explode(sh).alias("g")).select(
+        id_col, md5_long(F.col("g")).alias("gh")
+    )
+    freq = grams.groupBy("gh").agg(F.count("*").alias("gram_docs"))
+    return (
+        grams.join(freq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("gram_docs") > 1).cast("long")).alias("n_dup_grams"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

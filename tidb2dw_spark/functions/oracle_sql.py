@@ -276,6 +276,24 @@ GROUP BY tr.doc_id
 """
 
 
+def dup_ngram_stats_oracle(n: int) -> str:
+    """Per-doc counts of distinct word n-grams shared with other docs."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_shingles(sql_tokens("text"), n)} AS sh FROM documents
+), g AS (
+  SELECT doc_id, {sql_md5_long("u", 15)} AS gh
+  FROM (SELECT doc_id, unnest(sh) AS u FROM base)
+), f AS (
+  SELECT gh, count(*) AS gram_docs FROM g GROUP BY gh
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN gram_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+FROM g JOIN f USING (gh)
+GROUP BY doc_id
+"""
+
+
 def topk_qcos_oracle(query_mod: int, k: int) -> str:
     return f"""
 WITH q AS (
