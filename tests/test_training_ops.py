@@ -84,6 +84,43 @@ def test_contamination_broadcasts_eval_single_train_exchange(spark, sf_dir):
     assert all("gh" in e for e in a.hash_shuffles if e not in doc_exchanges), a.exchanges
 
 
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    from tidb2dw_spark.functions.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(50))  # 50 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=32, stride=24)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 0, 24, 48 → 3 chunks of 32, 26, 2 tokens
+    assert [rows[(1, i)]["chunk_n_tokens"] for i in range(3)] == [32, 26, 2]
+    # overlap: chunk 1 starts 8 tokens before chunk 0 ends
+    assert rows[(1, 1)]["chunk_text"].split()[0] == "w24"
+    assert rows[(1, 0)]["chunk_text"].split()[-1] == "w31"
+    # short doc fits in one chunk, verbatim
+    assert rows[(2, 0)]["chunk_text"] == "short doc"
+    assert (2, 1) not in rows
+    from tidb2dw_spark.plans import assert_no_shuffle
+
+    assert_no_shuffle(out)
+
+
+def test_token_budget_caps_each_key_and_is_partition_invariant(spark, sf_dir):
+    from tidb2dw_spark.functions.sampling import token_budget_per_key
+    from tidb2dw_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = token_budget_per_key(
+        docs, "source", "doc_id", token_count(F.col("text")), budget=800
+    )
+    per_src = kept.groupBy("source").agg(F.max("cum_tokens").alias("m")).collect()
+    assert per_src and all(r["m"] <= 800 for r in per_src)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    kept2 = token_budget_per_key(
+        docs.repartition(13), "source", "doc_id", token_count(F.col("text")), budget=800
+    )
+    assert {r["doc_id"] for r in kept2.select("doc_id").collect()} == ids
+
+
 def test_minhash_lsh_finds_near_dup(planted):
     pairs = minhash_lsh_pairs(
         planted, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3,

@@ -464,6 +464,39 @@ def sample_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "source", "sample_rank")
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 32, 24
+BUDGET_TOKENS, BUDGET_SALT = 800, "budget"
+
+
+@register("chunk_documents", O.chunk_documents_oracle(CHUNK_TOKENS, CHUNK_STRIDE))
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token context windows per document (embedding /
+    pretraining prep) — shuffle-free per-row array codegen."""
+    from .functions.sampling import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text",
+        chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE,
+    )
+
+
+@register(
+    "sample_token_budget_per_source",
+    O.token_budget_oracle("source", BUDGET_TOKENS, BUDGET_SALT),
+)
+def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: keep docs per source, in content-hash
+    order, while the source's cumulative tokens stay within budget."""
+    from .functions.sampling import token_budget_per_key
+    from .functions.text import token_count
+
+    df = token_budget_per_key(
+        _docs(spark, sf_dir), "source", "doc_id",
+        token_count(F.col("text")), budget=BUDGET_TOKENS, salt=BUDGET_SALT,
+    )
+    return df.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 TFIDF_K = 3
 
 

@@ -416,6 +416,41 @@ WHERE {sql_hash_fraction("doc_id", salt)} <
 """
 
 
+def chunk_documents_oracle(chunk_tokens: int, stride: int) -> str:
+    """Mirror of sampling.chunk_documents over documents."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens("text")} AS w FROM documents
+), st AS (
+  SELECT doc_id, w, unnest(range(0, len(w), {stride})) AS s FROM base
+)
+SELECT doc_id,
+       CAST(s // {stride} AS INT) AS chunk_id,
+       CAST(len(w[s+1 : s+{chunk_tokens}]) AS INT) AS chunk_n_tokens,
+       array_to_string(w[s+1 : s+{chunk_tokens}], ' ') AS chunk_text
+FROM st
+"""
+
+
+def token_budget_oracle(key_col: str, budget: int, salt: str) -> str:
+    """Mirror of sampling.token_budget_per_key over documents."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {key_col},
+         {sql_token_count("text")} AS n_tokens,
+         {sql_hash_fraction("doc_id", salt)} AS hf
+  FROM documents
+)
+SELECT doc_id, {key_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) OVER (
+         PARTITION BY {key_col} ORDER BY hf, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens
+FROM t
+QUALIFY cum_tokens <= {budget}
+"""
+
+
 def cap_per_key_oracle(key_col: str, n: int, salt: str) -> str:
     """Mirror of sampling.cap_per_key over documents."""
     return f"""

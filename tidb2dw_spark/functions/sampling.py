@@ -139,3 +139,69 @@ def pack_sequences(
         )
         .drop("__before")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    fixed-token windows (stride < chunk_tokens ⇒ chunk_tokens - stride
+    tokens of overlap) — the standard prep for embedding models and
+    fixed-context pretraining.  Emits (id, chunk_id, chunk_n_tokens,
+    chunk_text); the whole op is per-row array codegen (tokenize →
+    sequence of starts → slice/join), so it is shuffle-free and scales as
+    a narrow map over the corpus: the fan-out multiplies rows by
+    ~n_tokens/stride but each output row is bounded by chunk_tokens."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    # last start = stride * floor((n-1)/stride), so starts cover every token
+    starts = F.sequence(
+        F.lit(0), F.lit(stride) * F.floor((n - 1) / stride), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(words, s + 1, chunk_tokens)
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_words")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size("chunk_words").alias("chunk_n_tokens"),
+        F.array_join("chunk_words", " ").alias("chunk_text"),
+    )
+
+
+def token_budget_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    token_count_col: Column,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Corpus mixing by token budget: keep documents per key (source /
+    domain / language) — in deterministic content-hash order — while the
+    key's cumulative token count stays within *budget*.  The token-weighted
+    complement of ``cap_per_key`` (which caps rows): data-mixture recipes
+    are specified in tokens, not documents.
+
+    One window per key (cumulative sum over the hash order), same scale
+    shape as cap_per_key; membership is a pure function of (salt, ids,
+    token counts), so re-runs and repartitions keep identical mixtures."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(hash_fraction(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("n_tokens", token_count_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
