@@ -312,6 +312,15 @@ class TestAnalyticsPlans:
         a = audit(ea.QUERIES["q_monthly_order_stats"](spark, sf_dir))
         assert len(a.hash_shuffles) == 2, a.exchanges
 
+    def test_gapfill_is_joinless_map_lookup(self, spark, sf_dir):
+        """The spine must come from explode + map lookup, not a left join
+        to the daily frame: the only join is the broadcast 1-row bounds
+        cross join, and the two exchanges are the daily and per-user aggs."""
+        df = ea.QUERIES["events_daily_gapfill"](spark, sf_dir)
+        a = audit(df)
+        assert a.joins == ["BroadcastNestedLoopJoin"], a.joins
+        assert len(a.hash_shuffles) == 2, a.exchanges
+
     def test_quantiles_single_exchange_on_lang(self, spark, sf_dir):
         df = ea.QUERIES["q_doclen_quantiles_by_lang"](spark, sf_dir)
         a = audit(df)

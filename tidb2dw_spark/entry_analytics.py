@@ -1032,3 +1032,63 @@ def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap fill — zero rows for inactive (user, day) combinations
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_gapfill",
+    """
+WITH RECURSIVE daily AS (
+  SELECT user_id, date_trunc('day', ts) AS dday, count(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+  FROM events
+), spine(dday) AS (
+  SELECT lo FROM b
+  UNION ALL
+  SELECT dday + INTERVAL 1 DAY FROM spine WHERE dday < (SELECT hi FROM b)
+)
+SELECT u.user_id, s.dday, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN spine s
+LEFT JOIN daily d ON d.user_id = u.user_id AND d.dday = s.dday
+""",
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: every (user, day) over the global range,
+    zero-filled where inactive.  Spark-first shape: daily counts partial-
+    aggregate to |users|·|active days|; a second agg folds each user's
+    days into a bounded map (range-length entries); the spine is then an
+    explode + map lookup — NO join node, and the left-join-to-spine
+    formulation's third exchange never happens.  Global bounds ride a
+    broadcast 1-row cross join."""
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("dday")
+    )
+    daily = events.groupBy("user_id", "dday").agg(F.count("*").alias("n"))
+    per_user = daily.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dday", "n"))).alias("m")
+    )
+    bounds = events.agg(
+        F.min("dday").alias("lo"), F.max("dday").alias("hi")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+            ).alias("dday"),
+            "m",
+        )
+        .select(
+            "user_id",
+            "dday",
+            F.coalesce(F.element_at("m", F.col("dday")), F.lit(0))
+            .cast("long")
+            .alias("n_events"),
+        )
+    )
