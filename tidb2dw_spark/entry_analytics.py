@@ -184,7 +184,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("text")
     counts = (
         docs.select(
-            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+            F.explode_outer(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
         )
         .filter(F.col("term") != "")
         .groupBy("term")
@@ -554,7 +554,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
         ).alias("qv"),
     )
-    x = q.select("label", F.posexplode("qv").alias("pos0", "qval"))
+    x = q.select("label", F.posexplode_outer("qv").alias("pos0", "qval"))
     return x.groupBy(
         "label", (F.col("pos0") + 1).cast("int").alias("pos")
     ).agg(F.sum("qval").alias("qsum"), F.count("*").alias("n"))

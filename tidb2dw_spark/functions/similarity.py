@@ -433,7 +433,7 @@ def ivf_topk(
         probes = with_cells(queries, "query_id").select(
             "query_id",
             "qv",
-            F.explode(
+            F.explode_outer(
                 F.transform(
                     F.slice(F.sort_array(F.col("cells"), asc=False), 1, n_probe),
                     lambda s: -s["negc"],
@@ -629,7 +629,7 @@ def ivf_index_topk(
         ).select(
             "query_id",
             "qv",
-            F.explode(
+            F.explode_outer(
                 F.transform(
                     F.slice(F.sort_array(F.col("cells"), asc=False), 1, n_probe),
                     lambda s: -s["negc"],

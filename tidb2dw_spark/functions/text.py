@@ -175,7 +175,7 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+        F.col(id_col), F.explode_outer(tokenize(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("term_freq"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
