@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "events_user_interarrival",
     "emb_label_centroid_sums",
     "text_boilerplate_segments",
+    "dedup_decontaminate",
+    "text_dup_ngram_stats",
+    "dedup_minhash_signature",
+    "chunk_documents",
+    "sample_token_budget_per_source",
+    "q_small_qty_revenue_by_brand",
+    "events_daily_gapfill",
 ]
 
 
