@@ -178,6 +178,38 @@ def test_brute_force_topk_is_deterministic_and_ranked(spark, sf_dir):
     assert all(r["neighbor_id"] != 0 for r in res)
 
 
+def test_image_phash_kernel_parity_and_planted_pairs(spark):
+    from tidb2dw_spark.functions.multimodal import (
+        _phash63,
+        image_phash,
+        phash_dup_pairs,
+    )
+
+    rows = [
+        (1, b"a" * 100 + b"z" * 50),
+        (2, b"a" * 100 + b"z" * 50),    # identical -> hamming 0
+        (3, b"a" * 100 + b"z" * 49 + b"y"),  # near-identical
+        (4, bytes(range(200))),          # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r["phash"] for r in image_phash(df).collect()}
+    # Spark kernel == the plain-python reference on every blob
+    for doc_id, blob in rows:
+        assert got[doc_id] == _phash63(blob)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_dup_pairs(image_phash(df), max_hamming=7).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # banding is exact to hamming 7: brute-force twin must agree
+    brute = {
+        (a, b): bin(got[a] ^ got[b]).count("1")
+        for a in got for b in got if a < b
+        if bin(got[a] ^ got[b]).count("1") <= 7
+    }
+    assert pairs == brute
+
+
 def test_multimodal_features_match_fake_decoder(spark):
     rows = [(1, "hello world"), (2, ""), (3, "abc")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -397,6 +397,30 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(resized).drop("feature")
 
 
+PHASH_MAX_HAMMING = 4
+
+
+@register("mm_image_phash", O.IMAGE_PHASH_ORACLE)
+def mm_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash per image blob — mapInPandas kernel with an EXACT
+    oracle (the corpus is ASCII, so the byte-stream blockhash is
+    reproducible from the text in SQL)."""
+    from .functions.multimodal import image_phash
+
+    media = attach_media(_docs(spark, sf_dir, spread=True))
+    return image_phash(media)
+
+
+@register("mm_image_phash_pairs", O.phash_pairs_oracle(PHASH_MAX_HAMMING))
+def mm_image_phash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup: banded phash pairs, exact ≤ hamming 7 by
+    pigeonhole — the multimodal counterpart of simhash text dedup."""
+    from .functions.multimodal import image_phash, phash_dup_pairs
+
+    media = attach_media(_docs(spark, sf_dir, spread=True))
+    return phash_dup_pairs(image_phash(media), max_hamming=PHASH_MAX_HAMMING)
+
+
 @register(
     "mm_audio_energy",
     # the fake kernel windows the UTF-8 byte stream: n_windows = ceil(len/256)

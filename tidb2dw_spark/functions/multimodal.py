@@ -242,3 +242,101 @@ def sample_video_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return pruned.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+_PHASH_BITS = 63  # stays positive in a signed 64-bit long in every engine
+
+
+def _phash63(blob) -> int | None:
+    """Blockhash perceptual hash of a byte stream: 63 block sums (byte
+    positions mod 64), bit b set iff block b's sum exceeds the mean
+    (64·block > total) — pure integer math, reproducible anywhere."""
+    if blob is None:
+        return None
+    b = bytes(blob)
+    total = sum(b)
+    blocks = [0] * 64
+    for i, v in enumerate(b):
+        blocks[i % 64] += v
+    h = 0
+    for blk in range(_PHASH_BITS):
+        if 64 * blocks[blk] > total:
+            h |= 1 << blk
+    return h
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Per-image perceptual hash over the binary column via mapInPandas
+    (a real deployment swaps :func:`_phash63` for a decode + DCT/blockhash
+    kernel; the Spark plumbing — blob pruning, Arrow batching, 63-bit
+    integer output — is identical).  Feeds :func:`phash_dup_pairs`."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": pdf["media"].map(_phash63)}
+            )
+
+    return pruned.mapInPandas(extract, schema=PHASH_SCHEMA)
+
+
+def phash_dup_pairs(phashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance.
+
+    Candidate generation bands the 63-bit hash into 8 byte blocks — two
+    hashes within Hamming ≤ 7 MUST share an intact block (pigeonhole), so
+    for ``max_hamming ≤ 7`` banding + exact verify is EXACT, not
+    approximate.  Scale shape mirrors dedup.simhash_dup_pairs: the
+    self-join shuffles 8 small (block, key) rows per image — never blobs —
+    and verification is one xor+popcount per candidate."""
+    assert max_hamming <= 7, "8-block pigeonhole only exact to hamming 7"
+    blocked = phashes.select(
+        F.col("doc_id").alias("id"),
+        "phash",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("phash"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "phash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.phash").alias("ph_a"),
+            F.col("r.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

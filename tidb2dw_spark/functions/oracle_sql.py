@@ -294,6 +294,34 @@ GROUP BY doc_id
 """
 
 
+IMAGE_PHASH_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         [list_sum([ord(text[i]) for i in range(1+blk, length(text)+1, 64)])
+          for blk in range(0, 64)] AS blocks,
+         list_sum([ord(text[i]) for i in range(1, length(text)+1)]) AS total
+  FROM documents
+)
+SELECT doc_id,
+       list_sum([CASE WHEN 64*COALESCE(blocks[blk+1], 0) > total
+                      THEN (1::BIGINT << blk) ELSE 0 END
+                 for blk in range(0, 63)])::BIGINT AS phash
+FROM b
+"""
+
+
+def phash_pairs_oracle(max_hamming: int) -> str:
+    """Brute-force phash pair oracle — exact because the Spark side's
+    8-block banding is pigeonhole-complete for hamming ≤ 7."""
+    return f"""
+WITH p AS ({IMAGE_PHASH_ORACLE})
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+FROM p l JOIN p r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.phash, r.phash)) <= {max_hamming}
+"""
+
+
 def topk_qcos_oracle(query_mod: int, k: int) -> str:
     return f"""
 WITH q AS (
