@@ -192,3 +192,44 @@ def test_crashed_merge_leaves_previous_version_readable(spark, tmp_path):
     assert v == 2 and t.version() == 2
     rows = {r["k"]: r["val"] for r in t.read(spark).collect()}
     assert rows[0] == "updated" and len(rows) == 10
+
+
+def test_cluster_analyze_prunes_range_reads(spark, tmp_path):
+    """cluster_by + analyze + read_range: a narrow range on a clustered
+    table opens a strict subset of files; results always equal the exact
+    full-scan filter; stale stats fall back to scanning everything."""
+    base = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"), F.col("id").alias("ts_k")
+    )
+    t = ManagedTable(tmp_path / "z").create(base.repartition(8), ["k"])
+    # force several files when clustering so pruning has something to skip
+    t.cluster_by(spark, ["ts_k"], target_bytes=16 << 10)
+    n_files = len(list((t.root / f"v={t.version()}").rglob("*.parquet")))
+    assert n_files > 3
+    stats = t.analyze(spark, ["ts_k"])
+    assert len(stats["files"]) == n_files
+
+    expected = sorted(
+        r["k"] for r in t.read(spark).filter("ts_k between 100 and 300").collect()
+    )
+    pruned = t.read_range(spark, "ts_k", 100, 300)
+    assert sorted(r["k"] for r in pruned.collect()) == expected
+    # the plan's file list must be smaller than the table's
+    scanned = pruned.select(F.input_file_name().alias("f")).distinct().count()
+    assert scanned < n_files
+    # empty range → empty frame with the table schema
+    assert t.read_range(spark, "ts_k", 1_000_000, 2_000_000).count() == 0
+
+    # a write moves the version: stats go stale, reads stay correct
+    t.overwrite(t.read(spark))
+    again = t.read_range(spark, "ts_k", 100, 300)
+    assert sorted(r["k"] for r in again.collect()) == expected
+
+
+def test_cluster_by_rejects_bucketed(spark, tmp_path):
+    base = spark.range(50).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t = ManagedTable(tmp_path / "zb").create(base, ["k"], pk_buckets=4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.cluster_by(spark, ["v"])

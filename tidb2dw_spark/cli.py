@@ -97,6 +97,11 @@ def _build_parser() -> argparse.ArgumentParser:
     opt.add_argument("--max-files-per-bucket", type=int, default=4)
     opt.add_argument("--target-bytes", type=int, default=128 << 20)
     opt.add_argument("--vacuum-keep-last", type=int, default=1)
+    opt.add_argument(
+        "--cluster-by",
+        help="comma-separated columns: range-cluster plain tables before "
+        "compacting (OPTIMIZE ... CLUSTER BY parity) and collect zone maps",
+    )
 
     return p
 
@@ -147,15 +152,21 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
             max_files_per_bucket=args.max_files_per_bucket,
             target_bytes=args.target_bytes,
         )
+        clustered = None
+        if args.cluster_by and t.manifest().get("pk_buckets", 0) == 0:
+            cols = [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+            clustered = t.cluster_by(spark, cols, target_bytes=args.target_bytes)
+            t.analyze(spark, cols)
         removed = t.vacuum(keep_last=args.vacuum_keep_last)
-        report.append(
-            {
-                "table": name,
-                "compacted_to_version": compacted_to,
-                "vacuumed_versions": removed,
-                "version": t.version(),
-            }
-        )
+        entry = {
+            "table": name,
+            "compacted_to_version": compacted_to,
+            "vacuumed_versions": removed,
+            "version": t.version(),
+        }
+        if clustered is not None:
+            entry["clustered_to_version"] = clustered
+        report.append(entry)
     print(json.dumps(report, indent=2))
     return 0
 

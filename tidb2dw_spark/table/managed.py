@@ -321,6 +321,92 @@ class ManagedTable:
         self._commit(m)
         return new_version
 
+    def cluster_by(self, spark: SparkSession, cols: Sequence[str],
+                   target_bytes: int = 128 << 20) -> int:
+        """OPTIMIZE … CLUSTER BY parity: rewrite the current version
+        range-partitioned + sorted on *cols*, so each output file covers a
+        narrow value range.  This is what makes :meth:`analyze` zone maps
+        selective — on an unclustered (or PK-hash-bucketed) layout every
+        file spans the whole domain and min/max pruning cannot skip
+        anything.  Plain tables only: bucketed tables are clustered by PK
+        hash by construction (their pruning lever is ``read_for_keys``;
+        within-bucket sort would only tighten parquet row-group stats).
+        """
+        m = self.manifest()
+        if m.get("pk_buckets", 0) > 0:
+            raise ValueError("cluster_by applies to plain tables; bucketed "
+                             "tables are PK-hash-clustered (read_for_keys)")
+        df = self.read(spark)
+        vdir = self.root / f"v={m['version']}"
+        total = sum(p.stat().st_size for p in vdir.rglob("*.parquet")) or 1
+        n_out = int(max(1, -(-total // target_bytes)))
+        out = df.repartitionByRange(n_out, *[F.col(c) for c in cols]) \
+                .sortWithinPartitions(*cols)
+        return self.overwrite(out)
+
+    def analyze(self, spark: SparkSession, cols: Sequence[str]) -> dict:
+        """Collect per-file zone maps (min/max of *cols*) for the current
+        version into the manifest — one distributed pass grouped by
+        ``input_file_name``.  Stats are version-stamped: :meth:`read_range`
+        ignores them (conservatively scanning everything) once the table
+        moves past the analyzed version.  Values are stored as JSON
+        numbers/strings; strings (incl. ISO timestamps) compare
+        lexicographically, matching parquet's ordering for our types."""
+        m = self.manifest()
+        df = self.read(spark).withColumn("__f", F.input_file_name())
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        rows = df.groupBy("__f").agg(*aggs).collect()
+
+        def enc(v):
+            return v if isinstance(v, (int, float)) and not isinstance(v, bool) else (
+                None if v is None else str(v))
+
+        files = {
+            r["__f"].replace("file:", ""): {
+                c: [enc(r[f"lo_{c}"]), enc(r[f"hi_{c}"])] for c in cols
+            }
+            for r in rows
+        }
+        stats = {"version": m["version"], "cols": list(cols), "files": files}
+        self.update_meta(file_stats=stats)
+        return stats
+
+    def read_range(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
+        """Range read with zone-map file skipping: open only files whose
+        [min, max] for *col* intersects [lo, hi] (missing/stale stats fall
+        back to the full file list), then apply the exact residual filter.
+        On a clustered table a narrow range touches O(range/total · files)
+        files — the driver never even lists the rest."""
+        m = self.manifest()
+        stats = m.get("file_stats")
+        pred = (F.col(col) >= lo) & (F.col(col) <= hi)
+        if (
+            not stats
+            or stats.get("version") != m["version"]
+            or col not in stats.get("cols", [])
+            or m.get("pk_buckets", 0) > 0
+        ):
+            return self.read(spark).filter(pred)
+
+        def enc(v):
+            return v if isinstance(v, (int, float)) and not isinstance(v, bool) else str(v)
+
+        elo, ehi = enc(lo), enc(hi)
+        keep = [
+            f for f, cs in stats["files"].items()
+            if cs[col][0] is not None and not (cs[col][1] < elo or cs[col][0] > ehi)
+        ]
+        if not keep:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema_json"]))
+            return spark.createDataFrame([], schema=schema).filter(pred)
+        cols = m.get("columns", [])
+        df = spark.read.parquet(*keep)
+        return df.select(*[c for c in cols if c in df.columns]).filter(pred)
+
     def update_meta(self, **kv) -> None:
         m = self.manifest()
         m.update(kv)
