@@ -233,3 +233,49 @@ def test_cluster_by_rejects_bucketed(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.cluster_by(spark, ["v"])
+
+
+def test_new_ops_handle_empty_input(spark):
+    """Every new operator must return an empty, correctly-typed frame on
+    an empty corpus — no div-by-zero, no collect of nothing, no crash."""
+    from tidb2dw_spark.functions.dedup import (
+        contamination_hits,
+        dup_ngram_stats,
+    )
+    from tidb2dw_spark.functions.multimodal import image_phash, phash_dup_pairs
+    from tidb2dw_spark.functions.sampling import chunk_documents, token_budget_per_key
+    from tidb2dw_spark.functions.text import token_count
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    media = spark.createDataFrame([], "doc_id long, media binary")
+    assert contamination_hits(docs, "doc_id", "text", F.col("doc_id") % 2 == 0).count() == 0
+    assert dup_ngram_stats(docs, "doc_id", "text").count() == 0
+    assert chunk_documents(docs, "doc_id", "text").count() == 0
+    assert token_budget_per_key(
+        docs, "source", "doc_id", token_count(F.col("text")), budget=10
+    ).count() == 0
+    ph = image_phash(media)
+    assert ph.count() == 0
+    assert phash_dup_pairs(ph).count() == 0
+
+
+def test_sketch_aggregates_track_exact(spark, sf_dir):
+    """Approximate sketches (the 100 TB path for distinct counts and
+    quantiles) must land within their documented error of the exact
+    answers on real data: HLL++ rsd 5%, percentile_approx err ≤ 1/acc."""
+    from tidb2dw_spark.fixtures import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("d"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+    ).collect()[0]
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("d"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50"),
+    ).collect()[0]
+    assert abs(approx["d"] - exact["d"]) <= max(3, 0.15 * exact["d"])
+    # percentile_approx guarantees a value whose rank is within n/accuracy
+    n = ev.count()
+    rank_of_approx = ev.filter(F.col("value") <= approx["p50"]).count()
+    assert abs(rank_of_approx - n / 2) <= n / 10_000 + 1
