@@ -97,3 +97,42 @@ def test_csv_null_vs_empty_vs_quoted_newline(spark, tmp_path):
     assert rows[3] == "line1\nline2"  # quoted newline preserved
     assert rows[4] == "plain"
     assert len(rows) == 4           # the embedded newline did not split a row
+
+
+def test_json_changelog_equals_csv_path(spark, tmp_path):
+    """The JSON-lines changelog reader must feed the merge pipeline with a
+    frame identical to the CSV reader's (same envelope schema, nulls,
+    timestamps) — format is a transport detail, not a semantics change."""
+    from tidb2dw_spark.operators.merge import apply_changelog
+    from tidb2dw_spark.schema.types import table_def_to_struct
+    from tidb2dw_spark.sources.envelope import envelope_schema
+    from tidb2dw_spark.sources.snapshot import (
+        read_changelog_json,
+        write_changelog_json,
+    )
+
+    from .test_consumer import users_def_v1
+
+    payload = table_def_to_struct(users_def_v1())
+    env = envelope_schema(payload)
+    rows = [
+        ("U", "users", "tpch", 100, 1, "alice2", 31, None),
+        ("I", "users", "tpch", 101, 4, "dave", None, None),
+        ("D", "users", "tpch", 200, 2, "bob", None, None),
+    ]
+    batch = spark.createDataFrame(rows, env)
+    write_changelog_json(batch, str(tmp_path / "cdc_json"))
+    back = read_changelog_json(spark, str(tmp_path / "cdc_json"), env)
+    # JSON sources mark every field nullable; names and types must match
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in env.fields
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+    target = spark.createDataFrame(
+        [(1, "alice", 30, None), (2, "bob", None, None), (3, "carol", 41, None)],
+        payload,
+    )
+    merged = {r["id"]: r for r in apply_changelog(target, back, ["id"]).collect()}
+    assert set(merged) == {1, 3, 4}
+    assert merged[1]["name"] == "alice2" and merged[4]["name"] == "dave"

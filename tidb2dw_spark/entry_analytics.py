@@ -1092,3 +1092,54 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame — value-based trailing interval (vs the ROWS frame in
+# q_cumulative_revenue_per_customer)
+# ---------------------------------------------------------------------------
+@register(
+    "q_trailing_week_revenue",
+    """
+WITH daily AS (
+  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS dday,
+         date_diff('day', DATE '1970-01-01', date_trunc('day', o_orderdate)) AS ep_day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority, dday, rev_cents,
+       CAST(sum(rev_cents) OVER (
+         PARTITION BY o_orderpriority ORDER BY ep_day
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rev_7d_cents
+FROM daily
+""",
+)
+def q_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per priority: a RANGE frame over the epoch
+    day — value-based bounds, so missing days shrink the window (a ROWS
+    frame would silently sum 7 *rows* regardless of gaps).  The window
+    runs over the pre-aggregated daily frame (|priorities|·|days| rows,
+    not |orders|), and daily agg + window share nothing that needs a
+    second fact scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("day", F.col("o_orderdate")).alias("dday"),
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")), F.lit("1970-01-01").cast("date")
+        ).alias("ep_day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("ep_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "dday",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("rev_7d_cents"),
+    )

@@ -58,3 +58,28 @@ def write_snapshot_csv(df: DataFrame, path: str, max_records_per_file: int | Non
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.csv(path)
+
+
+def read_changelog_json(
+    spark: SparkSession, path: str | list[str], schema: T.StructType
+) -> DataFrame:
+    """Read a JSON-lines changelog with the same envelope contract as the
+    CSV layout (one object per line: flag/tablename/schemaname/commit_ts +
+    payload fields).  The explicit schema keeps semantics identical to the
+    CSV path — no inference, missing fields become typed nulls, binary
+    columns arrive base64 (Spark's JSON binary convention).  TiCDC emits
+    canal-json alongside CSV in production; this reader lets the consumer
+    ingest either format into the identical merge pipeline."""
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", CSV_OPTIONS.get("timestampFormat", "yyyy-MM-dd HH:mm:ss"))
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+
+
+def write_changelog_json(df: DataFrame, path: str) -> None:
+    """Test-harness twin of :func:`read_changelog_json` (S2 stand-in)."""
+    df.write.mode("overwrite").option(
+        "timestampFormat", CSV_OPTIONS.get("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    ).json(path)
