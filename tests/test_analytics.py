@@ -321,6 +321,15 @@ class TestAnalyticsPlans:
         assert a.joins == ["BroadcastNestedLoopJoin"], a.joins
         assert len(a.hash_shuffles) == 2, a.exchanges
 
+    def test_q3_pushes_both_date_filters_topk_not_sort(self, spark, sf_dir):
+        from tidb2dw_spark.plans import assert_pushed_filter, formatted_plan
+
+        df = ea.QUERIES["q_shipping_priority_top10"](spark, sf_dir)
+        assert_pushed_filter(df, "o_orderdate")
+        assert_pushed_filter(df, "l_shipdate")
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
     def test_quantiles_single_exchange_on_lang(self, spark, sf_dir):
         df = ea.QUERIES["q_doclen_quantiles_by_lang"](spark, sf_dir)
         a = audit(df)

@@ -458,3 +458,37 @@ def test_pack_sequences_invariants(spark):
             assert r["pack_offset"] == before % 128
             assert r["pack_id"] == r["shard"] * 1_000_000 + before // 128
             before += r["n_tokens"]
+
+
+def test_chunking_properties_random_lengths(spark):
+    """Property: for any token count n ≥ 1, chunking emits
+    ceil(max(n-overlap, 1)/stride-ish) windows whose union covers every
+    token exactly, each bounded by chunk_tokens, consecutive starts
+    exactly stride apart."""
+    from hypothesis import given, settings, strategies as st
+
+    from tidb2dw_spark.functions.sampling import chunk_documents
+
+    C, S = 16, 12
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(min_value=1, max_value=200))
+    def check(n):
+        text = " ".join(f"t{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, "doc_id", "text", chunk_tokens=C, stride=S).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        n_chunks = (n - 1) // S + 1
+        assert len(rows) == n_chunks
+        covered = set()
+        for r in rows:
+            toks = r["chunk_text"].split()
+            assert r["chunk_n_tokens"] == len(toks) <= C
+            first = int(toks[0][1:])
+            assert first == r["chunk_id"] * S
+            covered.update(range(first, first + len(toks)))
+        assert covered == set(range(n))
+
+    check()

@@ -1143,3 +1143,57 @@ def q_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).alias("rev_7d_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — selective date pushdown on both fact scans + top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q_shipping_priority_top10",
+    """
+WITH j AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS cents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+)
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM j
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: orders placed before the cutoff whose lineitems
+    shipped after it, top-10 orders by discounted revenue.  Both date
+    predicates push to the parquet scans (row-group pruning does the
+    heavy lifting at 100 TB); the orderkey join is big-big so it shuffles
+    both sides once — co-located for free when both tables are bucketed
+    by orderkey in the warehouse (ManagedTable pk_buckets).  The final
+    top-10 is TakeOrderedAndProject over the aggregated frame, never a
+    global sort."""
+    cutoff = "1998-01-01"
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+            ).cast("long").alias("cents"),
+        )
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    return agg.orderBy(F.col("revenue_cents").desc(), "l_orderkey").limit(10)
