@@ -492,3 +492,40 @@ def test_chunking_properties_random_lengths(spark):
         assert covered == set(range(n))
 
     check()
+
+
+def test_kmeans_matches_python_twin_and_reduces_inertia(spark, sf_dir):
+    """Spark kmeans_fit must reproduce the pure-Python twin BIT-EXACTLY
+    (same init, integer math, empty-cluster rule), be partition-invariant,
+    and not increase quantized inertia across iterations."""
+    from tidb2dw_spark.functions.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_fit_py,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    twin = kmeans_fit_py(vecs, k=4, iters=2)
+    got = kmeans_fit(emb, k=4, iters=2)
+    assert got == twin
+    assert kmeans_fit(emb.repartition(7), k=4, iters=2) == twin
+
+    def inertia(cents):
+        total = 0
+        qs = {
+            i: [round(x * 1_000_000) for x in v] for i, v in vecs.items()
+        }
+        for qv in qs.values():
+            total += min(
+                sum((x - c) ** 2 for x, c in zip(qv, cent)) for cent in cents
+            )
+        return total
+
+    i1 = inertia(kmeans_fit_py(vecs, k=4, iters=1))
+    i2 = inertia(twin)
+    assert i2 <= i1
+    # assignment is a narrow map: no shuffle
+    from tidb2dw_spark.plans import assert_no_shuffle
+
+    assert_no_shuffle(kmeans_assign(emb, got))

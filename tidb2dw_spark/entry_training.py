@@ -397,6 +397,35 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(resized).drop("feature")
 
 
+KMEANS_K, KMEANS_ITERS = 8, 3
+
+
+@register("emb_kmeans_centroids")
+def emb_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means (rows-only: iterative algorithms are not
+    SQL-expressible; exactness is pinned in pytest against a pure-Python
+    twin).  Returns the final centroid matrix as (cluster, pos, value)
+    rows plus each cluster's member count."""
+    from .functions.clustering import kmeans_assign, kmeans_fit
+
+    emb = _emb(spark, sf_dir, spread=False)
+    cents = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in kmeans_assign(emb, cents).groupBy("cluster").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    rows = [
+        (c, p, v, int(sizes.get(c, 0)))
+        for c, vec in enumerate(cents)
+        for p, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, pos int, centroid_q long, cluster_n int"
+    )
+
+
 PHASH_MAX_HAMMING = 4
 
 
