@@ -168,6 +168,11 @@ def dup_ngram_stats(
     grams = df.select(F.col(id_col), F.explode_outer(sh).alias("g")).select(
         id_col, md5_long(F.col("g")).alias("gh")
     )
+    # grams feeds BOTH the frequency agg and the join-back: without
+    # materialization the text→shingle→md5 lineage runs twice over the
+    # full corpus (same trade as minhash_lsh_pairs.cache_intermediate —
+    # the persisted frame is (id, 8-byte hash) rows, tiny next to text)
+    grams = grams.persist()
     freq = grams.groupBy("gh").agg(F.count("*").alias("gram_docs"))
     return (
         grams.join(freq, "gh")
