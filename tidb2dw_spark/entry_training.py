@@ -522,6 +522,62 @@ def sample_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "source", "sample_rank")
 
 
+GROUP_SPLIT_FRAC, GROUP_SPLIT_SALT = 0.2, "gsplit"
+
+
+@register(
+    "split_by_source_group",
+    f"""
+SELECT doc_id, source,
+       CASE WHEN {O.sql_hash_fraction("source", GROUP_SPLIT_SALT)} < {GROUP_SPLIT_FRAC}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+""",
+)
+def split_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level leakage-safe split: the hash is keyed on SOURCE, so
+    every document from one domain lands in the same split — near-dups
+    within a domain can never straddle the train/test boundary (the
+    leakage mode a per-doc split can't prevent)."""
+    df = train_test_split(
+        _docs(spark, sf_dir), "source",
+        test_fraction=GROUP_SPLIT_FRAC, salt=GROUP_SPLIT_SALT,
+    )
+    return df.select("doc_id", "source", "split")
+
+
+@register(
+    "corpus_stats_by_source",
+    f"""
+WITH base AS (
+  SELECT source, lang, {O.sql_token_count("text")} AS toks FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(toks) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM base GROUP BY source
+""",
+)
+def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report per source: doc/token totals, mean length
+    (one exact-int division), language diversity — the monitoring query a
+    data-mixture pipeline runs after every ingest.  Token counting stays
+    in the scan stage; the exchange carries per-source partials."""
+    from .functions.text import token_count
+
+    df = _docs(spark, sf_dir).select(
+        "source", "lang", token_count(F.col("text")).alias("toks")
+    )
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        (F.sum("toks").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 CHUNK_TOKENS, CHUNK_STRIDE = 32, 24
 BUDGET_TOKENS, BUDGET_SALT = 800, "budget"
 
