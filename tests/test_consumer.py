@@ -194,3 +194,42 @@ def test_managed_table_versions_and_vacuum(spark, tmp_path):
     assert t.read(spark, version=1).count() == 5  # time travel
     removed = t.vacuum(keep_last=1)
     assert removed == [1]
+
+
+def test_partitioned_table_changelog_lifecycle(spark, tmp_path):
+    """Reference layout for PARTITIONED source tables inserts a partition
+    dir between version and date (increment.go:143-151).  Files from
+    different partitions carry disjoint-or-overlapping PKs; correctness is
+    last-writer-wins by commit_ts ACROSS partitions, and checkpoints are
+    per-file as usual."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",\\N,1991-02-02\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    # partition 17: older update to pk 1; new pk 7
+    write(incr / "tpch/users/1/17/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"alice_p17",31,1990-01-01\n'
+          '"I","users","tpch",110,7,"grace",27,1997-07-07\n')
+    # partition 23: NEWER update to pk 1 (must win), delete pk 2
+    write(incr / "tpch/users/1/23/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",150,1,"alice_p23",32,1990-01-01\n'
+          '"D","users","tpch",160,2,"bob",\\N,1991-02-02\n')
+
+    consumer = IncrementConsumer(spark, incr, table)
+    report = consumer.poll_once()
+    assert report.files_processed == 2
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert set(rows) == {1, 7}
+    assert rows[1]["name"] == "alice_p23"  # cross-partition LWW by commit_ts
+    assert (incr / "tpch/users/1/17/2024-01-01/CDC000001.csv.checkpoint").exists()
+    assert (incr / "tpch/users/1/23/2024-01-01/CDC000001.csv.checkpoint").exists()
+
+    # resume skips both partitions' checkpointed files
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 0 and report.files_skipped == 2
