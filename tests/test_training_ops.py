@@ -529,3 +529,36 @@ def test_kmeans_matches_python_twin_and_reduces_inertia(spark, sf_dir):
     from tidb2dw_spark.plans import assert_no_shuffle
 
     assert_no_shuffle(kmeans_assign(emb, got))
+
+
+def test_lsh_blocked_near_dup_finds_planted_pairs(spark):
+    """Planted near-identical vectors (cosine ≈ 1) must be found by the
+    LSH-blocked pairs (same bucket w.h.p.); every reported pair must pass
+    the EXACT verify (precision 1 by construction); and the blocked set
+    must be a subset of the exact all-pairs result."""
+    import random
+
+    from tidb2dw_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+        lsh_blocked_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = list(base)
+    near[0] += 0.01  # cosine ≈ 0.9999
+    rows = [(1, base), (2, near)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_blocked_near_dup_pairs(df, threshold=0.9, num_planes=4).collect()
+    }
+    assert (1, 2) in exact
+    assert (1, 2) in blocked          # near-identical vectors share buckets
+    assert blocked <= exact           # verify step is exact → precision 1

@@ -1197,3 +1197,48 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("revenue_cents"))
     )
     return agg.orderBy(F.col("revenue_cents").desc(), "l_orderkey").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — the one join type nothing else exercises
+# ---------------------------------------------------------------------------
+@register(
+    "q_nation_presence_fulljoin",
+    """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+  FROM customer WHERE c_nationkey % 2 = 0 GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+  FROM supplier WHERE s_nationkey % 3 = 0 GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""",
+)
+def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over two independently-aggregated relations (customer vs
+    supplier nation footprints; the modulo filters make all three row
+    classes — matched, left-only, right-only — non-empty).  Both sides
+    pre-aggregate to |nations| rows before the join, so the full-outer
+    shuffle moves group counts, never base rows; Spark coalesces the key
+    automatically with the named-column join."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey") % 2 == 0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_nationkey") % 3 == 0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )

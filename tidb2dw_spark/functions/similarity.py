@@ -699,3 +699,50 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_blocked_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Scale path for :func:`embedding_near_dup_pairs`: confine the
+    quadratic pair space to random-hyperplane LSH buckets (expected
+    bucket size n/2^planes → pair work n²/2^planes), then verify with the
+    same exact quantized cosine.  APPROXIMATE: a true pair whose vectors
+    land in different buckets is missed — raise recall by lowering
+    num_planes or (production) unioning several independent plane sets.
+    The self-join keys on the bucket, shuffling each side once; at corpus
+    scale the bucket column is what you partition the stored corpus by,
+    making each bucket's pair loop a partition-local job."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+
+    def idot(u: Column, w: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        qv.alias("qv"),
+        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
+    ).withColumn("norm", F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double")))
+    left, right = v.alias("l"), v.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        (
+            idot(F.col("l.qv"), F.col("r.qv")).cast("double")
+            / (F.col("l.norm") * F.col("r.norm"))
+        ).alias("qcos"),
+    )
+    return pairs.filter(F.col("qcos") >= threshold)
