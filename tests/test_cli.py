@@ -165,3 +165,32 @@ def test_empty_layout_returns_error(tmp_path, capsys):
         ["replicate", "--storage-dir", str(tmp_path), "--warehouse-dir",
          str(tmp_path / "wh")]
     ) == 1
+
+
+def test_optimize_cluster_by_collects_zone_maps(spark, tmp_path, capsys):
+    """--cluster-by on a plain table range-clusters it and stores per-file
+    zone maps; bucketed tables in the same run are untouched by it."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    wh = tmp_path / "whz"
+    base = spark.range(5000).select(F.col("id").alias("k"), F.col("id").alias("ts_k"))
+    ManagedTable(wh / "tpch.plain").create(base.repartition(6), ["k"])
+    rc = main(
+        ["optimize", "--warehouse-dir", str(wh),
+         "--max-files-per-bucket", "64",      # don't compact — cluster only
+         "--cluster-by", "ts_k",
+         "--target-bytes", str(8 << 10)]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report[0]["clustered_to_version"] == 2
+    t = ManagedTable(wh / "tpch.plain")
+    stats = t.manifest()["file_stats"]
+    assert stats["version"] == t.version() and stats["cols"] == ["ts_k"]
+    assert len(stats["files"]) > 1
+    pruned = t.read_range(spark, "ts_k", 0, 100)
+    assert pruned.count() == 101
+    scanned = pruned.select(F.input_file_name().alias("f")).distinct().count()
+    assert scanned < len(stats["files"])
