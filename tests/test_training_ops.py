@@ -562,3 +562,48 @@ def test_lsh_blocked_near_dup_finds_planted_pairs(spark):
     assert (1, 2) in exact
     assert (1, 2) in blocked          # near-identical vectors share buckets
     assert blocked <= exact           # verify step is exact → precision 1
+
+
+def test_ivf_refined_centroids_improve_or_match_recall(spark, sf_dir, tmp_path):
+    """A k-means-refined IVF index must stay searchable with deterministic
+    results, use the kmeans_fit centroids verbatim, and not lose recall
+    vs the unrefined index at the same n_probe (measured against exact
+    brute force)."""
+    import json
+
+    from tidb2dw_spark.functions.clustering import kmeans_fit
+    from tidb2dw_spark.functions.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            emb, queries, k=5, metric="quantized_cosine"
+        ).collect()
+    }
+
+    def recall(index_dir, refine):
+        cents = build_ivf_index(
+            emb, str(index_dir), n_centroids=8, refine_iters=refine
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_index_topk(
+                spark, str(index_dir), queries, k=5, n_probe=3
+            ).collect()
+        }
+        return cents, len(got & exact) / len(exact)
+
+    cents0, r0 = recall(tmp_path / "ivf_plain", 0)
+    cents2, r2 = recall(tmp_path / "ivf_refined", 2)
+    assert cents2 == kmeans_fit(emb, k=8, iters=2)  # verbatim refined matrix
+    assert cents2 != cents0
+    assert r2 >= r0 - 0.05, f"refined recall {r2:.2f} vs plain {r0:.2f}"
+    # persisted centroids round-trip
+    with open(tmp_path / "ivf_refined" / "centroids.json") as f:
+        assert json.load(f) == cents2

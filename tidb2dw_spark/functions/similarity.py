@@ -542,6 +542,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     kernel: str = "arrow",
+    refine_iters: int = 0,
 ) -> list[list[int]]:
     """Materialize the IVF index: the cell-assigned, integer-quantized
     corpus written as parquet **partitioned by cell**, plus the centroid
@@ -551,11 +552,25 @@ def build_ivf_index(
     assignment (the full-corpus pass) runs once at build time, and every
     subsequent search touches only ``n_probe/n_centroids`` of the data as
     a partition-pruned scan — the cell directories that were not probed
-    are never listed, opened, or read.  Returns the centroids."""
+    are never listed, opened, or read.  Returns the centroids.
+
+    ``refine_iters > 0`` runs that many Lloyd k-means iterations
+    (functions.clustering — integer-exact, deterministic) from the same
+    smallest-id init before assigning: refined centroids track the data
+    distribution, tightening cells so a fixed n_probe recalls more.  Each
+    iteration is one extra corpus pass at build time — amortized over
+    every search the index ever serves."""
     import json as _json
     import os
 
-    centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    if refine_iters > 0:
+        from .clustering import kmeans_fit
+
+        centroids = kmeans_fit(
+            corpus, id_col=id_col, vec_col=vec_col, k=n_centroids, iters=refine_iters
+        )
+    else:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids)
     _assign_cells(corpus, centroids, id_col, vec_col, kernel).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
