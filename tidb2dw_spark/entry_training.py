@@ -397,6 +397,52 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(resized).drop("feature")
 
 
+@register(
+    "sim_ivf_recall_eval",
+    f"""
+WITH ivf AS (
+  SELECT * FROM ({{IVF}}) t
+), ex AS (
+  SELECT * FROM ({{EXACT}}) t
+)
+SELECT e.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       {{K}} AS k
+FROM ex e LEFT JOIN ivf i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""".replace("{IVF}", O.ivf_topk_oracle(TOPK_QUERY_MOD, TOPK_K, IVF_CENTROIDS, IVF_PROBE))
+   .replace("{EXACT}", O.topk_qcos_oracle(TOPK_QUERY_MOD, TOPK_K))
+   .replace("{K}", str(TOPK_K)),
+)
+def sim_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness IN the engine: per-query recall@k of the
+    IVF search against exact brute force — the measurement a pipeline
+    runs before trusting an index for production retrieval.  Both sides
+    are deterministic quantized math, so even the recall numbers have an
+    exact cross-engine oracle (composed from the two search oracles)."""
+    emb = _emb(spark, sf_dir, spread=False)
+    queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    ivf = ivf_topk(
+        emb, queries, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    ).select("query_id", "neighbor_id")
+    ex = brute_force_topk(
+        emb, queries, k=TOPK_K, metric="quantized_cosine", kernel="arrow"
+    ).select("query_id", "neighbor_id")
+    return (
+        ex.alias("e")
+        .join(
+            ivf.alias("i"),
+            (F.col("e.query_id") == F.col("i.query_id"))
+            & (F.col("e.neighbor_id") == F.col("i.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("i.neighbor_id")).alias("n_hits"))
+        .withColumn("k", F.lit(TOPK_K))
+    )
+
+
 KMEANS_K, KMEANS_ITERS = 8, 3
 
 
