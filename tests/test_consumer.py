@@ -233,3 +233,177 @@ def test_partitioned_table_changelog_lifecycle(spark, tmp_path):
     # resume skips both partitions' checkpointed files
     report = IncrementConsumer(spark, incr, table).poll_once()
     assert report.files_processed == 0 and report.files_skipped == 2
+
+
+def test_consumer_merge_is_bucket_pruned(spark, tmp_path):
+    """The consumer's DML path must go through ManagedTable.merge: a CDC
+    file touching PKs of ONE bucket rewrites exactly that bucket directory,
+    leaving every other bucket's files at the previous version (the
+    O(touched-data) commit the reference gets from warehouse MERGE,
+    increment.go:249-281)."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.table.managed import BUCKET_COL
+
+    incr = tmp_path / "increment"
+    base = spark.range(64).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("n"), F.col("id")).cast("string").alias("name"),
+        F.lit(1).alias("age"),
+        F.to_date(F.lit("1990-01-01")).alias("birth"),
+    )
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        base, v1.pk_columns, pk_buckets=8
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+
+    # pick two PKs that hash to the SAME bucket so the batch touches one
+    n_buckets = 8
+    by_bucket: dict[int, list[int]] = {}
+    for r in base.select(
+        "id", table._bucket_expr(["id"], n_buckets).alias("b")
+    ).collect():
+        by_bucket.setdefault(r["b"], []).append(r["id"])
+    bucket, ids = next((b, v) for b, v in by_bucket.items() if len(v) >= 2)
+    write(
+        incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+        f'"U","users","tpch",100,{ids[0]},"upd",2,1990-01-01\n'
+        f'"D","users","tpch",101,{ids[1]},"n",1,1990-01-01\n',
+    )
+
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 1
+    m = table.manifest()
+    assert m["version"] == 2
+    touched = {b for b, v in m["bucket_versions"].items() if v == 2}
+    assert touched == {str(bucket)}  # exactly one bucket rewritten
+    v2_dirs = sorted(p.name for p in (tmp_path / "wh" / "users" / "v=2").glob(f"{BUCKET_COL}=*"))
+    assert v2_dirs == [f"{BUCKET_COL}={bucket}"]
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert rows[ids[0]]["name"] == "upd" and ids[1] not in rows
+    assert len(rows) == 63
+
+
+def test_cross_partition_lww_stale_ts_in_higher_partition_loses(spark, tmp_path):
+    """Adversarial ordering for cross-partition last-writer-wins: the
+    HIGHER-numbered partition directory carries the OLDER commit_ts.  With
+    per-file blind replacement the stale row would win (applied last); the
+    consumer must instead decide by commit_ts across the whole poll batch."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv", '1,"alice",30,1990-01-01\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    # partition 5: NEWER update (ts 200)
+    write(incr / "tpch/users/1/5/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",200,1,"newer",31,1990-01-01\n')
+    # partition 9 (applied later in path order): STALE update (ts 100)
+    write(incr / "tpch/users/1/9/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"stale",30,1990-01-01\n')
+
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 2
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert rows[1]["name"] == "newer"  # stale ts in higher partition lost
+
+
+def test_json_changelog_file_merges(spark, tmp_path):
+    """CDC*.json staged files (canal-json stand-in: one envelope object per
+    line) must be read as JSON, not decoded as CSV garbage."""
+    import json as _json
+
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv", '1,"alice",30,1990-01-01\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    events = [
+        {"flag": "U", "tablename": "users", "schemaname": "tpch",
+         "commit_ts": 100, "id": 1, "name": "alice_json", "age": 31,
+         "birth": "1990-01-01"},
+        {"flag": "I", "tablename": "users", "schemaname": "tpch",
+         "commit_ts": 101, "id": 9, "name": "iris", "age": 22,
+         "birth": "2000-09-09"},
+    ]
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.json",
+          "\n".join(_json.dumps(e) for e in events) + "\n")
+
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 1
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert set(rows) == {1, 9}
+    assert rows[1]["name"] == "alice_json" and rows[1]["age"] == 31
+    assert rows[9]["name"] == "iris" and str(rows[9]["birth"]) == "2000-09-09"
+    assert (incr / "tpch/users/1/2024-01-01/CDC000001.json.checkpoint").exists()
+
+
+def test_schema_file_gc_after_ddl(spark, tmp_path):
+    """increment.go:283-329 parity: applying a DDL barrier deletes schema
+    files of older versions and rewrites the current one with Query cleared
+    (new checksum, filename updated) — and a restarted consumer still
+    resumes correctly from the GC'd state."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv", '1,"alice",30,1990-01-01\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"alice2",31,1990-01-01\n')
+    consumer = IncrementConsumer(spark, incr, table)
+    consumer.poll_once()
+    assert len(list((incr / "tpch/users/1/meta").glob("schema_*.json"))) == 1
+
+    v2 = users_def_v2()
+    assert v2.query  # fixture carries a DDL statement
+    v2.dump(incr / "tpch/users/2/meta")
+    write(incr / "tpch/users/2/2024-01-02/CDC000001.csv",
+          '"U","users","tpch",300,1,"red",1990-01-01,"f"\n')
+    report = consumer.poll_once()
+    assert report.ddl_applied == 1
+
+    # older version's schema file GC'd; current rewritten with Query == ""
+    assert list((incr / "tpch/users/1/meta").glob("schema_*.json")) == []
+    current = list((incr / "tpch/users/2/meta").glob("schema_*.json"))
+    assert len(current) == 1
+    from tidb2dw_spark.schema.table_def import load_schema_file
+
+    td = load_schema_file(current[0])  # checksum must verify post-rewrite
+    assert td.query == "" and td.version == 2
+
+    # restart from the GC'd layout: resumes, no re-applied DDL, no errors
+    write(incr / "tpch/users/2/2024-01-02/CDC000002.csv",
+          '"I","users","tpch",400,5,"eve","1995-05-05","x"\n')
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.ddl_applied == 0 and report.files_processed == 1
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert rows[1]["color"] == "red" and rows[5]["color"] == "eve"
+
+
+def test_read_range_type_mismatch_falls_back_to_scan(spark, tmp_path):
+    """Zone-map pruning with a probe type that can't compare against the
+    stored stats (Decimal vs JSON float) must degrade to a full scan, not
+    raise TypeError on the driver."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("val")
+    )
+    t = ManagedTable(tmp_path / "t").create(df, ["k"])
+    t.analyze(spark, ["val"])
+    got = t.read_range(spark, "val", Decimal("10"), Decimal("20")).count()
+    assert got == 6  # val in {10,12,14,16,18,20}

@@ -489,7 +489,10 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = events.select(
         "user_id",
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
     return gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
@@ -794,7 +797,10 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "click_event_id",
         "click_ts",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
     )
 
 

@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sources.envelope import COMMIT_TS_COL, FLAG_COL
+from ..sources.envelope import COMMIT_TS_COL, FILE_SEQ_COL, FLAG_COL
 
 
 def last_writer_wins(
@@ -32,7 +32,13 @@ def last_writer_wins(
     flag_col: str = FLAG_COL,
 ) -> DataFrame:
     """Keep only the newest event per primary key."""
-    w = Window.partitionBy(*pk_cols).orderBy(F.desc(ts_col), F.desc(flag_col))
+    order = [F.desc(ts_col)]
+    if FILE_SEQ_COL in batch.columns:
+        # multi-file batch: on a commit_ts tie the later file wins, matching
+        # the reference's serial file-application order
+        order.append(F.desc(FILE_SEQ_COL))
+    order.append(F.desc(flag_col))
+    w = Window.partitionBy(*pk_cols).orderBy(*order)
     return (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -43,7 +43,9 @@ def range_count_join(
     on = list(on)
     w_us = int(window_seconds) * 1_000_000
 
-    lt = left.withColumn(_LUS, F.unix_micros(F.col(left_ts)))
+    # cast: accept TIMESTAMP and TIMESTAMP_NTZ inputs alike (UTC session,
+    # so the NTZ cast is epoch-identical to the naive value)
+    lt = left.withColumn(_LUS, F.unix_micros(F.col(left_ts).cast("timestamp")))
     # two candidate buckets cover the whole window: floor(t/W) and that - 1
     lt = lt.withColumn(
         _BUCKET,
@@ -56,7 +58,7 @@ def range_count_join(
     )
     rt = right.select(
         *on,
-        F.unix_micros(F.col(right_ts)).alias(_RUS),
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias(_RUS),
     ).withColumn(_BUCKET, F.floor(F.col(_RUS) / w_us))
 
     joined = lt.join(rt, [*on, _BUCKET], "left")

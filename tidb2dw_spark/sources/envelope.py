@@ -17,6 +17,12 @@ COMMIT_TS_COL = "commit_ts"
 
 ENVELOPE_COLUMNS = [FLAG_COL, TABLENAME_COL, SCHEMANAME_COL, COMMIT_TS_COL]
 
+# Consumer-added batch column: position of the source file in application
+# order when several CDC files are merged as one batch.  Used as the
+# commit_ts tiebreaker (later file wins — reference applies files serially,
+# so a same-ts row in a later file overwrites the earlier one).
+FILE_SEQ_COL = "__file_seq"
+
 _ENVELOPE_FIELDS = [
     T.StructField(FLAG_COL, T.StringType(), False),
     T.StructField(TABLENAME_COL, T.StringType(), True),

@@ -101,7 +101,9 @@ def windowed_event_counts(
     duration/slide windows before the shuffle — the partial aggregation
     still combines map-side, so shuffle bytes stay per-(window,type), not
     per-event."""
-    df = events
+    # watermarks require TIMESTAMP (reject NTZ); UTC session makes the cast
+    # epoch-identical for parquet-inferred TIMESTAMP_NTZ event time
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     agg = [
@@ -261,10 +263,13 @@ def interval_join_clicks_before_errors(
     which quantizes the interval into an equi-join instead of buffering.
     """
     e = errors.select(
-        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("error_ts"),
     )
     c = clicks.select(
-        F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+        F.col("user_id").alias("click_user"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
     )
     if errors.isStreaming:
         e = e.withWatermark("error_ts", watermark)
@@ -292,6 +297,7 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     day ingest; the watermark variant trades that for "duplicates arrive
     within the lateness bound", which is what CDC/event buses guarantee).
     Batch twin: ``dropDuplicates`` on the same key."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             ["event_id"]

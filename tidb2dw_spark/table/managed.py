@@ -394,10 +394,16 @@ class ManagedTable:
             return v if isinstance(v, (int, float)) and not isinstance(v, bool) else str(v)
 
         elo, ehi = enc(lo), enc(hi)
-        keep = [
-            f for f, cs in stats["files"].items()
-            if cs[col][0] is not None and not (cs[col][1] < elo or cs[col][0] > ehi)
-        ]
+        try:
+            keep = [
+                f for f, cs in stats["files"].items()
+                if cs[col][0] is not None and not (cs[col][1] < elo or cs[col][0] > ehi)
+            ]
+        except TypeError:
+            # probe type doesn't compare with the stored stats (e.g. Decimal
+            # probe vs numeric-JSON stats): pruning is an optimization, so
+            # degrade to a full scan instead of failing the query
+            return self.read(spark).filter(pred)
         if not keep:
             from pyspark.sql.types import StructType
 
