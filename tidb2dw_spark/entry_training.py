@@ -39,6 +39,7 @@ from .functions.similarity import (
     brute_force_topk,
     build_ivf_index,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_arrow,
     ivf_index_topk,
     ivf_topk,
     lsh_bucketed_topk,
@@ -241,7 +242,11 @@ def sim_topk_qcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_embedding_near_dup", O.embedding_near_dup_oracle(NEAR_DUP_T))
 def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
+    """Exact near-dup pairs via the Arrow tile kernel — same result as
+    the expression-path embedding_near_dup_pairs (the sf0.001 reference
+    implementation), but the plan is a single scan + mapInPandas matmul
+    instead of a BroadcastNestedLoopJoin over the pair space."""
+    return embedding_near_dup_pairs_arrow(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
 
 
 @register("sim_paraphrase_candidates", O.paraphrase_candidates_oracle(NEAR_DUP_T))
@@ -252,7 +257,7 @@ def sim_paraphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     interesting set for dedup policy and eval-contamination checks).  The
     pair frame is tiny relative to the corpus, so the two fingerprint
     joins are AQE-broadcast of the pair side at scale."""
-    pairs = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
+    pairs = embedding_near_dup_pairs_arrow(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
     fp = _docs(spark, sf_dir).select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fp")
     )
@@ -383,15 +388,20 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas — rows-only, exactness in pytest)
 # ---------------------------------------------------------------------------
-@register("mm_image_features")
+@register("mm_image_features", O.IMAGE_FEATURES_ORACLE)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact oracle via the ASCII-bytes technique (blobs are UTF-8 text):
+    n_bytes/mean_byte recomputed from the characters in SQL; the float
+    feature vector stays pytest-verified (array-of-float formatting is
+    not portable across engines)."""
     media = attach_media(_docs(spark, sf_dir, spread=True))
     return extract_image_features(media).drop("feature")
 
 
-@register("mm_resize_then_features")
+@register("mm_resize_then_features", O.resized_features_oracle(16 * 4))
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composability check: resize output feeds feature extraction."""
+    """Composability check: resize output feeds feature extraction —
+    exact oracle over the truncate/zero-pad resize contract."""
     media = attach_media(_docs(spark, sf_dir, spread=True))
     resized = resize_images(media, target_w=16, target_h=4)
     return extract_image_features(resized).drop("feature")

@@ -294,6 +294,36 @@ GROUP BY doc_id
 """
 
 
+IMAGE_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(COALESCE(octet_length(encode(text)), 0) AS INT) AS n_bytes,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+            ELSE list_sum([ord(text[i]) for i in range(1, length(text)+1)])
+                 / CAST(octet_length(encode(text)) AS DOUBLE)
+       END AS mean_byte
+FROM documents
+"""
+
+
+def resized_features_oracle(n: int) -> str:
+    """Oracle for resize(target bytes = n) → feature extraction: the fake
+    resize kernel truncates/zero-pads the UTF-8 byte stream to n bytes, so
+    n_bytes is n for every non-null blob and mean_byte sums the first
+    min(len, n) bytes over n (zero padding contributes nothing).  Exact
+    because the corpus is ASCII (ord == byte value), the byte sum is an
+    exact integer in both engines, and the single double divide is IEEE."""
+    return f"""
+SELECT doc_id,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE {n} END AS INT) AS n_bytes,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE COALESCE(list_sum(
+                   [ord(text[i]) for i in range(1, least(length(text), {n}) + 1)]
+                 ), 0) / {n}.0
+       END AS mean_byte
+FROM documents
+"""
+
+
 IMAGE_PHASH_ORACLE = """
 WITH b AS (
   SELECT doc_id,
