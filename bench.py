@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sample_token_budget_per_source",
     "q_small_qty_revenue_by_brand",
     "events_daily_gapfill",
+    "pipeline_changelog_replay",
 ]
 
 

@@ -79,7 +79,10 @@ def test_diff_is_symmetric_on_identity():
         ("datetime", "", "", T.TimestampType()),
         ("timestamp", "", "", T.TimestampType()),
         ("varbinary", "", "", T.BinaryType()),
-        ("longblob", "", "", T.BinaryType()),
+        # longblob exceeds the 8 MiB warehouse binary cap → rejected unless
+        # allow_large_blobs (snowsql/types.go:19-21 parity; see
+        # tests/test_introspection.py::test_blob_size_cap)
+        ("blob", "", "", T.BinaryType()),
     ],
 )
 def test_type_map(tp, precision, scale, expected):

@@ -1,0 +1,271 @@
+"""Driver-checked end-to-end pipeline replay (S3/S4/S5/S6, O1/O3, D4-D7,
+W1, J1-J3, ST4/ST5/S11 in one row).
+
+The reference's whole runtime is: snapshot load, then an ordered multi-file
+multi-version changelog consumed through DDL barriers with checkpoint
+markers (replicate/increment.go:331-371).  The unit tests cover it; these
+two registry entries make the DRIVER's DuckDB gate cover it too:
+
+- ``pipeline_changelog_replay``: stages a deterministic snapshot + CDC
+  layout derived from the ``orders`` table (two partition directories with
+  adversarial commit_ts ordering, a second table version adding a column),
+  replays it through ``IncrementConsumer`` into a PK-bucketed
+  ``ManagedTable``, and returns the final table.
+- ``pipeline_replay_resume``: same fold, but consumed by TWO consumer
+  instances across a simulated restart — the second instance must skip
+  checkpoint-marked files, resume from the managed table's persisted
+  schema version, and still converge to the same final state.
+
+The oracle recomputes the fold FROM THE SAME STAGED FILES with DuckDB
+``read_csv``: per table version, last-writer-wins by (commit_ts,
+application order) over the unioned CDC files, anti-join ∪ survivors
+against the running state, with the version-2 ADD-column barrier applied
+between the folds.  Staging lives under fixed /tmp roots because oracle
+SQL strings are static; the Spark callable rewrites the layout from
+scratch on every call (the driver always runs the Spark side first), so
+the oracle always reads the layout for the scale factor under test.
+
+Fixture timestamps keep per-key commit_ts monotonic across ascending file
+indices (TiCDC's delivery guarantee); the adversarial case — an OLDER
+commit_ts in a HIGHER-numbered partition directory — is staged explicitly
+and must lose.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema.table_def import TableCol, TableDefinition
+from .schema.types import table_def_to_struct
+from .sources.snapshot import read_snapshot_csv
+from .streaming.consumer import IncrementConsumer
+from .table.managed import ManagedTable
+
+REPLAY_ROOT = "/tmp/tidb2dw_replay"
+RESUME_ROOT = "/tmp/tidb2dw_replay_resume"
+
+_SCHEMA, _TABLE = "tpch", "orders_replay"
+_PK_BUCKETS = 8
+
+
+def _def_v1() -> TableDefinition:
+    return TableDefinition(
+        schema=_SCHEMA, table=_TABLE, version=1,
+        columns=[
+            TableCol(id="1", name="o_orderkey", tp="bigint", is_pk="true", nullable="false"),
+            TableCol(id="2", name="o_custkey", tp="bigint"),
+            TableCol(id="3", name="o_orderstatus", tp="varchar", precision="10"),
+            TableCol(id="4", name="o_total_cents", tp="bigint"),
+        ],
+    )
+
+
+def _def_v2() -> TableDefinition:
+    d = _def_v1()
+    d.version = 2
+    d.query = "ALTER TABLE orders_replay ADD COLUMN o_note varchar(20)"
+    d.columns = d.columns + [
+        TableCol(id="5", name="o_note", tp="varchar", precision="20")
+    ]
+    return d
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, str):
+        return '"' + v.replace('"', '""') + '"'
+    return str(v)
+
+
+def _write_csv(path: Path, rows: list[tuple]) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    buf = io.StringIO()
+    for r in rows:
+        buf.write(",".join(_fmt(v) for v in r) + "\n")
+    path.write_text(buf.getvalue())
+
+
+def _base_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_total_cents"),
+        )
+    )
+    rows = [
+        (r["o_orderkey"], r["o_custkey"], r["o_orderstatus"], r["o_total_cents"])
+        for r in df.collect()
+    ]
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+def _env(flag: str, ts: int, payload: tuple) -> tuple:
+    return (flag, _TABLE, _SCHEMA, ts) + payload
+
+
+def _stage_v1(root: Path, base: list[tuple], extra_p1_file: bool) -> None:
+    """Snapshot + version-1 changelog.  Partition 2 carries a STALE update
+    to the same keys as partition 1 (older commit_ts, lexically later path)
+    — cross-partition last-writer-wins must discard it."""
+    _write_csv(root / "snapshot" / f"{_SCHEMA}.{_TABLE}.000000001.csv", base)
+    _def_v1().dump(root / "increment" / _SCHEMA / _TABLE / "1" / "meta")
+
+    upd = [r for r in base if r[0] % 21 == 0]
+    dels = [r for r in base if r[0] % 33 == 0]
+    ins = [r for r in base if r[0] % 30 == 0]
+
+    _write_csv(
+        root / "increment" / _SCHEMA / _TABLE / "1" / "1" / "2024-01-01" / "CDC000001.csv",
+        [_env("U", 10000 + r[0] % 97, (r[0], r[1], "P1", r[3] + 100)) for r in upd],
+    )
+    _write_csv(
+        root / "increment" / _SCHEMA / _TABLE / "1" / "1" / "2024-01-01" / "CDC000002.csv",
+        [_env("D", 20000 + r[0] % 97, r) for r in dels]
+        + [_env("I", 21000 + r[0] % 97, (r[0] + 9000000, r[1], "N1", r[3] + 1)) for r in ins],
+    )
+    _write_csv(
+        root / "increment" / _SCHEMA / _TABLE / "1" / "2" / "2024-01-01" / "CDC000001.csv",
+        [_env("U", 9000 + r[0] % 97, (r[0], r[1], "STALE", r[3] - 5)) for r in upd],
+    )
+    if extra_p1_file:
+        more = [r for r in base if r[0] % 24 == 0]
+        _write_csv(
+            root / "increment" / _SCHEMA / _TABLE / "1" / "1" / "2024-01-01" / "CDC000003.csv",
+            [_env("U", 22000 + r[0] % 97, (r[0], r[1], "P3", r[3] + 3)) for r in more],
+        )
+
+
+def _stage_v2(root: Path, base: list[tuple]) -> None:
+    """Version-2 barrier (ADD o_note) + post-DDL changelog."""
+    _def_v2().dump(root / "increment" / _SCHEMA / _TABLE / "2" / "meta")
+    v2 = [r for r in base if r[0] % 27 == 0]
+    _write_csv(
+        root / "increment" / _SCHEMA / _TABLE / "2" / "2024-01-02" / "CDC000001.csv",
+        [_env("U", 30000 + r[0] % 97, (r[0], r[1], "V2", r[3] + 7, "v2")) for r in v2],
+    )
+
+
+def _load_snapshot(spark: SparkSession, root: Path) -> ManagedTable:
+    v1 = _def_v1()
+    snap = read_snapshot_csv(
+        spark,
+        f"{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv",
+        table_def_to_struct(v1),
+    )
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_replay_wh_"))
+    return ManagedTable(wh / _TABLE).create(snap, v1.pk_columns, pk_buckets=_PK_BUCKETS)
+
+
+def pipeline_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-poll full lifecycle: snapshot load → v1 files (3 files, 2
+    partition dirs, adversarial ts) → DDL barrier → v2 file."""
+    root = Path(REPLAY_ROOT)
+    shutil.rmtree(root, ignore_errors=True)
+    base = _base_rows(spark, sf_dir)
+    _stage_v1(root, base, extra_p1_file=False)
+    _stage_v2(root, base)
+    table = _load_snapshot(spark, root)
+    IncrementConsumer(spark, root / "increment", table).poll_once()
+    return table.read(spark)
+
+
+def pipeline_replay_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart parity: consumer #1 processes the initial v1 files; new
+    files + the v2 barrier arrive; a FRESH consumer #2 (rebuilt state) must
+    skip the marker-checkpointed files and converge to the same fold."""
+    root = Path(RESUME_ROOT)
+    shutil.rmtree(root, ignore_errors=True)
+    base = _base_rows(spark, sf_dir)
+    _stage_v1(root, base, extra_p1_file=False)
+    table = _load_snapshot(spark, root)
+    r1 = IncrementConsumer(spark, root / "increment", table).poll_once()
+    assert r1.files_processed == 3, r1
+
+    # late arrivals: one more v1 file + the DDL barrier + a v2 file
+    _stage_v1(root, base, extra_p1_file=True)  # rewrites v1 files; markers persist
+    _stage_v2(root, base)
+    r2 = IncrementConsumer(spark, root / "increment", table).poll_once()
+    assert r2.files_skipped == 3 and r2.files_processed == 2 and r2.ddl_applied == 1, r2
+    return table.read(spark)
+
+
+_ENV_COLS = (
+    "'flag':'VARCHAR','tablename':'VARCHAR','schemaname':'VARCHAR','commit_ts':'BIGINT'"
+)
+_V1_COLS = (
+    "'o_orderkey':'BIGINT','o_custkey':'BIGINT',"
+    "'o_orderstatus':'VARCHAR','o_total_cents':'BIGINT'"
+)
+_V2_COLS = _V1_COLS + ",'o_note':'VARCHAR'"
+
+
+def _fold_oracle(root: str) -> str:
+    """DuckDB recomputation of the consumer fold from the staged files.
+
+    Application order within a version = lexicographic file path (the
+    consumer's (partition, date, index) sort is exactly the path order for
+    this layout), used as the commit_ts tiebreaker like FILE_SEQ_COL."""
+    return f"""
+WITH snap AS (
+  SELECT * FROM read_csv('{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv',
+    header=false, nullstr='\\N', columns={{{_V1_COLS}}})
+),
+e1 AS (
+  SELECT *, dense_rank() OVER (ORDER BY filename) AS seq
+  FROM read_csv('{root}/increment/{_SCHEMA}/{_TABLE}/1/*/*/CDC*.csv',
+    header=false, nullstr='\\N', filename=true,
+    columns={{{_ENV_COLS},{_V1_COLS}}})
+),
+w1 AS (
+  SELECT * FROM e1
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+    ORDER BY commit_ts DESC, seq DESC, flag DESC) = 1
+),
+s1 AS (
+  SELECT t.* FROM snap t
+  WHERE NOT EXISTS (SELECT 1 FROM w1 f WHERE f.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_total_cents
+  FROM w1 WHERE flag <> 'D'
+),
+s1b AS (SELECT *, CAST(NULL AS VARCHAR) AS o_note FROM s1),
+e2 AS (
+  SELECT *, dense_rank() OVER (ORDER BY filename) AS seq
+  FROM read_csv('{root}/increment/{_SCHEMA}/{_TABLE}/2/*/CDC*.csv',
+    header=false, nullstr='\\N', filename=true,
+    columns={{{_ENV_COLS},{_V2_COLS}}})
+),
+w2 AS (
+  SELECT * FROM e2
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+    ORDER BY commit_ts DESC, seq DESC, flag DESC) = 1
+)
+SELECT t.* FROM s1b t
+WHERE NOT EXISTS (SELECT 1 FROM w2 f WHERE f.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_total_cents, o_note
+FROM w2 WHERE flag <> 'D'
+"""
+
+
+QUERIES = {
+    "pipeline_changelog_replay": pipeline_changelog_replay,
+    "pipeline_replay_resume": pipeline_replay_resume,
+}
+ORACLES = {
+    "pipeline_changelog_replay": _fold_oracle(REPLAY_ROOT),
+    "pipeline_replay_resume": _fold_oracle(RESUME_ROOT),
+}

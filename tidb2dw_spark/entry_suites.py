@@ -1,0 +1,158 @@
+"""Checksum suites: one driver row verifying a FAMILY of queries.
+
+The driver's correctness gate checks at most ~50 registry entries, so the
+30-query analytics breadth and the 5-query sampling family are verified
+through two composite entries.  Each member query's full result is folded
+to a single (query, n_rows, checksum) row with an engine-portable integer
+fingerprint, and the suite returns one row per member — a hash mismatch in
+ANY member's rows flips that member's checksum, so the driver row carries
+the same bit-exactness signal as 30 individual rows.
+
+Fingerprint (identical algebra in Spark and DuckDB, integer-only):
+
+    col_fp  = ((raw % M) + M) % M        with NULL → 987654321
+    row_fp  = (Σ_i (col_fp_i · W_i) % M) % M   (columns sorted by name)
+    result  = (COUNT(*), SUM(row_fp) % nothing — sum < 2^51, exact BIGINT)
+
+raw per type: integers as-is; strings via the md5-hex→int idiom already
+proven across engines (functions/dedup.py:55 / oracle_sql.sql_md5_long);
+doubles quantized FLOOR(x·1e6 + 0.5) (bit-identical doubles → identical
+integers); timestamps as epoch microseconds (UTC session); booleans 0/1.
+M = 2^31 − 1 keeps every product under 2^62 (no BIGINT overflow in either
+engine, and Spark's ANSI overflow checking never fires).
+
+The member column specs are pinned literally below: if a member's schema
+drifts, the Spark side raises instead of silently fingerprinting different
+columns, and tests/test_oracle_parity.py catches the mismatch.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_M = 2_147_483_647
+_NULL_FP = 987_654_321
+_WEIGHTS = [10007, 10037, 10061, 10091, 10139, 10141, 10151, 10159, 10163, 10169]
+
+# kind ∈ int | str | dbl | ts | bool
+ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
+    "q_rollup_priority_status": [("o_orderpriority", "str"), ("o_orderstatus", "str"), ("gid", "int"), ("n_orders", "int"), ("revenue_cents", "int")],
+    "q_top3_customers_per_nation": [("c_nationkey", "int"), ("c_custkey", "int"), ("revenue_cents", "int"), ("rnk", "int")],
+    "q_doclen_quantiles_by_lang": [("lang", "str"), ("n_docs", "int"), ("p25", "int"), ("p50", "int"), ("p75", "int"), ("p90", "int")],
+    "text_vocab_top_terms": [("term", "str"), ("n", "int")],
+    "text_redact_pii": [("doc_id", "int"), ("n_emails", "int"), ("n_phones", "int"), ("clean", "str")],
+    "text_repetition_stats": [("doc_id", "int"), ("top_word_count", "int"), ("n_words", "int")],
+    "q_revenue_by_nation": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
+    "q_revenue_by_region": [("r_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
+    "q_brand_revenue_by_supp_nation": [("n_name", "str"), ("p_brand", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
+    "q_orders_with_returns": [("o_orderkey", "int"), ("o_orderstatus", "str"), ("totalprice_cents", "int")],
+    "events_user_interarrival": [("user_id", "int"), ("n_gaps", "int"), ("min_gap_us", "int"), ("max_gap_us", "int"), ("sum_gap_us", "int")],
+    "events_distinct_users_by_type": [("event_type", "str"), ("n_users", "int"), ("n_events", "int")],
+    "emb_label_centroid_sums": [("label", "int"), ("pos", "int"), ("qsum", "int"), ("n", "int")],
+    "q_order_price_quartiles": [("o_orderkey", "int"), ("o_orderpriority", "str"), ("quartile", "int"), ("price_rank", "int")],
+    "q_cumulative_revenue_per_customer": [("o_custkey", "int"), ("o_orderkey", "int"), ("cum_revenue_cents", "int")],
+    "events_type_pivot": [("user_id", "int"), ("click", "int"), ("error", "int"), ("purchase", "int"), ("signup", "int"), ("view", "int")],
+    "q_orders_above_avg": [("o_orderkey", "int"), ("totalprice_cents", "int")],
+    "events_json_extract_agg": [("k", "int"), ("n_events", "int"), ("n_users", "int")],
+    "text_boilerplate_segments": [("doc_id", "int"), ("seg", "str"), ("seg_docs", "int"), ("is_boilerplate", "bool")],
+    "q_window_value_suite": [("o_orderkey", "int"), ("o_orderpriority", "str"), ("next_cents", "int"), ("cheapest_key", "int"), ("price_pct_rank", "dbl"), ("price_cume_dist", "dbl")],
+    "q_customer_priority_setops": [("tag", "str"), ("o_custkey", "int")],
+    "q_cube_priority_status": [("o_orderpriority", "str"), ("o_orderstatus", "str"), ("gid", "int"), ("n_orders", "int"), ("revenue_cents", "int")],
+    "q_small_qty_revenue_by_brand": [("p_brand", "str"), ("n_small", "int"), ("revenue_cents", "int")],
+    "q_monthly_order_stats": [("month", "ts"), ("n_orders", "int"), ("n_customers", "int"), ("revenue_cents", "int")],
+    "events_daily_gapfill": [("user_id", "int"), ("dday", "ts"), ("n_events", "int")],
+    "q_trailing_week_revenue": [("o_orderpriority", "str"), ("dday", "ts"), ("rev_cents", "int"), ("rev_7d_cents", "int")],
+    "q_shipping_priority_top10": [("l_orderkey", "int"), ("o_orderdate", "ts"), ("revenue_cents", "int")],
+    "q_nation_presence_fulljoin": [("nationkey", "int"), ("n_cust", "int"), ("n_supp", "int")],
+}
+
+SAMPLING_SPEC: dict[str, list[tuple[str, str]]] = {
+    "split_train_test": [("doc_id", "int"), ("split", "str")],
+    "sample_stratified_by_lang": [("doc_id", "int"), ("lang", "str")],
+    "sample_cap_per_source": [("doc_id", "int"), ("source", "str"), ("sample_rank", "int")],
+    "split_by_source_group": [("doc_id", "int"), ("source", "str"), ("split", "str")],
+    "sample_token_budget_per_source": [("doc_id", "int"), ("source", "str"), ("n_tokens", "int"), ("cum_tokens", "int")],
+}
+
+
+# -- Spark side --------------------------------------------------------------
+def _spark_raw(col: str, kind: str):
+    c = F.col(col)
+    if kind == "int" or kind == "bool":
+        return c.cast("long")
+    if kind == "str":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    if kind == "dbl":
+        return F.floor(c.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")
+    if kind == "ts":
+        return F.unix_micros(c.cast("timestamp"))
+    raise ValueError(f"unknown fingerprint kind {kind!r}")
+
+
+def _spark_row_fp(spec: list[tuple[str, str]]):
+    terms = []
+    for i, (col, kind) in enumerate(sorted(spec)):
+        col_fp = F.pmod(F.coalesce(_spark_raw(col, kind), F.lit(_NULL_FP)), F.lit(_M))
+        terms.append(F.pmod(col_fp * F.lit(_WEIGHTS[i]), F.lit(_M)))
+    return F.pmod(reduce(lambda a, b: a + b, terms), F.lit(_M))
+
+
+def suite_query(spec_by_member: dict[str, list[tuple[str, str]]], registry):
+    """Build the suite callable: one (query, n_rows, checksum) row per
+    member.  Members run as independent subplans of one union job."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        outs = []
+        for name in sorted(spec_by_member):
+            spec = spec_by_member[name]
+            df = registry[name](spark, sf_dir)
+            missing = {c for c, _ in spec} - set(df.columns)
+            if missing:
+                raise RuntimeError(f"{name}: fingerprint spec drift, missing {missing}")
+            outs.append(
+                df.select(_spark_row_fp(spec).alias("row_fp"))
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.coalesce(F.sum("row_fp"), F.lit(0)).cast("long").alias("checksum"),
+                )
+                .select(F.lit(name).alias("query"), "n_rows", "checksum")
+            )
+        return reduce(lambda a, b: a.unionByName(b), outs)
+
+    return run
+
+
+# -- DuckDB side -------------------------------------------------------------
+def _dk_raw(col: str, kind: str) -> str:
+    if kind == "int" or kind == "bool":
+        return f"CAST({col} AS BIGINT)"
+    if kind == "str":
+        return f"('0x'||substr(md5({col}),1,15))::BIGINT"
+    if kind == "dbl":
+        return f"CAST(FLOOR(CAST({col} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    if kind == "ts":
+        return f"epoch_us({col})"
+    raise ValueError(f"unknown fingerprint kind {kind!r}")
+
+
+def _dk_row_fp(spec: list[tuple[str, str]]) -> str:
+    terms = []
+    for i, (col, kind) in enumerate(sorted(spec)):
+        col_fp = f"(((COALESCE({_dk_raw(col, kind)}, {_NULL_FP}) % {_M}) + {_M}) % {_M})"
+        terms.append(f"(({col_fp} * {_WEIGHTS[i]}) % {_M})")
+    return f"(({' + '.join(terms)}) % {_M})"
+
+
+def suite_oracle(spec_by_member: dict[str, list[tuple[str, str]]], oracles: dict[str, str]) -> str:
+    parts = []
+    for name in sorted(spec_by_member):
+        spec, member_sql = spec_by_member[name], oracles[name]
+        parts.append(
+            f"SELECT '{name}' AS query, COUNT(*) AS n_rows,\n"
+            f"       CAST(COALESCE(SUM(row_fp), 0) AS BIGINT) AS checksum\n"
+            f"FROM (SELECT {_dk_row_fp(spec)} AS row_fp FROM ({member_sql}) __m) __f"
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -30,14 +30,44 @@ _TEXT_TYPES = {
 }
 _BINARY_TYPES = {"binary", "varbinary", "tinyblob", "blob", "mediumblob", "longblob"}
 
+# Warehouse binary cap (reference snowsql/types.go:19-21,57-58: mediumblob/
+# longblob are rejected beyond Snowflake's 8 MiB BINARY limit).  Intrinsic
+# MySQL maxima — used when the catalog supplies no explicit length.
+MAX_BLOB_BYTES = 8 * 1024 * 1024
+_BLOB_INTRINSIC_MAX = {"mediumblob": 16_777_215, "longblob": 4_294_967_295}
 
-def tidb_type_to_spark(tp: str, precision: str | None = None, scale: str | None = None) -> T.DataType:
-    """Map a TiDB ``information_schema``-style type name to a Spark type."""
+
+class UnsupportedTypeError(ValueError):
+    pass
+
+
+def tidb_type_to_spark(
+    tp: str,
+    precision: str | None = None,
+    scale: str | None = None,
+    allow_large_blobs: bool = False,
+) -> T.DataType:
+    """Map a TiDB ``information_schema``-style type name to a Spark type.
+
+    mediumblob/longblob columns whose (declared or intrinsic) size exceeds
+    8 MiB are rejected like the reference's Snowflake dialect
+    (snowsql/types.go:19-21,57-58) unless *allow_large_blobs* — Spark
+    itself has no such cap, but silently accepting a column the reference
+    refuses would desync replication contracts."""
     base = tp.strip().lower()
     unsigned = "unsigned" in base
     # strip parenthesised precision "int(11)" and attribute words
     m = re.match(r"([a-z0-9_]+)", base)
     name = m.group(1) if m else base
+
+    if name in _BLOB_INTRINSIC_MAX and not allow_large_blobs:
+        declared = int(precision) if precision not in (None, "") else _BLOB_INTRINSIC_MAX[name]
+        if declared > MAX_BLOB_BYTES:
+            raise UnsupportedTypeError(
+                f"{name} of {declared} bytes exceeds the {MAX_BLOB_BYTES}-byte "
+                "warehouse binary cap (snowsql/types.go:19-21 parity); pass "
+                "allow_large_blobs=True to map it to BinaryType anyway"
+            )
 
     if name == "bigint":
         return T.DecimalType(20, 0) if unsigned else T.LongType()
