@@ -407,3 +407,44 @@ def test_read_range_type_mismatch_falls_back_to_scan(spark, tmp_path):
     t.analyze(spark, ["val"])
     got = t.read_range(spark, "val", Decimal("10"), Decimal("20")).count()
     assert got == 6  # val in {10,12,14,16,18,20}
+
+
+def test_consumer_auto_compaction(spark, tmp_path):
+    """Opt-in auto-compaction: after the configured number of merge
+    commits the consumer bin-packs decayed buckets (one file each) while
+    preserving the table contents — the maintenance hook a long-running
+    CDC stream needs (every merge writes one file per shuffle task)."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.table.managed import BUCKET_COL
+
+    incr = tmp_path / "increment"
+    base = spark.range(32).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("x").alias("name"),
+        F.lit(1).alias("age"),
+        F.to_date(F.lit("1990-01-01")).alias("birth"),
+    )
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        base, v1.pk_columns, pk_buckets=4
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"u1",2,1990-01-01\n'
+          '"U","users","tpch",100,2,"u2",2,1990-01-01\n')
+
+    consumer = IncrementConsumer(
+        spark, incr, table, compact_after_merges=1, compact_max_files=0
+    )
+    report = consumer.poll_once()
+    assert report.files_processed == 1
+    m = table.manifest()
+    # merge bumped to v2, compaction to v3
+    assert m["version"] == 3
+    for b, v in m["bucket_versions"].items():
+        bdir = tmp_path / "wh" / "users" / f"v={v}" / f"{BUCKET_COL}={b}"
+        if bdir.exists():
+            assert len(list(bdir.glob("*.parquet"))) == 1
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert len(rows) == 32 and rows[1]["name"] == "u1" and rows[2]["name"] == "u2"

@@ -79,6 +79,8 @@ class IncrementConsumer:
         schema_name: str | None = None,
         table_name: str | None = None,
         gc_schema_files: bool = True,
+        compact_after_merges: int | None = None,
+        compact_max_files: int = 4,
     ):
         self.spark = spark
         self.root = Path(increment_root)
@@ -89,6 +91,13 @@ class IncrementConsumer:
         # rewritten with its Query cleared (it has been executed)
         self.gc_schema_files = gc_schema_files
         self._schema_file_paths: dict[DmlPathKey, str] = {}
+        # every merge writes one file per shuffle task into each touched
+        # bucket, so a long-running stream decays the table into thousands
+        # of tiny files; opt-in auto-compaction (Delta auto-OPTIMIZE
+        # parity) bin-packs after every N merge commits
+        self.compact_after_merges = compact_after_merges
+        self.compact_max_files = compact_max_files
+        self._merges_since_compact = 0
         # multi-table layouts share one increment root; each consumer owns
         # exactly one (schema, table) and must ignore its neighbors'
         # files (reference: one changefeed consumer per table)
@@ -252,3 +261,10 @@ class IncrementConsumer:
             if self.write_markers:
                 Path(path + CHECKPOINT_SUFFIX).touch()
             self.seen_indices[key] = max(self.seen_indices.get(key, -1), idx)
+        if self.compact_after_merges is not None:
+            self._merges_since_compact += 1
+            if self._merges_since_compact >= self.compact_after_merges:
+                self.table.compact(
+                    self.spark, max_files_per_bucket=self.compact_max_files
+                )
+                self._merges_since_compact = 0
