@@ -80,6 +80,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="full = snapshot + increments (cmd/core.go:31-43 run modes)",
     )
     rep.add_argument("--pk-buckets", type=int, default=0, help="hash buckets for the managed table (0 = unbucketed)")
+    rep.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="auto-compact decayed buckets after every N merge commits "
+        "(long-running streams; default: off, use `optimize` out-of-band)",
+    )
     rep.add_argument("--loop", action="store_true", help="keep polling for new CDC files")
     rep.add_argument("--poll-interval", type=float, default=12.0, help="seconds between polls (flush-interval/5 default)")
     rep.add_argument("--max-polls", type=int, default=None, help="stop --loop after N polls (default: forever)")
@@ -193,6 +200,7 @@ def _cmd_replicate(args: argparse.Namespace) -> int:
             td,
             registry=registry,
             pk_buckets=args.pk_buckets,
+            compact_after_merges=args.compact_every,
         )
         for _, td in sorted(defs.items())
     ]

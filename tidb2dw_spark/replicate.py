@@ -38,6 +38,7 @@ class TableReplicator:
         table_def: TableDefinition,
         registry: MetricsRegistry = DEFAULT_REGISTRY,
         pk_buckets: int = 0,
+        compact_after_merges: int | None = None,
     ):
         self.spark = spark
         self.snapshot_dir = Path(snapshot_dir)
@@ -45,6 +46,7 @@ class TableReplicator:
         self.table_def = table_def
         self.registry = registry
         self.pk_buckets = pk_buckets
+        self.compact_after_merges = compact_after_merges
         self.table = ManagedTable(Path(warehouse_dir) / table_def.table)
         self.consumer: IncrementConsumer | None = None
 
@@ -81,6 +83,7 @@ class TableReplicator:
                 self.table,
                 schema_name=self.table_def.schema,
                 table_name=self.table_def.table,
+                compact_after_merges=self.compact_after_merges,
             )
         report = self.consumer.poll_once()
         self.registry.set_stage(self.fqn, TableStage.INCREMENTAL)
