@@ -456,12 +456,14 @@ def sim_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K, KMEANS_ITERS = 8, 3
 
 
-@register("emb_kmeans_centroids")
+@register("emb_kmeans_centroids", O.kmeans_oracle(8, 3))
 def emb_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative Lloyd k-means (rows-only: iterative algorithms are not
-    SQL-expressible; exactness is pinned in pytest against a pure-Python
-    twin).  Returns the final centroid matrix as (cluster, pos, value)
-    rows plus each cluster's member count."""
+    """Iterative Lloyd k-means with an EXACT oracle: the iteration count
+    is a compile-time constant, so the driver-side loop unrolls into
+    chained SQL stages (oracle_sql.kmeans_oracle); integer-only math makes
+    every stage bit-identical.  Also pinned in pytest against a
+    pure-Python twin.  Returns the final centroid matrix as
+    (cluster, pos, value) rows plus each cluster's member count."""
     from .functions.clustering import kmeans_assign, kmeans_fit
 
     emb = _emb(spark, sf_dir, spread=False)

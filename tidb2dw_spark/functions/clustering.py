@@ -11,9 +11,11 @@ integer domain (round(x·1e6)), and centroid updates use one explicit
 half-up rational division, so results are bit-reproducible across runs,
 partitionings, and a plain-Python reference implementation (tested).
 
-This is the "iterative algorithm" class the SQL oracle can't express
-(the driver registers it rows-only); exactness is pinned in pytest
-against the pure-Python twin instead.
+Because the iteration count is a compile-time constant and every step is
+integer-exact, even this "iterative algorithm" has an exact SQL oracle:
+oracle_sql.kmeans_oracle unrolls the Lloyd loop into chained CTE stages
+that reproduce the centroids bit-for-bit.  Exactness is additionally
+pinned in pytest against a pure-Python twin.
 """
 
 from __future__ import annotations

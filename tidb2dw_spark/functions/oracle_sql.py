@@ -294,6 +294,68 @@ GROUP BY doc_id
 """
 
 
+def kmeans_oracle(k: int, iters: int) -> str:
+    """Exact oracle for integer-Lloyd k-means (functions/clustering.py):
+    the iteration count is a compile-time constant, so the "iterative
+    algorithm" unrolls into *iters* chained CTE stages — init = the k
+    smallest-id quantized vectors, each stage = argmin assignment
+    (score 2·x·c − ‖c‖², ties to the lower cluster) + half-up integer
+    centroid update floor((2s+n)/(2n)) with empty clusters keeping their
+    previous centroid, then a final assignment for member counts.  All
+    arithmetic stays on exact BIGINTs (posmod-based floor division), so
+    the result is bit-identical to the Spark/driver implementation."""
+    q = """
+WITH pts AS (
+  SELECT vec_id AS id, e['p'] AS pos, e['x'] AS x FROM (
+    SELECT vec_id,
+           unnest([{'p': i-1,
+                    'x': (round(CAST(embedding[i] AS DOUBLE)*1000000))::BIGINT}
+                   for i in range(1, len(embedding)+1)]) AS e
+    FROM embeddings) __u
+),
+c0 AS (
+  SELECT s.rn - 1 AS cluster, p.pos, p.x AS v
+  FROM (SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings ORDER BY vec_id LIMIT __K__) s
+  JOIN pts p ON p.id = s.id
+)"""
+    for t in range(iters + 1):  # one extra assignment for member counts
+        q += f""",
+n{t} AS (SELECT cluster, CAST(SUM(v*v) AS BIGINT) AS nn FROM c{t} GROUP BY cluster),
+a{t} AS (
+  SELECT id, cluster FROM (
+    SELECT p.id, c.cluster,
+           row_number() OVER (
+             PARTITION BY p.id
+             ORDER BY (2*SUM(p.x*c.v) - MIN(n.nn)) DESC, c.cluster ASC) AS rk
+    FROM pts p JOIN c{t} c ON c.pos = p.pos JOIN n{t} n ON n.cluster = c.cluster
+    GROUP BY p.id, c.cluster
+  ) __r WHERE rk = 1
+)"""
+        if t < iters:
+            q += f""",
+u{t} AS (
+  SELECT a.cluster, p.pos, CAST(SUM(p.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN pts p ON p.id = a.id GROUP BY a.cluster, p.pos
+),
+c{t + 1} AS (
+  SELECT c.cluster, c.pos,
+         CASE WHEN u.n IS NULL THEN c.v
+              ELSE (2*u.s + u.n
+                    - ((((2*u.s + u.n) % (2*u.n)) + 2*u.n) % (2*u.n))) // (2*u.n)
+         END AS v
+  FROM c{t} c LEFT JOIN u{t} u ON u.cluster = c.cluster AND u.pos = c.pos
+)"""
+    q += f"""
+SELECT CAST(c.cluster AS INT) AS cluster, CAST(c.pos AS INT) AS pos,
+       CAST(c.v AS BIGINT) AS centroid_q, CAST(COALESCE(fn.n, 0) AS INT) AS cluster_n
+FROM c{iters} c
+LEFT JOIN (SELECT cluster, COUNT(*) AS n FROM a{iters} GROUP BY cluster) fn
+  ON fn.cluster = c.cluster
+"""
+    return q.replace("__K__", str(k))
+
+
 IMAGE_FEATURES_ORACLE = """
 SELECT doc_id,
        CAST(COALESCE(octet_length(encode(text)), 0) AS INT) AS n_bytes,
