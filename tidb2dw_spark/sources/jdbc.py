@@ -42,14 +42,22 @@ def snapshot_read_options(
     num_partitions: int = 8,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    url: str | None = None,
 ) -> dict[str, str]:
-    """Build the JDBC reader options for a TSO-pinned parallel snapshot."""
+    """Build the JDBC reader options for a TSO-pinned parallel snapshot.
+
+    *driver*/*url* overrides let the same option shape run against any
+    JDBC database — tests/test_introspection.py executes the partitioned
+    read for real against embedded Derby (the one JDBC engine on Spark's
+    default classpath), so the S1 read path is smoke-tested end-to-end
+    even though the MySQL driver jar is absent here."""
     opts: dict[str, str] = {
-        "url": source.url,
+        "url": url or source.url,
         "dbtable": table,
         "user": source.user,
         "password": source.password,
-        "driver": "com.mysql.cj.jdbc.Driver",
+        "driver": driver,
         "fetchsize": "10000",
     }
     if snapshot_tso is not None:
