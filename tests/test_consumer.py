@@ -448,3 +448,28 @@ def test_consumer_auto_compaction(spark, tmp_path):
             assert len(list(bdir.glob("*.parquet"))) == 1
     rows = {r["id"]: r for r in table.read(spark).collect()}
     assert len(rows) == 32 and rows[1]["name"] == "u1" and rows[2]["name"] == "u2"
+
+
+def test_same_commit_ts_later_file_wins(spark, tmp_path):
+    """TiCDC can emit the same commit_ts for one key across consecutive
+    files; the reference applies files serially so the later file's image
+    survives.  The grouped merge must reproduce that via the file-sequence
+    tiebreaker (envelope.FILE_SEQ_COL) attached by the multi-path scan."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv", '1,"alice",30,1990-01-01\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"first",31,1990-01-01\n')
+    write(incr / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"U","users","tpch",100,1,"second",32,1990-01-01\n')
+
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 2 and report.merge_commits == 1
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert rows[1]["name"] == "second"  # same ts → later file wins

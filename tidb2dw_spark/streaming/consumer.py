@@ -63,7 +63,7 @@ class ConsumerReport:
     files_processed: int = 0
     files_skipped: int = 0
     ddl_applied: int = 0
-    rows_merged: int = 0
+    merge_commits: int = 0
     errors: list[str] = field(default_factory=list)
 
 
@@ -220,12 +220,41 @@ class IncrementConsumer:
                     self._schema_file_paths[barrier_key] = str(new_path)
 
     # -- DML micro-batch --------------------------------------------------
-    def _read_dml_file(self, path: str, schema) -> "object":
-        """Dispatch on staged-file format: TiCDC emits CSV or canal-json
-        (sources/changelog._DML_RE admits both extensions)."""
-        if path.endswith(".json"):
-            return read_changelog_json(self.spark, path, schema)
-        return read_snapshot_csv(self.spark, path, schema)
+    def _read_dml_group(self, group: list[tuple[DmlPathKey, int, str]], schema):
+        """One multi-path scan per format, tagged with each file's
+        application order via an input_file_name → seq lookup (broadcast
+        map-side join, no shuffle).  A catch-up backlog of N files costs
+        one scan job with constant-depth lineage, not an N-deep union
+        chain whose analysis cost grows with the backlog.  Dispatch on
+        extension: TiCDC emits CSV or canal-json
+        (sources/changelog._DML_RE admits both)."""
+        by_ext: dict[str, list[tuple[str, int]]] = {}
+        for seq, (_key, _idx, path) in enumerate(group):
+            ext = "json" if path.endswith(".json") else "csv"
+            by_ext.setdefault(ext, []).append((path, seq))
+        parts = []
+        for ext, pairs in by_ext.items():
+            paths = [p for p, _ in pairs]
+            df = (
+                read_changelog_json(self.spark, paths, schema)
+                if ext == "json"
+                else read_snapshot_csv(self.spark, paths, schema)
+            )
+            # file: URI prefix + exact path both appear depending on
+            # filesystem; normalize before the lookup
+            seq_map = self.spark.createDataFrame(
+                [(str(Path(p).resolve()), s) for p, s in pairs],
+                f"__file string, {FILE_SEQ_COL} int",
+            )
+            tagged = df.withColumn(
+                "__file",
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+            ).join(F.broadcast(seq_map), on="__file", how="left").drop("__file")
+            parts.append(tagged)
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        return batch
 
     def _flush_dml_group(
         self, group: list[tuple[DmlPathKey, int, str]], report: ConsumerReport
@@ -244,18 +273,14 @@ class IncrementConsumer:
                 f"no schema registered for version {version} ({group[0][2]})"
             )
         schema = envelope_schema(table_def_to_struct(table_def))
-        batch = None
-        for seq, (_key, _idx, path) in enumerate(group):
-            df = self._read_dml_file(path, schema).withColumn(
-                FILE_SEQ_COL, F.lit(seq)
-            )
-            batch = df if batch is None else batch.unionByName(df)
+        batch = self._read_dml_group(group, schema)
         extra_meta = (
             {"source_schema_version": self.current_version}
             if self.current_version is not None
             else None
         )
         self.table.merge(self.spark, batch, extra_meta=extra_meta)
+        report.merge_commits += 1
         report.files_processed += len(group)
         for key, idx, path in group:
             if self.write_markers:
