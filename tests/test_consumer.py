@@ -473,3 +473,53 @@ def test_same_commit_ts_later_file_wins(spark, tmp_path):
     assert report.files_processed == 2 and report.merge_commits == 1
     rows = {r["id"]: r for r in table.read(spark).collect()}
     assert rows[1]["name"] == "second"  # same ts → later file wins
+
+
+def test_add_column_ddl_is_metadata_only(spark, tmp_path):
+    """An ADD-column DDL barrier on a bucketed table must NOT rewrite any
+    bucket (O(1) manifest commit, Delta-style): bucket_versions stay
+    untouched, reads materialize the rendered default for old files, and
+    the next merge writes the new column physically only into the buckets
+    it touches."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",31,1991-02-02\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns, pk_buckets=4,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"alice2",31,1990-01-01\n')
+    consumer = IncrementConsumer(spark, incr, table)
+    consumer.poll_once()
+    bv_before = dict(table.manifest()["bucket_versions"])
+
+    # v2 = v1 + ADD gender with a default (pure ADD → metadata-only)
+    v2 = users_def_v1()
+    v2.version = 2
+    v2.query = "ALTER TABLE users ADD COLUMN gender varchar(10) DEFAULT 'u'"
+    v2.columns = v2.columns + [
+        TableCol(id="6", name="gender", tp="varchar", precision="10", default="u")
+    ]
+    v2.dump(incr / "tpch/users/2/meta")
+    report = consumer.poll_once()
+    assert report.ddl_applied == 1
+    m = table.manifest()
+    assert m["bucket_versions"] == bv_before  # NO bucket rewritten by DDL
+    assert m["columns"][-1] == "gender" and m["column_defaults"]["gender"] == "u"
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert rows[1]["gender"] == "u" and rows[2]["gender"] == "u"  # default fill
+
+    # post-DDL merge carries the column physically for touched buckets only
+    write(incr / "tpch/users/2/2024-01-02/CDC000001.csv",
+          '"U","users","tpch",200,2,"bob2",32,1991-02-02,"f"\n')
+    consumer.poll_once()
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert rows[2]["gender"] == "f" and rows[1]["gender"] == "u"
+    # restart reads the same state
+    rows2 = {r["id"]: r for r in
+             IncrementConsumer(spark, incr, table).table.read(spark).collect()}
+    assert rows2[1]["gender"] == "u" and rows2[2]["name"] == "bob2"

@@ -88,11 +88,24 @@ def apply_column_diffs(
     diffs: list[ColumnDiff],
     extra_meta: dict | None = None,
 ) -> int:
-    """Commit the evolved schema as a new table version."""
+    """Commit the evolved schema — metadata-only when possible.
+
+    ADD and DROP never touch existing cells, so they commit as a pure
+    manifest swap (ManagedTable.evolve_schema_metadata_only): reads
+    conform old files by materializing added columns' defaults and
+    pruning dropped ones.  At 100 TB this keeps a DDL barrier O(1)
+    instead of rewriting every bucket inside the consumer loop — the
+    same trick Delta/Iceberg use.  RENAME and MODIFY change existing
+    data (names/cells in files), so they keep the rewrite path."""
     if all(d.action == DiffAction.UNCHANGE for d in diffs):
         if extra_meta:
             table.update_meta(**extra_meta)
         return table.version()
+    if all(
+        d.action in (DiffAction.UNCHANGE, DiffAction.ADD, DiffAction.DROP)
+        for d in diffs
+    ):
+        return _evolve_metadata_only(table, diffs, extra_meta)
     df = table.read(spark)
     evolved = project_column_diffs(df, diffs)
     # a RENAME of a PK column must follow through to the manifest's key list
@@ -106,6 +119,42 @@ def apply_column_diffs(
     if new_pk != old_pk:
         meta["pk"] = new_pk
     return table.overwrite(evolved, new_columns=evolved.columns, extra_meta=meta)
+
+
+def _evolve_metadata_only(
+    table: ManagedTable, diffs: list[ColumnDiff], extra_meta: dict | None
+) -> int:
+    """Build the post-DDL manifest schema: retained columns keep their
+    existing manifest field (authoritative types from the data), added
+    columns append with their mapped Spark type + rendered default."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    m = table.manifest()
+    existing = {
+        f.name: f for f in T.StructType.fromJson(_json.loads(m["schema_json"])).fields
+    }
+    fields: list[T.StructField] = []
+    order: list[str] = []
+    defaults: dict[str, str | None] = {}
+    for d in diffs:
+        if d.action == DiffAction.DROP:
+            continue
+        name = d.curr.name
+        order.append(name)
+        if d.action == DiffAction.ADD:
+            dtype = tidb_type_to_spark(d.curr.tp, d.curr.precision, d.curr.scale)
+            fields.append(T.StructField(name, dtype, True))
+            defaults[name] = d.curr.default
+        else:
+            fields.append(existing[name])
+    return table.evolve_schema_metadata_only(
+        new_columns=order,
+        new_schema_json=T.StructType(fields).json(),
+        column_defaults=defaults,
+        extra_meta=extra_meta,
+    )
 
 
 def truncate_table(spark: SparkSession, table: ManagedTable) -> int:

@@ -197,27 +197,84 @@ class ManagedTable:
         else:
             df.write.mode("overwrite").parquet(path)
 
+    def evolve_schema_metadata_only(
+        self,
+        new_columns: list[str],
+        new_schema_json: str,
+        column_defaults: dict | None = None,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """ADD/DROP COLUMN as a pure manifest commit — no data rewrite.
+
+        Old files keep their physical schema; reads conform every file to
+        the manifest (missing added columns materialize as their rendered
+        default, dropped columns are pruned by the projection).  This is
+        what makes a DDL barrier O(1) instead of O(table): at 100 TB an
+        ADD COLUMN must not rewrite every bucket inside the consumer loop.
+        RENAME/MODIFY still rewrite (they change existing cells)."""
+        m = self.manifest()
+        m["columns"] = list(new_columns)
+        m["schema_json"] = new_schema_json
+        defaults = dict(m.get("column_defaults", {}))
+        for k, v in (column_defaults or {}).items():
+            defaults[k] = v
+        # keep only defaults for live columns
+        m["column_defaults"] = {k: v for k, v in defaults.items() if k in new_columns}
+        if extra_meta:
+            m.update(extra_meta)
+        self._commit(m)
+        return m["version"]
+
     # -- read path --------------------------------------------------------
-    def _bucket_paths(self, m: dict, buckets) -> list[str]:
-        bv = m["bucket_versions"]
-        return [
-            str(self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}")
-            for b in buckets
-            if (self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}").exists()
-        ]
+    def _conform(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
+        """Project *df* to the manifest schema: prune dropped columns,
+        materialize manifest columns missing from the files (added
+        metadata-only) as their rendered default cast to the declared
+        type."""
+        from pyspark.sql.types import StructType
+
+        cols = m.get("columns", df.columns)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            schema = StructType.fromJson(json.loads(m["schema_json"]))
+            by_name = {f.name: f for f in schema.fields}
+            defaults = m.get("column_defaults", {})
+            for c in missing:
+                dtype = by_name[c].dataType if c in by_name else None
+                d = defaults.get(c)
+                col = F.lit(d) if d is not None else F.lit(None)
+                df = df.withColumn(c, col.cast(dtype) if dtype is not None else col)
+        return df.select(*[c for c in cols if c in df.columns])
 
     def _read_buckets(self, spark: SparkSession, m: dict, buckets) -> DataFrame:
-        paths = self._bucket_paths(m, buckets)
-        cols = m.get("columns", [])
-        if not paths:
+        """Read bucket partitions grouped BY VERSION: every version
+        directory is written atomically with one physical schema, but a
+        metadata-only ADD means different versions can carry different
+        column sets — each group is read with its own schema and conformed
+        (added columns materialize as the rendered default for rows
+        written before the column existed; rows written after keep their
+        stored values, including explicit NULLs)."""
+        bv = m.get("bucket_versions", {})
+        by_version: dict[str, list[str]] = {}
+        for b in buckets:
+            p = self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}"
+            if p.exists():
+                by_version.setdefault(str(bv[str(b)]), []).append(str(p))
+        if not by_version:
             # every requested bucket is empty (e.g. fully deleted): build an
             # empty frame from the manifest's authoritative schema
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(m["schema_json"]))
             return spark.createDataFrame([], schema=schema)
-        df = spark.read.parquet(*paths)
-        return df.select(*[c for c in cols if c in df.columns])
+        parts = [
+            self._conform(spark, spark.read.parquet(*paths), m)
+            for _, paths in sorted(by_version.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_for_keys(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
         """Point/batch lookup by PK: for a bucketed table, read ONLY the
@@ -250,8 +307,7 @@ class ManagedTable:
             df = spark.read.parquet(str(self.root / f"v={v}"))
             if BUCKET_COL in df.columns:
                 df = df.drop(BUCKET_COL)
-        cols = [c for c in m.get("columns", df.columns) if c in df.columns]
-        return df.select(*cols)
+        return self._conform(spark, df, m)
 
     # -- maintenance ------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[int]:
@@ -409,9 +465,8 @@ class ManagedTable:
 
             schema = StructType.fromJson(json.loads(m["schema_json"]))
             return spark.createDataFrame([], schema=schema).filter(pred)
-        cols = m.get("columns", [])
-        df = spark.read.parquet(*keep)
-        return df.select(*[c for c in cols if c in df.columns]).filter(pred)
+        df = self._conform(spark, spark.read.parquet(*keep), m)
+        return df.filter(pred)
 
     def update_meta(self, **kv) -> None:
         m = self.manifest()
