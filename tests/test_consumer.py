@@ -523,3 +523,46 @@ def test_add_column_ddl_is_metadata_only(spark, tmp_path):
     rows2 = {r["id"]: r for r in
              IncrementConsumer(spark, incr, table).table.read(spark).collect()}
     assert rows2[1]["gender"] == "u" and rows2[2]["name"] == "bob2"
+
+
+def test_crash_replay_idempotence(spark, tmp_path):
+    """Exactly-once = at-least-once replay + idempotent merge: a crash
+    after the combined commit but BEFORE (some or all) markers are written
+    re-merges those files on restart, and the table state must not change
+    (increment.go:256-275 semantics under our grouped commit)."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",31,1991-02-02\n3,"carol",32,1992-03-03\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns, pk_buckets=4,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"a2",31,1990-01-01\n'
+          '"D","users","tpch",110,2,"bob",31,1991-02-02\n')
+    write(incr / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"I","users","tpch",120,9,"ida",20,2000-01-01\n'
+          '"U","users","tpch",130,3,"c2",33,1992-03-03\n')
+
+    IncrementConsumer(spark, incr, table).poll_once()
+    state = sorted(map(tuple, table.read(spark).collect()))
+
+    # crash scenario A: ALL markers lost after commit → full group replays
+    for p in incr.rglob("*.checkpoint"):
+        p.unlink()
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 2 and report.files_skipped == 0
+    assert sorted(map(tuple, table.read(spark).collect())) == state
+
+    # crash scenario B: only the last marker lost → that file replays alone
+    (incr / "tpch/users/1/2024-01-01/CDC000002.csv.checkpoint").unlink()
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 1 and report.files_skipped == 1
+    assert sorted(map(tuple, table.read(spark).collect())) == state
+
+    # steady state: nothing new
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 0 and report.files_skipped == 2
