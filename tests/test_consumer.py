@@ -566,3 +566,39 @@ def test_crash_replay_idempotence(spark, tmp_path):
     # steady state: nothing new
     report = IncrementConsumer(spark, incr, table).poll_once()
     assert report.files_processed == 0 and report.files_skipped == 2
+
+
+def test_late_old_version_file_after_add_column(spark, tmp_path):
+    """A v1 CDC file that lands AFTER the v2 ADD-column barrier was applied
+    (late flush) must still merge: its rows get the added column's rendered
+    default, exactly what the reference's warehouse INSERT of the v1 column
+    list would produce."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv", '1,"alice",30,1990-01-01\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    v2 = users_def_v1()
+    v2.version = 2
+    v2.query = "ALTER TABLE users ADD COLUMN gender varchar(10) DEFAULT 'u'"
+    v2.columns = v2.columns + [
+        TableCol(id="6", name="gender", tp="varchar", precision="10", default="u")
+    ]
+    v2.dump(incr / "tpch/users/2/meta")
+    consumer = IncrementConsumer(spark, incr, table)
+    report = consumer.poll_once()
+    assert report.ddl_applied == 1
+
+    # late v1 file arrives after the barrier
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"late",31,1990-01-01\n'
+          '"I","users","tpch",110,7,"new7",27,1997-07-07\n')
+    report = consumer.poll_once()
+    assert report.files_processed == 1
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert rows[1]["name"] == "late" and rows[1]["gender"] == "u"
+    assert rows[7]["name"] == "new7" and rows[7]["gender"] == "u"

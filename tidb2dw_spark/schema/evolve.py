@@ -114,6 +114,14 @@ def apply_column_diffs(
         d.prev.name: d.curr.name for d in diffs if d.action == DiffAction.RENAME
     }
     meta = dict(extra_meta or {})
+    # record ADDed columns' defaults even on the rewrite path, so a
+    # late-arriving pre-DDL changelog file can still be conformed
+    # (streaming.consumer._conform_batch fills exactly these)
+    adds = {d.curr.name: d.curr.default for d in diffs if d.action == DiffAction.ADD}
+    if adds:
+        defaults = dict(table.manifest().get("column_defaults", {}))
+        defaults.update(adds)
+        meta["column_defaults"] = defaults
     old_pk = table.pk_cols()
     new_pk = [renames.get(c, c) for c in old_pk]
     if new_pk != old_pk:

@@ -220,6 +220,35 @@ class IncrementConsumer:
                     self._schema_file_paths[barrier_key] = str(new_path)
 
     # -- DML micro-batch --------------------------------------------------
+    def _conform_batch(self, batch):
+        """Late-arriving files of an OLDER table version (their barrier
+        already applied) lack columns added since; fill exactly the
+        columns the manifest records as ADDed (with their rendered
+        default — what the reference's warehouse INSERT of the old column
+        list would produce).  Any other schema mismatch (e.g. a late file
+        predating a RENAME) still fails loudly rather than silently
+        misfiling data."""
+        import json
+
+        from pyspark.sql.types import StructType
+
+        m = self.table.manifest()
+        defaults = m.get("column_defaults", {})
+        missing = [
+            c for c in m.get("columns", []) if c not in batch.columns and c in defaults
+        ]
+        if not missing:
+            return batch
+        by_name = {
+            f.name: f
+            for f in StructType.fromJson(json.loads(m["schema_json"])).fields
+        }
+        for c in missing:
+            d = defaults.get(c)
+            col = F.lit(d) if d is not None else F.lit(None)
+            batch = batch.withColumn(c, col.cast(by_name[c].dataType))
+        return batch
+
     def _read_dml_group(self, group: list[tuple[DmlPathKey, int, str]], schema):
         """One multi-path scan per format, tagged with each file's
         application order via an input_file_name → seq lookup (broadcast
@@ -273,7 +302,7 @@ class IncrementConsumer:
                 f"no schema registered for version {version} ({group[0][2]})"
             )
         schema = envelope_schema(table_def_to_struct(table_def))
-        batch = self._read_dml_group(group, schema)
+        batch = self._conform_batch(self._read_dml_group(group, schema))
         extra_meta = (
             {"source_schema_version": self.current_version}
             if self.current_version is not None
