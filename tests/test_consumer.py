@@ -602,3 +602,45 @@ def test_late_old_version_file_after_add_column(spark, tmp_path):
     rows = {r["id"]: r for r in table.read(spark).collect()}
     assert rows[1]["name"] == "late" and rows[1]["gender"] == "u"
     assert rows[7]["name"] == "new7" and rows[7]["gender"] == "u"
+
+
+def test_large_backlog_single_scan_merge(spark, tmp_path):
+    """A catch-up backlog of many CDC files (mixed CSV and JSON) must merge
+    as ONE commit via the multi-path scan, with last-writer-wins decided
+    across the whole backlog."""
+    import json as _json
+
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv",
+          "".join(f'{k},"u{k}",20,1990-01-01\n' for k in range(40)))
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns, pk_buckets=8,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    # 30 files; each file i updates key (i % 40) at ts 1000+i — for keys
+    # hit multiple times, the HIGHEST ts must win regardless of file count
+    for i in range(1, 31):
+        k = i % 40
+        if i % 3 == 0:  # every third file is canal-json
+            write(incr / f"tpch/users/1/2024-01-01/CDC{i:06d}.json",
+                  _json.dumps({"flag": "U", "tablename": "users",
+                               "schemaname": "tpch", "commit_ts": 1000 + i,
+                               "id": k, "name": f"f{i}", "age": 21,
+                               "birth": "1990-01-01"}) + "\n")
+        else:
+            write(incr / f"tpch/users/1/2024-01-01/CDC{i:06d}.csv",
+                  f'"U","users","tpch",{1000 + i},{k},"f{i}",21,1990-01-01\n')
+
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 30
+    assert report.merge_commits == 1  # ONE combined commit for the backlog
+    rows = {r["id"]: r["name"] for r in table.read(spark).collect()}
+    assert len(rows) == 40
+    # keys 1..30 each updated by exactly one file; 31..39 and 0 untouched
+    for i in range(1, 31):
+        assert rows[i % 40] == f"f{i}"
+    for k in [0, *range(31, 40)]:
+        assert rows[k] == f"u{k}"
