@@ -269,11 +269,51 @@ FROM w2 WHERE flag <> 'D'
 """
 
 
+_LOOKUP_KEY_MOD = 997
+
+
+def table_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup (the read-side payoff of PK bucketing):
+    load a deterministic orders subset into a PK-bucketed ManagedTable,
+    then ``read_for_keys`` a sparse key set — the scan opens ONLY the
+    bucket directories the probe keys hash to (asserted in
+    tests/test_consumer.py::test_bucketed_key_lookup_prunes_buckets); the
+    oracle recomputes the same rows relationally from the orders view."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_total_cents"),
+        )
+    )
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_lookup_wh_"))
+    table = ManagedTable(wh / "orders").create(base, ["o_orderkey"], pk_buckets=16)
+    keys = (
+        spark.range(0, 3_000_000, 3 * _LOOKUP_KEY_MOD)
+        .select(F.col("id").alias("o_orderkey"))
+    )
+    return table.read_for_keys(spark, keys)
+
+
+POINT_LOOKUP_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_total_cents
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % {3 * _LOOKUP_KEY_MOD} = 0
+  AND o_orderkey < 3000000
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
+    "table_point_lookup": table_point_lookup,
 }
 ORACLES = {
     "pipeline_changelog_replay": _fold_oracle(REPLAY_ROOT),
     "pipeline_replay_resume": _fold_oracle(RESUME_ROOT),
+    "table_point_lookup": POINT_LOOKUP_ORACLE,
 }
