@@ -644,3 +644,47 @@ def test_large_backlog_single_scan_merge(spark, tmp_path):
         assert rows[i % 40] == f"f{i}"
     for k in [0, *range(31, 40)]:
         assert rows[k] == f"u{k}"
+
+
+def test_compact_and_vacuum_after_metadata_only_add(spark, tmp_path):
+    """Compaction over buckets with MIXED physical schemas (some written
+    before a metadata-only ADD, some after) must rewrite them conformed to
+    the current schema — defaults materialized for pre-DDL rows — and
+    vacuum must then drop the unreferenced old versions."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+
+    v1 = users_def_v1()
+    base = spark.range(24).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+        F.lit(20).alias("age"),
+        F.to_date(F.lit("1990-01-01")).alias("birth"),
+    )
+    t = ManagedTable(tmp_path / "t").create(base, ["id"], pk_buckets=4)
+
+    v2 = users_def_v1()
+    v2.columns = v2.columns + [
+        TableCol(id="6", name="gender", tp="varchar", precision="10", default="x")
+    ]
+    apply_column_diffs(spark, t, diff_columns(v1.columns, v2.columns))
+    assert t.version() == 1  # metadata-only: no data version bump
+
+    # one merge writes SOME buckets with the new column physically
+    batch = spark.createDataFrame(
+        [("U", "t", "s", 10, 1, "upd1", 21, None, "f")],
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "id int, name string, age int, birth date, gender string",
+    )
+    t.merge(spark, batch)
+
+    v = t.compact(spark, max_files_per_bucket=0)
+    assert v is not None
+    removed = t.vacuum(keep_last=1)
+    assert removed  # old versions dropped once unreferenced
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert len(rows) == 24
+    assert rows[1]["gender"] == "f"      # explicit value survives compaction
+    assert rows[2]["gender"] == "x"      # pre-DDL row keeps its default
