@@ -397,8 +397,21 @@ _DRIVER_EXCLUDE = (
     | set(entry_suites.ANALYTICS_SPEC)
 )
 
+# checked-window insurance: the gate walks insertion order, so the
+# pipeline replay + checksum suites (each standing in for many operators)
+# come right after the §2 core instead of last
+_DRIVER_PRIORITY = [
+    "pipeline_changelog_replay",
+    "pipeline_replay_resume",
+    "table_point_lookup",
+    "suite_analytics_checksums",
+    "suite_sampling_checksums",
+]
+
+_rest = [n for n in QUERIES if n not in _DRIVER_EXCLUDE and n not in _DRIVER_PRIORITY]
+_ordered = _rest[:14] + _DRIVER_PRIORITY + _rest[14:]
 DRIVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: fn for name, fn in QUERIES.items() if name not in _DRIVER_EXCLUDE
+    name: QUERIES[name] for name in _ordered
 }
 DRIVER_ORACLES: dict[str, str] = {
     name: sql for name, sql in ORACLES.items() if name in DRIVER_QUERIES
