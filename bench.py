@@ -59,6 +59,14 @@ BENCH_QUERIES = [
     "sample_token_budget_per_source",
     "q_small_qty_revenue_by_brand",
     "events_daily_gapfill",
+    "sim_near_dup_lsh_blocked",
+]
+
+# e2e pipeline rows, timed and reported SEPARATELY: their wall time is
+# dominated by fixture staging + the consumer loop (file I/O, many small
+# commits), which is a different axis than engine query throughput — mixing
+# them into the headline total buries query regressions (round-3 verdict)
+PIPELINE_QUERIES = [
     "pipeline_changelog_replay",
 ]
 
@@ -90,12 +98,24 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    pipe_timings: dict[str, float] = {}
+    for name in (n for n in PIPELINE_QUERIES if n in entry_queries.QUERIES):
+        start = time.perf_counter()
+        entry_queries.QUERIES[name](spark, sf_dir).count()
+        pipe_timings[name] = round(time.perf_counter() - start, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "pipeline_e2e": {
+            "metric": "pipeline_e2e_total",
+            "value": round(sum(pipe_timings.values()), 3),
+            "unit": "sec",
+            "queries": pipe_timings,
+        },
         "sf": sf,
     }))
 

@@ -361,11 +361,16 @@ ORACLES.update(entry_pipeline.ORACLES)
 # per-member (query, n_rows, checksum) fingerprint rows instead)
 from . import entry_suites  # noqa: E402  (registry import)
 
+# the analytics suite also absorbs the two per-doc text-analysis rows
+# (text_features / text_quality_score) — registries merged so the spec can
+# reference members from either module
 QUERIES["suite_analytics_checksums"] = entry_suites.suite_query(
-    entry_suites.ANALYTICS_SPEC, entry_analytics.QUERIES
+    entry_suites.ANALYTICS_SPEC,
+    {**entry_analytics.QUERIES, **entry_training.QUERIES},
 )
 ORACLES["suite_analytics_checksums"] = entry_suites.suite_oracle(
-    entry_suites.ANALYTICS_SPEC, entry_analytics.ORACLES
+    entry_suites.ANALYTICS_SPEC,
+    {**entry_analytics.ORACLES, **entry_training.ORACLES},
 )
 QUERIES["suite_sampling_checksums"] = entry_suites.suite_query(
     entry_suites.SAMPLING_SPEC, entry_training.QUERIES
@@ -373,26 +378,25 @@ QUERIES["suite_sampling_checksums"] = entry_suites.suite_query(
 ORACLES["suite_sampling_checksums"] = entry_suites.suite_oracle(
     entry_suites.SAMPLING_SPEC, entry_training.ORACLES
 )
+QUERIES["suite_similarity_checksums"] = entry_suites.suite_query(
+    entry_suites.SIMILARITY_SPEC, entry_training.QUERIES
+)
+ORACLES["suite_similarity_checksums"] = entry_suites.suite_oracle(
+    entry_suites.SIMILARITY_SPEC,
+    {**entry_training.ORACLES, **entry_training.SIM_SUITE_ORACLES},
+)
 
 # ---------------------------------------------------------------------------
 # DRIVER registry: the curated ≤50-entry surface __spark_entry__ exposes.
 # The driver's gate checks the first ~50 entries, so every entry here gets
 # a verdict.  Full breadth stays in QUERIES (bench + local parity tests).
-# Excluded-but-covered:
-#   - dedup_minhash_signature / dedup_simhash: intermediates consumed by
-#     their checked *_pairs twins
-#   - sim_topk_cosine / sim_lsh_bucketed_topk: float/approximate variants
-#     of the checked quantized + IVF paths (recall pinned in pytest)
-#   - the 5 sampling queries + 28 analytics queries: verified per-member
-#     through the two checksum suites
+# Every excluded name is a member of one of the THREE checksum suites
+# (analytics / sampling / similarity), so the exclusion list of
+# driver-INVISIBLE entries is empty: each member gets its own per-member
+# (query, n_rows, checksum) verdict inside its suite row.
 # ---------------------------------------------------------------------------
 _DRIVER_EXCLUDE = (
-    {
-        "dedup_minhash_signature",
-        "dedup_simhash",
-        "sim_topk_cosine",
-        "sim_lsh_bucketed_topk",
-    }
+    set(entry_suites.SIMILARITY_SPEC)
     | set(entry_suites.SAMPLING_SPEC)
     | set(entry_suites.ANALYTICS_SPEC)
 )
@@ -406,6 +410,7 @@ _DRIVER_PRIORITY = [
     "table_point_lookup",
     "suite_analytics_checksums",
     "suite_sampling_checksums",
+    "suite_similarity_checksums",
 ]
 
 _rest = [n for n in QUERIES if n not in _DRIVER_EXCLUDE and n not in _DRIVER_PRIORITY]

@@ -39,6 +39,8 @@ _WEIGHTS = [10007, 10037, 10061, 10091, 10139, 10141, 10151, 10159, 10163, 10169
 
 # kind ∈ int | str | dbl | ts | bool
 ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
+    "text_features": [("doc_id", "int"), ("n_chars", "int"), ("n_tokens", "int"), ("n_bpe_tokens", "int"), ("fingerprint", "str"), ("lang_pred", "str")],
+    "text_quality_score": [("doc_id", "int"), ("n_chars", "int"), ("n_tokens", "int"), ("avg_token_len", "dbl"), ("punct_ratio", "dbl"), ("stopword_ratio", "dbl"), ("quality_score", "dbl")],
     "q_rollup_priority_status": [("o_orderpriority", "str"), ("o_orderstatus", "str"), ("gid", "int"), ("n_orders", "int"), ("revenue_cents", "int")],
     "q_top3_customers_per_nation": [("c_nationkey", "int"), ("c_custkey", "int"), ("revenue_cents", "int"), ("rnk", "int")],
     "q_doclen_quantiles_by_lang": [("lang", "str"), ("n_docs", "int"), ("p25", "int"), ("p50", "int"), ("p75", "int"), ("p90", "int")],
@@ -67,6 +69,23 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "q_trailing_week_revenue": [("o_orderpriority", "str"), ("dday", "ts"), ("rev_cents", "int"), ("rev_7d_cents", "int")],
     "q_shipping_priority_top10": [("l_orderkey", "int"), ("o_orderdate", "ts"), ("revenue_cents", "int")],
     "q_nation_presence_fulljoin": [("nationkey", "int"), ("n_cust", "int"), ("n_supp", "int")],
+}
+
+# Similarity/dedup leftovers: the four entries round 3 excluded from the
+# driver surface with argued equivalence, now driver-visible per-member,
+# plus the exact near-dup kernel (demoted from a standalone row when the
+# LSH-blocked path took over as the registered near-dup operator).  The
+# two float-path members (float cosine top-k, LSH bucketed top-k) are
+# membership-checked on (query_id, neighbor_id): their id sets are stable
+# because score gaps at the k boundary are orders of magnitude above float
+# accumulation error, while the scores themselves are not required to be
+# bit-identical cross-engine.
+SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
+    "dedup_minhash_signature": [("doc_id", "int"), ("hash_idx", "int"), ("minhash", "int")],
+    "dedup_simhash": [("doc_id", "int"), ("simhash", "int")],
+    "sim_topk_cosine": [("query_id", "int"), ("neighbor_id", "int")],
+    "sim_lsh_bucketed_topk": [("query_id", "int"), ("neighbor_id", "int")],
+    "sim_embedding_near_dup": [("id_a", "int"), ("id_b", "int"), ("qcos", "dbl")],
 }
 
 SAMPLING_SPEC: dict[str, list[tuple[str, str]]] = {

@@ -42,6 +42,7 @@ from .functions.similarity import (
     embedding_near_dup_pairs_arrow,
     ivf_index_topk,
     ivf_topk,
+    lsh_blocked_near_dup_pairs,
     lsh_bucketed_topk,
 )
 from .functions.text import (
@@ -59,6 +60,7 @@ SIMHASH_MAX_HAMMING = 2  # ≤3 keeps the 4-byte-block candidate pigeonhole exac
 NGRAM_BLOCK, NGRAM_N, NGRAM_T = "lang", 3, 0.08
 TOPK_QUERY_MOD, TOPK_K = 50, 5
 NEAR_DUP_T = 0.35  # testdata embeddings are near-orthogonal (max qcos ≈ 0.51)
+NEAR_DUP_PLANES = 2  # LSH blocking: 4 buckets (small corpus keeps recall useful)
 
 QUERIES = {}
 ORACLES = {}
@@ -249,15 +251,42 @@ def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs_arrow(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
 
 
-@register("sim_paraphrase_candidates", O.paraphrase_candidates_oracle(NEAR_DUP_T))
+@register(
+    "sim_near_dup_lsh_blocked",
+    O.lsh_blocked_near_dup_oracle(NEAR_DUP_T, NEAR_DUP_PLANES),
+)
+def sim_near_dup_lsh_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE registered near-dup path: sub-quadratic LSH-blocked pairs with
+    the exact quantized-cosine verify.  The oracle recomputes the
+    IDENTICAL integer sign-bit blocking, so the approximation itself is
+    value-checked.  Unlike the exact Arrow kernel (sim_embedding_near_dup,
+    the small-sf cross-check) this plan never collects the corpus: the
+    bucket column is the shuffle key, and at 100 TB it is what the stored
+    corpus is partitioned by — each bucket's pair loop is partition-local."""
+    return lsh_blocked_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=NEAR_DUP_T, num_planes=NEAR_DUP_PLANES
+    )
+
+
+@register(
+    "sim_paraphrase_candidates",
+    O.paraphrase_candidates_oracle(
+        NEAR_DUP_T,
+        pairs_oracle=O.lsh_blocked_near_dup_oracle(NEAR_DUP_T, NEAR_DUP_PLANES),
+    ),
+)
 def sim_paraphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation op: embedding near-dup pairs annotated with
     whether the texts actually differ — same-fingerprint pairs are exact
     dups (drop one), different-text pairs are paraphrase candidates (the
     interesting set for dedup policy and eval-contamination checks).  The
     pair frame is tiny relative to the corpus, so the two fingerprint
-    joins are AQE-broadcast of the pair side at scale."""
-    pairs = embedding_near_dup_pairs_arrow(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
+    joins are AQE-broadcast of the pair side at scale.  Pairs come from
+    the scale-safe LSH-blocked path (no full-corpus collect; blocking
+    recomputed by the oracle)."""
+    pairs = lsh_blocked_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=NEAR_DUP_T, num_planes=NEAR_DUP_PLANES
+    )
     fp = _docs(spark, sf_dir).select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fp")
     )
@@ -275,18 +304,34 @@ def sim_paraphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_cosine")  # float cosine: rows-only (accumulation order)
+LSH_TOPK_PLANES = 8
+
+
+@register("sim_topk_cosine")  # float scores: id-membership-checked via suite
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     return brute_force_topk(emb, queries, k=TOPK_K, metric="cosine")
 
 
-@register("sim_lsh_bucketed_topk")  # approximate: rows-only, recall in pytest
+@register("sim_lsh_bucketed_topk")  # float scores: id-membership via suite
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
-    return lsh_bucketed_topk(emb, queries, k=TOPK_K)
+    return lsh_bucketed_topk(emb, queries, k=TOPK_K, num_planes=LSH_TOPK_PLANES)
+
+
+# Oracles used ONLY inside suite_similarity_checksums (the member queries
+# return score/rank columns the float-path oracles deliberately omit, so
+# these are not registered in ORACLES — a full-column parity compare of a
+# float score is not cross-engine meaningful; the suite fingerprints only
+# the spec'd id columns)
+SIM_SUITE_ORACLES = {
+    "sim_topk_cosine": O.topk_float_cos_oracle(TOPK_QUERY_MOD, TOPK_K),
+    "sim_lsh_bucketed_topk": O.lsh_bucketed_topk_oracle(
+        TOPK_QUERY_MOD, TOPK_K, LSH_TOPK_PLANES
+    ),
+}
 
 
 IVF_CENTROIDS, IVF_PROBE = 16, 4

@@ -443,11 +443,107 @@ WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
 """
 
 
-def paraphrase_candidates_oracle(threshold: float) -> str:
-    """Near-dup embedding pairs annotated with whether the two documents'
-    normalized texts actually differ (paraphrase candidates)."""
+def sql_lsh_bucket(qv: str, num_planes: int) -> str:
+    """Mirror of similarity.lsh_bucket over an already-quantized int64
+    list: integer plane components (md5-derived, [-1000, 1000]) and int64
+    dot products, so the sign test — and therefore the bucket — is
+    bit-identical across engines."""
+    def pdot(p: int) -> str:
+        comp = (
+            f"(('0x'||substr(md5('plane_{p}_' || CAST(i-1 AS VARCHAR)),1,7))::BIGINT"
+            f" % 2001 - 1000)"
+        )
+        return f"list_sum([{qv}[i] * {comp} for i in range(1, len({qv})+1)])"
+
+    bits = " + ".join(
+        f"(CASE WHEN {pdot(p)} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"({bits})::BIGINT"
+
+
+def lsh_blocked_near_dup_oracle(threshold: float, num_planes: int) -> str:
+    """Mirror of similarity.lsh_blocked_near_dup_pairs: the oracle
+    recomputes the IDENTICAL deterministic blocking (integer sign-bit LSH)
+    plus the exact quantized-cosine verify, so the approximation itself is
+    value-checked, not just the verify step."""
     return f"""
-WITH p AS ({embedding_near_dup_oracle(threshold)}),
+WITH v AS (
+  SELECT vec_id, {sql_quantized("embedding")} AS qv FROM embeddings
+), vb AS (
+  SELECT vec_id, qv, {sql_lsh_bucket("qv", num_planes)} AS bucket FROM v
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, {sql_qcos("l.qv", "r.qv")} AS qcos
+FROM vb l JOIN vb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
+"""
+
+
+def sql_float_cos(a: str, b: str) -> str:
+    """Float cosine mirroring similarity.cosine_similarity's fold: per-pair
+    products of the raw FLOAT elements summed in list order.  Products are
+    float32-rounded in both engines (Spark zip_with on float inputs ≡
+    DuckDB FLOAT*FLOAT); used only where a float-path query is checked on
+    id membership (score gaps ≫ float error on real data)."""
+    dot = f"list_sum([{a}[i]*{b}[i] for i in range(1, len({a})+1)])"
+    na = f"sqrt(list_sum([{a}[i]*{a}[i] for i in range(1, len({a})+1)]))"
+    nb = f"sqrt(list_sum([{b}[i]*{b}[i] for i in range(1, len({b})+1)]))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def topk_float_cos_oracle(query_mod: int, k: int) -> str:
+    """Float-cosine brute-force top-k (sim_topk_cosine twin) — checked on
+    (query_id, neighbor_id) membership only: rank positions at the k
+    boundary are separated by score gaps orders of magnitude above float
+    accumulation error, while the scores themselves are not required to be
+    bit-identical cross-engine."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id % {query_mod} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id, {sql_float_cos("qe", "ce")} AS score
+  FROM c, q WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) <= {k}
+"""
+
+
+def lsh_bucketed_topk_oracle(query_mod: int, k: int, num_planes: int) -> str:
+    """sim_lsh_bucketed_topk twin: the bucket is integer-exact (identical
+    blocking recomputed), scoring is the float-cosine path — so like the
+    float top-k this is checked on id membership."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {sql_quantized("embedding")} AS qv FROM embeddings
+), b AS (
+  SELECT vec_id, embedding, {sql_lsh_bucket("qv", num_planes)} AS bucket FROM v
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket
+  FROM b WHERE vec_id % {query_mod} = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {sql_float_cos("qe", "c.embedding")} AS score
+  FROM b c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) <= {k}
+"""
+
+
+def paraphrase_candidates_oracle(threshold: float, pairs_oracle: str | None = None) -> str:
+    """Near-dup embedding pairs annotated with whether the two documents'
+    normalized texts actually differ (paraphrase candidates).  *pairs_oracle*
+    selects the pair source (default exact all-pairs; pass
+    lsh_blocked_near_dup_oracle(...) for the scale path's twin)."""
+    return f"""
+WITH p AS ({pairs_oracle or embedding_near_dup_oracle(threshold)}),
 fp AS (
   SELECT doc_id, md5(array_to_string({sql_tokens("text")}, ' ')) AS fp
   FROM documents

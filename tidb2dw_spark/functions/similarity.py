@@ -723,22 +723,31 @@ def ivf_index_topk(
 # ---------------------------------------------------------------------------
 # Sign-bit LSH (random hyperplane) — the scale path
 # ---------------------------------------------------------------------------
-def _plane_component(plane: int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived, so corpus and query sides (and any engine) agree."""
+def _plane_component_q(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random INTEGER hyperplane component in
+    [-1000, 1000]: md5-derived, so corpus and query sides (and any engine)
+    agree bit-for-bit."""
     h = md5_long(F.concat_ws("_", F.lit("plane"), F.lit(plane), dim_idx.cast("string")), 7)
-    return (h % 2001 - 1000).cast("double") / 1000.0
+    return (h % 2001 - 1000).cast("long")
 
 
 def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
-    """Sign-bit bucket id: bit p = sign(vec · plane_p)."""
+    """Sign-bit bucket id: bit p = sign(qv · plane_p) — INTEGER-EXACT.
+
+    The vector is quantized (round(x·1e6) as int64) and the hyperplane
+    components are integers in [-1000, 1000], so the sign test is pure
+    int64 arithmetic: the bucket assignment is deterministic and
+    reproducible in any engine (a float dot product near zero could flip
+    sign under a different accumulation order — an oracle-killer for a
+    blocking key).  |Σ qv·c| ≤ dim·1e6·1000 ≪ 2⁶³, no overflow."""
+    qv = F.transform(vec, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
 
     def plane_dot(p: int):
         def fold(acc: Column, d: Column) -> Column:
-            return acc + F.element_at(vec, d + 1).cast("double") * _plane_component(p, d)
+            return acc + F.element_at(qv, d + 1) * _plane_component_q(p, d)
 
-        return F.aggregate(dims, F.lit(0.0).cast("double"), fold)
+        return F.aggregate(dims, F.lit(0).cast("long"), fold)
 
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
