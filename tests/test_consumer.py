@@ -688,3 +688,138 @@ def test_compact_and_vacuum_after_metadata_only_add(spark, tmp_path):
     assert len(rows) == 24
     assert rows[1]["gender"] == "f"      # explicit value survives compaction
     assert rows[2]["gender"] == "x"      # pre-DDL row keeps its default
+
+
+def test_backlog_past_threshold_drops_broadcast_hint(spark, tmp_path, monkeypatch):
+    """Adaptive merge-join strategy: when a poll's group exceeds the
+    consumer's broadcast byte threshold, the merge must run WITHOUT the
+    key-set broadcast hint (AQE then picks the strategy — a shuffle join
+    for a genuinely large key set), and the result must be identical to
+    the hinted path."""
+    from tidb2dw_spark.operators.merge import merge_changelog
+    from tidb2dw_spark.table.managed import ManagedTable as MT
+
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv",
+          "".join(f'{k},"u{k}",20,1990-01-01\n' for k in range(20)))
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns, pk_buckets=4,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    for i in range(1, 6):
+        write(incr / f"tpch/users/1/2024-01-01/CDC{i:06d}.csv",
+              f'"U","users","tpch",{1000 + i},{i},"f{i}",21,1990-01-01\n')
+
+    seen = {}
+    orig = MT.merge
+
+    def spy(self, spark_, batch, extra_meta=None, broadcast_batch=True):
+        seen["broadcast_batch"] = broadcast_batch
+        return orig(self, spark_, batch,
+                    extra_meta=extra_meta, broadcast_batch=broadcast_batch)
+
+    monkeypatch.setattr(MT, "merge", spy)
+    # threshold of 1 byte: any real group counts as a backlog
+    consumer = IncrementConsumer(spark, incr, table, broadcast_batch_max_bytes=1)
+    report = consumer.poll_once()
+    assert report.merge_commits == 1
+    assert seen["broadcast_batch"] is False
+    rows = {r["id"]: r["name"] for r in table.read(spark).collect()}
+    assert all(rows[i] == f"f{i}" for i in range(1, 6))
+
+    # the contract at the plan level: hinted merge carries a broadcast
+    # ResolvedHint on the key side; unhinted merge carries none (the join
+    # strategy is then Catalyst/AQE's call, which is the point)
+    target = table.read(spark)
+    batch = target.limit(3).selectExpr(
+        "'U' AS flag", "'users' AS tablename", "'tpch' AS schemaname",
+        "CAST(1 AS BIGINT) AS commit_ts", "id", "name", "age", "birth"
+    )
+    hinted = merge_changelog(target, batch, ["id"], broadcast_batch=True)
+    unhinted = merge_changelog(target, batch, ["id"], broadcast_batch=False)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_symlinked_increment_root_keeps_file_seq(spark, tmp_path):
+    """The __file_seq tag must survive an increment root reached through a
+    symlink: input_file_name() does not resolve symlinks while the staged
+    paths may, so the seq lookup joins on every plausible rendering — and
+    raises (instead of silently dropping the tiebreaker) if a scanned file
+    matches none."""
+    import os
+
+    snap = tmp_path / "snapshot"
+    real = tmp_path / "real_increment"
+    link = tmp_path / "linked_increment"
+    write(snap / "tpch.users.000000001.csv", '1,"alice",30,1990-01-01\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns,
+    )
+    v1.dump(real / "tpch/users/1/meta")
+    # same key updated in two files with the SAME commit_ts: only the
+    # file-seq tiebreaker makes the later file win deterministically
+    write(real / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"first",31,1990-01-01\n')
+    write(real / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"U","users","tpch",100,1,"second",32,1990-01-01\n')
+    os.symlink(real, link)
+
+    report = IncrementConsumer(spark, link, table).poll_once()
+    assert report.files_processed == 2
+    rows = {r["id"]: r["name"] for r in table.read(spark).collect()}
+    assert rows[1] == "second"  # seq tiebreaker present and correct
+
+
+def test_late_pre_ddl_file_after_restart_and_schema_gc(spark, tmp_path):
+    """ADVICE fix: schema-file GC deletes older-version schema files after
+    a barrier; a RESTARTED consumer must still be able to read a LATE
+    DML file of the GC'd version — the applied table definitions are
+    persisted in the managed-table manifest."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",40,1991-02-02\n')
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns,
+    )
+    v1.dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"alice2",31,1990-01-01\n')
+    # v2 adds a column with a default
+    v2 = users_def_v1()
+    v2.version = 2
+    v2.query = "ALTER TABLE users ADD COLUMN tier varchar(8)"
+    from tidb2dw_spark.schema.table_def import TableCol
+
+    v2.columns = v2.columns + [
+        TableCol(id="9", name="tier", tp="varchar", precision="8", default="basic")
+    ]
+    v2.dump(incr / "tpch/users/2/meta")
+    write(incr / "tpch/users/2/2024-01-02/CDC000001.csv",
+          '"U","users","tpch",200,2,"bob2",41,1991-02-02,"gold"\n')
+
+    c1 = IncrementConsumer(spark, incr, table)
+    r1 = c1.poll_once()
+    assert r1.ddl_applied == 1 and r1.files_processed == 2
+    # GC removed the v1 schema file
+    assert not list((incr / "tpch/users/1/meta").glob("schema_*.json"))
+    assert "1" in table.manifest().get("applied_table_defs", {})
+
+    # late v1-shaped file lands AFTER a restart (fresh consumer, no
+    # in-memory defs): must conform (tier -> default) instead of raising
+    write(incr / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"U","users","tpch",300,1,"alice3",32,1990-01-01\n')
+    c2 = IncrementConsumer(spark, incr, table)
+    r2 = c2.poll_once()
+    assert r2.files_processed == 1 and not r2.errors
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert rows[1]["name"] == "alice3" and rows[1]["tier"] == "basic"
+    assert rows[2]["name"] == "bob2" and rows[2]["tier"] == "gold"

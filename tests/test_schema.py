@@ -145,3 +145,59 @@ def test_apply_diffs_modify_add_default_and_pk_rename(spark, tmp_path):
     assert dict(out.dtypes)["score"] == "string"
     rows = {r["uid"]: r for r in out.collect()}
     assert rows[1]["score"] == "10" and rows[1]["flag"] == 7
+
+
+def test_add_after_metadata_only_drop_does_not_resurrect(spark, tmp_path):
+    """Metadata-only DROP leaves the column physically present in old
+    version dirs; a later ADD of the SAME name must not resurrect the
+    stale cells — the tombstone forces the rewrite path, so every row
+    reads the new column's default."""
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    v1 = [
+        TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+        TableCol(id="2", name="note", tp="varchar", precision="10"),
+    ]
+    v2 = [v1[0]]  # DROP note
+    v3 = [  # ADD note back with a default (new column identity)
+        v1[0],
+        TableCol(id="3", name="note", tp="varchar", precision="10", default="fresh"),
+    ]
+    df = spark.createDataFrame([(1, "stale1"), (2, "stale2")], "id int, note string")
+    t = ManagedTable(tmp_path / "t").create(df, ["id"], pk_buckets=2)
+    v_before = t.version()
+
+    apply_column_diffs(spark, t, diff_columns(v1, v2))
+    assert t.version() == v_before  # metadata-only: no data rewrite
+    assert t.manifest().get("dropped_columns") == ["note"]
+    assert t.read(spark).columns == ["id"]
+
+    apply_column_diffs(spark, t, diff_columns(v2, v3))
+    assert t.version() > v_before  # tombstone collision forced a rewrite
+    assert t.manifest().get("dropped_columns") == []
+    rows = {r["id"]: r["note"] for r in t.read(spark).collect()}
+    assert rows == {1: "fresh", 2: "fresh"}  # stale1/stale2 must NOT return
+
+
+def test_drop_of_pk_column_is_rejected(spark, tmp_path):
+    """A DROP targeting a primary-key column must fail at the barrier
+    (manifest 'pk' would otherwise dangle and break every later merge)."""
+    import pytest
+
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import UnsupportedDDLError, apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    v1 = [
+        TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+        TableCol(id="2", name="x", tp="int"),
+    ]
+    v2 = [TableCol(id="2", name="x", tp="int")]  # drops the PK column
+    df = spark.createDataFrame([(1, 10)], "id int, x int")
+    t = ManagedTable(tmp_path / "t").create(df, ["id"])
+    with pytest.raises(UnsupportedDDLError, match="primary-key"):
+        apply_column_diffs(spark, t, diff_columns(v1, v2))

@@ -42,6 +42,15 @@ def merge_changelog(
     insert the full row image — last-writer-wins semantics identical to the
     reference's MERGE arms (WHEN MATCHED AND flag='D' DELETE /
     WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED AND flag!='D' INSERT).
+
+    *broadcast_batch* gates the key-set broadcast hint.  A typical
+    micro-batch (≤64 MiB of CDC files) broadcasts so the target is never
+    shuffled; but the grouped consumer can make ONE batch as large as the
+    whole backlog, and force-broadcasting an unbounded key set is an OOM
+    at 100 TB catch-up.  Callers that know the batch size (the consumer
+    sums its group's file bytes) pass False past the threshold, leaving
+    the join strategy to Catalyst/AQE, which degrades to a shuffle join
+    when the key set is genuinely large.
     """
     pk_cols = list(pk_cols)
     keys = batch.select(*pk_cols)  # P6: delete phase needs only PK columns
@@ -58,6 +67,8 @@ def apply_changelog(
     pk_cols: Sequence[str],
     broadcast_batch: bool = True,
 ) -> DataFrame:
-    """W1 dedup + merge: the full per-micro-batch query of the reference."""
+    """W1 dedup + merge: the full per-micro-batch query of the reference.
+
+    See :func:`merge_changelog` for the *broadcast_batch* contract."""
     final = last_writer_wins(changelog, pk_cols)
     return merge_changelog(target, final, pk_cols, broadcast_batch=broadcast_batch)

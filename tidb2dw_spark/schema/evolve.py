@@ -97,11 +97,35 @@ def apply_column_diffs(
     instead of rewriting every bucket inside the consumer loop — the
     same trick Delta/Iceberg use.  RENAME and MODIFY change existing
     data (names/cells in files), so they keep the rewrite path."""
+    # a DROP of a primary-key column would leave the manifest 'pk' pointing
+    # at a missing column — every later merge/read_for_keys would fail far
+    # from the DDL that caused it; reject at the barrier like the
+    # reference's unsupported-DDL guard (snowsql/ddl.go:15-39)
+    pk = set(table.pk_cols())
+    dropped_pk = [
+        d.prev.name
+        for d in diffs
+        if d.action == DiffAction.DROP and d.prev.name in pk
+    ]
+    if dropped_pk:
+        raise UnsupportedDDLError(
+            f"DROP of primary-key column(s) {dropped_pk} cannot be replicated"
+        )
     if all(d.action == DiffAction.UNCHANGE for d in diffs):
         if extra_meta:
             table.update_meta(**extra_meta)
         return table.version()
-    if all(
+    # metadata-only fast path — unless an ADD reuses a tombstoned (dropped
+    # metadata-only) name: old version directories still physically carry
+    # the dropped column, and a by-name conform would resurrect the stale
+    # pre-DROP cells instead of the new column's default.  Delta/Iceberg
+    # solve this with field IDs; on a by-name layout the rewrite path
+    # (which physically drops the column everywhere) is the correct fallback.
+    tombstones = set(table.manifest().get("dropped_columns", []))
+    add_collides = any(
+        d.action == DiffAction.ADD and d.curr.name in tombstones for d in diffs
+    )
+    if not add_collides and all(
         d.action in (DiffAction.UNCHANGE, DiffAction.ADD, DiffAction.DROP)
         for d in diffs
     ):
@@ -126,6 +150,9 @@ def apply_column_diffs(
     new_pk = [renames.get(c, c) for c in old_pk]
     if new_pk != old_pk:
         meta["pk"] = new_pk
+    # a full rewrite physically conforms every file to the new schema, so
+    # no stale dropped-column cells survive anywhere — clear the tombstones
+    meta["dropped_columns"] = []
     return table.overwrite(evolved, new_columns=evolved.columns, extra_meta=meta)
 
 
@@ -146,8 +173,10 @@ def _evolve_metadata_only(
     fields: list[T.StructField] = []
     order: list[str] = []
     defaults: dict[str, str | None] = {}
+    dropped: list[str] = []
     for d in diffs:
         if d.action == DiffAction.DROP:
+            dropped.append(d.prev.name)
             continue
         name = d.curr.name
         order.append(name)
@@ -157,11 +186,19 @@ def _evolve_metadata_only(
             defaults[name] = d.curr.default
         else:
             fields.append(existing[name])
+    # tombstone metadata-only DROPs: old version dirs still physically
+    # carry the column; a later ADD of the same name must take the rewrite
+    # path (apply_column_diffs checks this) or stale cells would resurrect
+    meta = dict(extra_meta or {})
+    if dropped:
+        meta["dropped_columns"] = sorted(
+            set(m.get("dropped_columns", [])) | set(dropped)
+        )
     return table.evolve_schema_metadata_only(
         new_columns=order,
         new_schema_json=T.StructType(fields).json(),
         column_defaults=defaults,
-        extra_meta=extra_meta,
+        extra_meta=meta or None,
     )
 
 

@@ -81,6 +81,7 @@ class IncrementConsumer:
         gc_schema_files: bool = True,
         compact_after_merges: int | None = None,
         compact_max_files: int = 4,
+        broadcast_batch_max_bytes: int = 256 << 20,
     ):
         self.spark = spark
         self.root = Path(increment_root)
@@ -98,6 +99,12 @@ class IncrementConsumer:
         self.compact_after_merges = compact_after_merges
         self.compact_max_files = compact_max_files
         self._merges_since_compact = 0
+        # adaptive merge-join strategy: a normal poll's group is a few
+        # 64 MiB CDC files and its PK key set broadcasts cheaply, but the
+        # grouped consumer makes ONE batch as large as the whole backlog —
+        # past this many staged bytes the broadcast hint is dropped and
+        # AQE picks the join (shuffle when the key set is big)
+        self.broadcast_batch_max_bytes = broadcast_batch_max_bytes
         # multi-table layouts share one increment root; each consumer owns
         # exactly one (schema, table) and must ignore its neighbors'
         # files (reference: one changefeed consumer per table)
@@ -113,6 +120,13 @@ class IncrementConsumer:
         self.current_version: int | None = (
             table.manifest().get("source_schema_version") if table.exists() else None
         )
+        # applied table DEFINITIONS survive restarts in the manifest too:
+        # schema-file GC deletes older-version files after a barrier, but a
+        # LATE pre-DDL DML file still needs its version's read schema —
+        # without this a restarted consumer could no longer conform it
+        if table.exists():
+            for v, d in table.manifest().get("applied_table_defs", {}).items():
+                self.table_defs[int(v)] = TableDefinition.from_json_dict(d)
 
     # -- one poll tick ----------------------------------------------------
     def _owns(self, key: DmlPathKey) -> bool:
@@ -169,6 +183,20 @@ class IncrementConsumer:
             v for v in self.table_defs if v <= self.current_version
         }
 
+    def _defs_for_manifest(self, *versions: int) -> dict[str, dict]:
+        """Manifest-persisted table definitions: existing entries plus the
+        given versions from the in-memory cache."""
+        defs = (
+            dict(self.table.manifest().get("applied_table_defs", {}))
+            if self.table.exists()
+            else {}
+        )
+        for v in versions:
+            td = self.table_defs.get(v)
+            if td is not None:
+                defs[str(v)] = td.to_json_dict()
+        return defs
+
     # -- DDL barrier ------------------------------------------------------
     def _exec_ddl(self, key: DmlPathKey, report: ConsumerReport) -> None:
         """D6/D7 — first schema file bootstraps (InitSchema); later ones
@@ -178,7 +206,10 @@ class IncrementConsumer:
             # InitSchema (D7): cache + persist the bootstrap version
             self.current_version = key.version
             if self.table.exists():
-                self.table.update_meta(source_schema_version=key.version)
+                self.table.update_meta(
+                    source_schema_version=key.version,
+                    applied_table_defs=self._defs_for_manifest(key.version),
+                )
             return
         if key.version <= self.current_version:
             return
@@ -187,7 +218,14 @@ class IncrementConsumer:
             diffs = diff_columns(prev_def.columns, new_def.columns)
             apply_column_diffs(
                 self.spark, self.table, diffs,
-                extra_meta={"source_schema_version": key.version},
+                extra_meta={
+                    "source_schema_version": key.version,
+                    # committed atomically with the evolution, so a late
+                    # pre-DDL file can be read after restart + schema GC
+                    "applied_table_defs": self._defs_for_manifest(
+                        self.current_version, key.version
+                    ),
+                },
             )
             report.ddl_applied += 1
         self.current_version = key.version
@@ -261,6 +299,9 @@ class IncrementConsumer:
         for seq, (_key, _idx, path) in enumerate(group):
             ext = "json" if path.endswith(".json") else "csv"
             by_ext.setdefault(ext, []).append((path, seq))
+        import os
+        from urllib.parse import quote
+
         parts = []
         for ext, pairs in by_ext.items():
             paths = [p for p, _ in pairs]
@@ -269,16 +310,40 @@ class IncrementConsumer:
                 if ext == "json"
                 else read_snapshot_csv(self.spark, paths, schema)
             )
-            # file: URI prefix + exact path both appear depending on
-            # filesystem; normalize before the lookup
+            # input_file_name() returns a percent-ENCODED file URI and does
+            # NOT resolve symlinks, so the lookup keys carry every plausible
+            # rendering of each staged path: plain abspath (no symlinks /
+            # no special chars — the common case), symlink-resolved, and
+            # percent-encoded (spaces etc.).  All variants of one path map
+            # to the same seq, so extra variants can never mis-tag a row —
+            # and an UNMATCHED file fails loudly below instead of silently
+            # dropping the serial-application tiebreaker.
+            rows = []
+            for p, s in pairs:
+                ap = os.path.abspath(p)
+                for v in {ap, str(Path(p).resolve()), quote(ap, safe="/")}:
+                    rows.append((v, s))
             seq_map = self.spark.createDataFrame(
-                [(str(Path(p).resolve()), s) for p, s in pairs],
-                f"__file string, {FILE_SEQ_COL} int",
+                rows, f"__file string, {FILE_SEQ_COL} int"
             )
-            tagged = df.withColumn(
-                "__file",
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
-            ).join(F.broadcast(seq_map), on="__file", how="left").drop("__file")
+            unmatched = F.raise_error(
+                F.concat(
+                    F.lit("__file_seq: scanned file missing from staged group: "),
+                    F.col("__file"),
+                )
+            )
+            tagged = (
+                df.withColumn(
+                    "__file",
+                    F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+                )
+                .join(F.broadcast(seq_map), on="__file", how="left")
+                .withColumn(
+                    FILE_SEQ_COL,
+                    F.coalesce(F.col(FILE_SEQ_COL), unmatched.cast("int")),
+                )
+                .drop("__file")
+            )
             parts.append(tagged)
         batch = parts[0]
         for p in parts[1:]:
@@ -308,7 +373,19 @@ class IncrementConsumer:
             if self.current_version is not None
             else None
         )
-        self.table.merge(self.spark, batch, extra_meta=extra_meta)
+        group_bytes = 0
+        for _key, _idx, path in group:
+            try:
+                group_bytes += Path(path).stat().st_size
+            except OSError:
+                group_bytes = self.broadcast_batch_max_bytes + 1  # unknown → safe
+                break
+        self.table.merge(
+            self.spark,
+            batch,
+            extra_meta=extra_meta,
+            broadcast_batch=group_bytes <= self.broadcast_batch_max_bytes,
+        )
         report.merge_commits += 1
         report.files_processed += len(group)
         for key, idx, path in group:

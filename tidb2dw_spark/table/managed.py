@@ -141,18 +141,24 @@ class ManagedTable:
         spark: SparkSession,
         batch: DataFrame,
         extra_meta: dict | None = None,
+        broadcast_batch: bool = True,
     ) -> int:
         """Apply a raw changelog batch (envelope columns + payload).
 
         Bucketed tables rewrite only the buckets containing touched PKs;
         plain tables fall back to a full overwrite.  The batch is W1-deduped
-        inside (idempotent for replays of the same files)."""
+        inside (idempotent for replays of the same files).
+        *broadcast_batch=False* (backlog-sized batches — the consumer
+        decides from its group's file bytes) drops the key-set broadcast
+        hint and lets AQE pick the join strategy."""
         from ..operators.merge import apply_changelog  # local: avoid cycle
 
         m = self.manifest()
         pk_cols, n_buckets = m["pk"], m.get("pk_buckets", 0)
         if n_buckets <= 0:
-            merged = apply_changelog(self.read(spark), batch, pk_cols)
+            merged = apply_changelog(
+                self.read(spark), batch, pk_cols, broadcast_batch=broadcast_batch
+            )
             return self.overwrite(merged, extra_meta=extra_meta)
 
         # 1. which buckets does the batch touch?  (distinct over ≤n_buckets
@@ -171,7 +177,9 @@ class ManagedTable:
 
         # 2. merge only those buckets' current data with the batch
         target = self._read_buckets(spark, m, touched)
-        merged = apply_changelog(target, batch, pk_cols)
+        merged = apply_changelog(
+            target, batch, pk_cols, broadcast_batch=broadcast_batch
+        )
 
         # 3. rewrite exactly the touched bucket partitions under the new
         #    version; untouched buckets keep their existing files
