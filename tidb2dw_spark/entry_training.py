@@ -30,10 +30,13 @@ from .functions.dedup import (
 )
 from .functions.multimodal import (
     attach_media,
+    decode_image_features,
     extract_audio_features,
     extract_image_features,
+    resize_decoded_images,
     resize_images,
     sample_video_frames,
+    wav_energy,
 )
 from .functions.similarity import (
     brute_force_topk,
@@ -576,6 +579,41 @@ def mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver-checked output (row shape is the contract)."""
     media = attach_media(_docs(spark, sf_dir, spread=True))
     return sample_video_frames(media, num_frames=4).drop("frame")
+
+
+# real-codec rows: blobs are genuine binary P6 / RIFF-PCM files built
+# JVM-side from the text bytes; the kernels PARSE them (codecs.py), and the
+# oracles recompute the decoded statistics from the same bytes — so a
+# header-math, padding, channel-order or chunk-walk bug breaks the hash.
+MM_RESIZE_W, MM_RESIZE_H = 8, 2
+
+
+@register("mm_ppm_decode_features", O.PPM_DECODE_ORACLE)
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (netpbm parser, no stand-in kernel): per-channel
+    integer pixel sums of the P6 fixture blobs."""
+    media = attach_media(_docs(spark, sf_dir, spread=True), fmt="ppm")
+    return decode_image_features(media)
+
+
+@register(
+    "mm_ppm_resize_features", O.ppm_resized_oracle(MM_RESIZE_W, MM_RESIZE_H)
+)
+def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → nearest-neighbour resample → re-encode P6 → decode again:
+    the oracle reproduces the exact integer index mapping, so a one-pixel
+    sampling offset anywhere in the codec chain flips the hash."""
+    media = attach_media(_docs(spark, sf_dir, spread=True), fmt="ppm")
+    resized = resize_decoded_images(media, target_w=MM_RESIZE_W, target_h=MM_RESIZE_H)
+    return decode_image_features(resized)
+
+
+@register("mm_wav_energy", O.WAV_ENERGY_ORACLE)
+def mm_wav_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/PCM decode: sample rate from the parsed fmt chunk, total
+    energy as an exact int64 sum of squared little-endian int16 samples."""
+    media = attach_media(_docs(spark, sf_dir, spread=True), fmt="wav")
+    return wav_energy(media)
 
 
 # ---------------------------------------------------------------------------

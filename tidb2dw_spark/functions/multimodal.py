@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The container has no image/audio codecs, so the *decode kernels* are
-deterministic fakes behind ``FAKE_DECODERS`` (clearly marked; swap in
-PIL/librosa/av in production).  Everything Spark-side is real and tested:
-the typed schema, Arrow-batched ``mapInPandas`` plumbing, batch shapes,
-and the partitioning story.
+Uncompressed containers (netpbm PPM/PGM, 24-bit BMP, RIFF/PCM WAV) decode
+for REAL via the pure-Python codecs in :mod:`.codecs` — genuine header
+parsing, row padding, chunk walking — so decode → feature → resize is
+exact end-to-end and carries integer-exact SQL oracles.  Compressed
+formats (png/jpeg/mp3/mp4) would need codec libraries the container lacks;
+those stay behind ``FAKE_DECODERS`` for the legacy ``format='fake'`` blobs
+and :func:`real_decode` raises for them explicitly.  Everything Spark-side
+is real and tested either way: the typed schema, Arrow-batched
+``mapInPandas`` plumbing, batch shapes, and the partitioning story.
 
 Scale notes: media blobs dominate row size, so ops repartition by a
 row-count target (not bytes-default splits) before ``mapInPandas`` to
@@ -14,6 +18,7 @@ column as early as possible (project-away before any shuffle).
 
 from __future__ import annotations
 
+import struct as _struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -21,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 # typed metadata accompanying every media blob
 MEDIA_META_SCHEMA = T.StructType(
@@ -59,26 +66,112 @@ FAKE_DECODERS = {"image": _fake_image_features}
 
 
 def real_decode(blob: bytes, media_type: str):
-    """The production decode kernel — requires codec libraries that are not
-    in this container."""
+    """Decode a genuine media blob.  Uncompressed containers decode here
+    and now (netpbm/BMP images, PCM WAV audio); compressed formats raise —
+    install PIL/librosa/av in production and extend the dispatch."""
+    fmt = codecs.sniff_format(blob)
+    if media_type == "image" and fmt in ("ppm", "pgm", "bmp"):
+        return codecs.decode_image(blob)
+    if media_type == "audio" and fmt == "wav":
+        return codecs.decode_wav(blob)
     raise NotImplementedError(
-        f"no codec for {media_type}: install PIL/librosa/av and register in FAKE_DECODERS"
+        f"no codec for {media_type} blob with magic format {fmt!r}: "
+        "compressed containers need PIL/librosa/av"
     )
 
 
-def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Test harness: derive a deterministic binary 'media' column + typed
-    metadata from a text column (UTF-8 bytes stand in for real blobs)."""
+# fixture geometry for fmt='ppm': fixed-height RGB strip, width grows with
+# the payload so every text byte lands in exactly one channel slot
+PPM_FIXTURE_H = 4
+# fixture WAV: mono 16-bit 8 kHz
+WAV_FIXTURE_RATE = 8000
+
+_WAV_STATIC_FMT = (
+    b"WAVEfmt "
+    + _struct.pack("<I", 16)
+    + _struct.pack("<HHIIHH", 1, 1, WAV_FIXTURE_RATE, WAV_FIXTURE_RATE * 2, 2, 16)
+)
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian fixed-width hex rendering of an integer column —
+    feeds ``unhex`` to splice variable header fields (RIFF/data sizes)
+    into binary literals, all JVM-side."""
+    return F.concat(
+        *[
+            F.format_string("%02x", F.shiftright(col, 8 * i).bitwiseAND(F.lit(255)))
+            for i in range(nbytes)
+        ]
+    )
+
+
+def attach_media(df: DataFrame, text_col: str = "text", fmt: str = "fake") -> DataFrame:
+    """Test harness: derive a binary 'media' column + typed metadata from a
+    text column.
+
+    ``fmt='fake'`` (legacy): raw UTF-8 bytes stand in for a blob.
+    ``fmt='ppm'``: a REAL binary P6 image — ``P6\\n<w> 4\\n255\\n`` header +
+    the text bytes zero-padded to ``w*4*3`` (w = ceil(len/12)), built
+    entirely JVM-side (format_string + binary rpad/concat), so the blobs
+    parse with any PPM reader and the decoded pixel channels are exact
+    functions of the text bytes (→ SQL oracle).
+    ``fmt='wav'``: a REAL RIFF/PCM WAV — canonical 44-byte header with
+    little-endian size fields spliced via unhex, mono 16-bit 8 kHz, data =
+    the text bytes truncated to even length (→ int16 LE samples).
+    """
     blob = F.encode(F.col(text_col), "UTF-8")
+    if fmt == "fake":
+        media = blob
+        meta_fmt, mtype = "fake", "image"
+        width = F.octet_length(blob).cast("int")
+        height = F.lit(1).cast("int")
+        rate = F.lit(None).cast("int")
+    elif fmt == "ppm":
+        w = F.greatest(
+            F.lit(1), F.floor((F.octet_length(blob) + 11) / 12).cast("int")
+        )
+        header = F.encode(
+            F.format_string("P6\n%d %d\n255\n", w, F.lit(PPM_FIXTURE_H)), "UTF-8"
+        )
+        padded = F.expr(
+            f"rpad(encode({text_col}, 'UTF-8'), "
+            f"greatest(1, cast(floor((octet_length(encode({text_col}, 'UTF-8')) + 11) / 12) as int)) * 12, "
+            "X'00')"
+        )
+        media = F.concat(header, padded)
+        meta_fmt, mtype = "ppm", "image"
+        width = w
+        height = F.lit(PPM_FIXTURE_H).cast("int")
+        rate = F.lit(None).cast("int")
+    elif fmt == "wav":
+        dsize = (F.floor(F.octet_length(blob) / 2) * 2).cast("int")
+        payload = F.expr(
+            f"substring(encode({text_col}, 'UTF-8'), 1, "
+            f"cast(floor(octet_length(encode({text_col}, 'UTF-8')) / 2) * 2 as int))"
+        )
+        media = F.concat(
+            F.lit(b"RIFF"),
+            F.unhex(_le_hex(dsize + (4 + len(_WAV_STATIC_FMT) + 8), 4)),
+            F.lit(_WAV_STATIC_FMT),
+            F.lit(b"data"),
+            F.unhex(_le_hex(dsize, 4)),
+            payload,
+        )
+        meta_fmt, mtype = "wav", "audio"
+        width = F.lit(None).cast("int")
+        height = F.lit(None).cast("int")
+        rate = F.lit(WAV_FIXTURE_RATE).cast("int")
+    else:
+        raise ValueError(f"unknown attach_media fmt {fmt!r}")
     meta = F.struct(
-        F.lit("image").alias("media_type"),
-        F.lit("fake").alias("format"),
-        F.octet_length(blob).cast("int").alias("width"),
-        F.lit(1).cast("int").alias("height"),
+        F.lit(mtype).alias("media_type"),
+        F.lit(meta_fmt).alias("format"),
+        width.alias("width"),
+        height.alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
-        F.lit(None).cast("int").alias("sample_rate"),
+        rate.alias("sample_rate"),
     )
-    return df.withColumn("media", blob).withColumn("media_meta", meta)
+    return df.withColumn("media", media).withColumn("media_meta", meta)
 
 
 def extract_image_features(
@@ -159,6 +252,132 @@ def resize_images(
             )
 
     return pruned.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def decode_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL image decode → per-channel integer statistics.
+
+    The kernel parses the actual container (netpbm header tokens + raster,
+    or BMP chunk layout via :mod:`.codecs`) — no stand-ins — and emits
+    integer channel sums, so the result is bit-exact across engines and the
+    driver oracle recomputes it from first principles.  Blob column is
+    pruned to (id, media) before the Arrow exchange; output carries no
+    blob, so nothing downstream shuffles media bytes."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
+                arr = codecs.decode_image(blob)
+                h, w = arr.shape[:2]
+                sums = arr.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (doc_id, w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return pruned.mapInPandas(extract, schema=DECODED_IMAGE_SCHEMA)
+
+
+def resize_decoded_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL resize: decode the container, nearest-neighbour resample with
+    exact integer index math (out[y][x] = in[y*h//th][x*w//tw]), re-encode
+    as binary P6.  Blob-in/blob-out: output feeds
+    :func:`decode_image_features` (or any PPM consumer) unchanged."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kernel(b):
+            if b is None:
+                return None
+            arr = codecs.resize_nearest(codecs.decode_image(b), target_w, target_h)
+            return codecs.encode_ppm(arr)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["media"].map(kernel),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return pruned.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+WAV_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("energy_sq", T.LongType(), True),
+    ]
+)
+
+
+def wav_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL WAV decode → total signal energy (sum of squared int16
+    samples, exact in int64: n·32768² needs ~2^31 samples per file to
+    overflow).  The kernel walks actual RIFF chunks — sample rate comes
+    from the parsed fmt chunk, not metadata."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                rate, samples = codecs.decode_wav(blob)
+                s = samples.astype(np.int64)
+                rows.append((doc_id, rate, int(s.size), int((s * s).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "energy_sq"]
+            )
+
+    return pruned.mapInPandas(extract, schema=WAV_ENERGY_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

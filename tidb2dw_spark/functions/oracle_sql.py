@@ -414,6 +414,82 @@ WHERE bit_count(xor(l.phash, r.phash)) <= {max_hamming}
 """
 
 
+# width of the PPM fixture: text bytes fill a 4-row RGB strip
+_PPM_W = "greatest((length(text) + 11) // 12, 1)"
+
+
+def _ppm_channel_sum(channel: int) -> str:
+    """Sum of the fixture-PPM channel *channel* = every 3rd text byte
+    starting at 1-based offset channel+1 (zero padding contributes 0)."""
+    return (
+        f"CAST(COALESCE(list_sum([ord(text[i]) "
+        f"for i in range({channel + 1}, length(text) + 1, 3)]), 0) AS BIGINT)"
+    )
+
+
+PPM_DECODE_ORACLE = f"""
+SELECT doc_id,
+       CAST({_PPM_W} AS INT) AS width,
+       4 AS height,
+       CAST({_PPM_W} * 4 AS INT) AS n_pixels,
+       {_ppm_channel_sum(0)} AS sum_r,
+       {_ppm_channel_sum(1)} AS sum_g,
+       {_ppm_channel_sum(2)} AS sum_b
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+def ppm_resized_oracle(target_w: int, target_h: int, src_h: int = 4) -> str:
+    """Decode → nearest-neighbour resize → feature oracle: output pixel
+    (y, x) samples source pixel (y*src_h//target_h, x*w//target_w), whose
+    channel-c byte sits at 0-based payload offset (sy*w + sx)*3 + c — a
+    text byte if < length, else a zero pad byte.  Pure integer index math,
+    identical to codecs.resize_nearest."""
+    n = target_w * target_h
+
+    def chan(c: int) -> str:
+        sy = f"((i // {target_w}) * {src_h}) // {target_h}"
+        sx = f"((i % {target_w}) * w) // {target_w}"
+        p = f"(({sy}) * w + ({sx})) * 3 + {c}"
+        return (
+            f"CAST(COALESCE(list_sum([CASE WHEN ({p}) < length(text) "
+            f"THEN ord(text[({p}) + 1]) ELSE 0 END "
+            f"for i in range(0, {n})]), 0) AS BIGINT)"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, {_PPM_W} AS w FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       {target_w} AS width,
+       {target_h} AS height,
+       {n} AS n_pixels,
+       {chan(0)} AS sum_r,
+       {chan(1)} AS sum_g,
+       {chan(2)} AS sum_b
+FROM b
+"""
+
+
+WAV_ENERGY_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         [ord(text[2*j + 1]) + 256 * ord(text[2*j + 2])
+          for j in range(0, length(text) // 2)] AS vals
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       CAST(len(vals) AS INT) AS n_samples,
+       CAST(COALESCE(list_sum(list_transform(vals,
+         v -> CASE WHEN v >= 32768 THEN (v - 65536) * (v - 65536)
+                   ELSE v * v END)), 0) AS BIGINT) AS energy_sq
+FROM s
+"""
+
+
 def topk_qcos_oracle(query_mod: int, k: int) -> str:
     return f"""
 WITH q AS (
