@@ -24,10 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Curated driver surface (≤50 entries, each with a verdict): §2
-    operators + pipeline replay + training-data ops, with the analytics
-    and sampling families verified per-member through checksum-suite rows
-    (entry_queries.DRIVER_QUERIES docstring has the exclusion map; the
-    full registry stays in entry_queries.QUERIES for bench/local tests)."""
+    operators + pipeline replay + training-data ops, with the analytics,
+    sampling, similarity and legacy-multimodal families verified
+    per-member through checksum-suite rows (entry_queries.DRIVER_QUERIES
+    docstring has the exclusion map; the full registry stays in
+    entry_queries.QUERIES for bench/local tests)."""
     return dict(entry_queries.DRIVER_QUERIES)
 
 

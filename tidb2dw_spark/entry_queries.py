@@ -385,20 +385,27 @@ ORACLES["suite_similarity_checksums"] = entry_suites.suite_oracle(
     entry_suites.SIMILARITY_SPEC,
     {**entry_training.ORACLES, **entry_training.SIM_SUITE_ORACLES},
 )
+QUERIES["suite_multimodal_checksums"] = entry_suites.suite_query(
+    entry_suites.MULTIMODAL_SPEC, entry_training.QUERIES
+)
+ORACLES["suite_multimodal_checksums"] = entry_suites.suite_oracle(
+    entry_suites.MULTIMODAL_SPEC, entry_training.ORACLES
+)
 
 # ---------------------------------------------------------------------------
 # DRIVER registry: the curated ≤50-entry surface __spark_entry__ exposes.
 # The driver's gate checks the first ~50 entries, so every entry here gets
 # a verdict.  Full breadth stays in QUERIES (bench + local parity tests).
-# Every excluded name is a member of one of the THREE checksum suites
-# (analytics / sampling / similarity), so the exclusion list of
-# driver-INVISIBLE entries is empty: each member gets its own per-member
-# (query, n_rows, checksum) verdict inside its suite row.
+# Every excluded name is a member of one of the FOUR checksum suites
+# (analytics / sampling / similarity / multimodal), so the exclusion list
+# of driver-INVISIBLE entries is empty: each member gets its own
+# per-member (query, n_rows, checksum) verdict inside its suite row.
 # ---------------------------------------------------------------------------
 _DRIVER_EXCLUDE = (
     set(entry_suites.SIMILARITY_SPEC)
     | set(entry_suites.SAMPLING_SPEC)
     | set(entry_suites.ANALYTICS_SPEC)
+    | set(entry_suites.MULTIMODAL_SPEC)
 )
 
 # checked-window insurance: the gate walks insertion order, so the
@@ -411,6 +418,7 @@ _DRIVER_PRIORITY = [
     "suite_analytics_checksums",
     "suite_sampling_checksums",
     "suite_similarity_checksums",
+    "suite_multimodal_checksums",
 ]
 
 _rest = [n for n in QUERIES if n not in _DRIVER_EXCLUDE and n not in _DRIVER_PRIORITY]

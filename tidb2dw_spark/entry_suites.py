@@ -88,6 +88,18 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     "sim_embedding_near_dup": [("id_a", "int"), ("id_b", "int"), ("qcos", "dbl")],
 }
 
+# Legacy fake-format multimodal plumbing rows (UTF-8 bytes standing in for
+# blobs), folded into one suite row when the real-codec rows
+# (mm_ppm_decode_features / mm_ppm_resize_features / mm_wav_energy) took
+# their individual driver slots.  mean_byte is one IEEE divide — bit-
+# identical across engines, so the dbl quantization is exact.
+MULTIMODAL_SPEC: dict[str, list[tuple[str, str]]] = {
+    "mm_image_features": [("doc_id", "int"), ("n_bytes", "int"), ("mean_byte", "dbl")],
+    "mm_resize_then_features": [("doc_id", "int"), ("n_bytes", "int"), ("mean_byte", "dbl")],
+    "mm_audio_energy": [("doc_id", "int"), ("n_windows", "int")],
+    "mm_video_frame_sample": [("doc_id", "int"), ("frame_idx", "int")],
+}
+
 SAMPLING_SPEC: dict[str, list[tuple[str, str]]] = {
     "split_train_test": [("doc_id", "int"), ("split", "str")],
     "sample_stratified_by_lang": [("doc_id", "int"), ("lang", "str")],

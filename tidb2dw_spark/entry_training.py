@@ -21,6 +21,7 @@ from .functions.sampling import (
 )
 from .functions.dedup import (
     connected_components,
+    connected_components_star,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -768,8 +769,12 @@ def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs → clusters: min-label propagation over the near-dup graph
-    (keep-rule downstream: doc_id == component survives)."""
+    """Pairs → clusters via alternating large-star/small-star — the
+    O(log n)-round formulation that stays distributed on adversarial
+    graph shapes (keep-rule downstream: doc_id == component survives).
+    Min-label propagation (connected_components) remains available for
+    the near-clique graphs dedup usually produces; both are pinned
+    bit-identical in tests/test_connected_components.py."""
     pairs = minhash_lsh_pairs(
         _docs(spark, sf_dir, spread=True),
         "doc_id",
@@ -779,7 +784,42 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=SHINGLE_N,
         jaccard_threshold=JACCARD_T,
     )
-    return connected_components(pairs)
+    return connected_components_star(pairs)
+
+
+@register(
+    "dedup_apply_canonical",
+    O.dedup_apply_oracle(
+        O.minhash_lsh_pairs_oracle(MINHASH_NUM, MINHASH_BANDS, SHINGLE_N, JACCARD_T)
+    ),
+)
+def dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline a corpus pass actually runs, end-to-end in
+    one plan: shingle → minhash → LSH-band join → Jaccard verify →
+    large-star/small-star clustering → drop non-canonical docs.
+
+    Scale shape: the only frames that ever shuffle are signatures, band
+    keys, candidate pairs and the (pairs-sized) duplicate-id list; the
+    final anti-join streams the corpus once against that list with AQE
+    picking broadcast vs shuffle-hash by its real size — no forced
+    broadcast, so a pathological everything-is-duplicate corpus degrades
+    to a shuffle join instead of an OOM."""
+    docs = _docs(spark, sf_dir, spread=True)
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=JACCARD_T,
+    )
+    dupes = (
+        connected_components_star(pairs)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
+    return docs.join(dupes, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
 CURATE_QUALITY_T = 0.75

@@ -521,6 +521,92 @@ def connected_components(
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14) — same contract as :func:`connected_components` ((doc_id,
+    component = min reachable id), only nodes appearing in *pairs*), but
+    O(log n) rounds on ANY graph shape, where min-label propagation needs
+    O(diameter) rounds and loses on adversarial chains.
+
+    Each round is two shuffles of the (shrinking) edge list:
+    - large-star: every node links its larger neighbours to the minimum of
+      its closed neighbourhood — long tails collapse toward minima;
+    - small-star: every node re-points its smaller-or-equal neighbours at
+      that minimum — stars flatten to depth 1.
+    Edges stay canonical (u > v), so the fixpoint is exactly the star
+    forest whose centres are component minima.  Convergence = the new edge
+    SET equals the old one: both sides are distinct, so equal counts plus
+    an empty left-anti probe is an exact set-equality test (no fingerprint
+    collisions).  ``localCheckpoint`` truncates lineage per round, as in
+    the propagation variant."""
+    nodes = (
+        pairs.select(F.col(id_a).alias("n"))
+        .union(pairs.select(F.col(id_b).alias("n")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is canonical u > v: each u's neighbours here are its smaller ones
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        root_links = mins.select("u", F.col("m").alias("v"))
+        return (
+            relink.union(root_links).filter(F.col("u") != F.col("v")).distinct()
+        )
+
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        converged = n_new == n_edges and new_edges.join(
+            edges, ["u", "v"], "left_anti"
+        ).isEmpty()
+        edges, n_edges = new_edges, n_new
+        if converged:
+            break
+    # fixpoint is a star forest pointing larger → centre; centres (and any
+    # node seen only in self-pairs) never appear on the u side — they are
+    # their own component, like the oracle's reflexive closure
+    return edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    ).union(
+        nodes.join(edges, nodes["n"] == edges["u"], "left_anti")
+        .select(F.col("n").alias("doc_id"), F.col("n").alias("component"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked exact similarity)
 # ---------------------------------------------------------------------------

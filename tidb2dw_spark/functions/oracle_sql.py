@@ -802,6 +802,19 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def dedup_apply_oracle(pairs_sql: str) -> str:
+    """Full document-level dedup: drop every doc whose component label
+    differs from its own id (the cluster minimum survives; docs in no
+    near-dup pair survive trivially)."""
+    return f"""
+WITH comp AS ({connected_components_oracle(pairs_sql)})
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.component = d.doc_id
+"""
+
+
 def curate_pipeline_oracle(
     quality_threshold: float, test_fraction: float, salt: str
 ) -> str:
