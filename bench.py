@@ -98,11 +98,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    # same best-of-3 as the headline: the first replay pays per-session
+    # codegen compile for the consumer's many small plans (~3× the
+    # steady-state run); a real consumer compiles once and then processes
+    # batches forever, so steady-state is the honest per-batch number
     pipe_timings: dict[str, float] = {}
     for name in (n for n in PIPELINE_QUERIES if n in entry_queries.QUERIES):
-        start = time.perf_counter()
-        entry_queries.QUERIES[name](spark, sf_dir).count()
-        pipe_timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(3):
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            entry_queries.QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        pipe_timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

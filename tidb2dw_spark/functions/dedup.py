@@ -159,23 +159,29 @@ def dup_ngram_stats(
     duplicated-gram share marks template/boilerplate text that survives
     document-level dedup.
 
-    Scale shape: grams travel as 8-byte md5 hashes; the doc-frequency
-    aggregation partial-combines map-side (shingles are per-doc distinct,
-    so count(*) IS the doc frequency), and the gram↔frequency join is
-    keyed on the uniform hash — no skew, AQE picks broadcast vs
-    shuffle-hash by the vocabulary's actual size."""
+    Scale shape: grams travel as 8-byte md5 hashes, and the doc frequency
+    is a COUNT(*) window over gh (shingles are per-doc distinct, so
+    count(*) IS the doc frequency) — ONE pass over the gram stream with
+    exactly two exchanges (by gh for the window, by doc for the final
+    agg).  The window formulation replaces the aggregate-then-join-back
+    shape, which cost a third exchange plus a persist of the gram table
+    to stop the text→shingle→md5 lineage running per join branch
+    (measured 2× at sf0.1).  Skew exposure is identical: a universal
+    gram lands on one task either way (window group ≙ join build group),
+    and WindowExec spills where the join would."""
     sh = word_shingles(F.col(text_col), n)
-    grams = df.select(F.col(id_col), F.explode_outer(sh).alias("g")).select(
-        id_col, md5_long(F.col("g")).alias("gh")
+    grams = (
+        df.select(F.col(id_col), F.explode_outer(sh).alias("g"))
+        .select(id_col, md5_long(F.col("g")).alias("gh"))
+        # null-text docs produce a single null gh; the old inner join
+        # dropped them, so the window path must too
+        .filter(F.col("gh").isNotNull())
     )
-    # grams feeds BOTH the frequency agg and the join-back: without
-    # materialization the text→shingle→md5 lineage runs twice over the
-    # full corpus (same trade as minhash_lsh_pairs.cache_intermediate —
-    # the persisted frame is (id, 8-byte hash) rows, tiny next to text)
-    grams = grams.persist()
-    freq = grams.groupBy("gh").agg(F.count("*").alias("gram_docs"))
+    from pyspark.sql import Window
+
+    gram_docs = F.count("*").over(Window.partitionBy("gh"))
     return (
-        grams.join(freq, "gh")
+        grams.withColumn("gram_docs", gram_docs)
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),
