@@ -201,3 +201,70 @@ def test_stream_dedup_within_watermark_drops_redeliveries(spark, sf_dir, tmp_pat
     assert got.select("event_id").distinct().count() == n_distinct
     # batch twin agrees
     assert dedup_events_stream(delivered).count() == n_distinct
+
+
+def test_lww_dedup_stream_cross_batch(spark, tmp_path):
+    """Stateful cross-batch W1: newer events replace the state winner and
+    are emitted; stale and replayed events emit NOTHING; the final winner
+    per key matches the batch last_writer_wins over the unioned batches."""
+    from pyspark.sql import types as T
+
+    from tidb2dw_spark.operators.dedup import last_writer_wins
+    from tidb2dw_spark.streaming.stream import lww_dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("flag", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("commit_ts", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    b1 = [("I", 1, 10, "a"), ("U", 1, 20, "b"), ("I", 2, 5, "x"), ("D", 3, 7, None)]
+    b2 = [
+        ("U", 1, 15, "stale-loses"),   # older than state ts 20 → no emission
+        ("U", 2, 5, "tie-flag"),       # same ts, U > I flag → wins
+        ("I", 4, 1, "new"),
+        ("U", 1, 20, "b"),             # exact replay of the winner → no emission
+    ]
+    src = tmp_path / "lww_src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        lww_dedup_stream(stream, ["id"])
+        .writeStream.format("memory")
+        .queryName("lww_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "lww_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("lww_out").collect()
+
+    # winners only improve, so max-by-(ts, flag) of emissions == final state
+    final = {}
+    for r in emitted:
+        cur = final.get(r["id"])
+        if cur is None or (r["commit_ts"], r["flag"]) > (cur["commit_ts"], cur["flag"]):
+            final[r["id"]] = r
+    batch = spark.createDataFrame(b1 + b2, schema)
+    expected = {
+        r["id"]: r for r in last_writer_wins(batch, ["id"]).collect()
+    }
+    assert {k: (v["flag"], v["commit_ts"], v["val"]) for k, v in final.items()} == {
+        k: (v["flag"], v["commit_ts"], v["val"]) for k, v in expected.items()
+    }
+    # per-key emission counts prove the no-change suppression:
+    # key 1: batch-1 winner only (stale + replay suppressed); key 2: both
+    # batches (tie-flag upgrade); keys 3, 4: one each
+    counts = {}
+    for r in emitted:
+        counts[r["id"]] = counts.get(r["id"], 0) + 1
+    assert counts == {1: 1, 2: 2, 3: 1, 4: 1}

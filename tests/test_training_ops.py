@@ -564,6 +564,45 @@ def test_lsh_blocked_near_dup_finds_planted_pairs(spark):
     assert blocked <= exact           # verify step is exact → precision 1
 
 
+def test_lsh_near_dup_multi_table_amplifies_recall(spark):
+    """Independent plane sets can only ADD discoveries: the T-table result
+    contains every single-table result (per plane set) and stays a subset
+    of the exact all-pairs set (precision 1 survives the union)."""
+    import random
+
+    from tidb2dw_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+        lsh_blocked_near_dup_pairs,
+    )
+
+    rng = random.Random(21)
+    rows = []
+    for g in range(8):  # 8 planted near-dup pairs among noise
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        near = list(base)
+        near[g % 16] += 0.01
+        rows += [(2 * g, base), (2 * g + 1, near)]
+    rows += [(100 + i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs(t):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in lsh_blocked_near_dup_pairs(
+                df, threshold=0.9, num_planes=6, num_tables=t
+            ).collect()
+        }
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    one, three = pairs(1), pairs(3)
+    assert one <= three <= exact      # monotone recall, exact precision
+    planted = {(2 * g, 2 * g + 1) for g in range(8)}
+    assert len(three & planted) >= len(one & planted)
+
+
 def test_ivf_refined_centroids_improve_or_match_recall(spark, sf_dir, tmp_path):
     """A k-means-refined IVF index must stay searchable with deterministic
     results, use the kmeans_fit centroids verbatim, and not lose recall

@@ -65,6 +65,7 @@ NGRAM_BLOCK, NGRAM_N, NGRAM_T = "lang", 3, 0.08
 TOPK_QUERY_MOD, TOPK_K = 50, 5
 NEAR_DUP_T = 0.35  # testdata embeddings are near-orthogonal (max qcos ≈ 0.51)
 NEAR_DUP_PLANES = 2  # LSH blocking: 4 buckets (small corpus keeps recall useful)
+NEAR_DUP_TABLES = 2  # independent plane sets: miss prob p² instead of p
 
 QUERIES = {}
 ORACLES = {}
@@ -257,18 +258,23 @@ def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_near_dup_lsh_blocked",
-    O.lsh_blocked_near_dup_oracle(NEAR_DUP_T, NEAR_DUP_PLANES),
+    O.lsh_blocked_near_dup_oracle(NEAR_DUP_T, NEAR_DUP_PLANES, NEAR_DUP_TABLES),
 )
 def sim_near_dup_lsh_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE registered near-dup path: sub-quadratic LSH-blocked pairs with
-    the exact quantized-cosine verify.  The oracle recomputes the
-    IDENTICAL integer sign-bit blocking, so the approximation itself is
+    """THE registered near-dup path: sub-quadratic LSH-blocked pairs
+    (two independent hash tables for recall amplification) with the exact
+    quantized-cosine verify.  The oracle recomputes the IDENTICAL integer
+    sign-bit blocking per table, so the approximation itself is
     value-checked.  Unlike the exact Arrow kernel (sim_embedding_near_dup,
     the small-sf cross-check) this plan never collects the corpus: the
-    bucket column is the shuffle key, and at 100 TB it is what the stored
-    corpus is partitioned by — each bucket's pair loop is partition-local."""
+    (table, bucket) column is the shuffle key, and at 100 TB it is what
+    the stored corpus is partitioned by — each bucket's pair loop is
+    partition-local."""
     return lsh_blocked_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=NEAR_DUP_T, num_planes=NEAR_DUP_PLANES
+        _emb(spark, sf_dir),
+        threshold=NEAR_DUP_T,
+        num_planes=NEAR_DUP_PLANES,
+        num_tables=NEAR_DUP_TABLES,
     )
 
 

@@ -519,11 +519,12 @@ WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
 """
 
 
-def sql_lsh_bucket(qv: str, num_planes: int) -> str:
+def sql_lsh_bucket(qv: str, num_planes: int, plane_offset: int = 0) -> str:
     """Mirror of similarity.lsh_bucket over an already-quantized int64
     list: integer plane components (md5-derived, [-1000, 1000]) and int64
     dot products, so the sign test — and therefore the bucket — is
-    bit-identical across engines."""
+    bit-identical across engines.  *plane_offset* mirrors the Spark
+    side's independent-table plane sets."""
     def pdot(p: int) -> str:
         comp = (
             f"(('0x'||substr(md5('plane_{p}_' || CAST(i-1 AS VARCHAR)),1,7))::BIGINT"
@@ -532,26 +533,37 @@ def sql_lsh_bucket(qv: str, num_planes: int) -> str:
         return f"list_sum([{qv}[i] * {comp} for i in range(1, len({qv})+1)])"
 
     bits = " + ".join(
-        f"(CASE WHEN {pdot(p)} > 0 THEN {2 ** p} ELSE 0 END)"
+        f"(CASE WHEN {pdot(plane_offset + p)} > 0 THEN {2 ** p} ELSE 0 END)"
         for p in range(num_planes)
     )
     return f"({bits})::BIGINT"
 
 
-def lsh_blocked_near_dup_oracle(threshold: float, num_planes: int) -> str:
+def lsh_blocked_near_dup_oracle(
+    threshold: float, num_planes: int, num_tables: int = 1
+) -> str:
     """Mirror of similarity.lsh_blocked_near_dup_pairs: the oracle
-    recomputes the IDENTICAL deterministic blocking (integer sign-bit LSH)
-    plus the exact quantized-cosine verify, so the approximation itself is
-    value-checked, not just the verify step."""
+    recomputes the IDENTICAL deterministic blocking (integer sign-bit LSH,
+    one independent plane set per table) plus the exact quantized-cosine
+    verify, so the approximation itself is value-checked, not just the
+    verify step.  Cross-table duplicate discoveries collapse via DISTINCT
+    (qcos is deterministic, so pair rows are bit-identical per table)."""
+    per_table = [
+        f"""
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, {sql_qcos("l.qv", "r.qv")} AS qcos
+FROM (SELECT vec_id, qv, {sql_lsh_bucket("qv", num_planes, t * num_planes)} AS bucket FROM v) l
+JOIN (SELECT vec_id, qv, {sql_lsh_bucket("qv", num_planes, t * num_planes)} AS bucket FROM v) r
+  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
+"""
+        for t in range(num_tables)
+    ]
+    union = "\nUNION\n".join(per_table)  # UNION (not ALL): cross-table dedup
     return f"""
 WITH v AS (
   SELECT vec_id, {sql_quantized("embedding")} AS qv FROM embeddings
-), vb AS (
-  SELECT vec_id, qv, {sql_lsh_bucket("qv", num_planes)} AS bucket FROM v
 )
-SELECT l.vec_id AS id_a, r.vec_id AS id_b, {sql_qcos("l.qv", "r.qv")} AS qcos
-FROM vb l JOIN vb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE {sql_qcos("l.qv", "r.qv")} >= {threshold}
+{union}
 """
 
 

@@ -731,8 +731,10 @@ def _plane_component_q(plane: int, dim_idx: Column) -> Column:
     return (h % 2001 - 1000).cast("long")
 
 
-def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
-    """Sign-bit bucket id: bit p = sign(qv · plane_p) — INTEGER-EXACT.
+def lsh_bucket(vec: Column, num_planes: int = 8, plane_offset: int = 0) -> Column:
+    """Sign-bit bucket id: bit p = sign(qv · plane_{plane_offset+p}) —
+    INTEGER-EXACT.  *plane_offset* selects an independent plane set, so
+    multiple hash tables (recall amplification) reuse this unchanged.
 
     The vector is quantized (round(x·1e6) as int64) and the hyperplane
     components are integers in [-1000, 1000], so the sign test is pure
@@ -745,7 +747,7 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
 
     def plane_dot(p: int):
         def fold(acc: Column, d: Column) -> Column:
-            return acc + F.element_at(qv, d + 1) * _plane_component_q(p, d)
+            return acc + F.element_at(qv, d + 1) * _plane_component_q(plane_offset + p, d)
 
         return F.aggregate(dims, F.lit(0).cast("long"), fold)
 
@@ -796,13 +798,20 @@ def lsh_blocked_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     num_planes: int = 4,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Scale path for :func:`embedding_near_dup_pairs`: confine the
     quadratic pair space to random-hyperplane LSH buckets (expected
     bucket size n/2^planes → pair work n²/2^planes), then verify with the
     same exact quantized cosine.  APPROXIMATE: a true pair whose vectors
-    land in different buckets is missed — raise recall by lowering
-    num_planes or (production) unioning several independent plane sets.
+    land in different buckets is missed — recall amplifies with
+    *num_tables* independent plane sets (miss probability decays
+    geometrically: p_miss^T), the classic multi-table LSH trade of T×
+    bucket work for recall; lowering num_planes widens buckets instead.
+    One corpus pass computes all T buckets and explodes to T rows per
+    vector; duplicate discoveries across tables collapse in one
+    pair-keyed dropDuplicates (qcos is deterministic, so survivors are
+    bit-identical regardless of which table found them).
 
     Execution: quantization + integer sign-bit bucketing stay JVM-side
     (bit-identical to the SQL oracle); the pair verify runs as a
@@ -819,11 +828,19 @@ def lsh_blocked_near_dup_pairs(
     qv = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
     )
-    v = df.select(
-        F.col(id_col).alias("id"),
-        qv.alias("qv"),
-        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(vec_col), num_planes, plane_offset=t * num_planes)
+                .alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
     )
+    v = df.select(
+        F.col(id_col).alias("id"), qv.alias("qv"), F.explode(tables).alias("tb")
+    ).select("id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     out_schema = (
         "id_a long, id_b long, qcos double"
     )
@@ -866,4 +883,7 @@ def lsh_blocked_near_dup_pairs(
             }
         )
 
-    return v.groupBy("bucket").applyInPandas(per_bucket, schema=out_schema)
+    pairs = v.groupBy("tbl", "bucket").applyInPandas(per_bucket, schema=out_schema)
+    if num_tables == 1:
+        return pairs
+    return pairs.dropDuplicates(["id_a", "id_b"])

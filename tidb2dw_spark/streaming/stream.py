@@ -27,6 +27,9 @@ Three pieces:
 
 5. ``dedup_events_stream`` — exactly-once ingest over an at-least-once
    upstream via ``dropDuplicatesWithinWatermark`` (bounded dedup state).
+
+6. ``lww_dedup_stream`` — stateful cross-batch W1: per-PK winner row held
+   in GroupState, emitted only on change (idempotent under redelivery).
 """
 
 from __future__ import annotations
@@ -303,3 +306,64 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# 6. Streaming cross-batch last-writer-wins (stateful W1)
+# ---------------------------------------------------------------------------
+def lww_dedup_stream(
+    changelog: DataFrame,
+    pk_cols: list[str],
+    ts_col: str = "commit_ts",
+    flag_col: str = "flag",
+    file_seq_col: str = "__file_seq",
+) -> DataFrame:
+    """Streaming-native W1: per-PK last-writer-wins ACROSS micro-batches
+    via ``applyInPandasWithState``.  The batch W1 (operators/dedup.py)
+    collapses one batch; here per-key state holds the current winning row
+    image, and a batch's candidate replaces it only when its
+    (commit_ts [, file_seq], flag) sort key is strictly newer — the same
+    D < I < U tie order the batch window uses.  Emits a row only when the
+    winner CHANGES, so the output is the evolving row-image stream a
+    downstream merge sink consumes, and an at-least-once redelivery of an
+    already-applied event emits nothing (idempotent replay for free).
+
+    State is one row per live PK — the same footprint a streaming
+    aggregation over the key space would hold; production deployments
+    bound it by closing keys whose commit_ts falls behind the watermark.
+    (Spark 4's ``transformWithStateInPandas`` is the designated successor
+    API for this operator; its state-server protocol needs protobuf,
+    which this container lacks, so the GroupState formulation is the
+    portable one and the semantics are identical.)
+    """
+    schema = changelog.schema
+    cols = [f.name for f in schema.fields]
+    ts_i, flag_i = cols.index(ts_col), cols.index(flag_col)
+    seq_i = cols.index(file_seq_col) if file_seq_col in cols else None
+    sort_cols = [ts_col] + ([file_seq_col] if seq_i is not None else []) + [flag_col]
+
+    def sort_key(row) -> tuple:
+        seq = (row[seq_i] if seq_i is not None else -1) or -1
+        return (row[ts_i], seq, row[flag_i])
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        # na_position='first' ranks a null file_seq lowest, matching the
+        # batch window's desc-nulls-last precedence
+        rows = pd.concat(list(pdfs)).sort_values(sort_cols, na_position="first")
+        cand = [
+            v.item() if hasattr(v, "item") else v for v in rows.iloc[-1][cols]
+        ]
+        if state.exists and sort_key(cand) <= sort_key(tuple(state.get)):
+            return  # stale or replayed event: winner unchanged, emit nothing
+        state.update(tuple(cand))
+        yield pd.DataFrame([cand], columns=cols)
+
+    return changelog.groupBy(*pk_cols).applyInPandasWithState(
+        update,
+        outputStructType=schema,
+        stateStructType=schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
