@@ -819,8 +819,8 @@ def lsh_blocked_near_dup_pairs(
     chunked int64 matmul.  vs the previous bucket self-join: each vector
     shuffles ONCE (no second join branch recomputing the lineage), no
     (pair × 2 arrays) intermediate ever materializes, and the per-pair
-    dot is SIMD instead of an interpreted per-element fold — measured 5×
-    at sf0.1.  Both matmul dims are chunked, so peak kernel memory is
+    dot is SIMD instead of an interpreted per-element fold — measured 3×
+    warm at sf0.1.  Both matmul dims are chunked, so peak kernel memory is
     O(chunk² + bucket·dim), independent of pair count; the resident
     bucket matrix itself (~0.5 GiB at 1M×64) is the scale cap — at larger
     corpora raise num_planes so buckets stay executor-sized, exactly the
