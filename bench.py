@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "q_small_qty_revenue_by_brand",
     "events_daily_gapfill",
     "sim_near_dup_lsh_blocked",
+    # round 4 additions
+    "dedup_apply_canonical",
+    "mm_ppm_decode_features",
+    "mm_ppm_resize_features",
+    "mm_wav_energy",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is
