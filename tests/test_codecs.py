@@ -172,9 +172,112 @@ def test_real_decode_dispatch():
     arr = np.zeros((1, 1, 3), dtype=np.uint8)
     assert real_decode(C.encode_ppm(arr), "image").shape == (1, 1, 3)
     assert real_decode(C.encode_bmp(arr), "image").shape == (1, 1, 3)
+    assert real_decode(C.encode_png(arr), "image").shape == (1, 1, 3)
     rate, _ = real_decode(C.encode_wav(np.zeros(2, dtype=np.int16), 8000), "audio")
     assert rate == 8000
     with pytest.raises(NotImplementedError):
-        real_decode(b"\x89PNG\r\n\x1a\n....", "image")
+        real_decode(b"\xff\xd8\xff\xe0rest-of-a-jpeg", "image")
     with pytest.raises(NotImplementedError):
         real_decode(b"ID3\x04rest-of-an-mp3", "audio")
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+def _build_png(scanlines, w, h, ctype=2):
+    """Hand-build a PNG from (filter_type, filtered_bytes) scanlines."""
+    import zlib
+
+    raw = b"".join(bytes([ft]) + bytes(line) for ft, line in scanlines)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        C._PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (5, 3), (17, 9)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = C.encode_png(arr)
+        assert C.sniff_format(blob) == "png"
+        assert (C.decode_png(blob) == arr).all()
+        assert (C.decode_image(blob) == arr).all()
+
+
+def test_png_all_filter_types_reverse_exactly():
+    """Sub/Up/Average/Paeth filtered scanlines must reconstruct the exact
+    target image (filtered bytes computed independently here)."""
+    target = np.array(
+        [[[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+         [[15, 25, 35], [45, 55, 65], [75, 85, 95]]],
+        dtype=np.uint8,
+    )
+    r0 = target[0].flatten().astype(int)
+    r1 = target[1].flatten().astype(int)
+    sub0 = [(r0[x] - (r0[x - 3] if x >= 3 else 0)) % 256 for x in range(9)]
+    up1 = [(r1[x] - r0[x]) % 256 for x in range(9)]
+    assert (C.decode_png(_build_png([(1, sub0), (2, up1)], 3, 2)) == target).all()
+
+    avg0 = [(r0[x] - ((r0[x - 3] if x >= 3 else 0) // 2)) % 256 for x in range(9)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    pae1 = []
+    for x in range(9):
+        left = r1[x - 3] if x >= 3 else 0
+        ul = r0[x - 3] if x >= 3 else 0
+        pae1.append((r1[x] - paeth(left, r0[x], ul)) % 256)
+    assert (C.decode_png(_build_png([(3, avg0), (4, pae1)], 3, 2)) == target).all()
+
+
+def test_png_gray_and_rgba_channel_handling():
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, (2, 4, 1), dtype=np.uint8)
+    blob = _build_png([(0, g[y].flatten().tolist()) for y in range(2)], 4, 2, ctype=0)
+    d = C.decode_png(blob)
+    assert d.shape == (2, 4, 3) and (d[:, :, 0] == g[:, :, 0]).all()
+    rgba = rng.integers(0, 256, (2, 2, 4), dtype=np.uint8)
+    blob = _build_png([(0, rgba[y].flatten().tolist()) for y in range(2)], 2, 2, ctype=6)
+    assert (C.decode_png(blob) == rgba[:, :, :3]).all()
+
+
+def test_png_rejects():
+    import zlib
+
+    good = C.encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    corrupted = bytearray(good)
+    corrupted[20] ^= 0xFF  # flip a header byte → CRC mismatch
+    with pytest.raises(C.CodecError):
+        C.decode_png(bytes(corrupted))
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    palette = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(C.CodecError):
+        C.decode_png(C._PNG_SIG + chunk(b"IHDR", palette) + chunk(b"IEND", b""))
+    interlaced = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(C.CodecError):
+        C.decode_png(C._PNG_SIG + chunk(b"IHDR", interlaced) + chunk(b"IEND", b""))
+    depth16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    with pytest.raises(C.CodecError):
+        C.decode_png(C._PNG_SIG + chunk(b"IHDR", depth16) + chunk(b"IEND", b""))
+    # truncated IDAT: header promises 2x2 but stream holds one scanline
+    short = zlib.compress(b"\x00" + b"\x01" * 6)
+    with pytest.raises(C.CodecError):
+        C.decode_png(C._PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + chunk(b"IDAT", short) + chunk(b"IEND", b""))

@@ -62,3 +62,10 @@ def test_wav_roundtrip_property(n, channels, rate, seed):
     assert got_rate == rate
     assert got.shape == (n, channels)
     assert (got == samples).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(w, h, seed):
+    arr = _img(w, h, seed)
+    assert (C.decode_png(C.encode_png(arr)) == arr).all()

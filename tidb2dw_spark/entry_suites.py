@@ -98,6 +98,11 @@ MULTIMODAL_SPEC: dict[str, list[tuple[str, str]]] = {
     "mm_resize_then_features": [("doc_id", "int"), ("n_bytes", "int"), ("mean_byte", "dbl")],
     "mm_audio_energy": [("doc_id", "int"), ("n_windows", "int")],
     "mm_video_frame_sample": [("doc_id", "int"), ("frame_idx", "int")],
+    # real zlib-PNG decode (integer channel sums — all-int fingerprint)
+    "mm_png_decode_features": [
+        ("doc_id", "int"), ("width", "int"), ("height", "int"),
+        ("n_pixels", "int"), ("sum_r", "int"), ("sum_g", "int"), ("sum_b", "int"),
+    ],
 }
 
 SAMPLING_SPEC: dict[str, list[tuple[str, str]]] = {

@@ -623,6 +623,22 @@ def mm_wav_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_energy(media)
 
 
+@register("mm_png_decode_features", O.PPM_DECODE_ORACLE)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode: genuine zlib-deflated PNGs (CRC'd
+    chunks, filtered scanlines) decoded by codecs.decode_png — inflate +
+    unfilter + chunk walk, no codec library.  The fixture writes the text
+    bytes as the pixel payload in the same geometry as the PPM fixture,
+    so the oracle is the identical channel-sum math; a wrong inflate,
+    filter reversal or CRC acceptance breaks the hash.  Driver-visible as
+    a multimodal-suite member (the registry's 50 individual slots are
+    full)."""
+    from .functions.multimodal import attach_png_media
+
+    media = attach_png_media(_docs(spark, sf_dir, spread=True))
+    return decode_image_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Dataset splitting / sampling (deterministic, content-hashed)
 # ---------------------------------------------------------------------------

@@ -1,11 +1,12 @@
-"""Pure-Python/numpy media codecs: netpbm (PPM/PGM), BMP, and WAV.
+"""Pure-Python/numpy media codecs: netpbm (PPM/PGM), BMP, PNG, and WAV.
 
 These are REAL decoders — they parse genuine file headers (magic, comments,
-dimension tokens, chunk walks, row padding, bottom-up row order) and reject
-malformed input — not the deterministic stand-ins the container's missing
-codec libraries previously forced (see multimodal.FAKE_DECODERS, kept only
-for the legacy ``format='fake'`` blobs).  The formats chosen (netpbm, BMP,
-RIFF/PCM WAV) are uncompressed, so a correct decoder needs no external
+dimension tokens, CRC'd chunk walks, row padding, bottom-up row order,
+zlib-deflated filtered scanlines) and reject malformed input — not the
+deterministic stand-ins the container's missing codec libraries previously
+forced (see multimodal.FAKE_DECODERS, kept only for the legacy
+``format='fake'`` blobs).  netpbm/BMP/WAV are uncompressed and PNG's
+compression is stdlib zlib, so a correct decoder needs no external
 library: the arithmetic is exact and bit-reproducible, which is what lets
 the driver rows carry integer-exact DuckDB oracles over the same blobs.
 
@@ -22,6 +23,7 @@ and the test fixtures.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -38,6 +40,8 @@ def sniff_format(blob) -> str | None:
     if blob is None:
         return None
     b = bytes(blob[:16])
+    if b[:8] == _PNG_SIG:
+        return "png"
     if b[:2] == b"BM":
         return "bmp"
     if b[:1] == b"P" and b[1:2] in (b"2", b"3", b"5", b"6"):
@@ -184,15 +188,146 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit gray / RGB / RGBA, non-interlaced — stdlib zlib inflate)
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(buf: bytes):
+    pos = 8
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(buf):
+            raise CodecError(f"PNG chunk {ctype!r} truncated")
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise CodecError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(blob) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (colour types 0 gray, 2 RGB,
+    6 RGBA — alpha dropped) to (h, w, 3) uint8 RGB.  A REAL decoder:
+    chunk walk with CRC verification, zlib inflate of the IDAT stream,
+    and per-scanline reversal of all five filter types (None/Sub/Up/
+    Average/Paeth).  The unfilter loop is pure Python — O(pixels) with a
+    real constant; swap in PIL where throughput matters.  Palette (3) and
+    interlaced images are rejected explicitly."""
+    buf = bytes(blob)
+    if buf[:8] != _PNG_SIG:
+        raise CodecError("not a PNG (bad signature)")
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(buf):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise CodecError("PNG missing IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if w <= 0 or h <= 0:
+        raise CodecError(f"invalid PNG dimensions {w}x{h}")
+    if depth != 8:
+        raise CodecError(f"unsupported PNG bit depth {depth} (8 only)")
+    if ctype_n not in (0, 2, 6):
+        raise CodecError(f"unsupported PNG colour type {ctype_n} (0/2/6 only)")
+    if comp != 0 or filt != 0:
+        raise CodecError("non-standard PNG compression/filter method")
+    if interlace != 0:
+        raise CodecError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 6: 4}[ctype_n]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise CodecError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise CodecError("PNG scanline data truncated")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ft != 0:
+            raise CodecError(f"unknown PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif channels == 4:
+        arr = arr[:, :, :3]
+    return np.ascontiguousarray(arr)
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB → non-interlaced PNG (filter 0 scanlines)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise CodecError(f"encode_png wants (h, w, 3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Image transforms
 # ---------------------------------------------------------------------------
 def decode_image(blob) -> np.ndarray:
-    """Dispatch on magic: netpbm or BMP → (h, w, 3) uint8 RGB."""
+    """Dispatch on magic: netpbm, BMP or PNG → (h, w, 3) uint8 RGB."""
     fmt = sniff_format(blob)
     if fmt in ("ppm", "pgm"):
         return decode_pnm(blob)
     if fmt == "bmp":
         return decode_bmp(blob)
+    if fmt == "png":
+        return decode_png(blob)
     raise CodecError(f"undecodable image blob (format={fmt})")
 
 

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-Uncompressed containers (netpbm PPM/PGM, 24-bit BMP, RIFF/PCM WAV) decode
-for REAL via the pure-Python codecs in :mod:`.codecs` — genuine header
-parsing, row padding, chunk walking — so decode → feature → resize is
-exact end-to-end and carries integer-exact SQL oracles.  Compressed
-formats (png/jpeg/mp3/mp4) would need codec libraries the container lacks;
-those stay behind ``FAKE_DECODERS`` for the legacy ``format='fake'`` blobs
-and :func:`real_decode` raises for them explicitly.  Everything Spark-side
+Real containers (netpbm PPM/PGM, 24-bit BMP, zlib-deflate PNG, RIFF/PCM
+WAV) decode for REAL via the pure-Python codecs in :mod:`.codecs` —
+genuine header parsing, CRC checks, inflate + scanline unfiltering, row
+padding, chunk walking — so decode → feature → resize is exact end-to-end
+and carries integer-exact SQL oracles.  Entropy-coded formats
+(jpeg/mp3/mp4) would need codec libraries the container lacks; those stay
+behind ``FAKE_DECODERS`` for the legacy ``format='fake'`` blobs and
+:func:`real_decode` raises for them explicitly.  Everything Spark-side
 is real and tested either way: the typed schema, Arrow-batched
 ``mapInPandas`` plumbing, batch shapes, and the partitioning story.
 
@@ -70,13 +71,13 @@ def real_decode(blob: bytes, media_type: str):
     and now (netpbm/BMP images, PCM WAV audio); compressed formats raise —
     install PIL/librosa/av in production and extend the dispatch."""
     fmt = codecs.sniff_format(blob)
-    if media_type == "image" and fmt in ("ppm", "pgm", "bmp"):
+    if media_type == "image" and fmt in ("ppm", "pgm", "bmp", "png"):
         return codecs.decode_image(blob)
     if media_type == "audio" and fmt == "wav":
         return codecs.decode_wav(blob)
     raise NotImplementedError(
         f"no codec for {media_type} blob with magic format {fmt!r}: "
-        "compressed containers need PIL/librosa/av"
+        "jpeg/mp3/mp4 containers need PIL/librosa/av"
     )
 
 
@@ -91,6 +92,48 @@ _WAV_STATIC_FMT = (
     + _struct.pack("<I", 16)
     + _struct.pack("<HHIIHH", 1, 1, WAV_FIXTURE_RATE, WAV_FIXTURE_RATE * 2, 2, 16)
 )
+
+
+def attach_png_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture builder for REAL PNG blobs: the text bytes become the pixel
+    payload of a genuine zlib-deflated, CRC'd, filter-0 PNG (same
+    width-ceil(len/12) × 4 RGB geometry as the ``fmt='ppm'`` fixture, so
+    the decode-feature oracle is byte-for-byte the same channel-sum
+    math).  Deflate has no JVM SQL expression, so this builder runs as a
+    mapInPandas stage — unlike the PPM/WAV fixtures it cannot stay
+    JVM-side, which is fine: blob construction is harness plumbing, and
+    the thing under test is the DECODER (inflate + unfilter + CRC walk in
+    codecs.decode_png)."""
+    import numpy as np
+
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kernel(text):
+            if text is None:
+                return None
+            b = text.encode("utf-8")
+            w = max(1, (len(b) + 11) // 12)
+            payload = b + b"\x00" * (w * PPM_FIXTURE_H * 3 - len(b))
+            arr = np.frombuffer(payload, dtype=np.uint8).reshape(
+                PPM_FIXTURE_H, w, 3
+            )
+            return codecs.encode_png(arr)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": pdf["text"].map(kernel)}
+            )
+
+    return pruned.mapInPandas(build, schema=out_schema)
 
 
 def _le_hex(col, nbytes: int):
