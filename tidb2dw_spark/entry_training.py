@@ -599,7 +599,10 @@ MM_RESIZE_W, MM_RESIZE_H = 8, 2
 def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (netpbm parser, no stand-in kernel): per-channel
     integer pixel sums of the P6 fixture blobs."""
-    media = attach_media(_docs(spark, sf_dir, spread=True), fmt="ppm")
+    # no spread: the decode kernel is cheap per row, and at real scale
+    # parquet splits provide the parallelism — 64 micro-tasks of Python
+    # worker overhead cost 3x at this sf (see _docs docstring)
+    media = attach_media(_docs(spark, sf_dir), fmt="ppm")
     return decode_image_features(media)
 
 
@@ -610,7 +613,7 @@ def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode → nearest-neighbour resample → re-encode P6 → decode again:
     the oracle reproduces the exact integer index mapping, so a one-pixel
     sampling offset anywhere in the codec chain flips the hash."""
-    media = attach_media(_docs(spark, sf_dir, spread=True), fmt="ppm")
+    media = attach_media(_docs(spark, sf_dir), fmt="ppm")
     resized = resize_decoded_images(media, target_w=MM_RESIZE_W, target_h=MM_RESIZE_H)
     return decode_image_features(resized)
 
@@ -619,7 +622,7 @@ def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_wav_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RIFF/PCM decode: sample rate from the parsed fmt chunk, total
     energy as an exact int64 sum of squared little-endian int16 samples."""
-    media = attach_media(_docs(spark, sf_dir, spread=True), fmt="wav")
+    media = attach_media(_docs(spark, sf_dir), fmt="wav")
     return wav_energy(media)
 
 
@@ -635,7 +638,7 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     full)."""
     from .functions.multimodal import attach_png_media
 
-    media = attach_png_media(_docs(spark, sf_dir, spread=True))
+    media = attach_png_media(_docs(spark, sf_dir))
     return decode_image_features(media)
 
 
