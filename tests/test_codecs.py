@@ -281,3 +281,26 @@ def test_png_rejects():
     short = zlib.compress(b"\x00" + b"\x01" * 6)
     with pytest.raises(C.CodecError):
         C.decode_png(C._PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+
+
+def test_decompress_text_framings(spark):
+    """Gzip and bare-zlib framings both inflate; junk raises loudly."""
+    import gzip
+    import zlib
+
+    from tidb2dw_spark.functions.multimodal import decompress_text
+
+    rows = [
+        (1, gzip.compress("hello world".encode(), mtime=0)),
+        (2, zlib.compress("zlib framed".encode())),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r["text"] for r in decompress_text(df).collect()}
+    assert got == {1: "hello world", 2: "zlib framed", 3: None}
+
+    bad = spark.createDataFrame([(9, b"not-compressed")], "doc_id long, media binary")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PythonException|unrecognized"):
+        decompress_text(bad).collect()

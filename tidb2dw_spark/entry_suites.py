@@ -103,6 +103,11 @@ MULTIMODAL_SPEC: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "int"), ("width", "int"), ("height", "int"),
         ("n_pixels", "int"), ("sum_r", "int"), ("sum_g", "int"), ("sum_b", "int"),
     ],
+    # real gzip inflate verified by md5 of the decompressed text
+    "mm_gzip_text_roundtrip": [
+        ("doc_id", "int"), ("n_chars", "int"), ("n_tokens", "int"),
+        ("text_md5", "str"),
+    ],
 }
 
 SAMPLING_SPEC: dict[str, list[tuple[str, str]]] = {

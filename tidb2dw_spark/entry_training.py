@@ -626,6 +626,34 @@ def mm_wav_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_energy(media)
 
 
+@register(
+    "mm_gzip_text_roundtrip",
+    f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({O.sql_token_count("text")} AS BIGINT) AS n_tokens,
+       md5(text) AS text_md5
+FROM documents WHERE text IS NOT NULL
+""",
+)
+def mm_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text-column pattern: genuine gzip members inflated by a
+    real decompressor, verified by md5 of the decompressed text — a
+    single corrupted byte anywhere in the deflate stream breaks the hash.
+    Driver-visible as a multimodal-suite member."""
+    from .functions.multimodal import attach_gzip_text, decompress_text
+    from .functions.text import token_count
+
+    blobs = attach_gzip_text(_docs(spark, sf_dir))
+    text = decompress_text(blobs)
+    return text.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
 @register("mm_png_decode_features", O.PPM_DECODE_ORACLE)
 def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-format decode: genuine zlib-deflated PNGs (CRC'd

@@ -136,6 +136,79 @@ def attach_png_media(
     return pruned.mapInPandas(build, schema=out_schema)
 
 
+def attach_gzip_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Fixture builder: gzip-compress the text column into a binary blob
+    (the compressed-text-column pattern — e.g. stored HTML/WARC payloads).
+    Python-side like the PNG fixture: deflate has no JVM SQL expression."""
+    import gzip
+
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kernel(text):
+            if text is None:
+                return None
+            # mtime=0 keeps the gzip member byte-deterministic
+            return gzip.compress(text.encode("utf-8"), compresslevel=level, mtime=0)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": pdf["text"].map(kernel)}
+            )
+
+    return pruned.mapInPandas(build, schema=out_schema)
+
+
+def decompress_text(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL decompression of a gzip/zlib text blob column → (doc_id, text).
+
+    Sniffs the two container framings (gzip magic 1f 8b vs a bare zlib
+    header) and inflates with stdlib zlib; anything else raises loudly
+    rather than passing bytes through.  Output is a plain string column,
+    so every downstream text operator (tokens, quality, dedup) composes
+    unchanged — decompression is a narrow map, no shuffle at any scale."""
+    import gzip
+    import zlib as _zlib
+
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+    def inflate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def kernel(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            if b[:2] == b"\x1f\x8b":
+                return gzip.decompress(b).decode("utf-8")
+            if len(b) >= 2 and b[0] == 0x78:
+                return _zlib.decompress(b).decode("utf-8")
+            raise ValueError(
+                f"unrecognized compressed-text framing (magic {b[:2]!r})"
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text": pdf["media"].map(kernel)}
+            )
+
+    return pruned.mapInPandas(inflate, schema=out_schema)
+
+
 def _le_hex(col, nbytes: int):
     """Little-endian fixed-width hex rendering of an integer column —
     feeds ``unhex`` to splice variable header fields (RIFF/data sizes)
