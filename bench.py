@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "mm_ppm_decode_features",
     "mm_ppm_resize_features",
     "mm_wav_energy",
+    "q_skew_salted_supplier_revenue",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

@@ -823,3 +823,78 @@ def test_late_pre_ddl_file_after_restart_and_schema_gc(spark, tmp_path):
     rows = {r["id"]: r for r in table.read(spark).collect()}
     assert rows[1]["name"] == "alice3" and rows[1]["tier"] == "basic"
     assert rows[2]["name"] == "bob2" and rows[2]["tier"] == "gold"
+
+
+def test_backlog_soak_three_versions(spark, tmp_path):
+    """Soak: a 110-file catch-up backlog spanning THREE schema versions
+    with interleaved DDL barriers (ADD at v2, DROP at v3 — both
+    metadata-only) must consume in one poll as exactly one merge commit
+    per version group, bump only the buckets the touched keys hash to,
+    and come back to a flat file count after compact + vacuum.
+    Reference cadence: replicate/increment.go:331-371 (version-grouped
+    apply loop)."""
+    snap = tmp_path / "snapshot"
+    incr = tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv",
+          "".join(f'{k},"u{k}",20,1990-01-01\n' for k in range(60)))
+    v1 = users_def_v1()
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        read_snapshot_csv(spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)),
+        v1.pk_columns, pk_buckets=8,
+    )
+    files_after_snapshot = len(list((tmp_path / "wh" / "users").rglob("*.parquet")))
+
+    v2 = users_def_v1()
+    v2.version = 2
+    v2.columns = v2.columns + [
+        TableCol(id="6", name="gender", tp="varchar", precision="10", default="x")
+    ]
+    v3 = users_def_v1()
+    v3.version = 3
+    v3.columns = [c for c in v2.columns if c.name != "age"]
+    v1.dump(incr / "tpch/users/1/meta")
+    v2.dump(incr / "tpch/users/2/meta")
+    v3.dump(incr / "tpch/users/3/meta")
+
+    # every file updates one of keys {1,2,3} — ≤3 of the 8 buckets
+    for i in range(1, 111):
+        k = (i % 3) + 1
+        ts = 1000 + i
+        if i <= 40:
+            write(incr / f"tpch/users/1/2024-01-01/CDC{i:06d}.csv",
+                  f'"U","users","tpch",{ts},{k},"f{i}",21,1990-01-01\n')
+        elif i <= 80:
+            write(incr / f"tpch/users/2/2024-01-02/CDC{i:06d}.csv",
+                  f'"U","users","tpch",{ts},{k},"f{i}",22,1990-01-01,"g{i}"\n')
+        else:
+            write(incr / f"tpch/users/3/2024-01-03/CDC{i:06d}.csv",
+                  f'"U","users","tpch",{ts},{k},"f{i}",1990-01-01,"g{i}"\n')
+
+    report = IncrementConsumer(spark, incr, table).poll_once()
+    assert report.files_processed == 110
+    assert report.ddl_applied == 2
+    assert report.merge_commits == 3  # ONE commit per version group
+    assert not report.errors
+
+    # bounded rewrites: only the buckets keys {1,2,3} hash to ever bump
+    bv = table.manifest()["bucket_versions"]
+    bumped = {b for b, v in bv.items() if int(v) > 1}
+    assert 1 <= len(bumped) <= 3, bv
+
+    df = table.read(spark)
+    assert df.columns == ["id", "name", "birth", "gender"]  # v3 shape
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 60
+    # last writer per key: i=108→key 1, i=109→key 2, i=110→key 3
+    assert rows[1]["name"] == "f108" and rows[1]["gender"] == "g108"
+    assert rows[2]["name"] == "f109" and rows[2]["gender"] == "g109"
+    assert rows[3]["name"] == "f110" and rows[3]["gender"] == "g110"
+    assert rows[7]["name"] == "u7" and rows[7]["gender"] == "x"  # untouched + default
+
+    # compaction + vacuum bring the layout back to a flat file count
+    assert table.compact(spark, max_files_per_bucket=0) is not None
+    table.vacuum(keep_last=1)
+    files_after = len(list((tmp_path / "wh" / "users").rglob("*.parquet")))
+    assert files_after <= files_after_snapshot + 8
+    rows2 = {r["id"]: r["name"] for r in table.read(spark).collect()}
+    assert rows2 == {k: r["name"] for k, r in rows.items()}

@@ -92,6 +92,34 @@ def test_split_is_shuffle_free(spark, sf_dir):
     assert_no_shuffle(QUERIES["split_train_test"](spark, sf_dir))
 
 
+def test_salted_join_scatters_hot_keys(spark, sf_dir):
+    """The salted-join row must actually join on (key, __salt) — the salt
+    has to reach the join condition or the whole mitigation is a no-op —
+    and stay result-equivalent to the plain join."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+    )
+    salted = salted_join(li, supp, on=["l_suppkey"], num_salts=8)
+    assert "__salt" in salted._jdf.queryExecution().analyzed().toString()
+    plain = li.join(supp, "l_suppkey")
+    agg = lambda df: df.groupBy("s_nationkey").agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+    )
+    assert sorted(map(tuple, agg(salted).collect())) == sorted(
+        map(tuple, agg(plain).collect())
+    )
+
+
 def test_ivf_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
     """Cell assignment must be a narrow map (literal matrix math) and the
     probe side broadcast — the corpus side of the candidate join must not

@@ -376,6 +376,53 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-mitigated join — the salting pattern as a first-class operator
+# ---------------------------------------------------------------------------
+@register(
+    "q_skew_salted_supplier_revenue",
+    """
+SELECT s.s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join through ``operators.skew.salted_join``: the fact side
+    scatters each suppkey across 8 salt sub-keys and the dim side is
+    exploded 8×, so one hot supplier's rows land on 8 reducers instead of
+    one.  Result-equivalent to the plain join (the dim key is unique, so
+    each fact row matches exactly once, on its own salt) — which is
+    exactly what the oracle checks.  Use this shape when a profile shows
+    one join key dominating a reducer and the dim is too big to broadcast
+    yet cheap to replicate R times."""
+    from .operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        salted_join(li, supp, on=["l_suppkey"], num_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Star join — fact against three broadcast dims (part, supplier, nation)
 # ---------------------------------------------------------------------------
 @register(

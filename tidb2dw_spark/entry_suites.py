@@ -69,6 +69,7 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "q_trailing_week_revenue": [("o_orderpriority", "str"), ("dday", "ts"), ("rev_cents", "int"), ("rev_7d_cents", "int")],
     "q_shipping_priority_top10": [("l_orderkey", "int"), ("o_orderdate", "ts"), ("revenue_cents", "int")],
     "q_nation_presence_fulljoin": [("nationkey", "int"), ("n_cust", "int"), ("n_supp", "int")],
+    "q_skew_salted_supplier_revenue": [("s_nationkey", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the

@@ -12,9 +12,11 @@ concurrent jobs interleave on the shared scheduler.
 from __future__ import annotations
 
 import threading
+from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .metrics import DEFAULT_REGISTRY, ERROR_COUNT, MetricsRegistry, TableStage
 from .schema.table_def import TableDefinition
@@ -32,16 +34,28 @@ class TableReplicator:
     def __init__(
         self,
         spark: SparkSession,
-        snapshot_dir: str | Path,
+        snapshot_dir: str | Path | None,
         increment_root: str | Path,
         warehouse_dir: str | Path,
         table_def: TableDefinition,
         registry: MetricsRegistry = DEFAULT_REGISTRY,
         pk_buckets: int = 0,
         compact_after_merges: int | None = None,
+        snapshot_reader: Callable[[SparkSession], DataFrame] | None = None,
     ):
+        """*snapshot_reader* switches the snapshot phase to source-attached
+        mode (the reference's direct dump, dump.go:84-147): the callable
+        returns the live-source DataFrame — e.g. a TSO-pinned partitioned
+        ``sources.jdbc.snapshot_read`` — and no staged CSVs are consulted.
+        The frame is conformed to *table_def* by case-insensitive name
+        (JDBC catalogs may upper-case identifiers) and cast per column.
+        *snapshot_dir* may be None in this mode; idempotent resume then
+        keys off the managed table's existence instead of `.loadinfo`."""
+        if snapshot_dir is None and snapshot_reader is None:
+            raise ValueError("need snapshot_dir (staged mode) or snapshot_reader")
         self.spark = spark
-        self.snapshot_dir = Path(snapshot_dir)
+        self.snapshot_dir = None if snapshot_dir is None else Path(snapshot_dir)
+        self.snapshot_reader = snapshot_reader
         self.increment_root = Path(increment_root)
         self.table_def = table_def
         self.registry = registry
@@ -57,21 +71,47 @@ class TableReplicator:
     def _loadinfo_path(self) -> Path:
         return self.snapshot_dir / f"{self.fqn}{LOADINFO_SUFFIX}"
 
+    def _conform_source(self, df: DataFrame) -> DataFrame:
+        """Align a live-source frame to the table definition: match columns
+        case-insensitively (Derby/Oracle-style catalogs upper-case names)
+        and cast each to the declared type."""
+        struct = table_def_to_struct(self.table_def)
+        by_lower = {c.lower(): c for c in df.columns}
+        cols = []
+        for field in struct.fields:
+            src = by_lower.get(field.name.lower())
+            if src is None:
+                raise ValueError(
+                    f"{self.fqn}: source snapshot missing column {field.name!r}"
+                )
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+        return df.select(*cols)
+
     def load_snapshot(self) -> bool:
         """Idempotent snapshot load; skipped when `.loadinfo` exists
-        (snapshot.go:160-166 + cmd/core.go:268 resume probe)."""
-        if self._loadinfo_path().exists() and self.table.exists():
+        (snapshot.go:160-166 + cmd/core.go:268 resume probe).  In
+        source-attached mode the table's own existence is the marker."""
+        done = self.table.exists() and (
+            self.snapshot_dir is None or self._loadinfo_path().exists()
+        )
+        if done:
             self.registry.set_stage(self.fqn, TableStage.SNAPSHOT_LOADED)
             return False
-        glob = snapshot_glob(str(self.snapshot_dir), self.table_def.schema, self.table_def.table)
-        df = read_snapshot_csv(self.spark, glob, table_def_to_struct(self.table_def))
+        if self.snapshot_reader is not None:
+            df = self._conform_source(self.snapshot_reader(self.spark))
+        else:
+            glob = snapshot_glob(
+                str(self.snapshot_dir), self.table_def.schema, self.table_def.table
+            )
+            df = read_snapshot_csv(self.spark, glob, table_def_to_struct(self.table_def))
         self.table.create(
             df,
             self.table_def.pk_columns,
             pk_buckets=self.pk_buckets,
             extra_meta={"source_schema_version": self.table_def.version},
         )
-        self._loadinfo_path().touch()
+        if self.snapshot_dir is not None:
+            self._loadinfo_path().touch()
         self.registry.set_stage(self.fqn, TableStage.SNAPSHOT_LOADED)
         return True
 
