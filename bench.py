@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "mm_ppm_resize_features",
     "mm_wav_energy",
     "q_skew_salted_supplier_revenue",
+    "sim_pq_topk",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

@@ -646,3 +646,60 @@ def test_ivf_refined_centroids_improve_or_match_recall(spark, sf_dir, tmp_path):
     # persisted centroids round-trip
     with open(tmp_path / "ivf_refined" / "centroids.json") as f:
         assert json.load(f) == cents2
+
+
+def test_pq_matches_python_twin_and_plan_shapes(spark, sf_dir):
+    """Spark pq_fit must reproduce the pure-Python twin BIT-EXACTLY and be
+    partition-invariant; encode is a narrow no-shuffle map; ADC top-k is
+    joinless with one by-key exchange (the same scale shape as the arrow
+    brute-force kernel), and its neighbor sets should be a decent
+    approximation of the exact ones."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.functions.pq import pq_encode, pq_fit, pq_fit_py, pq_topk
+    from tidb2dw_spark.plans import assert_no_shuffle, audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    twin = pq_fit_py(vecs, n_sub=4, k=8, iters=2)
+    got = pq_fit(emb, n_sub=4, k=8, iters=2)
+    assert got == twin
+    assert pq_fit(emb.repartition(7), n_sub=4, k=8, iters=2) == twin
+
+    # plan shapes on the un-limited corpus (the test's own limit() adds a
+    # GlobalLimit exchange and elides the window's hash exchange), at the
+    # registered 8×64 parameters
+    full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = pq_encode(full, got)
+    assert_no_shuffle(codes)
+    first = codes.orderBy("vec_id").first()
+    assert len(first["codes"]) == 4 and all(0 <= c < 8 for c in first["codes"])
+
+    cents = pq_fit(full, n_sub=8, k=64, iters=2)
+    queries = full.filter(F.col("vec_id") % 50 == 0)
+    topk = pq_topk(full, queries, cents, k=5)
+    a = audit(topk)
+    assert a.joins == [], a.joins
+    assert len(a.hash_shuffles) == 1 and "query_id" in a.hash_shuffles[0], a.exchanges
+
+    # approximation sanity vs exact EUCLIDEAN top-5 (ADC ranks by squared
+    # euclidean): ≥20% overlap guards against a broken LUT/gather far
+    # below any plausible regression on this (unclustered, worst-case
+    # uniform) synthetic corpus — not a recall-quality bar (measured:
+    # 0.28 here at sf0.001, 0.48 at sf0.01; random codes would give ~1%)
+    import numpy as np
+
+    rows = full.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array(
+        [[round(x * 1_000_000) for x in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    e = set()
+    for qi in np.where(ids % 50 == 0)[0]:
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        d[qi] = 1 << 62
+        for j in np.lexsort((ids, d))[:5]:
+            e.add((ids[qi], ids[j]))
+    p = {(r["query_id"], r["neighbor_id"]) for r in topk.collect()}
+    assert len(e & p) / len(e) >= 0.2, (len(e & p), len(e))

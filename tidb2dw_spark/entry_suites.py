@@ -87,6 +87,9 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     "sim_topk_cosine": [("query_id", "int"), ("neighbor_id", "int")],
     "sim_lsh_bucketed_topk": [("query_id", "int"), ("neighbor_id", "int")],
     "sim_embedding_near_dup": [("id_a", "int"), ("id_b", "int"), ("qcos", "dbl")],
+    # product quantization: training + ADC rank are integer-exact
+    "emb_pq_codebooks": [("sub", "int"), ("code", "int"), ("pos", "int"), ("centroid_q", "int"), ("code_n", "int")],
+    "sim_pq_topk": [("query_id", "int"), ("neighbor_id", "int"), ("dist", "int"), ("rank", "int")],
 }
 
 # Legacy fake-format multimodal plumbing rows (UTF-8 bytes standing in for

@@ -356,6 +356,116 @@ LEFT JOIN (SELECT cluster, COUNT(*) AS n FROM a{iters} GROUP BY cluster) fn
     return q.replace("__K__", str(k))
 
 
+def _pq_training_ctes(n_sub: int, k: int, iters: int, dim: int) -> str:
+    """Shared CTE chain for the PQ oracles: kmeans_oracle generalized by a
+    subspace axis — pts carries (id, sub, pos, x), every stage keys on
+    (sub, code) instead of cluster, and one unrolled Lloyd loop trains all
+    *n_sub* codebooks at once (exactly what functions/pq.py's single
+    distributed pass does).  Ends with a{iters} = (id, sub, code): every
+    vector's PQ code per subspace."""
+    d0 = dim // n_sub
+    q = f"""
+WITH pts AS (
+  SELECT vec_id AS id, (e['p'] // {d0}) AS sub, (e['p'] % {d0}) AS pos,
+         e['x'] AS x FROM (
+    SELECT vec_id,
+           unnest([{{'p': i-1,
+                    'x': (round(CAST(embedding[i] AS DOUBLE)*1000000))::BIGINT}}
+                   for i in range(1, len(embedding)+1)]) AS e
+    FROM embeddings) __u
+),
+c0 AS (
+  SELECT p.sub, s.rn - 1 AS code, p.pos, p.x AS v
+  FROM (SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings ORDER BY vec_id LIMIT {k}) s
+  JOIN pts p ON p.id = s.id
+)"""
+    for t in range(iters + 1):  # one extra assignment = the final codes
+        q += f""",
+n{t} AS (SELECT sub, code, CAST(SUM(v*v) AS BIGINT) AS nn
+         FROM c{t} GROUP BY sub, code),
+a{t} AS (
+  SELECT id, sub, code FROM (
+    SELECT p.id, c.sub, c.code,
+           row_number() OVER (
+             PARTITION BY p.id, c.sub
+             ORDER BY (2*SUM(p.x*c.v) - MIN(n.nn)) DESC, c.code ASC) AS rk
+    FROM pts p
+    JOIN c{t} c ON c.sub = p.sub AND c.pos = p.pos
+    JOIN n{t} n ON n.sub = c.sub AND n.code = c.code
+    GROUP BY p.id, c.sub, c.code
+  ) __r WHERE rk = 1
+)"""
+        if t < iters:
+            q += f""",
+u{t} AS (
+  SELECT a.sub, a.code, p.pos, CAST(SUM(p.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN pts p ON p.id = a.id AND p.sub = a.sub
+  GROUP BY a.sub, a.code, p.pos
+),
+c{t + 1} AS (
+  SELECT c.sub, c.code, c.pos,
+         CASE WHEN u.n IS NULL THEN c.v
+              ELSE (2*u.s + u.n
+                    - ((((2*u.s + u.n) % (2*u.n)) + 2*u.n) % (2*u.n))) // (2*u.n)
+         END AS v
+  FROM c{t} c
+  LEFT JOIN u{t} u ON u.sub = c.sub AND u.code = c.code AND u.pos = c.pos
+)"""
+    return q
+
+
+def pq_codebooks_oracle(n_sub: int, k: int, iters: int, dim: int) -> str:
+    """Exact oracle for PQ codebook training (functions/pq.py:pq_fit):
+    final per-subspace centroid matrices plus each code's member count."""
+    return (
+        _pq_training_ctes(n_sub, k, iters, dim)
+        + f"""
+SELECT CAST(c.sub AS INT) AS sub, CAST(c.code AS INT) AS code,
+       CAST(c.pos AS INT) AS pos, CAST(c.v AS BIGINT) AS centroid_q,
+       CAST(COALESCE(fn.n, 0) AS INT) AS code_n
+FROM c{iters} c
+LEFT JOIN (SELECT sub, code, COUNT(*) AS n FROM a{iters} GROUP BY sub, code) fn
+  ON fn.sub = c.sub AND fn.code = c.code
+"""
+    )
+
+
+def pq_topk_oracle(
+    n_sub: int, k: int, iters: int, dim: int, query_mod: int, topk: int
+) -> str:
+    """Exact oracle for ADC top-k over PQ codes (functions/pq.py:pq_topk):
+    recomputes the training, the per-vector codes, the per-query M×k
+    distance LUT, and the gather-sum ranking — all on exact BIGINTs, so
+    distances and the (dist asc, neighbor_id asc) order are bit-identical
+    to the Spark kernel."""
+    return (
+        _pq_training_ctes(n_sub, k, iters, dim)
+        + f""",
+qv AS (SELECT id, sub, pos, x FROM pts WHERE id % {query_mod} = 0),
+lut AS (
+  SELECT q.id AS qid, c.sub, c.code,
+         CAST(SUM((q.x - c.v)*(q.x - c.v)) AS BIGINT) AS d
+  FROM qv q JOIN c{iters} c ON c.sub = q.sub AND c.pos = q.pos
+  GROUP BY q.id, c.sub, c.code
+),
+adc AS (
+  SELECT l.qid AS query_id, a.id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+  FROM a{iters} a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+  WHERE a.id <> l.qid
+  GROUP BY l.qid, a.id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT)
+           AS rank
+  FROM adc
+) __t WHERE rank <= {topk}
+"""
+    )
+
+
 IMAGE_FEATURES_ORACLE = """
 SELECT doc_id,
        CAST(COALESCE(octet_length(encode(text)), 0) AS INT) AS n_bytes,
