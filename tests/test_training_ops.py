@@ -703,3 +703,69 @@ def test_pq_matches_python_twin_and_plan_shapes(spark, sf_dir):
             e.add((ids[qi], ids[j]))
     p = {(r["query_id"], r["neighbor_id"]) for r in topk.collect()}
     assert len(e & p) / len(e) >= 0.2, (len(e & p), len(e))
+
+
+def test_ivfpq_index_matches_numpy_recomputation_and_prunes(spark, sf_dir, tmp_path):
+    """IVF-PQ composition: the cell-partitioned CODES index must return
+    exactly the ADC top-k over the probed cells (recomputed in numpy from
+    the same centroids/codebooks), and the search scan must statically
+    prune to the probed cell partitions."""
+    import json
+    import numpy as np
+
+    from tidb2dw_spark.functions.pq import build_ivfpq_index, ivfpq_index_topk
+    from tidb2dw_spark.functions.pq import _adc_luts, _cents_np, _codes_np
+    from tidb2dw_spark.functions.similarity import _quantize_py
+    from tidb2dw_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    centroids, cents = build_ivfpq_index(
+        emb, idx, n_centroids=8, n_sub=8, k=16, iters=2
+    )
+    assert len(centroids) == 8 and len(cents) == 8 and len(cents[0]) == 16
+    # the index holds codes, not vectors, partitioned by cell
+    meta = json.load(open(f"{idx}/codebooks.json"))
+    assert meta == cents
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = ivfpq_index_topk(spark, idx, queries, k=5, n_probe=3)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    got_rows = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["dist"])
+        for r in got.collect()
+    )
+
+    # numpy twin of the composed semantics
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array(
+        [[_quantize_py(x) for x in r["embedding"]] for r in rows], dtype=np.int64
+    )
+    C = np.asarray(centroids, dtype=np.int64)
+    R = (V @ C.T).astype(np.float64) / np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    cell_of = np.argsort(-R, axis=1, kind="stable")[:, 0]
+    codes = _codes_np(V, _cents_np(cents))
+    q_rows = [r for r in rows if r["vec_id"] % 100 == 0]
+    lut = _adc_luts(q_rows, "embedding", _cents_np(cents))
+    Q = np.array(
+        [[_quantize_py(x) for x in r["embedding"]] for r in q_rows], dtype=np.int64
+    )
+    QR = (Q @ C.T).astype(np.float64) / np.sqrt(
+        (C * C).sum(axis=1).astype(np.float64)
+    )
+    probe = np.argsort(-QR, axis=1, kind="stable")[:, :3]
+    want = []
+    for qi, qr in enumerate(q_rows):
+        qid = qr["vec_id"]
+        in_probe = np.isin(cell_of, probe[qi]) & (ids != qid)
+        d = np.zeros(in_probe.sum(), dtype=np.int64)
+        sub_codes = codes[in_probe]
+        for m in range(lut.shape[1]):
+            d += lut[qi, m, sub_codes[:, m]]
+        n_j = ids[in_probe]
+        order = np.lexsort((n_j, d))[:5]
+        for rank, j in enumerate(order, start=1):
+            want.append((qid, rank, int(n_j[j]), int(d[j])))
+    assert got_rows == sorted(want)

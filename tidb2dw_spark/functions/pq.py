@@ -263,6 +263,162 @@ def pq_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# -- IVF-PQ: cell-partitioned codes index -----------------------------------
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    k: int = 64,
+    iters: int = 2,
+    refine_iters: int = 0,
+) -> tuple[list[list[int]], Codebooks]:
+    """The composed scale path: IVF's partition pruning × PQ's compression.
+
+    One build pass assigns every vector to its nearest coarse centroid
+    AND encodes its PQ codes; the index is parquet **partitioned by
+    cell** holding only (id, codes) — M small ints per vector, so a
+    billion-vector index is gigabytes, not terabytes — plus centroids +
+    codebooks as JSON.  Search touches n_probe cells as a
+    statically-pruned scan of codes.  Codebooks are global (raw-vector
+    PQ, not per-cell residual PQ — simpler, and exactly reproducible by
+    the same unrolled-SQL machinery as pq_topk)."""
+    import json as _json
+    import os
+
+    from .similarity import _assign_cells, ivf_centroids
+
+    if refine_iters > 0:
+        from .clustering import kmeans_fit
+
+        centroids = kmeans_fit(
+            corpus, id_col=id_col, vec_col=vec_col, k=n_centroids, iters=refine_iters
+        )
+    else:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = pq_fit(corpus, id_col, vec_col, n_sub=n_sub, k=k, iters=iters)
+    cnp = _cents_np(cents)
+
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col, "arrow")
+    out_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.LongType(), False), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["qv"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "codes": list(_codes_np(V, cnp)),
+                    "cell": pdf["cell"],
+                }
+            )
+
+    assigned.mapInPandas(kernel, schema=out_schema).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        _json.dump(centroids, f)
+    with open(os.path.join(index_dir, "codebooks.json"), "w") as f:
+        _json.dump(cents, f)
+    return centroids, cents
+
+
+def ivfpq_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a :func:`build_ivfpq_index` index: per query, rank the
+    coarse cells (same dot/‖c‖ scoring and stable tie order as the IVF
+    probe kernel), statically prune the codes scan to the probed cell
+    partitions, route rows to queries through a broadcast (query, cell)
+    join, and ADC-score codes in the vectorized kernel.  Cost:
+    O(probed-cell codes), independent of both index size and vector
+    width."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = _json.load(f)
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        cents: Codebooks = _json.load(f)
+    cnp = _cents_np(cents)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    lut = _adc_luts(q_rows, vec_col, cnp)
+    # probe cells driver-side — same ranking as similarity._arrow_cells:
+    # R = (Q @ C.T)/‖c‖ desc, stable argsort keeps ascending cell on ties
+    C = np.asarray(centroids, dtype=np.int64)
+    Q = np.array(
+        [[_quantize_py(x) for x in r[vec_col]] for r in q_rows], dtype=np.int64
+    )
+    R = (Q @ C.T).astype(np.float64) / np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    probe_cells = np.argsort(-R, axis=1, kind="stable")[:, :n_probe]
+
+    probes = spark.createDataFrame(
+        [
+            (int(qids[i]), int(c))
+            for i in range(len(qids))
+            for c in probe_cells[i]
+        ],
+        "query_id long, cell int",
+    )
+    index = spark.read.parquet(os.path.join(index_dir, "cells"))
+    all_probed = sorted({int(c) for row in probe_cells for c in row})
+    routed = index.filter(F.col("cell").isin(all_probed)).join(
+        F.broadcast(probes), "cell"
+    )
+
+    qid_sorted = np.sort(qids)
+    qidx_of = np.argsort(qids, kind="stable")
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("dist", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
+            row_qids = pdf["query_id"].to_numpy()
+            nids = pdf["neighbor_id"].to_numpy()
+            qi = qidx_of[np.searchsorted(qid_sorted, row_qids)]
+            D = np.zeros(len(Cd), dtype=np.int64)
+            for m in range(lut.shape[1]):
+                D += lut[qi, m, Cd[:, m]]
+            keep = nids != row_qids  # self-pairs excluded
+            yield pd.DataFrame(
+                {
+                    "query_id": row_qids[keep],
+                    "neighbor_id": nids[keep],
+                    "dist": D[keep],
+                }
+            )
+
+    cand = routed.mapInPandas(kernel, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 # -- pure-Python twin (test oracle) -----------------------------------------
 def pq_fit_py(
     vectors: dict[int, list[float]], n_sub: int, k: int, iters: int
