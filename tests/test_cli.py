@@ -194,3 +194,54 @@ def test_optimize_cluster_by_collects_zone_maps(spark, tmp_path, capsys):
     assert pruned.count() == 101
     scanned = pruned.select(F.input_file_name().alias("f")).distinct().count()
     assert scanned < len(stats["files"])
+
+
+def test_replicate_source_attached_jdbc(spark, tmp_path, capsys):
+    """`replicate --jdbc-url ...` runs the source-attached lifecycle: the
+    snapshot reads live from a JDBC database (embedded Derby), split
+    bounds are derived by the min/max probe over the integer PK, and the
+    CDC increments merge on top — no snapshot/ directory at all."""
+    url = "jdbc:derby:memory:tidb2dw_cli_e2e;create=true"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    try:
+        st.execute(
+            "CREATE TABLE users (id INT PRIMARY KEY, name VARCHAR(255),"
+            " age INT, birth DATE)"
+        )
+        for k in range(1, 7):
+            st.execute(
+                f"INSERT INTO users VALUES ({k}, 'u{k}', {20 + k}, '1990-01-01')"
+            )
+    finally:
+        st.close()
+        conn.close()
+
+    incr = tmp_path / "increment"
+    users_def_v1().dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"u1x",31,1990-01-01\n'
+          '"D","users","tpch",101,2,"u2",22,1990-01-01\n')
+
+    rc = main([
+        "replicate",
+        "--storage-dir", str(tmp_path),
+        "--warehouse-dir", str(tmp_path / "wh"),
+        "--jdbc-url", url,
+        "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver",
+        "--jdbc-user", "app",
+        "--jdbc-num-partitions", "3",
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["tables"]["tpch.users"]["stage"] == "incremental"
+
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    rows = {
+        r["id"]: r
+        for r in ManagedTable(tmp_path / "wh" / "users").read(spark).collect()
+    }
+    assert set(rows) == {1, 3, 4, 5, 6}
+    assert rows[1]["name"] == "u1x" and rows[3]["name"] == "u3"

@@ -87,6 +87,28 @@ def _build_parser() -> argparse.ArgumentParser:
         help="auto-compact decayed buckets after every N merge commits "
         "(long-running streams; default: off, use `optimize` out-of-band)",
     )
+    rep.add_argument(
+        "--jdbc-url",
+        help="source-attached mode (reference's direct dump): read each "
+        "table's snapshot live over JDBC instead of snapshot/ CSVs; "
+        "increment/ still supplies schemas and CDC files",
+    )
+    rep.add_argument("--jdbc-driver", default="com.mysql.cj.jdbc.Driver")
+    rep.add_argument("--jdbc-user", default="root")
+    rep.add_argument("--jdbc-password", default="")
+    rep.add_argument(
+        "--jdbc-num-partitions",
+        type=int,
+        default=8,
+        help="parallel snapshot splits over the integer PK (bounds are "
+        "auto-derived with a min/max probe)",
+    )
+    rep.add_argument(
+        "--snapshot-tso",
+        type=int,
+        default=None,
+        help="pin `tidb_snapshot` on every connection for a consistent dump",
+    )
     rep.add_argument("--loop", action="store_true", help="keep polling for new CDC files")
     rep.add_argument("--poll-interval", type=float, default=12.0, help="seconds between polls (flush-interval/5 default)")
     rep.add_argument("--max-polls", type=int, default=None, help="stop --loop after N polls (default: forever)")
@@ -178,6 +200,67 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+_INT_TYPES = {"int", "integer", "bigint", "tinyint", "smallint", "mediumint"}
+
+
+def _jdbc_snapshot_reader(args: argparse.Namespace, td: TableDefinition):
+    """Source-attached snapshot reader for one table: a TSO-pinnable
+    partitioned JDBC read, with split bounds derived by a min/max probe
+    over the first integer PK column (Dumpling's chunking decision,
+    dump.go:40-41, made from the same statistic)."""
+    from .sources.jdbc import TidbSource, snapshot_read
+
+    src = TidbSource(
+        host="", port=0, database="",
+        user=args.jdbc_user, password=args.jdbc_password,
+    )
+    by_name = {c.name: c for c in td.columns}
+    part_col = next(
+        (
+            name
+            for name in td.pk_columns
+            if by_name[name].tp.lower() in _INT_TYPES
+        ),
+        None,
+    )
+
+    def reader(spark):
+        kwargs: dict = dict(
+            source=src,
+            table=td.table,
+            driver=args.jdbc_driver,
+            url=args.jdbc_url,
+            snapshot_tso=args.snapshot_tso,
+        )
+        if part_col is not None:
+            bounds = (
+                spark.read.format("jdbc")
+                .options(
+                    url=args.jdbc_url,
+                    driver=args.jdbc_driver,
+                    user=args.jdbc_user,
+                    password=args.jdbc_password,
+                    dbtable=f"(SELECT MIN({part_col}) AS lo, "
+                    f"MAX({part_col}) AS hi FROM {td.table}) b",
+                )
+                .load()
+                .first()
+            )
+            # positional: catalogs differ in identifier casing (Derby
+            # upper-cases the probe aliases, MySQL preserves them)
+            lo, hi = (None, None) if bounds is None else (bounds[0], bounds[1])
+            if lo is not None and hi > lo:
+                kwargs.update(
+                    partition_column=part_col,
+                    lower_bound=int(lo),
+                    upper_bound=int(hi),
+                    num_partitions=args.jdbc_num_partitions,
+                )
+        return snapshot_read(spark, **kwargs)
+
+    return reader
+
+
 def _cmd_replicate(args: argparse.Namespace) -> int:
     from .session import get_spark
 
@@ -189,18 +272,22 @@ def _cmd_replicate(args: argparse.Namespace) -> int:
         print("no tables discovered under", storage / "increment", file=sys.stderr)
         return 1
 
+    source_attached = getattr(args, "jdbc_url", None) is not None
     spark = get_spark("tidb2dw_spark-cli")
     registry = MetricsRegistry()
     reps = [
         TableReplicator(
             spark,
-            storage / "snapshot",
+            None if source_attached else storage / "snapshot",
             storage / "increment",
             args.warehouse_dir,
             td,
             registry=registry,
             pk_buckets=args.pk_buckets,
             compact_after_merges=args.compact_every,
+            snapshot_reader=(
+                _jdbc_snapshot_reader(args, td) if source_attached else None
+            ),
         )
         for _, td in sorted(defs.items())
     ]
