@@ -592,14 +592,18 @@ def connected_components_star(
             relink.union(root_links).filter(F.col("u") != F.col("v")).distinct()
         )
 
-    n_edges = edges.count()
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint()
-        n_new = new_edges.count()
-        converged = n_new == n_edges and new_edges.join(
-            edges, ["u", "v"], "left_anti"
-        ).isEmpty()
-        edges, n_edges = new_edges, n_new
+        # set equality in ONE job: both sides are distinct, so an empty
+        # full-outer symmetric difference ⟺ identical edge sets (replaces
+        # the count + left-anti pair — one fewer action per round)
+        converged = (
+            new_edges.withColumn("_l", F.lit(1))
+            .join(edges.withColumn("_r", F.lit(1)), ["u", "v"], "full_outer")
+            .filter(F.col("_l").isNull() | F.col("_r").isNull())
+            .isEmpty()
+        )
+        edges = new_edges
         if converged:
             break
     # fixpoint is a star forest pointing larger → centre; centres (and any
