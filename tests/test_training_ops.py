@@ -726,7 +726,7 @@ def test_ivfpq_index_matches_numpy_recomputation_and_prunes(spark, sf_dir, tmp_p
     assert len(centroids) == 8 and len(cents) == 8 and len(cents[0]) == 16
     # the index holds codes, not vectors, partitioned by cell
     meta = json.load(open(f"{idx}/codebooks.json"))
-    assert meta == cents
+    assert meta == {"residual": False, "codebooks": cents}
 
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     got = ivfpq_index_topk(spark, idx, queries, k=5, n_probe=3)
@@ -769,3 +769,127 @@ def test_ivfpq_index_matches_numpy_recomputation_and_prunes(spark, sf_dir, tmp_p
         for rank, j in enumerate(order, start=1):
             want.append((qid, rank, int(n_j[j]), int(d[j])))
     assert got_rows == sorted(want)
+
+
+def test_ivfpq_residual_mode_exact_and_better(spark, sf_dir, tmp_path):
+    """residual=True must (a) reproduce the numpy twin of residual
+    training + encode + ADC exactly, and (b) quantize strictly tighter
+    than raw-vector codebooks (total squared code error over the corpus),
+    which is the whole reason FAISS-style IVFPQ encodes residuals."""
+    import numpy as np
+
+    from tidb2dw_spark.functions.pq import (
+        _adc_luts,
+        _cents_np,
+        _codes_np,
+        _lloyd_py_int,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+    from tidb2dw_spark.functions.similarity import _quantize_py
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq_res")
+    centroids, cents = build_ivfpq_index(
+        emb, idx, n_centroids=8, n_sub=8, k=16, iters=2, residual=True
+    )
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array(
+        [[_quantize_py(x) for x in r["embedding"]] for r in rows], dtype=np.int64
+    )
+    C = np.asarray(centroids, dtype=np.int64)
+    R = (V @ C.T).astype(np.float64) / np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    cell_of = np.argsort(-R, axis=1, kind="stable")[:, 0]
+    RV = V - C[cell_of]
+
+    # twin: residual init = 16 smallest-id residuals, then integer Lloyd
+    order = np.argsort(ids, kind="stable")
+    d0 = 64 // 8
+    init = [
+        [[int(x) for x in RV[order[j], m * d0 : (m + 1) * d0]] for j in range(16)]
+        for m in range(8)
+    ]
+    q = {int(ids[i]): [int(x) for x in RV[i]] for i in range(len(ids))}
+    assert _lloyd_py_int(q, init, iters=2) == cents
+
+    # (b) on CLUSTERED data — where coarse cells capture real structure —
+    # residual codebooks reconstruct much tighter than raw-vector ones.
+    # (On this worst-case uniform corpus they don't: nearest-centroid
+    # distance ≈ inter-point distance in high dim, so residual energy
+    # matches raw energy.  The win appears exactly when IVF cells mean
+    # something, which is the production case.)
+    # 32 distinct cluster patterns > 16 codes per subspace: raw PQ must
+    # merge clusters inside every codebook, while the 32 coarse cells
+    # capture them exactly and the residuals are noise-scale
+    rng_rows = []
+    for i in range(320):
+        cl = i % 32
+        base_v = [((cl * 131 + p * 17) % 200 - 100) / 10.0 for p in range(64)]
+        noise = [(((i * 67 + p * 29) % 21) - 10) / 100.0 for p in range(64)]
+        rng_rows.append((i, [b + n for b, n in zip(base_v, noise)]))
+    clustered = spark.createDataFrame(rng_rows, ["vec_id", "embedding"])
+    cl_res_idx = str(tmp_path / "cl_res")
+    cl_raw_idx = str(tmp_path / "cl_raw")
+    cl_cents_coarse, cl_res_cb = build_ivfpq_index(
+        clustered, cl_res_idx, n_centroids=32, n_sub=8, k=16, iters=2, residual=True
+    )
+    _, cl_raw_cb = build_ivfpq_index(
+        clustered, cl_raw_idx, n_centroids=32, n_sub=8, k=16, iters=2, residual=False
+    )
+    CV = np.array(
+        [[_quantize_py(x) for x in v] for _, v in rng_rows], dtype=np.int64
+    )
+    CC = np.asarray(cl_cents_coarse, dtype=np.int64)
+    CR = (CV @ CC.T).astype(np.float64) / np.sqrt(
+        (CC * CC).sum(axis=1).astype(np.float64)
+    )
+    cl_cell = np.argsort(-CR, axis=1, kind="stable")[:, 0]
+    CRV = CV - CC[cl_cell]
+
+    def total_err(X, cb):
+        cnp2 = _cents_np(cb)
+        codes2 = _codes_np(X, cnp2)
+        err = 0
+        for m in range(8):
+            sub = X[:, m * d0 : (m + 1) * d0]
+            diff = sub - cnp2[m][codes2[:, m]]
+            err += int((diff * diff).sum())
+        return err
+
+    assert total_err(CRV, cl_res_cb) < total_err(CV, cl_raw_cb) / 10
+
+    # search end-to-end: exact vs numpy recomputation of residual ADC
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["dist"])
+        for r in ivfpq_index_topk(spark, idx, queries, k=5, n_probe=3).collect()
+    )
+    q_rows = [r for r in rows if r["vec_id"] % 100 == 0]
+    cnp = _cents_np(cents)
+    codes = _codes_np(RV, cnp)
+    Q = np.array(
+        [[_quantize_py(x) for x in r["embedding"]] for r in q_rows], dtype=np.int64
+    )
+    QR = (Q @ C.T).astype(np.float64) / np.sqrt(
+        (C * C).sum(axis=1).astype(np.float64)
+    )
+    probe = np.argsort(-QR, axis=1, kind="stable")[:, :3]
+    want = []
+    for qi, qr in enumerate(q_rows):
+        qid = qr["vec_id"]
+        in_probe = np.isin(cell_of, probe[qi]) & (ids != qid)
+        sub_codes = codes[in_probe]
+        sub_cells = cell_of[in_probe]
+        d = np.zeros(in_probe.sum(), dtype=np.int64)
+        for m in range(8):
+            rq_all = Q[qi][None, :] - C[sub_cells]  # (n, D) residual per row's cell
+            sub = rq_all[:, m * d0 : (m + 1) * d0]
+            diff = sub - cnp[m][sub_codes[:, m]]
+            d += (diff * diff).sum(axis=1)
+        n_j = ids[in_probe]
+        o = np.lexsort((n_j, d))[:5]
+        for rank, j in enumerate(o, start=1):
+            want.append((qid, rank, int(n_j[j]), int(d[j])))
+    assert got == sorted(want)
