@@ -893,3 +893,36 @@ def test_ivfpq_residual_mode_exact_and_better(spark, sf_dir, tmp_path):
         for rank, j in enumerate(o, start=1):
             want.append((qid, rank, int(n_j[j]), int(d[j])))
     assert got == sorted(want)
+
+
+def test_ivfpq_append_matches_full_build(spark, sf_dir, tmp_path):
+    """Build from the low-id half, append the high-id half: searches must
+    be identical to a full build.  iters=0 keeps the codebooks at their
+    deterministic seed (the k smallest-id residuals, all in the low
+    half), so frozen parameters equal full-build parameters and appends
+    only add cell files — with Lloyd iterations the codebooks would
+    legitimately differ because training sees different corpora."""
+    from tidb2dw_spark.functions.pq import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mid = 250
+    lo, hi = emb.filter(F.col("vec_id") < mid), emb.filter(F.col("vec_id") >= mid)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    half = str(tmp_path / "half")
+    build_ivfpq_index(lo, half, n_centroids=8, n_sub=8, k=16, iters=0, residual=True)
+    append_to_ivfpq_index(hi, half)
+
+    full = str(tmp_path / "full")
+    build_ivfpq_index(emb, full, n_centroids=8, n_sub=8, k=16, iters=0, residual=True)
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], r["dist"])
+        for r in df.collect()
+    )
+    got = key(ivfpq_index_topk(spark, half, queries, k=5, n_probe=3))
+    assert got == key(ivfpq_index_topk(spark, full, queries, k=5, n_probe=3))

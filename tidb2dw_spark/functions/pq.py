@@ -387,6 +387,61 @@ def build_ivfpq_index(
     return centroids, cents
 
 
+def append_to_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest new vectors against the FROZEN centroids + codebooks: one
+    narrow assign+encode pass over the batch, appended as new files
+    inside their cell partitions — cost independent of index size, and
+    searches see the union immediately.  Same trade as
+    ``append_to_ivf_index``: rebuild when distribution drift unbalances
+    cells or decays code fidelity."""
+    import json as _json
+    import os
+
+    from .similarity import _assign_cells
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = _json.load(f)
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        meta = _json.load(f)
+    residual = isinstance(meta, dict) and meta.get("residual", False)
+    cents: Codebooks = meta["codebooks"] if isinstance(meta, dict) else meta
+    cnp = _cents_np(cents)
+    C = np.asarray(centroids, dtype=np.int64)
+
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col, "arrow")
+    out_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.LongType(), False), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["qv"].to_numpy())
+            if residual:
+                V = V - C[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "codes": list(_codes_np(V, cnp)),
+                    "cell": pdf["cell"],
+                }
+            )
+
+    assigned.mapInPandas(kernel, schema=out_schema).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
+
+
 def ivfpq_index_topk(
     spark,
     index_dir: str,
