@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "mm_wav_energy",
     "q_skew_salted_supplier_revenue",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

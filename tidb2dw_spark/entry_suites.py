@@ -90,6 +90,8 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     # product quantization: training + ADC rank are integer-exact
     "emb_pq_codebooks": [("sub", "int"), ("code", "int"), ("pos", "int"), ("centroid_q", "int"), ("code_n", "int")],
     "sim_pq_topk": [("query_id", "int"), ("neighbor_id", "int"), ("dist", "int"), ("rank", "int")],
+    # residual IVF-PQ: cells + residual Lloyd + codes + ADC, one composed oracle
+    "sim_ivfpq_topk": [("query_id", "int"), ("neighbor_id", "int"), ("dist", "int"), ("rank", "int")],
 }
 
 # Legacy fake-format multimodal plumbing rows (UTF-8 bytes standing in for

@@ -356,30 +356,13 @@ LEFT JOIN (SELECT cluster, COUNT(*) AS n FROM a{iters} GROUP BY cluster) fn
     return q.replace("__K__", str(k))
 
 
-def _pq_training_ctes(n_sub: int, k: int, iters: int, dim: int) -> str:
-    """Shared CTE chain for the PQ oracles: kmeans_oracle generalized by a
-    subspace axis — pts carries (id, sub, pos, x), every stage keys on
-    (sub, code) instead of cluster, and one unrolled Lloyd loop trains all
-    *n_sub* codebooks at once (exactly what functions/pq.py's single
-    distributed pass does).  Ends with a{iters} = (id, sub, code): every
-    vector's PQ code per subspace."""
-    d0 = dim // n_sub
-    q = f"""
-WITH pts AS (
-  SELECT vec_id AS id, (e['p'] // {d0}) AS sub, (e['p'] % {d0}) AS pos,
-         e['x'] AS x FROM (
-    SELECT vec_id,
-           unnest([{{'p': i-1,
-                    'x': (round(CAST(embedding[i] AS DOUBLE)*1000000))::BIGINT}}
-                   for i in range(1, len(embedding)+1)]) AS e
-    FROM embeddings) __u
-),
-c0 AS (
-  SELECT p.sub, s.rn - 1 AS code, p.pos, p.x AS v
-  FROM (SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) AS rn
-        FROM embeddings ORDER BY vec_id LIMIT {k}) s
-  JOIN pts p ON p.id = s.id
-)"""
+def _pq_lloyd_chain(iters: int) -> str:
+    """The unrolled integer-Lloyd CTE chain, parameter-free: expects CTEs
+    ``pts`` (id, sub, pos, x) and ``c0`` (sub, code, pos, v) to be already
+    defined, and emits ``,n0,a0,u0,c1,…`` ending with a{iters} = every
+    id's code per subspace.  Shared by raw-vector PQ (pts = quantized
+    embeddings) and residual IVF-PQ (pts = x − coarse-centroid)."""
+    q = ""
     for t in range(iters + 1):  # one extra assignment = the final codes
         q += f""",
 n{t} AS (SELECT sub, code, CAST(SUM(v*v) AS BIGINT) AS nn
@@ -413,6 +396,31 @@ c{t + 1} AS (
   LEFT JOIN u{t} u ON u.sub = c.sub AND u.code = c.code AND u.pos = c.pos
 )"""
     return q
+
+
+def _pq_training_ctes(n_sub: int, k: int, iters: int, dim: int) -> str:
+    """Raw-vector PQ prelude + Lloyd chain: pts = the quantized corpus
+    split by subspace, c0 = the k smallest-id vectors' subvectors."""
+    d0 = dim // n_sub
+    return (
+        f"""
+WITH pts AS (
+  SELECT vec_id AS id, (e['p'] // {d0}) AS sub, (e['p'] % {d0}) AS pos,
+         e['x'] AS x FROM (
+    SELECT vec_id,
+           unnest([{{'p': i-1,
+                    'x': (round(CAST(embedding[i] AS DOUBLE)*1000000))::BIGINT}}
+                   for i in range(1, len(embedding)+1)]) AS e
+    FROM embeddings) __u
+),
+c0 AS (
+  SELECT p.sub, s.rn - 1 AS code, p.pos, p.x AS v
+  FROM (SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings ORDER BY vec_id LIMIT {k}) s
+  JOIN pts p ON p.id = s.id
+)"""
+        + _pq_lloyd_chain(iters)
+    )
 
 
 def pq_codebooks_oracle(n_sub: int, k: int, iters: int, dim: int) -> str:
@@ -464,6 +472,90 @@ SELECT * FROM (
 ) __t WHERE rank <= {topk}
 """
     )
+
+
+def ivfpq_topk_oracle(
+    n_centroids: int,
+    n_sub: int,
+    k_codes: int,
+    iters: int,
+    dim: int,
+    query_mod: int,
+    topk: int,
+    n_probe: int,
+) -> str:
+    """Exact oracle for RESIDUAL IVF-PQ search (functions/pq.py:
+    build_ivfpq_index(residual=True) + ivfpq_index_topk): coarse cells =
+    argmax dot/‖c‖ over the n smallest-id vectors (the proven IVF
+    assignment SQL), residual points x − centroid[cell] feed the SAME
+    unrolled Lloyd chain as the PQ oracles, and search recomputes the
+    per-(query, probed-cell) distance LUT and the gather-sum rank — all
+    integer except the one IEEE cell-ranking divide already proven
+    bit-identical by the IVF rows."""
+    d0 = dim // n_sub
+    prelude = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         {sql_quantized("embedding")} AS qc
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+), cvec AS (
+  SELECT vec_id AS id, {sql_quantized("embedding")} AS cv FROM embeddings
+), assign AS (
+  SELECT id, cv, cell, qc FROM (
+    SELECT c.id, c.cv, cent.cell, cent.qc,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {sql_cell_rank("cv", "qc")} DESC, cent.cell ASC) AS rn
+    FROM cvec c CROSS JOIN cent) __a WHERE rn = 1
+), pts AS (
+  SELECT id, (e['p'] // {d0}) AS sub, (e['p'] % {d0}) AS pos, e['x'] AS x
+  FROM (
+    SELECT id, unnest([{{'p': i-1, 'x': cv[i] - qc[i]}}
+                       for i in range(1, len(cv)+1)]) AS e
+    FROM assign) __r
+), c0 AS (
+  SELECT p.sub, s.rn - 1 AS code, p.pos, p.x AS v
+  FROM (SELECT id, row_number() OVER (ORDER BY id) AS rn
+        FROM assign ORDER BY id LIMIT {k_codes}) s
+  JOIN pts p ON p.id = s.id
+)"""
+    search = f""",
+q0 AS (
+  SELECT vec_id AS qid, {sql_quantized("embedding")} AS qv
+  FROM embeddings WHERE vec_id % {query_mod} = 0
+), qprobe AS (
+  SELECT qid, qv, cell, qc FROM (
+    SELECT q.qid, q.qv, cent.cell, cent.qc,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {sql_cell_rank("qv", "qc")} DESC, cent.cell ASC) AS rn
+    FROM q0 q CROSS JOIN cent) __p WHERE rn <= {n_probe}
+), qrpts AS (
+  SELECT qid, cell, (e['p'] // {d0}) AS sub, (e['p'] % {d0}) AS pos, e['x'] AS x
+  FROM (
+    SELECT qid, cell, unnest([{{'p': i-1, 'x': qv[i] - qc[i]}}
+                              for i in range(1, len(qv)+1)]) AS e
+    FROM qprobe) __q
+), lut AS (
+  SELECT q.qid, q.cell, c.sub, c.code,
+         CAST(SUM((q.x - c.v)*(q.x - c.v)) AS BIGINT) AS d
+  FROM qrpts q JOIN c{iters} c ON c.sub = q.sub AND c.pos = q.pos
+  GROUP BY q.qid, q.cell, c.sub, c.code
+), adc AS (
+  SELECT l.qid AS query_id, av.id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+  FROM assign av
+  JOIN lut l ON l.cell = av.cell
+  JOIN a{iters} ac ON ac.id = av.id AND ac.sub = l.sub AND ac.code = l.code
+  WHERE av.id <> l.qid
+  GROUP BY l.qid, av.id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT)
+           AS rank
+  FROM adc
+) __t WHERE rank <= {topk}
+"""
+    return prelude + _pq_lloyd_chain(iters) + search
 
 
 IMAGE_FEATURES_ORACLE = """
