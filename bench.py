@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_skew_salted_supplier_revenue",
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "text_bpe_merges",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

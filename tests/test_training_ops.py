@@ -926,3 +926,31 @@ def test_ivfpq_append_matches_full_build(spark, sf_dir, tmp_path):
     )
     got = key(ivfpq_index_topk(spark, half, queries, k=5, n_probe=3))
     assert got == key(ivfpq_index_topk(spark, full, queries, k=5, n_probe=3))
+
+
+def test_bpe_train_matches_python_twin(spark):
+    """Spark BPE training must reproduce the sequential pure-Python twin
+    exactly — including the overlapping self-pair case ('aaa' with merge
+    (a,a) takes even run offsets only) and count-tie ordering — and be
+    partition-invariant."""
+    from tidb2dw_spark.functions.bpe import bpe_train, bpe_train_py
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new low wider wide wide",
+        "aaa aa aaaa banana bandana",
+        "the cat the hat the mat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    twin = bpe_train_py(texts, n_merges=10)
+    merges, seg = bpe_train(docs, n_merges=10)
+    seg.unpersist()
+    assert merges == twin
+    merges2, seg2 = bpe_train(docs.repartition(5), n_merges=10)
+    seg2.unpersist()
+    assert merges2 == twin
+    # the 'aaa'-family merge behaves greedily: (a,a) appears and 'aaaa'
+    # segments to [aa, aa, </w>] after the first two merges apply
+    assert ("a", "a") in {(a, b) for a, b, _ in twin}

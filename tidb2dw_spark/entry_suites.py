@@ -70,12 +70,14 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "q_shipping_priority_top10": [("l_orderkey", "int"), ("o_orderdate", "ts"), ("revenue_cents", "int")],
     "q_nation_presence_fulljoin": [("nationkey", "int"), ("n_cust", "int"), ("n_supp", "int")],
     "q_skew_salted_supplier_revenue": [("s_nationkey", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
+    "text_bpe_merges": [("step", "int"), ("lhs", "str"), ("rhs", "str"), ("merged", "str"), ("pair_count", "int")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the
 # driver surface with argued equivalence, now driver-visible per-member,
 # plus the exact near-dup kernel (demoted from a standalone row when the
-# LSH-blocked path took over as the registered near-dup operator).  The
+# LSH-blocked path took over as the registered near-dup operator) and the
+# round-4 product-quantization family (raw PQ + residual IVF-PQ).  The
 # two float-path members (float cosine top-k, LSH bucketed top-k) are
 # membership-checked on (query_id, neighbor_id): their id sets are stable
 # because score gaps at the k boundary are orders of magnitude above float

@@ -609,6 +609,25 @@ def sim_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, cents, k=TOPK_K)
 
 
+BPE_MERGES = 8
+
+
+@register("text_bpe_merges", O.bpe_merges_oracle(BPE_MERGES))
+def text_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): one corpus
+    pass builds the weighted vocabulary, then each merge step is window
+    logic over the (small) segmentation table — greedy left-to-right
+    application is positional, so the fixed-step loop unrolls into an
+    EXACT chained-CTE oracle, like k-means and PQ.  Returns the trained
+    merge table."""
+    from .functions.bpe import bpe_merges_df, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges, seg = bpe_train(docs, n_merges=BPE_MERGES)
+    seg.unpersist()
+    return bpe_merges_df(spark, merges)
+
+
 IVFPQ_CELLS, IVFPQ_CODES, IVFPQ_PROBE = 8, 16, 3
 
 # same memoization rationale as _pq_cents: the build (cells + residual

@@ -558,6 +558,77 @@ SELECT * FROM (
     return prelude + _pq_lloyd_chain(iters) + search
 
 
+def bpe_merges_oracle(n_merges: int) -> str:
+    """Exact oracle for distributed BPE training (functions/bpe.py): the
+    merge loop unrolls into *n_merges* chained CTE stages.  Greedy
+    left-to-right application is positional (see the bpe module
+    docstring): all occurrences merge when left ≠ right, and even
+    offsets within each run merge when left = right — both pure window
+    logic, so each stage is lead/lag/row_number over the vocabulary
+    table and the winning pair is an ORDER BY ... LIMIT 1 sub-CTE."""
+    q = """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS word
+    FROM documents) __w
+  GROUP BY word
+),
+seg0 AS MATERIALIZED (
+  SELECT word, cnt, e['p'] AS pos, e['s'] AS sym FROM (
+    SELECT word, cnt,
+           unnest([{'p': i-1, 's': substr(word, i, 1)}
+                   for i in range(1, len(word)+1)]
+                  || [{'p': len(word), 's': '</w>'}]) AS e
+    FROM words) __s
+)"""
+    for t in range(n_merges):
+        q += f""",
+m{t} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (SELECT word, cnt, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM seg{t}) __x
+  WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY n DESC, a ASC, b ASC
+  LIMIT 1
+),
+y{t} AS (
+  SELECT word, cnt, pos, sym, a, b,
+         (sym = a AND nxt = b) AS occ,
+         CASE WHEN sym = a THEN pos - SUM(CASE WHEN sym = a THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)
+         END AS grp
+  FROM (SELECT s.word, s.cnt, s.pos, s.sym,
+               lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+               m.a, m.b
+        FROM seg{t} s CROSS JOIN m{t} m) __f
+),
+z{t} AS (
+  SELECT word, cnt, pos, sym, a, b,
+         COALESCE(occ AND (CASE WHEN a = b
+                  THEN (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0
+                  ELSE TRUE END), FALSE) AS sel
+  FROM y{t}
+),
+seg{t + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         CASE WHEN sel THEN a || b ELSE sym END AS sym
+  FROM (SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos),
+                           FALSE) AS absorbed
+        FROM z{t}) __k
+  WHERE NOT absorbed
+)"""
+    q += "\n" + "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, a AS lhs, b AS rhs, a || b AS merged, "
+        f"n AS pair_count FROM m{t}"
+        for t in range(n_merges)
+    )
+    return q
+
+
 IMAGE_FEATURES_ORACLE = """
 SELECT doc_id,
        CAST(COALESCE(octet_length(encode(text)), 0) AS INT) AS n_bytes,
