@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "text_bpe_merges",
+    "text_bpe_tokenize",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

@@ -71,6 +71,7 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "q_nation_presence_fulljoin": [("nationkey", "int"), ("n_cust", "int"), ("n_supp", "int")],
     "q_skew_salted_supplier_revenue": [("s_nationkey", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "text_bpe_merges": [("step", "int"), ("lhs", "str"), ("rhs", "str"), ("merged", "str"), ("pair_count", "int")],
+    "text_bpe_tokenize": [("doc_id", "int"), ("n_words", "int"), ("n_subword_tokens", "int")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the

@@ -154,6 +154,30 @@ def bpe_merges_df(spark: SparkSession, merges: list[tuple[str, str, int]]) -> Da
     )
 
 
+def bpe_token_counts(
+    docs: DataFrame,
+    seg: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained segmentation: (doc_id, n_words,
+    n_subword_tokens).  The per-word symbol count is vocabulary-sized, so
+    the join broadcasts it against one corpus pass — the same shape as
+    every other per-doc text feature."""
+    wtok = seg.groupBy("word").agg(F.count("*").alias("n_sym"))
+    words = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        words.join(F.broadcast(wtok), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_subword_tokens"),
+        )
+    )
+
+
 # -- pure-Python twin (test oracle) -----------------------------------------
 def bpe_train_py(
     texts: list[str], n_merges: int = 8

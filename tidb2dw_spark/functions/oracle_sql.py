@@ -558,14 +558,15 @@ SELECT * FROM (
     return prelude + _pq_lloyd_chain(iters) + search
 
 
-def bpe_merges_oracle(n_merges: int) -> str:
-    """Exact oracle for distributed BPE training (functions/bpe.py): the
-    merge loop unrolls into *n_merges* chained CTE stages.  Greedy
-    left-to-right application is positional (see the bpe module
-    docstring): all occurrences merge when left ≠ right, and even
-    offsets within each run merge when left = right — both pure window
-    logic, so each stage is lead/lag/row_number over the vocabulary
-    table and the winning pair is an ORDER BY ... LIMIT 1 sub-CTE."""
+def _bpe_chain(n_merges: int) -> str:
+    """Shared BPE-training CTE chain (functions/bpe.py parity): the merge
+    loop unrolls into *n_merges* chained stages.  Greedy left-to-right
+    application is positional (see the bpe module docstring): all
+    occurrences merge when left ≠ right, and even offsets within each
+    run merge when left = right — both pure window logic, so each stage
+    is lead/lag/row_number over the vocabulary table and the winning
+    pair is an ORDER BY ... LIMIT 1 sub-CTE.  Ends with m0..m{n-1} (the
+    merge table rows) and seg{n_merges} (the trained segmentation)."""
     q = """
 WITH words AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -621,12 +622,37 @@ seg{t + 1} AS MATERIALIZED (
         FROM z{t}) __k
   WHERE NOT absorbed
 )"""
-    q += "\n" + "\nUNION ALL\n".join(
+    return q
+
+
+def bpe_merges_oracle(n_merges: int) -> str:
+    """Exact oracle for BPE training: the trained merge table."""
+    return _bpe_chain(n_merges) + "\n" + "\nUNION ALL\n".join(
         f"SELECT {t} AS step, a AS lhs, b AS rhs, a || b AS merged, "
         f"n AS pair_count FROM m{t}"
         for t in range(n_merges)
     )
-    return q
+
+
+def bpe_tokenize_oracle(n_merges: int) -> str:
+    """Exact oracle for corpus tokenization with the trained vocabulary:
+    per-document word and subword-token counts — the trained
+    segmentation's per-word symbol count joined back to the corpus."""
+    return _bpe_chain(n_merges) + f"""
+, wtok AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+  FROM seg{n_merges} GROUP BY word
+),
+dwords AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '')) AS word
+  FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_sym) AS BIGINT) AS n_subword_tokens
+FROM dwords d JOIN wtok w USING (word)
+GROUP BY doc_id
+"""
 
 
 IMAGE_FEATURES_ORACLE = """
