@@ -156,5 +156,16 @@ def test_metrics_http_info_endpoint():
         assert t["stage"] == "snapshot-loaded"
         assert t["counters"]["files_processed"] == 3
         assert t["gauges"]["pending_bytes"] == 1024
+        # Prometheus exposition next to /info (apiservice/server.go:38-42)
+        prom = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics"
+        ).read().decode()
+        assert "# TYPE tidb2dw_files_processed counter" in prom
+        assert 'tidb2dw_files_processed{table="tpch.users"} 3' in prom
+        assert 'tidb2dw_pending_bytes{table="tpch.users"} 1024' in prom
+        assert (
+            'tidb2dw_table_stage{table="tpch.users",stage="snapshot-loaded"} 1'
+            in prom
+        )
     finally:
         server.shutdown()

@@ -75,6 +75,33 @@ class MetricsRegistry:
     def to_json(self) -> str:
         return json.dumps(self.snapshot(), sort_keys=True)
 
+    def to_prometheus(self, prefix: str = "tidb2dw") -> str:
+        """Prometheus text exposition of the same snapshot (reference
+        parity: apiservice/server.go:38-42 serves promhttp next to
+        `/info`): counters and gauges become per-table-labeled series,
+        the stage becomes a one-hot `<prefix>_table_stage` gauge."""
+        snap = self.snapshot()
+        by_name: dict[str, list[str]] = {}
+        for fqn, t in sorted(snap["tables"].items()):
+            label = fqn.replace("\\", "\\\\").replace('"', '\\"')
+            for kind_key, kind in (("counters", "counter"), ("gauges", "gauge")):
+                for name, val in sorted(t.get(kind_key, {}).items()):
+                    metric = f"{prefix}_{name}"
+                    by_name.setdefault(f"# TYPE {metric} {kind}\n", []).append(
+                        f'{metric}{{table="{label}"}} {val:g}'
+                    )
+            stage = t.get("stage")
+            if stage:
+                metric = f"{prefix}_table_stage"
+                by_name.setdefault(f"# TYPE {metric} gauge\n", []).append(
+                    f'{metric}{{table="{label}",stage="{stage}"}} 1'
+                )
+        out = []
+        for header in sorted(by_name):
+            out.append(header)
+            out.extend(line + "\n" for line in by_name[header])
+        return "".join(out)
+
 
 DEFAULT_REGISTRY = MetricsRegistry()
 
@@ -95,15 +122,21 @@ def serve(registry: MetricsRegistry, port: int = 0):
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802  (stdlib API)
-            if self.path.rstrip("/") in ("", "/info"):
+            path = self.path.rstrip("/")
+            if path in ("", "/info"):
                 body = registry.to_json().encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
+                ctype = "application/json"
+            elif path == "/metrics":
+                body = registry.to_prometheus().encode()
+                ctype = "text/plain; version=0.0.4"
             else:
                 self.send_response(404)
                 self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.end_headers()
+            self.wfile.write(body)
 
         def log_message(self, *args):
             pass
