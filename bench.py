@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_topk",
     "text_bpe_merges",
     "text_bpe_tokenize",
+    "dedup_incremental_minhash",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

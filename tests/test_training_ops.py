@@ -954,3 +954,41 @@ def test_bpe_train_matches_python_twin(spark):
     # the 'aaa'-family merge behaves greedily: (a,a) appears and 'aaaa'
     # segments to [aa, aa, </w>] after the first two merges apply
     assert ("a", "a") in {(a, b) for a, b, _ in twin}
+
+
+def test_incremental_minhash_store_isolation(spark, tmp_path):
+    """The signature store must behave incrementally: phase 2 finds pairs
+    against phase 1's signatures WITHOUT rescanning text, results carry
+    no duplicates even after the store grows (the append must not leak
+    into an already-computed batch through path re-resolution), and a
+    third empty-overlap batch surfaces nothing."""
+    from tidb2dw_spark.functions.dedup import incremental_minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (2, base), (4, "completely different words about spark sql engines"),
+        (1, base.replace("today", "tomorrow")),  # near-dup of 2
+        (3, "completely different words about spark sql engines"),  # dup of 4
+        (5, "unrelated text mentioning databases and storage layers"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    store = str(tmp_path / "sigs")
+    from pyspark.sql import functions as F
+
+    p1 = incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0), store, min_sig_matches=8
+    )
+    assert p1.count() == 0  # 2 and 4 are unrelated
+    p2 = incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1), store, min_sig_matches=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    assert (1, 2) in got and (3, 4) in got  # found ACROSS batches
+    # store growth must not duplicate already-returned rows
+    assert p2.count() == p2.dropDuplicates(["id_a", "id_b"]).count()
+    assert spark.read.parquet(store).select("id").distinct().count() == 5
+    p3 = incremental_minhash_pairs(
+        spark.createDataFrame([(9, "zq xv wq pk lm")], ["doc_id", "text"]),
+        store, min_sig_matches=8,
+    )
+    assert p3.count() == 0

@@ -95,6 +95,8 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     "sim_pq_topk": [("query_id", "int"), ("neighbor_id", "int"), ("dist", "int"), ("rank", "int")],
     # residual IVF-PQ: cells + residual Lloyd + codes + ADC, one composed oracle
     "sim_ivfpq_topk": [("query_id", "int"), ("neighbor_id", "int"), ("dist", "int"), ("rank", "int")],
+    # continuous near-dup against the persisted signature store
+    "dedup_incremental_minhash": [("phase", "int"), ("id_a", "int"), ("id_b", "int"), ("n_sig_matches", "int")],
 }
 
 # Legacy fake-format multimodal plumbing rows (UTF-8 bytes standing in for

@@ -415,6 +415,41 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out1.select("doc_id").unionAll(out2.select("doc_id"))
 
 
+@register(
+    "dedup_incremental_minhash",
+    O.incremental_minhash_oracle(MINHASH_NUM, MINHASH_BANDS, SHINGLE_N, 8),
+)
+def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous NEAR-dup against a persisted signature store
+    (functions/dedup.py:incremental_minhash_pairs): even-id docs ingest
+    first (phase 1 surfaces even-even pairs), odd-id docs then band-join
+    against store∪batch (phase 2 surfaces every pair with an odd member)
+    — no batch ever rescans text it deduped against, and the store holds
+    ~num_hashes ints per doc.  The signature-match verify is integer, so
+    the oracle recomputes both phases exactly from the full corpus."""
+    import tempfile
+
+    from .functions.dedup import incremental_minhash_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="tidb2dw_sigstore_") + "/sigs"
+    common = dict(
+        num_hashes=MINHASH_NUM, bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N, min_sig_matches=8,
+    )
+    p1 = incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0), store, **common
+    )
+    p2 = incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1), store, **common
+    )
+    return (
+        p1.withColumn("phase", F.lit(1))
+        .unionByName(p2.withColumn("phase", F.lit(2)))
+        .select("phase", "id_a", "id_b", "n_sig_matches")
+    )
+
+
 _IVF_INDEX_DIRS: dict[str, str] = {}
 
 

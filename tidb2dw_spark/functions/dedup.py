@@ -650,3 +650,88 @@ def ngram_jaccard_pairs(
         )
     )
     return pairs.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash near-dup — continuous dedup against a signature store
+# ---------------------------------------------------------------------------
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_sig_matches: int = 8,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against everything seen so far.
+
+    The persisted store holds one MinHash signature (num_hashes ints) per
+    document — never shingles or text, so at 100 TB the store is ~128
+    bytes/doc and the per-batch cost is O(batch + collisions), not
+    O(corpus).  Band keys of the new batch join band keys of store∪batch
+    (only pairs with ≥1 new member can surface), and candidates verify by
+    the signature-estimated Jaccard: the count of equal minhash positions,
+    an unbiased estimator whose integer exactness also gives the operator
+    a SQL oracle.  Returns (id_a, id_b, n_sig_matches) with
+    n_sig_matches ≥ *min_sig_matches*, materialized BEFORE the new
+    signatures append to the store (so the result never sees its own
+    batch through the store read)."""
+    spark = new_docs.sparkSession
+    rows_per_band = num_hashes // bands
+    sh = new_docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    hs = sh.select("id", F.transform("shingles", lambda s: md5_long(s, 7)).alias("hs"))
+    new_sigs = hs.select("id", minhash_fold(F.col("hs"), num_hashes).alias("sig"))
+
+    # snapshot the store as an explicit FILE LIST: appending to the same
+    # directory below would otherwise invalidate (and re-resolve) any plan
+    # that scans the path, silently doubling the batch through the store
+    from pathlib import Path as _Path
+
+    store_files = sorted(str(p) for p in _Path(store_dir).glob("*.parquet"))
+    if store_files:
+        old_sigs = spark.read.parquet(*store_files).select("id", "sig")
+        all_sigs = old_sigs.unionByName(new_sigs)
+    else:
+        all_sigs = new_sigs
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.explode_outer(
+                lsh_band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("bk"),
+        ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        banded(new_sigs)
+        .alias("l")
+        .join(banded(all_sigs).alias("r"), on=["band", "key"])
+        .filter(F.col("l.id") != F.col("r.id"))
+        .select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t
+        )
+    )
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_match.alias("n_sig_matches"))
+        .filter(F.col("n_sig_matches") >= min_sig_matches)
+        .persist()
+    )
+    pairs.count()  # materialize before the store mutates
+    new_sigs.write.mode("append").parquet(store_dir)
+    return pairs

@@ -222,6 +222,45 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
+def incremental_minhash_oracle(
+    num_hashes: int, bands: int, shingle_n: int, min_match: int
+) -> str:
+    """Oracle for the two-phase incremental near-dup entry: phase 1
+    stages the even-id docs (pairs among evens), phase 2 stages the odds
+    against the store (pairs with ≥1 odd member) — which together are
+    exactly the full banded candidate set, tagged by parity.  The verify
+    is the signature-match count (integer, same estimator both sides)."""
+    rows = num_hashes // bands
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens("text")} AS words FROM documents
+), sh AS (
+  SELECT doc_id, {sql_shingles("words", shingle_n)} AS shingles FROM base
+), h AS (
+  SELECT doc_id, list_transform(shingles, s -> {sql_md5_long("s", 7)}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {sql_minhash_array("hs", num_hashes)} AS sig FROM h
+), banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[b*{rows}+1:(b+1)*{rows}], ',')) AS key
+  FROM sig, range(0, {bands}) r(b)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         len([1 for i in range(1, {num_hashes}+1) if a.sig[i] = b.sig[i]])
+           AS n_sig_matches
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+)
+SELECT CASE WHEN id_a % 2 = 0 AND id_b % 2 = 0 THEN 1 ELSE 2 END AS phase,
+       id_a, id_b, n_sig_matches
+FROM verified WHERE n_sig_matches >= {min_match}
+"""
+
+
 def simhash_pairs_oracle(max_hamming: int) -> str:
     return f"""
 WITH base AS (
