@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_bpe_merges",
     "text_bpe_tokenize",
     "dedup_incremental_minhash",
+    "sim_ivfpq_recall_eval",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

@@ -97,6 +97,7 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     "sim_ivfpq_topk": [("query_id", "int"), ("neighbor_id", "int"), ("dist", "int"), ("rank", "int")],
     # continuous near-dup against the persisted signature store
     "dedup_incremental_minhash": [("phase", "int"), ("id_a", "int"), ("id_b", "int"), ("n_sig_matches", "int")],
+    "sim_ivfpq_recall_eval": [("query_id", "int"), ("n_hits", "int"), ("k", "int")],
 }
 
 # Legacy fake-format multimodal plumbing rows (UTF-8 bytes standing in for

@@ -222,6 +222,30 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
+def topk_sqeuclid_oracle(query_mod: int, k: int) -> str:
+    """Exact squared-euclidean top-k (the metric ADC approximates):
+    integer distances, ties to the lower neighbor — ids only, matching
+    the recall-eval join sides."""
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, {sql_quantized("embedding")} AS cv FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, {sql_quantized("embedding")} AS qv
+  FROM embeddings WHERE vec_id % {query_mod} = 0
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(list_sum([(c.cv[i]-q.qv[i])*(c.cv[i]-q.qv[i])
+                        for i in range(1, len(q.qv)+1)]) AS BIGINT) AS dist
+  FROM q CROSS JOIN c WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM scored) __t WHERE rank <= {k}
+"""
+
+
 def incremental_minhash_oracle(
     num_hashes: int, bands: int, shingle_n: int, min_match: int
 ) -> str:

@@ -232,6 +232,13 @@ def _brute_force_topk_arrow(
                 c_norm = np.sqrt((M * M).sum(axis=1).astype(np.float64))
                 # operand order matches the expression path: q_norm * c_norm
                 S = D.astype(np.float64) / (q_norm[None, :] * c_norm[:, None])
+            elif metric == "quantized_sqeuclid":
+                # negated exact integer distance: rank desc ≡ dist asc;
+                # |dist| < 2^53 at 1e6-quantized 64-dim, so the double is
+                # exact and cross-engine reproducible
+                m2 = (M * M).sum(axis=1)
+                q2 = (Q * Q).sum(axis=1)
+                S = -(m2[:, None] - 2 * D + q2[None, :]).astype(np.float64)
             else:  # quantized_dot
                 S = D.astype(np.float64)
             rows_q, rows_n, rows_s = [], [], []
@@ -270,9 +277,11 @@ def brute_force_topk(
     to a vectorized int64 matmul with per-partition partial top-k — same
     exact results, no interpreted per-element lambdas."""
     if kernel == "arrow":
-        if metric not in ("quantized_cosine", "quantized_dot"):
+        if metric not in ("quantized_cosine", "quantized_dot", "quantized_sqeuclid"):
             raise ValueError("arrow kernel requires a quantized metric")
         return _brute_force_topk_arrow(corpus, queries, id_col, vec_col, k, metric)
+    if metric == "quantized_sqeuclid":
+        raise ValueError("quantized_sqeuclid is arrow-kernel-only")
     # precompute per-side quantized arrays / norms BEFORE the pair join:
     # per-pair work is then one dot product, not three (norms are per-row,
     # computing them inside the n×q join multiplies the work by the fan-out)
