@@ -72,6 +72,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "q_skew_salted_supplier_revenue": [("s_nationkey", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "text_bpe_merges": [("step", "int"), ("lhs", "str"), ("rhs", "str"), ("merged", "str"), ("pair_count", "int")],
     "text_bpe_tokenize": [("doc_id", "int"), ("n_words", "int"), ("n_subword_tokens", "int")],
+    "q_bucketed_colocated_join": [("o_orderpriority", "str"), ("n_items", "int"), ("revenue_cents", "int")],
+    "q_zorder_multirange": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the

@@ -386,16 +386,23 @@ class ManagedTable:
         return new_version
 
     def cluster_by(self, spark: SparkSession, cols: Sequence[str],
-                   target_bytes: int = 128 << 20) -> int:
+                   target_bytes: int = 128 << 20, zorder: bool = False,
+                   zorder_bits: int = 8) -> int:
         """OPTIMIZE … CLUSTER BY parity: rewrite the current version
         range-partitioned + sorted on *cols*, so each output file covers a
         narrow value range.  This is what makes :meth:`analyze` zone maps
         selective — on an unclustered (or PK-hash-bucketed) layout every
         file spans the whole domain and min/max pruning cannot skip
-        anything.  Plain tables only: bucketed tables are clustered by PK
-        hash by construction (their pruning lever is ``read_for_keys``;
+        anything.  Plain tables only: bucketed tables are PK-hash-clustered
+        by construction (their pruning lever is ``read_for_keys``;
         within-bucket sort would only tighten parquet row-group stats).
-        """
+
+        ``zorder=True`` is OPTIMIZE … ZORDER BY: instead of a lexicographic
+        sort (zone maps selective on the FIRST column only), rows order by
+        the Morton interleave of per-column quantile cells
+        (table.zorder) — each file covers a small hyper-rectangle, so
+        :meth:`read_range` / :meth:`read_multi_range` skip files for
+        predicates on ANY clustered column."""
         m = self.manifest()
         if m.get("pk_buckets", 0) > 0:
             raise ValueError("cluster_by applies to plain tables; bucketed "
@@ -404,8 +411,20 @@ class ManagedTable:
         vdir = self.root / f"v={m['version']}"
         total = sum(p.stat().st_size for p in vdir.rglob("*.parquet")) or 1
         n_out = int(max(1, -(-total // target_bytes)))
-        out = df.repartitionByRange(n_out, *[F.col(c) for c in cols]) \
-                .sortWithinPartitions(*cols)
+        if zorder and len(cols) > 1:
+            from .zorder import quantile_boundaries, zorder_value
+
+            bounds = quantile_boundaries(df, cols, bits=zorder_bits)
+            z = zorder_value(df, cols, bounds, bits=zorder_bits)
+            out = (
+                df.withColumn("__zvalue", z)
+                .repartitionByRange(n_out, F.col("__zvalue"))
+                .sortWithinPartitions("__zvalue")
+                .drop("__zvalue")
+            )
+        else:
+            out = df.repartitionByRange(n_out, *[F.col(c) for c in cols]) \
+                    .sortWithinPartitions(*cols)
         return self.overwrite(out)
 
     def analyze(self, spark: SparkSession, cols: Sequence[str]) -> dict:
@@ -437,29 +456,25 @@ class ManagedTable:
         self.update_meta(file_stats=stats)
         return stats
 
-    def read_range(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
-        """Range read with zone-map file skipping: open only files whose
-        [min, max] for *col* intersects [lo, hi] (missing/stale stats fall
-        back to the full file list), then apply the exact residual filter.
-        On a clustered table a narrow range touches O(range/total · files)
-        files — the driver never even lists the rest."""
-        m = self.manifest()
+    def _zone_keep(self, m: dict, col: str, lo, hi) -> list[str] | None:
+        """File paths whose [min, max] zone for *col* intersects [lo, hi],
+        or None when the stats cannot prune (missing, stale version,
+        unanalyzed column, bucketed layout, incomparable probe type)."""
         stats = m.get("file_stats")
-        pred = (F.col(col) >= lo) & (F.col(col) <= hi)
         if (
             not stats
             or stats.get("version") != m["version"]
             or col not in stats.get("cols", [])
             or m.get("pk_buckets", 0) > 0
         ):
-            return self.read(spark).filter(pred)
+            return None
 
         def enc(v):
             return v if isinstance(v, (int, float)) and not isinstance(v, bool) else str(v)
 
         elo, ehi = enc(lo), enc(hi)
         try:
-            keep = [
+            return [
                 f for f, cs in stats["files"].items()
                 if cs[col][0] is not None and not (cs[col][1] < elo or cs[col][0] > ehi)
             ]
@@ -467,14 +482,51 @@ class ManagedTable:
             # probe type doesn't compare with the stored stats (e.g. Decimal
             # probe vs numeric-JSON stats): pruning is an optimization, so
             # degrade to a full scan instead of failing the query
+            return None
+
+    def _read_files_filtered(self, spark: SparkSession, m: dict,
+                             keep: list[str] | None, pred) -> DataFrame:
+        if keep is None:
             return self.read(spark).filter(pred)
         if not keep:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(m["schema_json"]))
             return spark.createDataFrame([], schema=schema).filter(pred)
-        df = self._conform(spark, spark.read.parquet(*keep), m)
-        return df.filter(pred)
+        return self._conform(spark, spark.read.parquet(*keep), m).filter(pred)
+
+    def read_range(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
+        """Range read with zone-map file skipping: open only files whose
+        [min, max] for *col* intersects [lo, hi] (missing/stale stats fall
+        back to the full file list), then apply the exact residual filter.
+        On a clustered table a narrow range touches O(range/total · files)
+        files — the driver never even lists the rest."""
+        m = self.manifest()
+        pred = (F.col(col) >= lo) & (F.col(col) <= hi)
+        return self._read_files_filtered(spark, m, self._zone_keep(m, col, lo, hi), pred)
+
+    def read_multi_range(self, spark: SparkSession,
+                         ranges: dict[str, tuple]) -> DataFrame:
+        """Conjunctive multi-column range read: a file survives only if its
+        zone intersects EVERY predicate's range (per-column keep lists
+        intersect; a column without usable stats simply cannot prune).
+        This is the read-side payoff of z-order clustering — on a
+        lexicographic sort only the leading column's list is selective,
+        z-order makes every clustered column's list selective at once."""
+        m = self.manifest()
+        pred = None
+        keep: set[str] | None = None
+        for col, (lo, hi) in ranges.items():
+            p = (F.col(col) >= lo) & (F.col(col) <= hi)
+            pred = p if pred is None else (pred & p)
+            k = self._zone_keep(m, col, lo, hi)
+            if k is not None:
+                keep = set(k) if keep is None else keep & set(k)
+        if pred is None:
+            return self.read(spark)
+        return self._read_files_filtered(
+            spark, m, sorted(keep) if keep is not None else None, pred
+        )
 
     def update_meta(self, **kv) -> None:
         m = self.manifest()
