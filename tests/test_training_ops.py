@@ -986,7 +986,10 @@ def test_incremental_minhash_store_isolation(spark, tmp_path):
     assert (1, 2) in got and (3, 4) in got  # found ACROSS batches
     # store growth must not duplicate already-returned rows
     assert p2.count() == p2.dropDuplicates(["id_a", "id_b"]).count()
-    assert spark.read.parquet(store).select("id").distinct().count() == 5
+    assert (
+        spark.read.option("recursiveFileLookup", "true").parquet(store)
+        .select("id").distinct().count() == 5
+    )  # per-batch subdirectories: one dir per ingest
     p3 = incremental_minhash_pairs(
         spark.createDataFrame([(9, "zq xv wq pk lm")], ["doc_id", "text"]),
         store, min_sig_matches=8,

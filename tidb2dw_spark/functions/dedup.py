@@ -685,14 +685,20 @@ def incremental_minhash_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
     hs = sh.select("id", F.transform("shingles", lambda s: md5_long(s, 7)).alias("hs"))
-    new_sigs = hs.select("id", minhash_fold(F.col("hs"), num_hashes).alias("sig"))
+    # the signature derivation (per-shingle md5 + num_hashes minhash folds)
+    # is the dominant cost and this plan fans it out FIVE ways (band join
+    # left side, store union, both verify joins, store write) — persist the
+    # tiny signature frame (~num_hashes ints/doc) so it computes once
+    new_sigs = hs.select(
+        "id", minhash_fold(F.col("hs"), num_hashes).alias("sig")
+    ).persist()
 
     # snapshot the store as an explicit FILE LIST: appending to the same
     # directory below would otherwise invalidate (and re-resolve) any plan
     # that scans the path, silently doubling the batch through the store
     from pathlib import Path as _Path
 
-    store_files = sorted(str(p) for p in _Path(store_dir).glob("*.parquet"))
+    store_files = sorted(str(p) for p in _Path(store_dir).rglob("*.parquet"))
     if store_files:
         old_sigs = spark.read.parquet(*store_files).select("id", "sig")
         all_sigs = old_sigs.unionByName(new_sigs)
@@ -733,5 +739,15 @@ def incremental_minhash_pairs(
         .persist()
     )
     pairs.count()  # materialize before the store mutates
-    new_sigs.write.mode("append").parquet(store_dir)
+    # each batch lands in its OWN subdirectory: appending into the shared
+    # root would recacheByPath-invalidate every cached plan reading the
+    # store (including the just-persisted result of THIS call — its pairs
+    # would silently recompute on next use), and per-batch dirs are also
+    # the layout concurrent ingests / retention GC want
+    import uuid as _uuid
+
+    new_sigs.write.mode("overwrite").parquet(
+        str(_Path(store_dir) / f"batch-{_uuid.uuid4().hex}")
+    )
+    new_sigs.unpersist()  # pairs is materialized; the cache has served
     return pairs
