@@ -27,6 +27,12 @@ Scale design — the two write paths:
   table rewrites a handful of buckets instead of the table — merge cost is
   O(touched data), and the bucket column gives partition pruning on reads
   that filter by PK hash.
+- ``merge_mode="mor"`` (merge-on-read, bucketed only): a batch lands as
+  per-bucket delta files under ``delta/seq=N`` (O(batch) write — even the
+  touched buckets are not rewritten); reads resolve last-writer-wins
+  across base ∪ deltas, and ``compact()`` folds deltas back into base.
+  The Hudi-MOR / deletion-vector trade for high-frequency CDC, where CoW's
+  rewrite of a ~25 GB bucket per touched row is the write amplifier.
 """
 
 from __future__ import annotations
@@ -83,8 +89,23 @@ class ManagedTable:
         pk_cols: Sequence[str],
         pk_buckets: int = 0,
         extra_meta: dict | None = None,
+        merge_mode: str = "cow",
     ) -> "ManagedTable":
-        """CREATE OR REPLACE + initial load (S6 / D3 parity)."""
+        """CREATE OR REPLACE + initial load (S6 / D3 parity).
+
+        ``merge_mode="mor"`` (bucketed tables only) switches :meth:`merge`
+        to merge-on-read: a CDC batch appends per-bucket DELTA files
+        instead of rewriting the touched buckets, and reads resolve
+        last-writer-wins across base ∪ deltas.  Copy-on-write rewrites a
+        ~25 GB bucket to apply one row; MoR writes O(batch) per commit and
+        pays one window per delta-bearing bucket at read —
+        the Delta-deletion-vector / Hudi-MOR trade, right for
+        high-frequency CDC with compaction folding deltas in the
+        background (:meth:`compact`)."""
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        if merge_mode == "mor" and pk_buckets <= 0:
+            raise ValueError("merge_mode='mor' requires a PK-bucketed table")
         pk_cols = list(pk_cols)
         columns = [c for c in df.columns if c != BUCKET_COL]
         self._write_version_data(df, 1, pk_cols, pk_buckets)
@@ -101,6 +122,10 @@ class ManagedTable:
         }
         if pk_buckets > 0:
             manifest["bucket_versions"] = {str(b): 1 for b in range(pk_buckets)}
+        if merge_mode != "cow":
+            manifest["merge_mode"] = merge_mode
+            manifest["delta_seq"] = 0
+            manifest["bucket_deltas"] = {}
         if extra_meta:
             manifest.update(extra_meta)
         self._commit(manifest)
@@ -131,6 +156,10 @@ class ManagedTable:
             if BUCKET_COL in df.columns
             else df.schema.json()
         )
+        # a full overwrite materializes the resolved state (read() folds
+        # pending deltas into *df*'s lineage), so the delta lists reset
+        if m.get("bucket_deltas"):
+            m["bucket_deltas"] = {}
         if extra_meta:
             m.update(extra_meta)
         self._commit(m)
@@ -173,6 +202,8 @@ class ManagedTable:
             if extra_meta:
                 self.update_meta(**extra_meta)
             return m["version"]
+        if m.get("merge_mode") == "mor":
+            return self._merge_mor(spark, m, batch, touched, extra_meta)
         new_version = m["version"] + 1
 
         # 2. merge only those buckets' current data with the batch
@@ -194,6 +225,47 @@ class ManagedTable:
             m.update(extra_meta)
         self._commit(m)
         return new_version
+
+    def _merge_mor(
+        self,
+        spark: SparkSession,
+        m: dict,
+        batch: DataFrame,
+        touched: list[int],
+        extra_meta: dict | None,
+    ) -> int:
+        """Merge-on-read commit: W1-dedup the batch, land it as per-bucket
+        delta files under ``delta/seq=N``, and record the delta in the
+        touched buckets' manifest lists — NO base rewrite.  Write cost is
+        O(batch); the read path (:meth:`_read_buckets`) resolves
+        last-writer-wins across base ∪ deltas (newest delta seq wins, the
+        same winner sequential CoW merges would produce), and
+        :meth:`compact` folds deltas back into base.
+
+        The commit point is still the atomic manifest swap: a crash after
+        the delta write leaves an unreferenced ``seq=N`` directory (mode
+        "overwrite" makes the replay idempotent) that :meth:`vacuum`
+        collects."""
+        from ..operators.dedup import last_writer_wins  # local: avoid cycle
+        from ..sources.envelope import FLAG_COL
+
+        pk_cols, n_buckets = m["pk"], m["pk_buckets"]
+        final = last_writer_wins(batch, pk_cols)
+        seq = m.get("delta_seq", 0) + 1
+        out = final.select(*m["columns"], FLAG_COL).withColumn(
+            BUCKET_COL, self._bucket_expr(pk_cols, n_buckets)
+        )
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            str(self.root / "delta" / f"seq={seq}")
+        )
+        m["delta_seq"] = seq
+        bd = m.setdefault("bucket_deltas", {})
+        for b in touched:
+            bd.setdefault(str(b), []).append(seq)
+        if extra_meta:
+            m.update(extra_meta)
+        self._commit(m)
+        return m["version"]
 
     def _write_version_data(
         self, df: DataFrame, version: int, pk_cols: list[str], pk_buckets: int
@@ -234,11 +306,13 @@ class ManagedTable:
         return m["version"]
 
     # -- read path --------------------------------------------------------
-    def _conform(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
+    def _conform(self, spark: SparkSession, df: DataFrame, m: dict,
+                 keep: Sequence[str] = ()) -> DataFrame:
         """Project *df* to the manifest schema: prune dropped columns,
         materialize manifest columns missing from the files (added
         metadata-only) as their rendered default cast to the declared
-        type."""
+        type.  *keep* columns (delta-resolution metadata) survive the
+        projection, appended after the manifest columns."""
         from pyspark.sql.types import StructType
 
         cols = m.get("columns", df.columns)
@@ -252,7 +326,7 @@ class ManagedTable:
                 d = defaults.get(c)
                 col = F.lit(d) if d is not None else F.lit(None)
                 df = df.withColumn(c, col.cast(dtype) if dtype is not None else col)
-        return df.select(*[c for c in cols if c in df.columns])
+        return df.select(*[c for c in cols if c in df.columns], *keep)
 
     def _read_buckets(self, spark: SparkSession, m: dict, buckets) -> DataFrame:
         """Read bucket partitions grouped BY VERSION: every version
@@ -263,26 +337,91 @@ class ManagedTable:
         written before the column existed; rows written after keep their
         stored values, including explicit NULLs)."""
         bv = m.get("bucket_versions", {})
-        by_version: dict[str, list[str]] = {}
-        for b in buckets:
-            p = self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}"
-            if p.exists():
-                by_version.setdefault(str(bv[str(b)]), []).append(str(p))
-        if not by_version:
-            # every requested bucket is empty (e.g. fully deleted): build an
-            # empty frame from the manifest's authoritative schema
+        bd = m.get("bucket_deltas", {})
+        buckets = list(buckets)
+        with_deltas = [b for b in buckets if bd.get(str(b))]
+        plain = [b for b in buckets if not bd.get(str(b))]
+
+        def base_of(bs) -> DataFrame | None:
+            by_version: dict[str, list[str]] = {}
+            for b in bs:
+                p = self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}"
+                if p.exists():
+                    by_version.setdefault(str(bv[str(b)]), []).append(str(p))
+            if not by_version:
+                return None
+            parts = [
+                self._conform(spark, spark.read.parquet(*paths), m)
+                for _, paths in sorted(by_version.items())
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        def empty() -> DataFrame:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(m["schema_json"]))
             return spark.createDataFrame([], schema=schema)
-        parts = [
-            self._conform(spark, spark.read.parquet(*paths), m)
-            for _, paths in sorted(by_version.items())
-        ]
-        out = parts[0]
+
+        out = base_of(plain) if plain else None
+        if with_deltas:
+            resolved = self._resolve_mor(spark, m, with_deltas, base_of(with_deltas))
+            out = resolved if out is None else out.unionByName(resolved)
+        return out if out is not None else empty()
+
+    def _resolve_mor(
+        self,
+        spark: SparkSession,
+        m: dict,
+        buckets: list[int],
+        base: DataFrame | None,
+    ) -> DataFrame:
+        """Last-writer-wins across base ∪ pending deltas for delta-bearing
+        buckets: base rows enter at delta seq 0, each delta batch at its
+        commit seq; the newest seq per PK wins (exactly the winner
+        sequential CoW merges would have produced — each delta batch is
+        already W1-collapsed to one row per key), and a winning delete
+        removes the key.  One window shuffle over the delta-bearing
+        buckets' rows — the read-side cost MoR trades for O(batch)
+        writes; compaction folds it away."""
+        from ..sources.envelope import FLAG_COL
+
+        bd = m.get("bucket_deltas", {})
+        by_seq: dict[int, list[str]] = {}
+        for b in buckets:
+            for s in bd.get(str(b), []):
+                p = self.root / "delta" / f"seq={s}" / f"{BUCKET_COL}={b}"
+                if p.exists():
+                    by_seq.setdefault(s, []).append(str(p))
+        parts = []
+        if base is not None:
+            parts.append(
+                base.withColumn(FLAG_COL, F.lit("I")).withColumn("__dseq", F.lit(0))
+            )
+        for s, paths in sorted(by_seq.items()):
+            parts.append(
+                self._conform(
+                    spark, spark.read.parquet(*paths), m, keep=(FLAG_COL,)
+                ).withColumn("__dseq", F.lit(s))
+            )
+        if not parts:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema_json"]))
+            return spark.createDataFrame([], schema=schema)
+        allrows = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            allrows = allrows.unionByName(p)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*m["pk"]).orderBy(F.desc("__dseq"))
+        return (
+            allrows.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col(FLAG_COL) != "D"))
+            .drop("__rn", "__dseq", FLAG_COL)
+        )
 
     def read_for_keys(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
         """Point/batch lookup by PK: for a bucketed table, read ONLY the
@@ -320,7 +459,9 @@ class ManagedTable:
     # -- maintenance ------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop version directories no bucket references and older than the
-        newest *keep_last* full versions."""
+        newest *keep_last* full versions, plus delta directories no bucket's
+        pending list references (folded by compaction, or orphaned by a
+        crash between delta write and manifest commit)."""
         m = self.manifest()
         current = m["version"]
         referenced = {int(v) for v in m.get("bucket_versions", {}).values()}
@@ -330,6 +471,13 @@ class ManagedTable:
             if v <= current - keep_last and v not in referenced:
                 shutil.rmtree(p)
                 removed.append(v)
+        live_seqs = {s for seqs in m.get("bucket_deltas", {}).values() for s in seqs}
+        for p in sorted(self.root.glob("delta/seq=*")):
+            s = int(p.name.split("=", 1)[1])
+            # seqs above delta_seq belong to an in-flight (uncommitted)
+            # merge — never collect those out from under it
+            if s not in live_seqs and s <= m.get("delta_seq", 0):
+                shutil.rmtree(p)
         return removed
 
     def compact(
@@ -363,10 +511,19 @@ class ManagedTable:
             return self.overwrite(self.read(spark).coalesce(n_out))
 
         bv = m["bucket_versions"]
+        bd = m.get("bucket_deltas", {})
         touched = []
         for b in range(n):
             bdir = self.root / f"v={bv[str(b)]}" / f"{BUCKET_COL}={b}"
-            if bdir.exists() and len(list(bdir.glob("*.parquet"))) > max_files_per_bucket:
+            many_files = (
+                bdir.exists()
+                and len(list(bdir.glob("*.parquet"))) > max_files_per_bucket
+            )
+            # MoR: pending deltas are the other form of read amplification
+            # compaction exists to fold away — any delta-bearing bucket
+            # compacts (the rewrite resolves base ∪ deltas via
+            # _read_buckets and clears the bucket's delta list)
+            if many_files or bd.get(str(b)):
                 touched.append(b)
         if not touched:
             return None
@@ -382,6 +539,7 @@ class ManagedTable:
         m["version"] = new_version
         for b in touched:
             m["bucket_versions"][str(b)] = new_version
+            m.get("bucket_deltas", {}).pop(str(b), None)
         self._commit(m)
         return new_version
 
