@@ -80,6 +80,7 @@ BENCH_QUERIES = [
 # them into the headline total buries query regressions (round-3 verdict)
 PIPELINE_QUERIES = [
     "pipeline_changelog_replay",
+    "pipeline_mor_replay",
 ]
 
 

@@ -50,6 +50,7 @@ from .table.managed import ManagedTable
 
 REPLAY_ROOT = "/tmp/tidb2dw_replay"
 RESUME_ROOT = "/tmp/tidb2dw_replay_resume"
+MOR_ROOT = "/tmp/tidb2dw_replay_mor"
 
 _SCHEMA, _TABLE = "tpch", "orders_replay"
 _PK_BUCKETS = 8
@@ -196,6 +197,35 @@ def pipeline_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def pipeline_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same single-poll lifecycle as ``pipeline_changelog_replay``,
+    consumed into a MERGE-ON-READ table: every poll commits per-bucket
+    delta files (no base rewrite — write cost O(batch)), the v1 deltas
+    stay pending across the metadata-only ADD barrier, and the read
+    resolves last-writer-wins over base ∪ deltas while conforming
+    pre-DDL delta files to the evolved schema.  Checked against the SAME
+    DuckDB fold oracle as the CoW replay — driver-level proof that the
+    MoR read path reproduces the reference's merge semantics exactly."""
+    root = Path(MOR_ROOT)
+    shutil.rmtree(root, ignore_errors=True)
+    base = _base_rows(spark, sf_dir)
+    _stage_v1(root, base, extra_p1_file=False)
+    _stage_v2(root, base)
+    v1 = _def_v1()
+    snap = read_snapshot_csv(
+        spark,
+        f"{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv",
+        table_def_to_struct(v1),
+    )
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_replay_mor_wh_"))
+    table = ManagedTable(wh / _TABLE).create(
+        snap, v1.pk_columns, pk_buckets=_PK_BUCKETS, merge_mode="mor"
+    )
+    IncrementConsumer(spark, root / "increment", table).poll_once()
+    assert table.manifest().get("bucket_deltas"), "MoR merge wrote no deltas"
+    return table.read(spark)
+
+
 def pipeline_replay_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restart parity: consumer #1 processes the initial v1 files; new
     files + the v2 barrier arrive; a FRESH consumer #2 (rebuilt state) must
@@ -316,10 +346,12 @@ WHERE o_orderkey % 3 = 0 AND o_orderkey % {3 * _LOOKUP_KEY_MOD} = 0
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
+    "pipeline_mor_replay": pipeline_mor_replay,
     "table_point_lookup": table_point_lookup,
 }
 ORACLES = {
     "pipeline_changelog_replay": _fold_oracle(REPLAY_ROOT),
     "pipeline_replay_resume": _fold_oracle(RESUME_ROOT),
+    "pipeline_mor_replay": _fold_oracle(MOR_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,
 }

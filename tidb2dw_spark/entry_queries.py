@@ -366,11 +366,11 @@ from . import entry_suites  # noqa: E402  (registry import)
 # reference members from either module
 QUERIES["suite_analytics_checksums"] = entry_suites.suite_query(
     entry_suites.ANALYTICS_SPEC,
-    {**entry_analytics.QUERIES, **entry_training.QUERIES},
+    {**entry_analytics.QUERIES, **entry_training.QUERIES, **entry_pipeline.QUERIES},
 )
 ORACLES["suite_analytics_checksums"] = entry_suites.suite_oracle(
     entry_suites.ANALYTICS_SPEC,
-    {**entry_analytics.ORACLES, **entry_training.ORACLES},
+    {**entry_analytics.ORACLES, **entry_training.ORACLES, **entry_pipeline.ORACLES},
 )
 QUERIES["suite_sampling_checksums"] = entry_suites.suite_query(
     entry_suites.SAMPLING_SPEC, entry_training.QUERIES

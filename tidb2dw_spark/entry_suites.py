@@ -74,6 +74,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "text_bpe_tokenize": [("doc_id", "int"), ("n_words", "int"), ("n_subword_tokens", "int")],
     "q_bucketed_colocated_join": [("o_orderpriority", "str"), ("n_items", "int"), ("revenue_cents", "int")],
     "q_zorder_multirange": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
+    # merge-on-read lifecycle vs the same DuckDB fold oracle as the CoW replay
+    "pipeline_mor_replay": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_total_cents", "int"), ("o_note", "str")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the
