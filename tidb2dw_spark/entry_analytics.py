@@ -1422,3 +1422,52 @@ def q_zorder_multirange(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate",
         F.round(F.col("o_totalprice") * 100.0).cast("long").alias("totalprice_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned equality probe — point lookups on a non-clustered column
+# ---------------------------------------------------------------------------
+_BLOOM_CACHE: dict[str, object] = {}
+
+
+def _bloom_orders(spark: SparkSession, sf_dir: str):
+    """Managed copy of orders clustered by o_orderdate (files are
+    date-localized) with per-file BLOOM stats on o_custkey — the column a
+    point probe arrives on.  Zone maps can't help o_custkey here (every
+    date-range file spans most customers' key range), but a customer only
+    appears in files covering dates they actually ordered on — exactly the
+    value-locality blooms exploit."""
+    if sf_dir in _BLOOM_CACHE:
+        return _BLOOM_CACHE[sf_dir]
+    import tempfile
+
+    from .table.managed import ManagedTable
+
+    t = ManagedTable(tempfile.mkdtemp(prefix="tidb2dw_bloom_") + "/orders")
+    t.create(spark.read.parquet(f"{sf_dir}/orders.parquet"), pk_cols=["o_orderkey"])
+    t.cluster_by(spark, ["o_orderdate"], target_bytes=256 << 10)
+    t.analyze_bloom(spark, ["o_custkey"])
+    _BLOOM_CACHE[sf_dir] = t
+    return t
+
+
+@register(
+    "q_bloom_point_lookup",
+    """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(round(o_totalprice * 100.0) AS BIGINT) AS totalprice_cents
+FROM orders
+WHERE o_custkey = 42
+""",
+)
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One customer's orders through ``read_eq``: the bloom skips every
+    file whose date range contains none of the customer's orders; the
+    exact filter applies to the files that remain.  Result is the plain
+    equality predicate (what the oracle checks); the layout + stats only
+    change which files open (pruning asserted in tests/test_bloom.py)."""
+    t = _bloom_orders(spark, sf_dir)
+    return t.read_eq(spark, "o_custkey", 42).select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("totalprice_cents"),
+    )

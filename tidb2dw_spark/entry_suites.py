@@ -76,6 +76,7 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "q_zorder_multirange": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     # merge-on-read lifecycle vs the same DuckDB fold oracle as the CoW replay
     "pipeline_mor_replay": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_total_cents", "int"), ("o_note", "str")],
+    "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the

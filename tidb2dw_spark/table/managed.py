@@ -653,6 +653,115 @@ class ManagedTable:
             return spark.createDataFrame([], schema=schema).filter(pred)
         return self._conform(spark, spark.read.parquet(*keep), m).filter(pred)
 
+    # -- bloom file skipping ----------------------------------------------
+    _BLOOM_SALT = "b:"
+
+    def analyze_bloom(self, spark: SparkSession, cols: Sequence[str],
+                      m_bits: int = 8192) -> dict:
+        """Per-file BLOOM FILTERS for equality-probe file skipping — the
+        complement of zone maps: min/max prunes *ranges* on clustered
+        columns, a bloom prunes *point probes* on any column whose values
+        are file-localized (clustered or naturally correlated), with no
+        ordering requirement.
+
+        Two md5-derived hash positions per value over ``CAST(col AS
+        STRING)``; the per-file distinct position sets (≤ m_bits ints per
+        file per column — bounded regardless of row count) aggregate
+        distributed, and the driver folds them into m_bits-wide bitsets
+        stored base64 in the manifest (1 KiB per file per column at the
+        default).  Version-stamped like zone maps: stale stats are
+        ignored, never wrong.  String/integer columns only — float and
+        timestamp string renderings differ between engines and the probe
+        side, and a mismatched rendering would silently disable (though
+        never corrupt) the pruning."""
+        import base64
+
+        from ..functions.dedup import md5_long
+
+        m = self.manifest()
+        if m.get("pk_buckets", 0) > 0:
+            raise ValueError("bloom stats apply to plain tables; bucketed "
+                             "tables prune by PK hash (read_for_keys)")
+        dtypes = dict(self.read(spark).dtypes)
+        for c in cols:
+            if dtypes[c] not in ("string", "int", "bigint", "smallint", "tinyint", "long"):
+                raise ValueError(
+                    f"bloom column {c!r} has type {dtypes[c]}; only "
+                    "string/integer columns probe reproducibly"
+                )
+        df = self.read(spark).withColumn("__f", F.input_file_name())
+        aggs = []
+        for c in cols:
+            s = F.col(c).cast("string")
+            h1 = F.pmod(md5_long(s), F.lit(m_bits))
+            h2 = F.pmod(md5_long(F.concat(F.lit(self._BLOOM_SALT), s)), F.lit(m_bits))
+            aggs += [
+                F.collect_set(h1).alias(f"p1_{c}"),
+                F.collect_set(h2).alias(f"p2_{c}"),
+            ]
+        rows = df.groupBy("__f").agg(*aggs).collect()
+        files = {}
+        for r in rows:
+            per_col = {}
+            for c in cols:
+                bits = bytearray(m_bits // 8)
+                for p in list(r[f"p1_{c}"]) + list(r[f"p2_{c}"]):
+                    bits[p // 8] |= 1 << (p % 8)
+                per_col[c] = base64.b64encode(bytes(bits)).decode()
+            files[r["__f"].replace("file:", "")] = per_col
+        stats = {
+            "version": m["version"], "cols": list(cols),
+            "m_bits": m_bits, "files": files,
+        }
+        self.update_meta(bloom_stats=stats)
+        return stats
+
+    def _bloom_keep(self, m: dict, col: str, value) -> list[str] | None:
+        """Files whose bloom possibly contains *value* for *col*, or None
+        when the stats cannot prune."""
+        import base64
+        import hashlib
+
+        stats = m.get("bloom_stats")
+        if (
+            not stats
+            or stats.get("version") != m["version"]
+            or col not in stats.get("cols", [])
+            or value is None
+        ):
+            return None
+        m_bits = stats["m_bits"]
+        sv = str(value)
+        # the Python twin of md5_long(cast(col as string)): first 15 md5
+        # hex digits as an int — identical for the string/int types
+        # analyze_bloom admits
+        h1 = int(hashlib.md5(sv.encode()).hexdigest()[:15], 16) % m_bits
+        h2 = int(
+            hashlib.md5((self._BLOOM_SALT + sv).encode()).hexdigest()[:15], 16
+        ) % m_bits
+        keep = []
+        for f, per_col in stats["files"].items():
+            bits = base64.b64decode(per_col[col])
+            if bits[h1 // 8] >> (h1 % 8) & 1 and bits[h2 // 8] >> (h2 % 8) & 1:
+                keep.append(f)
+        return keep
+
+    def read_eq(self, spark: SparkSession, col: str, value) -> DataFrame:
+        """Equality read with file skipping: intersect the bloom's
+        possibly-contains list with the zone maps' range list (a point is
+        the range [v, v]) — either pruner alone helps, together they
+        open only files that both admit; the exact predicate still
+        applies to whatever is read."""
+        m = self.manifest()
+        pred = F.col(col) == value
+        keep: set[str] | None = None
+        for k in (self._bloom_keep(m, col, value), self._zone_keep(m, col, value, value)):
+            if k is not None:
+                keep = set(k) if keep is None else keep & set(k)
+        return self._read_files_filtered(
+            spark, m, sorted(keep) if keep is not None else None, pred
+        )
+
     def read_range(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
         """Range read with zone-map file skipping: open only files whose
         [min, max] for *col* intersects [lo, hi] (missing/stale stats fall
