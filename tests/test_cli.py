@@ -245,3 +245,63 @@ def test_replicate_source_attached_jdbc(spark, tmp_path, capsys):
     }
     assert set(rows) == {1, 3, 4, 5, 6}
     assert rows[1]["name"] == "u1x" and rows[3]["name"] == "u3"
+
+
+def test_replicate_full_mor(spark, tmp_path, capsys):
+    """--merge-mode mor --pk-buckets N: the whole replicate lifecycle on
+    merge-on-read tables — CDC polls commit deltas, reads resolve LWW."""
+    _layout(tmp_path)
+    wh = tmp_path / "wh_mor"
+    rc = main(
+        [
+            "replicate",
+            "--storage-dir", str(tmp_path),
+            "--warehouse-dir", str(wh),
+            "--pk-buckets", "4",
+            "--merge-mode", "mor",
+        ]
+    )
+    assert rc == 0
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    users = ManagedTable(wh / "users")
+    assert users.manifest()["merge_mode"] == "mor"
+    assert users.manifest()["delta_seq"] >= 1  # CDC landed as deltas
+    assert {r["id"] for r in users.read(spark).collect()} == {1}
+    assert ManagedTable(wh / "pets").read(spark).count() == 4
+
+
+def test_optimize_zorder_and_bloom_flags(spark, tmp_path, capsys):
+    """optimize --cluster-by a,b --zorder --bloom-cols a collects both
+    stat kinds and read_eq prunes through them."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    wh = tmp_path / "wh"
+    df = spark.range(2000).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 40).alias("x"),
+        (F.col("id") / 40).cast("long").alias("y"),
+    )
+    ManagedTable(wh / "grid").create(df, pk_cols=["pk"])
+    rc = main(
+        [
+            "optimize",
+            "--warehouse-dir", str(wh),
+            "--cluster-by", "x,y",
+            "--zorder",
+            "--target-bytes", str(4 << 10),
+            "--bloom-cols", "x",
+        ]
+    )
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out)
+    assert report[0]["clustered_to_version"] is not None
+    t = ManagedTable(wh / "grid")
+    assert t.manifest()["file_stats"]["cols"] == ["x", "y"]
+    assert "x" in t.manifest()["bloom_stats"]["cols"]
+    got = t.read_eq(spark, "x", 7)
+    assert got.count() == 50

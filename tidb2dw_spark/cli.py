@@ -81,6 +81,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     rep.add_argument("--pk-buckets", type=int, default=0, help="hash buckets for the managed table (0 = unbucketed)")
     rep.add_argument(
+        "--merge-mode",
+        choices=["cow", "mor"],
+        default="cow",
+        help="mor = merge-on-read (bucketed only): CDC batches commit as "
+        "per-bucket delta files, reads resolve last-writer-wins, "
+        "`optimize` folds deltas (high-frequency CDC against big tables)",
+    )
+    rep.add_argument(
         "--compact-every",
         type=int,
         default=None,
@@ -130,6 +138,18 @@ def _build_parser() -> argparse.ArgumentParser:
         "--cluster-by",
         help="comma-separated columns: range-cluster plain tables before "
         "compacting (OPTIMIZE ... CLUSTER BY parity) and collect zone maps",
+    )
+    opt.add_argument(
+        "--zorder",
+        action="store_true",
+        help="with --cluster-by: Morton-interleave the columns "
+        "(OPTIMIZE ... ZORDER BY) so zone maps prune on every clustered "
+        "column, not just the leading one",
+    )
+    opt.add_argument(
+        "--bloom-cols",
+        help="comma-separated string/integer columns: collect per-file "
+        "bloom filters for equality-probe file skipping (read_eq)",
     )
 
     return p
@@ -184,8 +204,13 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
         clustered = None
         if args.cluster_by and t.manifest().get("pk_buckets", 0) == 0:
             cols = [c.strip() for c in args.cluster_by.split(",") if c.strip()]
-            clustered = t.cluster_by(spark, cols, target_bytes=args.target_bytes)
+            clustered = t.cluster_by(
+                spark, cols, target_bytes=args.target_bytes, zorder=args.zorder
+            )
             t.analyze(spark, cols)
+        if args.bloom_cols and t.manifest().get("pk_buckets", 0) == 0:
+            bcols = [c.strip() for c in args.bloom_cols.split(",") if c.strip()]
+            t.analyze_bloom(spark, bcols)
         removed = t.vacuum(keep_last=args.vacuum_keep_last)
         entry = {
             "table": name,
@@ -284,6 +309,7 @@ def _cmd_replicate(args: argparse.Namespace) -> int:
             td,
             registry=registry,
             pk_buckets=args.pk_buckets,
+            merge_mode=args.merge_mode,
             compact_after_merges=args.compact_every,
             snapshot_reader=(
                 _jdbc_snapshot_reader(args, td) if source_attached else None

@@ -42,6 +42,7 @@ class TableReplicator:
         pk_buckets: int = 0,
         compact_after_merges: int | None = None,
         snapshot_reader: Callable[[SparkSession], DataFrame] | None = None,
+        merge_mode: str = "cow",
     ):
         """*snapshot_reader* switches the snapshot phase to source-attached
         mode (the reference's direct dump, dump.go:84-147): the callable
@@ -60,6 +61,7 @@ class TableReplicator:
         self.table_def = table_def
         self.registry = registry
         self.pk_buckets = pk_buckets
+        self.merge_mode = merge_mode
         self.compact_after_merges = compact_after_merges
         self.table = ManagedTable(Path(warehouse_dir) / table_def.table)
         self.consumer: IncrementConsumer | None = None
@@ -109,6 +111,7 @@ class TableReplicator:
             self.table_def.pk_columns,
             pk_buckets=self.pk_buckets,
             extra_meta={"source_schema_version": self.table_def.version},
+            merge_mode=self.merge_mode,
         )
         if self.snapshot_dir is not None:
             self._loadinfo_path().touch()
