@@ -213,3 +213,56 @@ def test_consumer_full_lifecycle_on_mor_table(spark, tmp_path):
     # the post-DDL merge landed as a fresh delta on the evolved base
     m = table.manifest()
     assert m["merge_mode"] == "mor"
+
+
+def test_mor_backlog_soak_bounded_deltas(spark, tmp_path):
+    """Soak on a MoR table: a 40-file single-version backlog consumed
+    with auto-compaction every 2 merges keeps the pending delta count
+    bounded, never rewrites base outside compaction, and converges to
+    the same state as a CoW twin fed the same files."""
+    from tests.test_consumer import users_def_v1, write
+    from tidb2dw_spark.schema.types import table_def_to_struct
+    from tidb2dw_spark.sources.snapshot import read_snapshot_csv
+    from tidb2dw_spark.streaming.consumer import IncrementConsumer
+
+    snap, incr = tmp_path / "snapshot", tmp_path / "increment"
+    write(snap / "tpch.users.000000001.csv",
+          "".join(f'{k},"u{k}",20,1990-01-01\n' for k in range(30)))
+    v1 = users_def_v1()
+    snap_df = read_snapshot_csv(
+        spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)
+    )
+    cow = ManagedTable(tmp_path / "wh" / "cow").create(
+        snap_df, v1.pk_columns, pk_buckets=8)
+    mor = ManagedTable(tmp_path / "wh" / "mor").create(
+        snap_df, v1.pk_columns, pk_buckets=8, merge_mode="mor")
+    v1.dump(incr / "tpch/users/1/meta")
+    for i in range(1, 41):
+        k = (i % 5) + 1
+        write(incr / f"tpch/users/1/2024-01-01/CDC{i:06d}.csv",
+              f'"U","users","tpch",{1000 + i},{k},"f{i}",21,1990-01-01\n')
+
+    # both consumers share one increment root: the CoW twin goes first
+    # with write_markers=False (markers written by the MoR consumer would
+    # otherwise hide the files from it)
+    mc = IncrementConsumer(spark, incr, mor, compact_after_merges=2)
+    cc = IncrementConsumer(spark, incr, cow, write_markers=False)
+    r2 = cc.poll_once()
+    r1 = mc.poll_once()
+    assert r1.files_processed == 40 and r2.files_processed == 40
+
+    # grouped consume = ONE merge commit = one delta seq, then compaction
+    # cadence keeps pending deltas below the threshold at all times
+    pending = sum(len(v) for v in mor.manifest().get("bucket_deltas", {}).values())
+    assert pending <= 2 * 8  # ≤ compact_after_merges × touched buckets
+
+    s_mor = {r["id"]: r["name"] for r in mor.read(spark).collect()}
+    s_cow = {r["id"]: r["name"] for r in cow.read(spark).collect()}
+    assert s_mor == s_cow
+    assert s_mor[1] == "f40"  # i=40 → key 1
+
+    # steady state: compact + vacuum flatten the delta dirs away
+    mor.compact(spark, max_files_per_bucket=0)
+    mor.vacuum(keep_last=1)
+    assert not list(mor.root.glob("delta/seq=*"))
+    assert {r["id"]: r["name"] for r in mor.read(spark).collect()} == s_cow
