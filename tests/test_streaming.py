@@ -268,3 +268,34 @@ def test_lww_dedup_stream_cross_batch(spark, tmp_path):
     for r in emitted:
         counts[r["id"]] = counts.get(r["id"], 0) + 1
     assert counts == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_stream_changelog_merge_into_bucketed_mor(spark, tmp_path):
+    """The streaming sink goes through ManagedTable.merge: on a bucketed
+    MoR table each micro-batch commits per-bucket deltas (no base
+    rewrite), and the streamed end state matches the batch semantics."""
+    v1 = users_def_v1()
+    snap = tmp_path / "snapshot"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",\\N,1991-02-02\n3,"carol",41,1992-03-03\n')
+    snap_df = read_snapshot_csv(
+        spark, f"{snap}/tpch.users.*.csv", table_def_to_struct(v1)
+    )
+    table = ManagedTable(tmp_path / "wh" / "users").create(
+        snap_df, v1.pk_columns, pk_buckets=4, merge_mode="mor"
+    )
+    base_before = {str(p) for p in table.root.rglob("v=*/**/*.parquet")}
+
+    cdc = tmp_path / "cdc"
+    write(cdc / "CDC000001.csv",
+          '"U","users","tpch",100,1,"alice2",31,1990-01-01\n'
+          '"D","users","tpch",101,2,"bob",\\N,1991-02-02\n')
+    q = stream_changelog_files(
+        spark, f"{cdc}/*.csv", table, table_def_to_struct(v1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert {str(p) for p in table.root.rglob("v=*/**/*.parquet")} == base_before
+    assert table.manifest()["delta_seq"] >= 1
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert set(rows) == {1, 3} and rows[1]["name"] == "alice2"

@@ -43,7 +43,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.merge import apply_changelog
 from ..sources.envelope import envelope_schema
 from ..sources.snapshot import CSV_OPTIONS
 from ..table.managed import ManagedTable
@@ -73,9 +72,12 @@ def stream_changelog_files(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        target = table.read(batch_df.sparkSession)
-        merged = apply_changelog(target, batch_df, table.pk_cols())
-        table.overwrite(merged)
+        # ManagedTable.merge, not read→apply→overwrite: bucketed tables
+        # rewrite only the touched bucket partitions and MoR tables commit
+        # O(batch) delta files — a full-table overwrite per micro-batch
+        # would be the 100 TB scale-killer this engine exists to avoid
+        # (plain tables still fall back to overwrite inside merge)
+        table.merge(batch_df.sparkSession, batch_df)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
