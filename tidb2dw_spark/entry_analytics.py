@@ -1471,3 +1471,149 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate",
         F.round(F.col("o_totalprice") * 100.0).cast("long").alias("totalprice_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — local-supplier revenue (join condition spans two dims)
+# ---------------------------------------------------------------------------
+@register(
+    "q_local_supplier_revenue",
+    """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: revenue from orders whose supplier sits in the
+    CUSTOMER's nation, restricted to one region.  The interesting edge is
+    the supplier join carrying a condition on a column that arrives
+    through the customer side (c_nationkey = s_nationkey) — Spark still
+    broadcasts every dim, so the fact shuffles only for the orderkey join
+    with orders; at 100 TB that join co-locates when both tables are
+    bucketed by orderkey (q_bucketed_colocated_join's layout)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — volume shipping between a nation pair, by year
+# ---------------------------------------------------------------------------
+@register(
+    "q_volume_shipping",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+""",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: trade volume between two nations in either
+    direction, by ship year.  The nation-pair disjunction is pushed into
+    the two broadcast nation dims BEFORE the join (each side filters to
+    the 2-row nation subset), so the OR never degrades the join into a
+    filter-after-cross — the fact-side scan joins against 2-row
+    broadcasts and the residual pair predicate runs on matched rows
+    only."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    pair = ["NATION_3", "NATION_7"]
+    nation = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name")
+        .filter(F.col("n_name").isin(pair))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )

@@ -77,6 +77,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # merge-on-read lifecycle vs the same DuckDB fold oracle as the CoW replay
     "pipeline_mor_replay": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_total_cents", "int"), ("o_note", "str")],
     "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
+    "q_local_supplier_revenue": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
+    "q_volume_shipping": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the
