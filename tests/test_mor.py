@@ -266,3 +266,20 @@ def test_mor_backlog_soak_bounded_deltas(spark, tmp_path):
     mor.vacuum(keep_last=1)
     assert not list(mor.root.glob("delta/seq=*"))
     assert {r["id"]: r["name"] for r in mor.read(spark).collect()} == s_cow
+
+
+def test_history_commit_log(spark, tmp_path):
+    """history(): one entry per manifest swap, labeled by action, with
+    the MoR delta seq tracked."""
+    rows = [(k, -k) for k in range(6)]
+    t = _mk(spark, tmp_path, "mor", rows, buckets=2)
+    t.merge(spark, _batch(spark, BATCHES[0]))
+    t.merge(spark, _batch(spark, BATCHES[1]))
+    t.compact(spark, max_files_per_bucket=1000)
+    h = t.history()
+    assert [e["action"] for e in h] == ["create", "merge-mor", "merge-mor", "compact"]
+    assert h[1]["delta_seq"] == 1 and h[2]["delta_seq"] == 2
+    assert h[-1]["version"] == t.version()
+    cow = _mk(spark, tmp_path, "cow", rows, buckets=2)
+    cow.merge(spark, _batch(spark, BATCHES[0]))
+    assert [e["action"] for e in cow.history()] == ["create", "merge"]

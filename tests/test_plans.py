@@ -130,3 +130,35 @@ def test_ivf_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
     # round-robin spreads from spread_for_compute are load-balancing only
     assert len(a.hash_shuffles) <= 1, a.exchanges
     assert all("query_id" in e for e in a.hash_shuffles), a.exchanges
+
+
+def test_q5_shape_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    """Q5 shape: every dim (customer/supplier/nation/region) broadcasts;
+    the only key exchanges are the fact-side orderkey join + the final
+    nation aggregation — the fact never shuffles for a dim."""
+    a = audit(QUERIES["q_local_supplier_revenue"](spark, sf_dir))
+    assert sum(j.startswith("Broadcast") for j in a.joins) >= 4, a.joins
+    assert not any("SortMergeJoin" in j for j in a.joins), a.joins
+    assert len(a.hash_shuffles) <= 3, a.exchanges
+
+
+def test_q7_pair_filter_lands_in_broadcast_dims(spark, sf_dir):
+    """Q7 shape: the nation-pair disjunction filters the 2-row broadcast
+    dims, not the fact after a wide join."""
+    a = audit(QUERIES["q_volume_shipping"](spark, sf_dir))
+    assert sum(j.startswith("Broadcast") for j in a.joins) >= 4, a.joins
+    assert any("n_name" in f for f in a.pushed_filters), a.pushed_filters
+
+
+def test_zorder_multirange_scan_is_shuffle_free(spark, sf_dir):
+    """The pruned multi-range read is scan+filter only — pruning happens
+    in the driver against manifest stats, never as a plan node."""
+    from tidb2dw_spark.plans import assert_no_shuffle
+
+    assert_no_shuffle(QUERIES["q_zorder_multirange"](spark, sf_dir))
+
+
+def test_bloom_point_lookup_scan_is_shuffle_free(spark, sf_dir):
+    from tidb2dw_spark.plans import assert_no_shuffle
+
+    assert_no_shuffle(QUERIES["q_bloom_point_lookup"](spark, sf_dir))

@@ -71,13 +71,39 @@ class ManagedTable:
     def pk_cols(self) -> list[str]:
         return self.manifest()["pk"]
 
-    def _commit(self, manifest: dict) -> None:
+    def _commit(self, manifest: dict, action: str = "commit") -> None:
         meta_dir = self.root / "_meta"
         meta_dir.mkdir(parents=True, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=meta_dir, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, self._manifest_path)
+        # append-only commit log AFTER the manifest swap (DESCRIBE HISTORY
+        # parity): best-effort observability — the manifest remains the
+        # single source of truth, so a crash between swap and log write
+        # loses a log line, never table state
+        import time as _time
+
+        entry = {
+            "ts": round(_time.time(), 3),
+            "action": action,
+            "version": manifest.get("version"),
+        }
+        if manifest.get("merge_mode") == "mor":
+            entry["delta_seq"] = manifest.get("delta_seq")
+        with open(meta_dir / "commits.jsonl", "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def history(self) -> list[dict]:
+        """The table's commit log, oldest first: one entry per manifest
+        swap with its action (create / merge / merge-mor / evolve /
+        compact / overwrite / update-meta), resulting version, and for MoR
+        tables the delta sequence.  Read straight from the append-only
+        jsonl — no Spark job."""
+        p = self.root / "_meta" / "commits.jsonl"
+        if not p.exists():
+            return []
+        return [json.loads(line) for line in p.read_text().splitlines() if line]
 
     def _bucket_expr(self, pk_cols: list[str], n: int):
         return F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(n))
@@ -128,7 +154,7 @@ class ManagedTable:
             manifest["bucket_deltas"] = {}
         if extra_meta:
             manifest.update(extra_meta)
-        self._commit(manifest)
+        self._commit(manifest, action="create")
         return self
 
     def overwrite(
@@ -162,7 +188,7 @@ class ManagedTable:
             m["bucket_deltas"] = {}
         if extra_meta:
             m.update(extra_meta)
-        self._commit(m)
+        self._commit(m, action="overwrite")
         return new_version
 
     def merge(
@@ -223,7 +249,7 @@ class ManagedTable:
             m["bucket_versions"][str(b)] = new_version
         if extra_meta:
             m.update(extra_meta)
-        self._commit(m)
+        self._commit(m, action="merge")
         return new_version
 
     def _merge_mor(
@@ -264,7 +290,7 @@ class ManagedTable:
             bd.setdefault(str(b), []).append(seq)
         if extra_meta:
             m.update(extra_meta)
-        self._commit(m)
+        self._commit(m, action="merge-mor")
         return m["version"]
 
     def _write_version_data(
@@ -302,7 +328,7 @@ class ManagedTable:
         m["column_defaults"] = {k: v for k, v in defaults.items() if k in new_columns}
         if extra_meta:
             m.update(extra_meta)
-        self._commit(m)
+        self._commit(m, action="evolve")
         return m["version"]
 
     # -- read path --------------------------------------------------------
@@ -540,7 +566,7 @@ class ManagedTable:
         for b in touched:
             m["bucket_versions"][str(b)] = new_version
             m.get("bucket_deltas", {}).pop(str(b), None)
-        self._commit(m)
+        self._commit(m, action="compact")
         return new_version
 
     def cluster_by(self, spark: SparkSession, cols: Sequence[str],
@@ -798,4 +824,4 @@ class ManagedTable:
     def update_meta(self, **kv) -> None:
         m = self.manifest()
         m.update(kv)
-        self._commit(m)
+        self._commit(m, action="update-meta")
