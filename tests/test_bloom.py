@@ -99,3 +99,30 @@ def test_bloom_intersects_with_zone_maps(spark):
     assert got.count() == 20
     zone_only = t.read_range(spark, "grp", 25, 25)
     assert len(got.inputFiles()) <= len(zone_only.inputFiles())
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=8, unique=True,
+    )
+)
+def test_bloom_probe_matches_spark_hash_for_any_string(spark, tmp_path_factory, vals):
+    """The driver-side probe (hashlib md5 of the utf-8 value) must agree
+    with the Spark-side position derivation for arbitrary unicode —
+    disagreement would silently false-negative and drop rows."""
+    tmp = tmp_path_factory.mktemp("bloom_prop")
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "pk long, s string")
+    t = ManagedTable(tmp / "t")
+    t.create(df, pk_cols=["pk"])
+    t.analyze_bloom(spark, ["s"], m_bits=512)
+    for v in vals:
+        got = t.read_eq(spark, "s", v).collect()
+        assert len(got) == 1 and got[0]["s"] == v
