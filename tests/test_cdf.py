@@ -1,0 +1,228 @@
+"""Change data feed, incremental aggregate maintenance, and time travel.
+
+The CDF contract (Delta-CDF shape): every merge commit writes its
+row-level change set classified by PRE-IMAGE PRESENCE, not CDC flag —
+an 'I' on an existing key is an update, a 'U' on an absent key is an
+insert, a 'D' on an absent key emits nothing.  Downstream: a maintained
+aggregate fed only by the feed must equal a full recompute after any
+merge sequence (including updates that move rows between groups and
+NULL group keys).  Time travel: ``read_at(commit)`` reconstructs
+bucket-pruned state from the commit log's bucket_versions snapshot,
+and vacuum's keep_last window bounds how far back it works.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb2dw_spark.operators.matview import apply_changes_to_agg, init_agg
+from tidb2dw_spark.table.managed import ManagedTable
+
+SCHEMA = "k long, grp string, val long"
+ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "k long, grp string, val long"
+)
+
+
+def _mk(spark, tmp_path, name, rows, buckets=4, merge_mode="cow", cdf=True):
+    t = ManagedTable(tmp_path / name)
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"],
+        pk_buckets=buckets,
+        merge_mode=merge_mode,
+        cdf=cdf,
+    )
+    return t
+
+
+def _batch(spark, events):
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, k, g, v) for f, k, ts, g, v in events], ENV
+    )
+
+
+def _changes(spark, t, **kw):
+    return sorted(
+        (r["k"], r["_change_type"], r["grp"], r["val"], r["_commit_seq"])
+        for r in t.changes(spark, **kw).collect()
+    )
+
+
+BASE = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40)]
+
+
+def test_cdf_classification_by_preimage(spark, tmp_path):
+    """insert/update/delete classified by pre-image presence: 'I' on an
+    existing key → update pair; 'U' on an absent key → insert; 'D' on an
+    absent key → nothing."""
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.merge(
+        spark,
+        _batch(
+            spark,
+            [
+                ("I", 1, 5, "a", 11),     # upsert onto existing → update
+                ("U", 9, 5, "c", 90),     # update of absent key → insert
+                ("D", 2, 5, None, None),  # delete existing
+                ("D", 77, 5, None, None), # delete absent → no-op
+            ],
+        ),
+    )
+    assert _changes(spark, t) == [
+        (1, "update_postimage", "a", 11, 1),
+        (1, "update_preimage", "a", 10, 1),
+        (2, "delete", "a", 20, 1),
+        (9, "insert", "c", 90, 1),
+    ]
+    # feed applies back onto the seed: base minus deletes/pre plus post/ins
+    assert {r["k"]: r["val"] for r in t.read(spark).collect()} == {
+        1: 11, 3: 30, 4: 40, 9: 90,
+    }
+
+
+def test_cdf_seq_slicing_and_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "a", 11)]))
+    t.merge(spark, _batch(spark, [("U", 1, 6, "a", 12)]))
+    assert t.manifest()["cdf_seq"] == 2
+    all_rows = t.changes(spark).collect()
+    assert {r["_commit_seq"] for r in all_rows} == {1, 2}
+    # CoW merges bump the version with each commit
+    assert {r["_commit_version"] for r in all_rows} == {2, 3}
+    assert _changes(spark, t, since=1) == [
+        (1, "update_postimage", "a", 12, 2),
+        (1, "update_preimage", "a", 11, 2),
+    ]
+    assert _changes(spark, t, since=0, until=1) == [
+        (1, "update_postimage", "a", 11, 1),
+        (1, "update_preimage", "a", 10, 1),
+    ]
+    assert t.changes(spark, since=2).count() == 0
+
+
+def test_cdf_disabled_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t", BASE, cdf=False)
+    with pytest.raises(ValueError, match="change data feed"):
+        t.changes(spark)
+
+
+@pytest.mark.parametrize("mode", ["plain", "mor"])
+def test_cdf_plain_and_mor_paths(spark, tmp_path, mode):
+    """The unbucketed-overwrite and merge-on-read merge paths emit the
+    same change set as the bucketed CoW path."""
+    kw = {"buckets": 0} if mode == "plain" else {"merge_mode": "mor"}
+    t = _mk(spark, tmp_path, mode, BASE, **kw)
+    cow = _mk(spark, tmp_path, "cow_twin", BASE)
+    ev = [("U", 1, 5, "b", 99), ("D", 3, 5, None, None), ("I", 8, 5, "a", 80)]
+    t.merge(spark, _batch(spark, ev))
+    cow.merge(spark, _batch(spark, ev))
+
+    def key(rows):
+        return sorted((k, c, g, v) for k, c, g, v, _ in rows)
+
+    assert key(_changes(spark, t)) == key(_changes(spark, cow))
+    # second MoR merge sees the FIRST batch's pending deltas as pre-image
+    if mode == "mor":
+        t.merge(spark, _batch(spark, [("U", 8, 6, "a", 81)]))
+        assert _changes(spark, t, since=1) == [
+            (8, "update_postimage", "a", 81, 2),
+            (8, "update_preimage", "a", 80, 2),
+        ]
+
+
+def test_matview_matches_recompute_with_group_moves(spark, tmp_path):
+    """Incremental aggregate == full recompute after every merge, with
+    group-moving updates and a NULL group key in play."""
+    t = _mk(spark, tmp_path, "t", BASE)
+    sums = {"total": "val"}
+    agg = init_agg(t.read(spark), ["grp"], sums)
+    batches = [
+        [("U", 1, 5, "b", 15), ("I", 5, 5, None, 50)],   # a→b move; NULL grp
+        [("D", 4, 6, None, None), ("U", 5, 6, "a", 51)], # NULL grp shrinks/moves
+        [("D", 1, 7, None, None), ("D", 2, 7, None, None)],  # empty a group? (3 stays b)
+    ]
+    last = 0
+    for ev in batches:
+        t.merge(spark, _batch(spark, ev))
+        agg = apply_changes_to_agg(
+            agg, t.changes(spark, since=last), ["grp"], sums
+        )
+        last = t.manifest()["cdf_seq"]
+        got = {r["grp"]: (r["n_rows"], r["total"]) for r in agg.collect()}
+        want = {
+            r["grp"]: (r["n_rows"], r["total"])
+            for r in init_agg(t.read(spark), ["grp"], sums).collect()
+        }
+        assert got == want
+    # groups whose count reached zero are dropped entirely
+    assert "a" not in {r["grp"] for r in agg.collect()} or want.get("a", (1,))[0] > 0
+
+
+def test_time_travel_read_at_each_commit(spark, tmp_path):
+    """read_at(c) reproduces the state after each commit on a bucket-pruned
+    table — v=N alone holds only the buckets commit N rewrote."""
+    t = _mk(spark, tmp_path, "t", BASE, buckets=4)
+    states = [{r[0]: (r[1], r[2]) for r in BASE}]
+    for ev in (
+        [("U", 1, 5, "a", 11)],
+        [("D", 2, 6, None, None), ("I", 9, 6, "c", 90)],
+        [("U", 9, 7, "c", 91)],
+    ):
+        t.merge(spark, _batch(spark, ev))
+        states.append(
+            {r["k"]: (r["grp"], r["val"]) for r in t.read(spark).collect()}
+        )
+    h = t.history()
+    assert [e["action"] for e in h] == ["create", "merge", "merge", "merge"]
+    for i, want in enumerate(states):
+        got = {r["k"]: (r["grp"], r["val"]) for r in t.read_at(spark, i).collect()}
+        assert got == want, f"commit {i}"
+    # version-addressed travel resolves through the commit log too
+    v2 = {r["k"]: r["val"] for r in t.read(spark, version=2).collect()}
+    assert v2 == {k: v for k, (_, v) in states[1].items()}
+
+
+def test_time_travel_vacuum_retention(spark, tmp_path):
+    """keep_last bounds time travel.  Every merge touches ALL buckets so
+    old versions actually become unreferenced (an untouched bucket pins
+    its version in bucket_versions forever — by design)."""
+    t = _mk(spark, tmp_path, "t", BASE, buckets=2)
+    for ts in (5, 6, 7):
+        t.merge(
+            spark,
+            _batch(spark, [("U", k, ts, g, v + ts) for k, g, v in BASE]),
+        )
+    # versions: create=1, merges=2,3,4.  keep_last=2 retains v3/v4 (and
+    # anything commits at those versions reference): commits 2,3 readable
+    t.vacuum(keep_last=2)
+    for c in (2, 3):
+        assert t.read_at(spark, c).count() == 4
+    # v=1 and v=2 are gone → the create and first-merge commits are not
+    with pytest.raises(Exception):
+        t.read_at(spark, 0).count()
+
+
+def test_cdf_survives_metadata_only_add(spark, tmp_path):
+    """Change files written before a metadata-only ADD conform to the
+    evolved schema on read (added column materializes as its default)."""
+    import json
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "a", 11)]))
+    m = t.manifest()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType.fromJson(json.loads(m["schema_json"])).add(
+        StructField("extra", LongType())
+    )
+    t.evolve_schema_metadata_only(
+        m["columns"] + ["extra"], schema.json(), column_defaults={"extra": 7}
+    )
+    rows = t.changes(spark).collect()
+    assert all(r["extra"] == 7 for r in rows)
+    assert {r["_change_type"] for r in rows} == {
+        "update_preimage", "update_postimage",
+    }

@@ -1617,3 +1617,188 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — semi-join existence check feeding an aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "q_priority_semijoin_counts",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: orders in a date window that HAVE a returned line,
+    counted by priority.  EXISTS compiles to a LEFT SEMI join — each order
+    matches at most once no matter how many lines return, so no distinct
+    is needed and no fan-out ever materializes.  The lineitem side is
+    filtered + column-pruned to (l_orderkey) before the join; the date
+    window is pushed to the orders parquet scan.  At 100 TB both sides
+    shuffle on orderkey — co-located when bucketed by orderkey."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(returned, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape — order-count distribution incl. zero-order customers
+# ---------------------------------------------------------------------------
+@register(
+    "q_custdist",
+    """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: how many customers placed N (non-urgent) orders —
+    zero included, which is what forces the LEFT OUTER join (an inner
+    join silently drops the no-order customers) and puts the priority
+    filter INSIDE the join condition, not a WHERE (a post-join WHERE
+    would also drop them).  Two aggregations: per-customer count rides
+    the join's custkey exchange; the tiny distribution agg reshuffles
+    only (customer, count) pairs."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — distinct-supplier counts with an anti-join exclusion
+# ---------------------------------------------------------------------------
+@register(
+    "q_brand_supplier_counts",
+    """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 9, 19, 29, 39, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 10)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct suppliers per (brand, size) for a part
+    subset, excluding a supplier denylist.  The NOT IN compiles to a LEFT
+    ANTI join against the (tiny, broadcast) denylist — s_suppkey is
+    non-null so NOT IN and ANTI agree; the part dim broadcasts with its
+    filters applied before the join.  count(DISTINCT) shuffles only the
+    post-filter (brand, size, suppkey) triples."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+        )
+        .select("p_partkey", "p_brand", F.col("p_size").cast("long").alias("p_size"))
+    )
+    denied = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_nationkey") < 10)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(denied), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders via aggregate-then-join
+# ---------------------------------------------------------------------------
+@register(
+    "q_big_order_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100.0) AS BIGINT)) > 25000
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS totalprice_cents,
+       b.qty_cents
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: customers behind orders whose total quantity
+    clears a threshold.  Aggregate-then-join: lineitem collapses to
+    per-order sums FIRST (partial agg combines map-side), the HAVING
+    prunes to the rare big orders, and only those survivors join orders —
+    the join input is orders-of-interest-sized, not lineitem-sized.  The
+    customer dim broadcasts.  Quantities are cent-quantized so the
+    HAVING threshold compares integers identically in both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100.0).cast("long")).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 25000)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100.0).cast("long").alias("totalprice_cents"),
+            "qty_cents",
+        )
+    )

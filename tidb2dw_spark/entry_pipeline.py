@@ -256,14 +256,16 @@ _V1_COLS = (
 _V2_COLS = _V1_COLS + ",'o_note':'VARCHAR'"
 
 
-def _fold_oracle(root: str) -> str:
-    """DuckDB recomputation of the consumer fold from the staged files.
+def _fold_ctes(root: str) -> str:
+    """The shared CTE chain recomputing the consumer fold from the staged
+    files: snapshot, per-version winners (w1/w2), and the intermediate
+    state after the v1 merge (s1 / s1b = s1 + the ADD-column barrier).
 
     Application order within a version = lexicographic file path (the
     consumer's (partition, date, index) sort is exactly the path order for
     this layout), used as the commit_ts tiebreaker like FILE_SEQ_COL."""
     return f"""
-WITH snap AS (
+snap AS (
   SELECT * FROM read_csv('{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv',
     header=false, nullstr='\\N', columns={{{_V1_COLS}}})
 ),
@@ -296,13 +298,156 @@ w2 AS (
   SELECT * FROM e2
   QUALIFY row_number() OVER (PARTITION BY o_orderkey
     ORDER BY commit_ts DESC, seq DESC, flag DESC) = 1
-)
+)"""
+
+
+_FOLD_FINAL = """
 SELECT t.* FROM s1b t
 WHERE NOT EXISTS (SELECT 1 FROM w2 f WHERE f.o_orderkey = t.o_orderkey)
 UNION ALL
 SELECT o_orderkey, o_custkey, o_orderstatus, o_total_cents, o_note
 FROM w2 WHERE flag <> 'D'
 """
+
+
+def _fold_oracle(root: str) -> str:
+    """DuckDB recomputation of the consumer fold from the staged files."""
+    return f"WITH {_fold_ctes(root)}\n{_FOLD_FINAL}"
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed lifecycle rows: the same staged layout consumed into a
+# CDF-enabled table.  Three rows share one consume (memoized per sf_dir —
+# deterministic, so order doesn't matter): the change feed itself, an
+# incrementally-maintained aggregate fed ONLY by the feed, and a time-travel
+# read of the commit before the DDL barrier.
+# ---------------------------------------------------------------------------
+CDF_ROOT = "/tmp/tidb2dw_replay_cdf"
+_CDF_CACHE: dict[str, ManagedTable] = {}
+
+
+def _cdf_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Stage the replay layout under CDF_ROOT and consume it into a
+    PK-bucketed table with the change data feed enabled.  Commits: create
+    (v1) → v1-group merge (v2, change seq 1) → metadata-only ADD barrier
+    (v2) → v2-group merge (v3, change seq 2)."""
+    if sf_dir in _CDF_CACHE:
+        return _CDF_CACHE[sf_dir]
+    root = Path(CDF_ROOT)
+    shutil.rmtree(root, ignore_errors=True)
+    base = _base_rows(spark, sf_dir)
+    _stage_v1(root, base, extra_p1_file=False)
+    _stage_v2(root, base)
+    v1 = _def_v1()
+    snap = read_snapshot_csv(
+        spark,
+        f"{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv",
+        table_def_to_struct(v1),
+    )
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_replay_cdf_wh_"))
+    table = ManagedTable(wh / _TABLE).create(
+        snap, v1.pk_columns, pk_buckets=_PK_BUCKETS, cdf=True
+    )
+    IncrementConsumer(spark, root / "increment", table).poll_once()
+    assert table.manifest().get("cdf_seq") == 2, table.manifest().get("cdf_seq")
+    _CDF_CACHE[sf_dir] = table
+    return table
+
+
+def pipeline_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full change data feed of the replay: both merge commits' row-level
+    insert/update_preimage/update_postimage/delete sets, conformed to the
+    final schema.  The oracle re-derives every change row relationally from
+    the staged files — including the adversarial deleted-in-v1 keys whose
+    v2 'U' events must classify as INSERTS (no pre-image)."""
+    table = _cdf_table(spark, sf_dir)
+    return table.changes(spark)
+
+
+def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: seed per-status (count, cents) from
+    the SNAPSHOT, then fold in ONLY the change feed — the final table is
+    never read.  Matching the oracle's full recompute over the fold proves
+    the O(changes) maintenance path reproduces the O(table) rescan."""
+    from .operators.matview import apply_changes_to_agg, init_agg
+
+    table = _cdf_table(spark, sf_dir)
+    snap = read_snapshot_csv(
+        spark,
+        f"{CDF_ROOT}/snapshot/{_SCHEMA}.{_TABLE}.*.csv",
+        table_def_to_struct(_def_v1()),
+    )
+    seed = init_agg(snap, ["o_orderstatus"], {"total_cents": "o_total_cents"})
+    return apply_changes_to_agg(
+        seed, table.changes(spark), ["o_orderstatus"], {"total_cents": "o_total_cents"}
+    )
+
+
+def pipeline_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on a bucket-pruned table: read the state as of the FIRST
+    merge commit (after the v1 fold, before the ADD barrier) via its
+    commit-log bucket_versions snapshot — v=2 alone holds only the buckets
+    that merge rewrote, so the read must resolve untouched buckets to v=1.
+    The result carries the v1 schema (no o_note)."""
+    table = _cdf_table(spark, sf_dir)
+    first_merge = next(
+        i for i, e in enumerate(table.history()) if e["action"] == "merge"
+    )
+    return table.read_at(spark, first_merge)
+
+
+def _cdf_changes_oracle(root: str) -> str:
+    """Every change row of both merge commits, classified by pre-image
+    presence (snap for commit 1, the post-v1 fold for commit 2)."""
+    payload1 = "w.o_orderkey, w.o_custkey, w.o_orderstatus, w.o_total_cents"
+    pre1 = "s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_total_cents"
+    return f"""
+WITH {_fold_ctes(root)}
+SELECT {payload1}, CAST(NULL AS VARCHAR) AS o_note,
+       'insert' AS _change_type, 1 AS _commit_seq, 2 AS _commit_version
+FROM w1 w WHERE w.flag <> 'D'
+  AND NOT EXISTS (SELECT 1 FROM snap s WHERE s.o_orderkey = w.o_orderkey)
+UNION ALL
+SELECT {pre1}, CAST(NULL AS VARCHAR), 'update_preimage', 1, 2
+FROM w1 w JOIN snap s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
+UNION ALL
+SELECT {payload1}, CAST(NULL AS VARCHAR), 'update_postimage', 1, 2
+FROM w1 w JOIN snap s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
+UNION ALL
+SELECT {pre1}, CAST(NULL AS VARCHAR), 'delete', 1, 2
+FROM w1 w JOIN snap s ON s.o_orderkey = w.o_orderkey WHERE w.flag = 'D'
+UNION ALL
+SELECT w.o_orderkey, w.o_custkey, w.o_orderstatus, w.o_total_cents, w.o_note,
+       'insert', 2, 3
+FROM w2 w WHERE w.flag <> 'D'
+  AND NOT EXISTS (SELECT 1 FROM s1b s WHERE s.o_orderkey = w.o_orderkey)
+UNION ALL
+SELECT {pre1}, s.o_note, 'update_preimage', 2, 3
+FROM w2 w JOIN s1b s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
+UNION ALL
+SELECT w.o_orderkey, w.o_custkey, w.o_orderstatus, w.o_total_cents, w.o_note,
+       'update_postimage', 2, 3
+FROM w2 w JOIN s1b s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
+UNION ALL
+SELECT {pre1}, s.o_note, 'delete', 2, 3
+FROM w2 w JOIN s1b s ON s.o_orderkey = w.o_orderkey WHERE w.flag = 'D'
+"""
+
+
+def _incremental_agg_oracle(root: str) -> str:
+    """Full recompute of the maintained aggregate over the final fold."""
+    return f"""
+WITH {_fold_ctes(root)},
+fold AS ({_FOLD_FINAL})
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(o_total_cents), 0) AS BIGINT) AS total_cents
+FROM fold GROUP BY o_orderstatus
+"""
+
+
+def _time_travel_oracle(root: str) -> str:
+    """The post-v1-merge, pre-DDL state: exactly the s1 CTE."""
+    return f"WITH {_fold_ctes(root)}\nSELECT * FROM s1"
 
 
 _LOOKUP_KEY_MOD = 997
@@ -347,11 +492,17 @@ QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
     "pipeline_mor_replay": pipeline_mor_replay,
+    "pipeline_cdf_replay": pipeline_cdf_replay,
+    "pipeline_incremental_agg": pipeline_incremental_agg,
+    "pipeline_time_travel": pipeline_time_travel,
     "table_point_lookup": table_point_lookup,
 }
 ORACLES = {
     "pipeline_changelog_replay": _fold_oracle(REPLAY_ROOT),
     "pipeline_replay_resume": _fold_oracle(RESUME_ROOT),
     "pipeline_mor_replay": _fold_oracle(MOR_ROOT),
+    "pipeline_cdf_replay": _cdf_changes_oracle(CDF_ROOT),
+    "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
+    "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,
 }

@@ -76,9 +76,20 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "q_zorder_multirange": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     # merge-on-read lifecycle vs the same DuckDB fold oracle as the CoW replay
     "pipeline_mor_replay": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_total_cents", "int"), ("o_note", "str")],
+    # change data feed: every merge commit's row-level change set, re-derived
+    # relationally by the oracle (incl. deleted-then-updated keys → insert)
+    "pipeline_cdf_replay": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_total_cents", "int"), ("o_note", "str"), ("_change_type", "str"), ("_commit_seq", "int"), ("_commit_version", "int")],
+    # aggregate maintained ONLY from the change feed == oracle's full recompute
+    "pipeline_incremental_agg": [("o_orderstatus", "str"), ("n_rows", "int"), ("total_cents", "int")],
+    # commit-ordinal time travel on a bucket-pruned table (pre-DDL schema)
+    "pipeline_time_travel": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_total_cents", "int")],
     "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     "q_local_supplier_revenue": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "q_volume_shipping": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
+    "q_priority_semijoin_counts": [("o_orderpriority", "str"), ("n_orders", "int")],
+    "q_custdist": [("c_count", "int"), ("custdist", "int")],
+    "q_brand_supplier_counts": [("p_brand", "str"), ("p_size", "int"), ("supplier_cnt", "int")],
+    "q_big_order_customers": [("c_name", "str"), ("o_custkey", "int"), ("o_orderkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int"), ("qty_cents", "int")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the

@@ -48,6 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__pk_bucket"
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_SEQ_COL = "_commit_seq"
+COMMIT_VERSION_COL = "_commit_version"
 
 
 class ManagedTable:
@@ -71,6 +74,15 @@ class ManagedTable:
     def pk_cols(self) -> list[str]:
         return self.manifest()["pk"]
 
+    # manifest keys snapshotted into every commit-log entry: enough to
+    # reconstruct the table's READ state as of that commit (time travel),
+    # excluding the potentially-large stats blocks (file_stats/bloom_stats)
+    _HISTORY_STATE_KEYS = (
+        "version", "pk", "pk_buckets", "columns", "schema_json",
+        "column_defaults", "bucket_versions", "bucket_deltas",
+        "delta_seq", "merge_mode",
+    )
+
     def _commit(self, manifest: dict, action: str = "commit") -> None:
         meta_dir = self.root / "_meta"
         meta_dir.mkdir(parents=True, exist_ok=True)
@@ -81,16 +93,22 @@ class ManagedTable:
         # append-only commit log AFTER the manifest swap (DESCRIBE HISTORY
         # parity): best-effort observability — the manifest remains the
         # single source of truth, so a crash between swap and log write
-        # loses a log line, never table state
+        # loses a log line, never table state.  Each entry also snapshots
+        # the restorable read state (bucket_versions, schema, delta lists),
+        # which is what makes time travel on a bucket-pruned table possible:
+        # v=N holds only the buckets version N rewrote, so reading "as of
+        # commit C" needs C's whole bucket→version map, not just N.
         import time as _time
 
         entry = {
             "ts": round(_time.time(), 3),
             "action": action,
-            "version": manifest.get("version"),
+            **{
+                k: manifest[k]
+                for k in self._HISTORY_STATE_KEYS
+                if k in manifest
+            },
         }
-        if manifest.get("merge_mode") == "mor":
-            entry["delta_seq"] = manifest.get("delta_seq")
         with open(meta_dir / "commits.jsonl", "a") as f:
             f.write(json.dumps(entry) + "\n")
 
@@ -116,8 +134,19 @@ class ManagedTable:
         pk_buckets: int = 0,
         extra_meta: dict | None = None,
         merge_mode: str = "cow",
+        cdf: bool = False,
     ) -> "ManagedTable":
         """CREATE OR REPLACE + initial load (S6 / D3 parity).
+
+        ``cdf=True`` enables the CHANGE DATA FEED: every subsequent
+        :meth:`merge` commit also writes its row-level change set
+        (insert / update_preimage / update_postimage / delete) under
+        ``_changes/s=N``, readable via :meth:`changes` — the Delta-CDF
+        shape that lets downstream consumers (incremental aggregates,
+        derived tables, audit) process O(changes) instead of re-diffing
+        or re-scanning the table.  The initial load emits no changes
+        (Delta parity: CDF describes deltas between versions, not the
+        seed).
 
         ``merge_mode="mor"`` (bucketed tables only) switches :meth:`merge`
         to merge-on-read: a CDC batch appends per-bucket DELTA files
@@ -152,6 +181,9 @@ class ManagedTable:
             manifest["merge_mode"] = merge_mode
             manifest["delta_seq"] = 0
             manifest["bucket_deltas"] = {}
+        if cdf:
+            manifest["cdf"] = True
+            manifest["cdf_seq"] = 0
         if extra_meta:
             manifest.update(extra_meta)
         self._commit(manifest, action="create")
@@ -206,14 +238,22 @@ class ManagedTable:
         *broadcast_batch=False* (backlog-sized batches — the consumer
         decides from its group's file bytes) drops the key-set broadcast
         hint and lets AQE pick the join strategy."""
-        from ..operators.merge import apply_changelog  # local: avoid cycle
+        from ..operators.dedup import last_writer_wins  # local: avoid cycle
+        from ..operators.merge import merge_changelog
 
         m = self.manifest()
         pk_cols, n_buckets = m["pk"], m.get("pk_buckets", 0)
         if n_buckets <= 0:
-            merged = apply_changelog(
-                self.read(spark), batch, pk_cols, broadcast_batch=broadcast_batch
+            target = self.read(spark)
+            final = last_writer_wins(batch, pk_cols)
+            merged = merge_changelog(
+                target, final, pk_cols, broadcast_batch=broadcast_batch
             )
+            if m.get("cdf"):
+                seq = self._write_change_set(
+                    final, target, m, m["version"] + 1, broadcast_batch
+                )
+                extra_meta = {**(extra_meta or {}), "cdf_seq": seq}
             return self.overwrite(merged, extra_meta=extra_meta)
 
         # 1. which buckets does the batch touch?  (distinct over ≤n_buckets
@@ -229,14 +269,23 @@ class ManagedTable:
                 self.update_meta(**extra_meta)
             return m["version"]
         if m.get("merge_mode") == "mor":
-            return self._merge_mor(spark, m, batch, touched, extra_meta)
+            return self._merge_mor(
+                spark, m, batch, touched, extra_meta, broadcast_batch=broadcast_batch
+            )
         new_version = m["version"] + 1
 
-        # 2. merge only those buckets' current data with the batch
+        # 2. merge only those buckets' current data with the batch (the W1
+        #    winners are shared between the merge and the change feed, so
+        #    both see the identical upsert set)
         target = self._read_buckets(spark, m, touched)
-        merged = apply_changelog(
-            target, batch, pk_cols, broadcast_batch=broadcast_batch
+        final = last_writer_wins(batch, pk_cols)
+        merged = merge_changelog(
+            target, final, pk_cols, broadcast_batch=broadcast_batch
         )
+        if m.get("cdf"):
+            m["cdf_seq"] = self._write_change_set(
+                final, target, m, new_version, broadcast_batch
+            )
 
         # 3. rewrite exactly the touched bucket partitions under the new
         #    version; untouched buckets keep their existing files
@@ -259,6 +308,7 @@ class ManagedTable:
         batch: DataFrame,
         touched: list[int],
         extra_meta: dict | None,
+        broadcast_batch: bool = True,
     ) -> int:
         """Merge-on-read commit: W1-dedup the batch, land it as per-bucket
         delta files under ``delta/seq=N``, and record the delta in the
@@ -277,6 +327,18 @@ class ManagedTable:
 
         pk_cols, n_buckets = m["pk"], m["pk_buckets"]
         final = last_writer_wins(batch, pk_cols)
+        if m.get("cdf"):
+            # classifying insert vs update needs the pre-image, which MoR
+            # merges otherwise never read: CDF costs one bucket-pruned read
+            # of the touched buckets (resolving pending deltas) on top of
+            # the O(batch) delta write — the same read CoW pays anyway
+            m["cdf_seq"] = self._write_change_set(
+                final,
+                self._read_buckets(spark, m, touched),
+                m,
+                m["version"],
+                broadcast_batch=broadcast_batch,
+            )
         seq = m.get("delta_seq", 0) + 1
         out = final.select(*m["columns"], FLAG_COL).withColumn(
             BUCKET_COL, self._bucket_expr(pk_cols, n_buckets)
@@ -292,6 +354,162 @@ class ManagedTable:
             m.update(extra_meta)
         self._commit(m, action="merge-mor")
         return m["version"]
+
+    # -- change data feed --------------------------------------------------
+    def _compute_changes(
+        self,
+        final: DataFrame,
+        pre: DataFrame,
+        pk_cols: list[str],
+        cols: list[str],
+        broadcast_batch: bool,
+    ) -> DataFrame:
+        """Row-level change set of applying the W1-deduped batch *final* to
+        pre-image *pre*: MERGE-arm classification by pre-image presence, not
+        by CDC flag (an 'I' on an existing key is an upsert → update; a 'U'
+        on a key deleted earlier resolves to insert; a 'D' on an absent key
+        is a no-op and emits nothing).
+
+        Plan shape: an outer join that preserves the (small) batch side
+        cannot broadcast-build it — BroadcastHashJoin only builds the
+        non-preserved side — so a naive batch-LEFT-OUTER-pre would shuffle
+        the whole pre-image.  Instead the pre-image is first restricted to
+        the batch's keys with a broadcast LEFT-SEMI join (one streaming
+        pass over the touched buckets, supported build side, output ≤
+        |batch| rows), and the outer join then runs small-vs-small with
+        the shrunken pre side broadcast.  The pre-image is scanned once
+        and never shuffled.  Each joined row explodes into its 0–2 change
+        rows via an array-of-structs literal — a single pass, not four
+        filter-branch re-joins.  *broadcast_batch=False* (backlog-sized
+        batches) drops both hints and lets AQE choose."""
+        from ..sources.envelope import FLAG_COL
+
+        non_pk = [c for c in cols if c not in pk_cols]
+        pk_cols = list(pk_cols)
+        batch_keys = final.select(*pk_cols)
+        pre_small = pre.join(
+            F.broadcast(batch_keys) if broadcast_batch else batch_keys,
+            on=pk_cols,
+            how="left_semi",
+        ).select(
+            *pk_cols,
+            *[F.col(c).alias(f"__pre_{c}") for c in non_pk],
+            F.lit(1).alias("__pre_hit"),
+        )
+        j = final.join(
+            F.broadcast(pre_small) if broadcast_batch else pre_small,
+            on=pk_cols,
+            how="left_outer",
+        )
+        matched = F.col("__pre_hit").isNotNull()
+        is_del = F.col(FLAG_COL) == "D"
+        new_payload = [F.col(c) for c in cols]
+        pre_payload = [
+            F.col(c) if c in pk_cols else F.col(f"__pre_{c}") for c in cols
+        ]
+
+        def ch(payload, tag: str):
+            return F.struct(
+                *[p.alias(c) for p, c in zip(payload, cols)],
+                F.lit(tag).alias(CHANGE_TYPE_COL),
+            )
+
+        arr = (
+            F.when(matched & is_del, F.array(ch(pre_payload, "delete")))
+            .when(
+                matched,
+                F.array(
+                    ch(pre_payload, "update_preimage"),
+                    ch(new_payload, "update_postimage"),
+                ),
+            )
+            .otherwise(F.array(ch(new_payload, "insert")))
+        )
+        return (
+            j.filter(matched | ~is_del)  # delete of an absent key: no-op
+            .select(F.explode(arr).alias("__ch"))
+            .select("__ch.*")
+        )
+
+    def _write_change_set(
+        self,
+        final: DataFrame,
+        pre: DataFrame,
+        m: dict,
+        new_version: int,
+        broadcast_batch: bool,
+    ) -> int:
+        """Write this commit's change rows under ``_changes/s=SEQ`` and
+        return SEQ.  The caller commits ``cdf_seq=SEQ`` in the SAME atomic
+        manifest swap as the data, so a crash after the change write leaves
+        an unreferenced directory (mode "overwrite" → idempotent retry)
+        that readers, which trust only ``cdf_seq``, never see.  SEQ is a
+        dedicated counter rather than the table version because MoR merge
+        commits do not bump the version."""
+        seq = m.get("cdf_seq", 0) + 1
+        out = (
+            self._compute_changes(
+                final, pre, m["pk"], m["columns"], broadcast_batch
+            )
+            .withColumn(COMMIT_SEQ_COL, F.lit(seq))
+            .withColumn(COMMIT_VERSION_COL, F.lit(new_version))
+        )
+        out.write.mode("overwrite").parquet(str(self.root / "_changes" / f"s={seq}"))
+        return seq
+
+    def changes(
+        self, spark: SparkSession, since: int = 0, until: int | None = None
+    ) -> DataFrame:
+        """Read the change data feed: rows of every commit with
+        ``since < _commit_seq ≤ until`` (default: through the latest).
+
+        Payload columns are conformed to the CURRENT table schema — change
+        files written before a metadata-only ADD materialize the later
+        column as its rendered default, exactly like the base read path —
+        plus ``_change_type`` / ``_commit_seq`` / ``_commit_version``.
+        Each commit's directory is read separately because schemas may
+        differ across DDL barriers; a long feed of same-schema commits
+        could batch into one multi-path scan, but a CDF read is normally
+        bounded by the consumer's checkpoint (since = last processed), so
+        the directory count is the number of NEW commits, not history."""
+        m = self.manifest()
+        if not m.get("cdf"):
+            raise ValueError(
+                "change data feed not enabled on this table (create(cdf=True))"
+            )
+        hi = m.get("cdf_seq", 0)
+        if until is not None:
+            hi = min(until, hi)
+        meta_keep = (CHANGE_TYPE_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL)
+        parts = []
+        for s in range(since + 1, hi + 1):
+            p = self.root / "_changes" / f"s={s}"
+            if p.exists():
+                parts.append(
+                    self._conform(
+                        spark, spark.read.parquet(str(p)), m, keep=meta_keep
+                    )
+                )
+        if not parts:
+            from pyspark.sql.types import (
+                IntegerType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            schema = StructType.fromJson(json.loads(m["schema_json"]))
+            for fld in (
+                StructField(CHANGE_TYPE_COL, StringType()),
+                StructField(COMMIT_SEQ_COL, IntegerType()),
+                StructField(COMMIT_VERSION_COL, IntegerType()),
+            ):
+                schema = schema.add(fld)
+            return spark.createDataFrame([], schema=schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _write_version_data(
         self, df: DataFrame, version: int, pk_cols: list[str], pk_buckets: int
@@ -470,9 +688,76 @@ class ManagedTable:
         target = self._read_buckets(spark, m, touched)
         return target.join(F.broadcast(keys), on=pk_cols, how="left_semi")
 
+    def _state_at(self, entry: dict) -> dict:
+        """Reconstruct a read-state manifest from a commit-log entry.  Keys
+        are taken from the ENTRY alone (plus immutable pk/pk_buckets): a key
+        absent at commit time (e.g. bucket_deltas before the first MoR
+        merge) must read as absent, not inherit today's value.  The stats
+        blocks are dropped — they are version-stamped for the current
+        version and the pruning helpers ignore stale ones anyway."""
+        base = self.manifest()
+        m2 = {k: base[k] for k in ("pk", "pk_buckets") if k in base}
+        m2.update(
+            {k: entry[k] for k in self._HISTORY_STATE_KEYS if k in entry}
+        )
+        return m2
+
+    def read_at(self, spark: SparkSession, commit: int) -> DataFrame:
+        """TIME TRAVEL by commit ordinal: the table as of ``history()[commit]``.
+
+        Works on bucket-pruned tables — ``v=N`` holds only the buckets
+        version N rewrote, so the read resolves each bucket through the
+        COMMIT'S ``bucket_versions`` snapshot (and, for MoR, its pending
+        delta lists), then conforms to the schema AS OF that commit.
+        Requires the referenced version/delta directories to still exist:
+        :meth:`vacuum`'s ``keep_last`` is the retention knob."""
+        h = self.history()
+        entry = h[commit]
+        m2 = self._state_at(entry)
+        if "version" not in entry:
+            raise ValueError(f"commit {commit} predates history state snapshots")
+        n = m2.get("pk_buckets", 0)
+        if n > 0:
+            if "bucket_versions" not in m2:
+                raise ValueError(
+                    f"commit {commit} predates history state snapshots"
+                )
+            # fail loudly on vacuumed state: a missing BUCKET dir just means
+            # the bucket was empty, but a missing VERSION dir means vacuum
+            # collected it (the read would silently come back partial/empty)
+            gone = sorted(
+                v
+                for v in {int(x) for x in m2["bucket_versions"].values()}
+                if not (self.root / f"v={v}").exists()
+            )
+            if gone:
+                raise ValueError(
+                    f"commit {commit} references vacuumed version(s) {gone}; "
+                    "raise vacuum(keep_last=…) to retain deeper time travel"
+                )
+            df = self._read_buckets(spark, m2, range(n))
+        else:
+            df = spark.read.parquet(str(self.root / f"v={m2['version']}"))
+            if BUCKET_COL in df.columns:
+                df = df.drop(BUCKET_COL)
+        return self._conform(spark, df, m2)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest()
         n_buckets = m.get("pk_buckets", 0)
+        if version is not None and version != m["version"] and n_buckets > 0:
+            # bucketed time travel: v=N is partial by design (only the
+            # buckets N rewrote); resolve through the LAST commit at that
+            # version, whose bucket_versions map is the complete state
+            h = self.history()
+            for i in range(len(h) - 1, -1, -1):
+                e = h[i]
+                if e.get("version") == version and "bucket_versions" in e:
+                    return self.read_at(spark, i)
+            raise ValueError(
+                f"no commit-log state for version {version}; bucketed "
+                "time travel needs a history entry with bucket_versions"
+            )
         if n_buckets > 0 and version is None:
             df = self._read_buckets(spark, m, range(n_buckets))
         else:
@@ -487,10 +772,22 @@ class ManagedTable:
         """Drop version directories no bucket references and older than the
         newest *keep_last* full versions, plus delta directories no bucket's
         pending list references (folded by compaction, or orphaned by a
-        crash between delta write and manifest commit)."""
+        crash between delta write and manifest commit).
+
+        ``keep_last`` is also the TIME-TRAVEL retention window: any version
+        a retained commit's ``bucket_versions`` snapshot references is kept,
+        so :meth:`read_at` works for every commit whose version is within
+        the window.  (MoR delta directories are retained only while a
+        bucket's CURRENT pending list references them — compaction bounds
+        MoR time travel, the same trade Delta makes with deletion vectors.)"""
         m = self.manifest()
         current = m["version"]
         referenced = {int(v) for v in m.get("bucket_versions", {}).values()}
+        for e in self.history():
+            if e.get("version", 0) > current - keep_last:
+                referenced |= {
+                    int(v) for v in e.get("bucket_versions", {}).values()
+                }
         removed = []
         for p in sorted(self.root.glob("v=*")):
             v = int(p.name.split("=", 1)[1])
