@@ -31,6 +31,8 @@ from __future__ import annotations
 import random
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -274,6 +276,39 @@ def minhash_fold(hs: Column, num_hashes: int) -> Column:
     # SQL oracle), which yields an array of nulls, not a null array
     nulls = F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)])
     return F.when(hs.isNull(), nulls).otherwise(folded)
+
+
+def minhash_fold_arrow(num_hashes: int):
+    """Arrow twin of :func:`minhash_fold`: given the JVM-computed shingle
+    hash array, compute the num_hashes running minima as ONE vectorized
+    int64 matrix op per row instead of an interpreted per-(shingle×hash)
+    lambda.  Bit-exact: ``md5_long(s, 7)`` < 2²⁸ and coefficients < 2³¹,
+    so every a·h+b stays far below 2⁶³ and int64 ``%`` agrees with the
+    expression path (and the SQL oracle) exactly.  Edge parity pinned to
+    the fold: null array → array of nulls; empty array → all-PRIME."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def fold(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            if arr is None:
+                out.append([None] * num_hashes)
+            elif len(arr) == 0:
+                out.append([MINHASH_PRIME] * num_hashes)
+            else:
+                h = np.asarray(arr, dtype=np.int64)[None, :]
+                out.append(
+                    ((A * h + B) % MINHASH_PRIME).min(axis=1).tolist()
+                )
+        return pd.Series(out)
+
+    return fold
 
 
 def minhash_signatures(
@@ -685,12 +720,13 @@ def incremental_minhash_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
     hs = sh.select("id", F.transform("shingles", lambda s: md5_long(s, 7)).alias("hs"))
-    # the signature derivation (per-shingle md5 + num_hashes minhash folds)
-    # is the dominant cost and this plan fans it out FIVE ways (band join
-    # left side, store union, both verify joins, store write) — persist the
-    # tiny signature frame (~num_hashes ints/doc) so it computes once
+    # the signature derivation is the dominant cost: per-shingle md5 stays
+    # JVM-side, the num_hashes minima fold runs as a vectorized Arrow
+    # kernel (bit-exact int64 twin of minhash_fold — see minhash_fold_arrow),
+    # and the tiny result (~num_hashes ints/doc) persists so the band join,
+    # store union, and store write all reuse one computation
     new_sigs = hs.select(
-        "id", minhash_fold(F.col("hs"), num_hashes).alias("sig")
+        "id", minhash_fold_arrow(num_hashes)(F.col("hs")).alias("sig")
     ).persist()
 
     # snapshot the store as an explicit FILE LIST: appending to the same
@@ -705,15 +741,30 @@ def incremental_minhash_pairs(
     else:
         all_sigs = new_sigs
 
+    # signatures ride THROUGH the band join (16 ints/row — cheaper than
+    # re-fetching them), so the verify runs inline on each band collision
+    # and the plan is ONE join + one dedup shuffle instead of the previous
+    # candidate-join → dropDuplicates → two verify re-joins.  Verify
+    # BEFORE dedup: n_sig_matches is a pure function of the pair, so a
+    # pair colliding in k ≤ bands bands recomputes one zip_with k times
+    # (bounded fan-out) and survivors are identical whichever collision
+    # produced them — strictly cheaper than re-joining the signature
+    # store at any scale.
     def banded(sigs: DataFrame) -> DataFrame:
         return sigs.select(
             "id",
+            "sig",
             F.explode_outer(
                 lsh_band_keys(F.col("sig"), bands, rows_per_band)
             ).alias("bk"),
-        ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    cand = (
+    n_match = F.size(
+        F.filter(
+            F.zip_with("l.sig", "r.sig", lambda x, y: x == y), lambda t: t
+        )
+    )
+    pairs = (
         banded(new_sigs)
         .alias("l")
         .join(banded(all_sigs).alias("r"), on=["band", "key"])
@@ -721,21 +772,10 @@ def incremental_minhash_pairs(
         .select(
             F.least("l.id", "r.id").alias("id_a"),
             F.greatest("l.id", "r.id").alias("id_b"),
+            n_match.alias("n_sig_matches"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sa = all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = all_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    n_match = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t
-        )
-    )
-    pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", n_match.alias("n_sig_matches"))
         .filter(F.col("n_sig_matches") >= min_sig_matches)
+        .dropDuplicates(["id_a", "id_b"])
         .persist()
     )
     pairs.count()  # materialize before the store mutates
@@ -746,7 +786,13 @@ def incremental_minhash_pairs(
     # the layout concurrent ingests / retention GC want
     import uuid as _uuid
 
-    new_sigs.write.mode("overwrite").parquet(
+    # size the batch's file count by its bytes, not the shuffle partition
+    # count: a signature row is ~(num_hashes+1)×8 B, so a micro-batch
+    # otherwise lands as 32 near-empty files and the store decays into
+    # footer overhead (count() is free here — new_sigs is cached)
+    est_bytes = new_sigs.count() * (num_hashes + 1) * 16
+    n_files = int(max(1, -(-est_bytes // (128 << 20))))
+    new_sigs.coalesce(n_files).write.mode("overwrite").parquet(
         str(_Path(store_dir) / f"batch-{_uuid.uuid4().hex}")
     )
     new_sigs.unpersist()  # pairs is materialized; the cache has served
