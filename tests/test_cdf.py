@@ -226,3 +226,44 @@ def test_cdf_survives_metadata_only_add(spark, tmp_path):
     assert {r["_change_type"] for r in rows} == {
         "update_preimage", "update_postimage",
     }
+
+
+def test_maintained_aggregate_restart_and_retention(spark, tmp_path):
+    """MaintainedAggregate: seed → merge/refresh cycles with a FRESH object
+    each round (restart safety — state lives in _meta.json), equal to a
+    full recompute after every refresh; processed feed dirs vacuum away
+    without breaking later refreshes."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate, init_agg
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    sums = {"total": "val"}
+    mv_root = tmp_path / "mv"
+    seq = MaintainedAggregate(mv_root, ["grp"], sums).refresh(spark, t)
+    assert seq == 0  # seeded at the pre-merge state
+    for ev in (
+        [("U", 1, 5, "b", 15), ("I", 7, 5, "c", 70)],
+        [("D", 3, 6, None, None), ("U", 7, 6, "a", 71)],
+    ):
+        t.merge(spark, _batch(spark, ev))
+        mv = MaintainedAggregate(mv_root, ["grp"], sums)  # restart
+        applied = mv.refresh(spark, t)
+        assert applied == t.manifest()["cdf_seq"]
+        got = {r["grp"]: (r["n_rows"], r["total"]) for r in mv.read(spark).collect()}
+        want = {
+            r["grp"]: (r["n_rows"], r["total"])
+            for r in init_agg(t.read(spark), ["grp"], sums).collect()
+        }
+        assert got == want
+        # idempotent: nothing new → same checkpoint, same state
+        assert mv.refresh(spark, t) == applied
+    # retention: drop processed feed dirs, then keep going
+    assert t.vacuum_changes(keep_since=applied) == [1, 2]
+    t.merge(spark, _batch(spark, [("U", 7, 7, "a", 72)]))
+    mv = MaintainedAggregate(mv_root, ["grp"], sums)
+    mv.refresh(spark, t)
+    got = {r["grp"]: (r["n_rows"], r["total"]) for r in mv.read(spark).collect()}
+    want = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in init_agg(t.read(spark), ["grp"], sums).collect()
+    }
+    assert got == want

@@ -89,6 +89,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "`optimize` folds deltas (high-frequency CDC against big tables)",
     )
     rep.add_argument(
+        "--cdf",
+        action="store_true",
+        help="enable the change data feed: every merge commit also writes "
+        "its row-level change set, readable via ManagedTable.changes() "
+        "for O(changes) downstream consumers",
+    )
+    rep.add_argument(
         "--compact-every",
         type=int,
         default=None,
@@ -310,6 +317,7 @@ def _cmd_replicate(args: argparse.Namespace) -> int:
             registry=registry,
             pk_buckets=args.pk_buckets,
             merge_mode=args.merge_mode,
+            cdf=args.cdf,
             compact_after_merges=args.compact_every,
             snapshot_reader=(
                 _jdbc_snapshot_reader(args, td) if source_attached else None

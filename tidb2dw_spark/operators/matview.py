@@ -38,7 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..table.managed import CHANGE_TYPE_COL
+from ..table.managed import CHANGE_TYPE_COL, ManagedTable
 
 _ADD = ("insert", "update_postimage")
 _SUB = ("delete", "update_preimage")
@@ -99,3 +99,88 @@ def apply_changes_to_agg(
         )
     )
     return combined.filter(F.col("n_rows") > 0)
+
+
+class MaintainedAggregate:
+    """A persisted, restartable materialized aggregate over a CDF-enabled
+    :class:`ManagedTable` — the "keep the BI rollup fresh" loop as a
+    first-class object.
+
+    Layout mirrors the managed table's crash contract in miniature::
+
+        <root>/_meta.json   {"applied_seq": S, "version": N}  (os.replace)
+        <root>/v=N/…        the aggregate as of change seq S
+
+    ``refresh()`` seeds from the base table on first call (recording the
+    source's current ``cdf_seq`` so already-folded changes are never
+    double-applied), then folds exactly the feed slice
+    ``(applied_seq, cdf_seq]`` and commits the new version atomically
+    with the advanced checkpoint — a crash between data write and meta
+    swap leaves an orphan version directory that the deterministic
+    version numbering overwrites on retry.  Exactly-once across restarts
+    falls out: state lives in ``_meta.json``, not the object.
+
+    Scale: every refresh is O(new changes + groups); the base table is
+    scanned once, ever (the seed).  The aggregate itself is groups-sized
+    — rewriting it per refresh is the cheap side of the trade."""
+
+    def __init__(self, root, group_cols: Sequence[str], sum_cols: dict[str, str]):
+        from pathlib import Path
+
+        self.root = Path(root)
+        self.group_cols = list(group_cols)
+        self.sum_cols = dict(sum_cols)
+
+    def _meta_path(self):
+        return self.root / "_meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def meta(self) -> dict:
+        import json
+
+        return json.loads(self._meta_path().read_text())
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(str(self.root / f"v={self.meta()['version']}"))
+
+    def _commit(self, agg: DataFrame, version: int, applied_seq: int) -> None:
+        import json
+        import os
+        import tempfile
+
+        agg.write.mode("overwrite").parquet(str(self.root / f"v={version}"))
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"applied_seq": applied_seq, "version": version}, f)
+        os.replace(tmp, self._meta_path())
+
+    def refresh(self, spark, source: ManagedTable) -> int:
+        """Fold any new change commits into the aggregate; returns the
+        applied change seq (the checkpoint).  No-op when the feed has
+        nothing new."""
+        import shutil
+
+        src_seq = source.manifest().get("cdf_seq", 0)
+        if not self.exists():
+            seed = init_agg(source.read(spark), self.group_cols, self.sum_cols)
+            self._commit(seed, 1, src_seq)
+            return src_seq
+        m = self.meta()
+        since = m["applied_seq"]
+        if src_seq <= since:
+            return since
+        updated = apply_changes_to_agg(
+            self.read(spark),
+            source.changes(spark, since=since, until=src_seq),
+            self.group_cols,
+            self.sum_cols,
+        )
+        new_version = m["version"] + 1
+        self._commit(updated, new_version, src_seq)
+        for p in self.root.glob("v=*"):  # committed: old versions removable
+            if int(p.name.split("=", 1)[1]) < new_version:
+                shutil.rmtree(p, ignore_errors=True)
+        return src_seq

@@ -43,6 +43,7 @@ class TableReplicator:
         compact_after_merges: int | None = None,
         snapshot_reader: Callable[[SparkSession], DataFrame] | None = None,
         merge_mode: str = "cow",
+        cdf: bool = False,
     ):
         """*snapshot_reader* switches the snapshot phase to source-attached
         mode (the reference's direct dump, dump.go:84-147): the callable
@@ -62,6 +63,7 @@ class TableReplicator:
         self.registry = registry
         self.pk_buckets = pk_buckets
         self.merge_mode = merge_mode
+        self.cdf = cdf
         self.compact_after_merges = compact_after_merges
         self.table = ManagedTable(Path(warehouse_dir) / table_def.table)
         self.consumer: IncrementConsumer | None = None
@@ -112,6 +114,7 @@ class TableReplicator:
             pk_buckets=self.pk_buckets,
             extra_meta={"source_schema_version": self.table_def.version},
             merge_mode=self.merge_mode,
+            cdf=self.cdf,
         )
         if self.snapshot_dir is not None:
             self._loadinfo_path().touch()

@@ -467,11 +467,11 @@ class ManagedTable:
         files written before a metadata-only ADD materialize the later
         column as its rendered default, exactly like the base read path —
         plus ``_change_type`` / ``_commit_seq`` / ``_commit_version``.
-        Each commit's directory is read separately because schemas may
-        differ across DDL barriers; a long feed of same-schema commits
-        could batch into one multi-path scan, but a CDF read is normally
-        bounded by the consumer's checkpoint (since = last processed), so
-        the directory count is the number of NEW commits, not history."""
+        Commits sharing a physical schema (the common case — DDL barriers
+        are rare relative to merges) group into ONE multi-path scan, so a
+        long catch-up read plans #distinct-schemas scan nodes, not
+        #commits (schemas are peeked from one parquet footer per commit
+        directory, driver-side, no Spark job)."""
         m = self.manifest()
         if not m.get("cdf"):
             raise ValueError(
@@ -481,15 +481,24 @@ class ManagedTable:
         if until is not None:
             hi = min(until, hi)
         meta_keep = (CHANGE_TYPE_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL)
-        parts = []
+        import pyarrow.parquet as _pq
+
+        by_schema: dict[tuple, list[str]] = {}
         for s in range(since + 1, hi + 1):
             p = self.root / "_changes" / f"s={s}"
-            if p.exists():
-                parts.append(
-                    self._conform(
-                        spark, spark.read.parquet(str(p)), m, keep=meta_keep
-                    )
-                )
+            if not p.exists():
+                continue
+            files = sorted(p.glob("*.parquet"))
+            if not files:  # zero-row commit may write only _SUCCESS
+                continue
+            sig = tuple(_pq.read_schema(str(files[0])).names)
+            by_schema.setdefault(sig, []).append(str(p))
+        parts = [
+            self._conform(
+                spark, spark.read.parquet(*paths), m, keep=meta_keep
+            )
+            for _, paths in sorted(by_schema.items())
+        ]
         if not parts:
             from pyspark.sql.types import (
                 IntegerType,
@@ -801,6 +810,23 @@ class ManagedTable:
             # merge — never collect those out from under it
             if s not in live_seqs and s <= m.get("delta_seq", 0):
                 shutil.rmtree(p)
+        return removed
+
+    def vacuum_changes(self, keep_since: int) -> list[int]:
+        """Drop change-feed directories with ``_commit_seq ≤ keep_since``
+        (the consumer's checkpointed high-water mark — everything at or
+        below it has been processed by every downstream).  Retention is
+        caller-driven, like Delta's CDF: the table never decides for its
+        consumers.  Directories above the manifest's ``cdf_seq`` are left
+        alone — one may belong to an in-flight merge."""
+        m = self.manifest()
+        hi = min(keep_since, m.get("cdf_seq", 0))
+        removed = []
+        for p in sorted(self.root.glob("_changes/s=*")):
+            s = int(p.name.split("=", 1)[1])
+            if s <= hi:
+                shutil.rmtree(p)
+                removed.append(s)
         return removed
 
     def compact(
