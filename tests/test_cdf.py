@@ -267,3 +267,58 @@ def test_maintained_aggregate_restart_and_retention(spark, tmp_path):
         for r in init_agg(t.read(spark), ["grp"], sums).collect()
     }
     assert got == want
+
+
+def test_consumer_cdf_two_polls_with_maintained_agg(spark, tmp_path):
+    """Full consumer loop with the feed on: poll 1 merges the v1 group,
+    poll 2 merges a late v1 file, applies the ADD barrier, and merges the
+    v2 group — the maintained aggregate refreshes after each poll purely
+    from the feed (reading v1-era change files through the evolved
+    schema) and matches a recompute of the table every time."""
+    from tidb2dw_spark.entry_pipeline import _def_v1, _stage_v1, _stage_v2
+    from tidb2dw_spark.operators.matview import MaintainedAggregate, init_agg
+    from tidb2dw_spark.schema.types import table_def_to_struct
+    from tidb2dw_spark.sources.snapshot import read_snapshot_csv
+    from tidb2dw_spark.streaming.consumer import IncrementConsumer
+
+    root = tmp_path / "staging"
+    base = [(k, k % 7, f"S{k % 3}", k * 10) for k in range(3, 1000, 21)]
+    _stage_v1(root, base, extra_p1_file=False)
+    v1 = _def_v1()
+    snap = read_snapshot_csv(
+        spark, f"{root}/snapshot/*.csv", table_def_to_struct(v1)
+    )
+    t = ManagedTable(tmp_path / "wh").create(
+        snap, v1.pk_columns, pk_buckets=4, cdf=True
+    )
+    mv = MaintainedAggregate(
+        tmp_path / "mv", ["o_orderstatus"], {"total": "o_total_cents"}
+    )
+    mv.refresh(spark, t)  # seed at snapshot
+
+    def assert_fresh():
+        got = {
+            r["o_orderstatus"]: (r["n_rows"], r["total"])
+            for r in mv.read(spark).collect()
+        }
+        want = {
+            r["o_orderstatus"]: (r["n_rows"], r["total"])
+            for r in init_agg(
+                t.read(spark), ["o_orderstatus"], {"total": "o_total_cents"}
+            ).collect()
+        }
+        assert got == want
+
+    c = IncrementConsumer(spark, root / "increment", t)
+    r1 = c.poll_once()
+    assert r1.files_processed == 3
+    mv.refresh(spark, t)
+    assert_fresh()
+
+    _stage_v1(root, base, extra_p1_file=True)
+    _stage_v2(root, base)
+    r2 = c.poll_once()
+    assert r2.files_processed == 2 and r2.ddl_applied == 1
+    assert t.manifest()["cdf_seq"] >= 2
+    mv.refresh(spark, t)
+    assert_fresh()

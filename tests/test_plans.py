@@ -162,3 +162,34 @@ def test_bloom_point_lookup_scan_is_shuffle_free(spark, sf_dir):
     from tidb2dw_spark.plans import assert_no_shuffle
 
     assert_no_shuffle(QUERIES["q_bloom_point_lookup"](spark, sf_dir))
+
+
+def test_cdf_change_compute_never_shuffles_preimage(spark, tmp_path):
+    """The change-set computation must not exchange the pre-image: the
+    batch keys broadcast into a LEFT-SEMI shrink (pre streams once), and
+    the shrunken pre side broadcasts into the outer join.  An outer join
+    that preserved the batch side directly would silently fall back to a
+    sort-merge join (the broadcast hint lands on an unsupported build
+    side) and shuffle every touched bucket."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    pre = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    win = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.lit("U").alias("flag"),
+    )
+    ch = ManagedTable(tmp_path / "t")._compute_changes(
+        win, pre, ["k"], ["k", "v"], broadcast_batch=True
+    )
+    a = audit(ch)
+    assert "BroadcastHashJoin" in a.plan, a.plan
+    assert "LeftSemi" in a.plan and "LeftOuter" in a.plan
+    assert "SortMergeJoin" not in a.plan
+    # the only exchanges are the two broadcasts of small sides
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning", a.plan), a.plan

@@ -1802,3 +1802,120 @@ def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape — per-group correlated minimum (min-cost supplier)
+# ---------------------------------------------------------------------------
+@register(
+    "q_min_cost_supplier",
+    """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, min(cost_cents) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM costs
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, r.cost_cents
+FROM ranked r
+JOIN part p     ON r.l_partkey = p.p_partkey AND p.p_size <= 5
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.cost_cents = r.min_cost
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: for each (small) part, the supplier(s) with the
+    minimum observed cost.  The classic correlated scalar subquery
+    (`WHERE cost = (SELECT min(cost) … WHERE same part)`) is expressed as
+    a window MIN over the part key — Catalyst's own decorrelation target
+    shape, one shuffle on partkey shared by the aggregate and the window
+    instead of a per-row subquery re-scan.  Ties keep every minimal
+    supplier (deterministic, order-free).  Part and supplier dims
+    broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")).alias(
+            "cost_cents"
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = costs.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("min_cost")
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        ranked.join(F.broadcast(part), ranked.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ranked.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "cost_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — above-average balances with no orders (exact integer avg)
+# ---------------------------------------------------------------------------
+@register(
+    "q_idle_rich_customers",
+    """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+  FROM customer
+),
+pos AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS total, count(*) AS n
+  FROM bal WHERE bal_cents > 0
+)
+SELECT b.c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(b.bal_cents) AS BIGINT) AS total_bal_cents
+FROM bal b, pos
+WHERE b.bal_cents * pos.n > pos.total
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = b.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY b.c_nationkey
+""",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: customers with an above-average balance and no
+    RECENT orders (the synthetic data gives every customer some order, so
+    "idle" is date-windowed), aggregated by nation.  The average
+    comparison is exact cross-multiplication (bal·n > total) — no
+    floating division anywhere, so both engines agree bit-for-bit even at
+    the boundary.  The global (total, n) pair is a 1-row broadcast-joined
+    aggregate (the same shape AQE gives a scalar subquery); the idleness
+    test is a LEFT ANTI join against the date-filtered orders keys (the
+    filter pushes to the parquet scan)."""
+    bal = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100.0).cast("long").alias("bal_cents"),
+    )
+    pos = bal.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("total"), F.count("*").alias("n")
+    )
+    orders_keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        bal.join(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("total"))
+        .join(orders_keys, on="c_custkey", how="left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
