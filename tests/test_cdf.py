@@ -322,3 +322,69 @@ def test_consumer_cdf_two_polls_with_maintained_agg(spark, tmp_path):
     assert t.manifest()["cdf_seq"] >= 2
     mv.refresh(spark, t)
     assert_fresh()
+
+
+# ---------------------------------------------------------------------------
+# Property test: the feed IS the derivative of the table
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_KEYS = list(range(6))
+_event = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(_KEYS),
+    st.integers(0, 30),
+    st.integers(0, 99),
+)
+
+
+def _fold_feed(state: dict, rows) -> dict:
+    """Apply change rows to a dict: the feed's defining property."""
+    out = dict(state)
+    for r in sorted(rows, key=lambda r: r["_commit_seq"]):
+        if r["_change_type"] == "insert" or r["_change_type"] == "update_postimage":
+            out[r["k"]] = r["val"]
+        elif r["_change_type"] == "delete":
+            out.pop(r["k"], None)
+        # update_preimage carries no new state (its postimage twin does)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    batches=st.lists(st.lists(_event, min_size=1, max_size=8), min_size=1, max_size=3),
+    present=st.sets(st.sampled_from(_KEYS)),
+)
+def test_cdf_feed_is_table_derivative(spark, tmp_path_factory, batches, present):
+    """For ANY merge sequence: folding the change feed over the initial
+    state reproduces the table exactly, and every update row has a
+    pre/post twin.  This is the contract downstream consumers rely on —
+    if it holds, any change-driven derivation (matview, audit, replica)
+    converges to the table."""
+    tmp = tmp_path_factory.mktemp("cdfprop")
+    initial = {k: -k for k in sorted(present)}
+    t = ManagedTable(tmp / "t")
+    t.create(
+        spark.createDataFrame(
+            [(k, None, v) for k, v in initial.items()] or [(None, None, None)],
+            SCHEMA,
+        ).filter("k IS NOT NULL"),
+        pk_cols=["k"],
+        pk_buckets=2,
+        cdf=True,
+    )
+    for ev in batches:
+        # de-conflict (key, ts, flag) duplicates like the merge model test
+        seen, uniq = set(), []
+        for f, k, ts, v in ev:
+            if (f, k, ts) not in seen:
+                seen.add((f, k, ts))
+                uniq.append((f, k, ts, None, v))
+        t.merge(spark, _batch(spark, uniq))
+    rows = t.changes(spark).collect()
+    folded = _fold_feed(initial, rows)
+    table = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert folded == table
+    pre = sorted((r["_commit_seq"], r["k"]) for r in rows if r["_change_type"] == "update_preimage")
+    post = sorted((r["_commit_seq"], r["k"]) for r in rows if r["_change_type"] == "update_postimage")
+    assert pre == post
