@@ -388,3 +388,50 @@ def test_cdf_feed_is_table_derivative(spark, tmp_path_factory, batches, present)
     pre = sorted((r["_commit_seq"], r["k"]) for r in rows if r["_change_type"] == "update_preimage")
     post = sorted((r["_commit_seq"], r["k"]) for r in rows if r["_change_type"] == "update_postimage")
     assert pre == post
+
+
+def test_secondary_index_lookup_and_refresh(spark, tmp_path):
+    """Value→PK secondary index maintained from the feed: after every
+    merge+refresh, an index lookup equals a full-scan filter — including
+    updates that MOVE the indexed value (entry must leave the old value
+    bucket and appear in the new one), deletes, and inserts."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    ix = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=4)
+    ix.build(spark, t)
+
+    def assert_lookup(value):
+        got = sorted(
+            (r["k"], r["val"]) for r in ix.lookup(spark, t, value).collect()
+        )
+        want = sorted(
+            (r["k"], r["val"])
+            for r in t.read(spark).filter(F.col("grp") == value).collect()
+        )
+        assert got == want, (value, got, want)
+
+    for v in ("a", "b", "zzz"):
+        assert_lookup(v)
+
+    batches = [
+        [("U", 1, 5, "b", 11), ("I", 9, 5, "c", 90)],   # a→b move; new value c
+        [("D", 3, 6, None, None), ("U", 9, 6, "a", 91)], # delete; c→a move
+    ]
+    for ev in batches:
+        t.merge(spark, _batch(spark, ev))
+        ix2 = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=4)  # restart
+        applied = ix2.refresh(spark, t)
+        assert applied == t.manifest()["cdf_seq"]
+        for v in ("a", "b", "c", "zzz"):
+            assert_lookup(v)
+    # idempotent: nothing new
+    assert ix.refresh(spark, t) == t.manifest()["cdf_seq"]
+
+
+def test_secondary_index_rejects_unportable_type(spark, tmp_path):
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    with pytest.raises(ValueError, match="probe reproducibly"):
+        SecondaryIndex(tmp_path / "ix", col="nope", pk_cols=["k"]).build(spark, t)

@@ -201,3 +201,96 @@ def test_drop_of_pk_column_is_rejected(spark, tmp_path):
     t = ManagedTable(tmp_path / "t").create(df, ["id"])
     with pytest.raises(UnsupportedDDLError, match="primary-key"):
         apply_column_diffs(spark, t, diff_columns(v1, v2))
+
+
+def test_widening_modify_is_metadata_only(spark, tmp_path):
+    """MODIFY int→bigint on a non-PK column commits as a pure manifest
+    swap (warehouse ALTER COLUMN TYPE parity): no rewrite, old files cast
+    up on read, and a post-DDL merge carrying the wide type lands
+    correctly against pre-DDL rows."""
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    v1 = [
+        TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+        TableCol(id="2", name="qty", tp="int"),
+    ]
+    v2 = [v1[0], TableCol(id="4", name="qty", tp="bigint")]
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id int, qty int")
+    t = ManagedTable(tmp_path / "t").create(df, ["id"], pk_buckets=2)
+    v_before = t.version()
+
+    apply_column_diffs(spark, t, diff_columns(v1, v2))
+    assert t.version() == v_before  # no rewrite
+    assert t.history()[-1]["action"] == "evolve"
+    out = t.read(spark)
+    assert dict(out.dtypes)["qty"] == "bigint"
+    assert {r["id"]: r["qty"] for r in out.collect()} == {1: 10, 2: 20}
+
+    batch = spark.createDataFrame(
+        [("U", "t", "s", 5, 2, 9_999_999_999)],
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "id int, qty long",
+    )
+    t.merge(spark, batch)
+    assert {r["id"]: r["qty"] for r in t.read(spark).collect()} == {
+        1: 10, 2: 9_999_999_999,
+    }
+
+
+def test_widening_modify_of_bucketed_pk_rewrites(spark, tmp_path):
+    """Widening a BUCKET KEY's type cannot be metadata-only: Spark hashes
+    int32 and int64 renderings of the same value differently, so new
+    batches would land in different buckets than the rows they must merge
+    with.  The rewrite path re-buckets under the new type, after which a
+    wide-typed merge still finds its row (no silent duplicates)."""
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    v1 = [
+        TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+        TableCol(id="2", name="qty", tp="int"),
+    ]
+    v2 = [TableCol(id="4", name="id", tp="bigint", is_pk="true"), v1[1]]
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id int, qty int")
+    t = ManagedTable(tmp_path / "t").create(df, ["id"], pk_buckets=2)
+    v_before = t.version()
+
+    apply_column_diffs(spark, t, diff_columns(v1, v2))
+    assert t.version() == v_before + 1  # rewrite: re-bucketed under bigint
+    assert dict(t.read(spark).dtypes)["id"] == "bigint"
+
+    batch = spark.createDataFrame(
+        [("U", "t", "s", 5, 2, 99)],
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "id long, qty int",
+    )
+    t.merge(spark, batch)
+    rows = t.read(spark).collect()
+    assert len(rows) == 2  # the update merged, it did not duplicate
+    assert {r["id"]: r["qty"] for r in rows} == {1: 10, 2: 99}
+
+
+def test_narrowing_modify_still_rewrites(spark, tmp_path):
+    """A lossy MODIFY (bigint→int) must take the rewrite path — a
+    metadata-only cast-on-read could silently truncate old cells."""
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    v1 = [
+        TableCol(id="1", name="id", tp="int", precision="11", is_pk="true"),
+        TableCol(id="2", name="qty", tp="bigint"),
+    ]
+    v2 = [v1[0], TableCol(id="4", name="qty", tp="int")]
+    df = spark.createDataFrame([(1, 10)], "id int, qty long")
+    t = ManagedTable(tmp_path / "t").create(df, ["id"], pk_buckets=2)
+    v_before = t.version()
+    apply_column_diffs(spark, t, diff_columns(v1, v2))
+    assert t.version() == v_before + 1
+    assert dict(t.read(spark).dtypes)["qty"] == "int"

@@ -1,0 +1,208 @@
+"""Secondary index over a ManagedTable column, maintained from the change
+data feed.
+
+A PK-bucketed table answers key probes in O(probed buckets)
+(``read_for_keys``), but a predicate on any OTHER column still scans every
+bucket.  Warehouses solve this with a value-keyed derived table kept fresh
+by the pipeline; this module is that pattern as a first-class object:
+
+    <root>/_meta.json              {"applied_seq", "version", "col", "pk",
+                                    "n_buckets", "bucket_versions"}
+    <root>/v=N/__vb=B/…            (col value, pk…) entries, hash-bucketed
+                                   BY VALUE
+
+- ``build()`` scans the base once and writes every value bucket.
+- ``refresh()`` folds a CDF slice: preimage/delete rows REMOVE their
+  (old value, pk) entry, postimage/insert rows ADD theirs — an update
+  that changes the indexed value naturally moves the entry between value
+  buckets.  Only touched value buckets rewrite (the same bucket_versions
+  trick as ManagedTable), so maintenance is O(changes + touched buckets),
+  never O(base table).
+- ``lookup()`` hashes the probe value DRIVER-side (md5-derived bucket —
+  the same engine-portable idiom as the bloom probe, which is why the
+  indexed column is restricted to string/integer types), reads ONE value
+  bucket, and hands the matching PKs to ``source.read_for_keys`` — a
+  fully index-accelerated point query: O(1) index probe + O(k) base
+  buckets, independent of table size at both hops.
+
+NULL values are not indexed (lookups are equality probes; SQL equality
+never matches NULL).  Exactly-once across restarts mirrors the managed
+table: state lives in ``_meta.json``, committed by ``os.replace`` after
+the data write, and orphan version directories from crashes are
+overwritten on retry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import md5_long
+from ..table.managed import CHANGE_TYPE_COL, ManagedTable
+
+VAL_BUCKET_COL = "__vb"
+_ADD_TYPES = ("insert", "update_postimage")
+_REMOVE_TYPES = ("delete", "update_preimage")
+
+
+class SecondaryIndex:
+    def __init__(self, root, col: str, pk_cols: Sequence[str], n_buckets: int = 16):
+        self.root = Path(root)
+        self.col = col
+        self.pk_cols = list(pk_cols)
+        self.n_buckets = n_buckets
+
+    # -- meta -------------------------------------------------------------
+    def _meta_path(self) -> Path:
+        return self.root / "_meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def meta(self) -> dict:
+        return json.loads(self._meta_path().read_text())
+
+    def _commit(self, meta: dict) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    # -- hashing ----------------------------------------------------------
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(
+            md5_long(F.col(self.col).cast("string")), F.lit(self.n_buckets)
+        )
+
+    def _bucket_of(self, value) -> int:
+        """Driver-side twin of :meth:`_bucket_col` — first 15 md5 hex
+        digits as an int, mod n (identical for the string/int types the
+        index admits)."""
+        h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+        return h % self.n_buckets
+
+    def _entries(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.col(self.col).isNotNull()).select(
+            self.col, *self.pk_cols
+        )
+
+    # -- build / refresh --------------------------------------------------
+    def build(self, spark: SparkSession, source: ManagedTable) -> int:
+        """Full scan of the base table → every value bucket written;
+        records the source's current cdf_seq so refresh() starts exactly
+        after the state this build saw."""
+        src_seq = source.manifest().get("cdf_seq", 0)
+        dtypes = dict(source.read(spark).dtypes)
+        if dtypes.get(self.col) not in (
+            "string", "int", "bigint", "smallint", "tinyint", "long",
+        ):
+            raise ValueError(
+                f"indexed column {self.col!r} has type {dtypes.get(self.col)}; "
+                "only string/integer columns probe reproducibly driver-side"
+            )
+        out = self._entries(source.read(spark)).withColumn(
+            VAL_BUCKET_COL, self._bucket_col()
+        )
+        out.write.mode("overwrite").partitionBy(VAL_BUCKET_COL).parquet(
+            str(self.root / "v=1")
+        )
+        self._commit(
+            {
+                "applied_seq": src_seq,
+                "version": 1,
+                "col": self.col,
+                "pk": self.pk_cols,
+                "n_buckets": self.n_buckets,
+                "bucket_versions": {str(b): 1 for b in range(self.n_buckets)},
+            }
+        )
+        return src_seq
+
+    def _read_buckets(self, spark: SparkSession, m: dict, buckets) -> DataFrame | None:
+        paths = []
+        for b in buckets:
+            p = self.root / f"v={m['bucket_versions'][str(b)]}" / f"{VAL_BUCKET_COL}={b}"
+            if p.exists():
+                paths.append(str(p))
+        return spark.read.parquet(*paths) if paths else None
+
+    def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
+        """Fold the feed slice (applied_seq, cdf_seq]: rewrite only the
+        value buckets that gained or lost entries."""
+        m = self.meta()
+        since, src_seq = m["applied_seq"], source.manifest().get("cdf_seq", 0)
+        if src_seq <= since:
+            return since
+        ch = source.changes(spark, since=since, until=src_seq)
+        removals = self._entries(ch.filter(F.col(CHANGE_TYPE_COL).isin(*_REMOVE_TYPES)))
+        additions = self._entries(ch.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES)))
+        delta = removals.unionByName(additions)
+        touched = sorted(
+            r["b"]
+            for r in delta.select(self._bucket_col().alias("b")).distinct().collect()
+        )
+        if not touched:
+            m["applied_seq"] = src_seq
+            self._commit(m)
+            return src_seq
+        new_version = m["version"] + 1
+        base = self._read_buckets(spark, m, touched)
+        # an entry is keyed by (value, pk): anti-join the removals,
+        # union the additions; both sides are changes-sized → broadcast
+        keyed = [self.col, *self.pk_cols]
+        survivors = (
+            base.join(F.broadcast(removals), on=keyed, how="left_anti")
+            if base is not None
+            else additions.limit(0)
+        )
+        out = (
+            survivors.unionByName(additions)
+            .dropDuplicates(keyed)
+            .withColumn(VAL_BUCKET_COL, self._bucket_col())
+        )
+        out.write.mode("overwrite").partitionBy(VAL_BUCKET_COL).parquet(
+            str(self.root / f"v={new_version}")
+        )
+        m["version"] = new_version
+        for b in touched:
+            m["bucket_versions"][str(b)] = new_version
+        m["applied_seq"] = src_seq
+        self._commit(m)
+        for p in self.root.glob("v=*"):
+            v = int(p.name.split("=", 1)[1])
+            if v < new_version and v not in {
+                int(x) for x in m["bucket_versions"].values()
+            }:
+                shutil.rmtree(p, ignore_errors=True)
+        return src_seq
+
+    # -- probe ------------------------------------------------------------
+    def lookup_pks(self, spark: SparkSession, value) -> DataFrame:
+        """PKs whose indexed column equals *value*: reads ONE value bucket
+        (driver-side hash — no Spark job to locate it)."""
+        m = self.meta()
+        b = self._bucket_of(value)
+        base = self._read_buckets(spark, m, [b])
+        if base is None:
+            from pyspark.sql.types import StructType
+
+            fields = StructType()
+            return spark.createDataFrame([], schema=fields)
+        return base.filter(F.col(self.col) == value).select(*self.pk_cols)
+
+    def lookup(self, spark: SparkSession, source: ManagedTable, value) -> DataFrame:
+        """Index-accelerated equality read of the BASE table: one index
+        bucket → matching PKs → bucket-pruned ``read_for_keys``."""
+        pks = self.lookup_pks(spark, value)
+        if not pks.columns:
+            return source.read(spark).limit(0)
+        return source.read_for_keys(spark, pks)

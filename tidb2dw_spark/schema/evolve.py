@@ -127,6 +127,7 @@ def apply_column_diffs(
     )
     if not add_collides and all(
         d.action in (DiffAction.UNCHANGE, DiffAction.ADD, DiffAction.DROP)
+        or (d.action == DiffAction.MODIFY and _widening_metadata_ok(table, d))
         for d in diffs
     ):
         return _evolve_metadata_only(table, diffs, extra_meta)
@@ -154,6 +155,58 @@ def apply_column_diffs(
     # no stale dropped-column cells survive anywhere — clear the tombstones
     meta["dropped_columns"] = []
     return table.overwrite(evolved, new_columns=evolved.columns, extra_meta=meta)
+
+
+def _lossless_widening(old, new) -> bool:
+    """True when every *old*-typed value casts to *new* without loss —
+    the warehouse ALTER COLUMN TYPE contract (Snowflake/BigQuery allow
+    exactly these as metadata-only)."""
+    from pyspark.sql import types as T
+
+    if old == new:
+        return True
+    ints = [T.ByteType, T.ShortType, T.IntegerType, T.LongType]
+    if type(old) in ints and type(new) in ints:
+        return ints.index(type(old)) <= ints.index(type(new))
+    if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+        return True
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return new.scale == old.scale and new.precision >= old.precision
+    return False
+
+
+def _widening_metadata_ok(table: ManagedTable, d: ColumnDiff) -> bool:
+    """A MODIFY can commit metadata-only iff it is a same-name lossless
+    type widening of a column whose value never feeds the PK-hash bucket
+    layout.  Reads then cast old files up to the manifest type
+    (ManagedTable._conform).  The PK exclusion on bucketed tables is
+    load-bearing, not conservative: Spark's Murmur3 hashes int32 and
+    int64 renderings of the same value DIFFERENTLY, so widening a bucket
+    key's type metadata-only would route new batches to different buckets
+    than the rows they must merge with — silent duplicate keys.  The
+    rewrite path re-buckets everything under the new type instead."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from .types import tidb_type_to_spark
+
+    if d.prev.name != d.curr.name:
+        return False
+    m = table.manifest()
+    if m.get("pk_buckets", 0) > 0 and d.curr.name in m.get("pk", []):
+        return False
+    old_types = {
+        f.name: f.dataType
+        for f in T.StructType.fromJson(_json.loads(m["schema_json"])).fields
+    }
+    if d.prev.name not in old_types:
+        return False
+    try:
+        new_type = tidb_type_to_spark(d.curr.tp, d.curr.precision, d.curr.scale)
+    except Exception:
+        return False
+    return _lossless_widening(old_types[d.prev.name], new_type)
 
 
 def _evolve_metadata_only(
@@ -184,6 +237,11 @@ def _evolve_metadata_only(
             dtype = tidb_type_to_spark(d.curr.tp, d.curr.precision, d.curr.scale)
             fields.append(T.StructField(name, dtype, True))
             defaults[name] = d.curr.default
+        elif d.action == DiffAction.MODIFY:
+            # reachable only for lossless widenings (_widening_metadata_ok):
+            # the manifest takes the NEW type, reads cast old files up
+            dtype = tidb_type_to_spark(d.curr.tp, d.curr.precision, d.curr.scale)
+            fields.append(T.StructField(name, dtype, existing[name].nullable))
         else:
             fields.append(existing[name])
     # tombstone metadata-only DROPs: old version dirs still physically

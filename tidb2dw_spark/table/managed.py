@@ -564,21 +564,31 @@ class ManagedTable:
         """Project *df* to the manifest schema: prune dropped columns,
         materialize manifest columns missing from the files (added
         metadata-only) as their rendered default cast to the declared
-        type.  *keep* columns (delta-resolution metadata) survive the
-        projection, appended after the manifest columns."""
+        type, and cast columns whose physical type predates a
+        metadata-only widening MODIFY (schema.evolve only takes that path
+        for lossless widenings, so the cast cannot truncate).  *keep*
+        columns (delta-resolution metadata) survive the projection,
+        appended after the manifest columns."""
         from pyspark.sql.types import StructType
 
         cols = m.get("columns", df.columns)
-        missing = [c for c in cols if c not in df.columns]
-        if missing:
+        by_name = {}
+        if "schema_json" in m:
             schema = StructType.fromJson(json.loads(m["schema_json"]))
             by_name = {f.name: f for f in schema.fields}
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
             defaults = m.get("column_defaults", {})
             for c in missing:
                 dtype = by_name[c].dataType if c in by_name else None
                 d = defaults.get(c)
                 col = F.lit(d) if d is not None else F.lit(None)
                 df = df.withColumn(c, col.cast(dtype) if dtype is not None else col)
+        file_types = {f.name: f.dataType for f in df.schema.fields}
+        for c in cols:
+            want = by_name[c].dataType if c in by_name else None
+            if want is not None and c in file_types and file_types[c] != want:
+                df = df.withColumn(c, F.col(c).cast(want))
         return df.select(*[c for c in cols if c in df.columns], *keep)
 
     def _read_buckets(self, spark: SparkSession, m: dict, buckets) -> DataFrame:
