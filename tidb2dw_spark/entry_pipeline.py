@@ -488,6 +488,73 @@ WHERE o_orderkey % 3 = 0 AND o_orderkey % {3 * _LOOKUP_KEY_MOD} = 0
 """
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# Secondary-index lifecycle row: build on the base, merge a changelog batch
+# through the CDF, refresh the index from the feed, probe by value.
+# ---------------------------------------------------------------------------
+_INDEX_CUSTKEYS = (7, 11, 23)
+
+
+def table_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value→PK secondary index over ``o_custkey`` (a NON-key column of a
+    PK-bucketed table), maintained from the change data feed: load orders
+    into a CDF-enabled table, build the index, apply the standard fixture
+    changelog (I/U/D incl. inserted keys), refresh the index from the
+    feed alone, then answer three customer probes — each one reads ONE
+    value bucket driver-side and chains into bucket-pruned
+    ``read_for_keys``.  The oracle recomputes the merge fold relationally
+    and filters by the same customers, so a stale index entry (missed
+    removal or addition) breaks the hash."""
+    from .fixtures import CHANGELOG_SQL, TABLE_PK, register_views
+    from .operators.secondary_index import SecondaryIndex
+
+    register_views(spark, sf_dir, ["orders"])
+    base = spark.table("orders")
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_ixrow_"))
+    table = ManagedTable(wh / "orders").create(
+        base, TABLE_PK["orders"], pk_buckets=16, cdf=True
+    )
+    ix = SecondaryIndex(
+        wh / "orders_by_custkey", col="o_custkey",
+        pk_cols=TABLE_PK["orders"], n_buckets=8,
+    )
+    ix.build(spark, table)
+    table.merge(spark, spark.sql(CHANGELOG_SQL["orders"]))
+    ix.refresh(spark, table)
+    out = None
+    for ck in _INDEX_CUSTKEYS:
+        part = ix.lookup(spark, table, ck)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _index_lookup_oracle() -> str:
+    """Relational recompute of the merge fold, filtered to the probed
+    customers — identical to entry_queries._merge_oracle's fold (can't
+    import it: entry_queries imports this module)."""
+    from .fixtures import CHANGELOG_SQL, ORDERS_PAYLOAD
+
+    keys = ", ".join(str(k) for k in _INDEX_CUSTKEYS)
+    return f"""
+WITH changelog AS ({CHANGELOG_SQL["orders"]}),
+final AS (
+  SELECT * FROM changelog
+  QUALIFY row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY commit_ts DESC, flag DESC) = 1
+),
+merged AS (
+  SELECT t.* FROM orders t
+  WHERE NOT EXISTS (SELECT 1 FROM final f WHERE f.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT {ORDERS_PAYLOAD} FROM final WHERE flag <> 'D'
+)
+SELECT * FROM merged WHERE o_custkey IN ({keys})
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
@@ -496,6 +563,7 @@ QUERIES = {
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_time_travel": pipeline_time_travel,
     "table_point_lookup": table_point_lookup,
+    "table_index_lookup": table_index_lookup,
 }
 ORACLES = {
     "pipeline_changelog_replay": _fold_oracle(REPLAY_ROOT),
@@ -505,4 +573,5 @@ ORACLES = {
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,
+    "table_index_lookup": _index_lookup_oracle(),
 }

@@ -83,6 +83,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_incremental_agg": [("o_orderstatus", "str"), ("n_rows", "int"), ("total_cents", "int")],
     # commit-ordinal time travel on a bucket-pruned table (pre-DDL schema)
     "pipeline_time_travel": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_total_cents", "int")],
+    # CDF-maintained secondary index: build -> merge -> refresh -> probe
+    "table_index_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str")],
     "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     "q_local_supplier_revenue": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "q_volume_shipping": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
