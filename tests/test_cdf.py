@@ -435,3 +435,54 @@ def test_secondary_index_rejects_unportable_type(spark, tmp_path):
     t = _mk(spark, tmp_path, "t", BASE)
     with pytest.raises(ValueError, match="probe reproducibly"):
         SecondaryIndex(tmp_path / "ix", col="nope", pk_cols=["k"]).build(spark, t)
+
+
+def test_stream_changes_and_streaming_refresh(spark, tmp_path):
+    """The feed as a Structured Streaming source: an availableNow drain
+    yields exactly the manifest-gated changes() rows, and the streaming
+    refresh keeps a maintained aggregate equal to a recompute — including
+    across a second drain with new commits (file-source checkpoint picks
+    up only the new seq dirs)."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate, init_agg
+    from tidb2dw_spark.streaming.stream import stream_changes, stream_refresh_aggregate
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "b", 11), ("D", 2, 5, None, None)]))
+
+    q = (
+        stream_changes(spark, t)
+        .writeStream.format("memory")
+        .queryName("cdf_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mem"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["k"], r["_change_type"], r["val"], r["_commit_seq"])
+        for r in spark.table("cdf_stream").collect()
+    )
+    want = sorted(
+        (r["k"], r["_change_type"], r["val"], r["_commit_seq"])
+        for r in t.changes(spark).collect()
+    )
+    assert got == want
+
+    mv = MaintainedAggregate(tmp_path / "mv", ["grp"], {"total": "val"})
+    mv.refresh(spark, t)  # seed at current state
+
+    def assert_fresh():
+        got = {r["grp"]: (r["n_rows"], r["total"]) for r in mv.read(spark).collect()}
+        want = {
+            r["grp"]: (r["n_rows"], r["total"])
+            for r in init_agg(t.read(spark), ["grp"], {"total": "val"}).collect()
+        }
+        assert got == want
+
+    for ev in ([("I", 8, 6, "c", 80)], [("U", 8, 7, "a", 81)]):
+        t.merge(spark, _batch(spark, ev))
+        q = stream_refresh_aggregate(
+            spark, t, mv, checkpoint_dir=str(tmp_path / "ckpt_mv")
+        )
+        q.awaitTermination(60)
+        assert_fresh()

@@ -369,3 +369,78 @@ def lww_dedup_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Change-data-feed subscription (streaming CDF consumer)
+# ---------------------------------------------------------------------------
+def stream_changes(spark: SparkSession, table: ManagedTable) -> DataFrame:
+    """Streaming source over a CDF-enabled table's change feed: Spark's
+    file source discovers each merge commit's ``_changes/s=N`` files as
+    they appear, with its own checkpointable progress — a live
+    subscription to the table's row-level deltas.
+
+    Schema is pinned to the CURRENT manifest (+ the three feed metadata
+    columns); change files written before a metadata-only ADD surface the
+    later column as NULL (the file source fills missing columns — it
+    cannot apply per-column defaults the way ``ManagedTable.changes``
+    conforms).  The file source also trusts the filesystem rather than
+    the manifest gate, so a crashed merge's not-yet-committed directory
+    can be seen early — deterministic retries overwrite it with identical
+    content.  Consumers needing the strict manifest-gated view read
+    ``changes()``; consumers driving side effects should checkpoint by
+    ``_commit_seq`` (see :func:`stream_refresh_aggregate`, which folds
+    idempotently by seq and uses the stream only as a wake-up signal)."""
+    import json
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from ..table.managed import (
+        CHANGE_TYPE_COL,
+        COMMIT_SEQ_COL,
+        COMMIT_VERSION_COL,
+    )
+
+    m = table.manifest()
+    if not m.get("cdf"):
+        raise ValueError("change data feed not enabled on this table")
+    schema = StructType.fromJson(json.loads(m["schema_json"]))
+    for fld in (
+        StructField(CHANGE_TYPE_COL, StringType()),
+        StructField(COMMIT_SEQ_COL, IntegerType()),
+        StructField(COMMIT_VERSION_COL, IntegerType()),
+    ):
+        schema = schema.add(fld)
+    return spark.readStream.schema(schema).parquet(
+        str(table.root / "_changes" / "s=*")
+    )
+
+
+def stream_refresh_aggregate(
+    spark: SparkSession,
+    table: ManagedTable,
+    mv,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Keep a :class:`~..operators.matview.MaintainedAggregate` fresh from
+    the live feed: the change stream is the WAKE-UP SIGNAL, the refresh
+    itself folds by ``_commit_seq`` through the aggregate's own
+    checkpoint.  foreachBatch is at-least-once — applying the batch rows
+    directly would double-count on replay; ``mv.refresh`` is idempotent
+    by construction (it applies exactly ``(applied_seq, cdf_seq]``), so
+    replays and even concurrent refreshes converge."""
+
+    def wake(batch_df: DataFrame, batch_id: int) -> None:
+        mv.refresh(batch_df.sparkSession, table)
+
+    writer = (
+        stream_changes(spark, table)
+        .writeStream.foreachBatch(wake)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="12 seconds")
+    return writer.start()
