@@ -159,6 +159,23 @@ def _build_parser() -> argparse.ArgumentParser:
         "bloom filters for equality-probe file skipping (read_eq)",
     )
 
+    exp = sub.add_parser(
+        "export",
+        help="re-emit a warehouse table as a staging layout (cascade "
+        "replication: snapshot CSVs + CDC changelog from the change feed)",
+    )
+    exp.add_argument("--warehouse-dir", required=True, help="managed-table root")
+    exp.add_argument("--table", required=True, help="table dir name under the warehouse")
+    exp.add_argument("--out-dir", required=True, help="staging layout output root")
+    exp.add_argument("--schema-name", default="export", help="schema name in the emitted layout")
+    exp.add_argument(
+        "--since",
+        type=int,
+        default=None,
+        help="export changelog commits AFTER this change seq (default: "
+        "also export the snapshot and start the changelog at its seq)",
+    )
+
     return p
 
 
@@ -401,12 +418,36 @@ def _cmd_replicate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export(args: argparse.Namespace) -> int:
+    from .session import get_spark
+    from .sources.export import export_changelog, export_snapshot
+    from .table.managed import ManagedTable
+
+    spark = get_spark("tidb2dw_spark-export")
+    table = ManagedTable(Path(args.warehouse_dir) / args.table)
+    if not table.exists():
+        print("no managed table at", table.root, file=sys.stderr)
+        return 1
+    since = args.since
+    if since is None:
+        since = export_snapshot(
+            spark, table, args.out_dir, args.schema_name, args.table
+        )
+    last = export_changelog(
+        spark, table, args.out_dir, args.schema_name, args.table, since=since
+    )
+    print(json.dumps({"snapshot_seq": since, "last_exported_seq": last}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "tables":
         return _cmd_tables(args)
     if args.command == "optimize":
         return _cmd_optimize(args)
+    if args.command == "export":
+        return _cmd_export(args)
     return _cmd_replicate(args)
 
 
