@@ -72,6 +72,14 @@ BENCH_QUERIES = [
     "text_bpe_tokenize",
     "dedup_incremental_minhash",
     "sim_ivfpq_recall_eval",
+    # round 5 additions (CDF round): TPC-H shapes land in the headline;
+    # lifecycle rows (table/index builds) go under pipeline_e2e below
+    "q_priority_semijoin_counts",
+    "q_custdist",
+    "q_brand_supplier_counts",
+    "q_big_order_customers",
+    "q_min_cost_supplier",
+    "q_idle_rich_customers",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is
@@ -81,6 +89,9 @@ BENCH_QUERIES = [
 PIPELINE_QUERIES = [
     "pipeline_changelog_replay",
     "pipeline_mor_replay",
+    "pipeline_cdf_replay",
+    "pipeline_incremental_agg",
+    "table_index_lookup",
 ]
 
 

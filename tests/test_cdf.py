@@ -536,3 +536,27 @@ def test_cascade_replication_via_export(spark, tmp_path):
     export_changelog(spark, t1, stage, "tpch", "chained", since=last)
     IncrementConsumer(spark, stage / "increment", t2).poll_once()
     assert state(t2) == state(t1)
+
+
+def test_delete_where_update_where(spark, tmp_path):
+    """Engine-originated DML routes through merge: bucket-pruned commits,
+    feed rows with pre-images, MoR parity, and a PK-assignment guard."""
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.update_where(spark, F.col("grp") == "a", {"val": F.col("val") + 1})
+    assert {r["k"]: r["val"] for r in t.read(spark).collect()} == {
+        1: 11, 2: 21, 3: 30, 4: 40,
+    }
+    t.delete_where(spark, F.col("val") > 25)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
+    ch = _changes(spark, t)
+    assert (3, "delete", "b", 30, 2) in ch and (4, "delete", None, 40, 2) in ch
+    assert (1, "update_preimage", "a", 10, 1) in ch
+    with pytest.raises(ValueError, match="primary-key"):
+        t.update_where(spark, F.col("grp") == "a", {"k": F.lit(99)})
+    # MoR twin: same DML, same final state, no base rewrite
+    m = _mk(spark, tmp_path, "m", BASE, merge_mode="mor")
+    v0 = m.version()
+    m.update_where(spark, F.col("grp") == "a", {"val": F.col("val") + 1})
+    m.delete_where(spark, F.col("val") > 25)
+    assert m.version() == v0
+    assert {r["k"]: r["val"] for r in m.read(spark).collect()} == {1: 11, 2: 21}

@@ -1919,3 +1919,125 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").alias("total_bal_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered-stage progression per user
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel_counts",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+   AND e.ts <= v.t1 + INTERVAL '12 hours'
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+   AND e.ts <= c.t2 + INTERVAL '12 hours'
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT v.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage
+  FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id
+) s GROUP BY stage
+""",
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: a user advances a stage only
+    with an event STRICTLY AFTER their previous stage's first event and
+    within a 12-hour conversion window of it.
+    Each stage is one filtered scan (event_type pushed to parquet)
+    aggregated per user — partial aggs combine map-side and every join
+    key is user_id, so at scale all three stage frames share one
+    user-hash exchange layout; the stage frames are per-user (tiny
+    relative to events) and AQE broadcasts them."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), F.lit(3))
+        .when(F.col("t2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+@register(
+    "events_weekly_cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT f.cohort,
+       CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later week they were active.  Two aggregations over one events
+    lineage (first-week per user; distinct active (user, week)) joined on
+    user_id; week arithmetic is integer epoch-seconds / 604800 so both
+    engines bucket identically (both truncate weeks to Monday)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .select(
+            "cohort",
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -93,6 +93,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "q_brand_supplier_counts": [("p_brand", "str"), ("p_size", "int"), ("supplier_cnt", "int")],
     "q_big_order_customers": [("c_name", "str"), ("o_custkey", "int"), ("o_orderkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int"), ("qty_cents", "int")],
     "q_min_cost_supplier": [("p_partkey", "int"), ("p_brand", "str"), ("s_name", "str"), ("cost_cents", "int")],
+    "events_funnel_counts": [("stage", "int"), ("n_users", "int")],
+    "events_weekly_cohort_retention": [("cohort", "ts"), ("week_offset", "int"), ("n_users", "int")],
     "q_idle_rich_customers": [("c_nationkey", "int"), ("n_cust", "int"), ("total_bal_cents", "int")],
 }
 

@@ -355,6 +355,44 @@ class ManagedTable:
         self._commit(m, action="merge-mor")
         return m["version"]
 
+    # -- DML conveniences --------------------------------------------------
+    def _synthetic_batch(self, rows: DataFrame, flag: str) -> DataFrame:
+        """Wrap table-shaped *rows* in the changelog envelope so the DML
+        routes through :meth:`merge` — bucket pruning, MoR deltas, and the
+        change feed all apply identically to engine-originated DML.
+        commit_ts 0: each synthetic batch holds one event per key, and
+        last-writer-wins only orders events WITHIN a batch."""
+        from ..sources.envelope import FLAG_COL
+
+        return (
+            rows.withColumn(FLAG_COL, F.lit(flag))
+            .withColumn("tablename", F.lit(self.root.name))
+            .withColumn("schemaname", F.lit("_local"))
+            .withColumn("commit_ts", F.lit(0).cast("long"))
+        )
+
+    def delete_where(self, spark: SparkSession, pred) -> int:
+        """DELETE FROM t WHERE pred — matching rows become a 'D' changelog
+        batch applied via :meth:`merge`: only the buckets holding matches
+        rewrite (or gain deltas under MoR), and with CDF on, the deletes
+        land in the feed with their pre-images."""
+        rows = self.read(spark).filter(pred)
+        return self.merge(spark, self._synthetic_batch(rows, "D"))
+
+    def update_where(self, spark: SparkSession, pred, assignments: dict) -> int:
+        """UPDATE t SET … WHERE pred — *assignments* maps column name →
+        Column expression (evaluated against the matching rows).  Matches
+        become a 'U' batch through :meth:`merge`.  PK columns cannot be
+        assigned (that is a delete + insert, and silently rekeying rows
+        through an upsert would duplicate them)."""
+        bad = [c for c in assignments if c in self.pk_cols()]
+        if bad:
+            raise ValueError(f"cannot UPDATE primary-key column(s) {bad}")
+        rows = self.read(spark).filter(pred)
+        for c, expr in assignments.items():
+            rows = rows.withColumn(c, expr)
+        return self.merge(spark, self._synthetic_batch(rows, "U"))
+
     # -- change data feed --------------------------------------------------
     def _compute_changes(
         self,
