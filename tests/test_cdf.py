@@ -560,3 +560,62 @@ def test_delete_where_update_where(spark, tmp_path):
     m.delete_where(spark, F.col("val") > 25)
     assert m.version() == v0
     assert {r["k"]: r["val"] for r in m.read(spark).collect()} == {1: 11, 2: 21}
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    """restore(commit) re-points the manifest at the historical state as
+    a new auditable commit — no data rewrite — and the table keeps
+    merging (and feeding the CDF without seq collisions) on top."""
+    import os
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "a", 11)]))
+    after_m1 = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    t.merge(spark, _batch(spark, [("D", 3, 6, None, None), ("I", 9, 6, "c", 90)]))
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(tmp_path / "t"))
+
+    t.restore(1)  # back to the first merge's state
+    # metadata-only: only the manifest + commit log changed
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(tmp_path / "t"))
+    assert n_files_after == n_files_before
+    assert {r["k"]: r["val"] for r in t.read(spark).collect()} == after_m1
+    assert t.history()[-1]["action"] == "restore"
+
+    # merges continue from the restored state; feed seq keeps advancing
+    t.merge(spark, _batch(spark, [("U", 4, 7, None, 44)]))
+    assert t.manifest()["cdf_seq"] == 3
+    got = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {**after_m1, 4: 44}
+    # restore FORWARD to the pre-restore state works the same way
+    t.restore(2)
+    assert {r["k"]: r["val"] for r in t.read(spark).collect()} == {
+        1: 11, 2: 20, 4: 40, 9: 90,
+    }
+
+
+def test_restore_refuses_vacuumed_state(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t", BASE, buckets=2)
+    for ts in (5, 6, 7):
+        t.merge(
+            spark, _batch(spark, [("U", k, ts, g, v + ts) for k, g, v in BASE])
+        )
+    t.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        t.restore(0)
+
+
+def test_rebucket_preserves_state_and_merges(spark, tmp_path):
+    """rebucket: full rewrite under a new bucket count — state identical,
+    point lookups prune under the new layout, merges keep working."""
+    t = _mk(spark, tmp_path, "t", BASE, buckets=2)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "a", 11)]))
+    before = {r["k"]: (r["grp"], r["val"]) for r in t.read(spark).collect()}
+    t.rebucket(spark, 8)
+    assert t.manifest()["pk_buckets"] == 8
+    assert t.history()[-1]["action"] == "rebucket"
+    assert {r["k"]: (r["grp"], r["val"]) for r in t.read(spark).collect()} == before
+    keys = spark.createDataFrame([(1,), (4,)], "k long")
+    got = {r["k"] for r in t.read_for_keys(spark, keys).collect()}
+    assert got == {1, 4}
+    t.merge(spark, _batch(spark, [("I", 7, 6, "d", 70)]))
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 7}

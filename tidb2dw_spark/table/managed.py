@@ -860,6 +860,77 @@ class ManagedTable:
                 shutil.rmtree(p)
         return removed
 
+    def rebucket(self, spark: SparkSession, new_buckets: int) -> int:
+        """Change the PK bucket count — the one layout decision fixed at
+        create time.  Necessarily a full rewrite (every row's bucket
+        assignment changes), committed as one atomic version swap: readers
+        never observe a half-rebucketed table, and a crash leaves the old
+        layout live.  Run it like compaction — out-of-band of a live
+        consumer — when the table outgrows ~25 GB/bucket or shrank far
+        below it."""
+        if new_buckets <= 0:
+            raise ValueError("new_buckets must be positive")
+        m = self.manifest()
+        df = self.read(spark)
+        new_version = m["version"] + 1
+        self._write_version_data(df, new_version, m["pk"], new_buckets)
+        m["version"] = new_version
+        m["pk_buckets"] = new_buckets
+        m["bucket_versions"] = {str(b): new_version for b in range(new_buckets)}
+        if m.get("bucket_deltas") is not None:
+            m["bucket_deltas"] = {}  # read() resolved them into the rewrite
+        self._commit(m, action="rebucket")
+        return new_version
+
+    def restore(self, commit: int) -> int:
+        """ROLL BACK to ``history()[commit]`` as a NEW commit (Delta
+        RESTORE parity) — metadata-only: the manifest re-points at the
+        historical bucket_versions/schema/delta state, no data moves, and
+        the rollback is itself an auditable history entry (restoring
+        forward to the pre-restore state works the same way).  Requires
+        the referenced version directories to still exist (vacuum
+        retention, same contract as :meth:`read_at`).
+
+        The change feed does NOT emit rows for a restore (Delta parity):
+        the feed describes forward merges; consumers that must follow a
+        rollback re-seed, exactly as they would after any out-of-band
+        rewrite.  ``cdf_seq`` is preserved so post-restore merges keep
+        appending to the feed without seq collisions."""
+        h = self.history()
+        entry = h[commit]
+        if "version" not in entry:
+            raise ValueError(f"commit {commit} predates history state snapshots")
+        m2 = self._state_at(entry)
+        gone = sorted(
+            v
+            for v in {int(x) for x in m2.get("bucket_versions", {}).values()}
+            | {int(m2["version"])}
+            if not (self.root / f"v={v}").exists()
+        )
+        if gone:
+            raise ValueError(
+                f"commit {commit} references vacuumed version(s) {gone}; "
+                "cannot restore past the vacuum retention window"
+            )
+        m = self.manifest()
+        for k in self._HISTORY_STATE_KEYS:
+            if k in m2:
+                m[k] = m2[k]
+            elif k in m and k not in ("pk", "pk_buckets"):
+                del m[k]
+        # version must move FORWARD: a restore is a new commit, and reusing
+        # the old number would collide with the existing v=N directory on
+        # the next merge's v=N+1 write
+        m["version"] = self.manifest()["version"]
+        if m.get("cdf"):
+            m["cdf_seq"] = self.manifest().get("cdf_seq", 0)
+        # stats are stamped for the pre-restore version; readers ignore
+        # stale ones, but drop them to keep the manifest honest
+        m.pop("file_stats", None)
+        m.pop("bloom_stats", None)
+        self._commit(m, action="restore")
+        return m["version"]
+
     def vacuum_changes(self, keep_since: int) -> list[int]:
         """Drop change-feed directories with ``_commit_seq ≤ keep_since``
         (the consumer's checkpointed high-water mark — everything at or
