@@ -619,3 +619,19 @@ def test_rebucket_preserves_state_and_merges(spark, tmp_path):
     assert got == {1, 4}
     t.merge(spark, _batch(spark, [("I", 7, 6, "d", 70)]))
     assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 7}
+
+
+def test_count_rows_metadata_fast_path(spark, tmp_path):
+    """count_rows(): parquet-footer sum equals a real count for CoW state
+    at every stage; MoR with pending deltas resolves through the read."""
+    t = _mk(spark, tmp_path, "t", BASE, buckets=2)
+    assert t.count_rows() == 4
+    t.merge(spark, _batch(spark, [("D", 1, 5, None, None), ("I", 9, 5, "c", 90)]))
+    assert t.count_rows() == t.read(spark).count() == 4
+    m = _mk(spark, tmp_path, "m", BASE, merge_mode="mor")
+    m.merge(spark, _batch(spark, [("D", 1, 5, None, None)]))
+    with pytest.raises(ValueError, match="pending MoR"):
+        m.count_rows()
+    assert m.count_rows(spark) == 3
+    m.compact(spark, max_files_per_bucket=1000)
+    assert m.count_rows() == 3  # deltas folded: footer path exact again

@@ -154,6 +154,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "column, not just the leading one",
     )
     opt.add_argument(
+        "--rebucket",
+        type=int,
+        default=None,
+        help="rewrite each table under this PK bucket count before "
+        "compacting (the bucket-resize maintenance op)",
+    )
+    opt.add_argument(
         "--bloom-cols",
         help="comma-separated string/integer columns: collect per-file "
         "bloom filters for equality-probe file skipping (read_eq)",
@@ -220,6 +227,9 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
         if not t.exists():
             print(f"{name}: not a managed table", file=sys.stderr)
             return 1
+        rebucketed = None
+        if args.rebucket and t.manifest().get("pk_buckets", 0) != args.rebucket:
+            rebucketed = t.rebucket(spark, args.rebucket)
         compacted_to = t.compact(
             spark,
             max_files_per_bucket=args.max_files_per_bucket,
@@ -244,6 +254,8 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
         }
         if clustered is not None:
             entry["clustered_to_version"] = clustered
+        if rebucketed is not None:
+            entry["rebucketed_to_version"] = rebucketed
         report.append(entry)
     print(json.dumps(report, indent=2))
     return 0

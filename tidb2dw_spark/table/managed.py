@@ -860,6 +860,32 @@ class ManagedTable:
                 shutil.rmtree(p)
         return removed
 
+    def count_rows(self, spark: SparkSession | None = None) -> int:
+        """COUNT(*) from parquet footer metadata — a driver-side walk of
+        the live data files summing ``num_rows`` (O(files), zero Spark
+        jobs, no data bytes read): the warehouse metadata-count fast
+        path.  Exact for CoW state; MoR tables with pending deltas fall
+        back to the resolving read (delta rows carry deletes and
+        overwrites that footers cannot see) — which needs *spark*."""
+        import pyarrow.parquet as _pq
+
+        m = self.manifest()
+        if any(m.get("bucket_deltas", {}).values()):
+            if spark is None:
+                raise ValueError("pending MoR deltas: pass spark for a resolving count")
+            return self.read(spark).count()
+        n = m.get("pk_buckets", 0)
+        total = 0
+        if n > 0:
+            for b in range(n):
+                p = self.root / f"v={m['bucket_versions'][str(b)]}" / f"{BUCKET_COL}={b}"
+                for f in p.glob("*.parquet") if p.exists() else ():
+                    total += _pq.ParquetFile(str(f)).metadata.num_rows
+        else:
+            for f in (self.root / f"v={m['version']}").rglob("*.parquet"):
+                total += _pq.ParquetFile(str(f)).metadata.num_rows
+        return total
+
     def rebucket(self, spark: SparkSession, new_buckets: int) -> int:
         """Change the PK bucket count — the one layout decision fixed at
         create time.  Necessarily a full rewrite (every row's bucket
