@@ -635,3 +635,34 @@ def test_count_rows_metadata_fast_path(spark, tmp_path):
     assert m.count_rows(spark) == 3
     m.compact(spark, max_files_per_bucket=1000)
     assert m.count_rows() == 3  # deltas folded: footer path exact again
+
+
+def test_vacuumed_feed_fails_loudly_not_silently(spark, tmp_path):
+    """A consumer whose checkpoint lags vacuum_changes retention must get
+    an error, not a silent gap in the feed."""
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "a", 11)]))
+    t.merge(spark, _batch(spark, [("U", 1, 6, "a", 12)]))
+    t.vacuum_changes(keep_since=1)
+    with pytest.raises(ValueError, match="re-seed"):
+        t.changes(spark, since=0)
+    # a checkpoint at/after the retention mark still reads fine
+    assert t.changes(spark, since=1).count() == 2
+
+
+def test_mor_time_travel_refuses_vacuumed_deltas(spark, tmp_path):
+    """read_at/restore of a MoR commit whose pending deltas were folded
+    and vacuumed must refuse — a silent skip would read rows as never
+    merged."""
+    m = _mk(spark, tmp_path, "m", BASE, merge_mode="mor")
+    m.merge(spark, _batch(spark, [("U", 1, 5, "a", 11)]))
+    # the delta-bearing commit is readable while its delta files live
+    assert {r["k"]: r["val"] for r in m.read_at(spark, 1).collect()}[1] == 11
+    m.compact(spark, max_files_per_bucket=1000)
+    m.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="delta seq"):
+        m.read_at(spark, 1).count()
+    with pytest.raises(ValueError, match="delta seq"):
+        m.restore(1)
+    # current state unaffected
+    assert {r["k"]: r["val"] for r in m.read(spark).collect()}[1] == 11

@@ -505,6 +505,11 @@ class ManagedTable:
         files written before a metadata-only ADD materialize the later
         column as its rendered default, exactly like the base read path —
         plus ``_change_type`` / ``_commit_seq`` / ``_commit_version``.
+        (Caveat shared with the base path's by-name conformance: across a
+        rewrite-path RENAME, pre-rename change files surface the renamed
+        column as its default — by-name layouts cannot follow a rename
+        without field IDs; consumers needing rename continuity re-seed at
+        the DDL, which the reference's warehouses require too.)
         Commits sharing a physical schema (the common case — DDL barriers
         are rare relative to merges) group into ONE multi-path scan, so a
         long catch-up read plans #distinct-schemas scan nodes, not
@@ -525,7 +530,14 @@ class ManagedTable:
         for s in range(since + 1, hi + 1):
             p = self.root / "_changes" / f"s={s}"
             if not p.exists():
-                continue
+                # every committed seq leaves a directory (even a zero-row
+                # commit writes _SUCCESS), so absence means vacuum_changes
+                # collected it: a consumer whose checkpoint lags the
+                # retention window must re-seed, not silently skip changes
+                raise ValueError(
+                    f"change seq {s} was vacuumed (retention passed this "
+                    "consumer's checkpoint); re-seed the downstream state"
+                )
             files = sorted(p.glob("*.parquet"))
             if not files:  # zero-row commit may write only _SUCCESS
                 continue
@@ -787,9 +799,26 @@ class ManagedTable:
                 for v in {int(x) for x in m2["bucket_versions"].values()}
                 if not (self.root / f"v={v}").exists()
             )
-            if gone:
+            # MoR: the commit's pending delta files are part of its state —
+            # a compacted+vacuumed seq silently missing would read as rows
+            # never having been merged (deltas carry deletes/overwrites)
+            gone_deltas = sorted(
+                s
+                for s in {
+                    s
+                    for seqs in m2.get("bucket_deltas", {}).values()
+                    for s in seqs
+                }
+                if not (self.root / "delta" / f"seq={s}").exists()
+            )
+            if gone or gone_deltas:
+                what = []
+                if gone:
+                    what.append(f"version(s) {gone}")
+                if gone_deltas:
+                    what.append(f"delta seq(s) {gone_deltas}")
                 raise ValueError(
-                    f"commit {commit} references vacuumed version(s) {gone}; "
+                    f"commit {commit} references vacuumed {' and '.join(what)}; "
                     "raise vacuum(keep_last=…) to retain deeper time travel"
                 )
             df = self._read_buckets(spark, m2, range(n))
@@ -933,10 +962,18 @@ class ManagedTable:
             | {int(m2["version"])}
             if not (self.root / f"v={v}").exists()
         )
-        if gone:
+        gone_deltas = sorted(
+            s
+            for s in {
+                s for seqs in m2.get("bucket_deltas", {}).values() for s in seqs
+            }
+            if not (self.root / "delta" / f"seq={s}").exists()
+        )
+        if gone or gone_deltas:
             raise ValueError(
-                f"commit {commit} references vacuumed version(s) {gone}; "
-                "cannot restore past the vacuum retention window"
+                f"commit {commit} references vacuumed version(s) {gone} / "
+                f"delta seq(s) {gone_deltas}; cannot restore past the "
+                "vacuum retention window"
             )
         m = self.manifest()
         for k in self._HISTORY_STATE_KEYS:
