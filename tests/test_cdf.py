@@ -666,3 +666,102 @@ def test_mor_time_travel_refuses_vacuumed_deltas(spark, tmp_path):
         m.restore(1)
     # current state unaffected
     assert {r["k"]: r["val"] for r in m.read(spark).collect()}[1] == 11
+
+
+def test_restore_plain_table_restores_data(spark, tmp_path):
+    """Plain tables roll back through the data_version pointer — restore
+    must move the DATA, not just the schema manifest."""
+    t = _mk(spark, tmp_path, "t", BASE, buckets=0)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "a", 11), ("D", 2, 5, None, None)]))
+    after_m1 = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    t.merge(spark, _batch(spark, [("I", 9, 6, "c", 90)]))
+    t.restore(1)
+    assert {r["k"]: r["val"] for r in t.read(spark).collect()} == after_m1
+    # and vacuum must protect the restored-to data dir
+    t.vacuum(keep_last=1)
+    assert {r["k"]: r["val"] for r in t.read(spark).collect()} == after_m1
+    # merging on top continues from the restored state
+    t.merge(spark, _batch(spark, [("U", 3, 7, "b", 33)]))
+    assert {r["k"]: r["val"] for r in t.read(spark).collect()} == {
+        **after_m1, 3: 33,
+    }
+
+
+def test_read_current_version_explicitly_is_full_table(spark, tmp_path):
+    """read(version=current) on a bucketed table must equal read(): the
+    raw v=N dir holds only the buckets the last commit rewrote."""
+    t = _mk(spark, tmp_path, "t", BASE, buckets=4)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "a", 11)]))  # touches 1 bucket
+    full = {r["k"] for r in t.read(spark).collect()}
+    assert {r["k"] for r in t.read(spark, version=t.version()).collect()} == full
+    assert len(full) == 4
+
+
+def test_changes_across_widening_modify(spark, tmp_path):
+    """Feed commits straddling a metadata-only int→bigint widening have
+    same-named, differently-typed files — the grouped read must not merge
+    them into one scan (parquet type conversion would fail)."""
+    import json as _json
+
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, qty int"),
+        ["k"], pk_buckets=2, cdf=True,
+    )
+    env = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, qty int"
+    )
+    t.merge(spark, spark.createDataFrame([("U", "t", "s", 5, 1, 11)], env))
+    v1 = [
+        TableCol(id="1", name="k", tp="bigint", is_pk="true"),
+        TableCol(id="2", name="qty", tp="int"),
+    ]
+    v2 = [v1[0], TableCol(id="4", name="qty", tp="bigint")]
+    apply_column_diffs(spark, t, diff_columns(v1, v2))
+    env2 = env.replace("qty int", "qty long")
+    t.merge(
+        spark,
+        spark.createDataFrame([("U", "t", "s", 6, 2, 9_999_999_999)], env2),
+    )
+    rows = sorted(
+        (r["k"], r["qty"], r["_change_type"], r["_commit_seq"])
+        for r in t.changes(spark).collect()
+    )
+    assert (2, 9_999_999_999, "update_postimage", 2) in rows
+    assert (1, 11, "update_postimage", 1) in rows
+    assert all(isinstance(q, int) for _, q, _, _ in rows)
+
+
+def test_secondary_index_meta_is_authoritative(spark, tmp_path):
+    """A reconstructed index object adopts the persisted n_buckets (a
+    different constructor value would silently mis-hash probes) and a
+    col/pk mismatch is an error."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=8).build(spark, t)
+    # wrong constructor bucket count: adopted from disk, lookups stay right
+    ix = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=32)
+    got = sorted(r["k"] for r in ix.lookup(spark, t, "a").collect())
+    assert got == [1, 2]
+    assert ix.n_buckets == 8
+    with pytest.raises(ValueError, match="is over"):
+        SecondaryIndex(tmp_path / "ix", col="val", pk_cols=["k"]).lookup_pks(spark, 1)
+
+
+def test_update_where_swap_uses_preimage(spark, tmp_path):
+    """SQL UPDATE semantics: all SET expressions read the PRE-update row,
+    so swapping two columns must actually swap."""
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame([(1, 10, 100)], "k long, a long, b long"),
+        ["k"], pk_buckets=2,
+    )
+    t.update_where(spark, F.col("k") == 1, {"a": F.col("b"), "b": F.col("a")})
+    row = t.read(spark).collect()[0]
+    assert (row["a"], row["b"]) == (100, 10)

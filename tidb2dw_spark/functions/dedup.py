@@ -52,6 +52,16 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def md5_long_py(value, hex_digits: int = 15) -> int:
+    """Driver-side twin of :func:`md5_long` over ``str(value)`` — THE one
+    copy of the first-N-md5-hex-digits idiom (bloom probes and
+    secondary-index bucket hashing both depend on it staying bit-identical
+    to the Spark expression)."""
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:hex_digits], 16)
+
+
 def md5_long(col: Column, hex_digits: int = 15) -> Column:
     """First *hex_digits* of md5 as a non-negative int (≤60 bits)."""
     return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("long")

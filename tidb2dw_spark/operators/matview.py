@@ -163,15 +163,25 @@ class MaintainedAggregate:
         nothing new."""
         import shutil
 
-        src_seq = source.manifest().get("cdf_seq", 0)
+        # ONE manifest read pins both the seed's data and its cdf_seq: a
+        # merge landing between "read seq" and "read table" would bake its
+        # effects into the seed yet replay through the feed on the next
+        # refresh — and ± delta folding, unlike the table's merge, is not
+        # idempotent under double-application
+        src_m = source.manifest()
+        src_seq = src_m.get("cdf_seq", 0)
         if not self.exists():
-            seed = init_agg(source.read(spark), self.group_cols, self.sum_cols)
+            seed = init_agg(
+                source._read_state(spark, src_m), self.group_cols, self.sum_cols
+            )
             self._commit(seed, 1, src_seq)
             return src_seq
         m = self.meta()
         since = m["applied_seq"]
         if src_seq <= since:
             return since
+        # (src_seq from the same pinned manifest bounds the slice, so a
+        # concurrent merge is simply picked up by the NEXT refresh)
         updated = apply_changes_to_agg(
             self.read(spark),
             source.changes(spark, since=since, until=src_seq),

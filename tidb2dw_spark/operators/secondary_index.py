@@ -34,7 +34,6 @@ overwritten on retry.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -45,7 +44,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.dedup import md5_long
+from ..functions.dedup import md5_long, md5_long_py
 from ..table.managed import CHANGE_TYPE_COL, ManagedTable
 
 VAL_BUCKET_COL = "__vb"
@@ -70,6 +69,21 @@ class SecondaryIndex:
     def meta(self) -> dict:
         return json.loads(self._meta_path().read_text())
 
+    def _load_meta(self) -> dict:
+        """Read persisted meta AND reconcile it with the constructor: the
+        stored (col, pk, n_buckets) are authoritative — a reconstructed
+        object with a different n_buckets would mis-hash every probe and
+        silently return empty lookups, so n_buckets is adopted from disk
+        and a col/pk mismatch (a genuinely different index) is an error."""
+        m = self.meta()
+        if m["col"] != self.col or m["pk"] != self.pk_cols:
+            raise ValueError(
+                f"index at {self.root} is over ({m['col']!r}, pk={m['pk']}), "
+                f"not ({self.col!r}, pk={self.pk_cols})"
+            )
+        self.n_buckets = m["n_buckets"]
+        return m
+
     def _commit(self, meta: dict) -> None:
         self.root.mkdir(parents=True, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
@@ -84,11 +98,9 @@ class SecondaryIndex:
         )
 
     def _bucket_of(self, value) -> int:
-        """Driver-side twin of :meth:`_bucket_col` — first 15 md5 hex
-        digits as an int, mod n (identical for the string/int types the
-        index admits)."""
-        h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
-        return h % self.n_buckets
+        """Driver-side twin of :meth:`_bucket_col` (shared md5_long_py —
+        identical for the string/int types the index admits)."""
+        return md5_long_py(value) % self.n_buckets
 
     def _entries(self, df: DataFrame) -> DataFrame:
         return df.filter(F.col(self.col).isNotNull()).select(
@@ -100,8 +112,14 @@ class SecondaryIndex:
         """Full scan of the base table → every value bucket written;
         records the source's current cdf_seq so refresh() starts exactly
         after the state this build saw."""
-        src_seq = source.manifest().get("cdf_seq", 0)
-        dtypes = dict(source.read(spark).dtypes)
+        # one manifest read pins the scanned data AND the recorded seq (a
+        # merge landing in between would otherwise be both in the build
+        # and replayed by the first refresh), and one DataFrame serves the
+        # type check and the scan
+        src_m = source.manifest()
+        src_seq = src_m.get("cdf_seq", 0)
+        df = source._read_state(spark, src_m)
+        dtypes = dict(df.dtypes)
         if dtypes.get(self.col) not in (
             "string", "int", "bigint", "smallint", "tinyint", "long",
         ):
@@ -109,9 +127,7 @@ class SecondaryIndex:
                 f"indexed column {self.col!r} has type {dtypes.get(self.col)}; "
                 "only string/integer columns probe reproducibly driver-side"
             )
-        out = self._entries(source.read(spark)).withColumn(
-            VAL_BUCKET_COL, self._bucket_col()
-        )
+        out = self._entries(df).withColumn(VAL_BUCKET_COL, self._bucket_col())
         out.write.mode("overwrite").partitionBy(VAL_BUCKET_COL).parquet(
             str(self.root / "v=1")
         )
@@ -138,7 +154,7 @@ class SecondaryIndex:
     def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
         """Fold the feed slice (applied_seq, cdf_seq]: rewrite only the
         value buckets that gained or lost entries."""
-        m = self.meta()
+        m = self._load_meta()
         since, src_seq = m["applied_seq"], source.manifest().get("cdf_seq", 0)
         if src_seq <= since:
             return since
@@ -189,7 +205,7 @@ class SecondaryIndex:
     def lookup_pks(self, spark: SparkSession, value) -> DataFrame:
         """PKs whose indexed column equals *value*: reads ONE value bucket
         (driver-side hash — no Spark job to locate it)."""
-        m = self.meta()
+        m = self._load_meta()
         b = self._bucket_of(value)
         base = self._read_buckets(spark, m, [b])
         if base is None:

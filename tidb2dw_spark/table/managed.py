@@ -78,9 +78,9 @@ class ManagedTable:
     # reconstruct the table's READ state as of that commit (time travel),
     # excluding the potentially-large stats blocks (file_stats/bloom_stats)
     _HISTORY_STATE_KEYS = (
-        "version", "pk", "pk_buckets", "columns", "schema_json",
-        "column_defaults", "bucket_versions", "bucket_deltas",
-        "delta_seq", "merge_mode",
+        "version", "data_version", "pk", "pk_buckets", "columns",
+        "schema_json", "column_defaults", "bucket_versions",
+        "bucket_deltas", "delta_seq", "merge_mode",
     )
 
     def _commit(self, manifest: dict, action: str = "commit") -> None:
@@ -177,6 +177,8 @@ class ManagedTable:
         }
         if pk_buckets > 0:
             manifest["bucket_versions"] = {str(b): 1 for b in range(pk_buckets)}
+        else:
+            manifest["data_version"] = 1
         if merge_mode != "cow":
             manifest["merge_mode"] = merge_mode
             manifest["delta_seq"] = 0
@@ -207,6 +209,10 @@ class ManagedTable:
             m["bucket_versions"] = {
                 str(b): new_version for b in range(m["pk_buckets"])
             }
+        else:
+            # plain tables resolve data through this pointer (version is
+            # the commit counter; restore() re-points data_version only)
+            m["data_version"] = new_version
         if new_columns is not None:
             m["columns"] = new_columns
         m["schema_json"] = (
@@ -389,8 +395,16 @@ class ManagedTable:
         if bad:
             raise ValueError(f"cannot UPDATE primary-key column(s) {bad}")
         rows = self.read(spark).filter(pred)
-        for c, expr in assignments.items():
-            rows = rows.withColumn(c, expr)
+        # ONE select, not chained withColumn: SQL UPDATE evaluates every
+        # SET expression against the PRE-update row, so SET a=b, b=a must
+        # swap — sequential withColumn would make the second assignment
+        # see the first's output
+        rows = rows.select(
+            *[
+                (assignments[c].alias(c) if c in assignments else F.col(c))
+                for c in rows.columns
+            ]
+        )
         return self.merge(spark, self._synthetic_batch(rows, "U"))
 
     # -- change data feed --------------------------------------------------
@@ -541,7 +555,12 @@ class ManagedTable:
             files = sorted(p.glob("*.parquet"))
             if not files:  # zero-row commit may write only _SUCCESS
                 continue
-            sig = tuple(_pq.read_schema(str(files[0])).names)
+            # signature = names AND physical types: commits straddling a
+            # metadata-only widening MODIFY share column names but store
+            # INT32 vs INT64 — one multi-path scan over both would fail
+            # the parquet type conversion
+            sch = _pq.read_schema(str(files[0]))
+            sig = tuple(f"{f.name}:{f.type}" for f in sch)
             by_schema.setdefault(sig, []).append(str(p))
         parts = [
             self._conform(
@@ -823,15 +842,40 @@ class ManagedTable:
                 )
             df = self._read_buckets(spark, m2, range(n))
         else:
-            df = spark.read.parquet(str(self.root / f"v={m2['version']}"))
+            df = spark.read.parquet(
+                str(self.root / f"v={m2.get('data_version', m2['version'])}")
+            )
             if BUCKET_COL in df.columns:
                 df = df.drop(BUCKET_COL)
         return self._conform(spark, df, m2)
 
+    def _read_state(self, spark: SparkSession, m: dict) -> DataFrame:
+        """Read the table as described by a GIVEN manifest dict — the
+        single source of truth for what "the table's data" means.  Having
+        a pinned-manifest read lets callers (seeding a maintained
+        aggregate, read_at) work against one consistent snapshot instead
+        of re-reading the manifest mid-plan.  Plain tables resolve their
+        data through ``data_version`` (which `restore` re-points without
+        moving data); bucketed tables through ``bucket_versions``."""
+        n_buckets = m.get("pk_buckets", 0)
+        if n_buckets > 0:
+            df = self._read_buckets(spark, m, range(n_buckets))
+        else:
+            v = m.get("data_version", m["version"])
+            df = spark.read.parquet(str(self.root / f"v={v}"))
+            if BUCKET_COL in df.columns:
+                df = df.drop(BUCKET_COL)
+        return self._conform(spark, df, m)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest()
         n_buckets = m.get("pk_buckets", 0)
-        if version is not None and version != m["version"] and n_buckets > 0:
+        if version is None or version == m["version"]:
+            # current state (version == current must NOT read the raw v=N
+            # dir: on a bucketed table that dir holds only the buckets the
+            # last commit rewrote)
+            return self._read_state(spark, m)
+        if n_buckets > 0:
             # bucketed time travel: v=N is partial by design (only the
             # buckets N rewrote); resolve through the LAST commit at that
             # version, whose bucket_versions map is the complete state
@@ -844,13 +888,9 @@ class ManagedTable:
                 f"no commit-log state for version {version}; bucketed "
                 "time travel needs a history entry with bucket_versions"
             )
-        if n_buckets > 0 and version is None:
-            df = self._read_buckets(spark, m, range(n_buckets))
-        else:
-            v = version if version is not None else m["version"]
-            df = spark.read.parquet(str(self.root / f"v={v}"))
-            if BUCKET_COL in df.columns:
-                df = df.drop(BUCKET_COL)
+        df = spark.read.parquet(str(self.root / f"v={version}"))
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
         return self._conform(spark, df, m)
 
     # -- maintenance ------------------------------------------------------
@@ -869,11 +909,15 @@ class ManagedTable:
         m = self.manifest()
         current = m["version"]
         referenced = {int(v) for v in m.get("bucket_versions", {}).values()}
+        if "data_version" in m:
+            referenced.add(int(m["data_version"]))
         for e in self.history():
             if e.get("version", 0) > current - keep_last:
                 referenced |= {
                     int(v) for v in e.get("bucket_versions", {}).values()
                 }
+                if "data_version" in e:
+                    referenced.add(int(e["data_version"]))
         removed = []
         for p in sorted(self.root.glob("v=*")):
             v = int(p.name.split("=", 1)[1])
@@ -911,7 +955,8 @@ class ManagedTable:
                 for f in p.glob("*.parquet") if p.exists() else ():
                     total += _pq.ParquetFile(str(f)).metadata.num_rows
         else:
-            for f in (self.root / f"v={m['version']}").rglob("*.parquet"):
+            vdir = self.root / f"v={m.get('data_version', m['version'])}"
+            for f in vdir.rglob("*.parquet"):
                 total += _pq.ParquetFile(str(f)).metadata.num_rows
         return total
 
@@ -959,7 +1004,7 @@ class ManagedTable:
         gone = sorted(
             v
             for v in {int(x) for x in m2.get("bucket_versions", {}).values()}
-            | {int(m2["version"])}
+            | {int(m2.get("data_version", m2["version"]))}
             if not (self.root / f"v={v}").exists()
         )
         gone_deltas = sorted(
@@ -983,8 +1028,13 @@ class ManagedTable:
                 del m[k]
         # version must move FORWARD: a restore is a new commit, and reusing
         # the old number would collide with the existing v=N directory on
-        # the next merge's v=N+1 write
+        # the next merge's v=N+1 write.  The DATA pointers roll back:
+        # bucket_versions (copied above) for bucketed tables, data_version
+        # for plain ones (entries predating the pointer fall back to their
+        # commit version — which was the data version then)
         m["version"] = self.manifest()["version"]
+        if m.get("pk_buckets", 0) == 0:
+            m["data_version"] = m2.get("data_version", m2["version"])
         if m.get("cdf"):
             m["cdf_seq"] = self.manifest().get("cdf_seq", 0)
         # stats are stamped for the pre-restore version; readers ignore
@@ -1033,7 +1083,7 @@ class ManagedTable:
         m = self.manifest()
         n = m.get("pk_buckets", 0)
         if n <= 0:
-            vdir = self.root / f"v={m['version']}"
+            vdir = self.root / f"v={m.get('data_version', m['version'])}"
             files = list(vdir.rglob("*.parquet"))
             if len(files) <= max_files_per_bucket:
                 return None
@@ -1097,7 +1147,7 @@ class ManagedTable:
             raise ValueError("cluster_by applies to plain tables; bucketed "
                              "tables are PK-hash-clustered (read_for_keys)")
         df = self.read(spark)
-        vdir = self.root / f"v={m['version']}"
+        vdir = self.root / f"v={m.get('data_version', m['version'])}"
         total = sum(p.stat().st_size for p in vdir.rglob("*.parquet")) or 1
         n_out = int(max(1, -(-total // target_bytes)))
         if zorder and len(cols) > 1:
@@ -1213,14 +1263,15 @@ class ManagedTable:
         if m.get("pk_buckets", 0) > 0:
             raise ValueError("bloom stats apply to plain tables; bucketed "
                              "tables prune by PK hash (read_for_keys)")
-        dtypes = dict(self.read(spark).dtypes)
+        base = self.read(spark)
+        dtypes = dict(base.dtypes)
         for c in cols:
             if dtypes[c] not in ("string", "int", "bigint", "smallint", "tinyint", "long"):
                 raise ValueError(
                     f"bloom column {c!r} has type {dtypes[c]}; only "
                     "string/integer columns probe reproducibly"
                 )
-        df = self.read(spark).withColumn("__f", F.input_file_name())
+        df = base.withColumn("__f", F.input_file_name())
         aggs = []
         for c in cols:
             s = F.col(c).cast("string")
@@ -1251,7 +1302,8 @@ class ManagedTable:
         """Files whose bloom possibly contains *value* for *col*, or None
         when the stats cannot prune."""
         import base64
-        import hashlib
+
+        from ..functions.dedup import md5_long_py
 
         stats = m.get("bloom_stats")
         if (
@@ -1263,13 +1315,10 @@ class ManagedTable:
             return None
         m_bits = stats["m_bits"]
         sv = str(value)
-        # the Python twin of md5_long(cast(col as string)): first 15 md5
-        # hex digits as an int — identical for the string/int types
-        # analyze_bloom admits
-        h1 = int(hashlib.md5(sv.encode()).hexdigest()[:15], 16) % m_bits
-        h2 = int(
-            hashlib.md5((self._BLOOM_SALT + sv).encode()).hexdigest()[:15], 16
-        ) % m_bits
+        # shared driver-side twin of md5_long(cast(col as string)) —
+        # identical for the string/int types analyze_bloom admits
+        h1 = md5_long_py(sv) % m_bits
+        h2 = md5_long_py(self._BLOOM_SALT + sv) % m_bits
         keep = []
         for f, per_col in stats["files"].items():
             bits = base64.b64decode(per_col[col])
