@@ -737,6 +737,77 @@ def test_changes_across_widening_modify(spark, tmp_path):
     assert all(isinstance(q, int) for _, q, _, _ in rows)
 
 
+def test_rebucket_plain_table_unpins_data_version(spark, tmp_path):
+    """rebucket() on a previously-PLAIN table drops the stale
+    data_version key: bucketed tables resolve data through
+    bucket_versions only, and vacuum() unconditionally pins data_version
+    into the referenced set — without the pop, the old full-copy v=
+    directory would never be collectable."""
+    t = _mk(spark, tmp_path, "t", BASE, buckets=0)
+    assert "data_version" in t.manifest()
+    t.rebucket(spark, 4)
+    m = t.manifest()
+    assert "data_version" not in m
+    assert m["pk_buckets"] == 4
+    # the old plain v=1 directory is now unreferenced outside the
+    # retention window and collectable
+    t.merge(spark, _batch(spark, [("I", 9, 5, "c", 90)]))
+    removed = t.vacuum(keep_last=1)
+    assert 1 in removed
+    assert sorted((r["k"], r["grp"]) for r in t.read(spark).collect()) == sorted(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None), (9, "c")]
+    )
+
+
+def test_secondary_index_refresh_spanning_multiple_commits(spark, tmp_path):
+    """ONE refresh over a slice where a PK's indexed value changes more
+    than once must not leave stale intermediate entries: commit 1 inserts
+    value 'c', commit 2 moves it c→'x', commit 3 moves it x→'b' — the
+    (c, pk) and (x, pk) additions from the earlier commits must be dead
+    after the single spanning refresh (regression: the pairwise fold
+    anti-joined removals against the pre-refresh base only, so
+    intermediate additions survived the union and lookup served rows
+    whose current value no longer matched the probe)."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    ix = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=4)
+    ix.build(spark, t)
+    t.merge(spark, _batch(spark, [("I", 9, 5, "c", 90)]))
+    t.merge(spark, _batch(spark, [("U", 9, 6, "x", 91)]))
+    t.merge(spark, _batch(spark, [("U", 9, 7, "b", 92)]))
+    # also: a pre-existing key deleted after an intermediate move
+    t.merge(spark, _batch(spark, [("U", 1, 8, "q", 11)]))
+    t.merge(spark, _batch(spark, [("D", 1, 9, None, None)]))
+    assert ix.refresh(spark, t) == t.manifest()["cdf_seq"]
+    for probe in ("a", "b", "c", "x", "q"):
+        got = sorted(r["k"] for r in ix.lookup(spark, t, probe).collect())
+        want = sorted(
+            r["k"] for r in t.read(spark).filter(F.col("grp") == probe).collect()
+        )
+        assert got == want, (probe, got, want)
+    # and the index itself carries no stale entries (not masked by the
+    # defensive lookup filter): probe the raw PK sets
+    assert sorted(r["k"] for r in ix.lookup_pks(spark, "c").collect()) == []
+    assert sorted(r["k"] for r in ix.lookup_pks(spark, "x").collect()) == []
+    assert sorted(r["k"] for r in ix.lookup_pks(spark, "q").collect()) == []
+    assert 9 in {r["k"] for r in ix.lookup_pks(spark, "b").collect()}
+
+
+def test_secondary_index_lookup_reverifies_against_base(spark, tmp_path):
+    """A STALE index (base merged, refresh not yet run) must surface a
+    probe on the old value as a miss, not as a row whose current value
+    differs from the probe: lookup() re-filters the base read."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    ix = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=4)
+    ix.build(spark, t)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "moved", 11)]))  # a→moved, no refresh
+    got = [r["k"] for r in ix.lookup(spark, t, "a").collect()]
+    assert 1 not in got  # k=1's current value is 'moved', not 'a'
+
+
 def test_secondary_index_meta_is_authoritative(spark, tmp_path):
     """A reconstructed index object adopts the persisted n_buckets (a
     different constructor value would silently mis-hash probes) and a

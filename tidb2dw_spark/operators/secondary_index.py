@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import md5_long, md5_long_py
-from ..table.managed import CHANGE_TYPE_COL, ManagedTable
+from ..table.managed import CHANGE_TYPE_COL, COMMIT_SEQ_COL, ManagedTable
 
 VAL_BUCKET_COL = "__vb"
 _ADD_TYPES = ("insert", "update_postimage")
@@ -159,8 +159,30 @@ class SecondaryIndex:
         if src_seq <= since:
             return since
         ch = source.changes(spark, since=since, until=src_seq)
-        removals = self._entries(ch.filter(F.col(CHANGE_TYPE_COL).isin(*_REMOVE_TYPES)))
-        additions = self._entries(ch.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES)))
+        # Collapse the slice to each PK's NET effect before folding.  A
+        # naive pairwise fold (preimages remove, postimages add) is wrong
+        # the moment a PK's indexed value changes more than once inside
+        # the slice: commit 1 inserts value A, commit 2 updates A→B — the
+        # commit-1 addition (A, pk) would survive the union even though
+        # commit 2's preimage removed it, leaving a stale entry that
+        # lookup(A) would serve forever.  Instead: every (value, pk) seen
+        # ANYWHERE in the slice is a removal candidate, and only the
+        # final image per PK (window by pk, last commit wins; within a
+        # commit the postimage outranks its preimage) is re-added —
+        # intermediate states never touch the index.
+        from pyspark.sql import Window
+
+        removals = self._entries(ch)
+        w = Window.partitionBy(*self.pk_cols).orderBy(
+            F.desc(COMMIT_SEQ_COL),
+            F.desc(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES).cast("int")),
+        )
+        final = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        additions = self._entries(final.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES)))
         delta = removals.unionByName(additions)
         touched = sorted(
             r["b"]
@@ -221,4 +243,7 @@ class SecondaryIndex:
         pks = self.lookup_pks(spark, value)
         if not pks.columns:
             return source.read(spark).limit(0)
-        return source.read_for_keys(spark, pks)
+        # re-verify against the base row: index maintenance races (a
+        # refresh lagging the base's cdf_seq) must surface as a MISS, not
+        # as a row whose current value no longer matches the probe
+        return source.read_for_keys(spark, pks).filter(F.col(self.col) == value)

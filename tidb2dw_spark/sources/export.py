@@ -103,8 +103,15 @@ def export_snapshot(
     return the change seq it represents (pass it as ``since`` to
     :func:`export_changelog` for a consistent chain)."""
     out = Path(out_root) / "snapshot" / f"{schema_name}.{table_name}.000000001.csv"
+    # ONE pinned manifest serves both the snapshot read and the returned
+    # seq (the same pattern as MaintainedAggregate.refresh): reading via
+    # table.read() would re-read the manifest, so a merge landing between
+    # the two would bake its rows into the snapshot while the returned seq
+    # causes those changes to be re-exported — idempotent for the chained
+    # table's LWW fold, but double-applied into any ± aggregate fed from
+    # the exported changelog
     m = table.manifest()
-    write_snapshot_csv(table.read(spark).select(*m["columns"]), str(out))
+    write_snapshot_csv(table._read_state(spark, m).select(*m["columns"]), str(out))
     return m.get("cdf_seq", 0)
 
 

@@ -384,7 +384,15 @@ def stream_changes(spark: SparkSession, table: ManagedTable) -> DataFrame:
     columns); change files written before a metadata-only ADD surface the
     later column as NULL (the file source fills missing columns — it
     cannot apply per-column defaults the way ``ManagedTable.changes``
-    conforms).  The file source also trusts the filesystem rather than
+    conforms).  A metadata-only WIDENING MODIFY is harder: older change
+    files physically store the narrower type (e.g. INT32 under a declared
+    LONG), and a single file-source scan pinned to the widened schema
+    fails parquet type conversion on them — ``changes()`` groups commits
+    by physical footer schema for exactly this reason, but a streaming
+    source cannot.  Like a rewrite-path RENAME, a widening DDL therefore
+    requires restarting the stream with a fresh checkpoint positioned
+    after the DDL (re-seed downstream state from ``changes()``, whose
+    per-schema scan groups span the barrier correctly).  The file source also trusts the filesystem rather than
     the manifest gate, so a crashed merge's not-yet-committed directory
     can be seen early — deterministic retries overwrite it with identical
     content.  Consumers needing the strict manifest-gated view read

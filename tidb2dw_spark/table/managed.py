@@ -979,6 +979,10 @@ class ManagedTable:
         m["bucket_versions"] = {str(b): new_version for b in range(new_buckets)}
         if m.get("bucket_deltas") is not None:
             m["bucket_deltas"] = {}  # read() resolved them into the rewrite
+        # a previously-plain table resolves data through bucket_versions
+        # from here on; a stale data_version key would pin the old full-
+        # copy v= directory in vacuum()'s referenced set forever
+        m.pop("data_version", None)
         self._commit(m, action="rebucket")
         return new_version
 
