@@ -564,6 +564,34 @@ def test_lsh_blocked_near_dup_finds_planted_pairs(spark):
     assert blocked <= exact           # verify step is exact → precision 1
 
 
+def test_exact_near_dup_arrow_kernel_matches_expression_path(spark, sf_dir):
+    """The demoted exact all-pairs kernels stay cross-checked here at
+    sf0.001 (they are deliberately NOT driver-registered — both
+    materialize the pair space / collect the corpus matrix, the scale-
+    killer shape the LSH-blocked registered rows replace): the Arrow tile
+    matmul must produce bit-identical (id_a, id_b, qcos) to the
+    expression-path BNLJ on the real embeddings table."""
+    from tidb2dw_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = 0.35
+    expr = {
+        (r["id_a"], r["id_b"]): r["qcos"]
+        for r in embedding_near_dup_pairs(emb, threshold=t).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): r["qcos"]
+        for r in embedding_near_dup_pairs_arrow(emb, threshold=t).collect()
+    }
+    assert expr.keys() == arrow.keys()
+    assert len(expr) > 0
+    for k, v in expr.items():
+        assert arrow[k] == v  # identical int64 dots + single IEEE divide
+
+
 def test_lsh_near_dup_multi_table_amplifies_recall(spark):
     """Independent plane sets can only ADD discoveries: the T-table result
     contains every single-table result (per plane set) and stays a subset

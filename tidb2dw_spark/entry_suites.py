@@ -100,8 +100,9 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the
 # driver surface with argued equivalence, now driver-visible per-member,
-# plus the exact near-dup kernel (demoted from a standalone row when the
-# LSH-blocked path took over as the registered near-dup operator) and the
+# plus the high-recall (3-table) LSH-blocked near-dup variant (the exact
+# all-pairs kernels are pytest-only sf0.001 cross-checks — no registered
+# row collects the corpus) and the
 # round-4 product-quantization family (raw PQ + residual IVF-PQ).  The
 # two float-path members (float cosine top-k, LSH bucketed top-k) are
 # membership-checked on (query_id, neighbor_id): their id sets are stable

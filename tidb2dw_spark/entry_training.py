@@ -42,8 +42,6 @@ from .functions.multimodal import (
 from .functions.similarity import (
     brute_force_topk,
     build_ivf_index,
-    embedding_near_dup_pairs,
-    embedding_near_dup_pairs_arrow,
     ivf_index_topk,
     ivf_topk,
     lsh_blocked_near_dup_pairs,
@@ -66,6 +64,7 @@ TOPK_QUERY_MOD, TOPK_K = 50, 5
 NEAR_DUP_T = 0.35  # testdata embeddings are near-orthogonal (max qcos ≈ 0.51)
 NEAR_DUP_PLANES = 2  # LSH blocking: 4 buckets (small corpus keeps recall useful)
 NEAR_DUP_TABLES = 2  # independent plane sets: miss prob p² instead of p
+NEAR_DUP_TABLES_HI = 3  # the high-recall variant (sim_embedding_near_dup): p³
 
 QUERIES = {}
 ORACLES = {}
@@ -247,13 +246,28 @@ def sim_topk_qcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_embedding_near_dup", O.embedding_near_dup_oracle(NEAR_DUP_T))
+@register(
+    "sim_embedding_near_dup",
+    O.lsh_blocked_near_dup_oracle(NEAR_DUP_T, NEAR_DUP_PLANES, NEAR_DUP_TABLES_HI),
+)
 def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs via the Arrow tile kernel — same result as
-    the expression-path embedding_near_dup_pairs (the sf0.001 reference
-    implementation), but the plan is a single scan + mapInPandas matmul
-    instead of a BroadcastNestedLoopJoin over the pair space."""
-    return embedding_near_dup_pairs_arrow(_emb(spark, sf_dir), threshold=NEAR_DUP_T)
+    """High-recall near-dup pairs: the SAME sub-quadratic LSH-blocked
+    plan as sim_near_dup_lsh_blocked but with three independent hash
+    tables (miss probability p³) — the knob a curator turns when recall
+    matters more than bucket work.  The oracle recomputes the identical
+    3-table blocking, so the approximation itself is value-checked.  The
+    exact all-pairs kernels (expression BNLJ and the Arrow tile matmul,
+    functions/similarity.py) are deliberately NOT driver-registered: both
+    materialize the full pair space / collect the corpus matrix — the
+    right tool only for small-sf cross-checks, which is exactly where
+    they live now (tests/test_training_ops.py verifies blocked ⊆ exact
+    with bit-identical qcos at sf0.001 scale)."""
+    return lsh_blocked_near_dup_pairs(
+        _emb(spark, sf_dir),
+        threshold=NEAR_DUP_T,
+        num_planes=NEAR_DUP_PLANES,
+        num_tables=NEAR_DUP_TABLES_HI,
+    )
 
 
 @register(
@@ -265,8 +279,8 @@ def sim_near_dup_lsh_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two independent hash tables for recall amplification) with the exact
     quantized-cosine verify.  The oracle recomputes the IDENTICAL integer
     sign-bit blocking per table, so the approximation itself is
-    value-checked.  Unlike the exact Arrow kernel (sim_embedding_near_dup,
-    the small-sf cross-check) this plan never collects the corpus: the
+    value-checked.  Unlike the exact all-pairs kernels (pytest-only
+    small-sf cross-checks) this plan never collects the corpus: the
     (table, bucket) column is the shuffle key, and at 100 TB it is what
     the stored corpus is partitioned by — each bucket's pair loop is
     partition-local."""
