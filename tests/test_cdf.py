@@ -737,6 +737,146 @@ def test_changes_across_widening_modify(spark, tmp_path):
     assert all(isinstance(q, int) for _, q, _, _ in rows)
 
 
+def _rename_grp_to_category(spark, t):
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+
+    prev = [
+        TableCol(id="1", name="k", tp="bigint", is_pk="true", nullable="false"),
+        TableCol(id="2", name="grp", tp="varchar", precision="10"),
+        TableCol(id="3", name="val", tp="bigint"),
+    ]
+    curr = [
+        prev[0],
+        TableCol(id="2", name="category", tp="varchar", precision="10"),
+        prev[2],
+    ]
+    apply_column_diffs(spark, t, diff_columns(prev, curr))
+
+
+def test_changes_span_rename_barrier_by_field_id(spark, tmp_path):
+    """changes() conforms across a rewrite-path RENAME by field id: a
+    slice spanning the barrier surfaces pre-rename change files under the
+    CURRENT name with their true values (not defaults) — the rename
+    re-seed caveat is retired for field-id tables."""
+    t = _mk(spark, tmp_path, "t", BASE)
+    assert t.manifest()["field_ids"] == {"k": 1, "grp": 2, "val": 3}
+    t.merge(spark, _batch(spark, [("U", 1, 5, "b", 11), ("I", 9, 5, "c", 90)]))
+    _rename_grp_to_category(spark, t)
+    m = t.manifest()
+    assert m["field_ids"] == {"k": 1, "category": 2, "val": 3}
+    assert m["field_epochs"] == [{"upto_seq": 1, "ids": {"k": 1, "grp": 2, "val": 3}}]
+    env2 = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, category string, val long"
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame([("U", "t", "s", 6, 9, "d", 91)], env2),
+    )
+    ch = t.changes(spark)  # spans the barrier, since=0
+    assert "category" in ch.columns and "grp" not in ch.columns
+    rows = sorted(
+        (r["_commit_seq"], r["k"], r["_change_type"], r["category"], r["val"])
+        for r in ch.collect()
+    )
+    assert rows == [
+        (1, 1, "update_postimage", "b", 11),
+        (1, 1, "update_preimage", "a", 10),
+        (1, 9, "insert", "c", 90),
+        (2, 9, "update_postimage", "d", 91),
+        (2, 9, "update_preimage", "c", 90),
+    ]
+    # base read reflects the rename + both merges
+    assert sorted((r["k"], r["category"]) for r in t.read(spark).collect()) == sorted(
+        [(1, "b"), (2, "a"), (3, "b"), (4, None), (9, "d")]
+    )
+
+
+def test_maintained_aggregate_survives_rename_barrier(spark, tmp_path):
+    """A MaintainedAggregate seeded before a base-table RENAME of its
+    group column keeps folding the feed across the barrier (field-id
+    translation), its output schema pinned to the seed names — and stays
+    bit-equal to a full recompute of the renamed base."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedAggregate(tmp_path / "mv", ["grp"], {"sum_val": "val"})
+    mv.refresh(spark, t)  # seed
+    t.merge(spark, _batch(spark, [("U", 1, 5, "b", 11), ("I", 9, 5, "c", 90)]))
+    _rename_grp_to_category(spark, t)
+    env2 = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, category string, val long"
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("U", "t", "s", 6, 9, "a", 91), ("D", "t", "s", 6, 3, None, None)],
+            env2,
+        ),
+    )
+    mv.refresh(spark, t)  # ONE refresh spanning the rename barrier
+    key = lambda x: (x[0] is None, x)  # noqa: E731 — NULL group sorts last
+    got = sorted(
+        ((r["grp"], r["n_rows"], r["sum_val"]) for r in mv.read(spark).collect()),
+        key=key,
+    )
+    want = sorted(
+        (
+            (r["category"], r["n_rows"], r["sum_val"])
+            for r in t.read(spark)
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("sum_val"))
+            .collect()
+        ),
+        key=key,
+    )
+    assert got == want
+
+
+def test_secondary_index_survives_rename_barrier(spark, tmp_path):
+    """An index built on 'grp' before the base renames it to 'category'
+    refreshes across the barrier un-re-seeded (feed translated by field
+    id), and the object may be reconstructed under EITHER name."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    ix = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=4)
+    ix.build(spark, t)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "b", 11), ("I", 9, 5, "c", 90)]))
+    _rename_grp_to_category(spark, t)
+    env2 = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, category string, val long"
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame([("U", "t", "s", 6, 9, "a", 91)], env2),
+    )
+    # reconstructed under the CURRENT base name — field ids reconcile
+    ix2 = SecondaryIndex(tmp_path / "ix", col="category", pk_cols=["k"], n_buckets=4)
+    assert ix2.refresh(spark, t) == t.manifest()["cdf_seq"]
+    for probe in ("a", "b", "c", "zzz"):
+        got = sorted(r["k"] for r in ix2.lookup(spark, t, probe).collect())
+        want = sorted(
+            r["k"] for r in t.read(spark).filter(F.col("category") == probe).collect()
+        )
+        assert got == want, (probe, got, want)
+    # the build-time name keeps working too (stored names are authoritative)
+    ix3 = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=4)
+    assert sorted(r["k"] for r in ix3.lookup(spark, t, "a").collect()) == want_or(
+        t, spark, "a"
+    )
+
+
+def want_or(t, spark, probe):
+    return sorted(
+        r["k"] for r in t.read(spark).filter(F.col("category") == probe).collect()
+    )
+
+
 def test_rebucket_plain_table_unpins_data_version(spark, tmp_path):
     """rebucket() on a previously-PLAIN table drops the stale
     data_version key: bucketed tables resolve data through

@@ -354,6 +354,77 @@ def _cdf_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
     return table
 
 
+# ---------------------------------------------------------------------------
+# Rename-continuity lifecycle row: the SAME consumer replay but the v2 DDL
+# barrier is a RENAME (o_orderstatus → o_status).  The returned change feed
+# SPANS the barrier un-re-seeded: pre-rename change files surface under the
+# post-rename name with their true values (manifest field ids — the
+# reference's own rename detection keys on column id, tidbsql/ddl.go:31-45).
+# ---------------------------------------------------------------------------
+RENAME_ROOT = "/tmp/tidb2dw_replay_rename"
+_RENAME_CACHE: dict[str, ManagedTable] = {}
+
+
+def _def_v2_rename() -> TableDefinition:
+    d = _def_v1()
+    d.version = 2
+    d.query = "ALTER TABLE orders_replay RENAME COLUMN o_orderstatus TO o_status"
+    cols = list(d.columns)
+    cols[2] = TableCol(id="3", name="o_status", tp="varchar", precision="10")
+    d.columns = cols
+    return d
+
+
+def _stage_v2_rename(root: Path, base: list[tuple]) -> None:
+    """Version-2 RENAME barrier + post-DDL changelog (updates AND deletes
+    so both post-rename images and pre-rename preimages flow)."""
+    _def_v2_rename().dump(root / "increment" / _SCHEMA / _TABLE / "2" / "meta")
+    upd = [r for r in base if r[0] % 27 == 0]
+    dels = [r for r in base if r[0] % 36 == 0]
+    _write_csv(
+        root / "increment" / _SCHEMA / _TABLE / "2" / "2024-01-02" / "CDC000001.csv",
+        [_env("U", 30000 + r[0] % 97, (r[0], r[1], "R2", r[3] + 7)) for r in upd]
+        + [_env("D", 31000 + r[0] % 97, r) for r in dels],
+    )
+
+
+def _rename_cdf_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    if sf_dir in _RENAME_CACHE:
+        return _RENAME_CACHE[sf_dir]
+    root = Path(RENAME_ROOT)
+    shutil.rmtree(root, ignore_errors=True)
+    base = _base_rows(spark, sf_dir)
+    _stage_v1(root, base, extra_p1_file=False)
+    _stage_v2_rename(root, base)
+    v1 = _def_v1()
+    snap = read_snapshot_csv(
+        spark,
+        f"{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv",
+        table_def_to_struct(v1),
+    )
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_replay_ren_wh_"))
+    table = ManagedTable(wh / _TABLE).create(
+        snap, v1.pk_columns, pk_buckets=_PK_BUCKETS, cdf=True
+    )
+    r = IncrementConsumer(spark, root / "increment", table).poll_once()
+    assert r.ddl_applied == 1, r
+    assert table.manifest().get("cdf_seq") == 2, table.manifest().get("cdf_seq")
+    assert table.manifest().get("field_epochs"), "RENAME recorded no field epoch"
+    _RENAME_CACHE[sf_dir] = table
+    return table
+
+
+def pipeline_rename_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full change feed ACROSS the rename barrier: commit-1 rows
+    (written physically as o_orderstatus) and commit-2 rows (o_status)
+    surface in ONE conformed frame under the current name, every value
+    real — the oracle re-derives all change rows relationally from the
+    staged files, so a re-seeded/defaulted pre-rename row breaks the
+    hash."""
+    table = _rename_cdf_table(spark, sf_dir)
+    return table.changes(spark)
+
+
 def pipeline_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full change data feed of the replay: both merge commits' row-level
     insert/update_preimage/update_postimage/delete sets, conformed to the
@@ -431,6 +502,85 @@ FROM w2 w JOIN s1b s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
 UNION ALL
 SELECT {pre1}, s.o_note, 'delete', 2, 3
 FROM w2 w JOIN s1b s ON s.o_orderkey = w.o_orderkey WHERE w.flag = 'D'
+"""
+
+
+_V2R_COLS = (
+    "'o_orderkey':'BIGINT','o_custkey':'BIGINT',"
+    "'o_status':'VARCHAR','o_total_cents':'BIGINT'"
+)
+
+
+def _rename_changes_oracle(root: str) -> str:
+    """Every change row of both merge commits around the RENAME barrier,
+    all under the post-rename name with true values: commit 1 classified
+    against the snapshot (o_orderstatus aliased to o_status), commit 2
+    against the post-v1 fold.  Commit versions: create=1, v1 merge=2,
+    rename rewrite=3, v2 merge=4."""
+    pay1 = "w.o_orderkey, w.o_custkey, w.o_orderstatus AS o_status, w.o_total_cents"
+    pre1 = "s.o_orderkey, s.o_custkey, s.o_orderstatus AS o_status, s.o_total_cents"
+    pay2 = "w.o_orderkey, w.o_custkey, w.o_status, w.o_total_cents"
+    pre2 = "s.o_orderkey, s.o_custkey, s.o_status, s.o_total_cents"
+    return f"""
+WITH snap AS (
+  SELECT * FROM read_csv('{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv',
+    header=false, nullstr='\\N', columns={{{_V1_COLS}}})
+),
+e1 AS (
+  SELECT *, dense_rank() OVER (ORDER BY filename) AS seq
+  FROM read_csv('{root}/increment/{_SCHEMA}/{_TABLE}/1/*/*/CDC*.csv',
+    header=false, nullstr='\\N', filename=true,
+    columns={{{_ENV_COLS},{_V1_COLS}}})
+),
+w1 AS (
+  SELECT * FROM e1
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+    ORDER BY commit_ts DESC, seq DESC, flag DESC) = 1
+),
+s1 AS (
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus AS o_status, t.o_total_cents
+  FROM snap t
+  WHERE NOT EXISTS (SELECT 1 FROM w1 f WHERE f.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_total_cents
+  FROM w1 WHERE flag <> 'D'
+),
+e2 AS (
+  SELECT *, dense_rank() OVER (ORDER BY filename) AS seq
+  FROM read_csv('{root}/increment/{_SCHEMA}/{_TABLE}/2/*/CDC*.csv',
+    header=false, nullstr='\\N', filename=true,
+    columns={{{_ENV_COLS},{_V2R_COLS}}})
+),
+w2 AS (
+  SELECT * FROM e2
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+    ORDER BY commit_ts DESC, seq DESC, flag DESC) = 1
+)
+SELECT {pay1}, 'insert' AS _change_type, 1 AS _commit_seq, 2 AS _commit_version
+FROM w1 w WHERE w.flag <> 'D'
+  AND NOT EXISTS (SELECT 1 FROM snap s WHERE s.o_orderkey = w.o_orderkey)
+UNION ALL
+SELECT {pre1}, 'update_preimage', 1, 2
+FROM w1 w JOIN snap s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
+UNION ALL
+SELECT {pay1}, 'update_postimage', 1, 2
+FROM w1 w JOIN snap s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
+UNION ALL
+SELECT {pre1}, 'delete', 1, 2
+FROM w1 w JOIN snap s ON s.o_orderkey = w.o_orderkey WHERE w.flag = 'D'
+UNION ALL
+SELECT {pay2}, 'insert', 2, 4
+FROM w2 w WHERE w.flag <> 'D'
+  AND NOT EXISTS (SELECT 1 FROM s1 s WHERE s.o_orderkey = w.o_orderkey)
+UNION ALL
+SELECT {pre2}, 'update_preimage', 2, 4
+FROM w2 w JOIN s1 s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
+UNION ALL
+SELECT {pay2}, 'update_postimage', 2, 4
+FROM w2 w JOIN s1 s ON s.o_orderkey = w.o_orderkey WHERE w.flag <> 'D'
+UNION ALL
+SELECT {pre2}, 'delete', 2, 4
+FROM w2 w JOIN s1 s ON s.o_orderkey = w.o_orderkey WHERE w.flag = 'D'
 """
 
 
@@ -560,6 +710,7 @@ QUERIES = {
     "pipeline_replay_resume": pipeline_replay_resume,
     "pipeline_mor_replay": pipeline_mor_replay,
     "pipeline_cdf_replay": pipeline_cdf_replay,
+    "pipeline_rename_continuity": pipeline_rename_continuity,
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_time_travel": pipeline_time_travel,
     "table_point_lookup": table_point_lookup,
@@ -570,6 +721,7 @@ ORACLES = {
     "pipeline_replay_resume": _fold_oracle(RESUME_ROOT),
     "pipeline_mor_replay": _fold_oracle(MOR_ROOT),
     "pipeline_cdf_replay": _cdf_changes_oracle(CDF_ROOT),
+    "pipeline_rename_continuity": _rename_changes_oracle(RENAME_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,

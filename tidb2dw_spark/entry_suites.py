@@ -85,6 +85,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_time_travel": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_total_cents", "int")],
     # CDF-maintained secondary index: build -> merge -> refresh -> probe
     "table_index_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str")],
+    # change feed read ACROSS a RENAME barrier un-re-seeded (field ids)
+    "pipeline_rename_continuity": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_status", "str"), ("o_total_cents", "int"), ("_change_type", "str"), ("_commit_seq", "int"), ("_commit_version", "int")],
     "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     "q_local_supplier_revenue": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "q_volume_shipping": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],

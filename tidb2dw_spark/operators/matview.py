@@ -145,17 +145,41 @@ class MaintainedAggregate:
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(str(self.root / f"v={self.meta()['version']}"))
 
-    def _commit(self, agg: DataFrame, version: int, applied_seq: int) -> None:
+    def _commit(
+        self, agg: DataFrame, version: int, applied_seq: int,
+        field_ids: dict | None = None,
+    ) -> None:
         import json
         import os
         import tempfile
 
         agg.write.mode("overwrite").parquet(str(self.root / f"v={version}"))
         self.root.mkdir(parents=True, exist_ok=True)
+        meta = {"applied_seq": applied_seq, "version": version}
+        if field_ids:
+            meta["field_ids"] = field_ids
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
-            json.dump({"applied_seq": applied_seq, "version": version}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._meta_path())
+
+    def _source_cols(self) -> list[str]:
+        """Base-table columns this aggregate consumes, deduped in order."""
+        return list(dict.fromkeys(self.group_cols + list(self.sum_cols.values())))
+
+    def _feed_projection(self, ch: DataFrame, m: dict, src_m: dict) -> DataFrame:
+        """Project a change slice to exactly the columns the fold reads,
+        translated by FIELD ID from the source's current names back to
+        the names this aggregate was seeded with — so a base-table RENAME
+        barrier mid-feed neither breaks the fold nor mutates the
+        aggregate's own output schema (pinned at seed time)."""
+        stored = m.get("field_ids") or {}
+        inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
+        cols = [F.col(CHANGE_TYPE_COL)]
+        for n in self._source_cols():
+            cur = inv.get(stored.get(n), n) if stored else n
+            cols.append(F.col(cur).alias(n) if cur != n else F.col(n))
+        return ch.select(*cols)
 
     def refresh(self, spark, source: ManagedTable) -> int:
         """Fold any new change commits into the aggregate; returns the
@@ -174,7 +198,15 @@ class MaintainedAggregate:
             seed = init_agg(
                 source._read_state(spark, src_m), self.group_cols, self.sum_cols
             )
-            self._commit(seed, 1, src_seq)
+            # pin the consumed columns' field ids: a later base RENAME is
+            # then translated back at refresh instead of breaking the fold
+            src_ids = src_m.get("field_ids", {})
+            self._commit(
+                seed, 1, src_seq,
+                field_ids={
+                    n: src_ids[n] for n in self._source_cols() if n in src_ids
+                },
+            )
             return src_seq
         m = self.meta()
         since = m["applied_seq"]
@@ -184,12 +216,14 @@ class MaintainedAggregate:
         # concurrent merge is simply picked up by the NEXT refresh)
         updated = apply_changes_to_agg(
             self.read(spark),
-            source.changes(spark, since=since, until=src_seq),
+            self._feed_projection(
+                source.changes(spark, since=since, until=src_seq), m, src_m
+            ),
             self.group_cols,
             self.sum_cols,
         )
         new_version = m["version"] + 1
-        self._commit(updated, new_version, src_seq)
+        self._commit(updated, new_version, src_seq, field_ids=m.get("field_ids"))
         for p in self.root.glob("v=*"):  # committed: old versions removable
             if int(p.name.split("=", 1)[1]) < new_version:
                 shutil.rmtree(p, ignore_errors=True)

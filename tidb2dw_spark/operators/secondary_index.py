@@ -69,20 +69,43 @@ class SecondaryIndex:
     def meta(self) -> dict:
         return json.loads(self._meta_path().read_text())
 
-    def _load_meta(self) -> dict:
+    def _load_meta(self, src_m: dict | None = None) -> dict:
         """Read persisted meta AND reconcile it with the constructor: the
         stored (col, pk, n_buckets) are authoritative — a reconstructed
         object with a different n_buckets would mis-hash every probe and
         silently return empty lookups, so n_buckets is adopted from disk
-        and a col/pk mismatch (a genuinely different index) is an error."""
+        and a col/pk mismatch (a genuinely different index) is an error.
+
+        With the source manifest available, the constructor may also name
+        the columns by their CURRENT (post-rename) base-table names: the
+        stored field ids translate them, and the index keeps operating
+        under its build-time (stored) names internally — bucket files
+        never need rewriting for a base RENAME."""
         m = self.meta()
         if m["col"] != self.col or m["pk"] != self.pk_cols:
-            raise ValueError(
-                f"index at {self.root} is over ({m['col']!r}, pk={m['pk']}), "
-                f"not ({self.col!r}, pk={self.pk_cols})"
-            )
+            ok = False
+            ids = m.get("field_ids") or {}
+            if src_m is not None and ids:
+                inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
+                cur_col = inv.get(ids.get(m["col"]), m["col"])
+                cur_pk = [inv.get(ids.get(c), c) for c in m["pk"]]
+                ok = cur_col == self.col and cur_pk == self.pk_cols
+            if not ok:
+                raise ValueError(
+                    f"index at {self.root} is over ({m['col']!r}, pk={m['pk']}), "
+                    f"not ({self.col!r}, pk={self.pk_cols})"
+                )
+        self.col, self.pk_cols = m["col"], list(m["pk"])
         self.n_buckets = m["n_buckets"]
         return m
+
+    def _cur_names(self, m: dict, src_m: dict) -> dict[str, str]:
+        """stored name → current base-table name, via field ids."""
+        ids = m.get("field_ids") or {}
+        inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
+        return {
+            n: inv.get(ids.get(n), n) for n in [m["col"], *m["pk"]]
+        }
 
     def _commit(self, meta: dict) -> None:
         self.root.mkdir(parents=True, exist_ok=True)
@@ -131,6 +154,10 @@ class SecondaryIndex:
         out.write.mode("overwrite").partitionBy(VAL_BUCKET_COL).parquet(
             str(self.root / "v=1")
         )
+        # pin the indexed columns' field ids: refresh/lookup translate a
+        # later base RENAME back to these build-time names, so the bucket
+        # files (physically carrying build-time names) never rewrite
+        src_ids = src_m.get("field_ids", {})
         self._commit(
             {
                 "applied_seq": src_seq,
@@ -139,6 +166,11 @@ class SecondaryIndex:
                 "pk": self.pk_cols,
                 "n_buckets": self.n_buckets,
                 "bucket_versions": {str(b): 1 for b in range(self.n_buckets)},
+                "field_ids": {
+                    n: src_ids[n]
+                    for n in [self.col, *self.pk_cols]
+                    if n in src_ids
+                },
             }
         )
         return src_seq
@@ -154,11 +186,24 @@ class SecondaryIndex:
     def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
         """Fold the feed slice (applied_seq, cdf_seq]: rewrite only the
         value buckets that gained or lost entries."""
-        m = self._load_meta()
-        since, src_seq = m["applied_seq"], source.manifest().get("cdf_seq", 0)
+        src_m = source.manifest()
+        m = self._load_meta(src_m)
+        since, src_seq = m["applied_seq"], src_m.get("cdf_seq", 0)
         if src_seq <= since:
             return since
         ch = source.changes(spark, since=since, until=src_seq)
+        # translate the feed's current names back to the index's stored
+        # (build-time) names by field id: a base RENAME barrier inside
+        # the slice is then invisible to the fold below
+        names = self._cur_names(m, src_m)
+        ch = ch.select(
+            F.col(CHANGE_TYPE_COL),
+            F.col(COMMIT_SEQ_COL),
+            *[
+                F.col(cur).alias(stored) if cur != stored else F.col(stored)
+                for stored, cur in names.items()
+            ],
+        )
         # Collapse the slice to each PK's NET effect before folding.  A
         # naive pairwise fold (preimages remove, postimages add) is wrong
         # the moment a PK's indexed value changes more than once inside
@@ -240,10 +285,25 @@ class SecondaryIndex:
     def lookup(self, spark: SparkSession, source: ManagedTable, value) -> DataFrame:
         """Index-accelerated equality read of the BASE table: one index
         bucket → matching PKs → bucket-pruned ``read_for_keys``."""
+        src_m = source.manifest()
+        m = self._load_meta(src_m)
         pks = self.lookup_pks(spark, value)
         if not pks.columns:
             return source.read(spark).limit(0)
+        # the index's stored names may lag a base-table RENAME: hand the
+        # base its CURRENT names (field-id translation)
+        names = self._cur_names(m, src_m)
+        pks = pks.select(
+            *[
+                F.col(stored).alias(names[stored])
+                if names[stored] != stored
+                else F.col(stored)
+                for stored in self.pk_cols
+            ]
+        )
         # re-verify against the base row: index maintenance races (a
         # refresh lagging the base's cdf_seq) must surface as a MISS, not
         # as a row whose current value no longer matches the probe
-        return source.read_for_keys(spark, pks).filter(F.col(self.col) == value)
+        return source.read_for_keys(spark, pks).filter(
+            F.col(names[self.col]) == value
+        )

@@ -154,6 +154,30 @@ def apply_column_diffs(
     # a full rewrite physically conforms every file to the new schema, so
     # no stale dropped-column cells survive anywhere — clear the tombstones
     meta["dropped_columns"] = []
+    # field-id bookkeeping: ids FOLLOW renames (the reference's rename
+    # detection keys on column id, tidbsql/ddl.go:31-45), dropped names
+    # leave the map, added names take fresh ids.  When names actually
+    # change on a CDF table, the pre-DDL name→id map is appended as a
+    # FIELD EPOCH valid through the current cdf_seq — changes() uses it
+    # to conform pre-rename change files to post-rename names, which is
+    # what lets feed consumers read across the barrier without re-seeding.
+    m = table.manifest()
+    if "field_ids" in m:
+        old_ids = m["field_ids"]
+        nxt = m.get("next_field_id", max(old_ids.values(), default=0) + 1)
+        new_ids: dict[str, int] = {}
+        for c in evolved.columns:
+            prev_name = next((o for o, n in renames.items() if n == c), c)
+            if prev_name in old_ids:
+                new_ids[c] = old_ids[prev_name]
+            else:
+                new_ids[c] = nxt
+                nxt += 1
+        meta["field_ids"], meta["next_field_id"] = new_ids, nxt
+        if renames and m.get("cdf"):
+            meta["field_epochs"] = m.get("field_epochs", []) + [
+                {"upto_seq": m.get("cdf_seq", 0), "ids": old_ids}
+            ]
     return table.overwrite(evolved, new_columns=evolved.columns, extra_meta=meta)
 
 

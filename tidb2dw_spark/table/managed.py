@@ -81,6 +81,7 @@ class ManagedTable:
         "version", "data_version", "pk", "pk_buckets", "columns",
         "schema_json", "column_defaults", "bucket_versions",
         "bucket_deltas", "delta_seq", "merge_mode",
+        "field_ids", "next_field_id", "field_epochs",
     )
 
     def _commit(self, manifest: dict, action: str = "commit") -> None:
@@ -175,6 +176,14 @@ class ManagedTable:
             if BUCKET_COL in df.columns
             else df.schema.json(),
         }
+        # stable FIELD IDS (Iceberg/Delta column-mapping parity, and the
+        # reference's own rename detection keys on column ID —
+        # tidbsql/ddl.go:31-45): every column gets an integer identity at
+        # create; renames MOVE the name, never the id; ids are never
+        # reused after a drop.  This is what lets the change feed follow
+        # a RENAME barrier without re-seeding (see changes()).
+        manifest["field_ids"] = {c: i + 1 for i, c in enumerate(columns)}
+        manifest["next_field_id"] = len(columns) + 1
         if pk_buckets > 0:
             manifest["bucket_versions"] = {str(b): 1 for b in range(pk_buckets)}
         else:
@@ -519,11 +528,14 @@ class ManagedTable:
         files written before a metadata-only ADD materialize the later
         column as its rendered default, exactly like the base read path —
         plus ``_change_type`` / ``_commit_seq`` / ``_commit_version``.
-        (Caveat shared with the base path's by-name conformance: across a
-        rewrite-path RENAME, pre-rename change files surface the renamed
-        column as its default — by-name layouts cannot follow a rename
-        without field IDs; consumers needing rename continuity re-seed at
-        the DDL, which the reference's warehouses require too.)
+        Conformance is BY FIELD ID, not by name: each rewrite-path RENAME
+        appends a field epoch (the pre-rename name→id map, valid through
+        the cdf_seq at the DDL) to the manifest, and pre-rename change
+        files are re-labeled to the current name of the same field id —
+        so a feed consumer reads straight across a RENAME barrier without
+        re-seeding (the reference's own rename detection keys on column
+        ID, tidbsql/ddl.go:31-45; tables created before field ids fall
+        back to by-name conformance).
         Commits sharing a physical schema (the common case — DDL barriers
         are rare relative to merges) group into ONE multi-path scan, so a
         long catch-up read plans #distinct-schemas scan nodes, not
@@ -539,6 +551,17 @@ class ManagedTable:
             hi = min(until, hi)
         meta_keep = (CHANGE_TYPE_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL)
         import pyarrow.parquet as _pq
+
+        # field epochs: entry e covers change seqs ≤ e["upto_seq"] with the
+        # name→id map in force when those files were written; seqs past the
+        # last entry use the current manifest map
+        epochs = sorted(m.get("field_epochs", []), key=lambda e: e["upto_seq"])
+
+        def epoch_idx(seq: int) -> int:
+            for i, e in enumerate(epochs):
+                if seq <= e["upto_seq"]:
+                    return i
+            return len(epochs)
 
         by_schema: dict[tuple, list[str]] = {}
         for s in range(since + 1, hi + 1):
@@ -558,15 +581,39 @@ class ManagedTable:
             # signature = names AND physical types: commits straddling a
             # metadata-only widening MODIFY share column names but store
             # INT32 vs INT64 — one multi-path scan over both would fail
-            # the parquet type conversion
+            # the parquet type conversion.  The epoch index joins the key
+            # so two epochs whose schemas collide by name (a→b→a round
+            # trip) still conform through their own maps.
             sch = _pq.read_schema(str(files[0]))
-            sig = tuple(f"{f.name}:{f.type}" for f in sch)
+            sig = (epoch_idx(s),) + tuple(f"{f.name}:{f.type}" for f in sch)
             by_schema.setdefault(sig, []).append(str(p))
+
+        cur_ids = m.get("field_ids", {})
+        id_to_cur = {v: k for k, v in cur_ids.items()}
+
+        def relabel(df: DataFrame, eidx: int) -> DataFrame:
+            """Map physical (write-time) names to current names via field
+            ids — a single select, so simultaneous renames (swaps) stay
+            unambiguous.  Columns whose id was since dropped keep their
+            old name and fall to _conform's projection prune."""
+            if eidx >= len(epochs) or not cur_ids:
+                return df
+            writer_ids = epochs[eidx]["ids"]
+            out = []
+            for c in df.columns:
+                if c in (CHANGE_TYPE_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL):
+                    out.append(F.col(c))
+                    continue
+                cur = id_to_cur.get(writer_ids.get(c))
+                out.append(F.col(c).alias(cur) if cur and cur != c else F.col(c))
+            return df.select(*out)
+
         parts = [
             self._conform(
-                spark, spark.read.parquet(*paths), m, keep=meta_keep
+                spark, relabel(spark.read.parquet(*paths), sig[0]), m,
+                keep=meta_keep,
             )
-            for _, paths in sorted(by_schema.items())
+            for sig, paths in sorted(by_schema.items())
         ]
         if not parts:
             from pyspark.sql.types import (
@@ -615,6 +662,17 @@ class ManagedTable:
         ADD COLUMN must not rewrite every bucket inside the consumer loop.
         RENAME/MODIFY still rewrite (they change existing cells)."""
         m = self.manifest()
+        # field-id bookkeeping (metadata-only DDLs never rename, so no
+        # epoch entry): retained names keep their ids, dropped names leave
+        # the map (ids never reused), genuinely new names take fresh ids
+        if "field_ids" in m:
+            ids = {c: m["field_ids"][c] for c in new_columns if c in m["field_ids"]}
+            nxt = m.get("next_field_id", max(m["field_ids"].values(), default=0) + 1)
+            for c in new_columns:
+                if c not in ids:
+                    ids[c] = nxt
+                    nxt += 1
+            m["field_ids"], m["next_field_id"] = ids, nxt
         m["columns"] = list(new_columns)
         m["schema_json"] = new_schema_json
         defaults = dict(m.get("column_defaults", {}))
