@@ -433,7 +433,7 @@ def test_secondary_index_rejects_unportable_type(spark, tmp_path):
     from tidb2dw_spark.operators.secondary_index import SecondaryIndex
 
     t = _mk(spark, tmp_path, "t", BASE)
-    with pytest.raises(ValueError, match="probe reproducibly"):
+    with pytest.raises(ValueError, match="probes reproduce"):
         SecondaryIndex(tmp_path / "ix", col="nope", pk_cols=["k"]).build(spark, t)
 
 
@@ -875,6 +875,195 @@ def want_or(t, spark, probe):
     return sorted(
         r["k"] for r in t.read(spark).filter(F.col("category") == probe).collect()
     )
+
+
+def test_maintained_minmax_survives_extremum_deletes(spark, tmp_path):
+    """MIN/MAX maintenance: inserts tighten in the fold; a delete (or
+    update-away) of a group's CURRENT extremum marks the group dirty and
+    re-derives min/max from ONLY that group's base rows.  Adversarial
+    sequence: delete the max, delete the min, move a row's value across
+    groups, delete down to duplicates at the extremum — after every
+    refresh the aggregate must be bit-equal to a full recompute."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    rows = [
+        (1, "a", 10), (2, "a", 50), (3, "a", 50), (4, "a", 5),
+        (5, "b", 7), (6, "b", 9), (7, None, 3), (8, None, 100),
+    ]
+    t = _mk(spark, tmp_path, "t", rows)
+    mv = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"sum_val": "val"},
+        min_cols={"min_val": "val"}, max_cols={"max_val": "val"},
+    )
+    mv.refresh(spark, t)  # seed
+
+    def check():
+        key = lambda x: (x[0] is None, x)  # noqa: E731
+        got = sorted(
+            (
+                (r["grp"], r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+                for r in mv.read(spark).collect()
+            ),
+            key=key,
+        )
+        want = sorted(
+            (
+                (r["grp"], r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+                for r in t.read(spark)
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum("val"), F.lit(0)).alias("sum_val"),
+                    F.min("val").alias("min_val"),
+                    F.max("val").alias("max_val"),
+                )
+                .collect()
+            ),
+            key=key,
+        )
+        assert got == want, (got, want)
+
+    batches = [
+        # delete one of the duplicate maxes in 'a' (max must STAY 50)
+        [("D", 2, 5, None, None)],
+        # delete the remaining max in 'a' (max falls to 10)
+        [("D", 3, 6, None, None)],
+        # delete the NULL-group max; update moves b's max into group 'a'
+        [("D", 8, 7, None, None), ("U", 6, 7, "a", 9)],
+        # insert new global max + delete a's min in one batch
+        [("I", 9, 8, "a", 999), ("D", 4, 8, None, None)],
+        # update the max's VALUE downward in place (pre=999 removes max)
+        [("U", 9, 9, "a", 11)],
+    ]
+    for ev in batches:
+        t.merge(spark, _batch(spark, ev))
+        mv.refresh(spark, t)
+        check()
+    # and a single refresh spanning several extremum-removing commits
+    mv2 = MaintainedAggregate(
+        tmp_path / "mv2", ["grp"], {"sum_val": "val"},
+        min_cols={"min_val": "val"}, max_cols={"max_val": "val"},
+    )
+    t2 = _mk(spark, tmp_path, "t2", rows)
+    mv2.refresh(spark, t2)
+    for ev in batches:
+        t2.merge(spark, _batch(spark, ev))
+    mv2.refresh(spark, t2)  # one spanning fold
+    key = lambda x: (x[0] is None, x)  # noqa: E731
+    got = sorted(
+        (
+            (r["grp"], r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in mv2.read(spark).collect()
+        ),
+        key=key,
+    )
+    want = sorted(
+        (
+            (r["grp"], r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in t2.read(spark)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("val"), F.lit(0)).alias("sum_val"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+            .collect()
+        ),
+        key=key,
+    )
+    assert got == want
+
+
+def test_secondary_index_composite_key(spark, tmp_path):
+    """Composite (grp, val) index: tuple probes equal a full-scan filter
+    across build, merge (value moves, deletes, inserts, NULL members),
+    and refresh."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    ix = SecondaryIndex(
+        tmp_path / "ix", col=["grp", "val"], pk_cols=["k"], n_buckets=4
+    )
+    ix.build(spark, t)
+
+    def assert_lookup(g, v):
+        got = sorted(r["k"] for r in ix.lookup(spark, t, (g, v)).collect())
+        want = sorted(
+            r["k"]
+            for r in t.read(spark)
+            .filter((F.col("grp") == g) & (F.col("val") == v))
+            .collect()
+        )
+        assert got == want, ((g, v), got, want)
+
+    assert_lookup("a", 10)
+    assert_lookup("a", 20)
+    assert_lookup("b", 30)
+    assert_lookup("zzz", 1)
+    t.merge(
+        spark,
+        _batch(
+            spark,
+            [
+                ("U", 1, 5, "a", 99),     # value member moves
+                ("I", 9, 5, "b", 30),     # duplicate composite value
+                ("D", 2, 5, None, None),  # delete
+                ("I", 10, 5, None, 7),    # NULL member: not indexed
+            ],
+        ),
+    )
+    ix.refresh(spark, t)
+    for g, v in [("a", 10), ("a", 99), ("a", 20), ("b", 30), ("zzz", 1)]:
+        assert_lookup(g, v)
+    # NULL-member row is not indexed; equality probes can't match it anyway
+    assert ix.lookup_pks(spark, (None, 7)).count() == 0
+
+
+def test_secondary_index_range_layout(spark, tmp_path):
+    """Range layout: value-sorted buckets + per-bucket zone maps; range
+    probes read ONLY intersecting buckets and equal a full-scan BETWEEN
+    across merges that move values between buckets."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    rows = [(k, "g", k * 10) for k in range(1, 41)]  # val 10..400
+    t = _mk(spark, tmp_path, "t", rows, buckets=4)
+    ix = SecondaryIndex(
+        tmp_path / "ix", col="val", pk_cols=["k"], n_buckets=4, layout="range"
+    )
+    ix.build(spark, t)
+    m = ix.meta()
+    assert m["layout"] == "range" and m["boundaries"] and m["zone"]
+
+    def assert_range(lo, hi):
+        got = sorted(r["k"] for r in ix.lookup_range(spark, t, lo, hi).collect())
+        want = sorted(
+            r["k"]
+            for r in t.read(spark)
+            .filter((F.col("val") >= lo) & (F.col("val") <= hi))
+            .collect()
+        )
+        assert got == want, ((lo, hi), got, want)
+
+    # a narrow probe must touch a strict subset of buckets
+    narrow = ix._range_buckets(10, 30)
+    assert len(narrow) < len(ix.meta()["zone"])
+    for lo, hi in [(10, 30), (95, 205), (390, 500), (401, 999), (0, 9)]:
+        assert_range(lo, hi)
+    # moves: min value jumps to the top bucket; a delete; an insert
+    t.merge(
+        spark,
+        _batch(
+            spark,
+            [("U", 1, 5, "g", 999), ("D", 40, 5, None, None), ("I", 41, 5, "g", 5)],
+        ),
+    )
+    ix.refresh(spark, t)
+    for lo, hi in [(0, 9), (10, 30), (95, 205), (390, 1000), (5, 5)]:
+        assert_range(lo, hi)
+    # equality probes work on the range layout too (bisect twin)
+    got = sorted(r["k"] for r in ix.lookup(spark, t, 999).collect())
+    assert got == [1]
 
 
 def test_rebucket_plain_table_unpins_data_version(spark, tmp_path):

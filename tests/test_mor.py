@@ -268,6 +268,57 @@ def test_mor_backlog_soak_bounded_deltas(spark, tmp_path):
     assert {r["id"]: r["name"] for r in mor.read(spark).collect()} == s_cow
 
 
+def test_mor_delta_stats_prune_point_lookups(spark, tmp_path):
+    """Delta key-range stats bound MoR read amplification: each merge
+    records per-(seq, bucket) min/max of the leading pk; a point lookup
+    resolves ONLY the pending deltas whose range overlaps the probed
+    keys — non-overlapping deltas are dropped from the resolve window
+    (asserted on _prune_delta_seqs), and results stay exact (asserted
+    vs a full filter) including deletes recorded in skipped deltas."""
+    rows = [(k, -k) for k in range(0, 400)]
+    t = _mk(spark, tmp_path, "mor", rows, buckets=2)
+    # three disjoint key neighborhoods, one delta seq each
+    t.merge(spark, _batch(spark, [("U", k, 1, k * 10) for k in range(0, 20)]))
+    t.merge(spark, _batch(spark, [("U", k, 2, k * 10) for k in range(100, 120)]))
+    t.merge(
+        spark,
+        _batch(
+            spark,
+            [("U", k, 3, k * 10) for k in range(300, 310)]
+            + [("D", 310, 3, 0)],
+        ),
+    )
+    m = t.manifest()
+    assert m.get("delta_stats"), "MoR merges recorded no delta stats"
+    # probe key 105: only seq 2's range [100,120) can contain it
+    probes = {
+        r["b"]: {105}
+        for r in spark.createDataFrame([(105,)], "k long")
+        .select(t._bucket_expr(["k"], 2).alias("b"))
+        .collect()
+    }
+    pruned = t._prune_delta_seqs(m, probes)
+    for b, vals in probes.items():
+        kept = pruned["bucket_deltas"][str(b)]
+        assert kept == [2], kept  # seqs 1 and 3 cannot contain key 105
+    # correctness of the actual pruned reads, including a deleted key
+    for k in (5, 105, 305, 310, 399):
+        got = {
+            r["k"]: r["val"]
+            for r in t.read_for_keys(
+                spark, spark.createDataFrame([(k,)], "k long")
+            ).collect()
+        }
+        want = {
+            r["k"]: r["val"]
+            for r in t.read(spark).filter(F.col("k") == k).collect()
+        }
+        assert got == want, (k, got, want)
+    # compaction folds deltas and GCs their stats
+    t.compact(spark, max_files_per_bucket=10_000)
+    assert not t.manifest().get("delta_stats")
+
+
 def test_history_commit_log(spark, tmp_path):
     """history(): one entry per manifest swap, labeled by action, with
     the MoR delta seq tracked."""

@@ -169,3 +169,90 @@ def test_metrics_http_info_endpoint():
         )
     finally:
         server.shutdown()
+
+
+def test_source_attached_replicate_live_mysql_e2e(spark, tmp_path):
+    """The SAME S1→S6→S4 lifecycle as the Derby e2e, against a REAL
+    MySQL/TiDB wire — auto-enabled the moment the environment provides a
+    driver jar (session.mysql_driver_jar) and a reachable server
+    ($SPARK_GRAFT_MYSQL_URL, e.g. jdbc:mysql://host:4000/test, with
+    $SPARK_GRAFT_MYSQL_USER / $SPARK_GRAFT_MYSQL_PASSWORD).  Until then
+    it skips with the gate named explicitly: the machinery is proven on
+    Derby; this closes reference parity for pkg/dumpling/dump.go:84-147
+    when the wire exists."""
+    import os
+
+    import pytest
+
+    from tidb2dw_spark.session import mysql_driver_jar
+    from tidb2dw_spark.sources.jdbc import TidbSource, snapshot_read
+
+    jar = mysql_driver_jar()
+    url = os.environ.get("SPARK_GRAFT_MYSQL_URL")
+    if jar is None:
+        pytest.skip("no MySQL JDBC driver jar in the environment")
+    if not url:
+        pytest.skip("SPARK_GRAFT_MYSQL_URL not set (no live server)")
+
+    props = {
+        "user": os.environ.get("SPARK_GRAFT_MYSQL_USER", "root"),
+        "password": os.environ.get("SPARK_GRAFT_MYSQL_PASSWORD", ""),
+    }
+    # seed the source table over the live wire
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName("com.mysql.cj.jdbc.Driver")
+    conn = jvm.java.sql.DriverManager.getConnection(
+        url, props["user"], props["password"]
+    )
+    st = conn.createStatement()
+    try:
+        st.execute("DROP TABLE IF EXISTS users_live_e2e")
+        st.execute(
+            "CREATE TABLE users_live_e2e (id INT PRIMARY KEY,"
+            " name VARCHAR(255), age INT, birth DATE)"
+        )
+        st.execute(
+            "INSERT INTO users_live_e2e VALUES"
+            " (1,'alice',30,'1990-01-01'),(2,'bob',NULL,'1991-02-02'),"
+            " (3,'carol',41,'1992-03-03'),(4,'dan',52,'1993-04-04')"
+        )
+    finally:
+        st.close()
+        conn.close()
+
+    src = TidbSource(
+        host="ignored", port=0, database="ignored",
+        user=props["user"], password=props["password"],
+    )
+
+    def reader(sp):
+        return snapshot_read(
+            sp,
+            source=src,
+            table="users_live_e2e",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=4,
+            num_partitions=4,
+            driver="com.mysql.cj.jdbc.Driver",
+            url=url,
+        )
+
+    incr = tmp_path / "increment"
+    d = users_def_v1()
+    d.table = "users_live_e2e"
+    d.dump(incr / "tpch/users_live_e2e/1/meta")
+    write(
+        incr / "tpch/users_live_e2e/1/2024-01-01/CDC000001.csv",
+        '"U","users_live_e2e","tpch",100,1,"alice2",31,1990-01-01\n'
+        '"D","users_live_e2e","tpch",102,2,"bob",\\N,1991-02-02\n',
+    )
+    reg = MetricsRegistry()
+    rep = TableReplicator(
+        spark, None, incr, tmp_path / "wh", d,
+        registry=reg, snapshot_reader=reader,
+    )
+    rep.run_once()
+    rows = {r["id"]: r for r in rep.table.read(spark).collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1]["name"] == "alice2" and rows[1]["age"] == 31

@@ -425,6 +425,131 @@ def pipeline_rename_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.changes(spark)
 
 
+# ---------------------------------------------------------------------------
+# MIN/MAX maintained-aggregate row: a changelog that DELETES every group's
+# current extremum (the non-self-maintainable case), folded incrementally and
+# checked bit-equal against a DuckDB full recompute of the fold.
+# ---------------------------------------------------------------------------
+MINMAX_ROOT = "/tmp/tidb2dw_replay_minmax"
+_MINMAX_CACHE: dict[str, ManagedTable] = {}
+
+
+def _minmax_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Stage snapshot + ONE adversarial CDC batch: per status group, the
+    current-max and current-min rows are DELETED (deterministic argmax /
+    argmin over the staged snapshot — the oracle reads the staged files,
+    so the chosen keys need no cross-engine tie-break), plus ordinary
+    value updates to exercise the insert-side tightening."""
+    if sf_dir in _MINMAX_CACHE:
+        return _MINMAX_CACHE[sf_dir]
+    from collections import defaultdict
+
+    root = Path(MINMAX_ROOT)
+    shutil.rmtree(root, ignore_errors=True)
+    base = _base_rows(spark, sf_dir)
+    _write_csv(root / "snapshot" / f"{_SCHEMA}.{_TABLE}.000000001.csv", base)
+    _def_v1().dump(root / "increment" / _SCHEMA / _TABLE / "1" / "meta")
+    groups: dict = defaultdict(list)
+    for r in base:
+        groups[r[2]].append(r)
+    extremum_keys: set = set()
+    evs, ts = [], 50_000
+    for st in sorted(groups):
+        rows = groups[st]
+        mx = max(rows, key=lambda r: (r[3], -r[0]))
+        mn = min(rows, key=lambda r: (r[3], r[0]))
+        for victim in ({mx[0]: mx, mn[0]: mn}).values():
+            evs.append(_env("D", ts, victim))
+            extremum_keys.add(victim[0])
+            ts += 1
+    upd = [r for r in base if r[0] % 40 == 0 and r[0] not in extremum_keys]
+    evs += [
+        _env("U", ts + i, (r[0], r[1], r[2], r[3] + 13)) for i, r in enumerate(upd)
+    ]
+    _write_csv(
+        root / "increment" / _SCHEMA / _TABLE / "1" / "1" / "2024-01-03" / "CDC000001.csv",
+        evs,
+    )
+    v1 = _def_v1()
+    snap = read_snapshot_csv(
+        spark,
+        f"{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv",
+        table_def_to_struct(v1),
+    )
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_replay_mm_wh_"))
+    table = ManagedTable(wh / _TABLE).create(
+        snap, v1.pk_columns, pk_buckets=_PK_BUCKETS, cdf=True
+    )
+    IncrementConsumer(spark, root / "increment", table).poll_once()
+    assert table.manifest().get("cdf_seq") == 1, table.manifest().get("cdf_seq")
+    _MINMAX_CACHE[sf_dir] = table
+    return table
+
+
+_MM_GROUP = ["o_orderstatus"]
+_MM_SUM = {"total_cents": "o_total_cents"}
+_MM_MIN = {"min_cents": "o_total_cents"}
+_MM_MAX = {"max_cents": "o_total_cents"}
+
+
+def pipeline_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX maintenance across an extremum-deleting batch: seed from
+    the SNAPSHOT, fold ONLY the change feed (the deletes dirty every
+    group, forcing the group-pruned base rescan), and match the oracle's
+    full recompute bit-for-bit."""
+    from .operators.matview import apply_changes_to_agg, init_agg
+
+    table = _minmax_table(spark, sf_dir)
+    snap = read_snapshot_csv(
+        spark,
+        f"{MINMAX_ROOT}/snapshot/{_SCHEMA}.{_TABLE}.*.csv",
+        table_def_to_struct(_def_v1()),
+    )
+    seed = init_agg(snap, _MM_GROUP, _MM_SUM, _MM_MIN, _MM_MAX)
+    return apply_changes_to_agg(
+        seed,
+        table.changes(spark),
+        _MM_GROUP,
+        _MM_SUM,
+        _MM_MIN,
+        _MM_MAX,
+        base=table.read(spark),
+    )
+
+
+def _minmax_oracle(root: str) -> str:
+    """Full recompute of the maintained min/max aggregate over the fold
+    of the staged snapshot + extremum-deleting batch."""
+    return f"""
+WITH snap AS (
+  SELECT * FROM read_csv('{root}/snapshot/{_SCHEMA}.{_TABLE}.*.csv',
+    header=false, nullstr='\\N', columns={{{_V1_COLS}}})
+),
+e1 AS (
+  SELECT *, dense_rank() OVER (ORDER BY filename) AS seq
+  FROM read_csv('{root}/increment/{_SCHEMA}/{_TABLE}/1/*/*/CDC*.csv',
+    header=false, nullstr='\\N', filename=true,
+    columns={{{_ENV_COLS},{_V1_COLS}}})
+),
+w1 AS (
+  SELECT * FROM e1
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+    ORDER BY commit_ts DESC, seq DESC, flag DESC) = 1
+),
+s1 AS (
+  SELECT t.* FROM snap t
+  WHERE NOT EXISTS (SELECT 1 FROM w1 f WHERE f.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_total_cents
+  FROM w1 WHERE flag <> 'D'
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(o_total_cents), 0) AS BIGINT) AS total_cents,
+       MIN(o_total_cents) AS min_cents, MAX(o_total_cents) AS max_cents
+FROM s1 GROUP BY o_orderstatus
+"""
+
+
 def pipeline_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full change data feed of the replay: both merge commits' row-level
     insert/update_preimage/update_postimage/delete sets, conformed to the
@@ -681,6 +806,61 @@ def table_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_RANGE_LO, _RANGE_HI = 100, 400
+
+
+def table_index_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-layout secondary index over ``o_custkey``: value-sorted
+    buckets with per-bucket zone maps in the index meta — the managed
+    table's zone-map trick applied to the index itself.  Same lifecycle
+    as table_index_lookup (build → merge the fixture changelog → refresh
+    from the feed), probed with ``lookup_range(lo, hi)``, which reads
+    ONLY zone-intersecting value buckets before chaining into
+    bucket-pruned ``read_for_keys``.  The oracle recomputes the merge
+    fold and filters BETWEEN the same interval, so a stale zone map or a
+    missed bucket rewrite breaks the hash."""
+    from .fixtures import CHANGELOG_SQL, TABLE_PK, register_views
+    from .operators.secondary_index import SecondaryIndex
+
+    register_views(spark, sf_dir, ["orders"])
+    base = spark.table("orders")
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_ixrange_"))
+    table = ManagedTable(wh / "orders").create(
+        base, TABLE_PK["orders"], pk_buckets=16, cdf=True
+    )
+    ix = SecondaryIndex(
+        wh / "orders_by_custkey_range", col="o_custkey",
+        pk_cols=TABLE_PK["orders"], n_buckets=8, layout="range",
+    )
+    ix.build(spark, table)
+    table.merge(spark, spark.sql(CHANGELOG_SQL["orders"]))
+    ix.refresh(spark, table)
+    assert len(ix._range_buckets(_RANGE_LO, _RANGE_HI)) < ix.n_buckets or (
+        ix.n_buckets <= 1
+    )
+    return ix.lookup_range(spark, table, _RANGE_LO, _RANGE_HI)
+
+
+def _index_range_lookup_oracle() -> str:
+    from .fixtures import CHANGELOG_SQL, ORDERS_PAYLOAD
+
+    return f"""
+WITH changelog AS ({CHANGELOG_SQL["orders"]}),
+final AS (
+  SELECT * FROM changelog
+  QUALIFY row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY commit_ts DESC, flag DESC) = 1
+),
+merged AS (
+  SELECT t.* FROM orders t
+  WHERE NOT EXISTS (SELECT 1 FROM final f WHERE f.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT {ORDERS_PAYLOAD} FROM final WHERE flag <> 'D'
+)
+SELECT * FROM merged WHERE o_custkey BETWEEN {_RANGE_LO} AND {_RANGE_HI}
+"""
+
+
 def _index_lookup_oracle() -> str:
     """Relational recompute of the merge fold, filtered to the probed
     customers — identical to entry_queries._merge_oracle's fold (can't
@@ -705,16 +885,67 @@ SELECT * FROM merged WHERE o_custkey IN ({keys})
 """
 
 
+def index_bench_phases(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Timed SPLIT of the secondary-index lifecycle for bench.py — the
+    composite table_index_lookup row timed build+refresh+probe as one
+    number, which let probe-latency regressions hide behind the O(base)
+    build.  Three metrics, three cost models:
+
+    - ``index_build``   one-time, O(base table) by design
+    - ``index_refresh`` steady-state maintenance, O(changes + touched buckets)
+    - ``index_probe``   the serving path, must stay O(1) in table size
+                        (one driver-hashed value bucket + pruned base read)
+
+    probe is best-of-3 (it is the latency-sensitive path); build/refresh
+    run once (re-creating the table per repeat would measure fixture
+    staging, not the index)."""
+    import time as _time
+
+    from .fixtures import CHANGELOG_SQL, TABLE_PK, register_views
+    from .operators.secondary_index import SecondaryIndex
+
+    register_views(spark, sf_dir, ["orders"])
+    base = spark.table("orders")
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_ixbench_"))
+    table = ManagedTable(wh / "orders").create(
+        base, TABLE_PK["orders"], pk_buckets=16, cdf=True
+    )
+    ix = SecondaryIndex(
+        wh / "orders_by_custkey", col="o_custkey",
+        pk_cols=TABLE_PK["orders"], n_buckets=8,
+    )
+    t0 = _time.perf_counter()
+    ix.build(spark, table)
+    build_s = _time.perf_counter() - t0
+    table.merge(spark, spark.sql(CHANGELOG_SQL["orders"]))
+    t0 = _time.perf_counter()
+    ix.refresh(spark, table)
+    refresh_s = _time.perf_counter() - t0
+    probe_s = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        for ck in _INDEX_CUSTKEYS:
+            ix.lookup(spark, table, ck).count()
+        probe_s = min(probe_s, _time.perf_counter() - t0)
+    return {
+        "index_build": round(build_s, 3),
+        "index_refresh": round(refresh_s, 3),
+        "index_probe": round(probe_s, 3),
+    }
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
     "pipeline_mor_replay": pipeline_mor_replay,
     "pipeline_cdf_replay": pipeline_cdf_replay,
     "pipeline_rename_continuity": pipeline_rename_continuity,
+    "pipeline_incremental_minmax": pipeline_incremental_minmax,
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_time_travel": pipeline_time_travel,
     "table_point_lookup": table_point_lookup,
     "table_index_lookup": table_index_lookup,
+    "table_index_range_lookup": table_index_range_lookup,
 }
 ORACLES = {
     "pipeline_changelog_replay": _fold_oracle(REPLAY_ROOT),
@@ -722,8 +953,10 @@ ORACLES = {
     "pipeline_mor_replay": _fold_oracle(MOR_ROOT),
     "pipeline_cdf_replay": _cdf_changes_oracle(CDF_ROOT),
     "pipeline_rename_continuity": _rename_changes_oracle(RENAME_ROOT),
+    "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,
     "table_index_lookup": _index_lookup_oracle(),
+    "table_index_range_lookup": _index_range_lookup_oracle(),
 }

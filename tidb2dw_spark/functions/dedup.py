@@ -700,6 +700,12 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # Incremental MinHash near-dup — continuous dedup against a signature store
 # ---------------------------------------------------------------------------
+# key-space sub-partitions per band: the store read prunes to the (band, kb)
+# partitions the batch touches, and each batch appends ≤ bands × this many
+# files — sized so both the pruning grain and the file count stay sane
+SIG_STORE_KEY_BUCKETS = 16
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     store_dir: str,
@@ -712,17 +718,19 @@ def incremental_minhash_pairs(
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against everything seen so far.
 
-    The persisted store holds one MinHash signature (num_hashes ints) per
-    document — never shingles or text, so at 100 TB the store is ~128
-    bytes/doc and the per-batch cost is O(batch + collisions), not
-    O(corpus).  Band keys of the new batch join band keys of store∪batch
-    (only pairs with ≥1 new member can surface), and candidates verify by
-    the signature-estimated Jaccard: the count of equal minhash positions,
-    an unbiased estimator whose integer exactness also gives the operator
-    a SQL oracle.  Returns (id_a, id_b, n_sig_matches) with
-    n_sig_matches ≥ *min_sig_matches*, materialized BEFORE the new
-    signatures append to the store (so the result never sees its own
-    batch through the store read)."""
+    The persisted store holds the BANDED signatures (*bands* rows of
+    ~num_hashes ints per document — never shingles or text), PARTITIONED
+    BY (band, key-bucket): at 100 TB the per-batch candidate join prunes
+    the store read to only the (band, kb) partitions the new batch's own
+    band keys touch — a micro-batch against a petabyte store reads a
+    batch-bounded slice, not the whole store.  Band keys of the new batch
+    join band keys of store∪batch (only pairs with ≥1 new member can
+    surface), and candidates verify by the signature-estimated Jaccard:
+    the count of equal minhash positions, an unbiased estimator whose
+    integer exactness also gives the operator a SQL oracle.  Returns
+    (id_a, id_b, n_sig_matches) with n_sig_matches ≥ *min_sig_matches*,
+    materialized BEFORE the new signatures append to the store (so the
+    result never sees its own batch through the store read)."""
     spark = new_docs.sparkSession
     rows_per_band = num_hashes // bands
     sh = new_docs.select(
@@ -737,19 +745,57 @@ def incremental_minhash_pairs(
     # store union, and store write all reuse one computation
     new_sigs = hs.select(
         "id", minhash_fold_arrow(num_hashes)(F.col("hs")).alias("sig")
-    ).persist()
+    )
 
-    # snapshot the store as an explicit FILE LIST: appending to the same
-    # directory below would otherwise invalidate (and re-resolve) any plan
-    # that scans the path, silently doubling the batch through the store
+    # BANDED form once, cached: it is the join's left side, the touched-
+    # partition probe, AND the store append — one banding pass serves all
+    # three.  kb = md5(key) % SIG_STORE_KEY_BUCKETS sub-partitions each
+    # band so the store read below prunes to the exact key neighborhoods
+    # the batch can collide in.
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            "sig",
+            F.explode_outer(
+                lsh_band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("bk"),
+        ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    banded_new = (
+        banded(new_sigs)
+        .withColumn("kb", F.pmod(md5_long(F.col("key"), 7), F.lit(SIG_STORE_KEY_BUCKETS)))
+        .persist()
+    )
+    # touched (band, kb) partitions: bounded by bands × SIG_STORE_KEY_BUCKETS
+    touched = {
+        (r["band"], r["kb"])
+        for r in banded_new.select("band", "kb").distinct().collect()
+    }
+
+    # store read PRUNED to touched partitions, snapshotted as an explicit
+    # FILE LIST per band (appending below would otherwise invalidate and
+    # re-resolve any plan scanning the path, silently doubling the batch
+    # through the store); each band's files read with the band attached —
+    # the partition column does not survive a leaf-directory read
     from pathlib import Path as _Path
 
-    store_files = sorted(str(p) for p in _Path(store_dir).rglob("*.parquet"))
-    if store_files:
-        old_sigs = spark.read.parquet(*store_files).select("id", "sig")
-        all_sigs = old_sigs.unionByName(new_sigs)
-    else:
-        all_sigs = new_sigs
+    files_by_band: dict[int, list[str]] = {}
+    root = _Path(store_dir)
+    for band, kb in sorted(touched):
+        for d in root.glob(f"batch-*/band={band}/kb={kb}"):
+            files_by_band.setdefault(band, []).extend(
+                sorted(str(f) for f in d.glob("*.parquet"))
+            )
+    old_parts = [
+        spark.read.parquet(*files).select(
+            F.lit(band).alias("band"), "key", "id", "sig"
+        )
+        for band, files in sorted(files_by_band.items())
+        if files
+    ]
+    right = banded_new.select("band", "key", "id", "sig")
+    for part in old_parts:
+        right = right.unionByName(part)
 
     # signatures ride THROUGH the band join (16 ints/row — cheaper than
     # re-fetching them), so the verify runs inline on each band collision
@@ -760,24 +806,14 @@ def incremental_minhash_pairs(
     # (bounded fan-out) and survivors are identical whichever collision
     # produced them — strictly cheaper than re-joining the signature
     # store at any scale.
-    def banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "id",
-            "sig",
-            F.explode_outer(
-                lsh_band_keys(F.col("sig"), bands, rows_per_band)
-            ).alias("bk"),
-        ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
     n_match = F.size(
         F.filter(
             F.zip_with("l.sig", "r.sig", lambda x, y: x == y), lambda t: t
         )
     )
     pairs = (
-        banded(new_sigs)
-        .alias("l")
-        .join(banded(all_sigs).alias("r"), on=["band", "key"])
+        banded_new.alias("l")
+        .join(right.alias("r"), on=["band", "key"])
         .filter(F.col("l.id") != F.col("r.id"))
         .select(
             F.least("l.id", "r.id").alias("id_a"),
@@ -793,17 +829,16 @@ def incremental_minhash_pairs(
     # root would recacheByPath-invalidate every cached plan reading the
     # store (including the just-persisted result of THIS call — its pairs
     # would silently recompute on next use), and per-batch dirs are also
-    # the layout concurrent ingests / retention GC want
+    # the layout concurrent ingests / retention GC want.  repartition by
+    # the partition columns → exactly ONE file per (band, kb) present in
+    # the batch, so the store grows by ≤ bands × key-buckets bounded-size
+    # files per batch instead of decaying into shuffle-partition confetti.
     import uuid as _uuid
 
-    # size the batch's file count by its bytes, not the shuffle partition
-    # count: a signature row is ~(num_hashes+1)×8 B, so a micro-batch
-    # otherwise lands as 32 near-empty files and the store decays into
-    # footer overhead (count() is free here — new_sigs is cached)
-    est_bytes = new_sigs.count() * (num_hashes + 1) * 16
-    n_files = int(max(1, -(-est_bytes // (128 << 20))))
-    new_sigs.coalesce(n_files).write.mode("overwrite").parquet(
-        str(_Path(store_dir) / f"batch-{_uuid.uuid4().hex}")
+    banded_new.repartition(F.col("band"), F.col("kb")).write.mode(
+        "overwrite"
+    ).partitionBy("band", "kb").parquet(
+        str(root / f"batch-{_uuid.uuid4().hex}")
     )
-    new_sigs.unpersist()  # pairs is materialized; the cache has served
+    banded_new.unpersist()  # pairs is materialized; the cache has served
     return pairs

@@ -45,19 +45,30 @@ _SUB = ("delete", "update_preimage")
 
 
 def init_agg(
-    df: DataFrame, group_cols: Sequence[str], sum_cols: dict[str, str]
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: dict[str, str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Seed the maintained aggregate from a base-table snapshot:
-    (group_cols…, n_rows, <out>=SUM(<src>)…).  *sum_cols* maps output
-    column name → source column (pre-quantize floats to integers in *df*
-    before calling — see module docstring).  Sums are NULL-as-zero
-    (``COALESCE(SUM(x), 0)``): a sum maintained by ±deltas has no way to
-    express "every remaining value is NULL", so the seed pins the same
-    convention and incremental stays bit-equal to a recompute."""
+    (group_cols…, n_rows, <out>=SUM(<src>)…[, <out>=MIN/MAX(<src>)…]).
+    *sum_cols* maps output column name → source column (pre-quantize
+    floats to integers in *df* before calling — see module docstring).
+    Sums are NULL-as-zero (``COALESCE(SUM(x), 0)``): a sum maintained by
+    ±deltas has no way to express "every remaining value is NULL", so the
+    seed pins the same convention and incremental stays bit-equal to a
+    recompute.  MIN/MAX stay NULL-able (SQL semantics: NULL iff every
+    value in the group is NULL) — they are exact order selections, so any
+    orderable type works without quantization."""
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
         for out, src in sum_cols.items()
     ]
+    for out, src in (min_cols or {}).items():
+        aggs.append(F.min(F.col(src)).alias(out))
+    for out, src in (max_cols or {}).items():
+        aggs.append(F.max(F.col(src)).alias(out))
     return df.groupBy(*group_cols).agg(*aggs)
 
 
@@ -66,6 +77,9 @@ def apply_changes_to_agg(
     changes: DataFrame,
     group_cols: Sequence[str],
     sum_cols: dict[str, str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Fold a change-feed slice into a maintained aggregate, returning the
     updated aggregate (same schema as :func:`init_agg`).
@@ -74,13 +88,33 @@ def apply_changes_to_agg(
     slice, each commit applied at most once — the caller checkpoints the
     last applied ``_commit_seq`` exactly like the file consumer
     checkpoints markers).  The union-then-groupBy shape keeps the plan to
-    one shuffle on the group key and handles NULL groups natively."""
+    one shuffle on the group key and handles NULL groups natively.
+
+    MIN/MAX are not self-maintainable: an insert only tightens them
+    (``least``/``greatest`` with the add-side extremum, folded in the
+    same single shuffle), but a delete/preimage that removes a group's
+    CURRENT extremum leaves the new extremum unknown.  Those groups are
+    marked DIRTY in the fold (a removed value ≤ stored min / ≥ stored
+    max) and re-derived from *base* — required iff min/max are maintained
+    — restricted to the dirty groups by a null-safe semi-ish join, so the
+    rescan is O(touched groups' rows), never O(table): the group
+    predicate reaches the base scan (zone-map/cluster pruning on tables
+    laid out by the group column), and untouched groups never rescan.
+    At 100 TB the dirty set of a CDC batch is batch-bounded, and the
+    common case (no extremum removed) stays the pure O(changes+groups)
+    single-shuffle fold with an empty rescan."""
     group_cols = list(group_cols)
+    min_cols = dict(min_cols or {})
+    max_cols = dict(max_cols or {})
+    mm_outs = list(min_cols) + list(max_cols)
+    if mm_outs and base is None:
+        raise ValueError("min/max maintenance requires the base table DataFrame")
     sign = (
         F.when(F.col(CHANGE_TYPE_COL).isin(*_ADD), F.lit(1))
         .when(F.col(CHANGE_TYPE_COL).isin(*_SUB), F.lit(-1))
         .otherwise(F.lit(0))
     )
+    is_add = F.col(CHANGE_TYPE_COL).isin(*_ADD)
     deltas = changes.select(
         *group_cols,
         sign.alias("n_rows"),
@@ -88,17 +122,100 @@ def apply_changes_to_agg(
             (sign * F.coalesce(F.col(src), F.lit(0))).alias(out)
             for out, src in sum_cols.items()
         ],
+        # add/remove-side extrema ride the same union rows: NULL on the
+        # other side, so min/max aggregation ignores them
+        *[
+            F.when(is_add, F.col(src)).alias(f"__add_{out}")
+            for out, src in {**min_cols, **max_cols}.items()
+        ],
+        *[
+            F.when(~is_add, F.col(src)).alias(f"__rem_{out}")
+            for out, src in {**min_cols, **max_cols}.items()
+        ],
     )
-    combined = (
-        agg.select(*group_cols, "n_rows", *sum_cols)
-        .unionByName(deltas)
+    stored = agg.select(
+        *group_cols,
+        "n_rows",
+        *sum_cols,
+        *[F.col(out).alias(f"__cur_{out}") for out in mm_outs],
+        *[F.lit(None).cast(deltas.schema[f"__add_{out}"].dataType).alias(f"__add_{out}") for out in mm_outs],
+        *[F.lit(None).cast(deltas.schema[f"__rem_{out}"].dataType).alias(f"__rem_{out}") for out in mm_outs],
+    )
+    deltas = deltas.select(
+        *group_cols,
+        "n_rows",
+        *sum_cols,
+        *[F.lit(None).cast(deltas.schema[f"__add_{out}"].dataType).alias(f"__cur_{out}") for out in mm_outs],
+        *[F.col(f"__add_{out}") for out in mm_outs],
+        *[F.col(f"__rem_{out}") for out in mm_outs],
+    )
+    folded = (
+        stored.unionByName(deltas)
         .groupBy(*group_cols)
         .agg(
             F.sum("n_rows").alias("n_rows"),
             *[F.sum(out).alias(out) for out in sum_cols],
+            *[F.min(f"__cur_{out}").alias(f"__cur_{out}") for out in mm_outs],
+            *[
+                (F.min if out in min_cols else F.max)(f"__add_{out}").alias(
+                    f"__add_{out}"
+                )
+                for out in mm_outs
+            ],
+            *[
+                (F.min if out in min_cols else F.max)(f"__rem_{out}").alias(
+                    f"__rem_{out}"
+                )
+                for out in mm_outs
+            ],
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    if not mm_outs:
+        return folded
+
+    def dirty(out: str) -> F.Column:
+        cur, rem = F.col(f"__cur_{out}"), F.col(f"__rem_{out}")
+        cmp = rem <= cur if out in min_cols else rem >= cur
+        return cur.isNotNull() & rem.isNotNull() & cmp
+
+    any_dirty = None
+    for out in mm_outs:
+        any_dirty = dirty(out) if any_dirty is None else (any_dirty | dirty(out))
+    folded = folded.withColumn("__dirty", any_dirty)
+    dirty_keys = folded.filter(F.col("__dirty")).select(*group_cols)
+    cond = None
+    rescan_src = base.alias("__b")
+    dk = dirty_keys.alias("__d")
+    for c in group_cols:
+        eq = F.col(f"__b.{c}").eqNullSafe(F.col(f"__d.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    rescan = (
+        rescan_src.join(F.broadcast(dk), cond, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            *[F.min(F.col(src)).alias(f"__rs_{out}") for out, src in min_cols.items()],
+            *[F.max(F.col(src)).alias(f"__rs_{out}") for out, src in max_cols.items()],
         )
     )
-    return combined.filter(F.col("n_rows") > 0)
+    fl, rs = folded.alias("__f"), rescan.alias("__r")
+    cond2 = None
+    for c in group_cols:
+        eq = F.col(f"__f.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        cond2 = eq if cond2 is None else (cond2 & eq)
+    joined = fl.join(rs, cond2, "left")
+    out_cols = [F.col(f"__f.{c}").alias(c) for c in group_cols]
+    out_cols.append(F.col("__f.n_rows").alias("n_rows"))
+    out_cols += [F.col(f"__f.{out}").alias(out) for out in sum_cols]
+    for out in mm_outs:
+        tighten = F.least if out in min_cols else F.greatest
+        candidate = tighten(F.col(f"__f.__cur_{out}"), F.col(f"__f.__add_{out}"))
+        out_cols.append(
+            F.when(F.col("__f.__dirty"), F.col(f"__r.__rs_{out}"))
+            .otherwise(candidate)
+            .alias(out)
+        )
+    return joined.select(*out_cols)
 
 
 class MaintainedAggregate:
@@ -124,12 +241,21 @@ class MaintainedAggregate:
     scanned once, ever (the seed).  The aggregate itself is groups-sized
     — rewriting it per refresh is the cheap side of the trade."""
 
-    def __init__(self, root, group_cols: Sequence[str], sum_cols: dict[str, str]):
+    def __init__(
+        self,
+        root,
+        group_cols: Sequence[str],
+        sum_cols: dict[str, str],
+        min_cols: dict[str, str] | None = None,
+        max_cols: dict[str, str] | None = None,
+    ):
         from pathlib import Path
 
         self.root = Path(root)
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols)
+        self.min_cols = dict(min_cols or {})
+        self.max_cols = dict(max_cols or {})
 
     def _meta_path(self):
         return self.root / "_meta.json"
@@ -165,7 +291,14 @@ class MaintainedAggregate:
 
     def _source_cols(self) -> list[str]:
         """Base-table columns this aggregate consumes, deduped in order."""
-        return list(dict.fromkeys(self.group_cols + list(self.sum_cols.values())))
+        return list(
+            dict.fromkeys(
+                self.group_cols
+                + list(self.sum_cols.values())
+                + list(self.min_cols.values())
+                + list(self.max_cols.values())
+            )
+        )
 
     def _feed_projection(self, ch: DataFrame, m: dict, src_m: dict) -> DataFrame:
         """Project a change slice to exactly the columns the fold reads,
@@ -180,6 +313,18 @@ class MaintainedAggregate:
             cur = inv.get(stored.get(n), n) if stored else n
             cols.append(F.col(cur).alias(n) if cur != n else F.col(n))
         return ch.select(*cols)
+
+    def _feed_base_projection(self, df: DataFrame, m: dict, src_m: dict) -> DataFrame:
+        """Base-table twin of :meth:`_feed_projection` (no change-type
+        column): the dirty-group min/max rescan reads the base under the
+        aggregate's seed names."""
+        stored = m.get("field_ids") or {}
+        inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
+        cols = []
+        for n in self._source_cols():
+            cur = inv.get(stored.get(n), n) if stored else n
+            cols.append(F.col(cur).alias(n) if cur != n else F.col(n))
+        return df.select(*cols)
 
     def refresh(self, spark, source: ManagedTable) -> int:
         """Fold any new change commits into the aggregate; returns the
@@ -196,7 +341,11 @@ class MaintainedAggregate:
         src_seq = src_m.get("cdf_seq", 0)
         if not self.exists():
             seed = init_agg(
-                source._read_state(spark, src_m), self.group_cols, self.sum_cols
+                source._read_state(spark, src_m),
+                self.group_cols,
+                self.sum_cols,
+                self.min_cols,
+                self.max_cols,
             )
             # pin the consumed columns' field ids: a later base RENAME is
             # then translated back at refresh instead of breaking the fold
@@ -214,6 +363,14 @@ class MaintainedAggregate:
             return since
         # (src_seq from the same pinned manifest bounds the slice, so a
         # concurrent merge is simply picked up by the NEXT refresh)
+        base = None
+        if self.min_cols or self.max_cols:
+            # pinned to the SAME manifest as src_seq: dirty-group rescans
+            # must see exactly the state the fold converges to (translate
+            # a renamed base back to seed names, like the feed)
+            base = self._feed_base_projection(
+                source._read_state(spark, src_m), m, src_m
+            )
         updated = apply_changes_to_agg(
             self.read(spark),
             self._feed_projection(
@@ -221,6 +378,9 @@ class MaintainedAggregate:
             ),
             self.group_cols,
             self.sum_cols,
+            self.min_cols,
+            self.max_cols,
+            base=base,
         )
         new_version = m["version"] + 1
         self._commit(updated, new_version, src_seq, field_ids=m.get("field_ids"))

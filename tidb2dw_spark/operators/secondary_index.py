@@ -1,4 +1,4 @@
-"""Secondary index over a ManagedTable column, maintained from the change
+"""Secondary index over ManagedTable columns, maintained from the change
 data feed.
 
 A PK-bucketed table answers key probes in O(probed buckets)
@@ -7,33 +7,57 @@ bucket.  Warehouses solve this with a value-keyed derived table kept fresh
 by the pipeline; this module is that pattern as a first-class object:
 
     <root>/_meta.json              {"applied_seq", "version", "col", "pk",
-                                    "n_buckets", "bucket_versions"}
-    <root>/v=N/__vb=B/…            (col value, pk…) entries, hash-bucketed
+                                    "n_buckets", "layout", "bucket_versions",
+                                    "field_ids"[, "boundaries", "zone"]}
+    <root>/v=N/__vb=B/…            (col value(s), pk…) entries, bucketed
                                    BY VALUE
 
-- ``build()`` scans the base once and writes every value bucket.
-- ``refresh()`` folds a CDF slice: preimage/delete rows REMOVE their
-  (old value, pk) entry, postimage/insert rows ADD theirs — an update
-  that changes the indexed value naturally moves the entry between value
-  buckets.  Only touched value buckets rewrite (the same bucket_versions
-  trick as ManagedTable), so maintenance is O(changes + touched buckets),
-  never O(base table).
-- ``lookup()`` hashes the probe value DRIVER-side (md5-derived bucket —
-  the same engine-portable idiom as the bloom probe, which is why the
-  indexed column is restricted to string/integer types), reads ONE value
-  bucket, and hands the matching PKs to ``source.read_for_keys`` — a
-  fully index-accelerated point query: O(1) index probe + O(k) base
-  buckets, independent of table size at both hops.
+Two layouts:
 
-NULL values are not indexed (lookups are equality probes; SQL equality
-never matches NULL).  Exactly-once across restarts mirrors the managed
-table: state lives in ``_meta.json``, committed by ``os.replace`` after
-the data write, and orphan version directories from crashes are
+- ``layout="hash"`` (default): buckets are ``md5(value) % n`` — equality
+  probes only.  The indexed key may be a COMPOSITE (a sequence of
+  columns): the hash covers the tuple (``concat_ws`` with an unlikely
+  separator, bit-identical to the driver-side twin), and probes pass a
+  matching tuple of values.
+- ``layout="range"``: buckets are VALUE-SORTED — boundaries are fixed at
+  build (approximate quantiles of the base), and ``_meta.json`` carries a
+  per-bucket (min, max) ZONE MAP maintained at every refresh — the
+  managed table's zone-map trick applied to the index itself.
+  ``lookup_range(lo, hi)`` reads only buckets whose zone intersects the
+  probe interval: O(intersecting buckets), independent of index size.
+  Single integer column only (driver-side bisect must reproduce the
+  bucketing exactly).
+
+- ``build()`` scans the base once and writes every value bucket.
+- ``refresh()`` folds a CDF slice collapsed to each PK's NET effect:
+  every (value, pk) seen anywhere in the slice is a removal candidate and
+  only the per-PK final image re-adds — a value changing more than once
+  inside one slice leaves no stale intermediate entries.  Only touched
+  value buckets rewrite (the same bucket_versions trick as ManagedTable),
+  so maintenance is O(changes + touched buckets), never O(base table).
+- ``lookup()`` hashes/bisects the probe value DRIVER-side, reads ONE
+  value bucket, and hands the matching PKs to ``source.read_for_keys`` —
+  a fully index-accelerated point query: O(1) index probe + O(k) base
+  buckets, independent of table size at both hops.  The base read is
+  defensively re-filtered by the probe, so a refresh lagging the base
+  surfaces as a miss, never a mismatched row.
+
+Rename continuity: the indexed columns' FIELD IDS are pinned at build;
+refresh/lookup translate a later base-table RENAME back to the build-time
+(stored) names, so bucket files never rewrite for a rename and the object
+may be reconstructed under either name.
+
+NULL values are not indexed (lookups are equality/range probes; SQL
+comparisons never match NULL — for composite keys, a NULL in ANY member
+column excludes the row).  Exactly-once across restarts mirrors the
+managed table: state lives in ``_meta.json``, committed by ``os.replace``
+after the data write, and orphan version directories from crashes are
 overwritten on retry.
 """
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import shutil
@@ -50,14 +74,39 @@ from ..table.managed import CHANGE_TYPE_COL, COMMIT_SEQ_COL, ManagedTable
 VAL_BUCKET_COL = "__vb"
 _ADD_TYPES = ("insert", "update_postimage")
 _REMOVE_TYPES = ("delete", "update_preimage")
+# composite-key hash separator: unlikely in data, and the driver twin
+# joins with the same byte so both sides hash the identical string
+_SEP = "\x1f"
+_PORTABLE_TYPES = ("string", "int", "bigint", "smallint", "tinyint", "long")
+_RANGE_TYPES = ("int", "bigint", "smallint", "tinyint", "long")
 
 
 class SecondaryIndex:
-    def __init__(self, root, col: str, pk_cols: Sequence[str], n_buckets: int = 16):
+    def __init__(
+        self,
+        root,
+        col: str | Sequence[str],
+        pk_cols: Sequence[str],
+        n_buckets: int = 16,
+        layout: str = "hash",
+    ):
         self.root = Path(root)
-        self.col = col
+        self.cols = [col] if isinstance(col, str) else list(col)
         self.pk_cols = list(pk_cols)
         self.n_buckets = n_buckets
+        if layout not in ("hash", "range"):
+            raise ValueError(f"unknown index layout {layout!r}")
+        if layout == "range" and len(self.cols) != 1:
+            raise ValueError("range layout indexes exactly one column")
+        self.layout = layout
+        self.boundaries: list = []
+
+    @property
+    def col(self) -> str:
+        """Single-column convenience accessor (legacy callers)."""
+        if len(self.cols) != 1:
+            raise ValueError("composite index has no single .col")
+        return self.cols[0]
 
     # -- meta -------------------------------------------------------------
     def _meta_path(self) -> Path:
@@ -69,12 +118,18 @@ class SecondaryIndex:
     def meta(self) -> dict:
         return json.loads(self._meta_path().read_text())
 
+    @staticmethod
+    def _meta_cols(m: dict) -> list[str]:
+        c = m["col"]
+        return [c] if isinstance(c, str) else list(c)
+
     def _load_meta(self, src_m: dict | None = None) -> dict:
         """Read persisted meta AND reconcile it with the constructor: the
-        stored (col, pk, n_buckets) are authoritative — a reconstructed
-        object with a different n_buckets would mis-hash every probe and
-        silently return empty lookups, so n_buckets is adopted from disk
-        and a col/pk mismatch (a genuinely different index) is an error.
+        stored (col, pk, n_buckets, layout) are authoritative — a
+        reconstructed object with a different n_buckets would mis-hash
+        every probe and silently return empty lookups, so layout state is
+        adopted from disk and a col/pk mismatch (a genuinely different
+        index) is an error.
 
         With the source manifest available, the constructor may also name
         the columns by their CURRENT (post-rename) base-table names: the
@@ -82,21 +137,24 @@ class SecondaryIndex:
         under its build-time (stored) names internally — bucket files
         never need rewriting for a base RENAME."""
         m = self.meta()
-        if m["col"] != self.col or m["pk"] != self.pk_cols:
+        stored_cols = self._meta_cols(m)
+        if stored_cols != self.cols or m["pk"] != self.pk_cols:
             ok = False
             ids = m.get("field_ids") or {}
             if src_m is not None and ids:
                 inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
-                cur_col = inv.get(ids.get(m["col"]), m["col"])
+                cur_cols = [inv.get(ids.get(c), c) for c in stored_cols]
                 cur_pk = [inv.get(ids.get(c), c) for c in m["pk"]]
-                ok = cur_col == self.col and cur_pk == self.pk_cols
+                ok = cur_cols == self.cols and cur_pk == self.pk_cols
             if not ok:
                 raise ValueError(
                     f"index at {self.root} is over ({m['col']!r}, pk={m['pk']}), "
-                    f"not ({self.col!r}, pk={self.pk_cols})"
+                    f"not ({self.cols!r}, pk={self.pk_cols})"
                 )
-        self.col, self.pk_cols = m["col"], list(m["pk"])
+        self.cols, self.pk_cols = stored_cols, list(m["pk"])
         self.n_buckets = m["n_buckets"]
+        self.layout = m.get("layout", "hash")
+        self.boundaries = m.get("boundaries", [])
         return m
 
     def _cur_names(self, m: dict, src_m: dict) -> dict[str, str]:
@@ -104,7 +162,8 @@ class SecondaryIndex:
         ids = m.get("field_ids") or {}
         inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
         return {
-            n: inv.get(ids.get(n), n) for n in [m["col"], *m["pk"]]
+            n: inv.get(ids.get(n), n)
+            for n in [*self._meta_cols(m), *m["pk"]]
         }
 
     def _commit(self, meta: dict) -> None:
@@ -114,21 +173,41 @@ class SecondaryIndex:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
 
-    # -- hashing ----------------------------------------------------------
+    # -- bucketing --------------------------------------------------------
     def _bucket_col(self) -> F.Column:
+        if self.layout == "range":
+            # static boundaries (fixed at build, like pk_buckets at
+            # create): value v → #boundaries ≤ v, i.e. bisect_right
+            c = F.col(self.cols[0])
+            expr = F.lit(0)
+            for b in self.boundaries:
+                expr = expr + (c > F.lit(b)).cast("int")
+            return expr
         return F.pmod(
-            md5_long(F.col(self.col).cast("string")), F.lit(self.n_buckets)
+            md5_long(
+                F.concat_ws(_SEP, *[F.col(c).cast("string") for c in self.cols])
+            ),
+            F.lit(self.n_buckets),
         )
 
     def _bucket_of(self, value) -> int:
-        """Driver-side twin of :meth:`_bucket_col` (shared md5_long_py —
-        identical for the string/int types the index admits)."""
-        return md5_long_py(value) % self.n_buckets
+        """Driver-side twin of :meth:`_bucket_col` (shared md5_long_py /
+        bisect — identical for the types each layout admits)."""
+        if self.layout == "range":
+            return bisect.bisect_right(self.boundaries, value)
+        vals = value if isinstance(value, (tuple, list)) else (value,)
+        if len(vals) != len(self.cols):
+            raise ValueError(
+                f"probe has {len(vals)} value(s); index key is {self.cols}"
+            )
+        return md5_long_py(_SEP.join(str(v) for v in vals)) % self.n_buckets
 
     def _entries(self, df: DataFrame) -> DataFrame:
-        return df.filter(F.col(self.col).isNotNull()).select(
-            self.col, *self.pk_cols
-        )
+        cond = None
+        for c in self.cols:
+            nn = F.col(c).isNotNull()
+            cond = nn if cond is None else (cond & nn)
+        return df.filter(cond).select(*self.cols, *self.pk_cols)
 
     # -- build / refresh --------------------------------------------------
     def build(self, spark: SparkSession, source: ManagedTable) -> int:
@@ -143,13 +222,24 @@ class SecondaryIndex:
         src_seq = src_m.get("cdf_seq", 0)
         df = source._read_state(spark, src_m)
         dtypes = dict(df.dtypes)
-        if dtypes.get(self.col) not in (
-            "string", "int", "bigint", "smallint", "tinyint", "long",
-        ):
-            raise ValueError(
-                f"indexed column {self.col!r} has type {dtypes.get(self.col)}; "
-                "only string/integer columns probe reproducibly driver-side"
-            )
+        allowed = _RANGE_TYPES if self.layout == "range" else _PORTABLE_TYPES
+        for c in self.cols:
+            if dtypes.get(c) not in allowed:
+                raise ValueError(
+                    f"indexed column {c!r} has type {dtypes.get(c)}; "
+                    f"{self.layout} layout admits only {allowed} so probes "
+                    "reproduce driver-side"
+                )
+        if self.layout == "range":
+            # boundary estimation: approximate quantiles of the BASE —
+            # accuracy only affects balance, never correctness (the same
+            # stored boundaries drive writes and probes forever after)
+            qs = [i / self.n_buckets for i in range(1, self.n_buckets)]
+            raw = df.select(
+                F.col(self.cols[0]).cast("double").alias(self.cols[0])
+            ).na.drop()
+            cuts = raw.approxQuantile(self.cols[0], qs, 0.001)
+            self.boundaries = sorted({int(x) for x in cuts})
         out = self._entries(df).withColumn(VAL_BUCKET_COL, self._bucket_col())
         out.write.mode("overwrite").partitionBy(VAL_BUCKET_COL).parquet(
             str(self.root / "v=1")
@@ -158,22 +248,36 @@ class SecondaryIndex:
         # later base RENAME back to these build-time names, so the bucket
         # files (physically carrying build-time names) never rewrite
         src_ids = src_m.get("field_ids", {})
-        self._commit(
-            {
-                "applied_seq": src_seq,
-                "version": 1,
-                "col": self.col,
-                "pk": self.pk_cols,
-                "n_buckets": self.n_buckets,
-                "bucket_versions": {str(b): 1 for b in range(self.n_buckets)},
-                "field_ids": {
-                    n: src_ids[n]
-                    for n in [self.col, *self.pk_cols]
-                    if n in src_ids
-                },
-            }
-        )
+        meta = {
+            "applied_seq": src_seq,
+            "version": 1,
+            "col": self.cols[0] if len(self.cols) == 1 else self.cols,
+            "pk": self.pk_cols,
+            "n_buckets": self.n_buckets,
+            "layout": self.layout,
+            "bucket_versions": {str(b): 1 for b in range(self.n_buckets)},
+            "field_ids": {
+                n: src_ids[n]
+                for n in [*self.cols, *self.pk_cols]
+                if n in src_ids
+            },
+        }
+        if self.layout == "range":
+            meta["boundaries"] = self.boundaries
+            meta["zone"] = self._zone_of(out)
+        self._commit(meta)
         return src_seq
+
+    def _zone_of(self, out: DataFrame) -> dict:
+        """Per-bucket (min, max) of the indexed value — the index's zone
+        map, one bucket-count-sized collect."""
+        c = self.cols[0]
+        return {
+            str(r["b"]): [r["lo"], r["hi"]]
+            for r in out.groupBy(F.col(VAL_BUCKET_COL).alias("b"))
+            .agg(F.min(c).alias("lo"), F.max(c).alias("hi"))
+            .collect()
+        }
 
     def _read_buckets(self, spark: SparkSession, m: dict, buckets) -> DataFrame | None:
         paths = []
@@ -239,9 +343,9 @@ class SecondaryIndex:
             return src_seq
         new_version = m["version"] + 1
         base = self._read_buckets(spark, m, touched)
-        # an entry is keyed by (value, pk): anti-join the removals,
+        # an entry is keyed by (value(s), pk): anti-join the removals,
         # union the additions; both sides are changes-sized → broadcast
-        keyed = [self.col, *self.pk_cols]
+        keyed = [*self.cols, *self.pk_cols]
         survivors = (
             base.join(F.broadcast(removals), on=keyed, how="left_anti")
             if base is not None
@@ -259,6 +363,18 @@ class SecondaryIndex:
         for b in touched:
             m["bucket_versions"][str(b)] = new_version
         m["applied_seq"] = src_seq
+        if self.layout == "range":
+            # zone maps of the rewritten buckets (others untouched) — a
+            # bucket emptied by this refresh loses its zone and range
+            # probes skip it
+            zone = dict(m.get("zone", {}))
+            new_zone = self._zone_of(out)
+            for b in touched:
+                if str(b) in new_zone:
+                    zone[str(b)] = new_zone[str(b)]
+                else:
+                    zone.pop(str(b), None)
+            m["zone"] = zone
         self._commit(m)
         for p in self.root.glob("v=*"):
             v = int(p.name.split("=", 1)[1])
@@ -270,8 +386,9 @@ class SecondaryIndex:
 
     # -- probe ------------------------------------------------------------
     def lookup_pks(self, spark: SparkSession, value) -> DataFrame:
-        """PKs whose indexed column equals *value*: reads ONE value bucket
-        (driver-side hash — no Spark job to locate it)."""
+        """PKs whose indexed column(s) equal *value* (a tuple for
+        composite keys): reads ONE value bucket (driver-side hash/bisect
+        — no Spark job to locate it)."""
         m = self._load_meta()
         b = self._bucket_of(value)
         base = self._read_buckets(spark, m, [b])
@@ -280,7 +397,49 @@ class SecondaryIndex:
 
             fields = StructType()
             return spark.createDataFrame([], schema=fields)
-        return base.filter(F.col(self.col) == value).select(*self.pk_cols)
+        vals = value if isinstance(value, (tuple, list)) else (value,)
+        cond = None
+        for c, v in zip(self.cols, vals):
+            eq = F.col(c) == v
+            cond = eq if cond is None else (cond & eq)
+        return base.filter(cond).select(*self.pk_cols)
+
+    def _range_buckets(self, lo, hi) -> list[int]:
+        """Buckets whose ZONE MAP intersects [lo, hi] — the probe's read
+        set, O(intersecting buckets) by construction."""
+        if self.layout != "range":
+            raise ValueError("range probes require layout='range'")
+        m = self._load_meta()
+        zone = m.get("zone", {})
+        return sorted(
+            int(b)
+            for b, (bmin, bmax) in zone.items()
+            if bmin is not None and bmax is not None and bmin <= hi and bmax >= lo
+        )
+
+    def lookup_range_pks(self, spark: SparkSession, lo, hi) -> DataFrame:
+        """PKs whose indexed value lies in [lo, hi]: reads ONLY the
+        zone-intersecting value buckets."""
+        m = self._load_meta()
+        buckets = self._range_buckets(lo, hi)
+        base = self._read_buckets(spark, m, buckets) if buckets else None
+        if base is None:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], schema=StructType())
+        c = F.col(self.cols[0])
+        return base.filter((c >= lo) & (c <= hi)).select(*self.pk_cols)
+
+    def _translated_pks(self, pks: DataFrame, names: dict[str, str]) -> DataFrame:
+        """Hand the base its CURRENT pk names (field-id translation)."""
+        return pks.select(
+            *[
+                F.col(stored).alias(names[stored])
+                if names[stored] != stored
+                else F.col(stored)
+                for stored in self.pk_cols
+            ]
+        )
 
     def lookup(self, spark: SparkSession, source: ManagedTable, value) -> DataFrame:
         """Index-accelerated equality read of the BASE table: one index
@@ -290,20 +449,30 @@ class SecondaryIndex:
         pks = self.lookup_pks(spark, value)
         if not pks.columns:
             return source.read(spark).limit(0)
-        # the index's stored names may lag a base-table RENAME: hand the
-        # base its CURRENT names (field-id translation)
         names = self._cur_names(m, src_m)
-        pks = pks.select(
-            *[
-                F.col(stored).alias(names[stored])
-                if names[stored] != stored
-                else F.col(stored)
-                for stored in self.pk_cols
-            ]
-        )
+        pks = self._translated_pks(pks, names)
         # re-verify against the base row: index maintenance races (a
         # refresh lagging the base's cdf_seq) must surface as a MISS, not
         # as a row whose current value no longer matches the probe
-        return source.read_for_keys(spark, pks).filter(
-            F.col(names[self.col]) == value
-        )
+        vals = value if isinstance(value, (tuple, list)) else (value,)
+        cond = None
+        for c, v in zip(self.cols, vals):
+            eq = F.col(names[c]) == v
+            cond = eq if cond is None else (cond & eq)
+        return source.read_for_keys(spark, pks).filter(cond)
+
+    def lookup_range(
+        self, spark: SparkSession, source: ManagedTable, lo, hi
+    ) -> DataFrame:
+        """Index-accelerated RANGE read of the BASE table: zone-pruned
+        index buckets → matching PKs → bucket-pruned ``read_for_keys``,
+        defensively re-filtered by the probe interval."""
+        src_m = source.manifest()
+        m = self._load_meta(src_m)
+        pks = self.lookup_range_pks(spark, lo, hi)
+        if not pks.columns:
+            return source.read(spark).limit(0)
+        names = self._cur_names(m, src_m)
+        pks = self._translated_pks(pks, names)
+        c = F.col(names[self.cols[0]])
+        return source.read_for_keys(spark, pks).filter((c >= lo) & (c <= hi))

@@ -38,4 +38,45 @@ def get_spark(app_name: str = "tidb2dw_spark", shuffle_partitions: int | None = 
         # cap in-flight parquet footer/file memory at wide-scan scale
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    jar = mysql_driver_jar()
+    if jar:
+        # auto-enable the live-MySQL source path the moment the
+        # environment provides a driver jar (the gated e2e in
+        # tests/test_replicate.py un-skips itself off the same probe)
+        builder = builder.config("spark.jars", jar)
     return builder.getOrCreate()
+
+
+def mysql_driver_jar() -> str | None:
+    """Probe the environment for a MySQL/MariaDB JDBC driver jar.
+
+    The container ships no MySQL driver, which is the one thing gating
+    the live source-attached replicate (S1) from running end-to-end
+    against a real wire.  Search order: $SPARK_GRAFT_JDBC_JAR (explicit),
+    then the conventional system/Spark jar directories.  Returns the
+    first match or None — callers treat None as "environment-gated",
+    never an error."""
+    import glob
+
+    explicit = os.environ.get("SPARK_GRAFT_JDBC_JAR")
+    if explicit and os.path.exists(explicit):
+        return explicit
+    roots = [
+        os.path.join(os.environ.get("SPARK_HOME", ""), "jars"),
+        "/usr/share/java",
+        "/opt/jars",
+    ]
+    try:
+        import pyspark
+
+        roots.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except Exception:
+        pass
+    for root in roots:
+        if not root or not os.path.isdir(root):
+            continue
+        for pat in ("mysql-connector*.jar", "mariadb-java-client*.jar"):
+            hits = sorted(glob.glob(os.path.join(root, pat)))
+            if hits:
+                return hits[0]
+    return None

@@ -233,6 +233,7 @@ class ManagedTable:
         # pending deltas into *df*'s lineage), so the delta lists reset
         if m.get("bucket_deltas"):
             m["bucket_deltas"] = {}
+            self._gc_delta_stats(m)
         if extra_meta:
             m.update(extra_meta)
         self._commit(m, action="overwrite")
@@ -365,6 +366,23 @@ class ManagedTable:
         bd = m.setdefault("bucket_deltas", {})
         for b in touched:
             bd.setdefault(str(b), []).append(seq)
+        # per-(seq, bucket) key-range stats over the LEADING pk column
+        # (deletes included — the range must cover every event in the
+        # file): read_for_keys skips pending deltas whose range cannot
+        # contain any probed key, bounding MoR read amplification by the
+        # deltas that OVERLAP the probe instead of every pending delta.
+        # One batch-sized agg per commit; types beyond int/string (not
+        # JSON-round-trippable) simply skip stats and stay conservative.
+        pk0 = pk_cols[0]
+        if dict(final.dtypes).get(pk0) in (
+            "string", "int", "bigint", "smallint", "tinyint", "long",
+        ):
+            m.setdefault("delta_stats", {})[str(seq)] = {
+                str(r["b"]): [r["lo"], r["hi"]]
+                for r in out.groupBy(F.col(BUCKET_COL).alias("b"))
+                .agg(F.min(pk0).alias("lo"), F.max(pk0).alias("hi"))
+                .collect()
+            }
         if extra_meta:
             m.update(extra_meta)
         self._commit(m, action="merge-mor")
@@ -825,14 +843,70 @@ class ManagedTable:
         pk_cols, n = m["pk"], m.get("pk_buckets", 0)
         if n <= 0:
             return self.read(spark).join(F.broadcast(keys), on=pk_cols, how="left_semi")
-        touched = sorted(
-            r["b"]
-            for r in keys.select(self._bucket_expr(pk_cols, n).alias("b"))
+        # one driver-side pass over the (small) key set yields both the
+        # touched buckets AND the per-bucket probe values for delta-stats
+        # pruning below
+        key_rows = (
+            keys.select(
+                self._bucket_expr(pk_cols, n).alias("b"),
+                F.col(pk_cols[0]).alias("k0"),
+            )
             .distinct()
             .collect()
         )
+        probes: dict[int, set] = {}
+        for r in key_rows:
+            probes.setdefault(r["b"], set()).add(r["k0"])
+        touched = sorted(probes)
+        m = self._prune_delta_seqs(m, probes)
         target = self._read_buckets(spark, m, touched)
         return target.join(F.broadcast(keys), on=pk_cols, how="left_semi")
+
+    def _prune_delta_seqs(self, m: dict, probes: dict[int, set]) -> dict:
+        """MoR probe pruning: drop pending delta seqs whose recorded
+        leading-pk range (delta_stats, stamped at commit) cannot contain
+        any probed key of that bucket — the resolve window then runs over
+        only the OVERLAPPING deltas.  Missing stats (legacy commits,
+        non-orderable pk types, NULL probes) stay conservative: the seq
+        is read.  Returns a shallow-copied manifest; on tables without
+        pending deltas this is a no-op."""
+        bd = m.get("bucket_deltas", {})
+        ds = m.get("delta_stats", {})
+        if not any(bd.values()) or not ds:
+            return m
+        pruned: dict[str, list[int]] = {}
+        for b_str, seqs in bd.items():
+            b = int(b_str)
+            if b not in probes:
+                pruned[b_str] = seqs  # bucket not probed; never read anyway
+                continue
+            vals = probes[b]
+            keep = []
+            for s in seqs:
+                st = ds.get(str(s), {}).get(b_str)
+                if st is None or any(
+                    v is None or (st[0] <= v <= st[1]) for v in vals
+                ):
+                    keep.append(s)
+            pruned[b_str] = keep
+        m2 = dict(m)
+        m2["bucket_deltas"] = pruned
+        return m2
+
+    @staticmethod
+    def _gc_delta_stats(m: dict) -> None:
+        """Drop delta_stats entries for seqs no bucket's pending list
+        references anymore (folded by compaction/overwrite/rebucket)."""
+        live = {s for seqs in m.get("bucket_deltas", {}).values() for s in seqs}
+        ds = m.get("delta_stats")
+        if not ds:
+            m.pop("delta_stats", None)
+            return
+        for s in list(ds):
+            if int(s) not in live:
+                del ds[s]
+        if not ds:
+            m.pop("delta_stats", None)
 
     def _state_at(self, entry: dict) -> dict:
         """Reconstruct a read-state manifest from a commit-log entry.  Keys
@@ -1037,6 +1111,7 @@ class ManagedTable:
         m["bucket_versions"] = {str(b): new_version for b in range(new_buckets)}
         if m.get("bucket_deltas") is not None:
             m["bucket_deltas"] = {}  # read() resolved them into the rewrite
+            self._gc_delta_stats(m)
         # a previously-plain table resolves data through bucket_versions
         # from here on; a stale data_version key would pin the old full-
         # copy v= directory in vacuum()'s referenced set forever
@@ -1183,6 +1258,7 @@ class ManagedTable:
         for b in touched:
             m["bucket_versions"][str(b)] = new_version
             m.get("bucket_deltas", {}).pop(str(b), None)
+        self._gc_delta_stats(m)
         self._commit(m, action="compact")
         return new_version
 
