@@ -794,6 +794,43 @@ def test_changes_span_rename_barrier_by_field_id(spark, tmp_path):
     )
 
 
+def test_changes_never_resurrect_dropped_field_into_readded_name(spark, tmp_path):
+    """DROP then ADD of the same name: change files written before the
+    DROP physically carry the DEAD field's cells under that name (the
+    feed is never rewritten by DDL).  The drop-time field epoch + id
+    conformance must surface the re-added column as NULL for pre-DROP
+    commits — not the old field's values."""
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "b", 11)]))  # seq 1: grp cells
+    k = TableCol(id="1", name="k", tp="bigint", is_pk="true", nullable="false")
+    grp = TableCol(id="2", name="grp", tp="varchar", precision="10")
+    val = TableCol(id="3", name="val", tp="bigint")
+    grp2 = TableCol(id="9", name="grp", tp="varchar", precision="10")
+    apply_column_diffs(spark, t, diff_columns([k, grp, val], [k, val]))  # DROP
+    assert t.manifest()["field_epochs"], "DROP recorded no field epoch"
+    apply_column_diffs(spark, t, diff_columns([k, val], [k, grp2, val]))  # re-ADD
+    env2 = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, grp string, val long"
+    )
+    t.merge(spark, spark.createDataFrame([("U", "t", "s", 6, 1, "new", 12)], env2))
+    rows = sorted(
+        (r["_commit_seq"], r["_change_type"], r["grp"], r["val"])
+        for r in t.changes(spark).filter(F.col("k") == 1).collect()
+    )
+    # seq-1 rows: the re-added grp did NOT exist — NULL, never 'a'/'b'
+    assert rows == [
+        (1, "update_postimage", None, 11),
+        (1, "update_preimage", None, 10),
+        (2, "update_postimage", "new", 12),
+        (2, "update_preimage", None, 11),
+    ], rows
+
+
 def test_maintained_aggregate_survives_rename_barrier(spark, tmp_path):
     """A MaintainedAggregate seeded before a base-table RENAME of its
     group column keeps folding the feed across the barrier (field-id

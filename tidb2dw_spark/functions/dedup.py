@@ -761,41 +761,38 @@ def incremental_minhash_pairs(
             ).alias("bk"),
         ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    banded_new = (
-        banded(new_sigs)
-        .withColumn("kb", F.pmod(md5_long(F.col("key"), 7), F.lit(SIG_STORE_KEY_BUCKETS)))
-        .persist()
+    new_sigs = new_sigs.persist()
+    banded_new = banded(new_sigs).withColumn(
+        "kb", F.pmod(md5_long(F.col("key"), 7), F.lit(SIG_STORE_KEY_BUCKETS))
     )
-    # touched (band, kb) partitions: bounded by bands × SIG_STORE_KEY_BUCKETS
-    touched = {
-        (r["band"], r["kb"])
-        for r in banded_new.select("band", "kb").distinct().collect()
-    }
 
-    # store read PRUNED to touched partitions, snapshotted as an explicit
-    # FILE LIST per band (appending below would otherwise invalidate and
-    # re-resolve any plan scanning the path, silently doubling the batch
-    # through the store); each band's files read with the band attached —
-    # the partition column does not survive a leaf-directory read
+    # store read as ONE scan over a snapshot of the batch directories
+    # (enumerating them BEFORE the append below pins the read set — the
+    # new batch can never leak into its own read), PRUNED to the (band,
+    # kb) neighborhoods the batch touches: store files are SORTED by
+    # (band, kb) at write, so the pushed-down predicate skips whole row
+    # groups via parquet min/max stats — a micro-batch against a huge
+    # store reads a batch-bounded slice without paying a
+    # directory-per-partition layout (which decays into file-count
+    # overhead at exactly the micro-batch cadence that needs it)
     from pathlib import Path as _Path
 
-    files_by_band: dict[int, list[str]] = {}
     root = _Path(store_dir)
-    for band, kb in sorted(touched):
-        for d in root.glob(f"batch-*/band={band}/kb={kb}"):
-            files_by_band.setdefault(band, []).extend(
-                sorted(str(f) for f in d.glob("*.parquet"))
-            )
-    old_parts = [
-        spark.read.parquet(*files).select(
-            F.lit(band).alias("band"), "key", "id", "sig"
-        )
-        for band, files in sorted(files_by_band.items())
-        if files
-    ]
+    batch_dirs = sorted(str(d) for d in root.glob("batch-*"))
     right = banded_new.select("band", "key", "id", "sig")
-    for part in old_parts:
-        right = right.unionByName(part)
+    if batch_dirs:
+        touched = sorted(
+            (r["band"], r["kb"])
+            for r in banded_new.select("band", "kb").distinct().collect()
+        )
+        old = spark.read.parquet(*batch_dirs)
+        if len(touched) < bands * SIG_STORE_KEY_BUCKETS:
+            cond = None
+            for b, kb in touched:
+                t = (F.col("band") == b) & (F.col("kb") == kb)
+                cond = t if cond is None else (cond | t)
+            old = old.filter(cond)
+        right = right.unionByName(old.select("band", "key", "id", "sig"))
 
     # signatures ride THROUGH the band join (16 ints/row — cheaper than
     # re-fetching them), so the verify runs inline on each band collision
@@ -829,16 +826,16 @@ def incremental_minhash_pairs(
     # root would recacheByPath-invalidate every cached plan reading the
     # store (including the just-persisted result of THIS call — its pairs
     # would silently recompute on next use), and per-batch dirs are also
-    # the layout concurrent ingests / retention GC want.  repartition by
-    # the partition columns → exactly ONE file per (band, kb) present in
-    # the batch, so the store grows by ≤ bands × key-buckets bounded-size
-    # files per batch instead of decaying into shuffle-partition confetti.
+    # the layout concurrent ingests / retention GC want.  File count is
+    # sized by bytes (a banded signature row is ~(num_hashes+1)×8 B ×
+    # bands copies), and rows SORT by (band, kb) within each file so the
+    # read-side predicate above prunes at row-group granularity.
     import uuid as _uuid
 
-    banded_new.repartition(F.col("band"), F.col("kb")).write.mode(
-        "overwrite"
-    ).partitionBy("band", "kb").parquet(
-        str(root / f"batch-{_uuid.uuid4().hex}")
-    )
-    banded_new.unpersist()  # pairs is materialized; the cache has served
+    est_bytes = new_sigs.count() * (num_hashes + 1) * 16 * bands
+    n_files = int(max(1, -(-est_bytes // (128 << 20))))
+    banded_new.repartition(n_files, F.col("band"), F.col("kb")).sortWithinPartitions(
+        "band", "kb"
+    ).write.mode("overwrite").parquet(str(root / f"batch-{_uuid.uuid4().hex}"))
+    new_sigs.unpersist()  # pairs is materialized; the cache has served
     return pairs

@@ -174,7 +174,10 @@ def apply_column_diffs(
                 new_ids[c] = nxt
                 nxt += 1
         meta["field_ids"], meta["next_field_id"] = new_ids, nxt
-        if renames and m.get("cdf"):
+        # epoch on rename (name moved) OR drop (a later ADD may reuse the
+        # name; the feed's old files must not resurrect the dead field)
+        map_shrunk = set(old_ids.values()) - set(new_ids.values())
+        if (renames or map_shrunk) and m.get("cdf"):
             meta["field_epochs"] = m.get("field_epochs", []) + [
                 {"upto_seq": m.get("cdf_seq", 0), "ids": old_ids}
             ]

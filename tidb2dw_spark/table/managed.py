@@ -612,8 +612,13 @@ class ManagedTable:
         def relabel(df: DataFrame, eidx: int) -> DataFrame:
             """Map physical (write-time) names to current names via field
             ids — a single select, so simultaneous renames (swaps) stay
-            unambiguous.  Columns whose id was since dropped keep their
-            old name and fall to _conform's projection prune."""
+            unambiguous.  A column whose id was since DROPPED is renamed
+            to a sentinel, never left under its physical name: if a later
+            ADD reused that name, by-name conformance would resurrect the
+            dead field's cells into the new column (change files are
+            never physically rewritten, so the tombstone/rewrite dance
+            that protects the base path cannot protect the feed — the
+            epoch map is what does)."""
             if eidx >= len(epochs) or not cur_ids:
                 return df
             writer_ids = epochs[eidx]["ids"]
@@ -622,8 +627,14 @@ class ManagedTable:
                 if c in (CHANGE_TYPE_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL):
                     out.append(F.col(c))
                     continue
-                cur = id_to_cur.get(writer_ids.get(c))
-                out.append(F.col(c).alias(cur) if cur and cur != c else F.col(c))
+                wid = writer_ids.get(c)
+                cur = id_to_cur.get(wid)
+                if wid is not None and cur is None:
+                    out.append(F.col(c).alias(f"__dead_{wid}__{c}"))
+                elif cur and cur != c:
+                    out.append(F.col(c).alias(cur))
+                else:
+                    out.append(F.col(c))
             return df.select(*out)
 
         parts = [
@@ -680,16 +691,26 @@ class ManagedTable:
         ADD COLUMN must not rewrite every bucket inside the consumer loop.
         RENAME/MODIFY still rewrite (they change existing cells)."""
         m = self.manifest()
-        # field-id bookkeeping (metadata-only DDLs never rename, so no
-        # epoch entry): retained names keep their ids, dropped names leave
-        # the map (ids never reused), genuinely new names take fresh ids
+        # field-id bookkeeping: retained names keep their ids, dropped
+        # names leave the map (ids never reused), genuinely new names
+        # take fresh ids.  A DROP records a FIELD EPOCH on CDF tables
+        # (like a rename): change files are never physically rewritten,
+        # so if a later ADD reuses the dropped name, changes() needs the
+        # pre-DROP map to know the old files' same-named column is a
+        # DIFFERENT (dead) field and must not resurrect into the new one.
         if "field_ids" in m:
-            ids = {c: m["field_ids"][c] for c in new_columns if c in m["field_ids"]}
-            nxt = m.get("next_field_id", max(m["field_ids"].values(), default=0) + 1)
+            old_ids = m["field_ids"]
+            ids = {c: old_ids[c] for c in new_columns if c in old_ids}
+            nxt = m.get("next_field_id", max(old_ids.values(), default=0) + 1)
             for c in new_columns:
                 if c not in ids:
                     ids[c] = nxt
                     nxt += 1
+            dropped_ids = set(old_ids.values()) - set(ids.values())
+            if dropped_ids and m.get("cdf"):
+                m["field_epochs"] = m.get("field_epochs", []) + [
+                    {"upto_seq": m.get("cdf_seq", 0), "ids": old_ids}
+                ]
             m["field_ids"], m["next_field_id"] = ids, nxt
         m["columns"] = list(new_columns)
         m["schema_json"] = new_schema_json
