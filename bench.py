@@ -80,6 +80,17 @@ BENCH_QUERIES = [
     "q_big_order_customers",
     "q_min_cost_supplier",
     "q_idle_rich_customers",
+    # round 5: the ten shapes completing the canonical TPC-H 22
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_linestatus_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "q20_widget_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

@@ -193,3 +193,58 @@ def test_cdf_change_compute_never_shuffles_preimage(spark, tmp_path):
     import re
 
     assert not re.search(r"Exchange hashpartitioning", a.plan), a.plan
+
+
+def test_q6_scan_only_pushdown(spark, sf_dir):
+    """Q6 is the pure scan query: all three predicates reach the parquet
+    scan, the projection prunes, and the only exchange is the 1-row
+    global-agg partial combine."""
+    from tidb2dw_spark.plans import assert_pushed_filter, assert_read_columns_only
+
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert_pushed_filter(df, "GreaterThanOrEqual(l_discount")
+    assert_pushed_filter(df, "LessThan(l_quantity")
+    assert_read_columns_only(
+        df,
+        required=["l_extendedprice", "l_discount"],
+        forbidden=["l_partkey", "l_suppkey", "l_returnflag"],
+    )
+
+
+def test_q19_derives_single_side_filters_and_broadcasts_part(spark, sf_dir):
+    """The disjunctive predicate must not block pushdown: Catalyst
+    derives the implied brand-set filter for the part scan and the
+    quantity envelope for the fact scan; part broadcasts."""
+    from tidb2dw_spark.plans import assert_broadcast_join, audit
+
+    df = QUERIES["q19_discounted_revenue"](spark, sf_dir)
+    a = assert_broadcast_join(df)
+    # implied single-side disjunctions pushed into each scan: the part
+    # scan carries the brand/size OR-tree, the fact scan the quantity one
+    assert "EqualTo(p_brand,Brand#1)" in a.plan, a.plan
+    assert "GreaterThanOrEqual(l_quantity" in a.plan
+
+
+def test_q21_collapses_double_correlation_to_one_shuffle_agg(spark, sf_dir):
+    """The exists/not-exists pair folds into ONE per-order aggregation:
+    exactly one orderkey-keyed exchange on the fact, no self-join of
+    lineitem with itself."""
+    from tidb2dw_spark.plans import audit
+
+    df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
+    a = audit(df)
+    plan = a.plan
+    # lineitem scanned ONCE (a correlated-subquery translation would scan
+    # it 2-3x)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_single_suppkey_shuffle_then_tiny_window(spark, sf_dir):
+    from tidb2dw_spark.plans import audit
+
+    df = QUERIES["q15_top_supplier"](spark, sf_dir)
+    plan = audit(df).plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan  # supplier name join broadcasts

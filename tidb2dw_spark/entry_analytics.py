@@ -2041,3 +2041,515 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("cohort", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion — the ten shapes that finish the canonical 22 (Q6, Q8,
+# Q10, Q11, Q12, Q14, Q15, Q19, Q20, Q21), each adapted to the columns the
+# synthetic schema carries (no partsupp / l_shipmode / l_receiptdate: Q11 and
+# Q20 use lineitem as the supply fact, Q12 groups by l_linestatus, Q21 uses
+# l_returnflag as the late-delivery signal) with exact integer-cents math.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the query whose entire cost
+    is how little you read.  All three predicates push to the parquet
+    scan (date, discount band, quantity), the projection prunes to three
+    columns, and the single global agg partial-combines map-side: at
+    100 TB this is one pass over the pruned row groups, zero shuffles of
+    anything but per-partition partials."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100.0)
+                .cast("long")
+            ).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS nation_rev_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS total_rev_cents
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+JOIN region r    ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+JOIN part p      ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): within one region's customer
+    orders for one part type, the share of revenue supplied by one
+    nation, per order year.  Returned as (nation_rev, total_rev) integer
+    pairs — the ratio is one downstream divide, and keeping both sides
+    integer keeps the row bit-exact.  Plan: the fact scans once; part
+    (filtered), customer-nation-region, supplier-nation all broadcast;
+    orders co-shuffles with lineitem on orderkey; the conditional sum
+    folds both measures in ONE aggregation pass — market share costs no
+    second join or scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    cust_nat = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_nat), orders["o_custkey"] == cust_nat["c_custkey"])
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == supp_nat["s_suppkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("cents"),
+            F.when(F.col("supp_nation") == "NATION_1", cents)
+            .otherwise(F.lit(0)).alias("nation_cents"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum("nation_cents").cast("long").alias("nation_rev_cents"),
+            F.sum("cents").cast("long").alias("total_rev_cents"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c.c_custkey, c.c_name
+QUALIFY row_number() OVER (ORDER BY revenue_cents DESC, c_custkey) <= 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer in one quarter, top 20.  Both filters (returnflag on the
+    fact, date on orders) push to their scans BEFORE the join, so the
+    orderkey shuffle moves only returned lines of one quarter's orders;
+    customer broadcasts; the top-20 is a row_number window with a
+    custkey tiebreak — deterministic under ties, and at scale a partial
+    top-k per partition feeds one tiny final sort."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+    )
+    w = Window.orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .drop("__rn")
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+WITH sup AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_2'
+),
+v AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem l JOIN sup s ON l.l_suppkey = s.s_suppkey
+  GROUP BY l.l_partkey
+),
+tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v)
+SELECT v.l_partkey, v.value_cents FROM v, tot
+WHERE v.value_cents * 20000 > tot.total
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock; the schema has no partsupp, so
+    lineitem is the supply fact): per-part supplied value from one
+    nation's suppliers, keeping parts above a fixed fraction of the
+    total.  The threshold test is exact integer cross-multiplication
+    (value·20000 > total) — no floating division at the boundary.  One
+    shuffle on partkey; the global total is a 1-row broadcast; the
+    nation's supplier keys broadcast into the fact scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+                    F.col("n_name") == "NATION_2"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    tot = v.agg(F.sum("value_cents").cast("long").alias("total"))
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 20000 > F.col("total"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@register(
+    "q12_linestatus_priority",
+    """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping priority audit; l_linestatus stands in
+    for the schema's missing l_shipmode): per line status, how many 1997
+    shipments belonged to high- vs low-priority orders.  The date filter
+    pushes to the fact scan; the conditional counts fold in one pass —
+    the canonical CASE-inside-SUM pivot that avoids two joins."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_lines"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_lines"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_revenue_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS total_revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the month's revenue share from promo
+    parts, returned as an exact integer (promo, total) pair.  Date filter
+    on the fact scan, part broadcast, one conditional aggregation —
+    the percentage is the caller's single divide."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_revenue_cents"),
+            F.sum(cents).cast("long").alias("total_revenue_cents"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT))
+              AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+QUALIFY rank() OVER (ORDER BY r.total_revenue_cents DESC) = 1
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the quarter's revenue-per-supplier view,
+    returning every supplier tied at the maximum (rank, not row_number —
+    the spec's tie semantics).  The revenue agg shuffles on suppkey once;
+    the max is a supplier-count-sized window; supplier broadcast-joins
+    for the name."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("total_revenue_cents")
+    )
+    w = Window.orderBy(F.desc("total_revenue_cents"))
+    return (
+        rev.join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunctive three-branch
+    predicate spanning both join sides.  Expressed declaratively so
+    Catalyst derives the IMPLIED single-side filters (brand IN the three
+    values pushes into the part scan; the quantity envelope 1..30 into
+    the fact scan) before evaluating the residual OR after the broadcast
+    join — the classic can't-push-an-OR query made scan-prunable."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(branch)
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "q20_widget_suppliers",
+    """
+WITH wparts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%widget'
+),
+shipped AS (
+  SELECT l.l_suppkey,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty_shipped
+  FROM lineitem l JOIN wparts w ON l.l_partkey = w.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, sh.qty_shipped
+FROM shipped sh JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+WHERE sh.qty_shipped > 100
+""",
+)
+def q20_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion; no partsupp in the
+    schema, so shipped quantity stands in for available stock): suppliers
+    who moved more than a threshold quantity of widget parts in 1997 —
+    the nested semi-join chain part-filter → fact agg → supplier.  The
+    name predicate prunes part driver-side and broadcasts; one suppkey
+    shuffle; quantities round to exact integers before summing."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%widget")
+    ).select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    shipped = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("qty_shipped")
+        )
+        .filter(F.col("qty_shipped") > 100)
+    )
+    return shipped.join(
+        F.broadcast(supp), shipped["l_suppkey"] == supp["s_suppkey"]
+    ).select("s_suppkey", "s_name", "qty_shipped")
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+WITH base AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret,
+         max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
+  FROM base GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order p JOIN supplier s ON p.ret_supp = s.s_suppkey
+WHERE p.n_supp >= 2 AND p.n_ret = 1
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; l_returnflag
+    is the late-delivery signal — the schema has no receipt/commit
+    dates): for finalized multi-supplier orders, the supplier who was
+    the ONLY one with a returned line, counted per supplier.  The spec's
+    exists/not-exists double correlation collapses into ONE per-order
+    aggregation (distinct suppliers, distinct returned suppliers, the
+    sole returned supplier) — one orderkey shuffle instead of two
+    correlated self-joins, identical semantics."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(ret_supp).alias("n_ret"),
+            F.max(ret_supp).alias("ret_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(supp), per_order["ret_supp"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )

@@ -102,6 +102,17 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "events_funnel_counts": [("stage", "int"), ("n_users", "int")],
     "events_weekly_cohort_retention": [("cohort", "ts"), ("week_offset", "int"), ("n_users", "int")],
     "q_idle_rich_customers": [("c_nationkey", "int"), ("n_cust", "int"), ("total_bal_cents", "int")],
+    # TPC-H completion: the ten shapes finishing the canonical 22
+    "q6_forecast_revenue": [("n_lineitems", "int"), ("revenue_cents", "int")],
+    "q8_market_share": [("o_year", "int"), ("nation_rev_cents", "int"), ("total_rev_cents", "int")],
+    "q10_returned_items": [("c_custkey", "int"), ("c_name", "str"), ("revenue_cents", "int")],
+    "q11_important_stock": [("l_partkey", "int"), ("value_cents", "int")],
+    "q12_linestatus_priority": [("l_linestatus", "str"), ("high_lines", "int"), ("low_lines", "int")],
+    "q14_promo_revenue": [("promo_revenue_cents", "int"), ("total_revenue_cents", "int")],
+    "q15_top_supplier": [("s_suppkey", "int"), ("s_name", "str"), ("total_revenue_cents", "int")],
+    "q19_discounted_revenue": [("n_lineitems", "int"), ("revenue_cents", "int")],
+    "q20_widget_suppliers": [("s_suppkey", "int"), ("s_name", "str"), ("qty_shipped", "int")],
+    "q21_waiting_suppliers": [("s_suppkey", "int"), ("s_name", "str"), ("numwait", "int")],
 }
 
 # Similarity/dedup leftovers: the four entries round 3 excluded from the
