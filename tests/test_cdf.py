@@ -1101,6 +1101,53 @@ def test_secondary_index_range_layout(spark, tmp_path):
     # equality probes work on the range layout too (bisect twin)
     got = sorted(r["k"] for r in ix.lookup(spark, t, 999).collect())
     assert got == [1]
+    # BOUNDARY values: approxQuantile boundaries ARE data values, and the
+    # writer keeps a boundary-equal value in the LOWER bucket — the
+    # driver-side bisect must mirror that exactly (regression: bucket 0's
+    # boundary probed into bucket 1 and silently returned empty)
+    for b in ix.meta()["boundaries"]:
+        got = sorted(r["k"] for r in ix.lookup(spark, t, b).collect())
+        want = sorted(
+            r["k"] for r in t.read(spark).filter(F.col("val") == b).collect()
+        )
+        assert got == want, (b, got, want)
+        assert_range(b, b)
+
+
+def test_maintained_minmax_group_born_and_shrunk_inside_one_slice(spark, tmp_path):
+    """A group that did not exist before the slice, whose intra-slice
+    delete removes the add-side extremum, must still rescan (regression:
+    dirty detection required a stored extremum, so least(NULL, add_min)
+    reported the deleted value)."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    t = _mk(spark, tmp_path, "t", [(1, "z", 0)])
+    mv = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"sum_val": "val"},
+        min_cols={"min_val": "val"}, max_cols={"max_val": "val"},
+    )
+    mv.refresh(spark, t)  # seed: only group 'z'
+    # commit 1: group 'g' born with values 1 and 5; commit 2: delete the
+    # min (1) and the max (5) survivors... delete 1 only — true min is 5
+    t.merge(spark, _batch(spark, [("I", 10, 5, "g", 1), ("I", 11, 5, "g", 5)]))
+    t.merge(spark, _batch(spark, [("D", 10, 6, None, None)]))
+    mv.refresh(spark, t)  # ONE refresh spans birth and shrink
+    rows = {r["grp"]: (r["n_rows"], r["min_val"], r["max_val"])
+            for r in mv.read(spark).collect()}
+    assert rows["g"] == (1, 5, 5), rows
+    # and the max-side twin: delete the intra-slice max
+    t2 = _mk(spark, tmp_path, "t2", [(1, "z", 0)])
+    mv2 = MaintainedAggregate(
+        tmp_path / "mv2", ["grp"], {"sum_val": "val"},
+        min_cols={"min_val": "val"}, max_cols={"max_val": "val"},
+    )
+    mv2.refresh(spark, t2)
+    t2.merge(spark, _batch(spark, [("I", 10, 5, "g", 1), ("I", 11, 5, "g", 5)]))
+    t2.merge(spark, _batch(spark, [("D", 11, 6, None, None)]))
+    mv2.refresh(spark, t2)
+    rows2 = {r["grp"]: (r["n_rows"], r["min_val"], r["max_val"])
+             for r in mv2.read(spark).collect()}
+    assert rows2["g"] == (1, 1, 1), rows2
 
 
 def test_rebucket_plain_table_unpins_data_version(spark, tmp_path):

@@ -1023,3 +1023,33 @@ def test_incremental_minhash_store_isolation(spark, tmp_path):
         store, min_sig_matches=8,
     )
     assert p3.count() == 0
+
+
+def test_incremental_minhash_empty_batch_and_legacy_store_guard(spark, tmp_path):
+    """An EMPTY new batch against an existing store must return zero pairs
+    (regression: the touched-partition filter built a None condition and
+    crashed); a store in the legacy un-banded (id, sig) layout must fail
+    loudly instead of silently degrading to batch-local dedup."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.functions.dedup import incremental_minhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sigs")
+    common = dict(num_hashes=16, bands=4, shingle_n=3, min_sig_matches=1)
+    incremental_minhash_pairs(docs, store, **common)
+    empty = docs.filter(F.col("doc_id") < 0)
+    assert incremental_minhash_pairs(empty, store, **common).count() == 0
+    # legacy layout: plain (id, sig) rows with no band column
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, [1, 2, 3])], "id long, sig array<long>"
+    ).write.parquet(legacy + "/batch-old")
+    with _pytest.raises(ValueError, match="legacy"):
+        incremental_minhash_pairs(docs, legacy, **common)

@@ -781,18 +781,34 @@ def incremental_minhash_pairs(
     batch_dirs = sorted(str(d) for d in root.glob("batch-*"))
     right = banded_new.select("band", "key", "id", "sig")
     if batch_dirs:
+        # fail loudly on a store written by the pre-banded layout (plain
+        # (id, sig) rows): a mixed-schema read would either error on the
+        # missing band column or silently NULL it out, degrading the
+        # "dedup against everything seen so far" contract to batch-local
+        import pyarrow.parquet as _pq
+
+        first = next(_Path(batch_dirs[0]).rglob("*.parquet"), None)
+        if first is not None and "band" not in _pq.read_schema(str(first)).names:
+            raise ValueError(
+                f"signature store at {store_dir} uses the legacy (id, sig) "
+                "layout; rebuild it (re-ingest the corpus) before appending "
+                "banded batches"
+            )
         touched = sorted(
             (r["band"], r["kb"])
             for r in banded_new.select("band", "kb").distinct().collect()
         )
-        old = spark.read.parquet(*batch_dirs)
-        if len(touched) < bands * SIG_STORE_KEY_BUCKETS:
-            cond = None
-            for b, kb in touched:
-                t = (F.col("band") == b) & (F.col("kb") == kb)
-                cond = t if cond is None else (cond | t)
-            old = old.filter(cond)
-        right = right.unionByName(old.select("band", "key", "id", "sig"))
+        # an empty batch touches nothing and can match nothing — skip the
+        # store read entirely instead of building an empty filter
+        if touched:
+            old = spark.read.parquet(*batch_dirs)
+            if len(touched) < bands * SIG_STORE_KEY_BUCKETS:
+                cond = None
+                for b, kb in touched:
+                    t = (F.col("band") == b) & (F.col("kb") == kb)
+                    cond = t if cond is None else (cond | t)
+                old = old.filter(cond)
+            right = right.unionByName(old.select("band", "key", "id", "sig"))
 
     # signatures ride THROUGH the band join (16 ints/row — cheaper than
     # re-fetching them), so the verify runs inline on each band collision

@@ -122,14 +122,10 @@ def apply_changes_to_agg(
             (sign * F.coalesce(F.col(src), F.lit(0))).alias(out)
             for out, src in sum_cols.items()
         ],
-        # add/remove-side extrema ride the same union rows: NULL on the
-        # other side, so min/max aggregation ignores them
+        # add-side extrema ride the same union rows: NULL on remove rows,
+        # so min/max aggregation ignores them
         *[
             F.when(is_add, F.col(src)).alias(f"__add_{out}")
-            for out, src in {**min_cols, **max_cols}.items()
-        ],
-        *[
-            F.when(~is_add, F.col(src)).alias(f"__rem_{out}")
             for out, src in {**min_cols, **max_cols}.items()
         ],
     )
@@ -139,7 +135,6 @@ def apply_changes_to_agg(
         *sum_cols,
         *[F.col(out).alias(f"__cur_{out}") for out in mm_outs],
         *[F.lit(None).cast(deltas.schema[f"__add_{out}"].dataType).alias(f"__add_{out}") for out in mm_outs],
-        *[F.lit(None).cast(deltas.schema[f"__rem_{out}"].dataType).alias(f"__rem_{out}") for out in mm_outs],
     )
     deltas = deltas.select(
         *group_cols,
@@ -147,7 +142,6 @@ def apply_changes_to_agg(
         *sum_cols,
         *[F.lit(None).cast(deltas.schema[f"__add_{out}"].dataType).alias(f"__cur_{out}") for out in mm_outs],
         *[F.col(f"__add_{out}") for out in mm_outs],
-        *[F.col(f"__rem_{out}") for out in mm_outs],
     )
     folded = (
         stored.unionByName(deltas)
@@ -162,48 +156,69 @@ def apply_changes_to_agg(
                 )
                 for out in mm_outs
             ],
-            *[
-                (F.min if out in min_cols else F.max)(f"__rem_{out}").alias(
-                    f"__rem_{out}"
-                )
-                for out in mm_outs
-            ],
         )
         .filter(F.col("n_rows") > 0)
     )
     if not mm_outs:
         return folded
 
+    def _nullsafe_eq(left_alias: str, right_alias: str):
+        cond = None
+        for c in group_cols:
+            eq = F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    # DIRTY groups derive from stored-state + remove-side extrema alone —
+    # never from the fold — so the (expensive) folded union aggregate is
+    # referenced exactly once in the final plan.  A group is dirty when a
+    # removal touched its current extremum, OR when it has removals but
+    # no pre-slice state at all (a group born inside the slice: the
+    # removed value can only have hit an intra-slice add, and the add-side
+    # extremum alone cannot tell which one survived).
+    rem_agg = (
+        changes.filter(~is_add)
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                (F.min if out in min_cols else F.max)(F.col(src)).alias(
+                    f"__rem_{out}"
+                )
+                for out, src in {**min_cols, **max_cols}.items()
+            ]
+        )
+    )
+    stored_mm = agg.select(
+        *group_cols, *[F.col(out).alias(f"__cur_{out}") for out in mm_outs]
+    )
+    rj = rem_agg.alias("__rm").join(
+        stored_mm.alias("__st"), _nullsafe_eq("__rm", "__st"), "left"
+    )
+
     def dirty(out: str) -> F.Column:
-        cur, rem = F.col(f"__cur_{out}"), F.col(f"__rem_{out}")
+        cur, rem = F.col(f"__st.__cur_{out}"), F.col(f"__rm.__rem_{out}")
         cmp = rem <= cur if out in min_cols else rem >= cur
-        return cur.isNotNull() & rem.isNotNull() & cmp
+        return rem.isNotNull() & (cur.isNull() | cmp)
 
     any_dirty = None
     for out in mm_outs:
         any_dirty = dirty(out) if any_dirty is None else (any_dirty | dirty(out))
-    folded = folded.withColumn("__dirty", any_dirty)
-    dirty_keys = folded.filter(F.col("__dirty")).select(*group_cols)
-    cond = None
-    rescan_src = base.alias("__b")
-    dk = dirty_keys.alias("__d")
-    for c in group_cols:
-        eq = F.col(f"__b.{c}").eqNullSafe(F.col(f"__d.{c}"))
-        cond = eq if cond is None else (cond & eq)
+    dirty_keys = rj.filter(any_dirty).select(
+        *[F.col(f"__rm.{c}").alias(c) for c in group_cols]
+    )
     rescan = (
-        rescan_src.join(F.broadcast(dk), cond, "left_semi")
+        base.alias("__b")
+        .join(F.broadcast(dirty_keys.alias("__d")), _nullsafe_eq("__b", "__d"), "left_semi")
         .groupBy(*group_cols)
         .agg(
             *[F.min(F.col(src)).alias(f"__rs_{out}") for out, src in min_cols.items()],
             *[F.max(F.col(src)).alias(f"__rs_{out}") for out, src in max_cols.items()],
         )
+        .withColumn("__dirty", F.lit(True))
     )
-    fl, rs = folded.alias("__f"), rescan.alias("__r")
-    cond2 = None
-    for c in group_cols:
-        eq = F.col(f"__f.{c}").eqNullSafe(F.col(f"__r.{c}"))
-        cond2 = eq if cond2 is None else (cond2 & eq)
-    joined = fl.join(rs, cond2, "left")
+    joined = folded.alias("__f").join(
+        rescan.alias("__r"), _nullsafe_eq("__f", "__r"), "left"
+    )
     out_cols = [F.col(f"__f.{c}").alias(c) for c in group_cols]
     out_cols.append(F.col("__f.n_rows").alias("n_rows"))
     out_cols += [F.col(f"__f.{out}").alias(out) for out in sum_cols]
@@ -211,7 +226,7 @@ def apply_changes_to_agg(
         tighten = F.least if out in min_cols else F.greatest
         candidate = tighten(F.col(f"__f.__cur_{out}"), F.col(f"__f.__add_{out}"))
         out_cols.append(
-            F.when(F.col("__f.__dirty"), F.col(f"__r.__rs_{out}"))
+            F.when(F.col("__r.__dirty").isNotNull(), F.col(f"__r.__rs_{out}"))
             .otherwise(candidate)
             .alias(out)
         )
@@ -300,31 +315,29 @@ class MaintainedAggregate:
             )
         )
 
-    def _feed_projection(self, ch: DataFrame, m: dict, src_m: dict) -> DataFrame:
-        """Project a change slice to exactly the columns the fold reads,
-        translated by FIELD ID from the source's current names back to
-        the names this aggregate was seeded with — so a base-table RENAME
-        barrier mid-feed neither breaks the fold nor mutates the
-        aggregate's own output schema (pinned at seed time)."""
-        stored = m.get("field_ids") or {}
-        inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
-        cols = [F.col(CHANGE_TYPE_COL)]
-        for n in self._source_cols():
-            cur = inv.get(stored.get(n), n) if stored else n
-            cols.append(F.col(cur).alias(n) if cur != n else F.col(n))
-        return ch.select(*cols)
-
-    def _feed_base_projection(self, df: DataFrame, m: dict, src_m: dict) -> DataFrame:
-        """Base-table twin of :meth:`_feed_projection` (no change-type
-        column): the dirty-group min/max rescan reads the base under the
-        aggregate's seed names."""
+    def _translated_cols(self, m: dict, src_m: dict) -> list:
+        """Consumed columns as expressions translating the source's
+        CURRENT names back (by field id) to the names this aggregate was
+        seeded with — so a base-table RENAME barrier mid-feed neither
+        breaks the fold nor mutates the aggregate's own output schema
+        (pinned at seed time)."""
         stored = m.get("field_ids") or {}
         inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
         cols = []
         for n in self._source_cols():
             cur = inv.get(stored.get(n), n) if stored else n
             cols.append(F.col(cur).alias(n) if cur != n else F.col(n))
-        return df.select(*cols)
+        return cols
+
+    def _feed_projection(self, ch: DataFrame, m: dict, src_m: dict) -> DataFrame:
+        """Change slice under seed names (+ the change-type column)."""
+        return ch.select(F.col(CHANGE_TYPE_COL), *self._translated_cols(m, src_m))
+
+    def _feed_base_projection(self, df: DataFrame, m: dict, src_m: dict) -> DataFrame:
+        """Base-table twin of :meth:`_feed_projection` (no change-type
+        column): the dirty-group min/max rescan reads the base under the
+        aggregate's seed names."""
+        return df.select(*self._translated_cols(m, src_m))
 
     def refresh(self, spark, source: ManagedTable) -> int:
         """Fold any new change commits into the aggregate; returns the

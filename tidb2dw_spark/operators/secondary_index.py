@@ -177,7 +177,11 @@ class SecondaryIndex:
     def _bucket_col(self) -> F.Column:
         if self.layout == "range":
             # static boundaries (fixed at build, like pk_buckets at
-            # create): value v → #boundaries ≤ v, i.e. bisect_right
+            # create): value v → #boundaries STRICTLY BELOW v, i.e.
+            # bisect_left — a value equal to a boundary stays in the
+            # lower bucket ((v > b) is false), and the driver twin must
+            # mirror exactly that (boundaries come from approxQuantile,
+            # i.e. they are real data values, so probes DO hit them)
             c = F.col(self.cols[0])
             expr = F.lit(0)
             for b in self.boundaries:
@@ -194,7 +198,9 @@ class SecondaryIndex:
         """Driver-side twin of :meth:`_bucket_col` (shared md5_long_py /
         bisect — identical for the types each layout admits)."""
         if self.layout == "range":
-            return bisect.bisect_right(self.boundaries, value)
+            # bisect_left twins the writer's strict (v > boundary) count:
+            # boundary values land in the LOWER bucket on both sides
+            return bisect.bisect_left(self.boundaries, value)
         vals = value if isinstance(value, (tuple, list)) else (value,)
         if len(vals) != len(self.cols):
             raise ValueError(

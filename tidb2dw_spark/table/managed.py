@@ -864,22 +864,34 @@ class ManagedTable:
         pk_cols, n = m["pk"], m.get("pk_buckets", 0)
         if n <= 0:
             return self.read(spark).join(F.broadcast(keys), on=pk_cols, how="left_semi")
-        # one driver-side pass over the (small) key set yields both the
-        # touched buckets AND the per-bucket probe values for delta-stats
-        # pruning below
-        key_rows = (
-            keys.select(
-                self._bucket_expr(pk_cols, n).alias("b"),
-                F.col(pk_cols[0]).alias("k0"),
-            )
-            .distinct()
-            .collect()
+        # delta-stats pruning needs the per-bucket probe VALUES — collect
+        # them only when pending deltas carry stats (MoR probe path);
+        # everywhere else (CoW, compacted MoR) the driver collect stays
+        # bounded by the bucket count, never O(#keys)
+        has_stats = bool(m.get("delta_stats")) and any(
+            m.get("bucket_deltas", {}).values()
         )
-        probes: dict[int, set] = {}
-        for r in key_rows:
-            probes.setdefault(r["b"], set()).add(r["k0"])
-        touched = sorted(probes)
-        m = self._prune_delta_seqs(m, probes)
+        if has_stats:
+            key_rows = (
+                keys.select(
+                    self._bucket_expr(pk_cols, n).alias("b"),
+                    F.col(pk_cols[0]).alias("k0"),
+                )
+                .distinct()
+                .collect()
+            )
+            probes: dict[int, set] = {}
+            for r in key_rows:
+                probes.setdefault(r["b"], set()).add(r["k0"])
+            touched = sorted(probes)
+            m = self._prune_delta_seqs(m, probes)
+        else:
+            touched = sorted(
+                r["b"]
+                for r in keys.select(self._bucket_expr(pk_cols, n).alias("b"))
+                .distinct()
+                .collect()
+            )
         target = self._read_buckets(spark, m, touched)
         return target.join(F.broadcast(keys), on=pk_cols, how="left_semi")
 
