@@ -256,3 +256,78 @@ def test_source_attached_replicate_live_mysql_e2e(spark, tmp_path):
     rows = {r["id"]: r for r in rep.table.read(spark).collect()}
     assert set(rows) == {1, 3, 4}
     assert rows[1]["name"] == "alice2" and rows[1]["age"] == 31
+
+
+def test_replicator_maintains_derived_state_per_poll(spark, tmp_path):
+    """Derived state rides the poll loop: a secondary index and a
+    maintained aggregate attached to the replicator are seeded on the
+    first poll and refreshed from the change feed on every later one —
+    including across a replicator RESTART (fresh objects, state from
+    disk) — always matching a recompute of the replica."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    snap, incr, wh = tmp_path / "snapshot", tmp_path / "increment", tmp_path / "wh"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",30,1991-02-02\n'
+          '3,"carol",41,1992-03-03\n4,"dan",52,1993-04-04\n')
+    users_def_v1().dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"alice",31,1990-01-01\n'
+          '"D","users","tpch",101,4,"dan",52,1993-04-04\n')
+
+    def mk():
+        ix = SecondaryIndex(tmp_path / "ix_age", col="age", pk_cols=["id"], n_buckets=4)
+        mv = MaintainedAggregate(
+            tmp_path / "mv_age", ["age"], {"n_ids": "id"},
+            min_cols={"min_id": "id"}, max_cols={"max_id": "id"},
+        )
+        reg = MetricsRegistry()
+        rep = TableReplicator(
+            spark, snap, incr, wh, users_def_v1(), registry=reg,
+            pk_buckets=4, cdf=True, derived=[ix, mv],
+        )
+        return rep, ix, mv, reg
+
+    def check(rep, ix, mv):
+        base = rep.table.read(spark)
+        for age in (30, 31, 41, 52, 99):
+            got = sorted(r["id"] for r in ix.lookup(spark, rep.table, age).collect())
+            want = sorted(r["id"] for r in base.filter(F.col("age") == age).collect())
+            assert got == want, (age, got, want)
+        got_mv = sorted(
+            (r["age"], r["n_rows"], r["min_id"], r["max_id"])
+            for r in mv.read(spark).collect()
+        )
+        want_mv = sorted(
+            (r["age"], r["n_rows"], r["min_id"], r["max_id"])
+            for r in base.groupBy("age").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id"),
+            ).collect()
+        )
+        assert got_mv == want_mv, (got_mv, want_mv)
+
+    rep, ix, mv, reg = mk()
+    rep.run_once()
+    assert reg.snapshot()["tables"]["tpch.users"]["counters"]["derived_refreshed"] == 2
+    check(rep, ix, mv)
+    # wait: on the FIRST poll the index was BUILT (post-merge state) and
+    # the aggregate seeded; a later poll must fold only the new slice
+    write(incr / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"I","users","tpch",200,5,"eve",30,1995-05-05\n'
+          '"U","users","tpch",201,3,"carol",30,1992-03-03\n')
+    rep2, ix2, mv2, _ = mk()  # RESTART: fresh objects, state from disk
+    rep2.run_once()
+    check(rep2, ix2, mv2)
+    # cdf=False + derived is rejected up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cdf=True"):
+        TableReplicator(
+            spark, snap, incr, wh, users_def_v1(),
+            derived=[ix2],
+        )

@@ -44,6 +44,7 @@ class TableReplicator:
         snapshot_reader: Callable[[SparkSession], DataFrame] | None = None,
         merge_mode: str = "cow",
         cdf: bool = False,
+        derived: list | None = None,
     ):
         """*snapshot_reader* switches the snapshot phase to source-attached
         mode (the reference's direct dump, dump.go:84-147): the callable
@@ -52,9 +53,23 @@ class TableReplicator:
         The frame is conformed to *table_def* by case-insensitive name
         (JDBC catalogs may upper-case identifiers) and cast per column.
         *snapshot_dir* may be None in this mode; idempotent resume then
-        keys off the managed table's existence instead of `.loadinfo`."""
+        keys off the managed table's existence instead of `.loadinfo`.
+
+        *derived* attaches DERIVED STATE to the poll loop: any objects
+        with a ``refresh(spark, table)`` method —
+        :class:`~.operators.secondary_index.SecondaryIndex`,
+        :class:`~.operators.matview.MaintainedAggregate` — are refreshed
+        from the change feed after every poll that lands data, so
+        indexes and rollups ride the SAME cadence as the replica itself.
+        Each object checkpoints its own ``applied_seq``, so a crash
+        between merge and refresh is repaired by the next poll
+        (exactly-once via idempotent slice folding), and a refresh
+        failure is isolated per table like any other consumer error.
+        Requires ``cdf=True`` (the feed is what the refreshes fold)."""
         if snapshot_dir is None and snapshot_reader is None:
             raise ValueError("need snapshot_dir (staged mode) or snapshot_reader")
+        if derived and not cdf:
+            raise ValueError("derived state needs the change feed: pass cdf=True")
         self.spark = spark
         self.snapshot_dir = None if snapshot_dir is None else Path(snapshot_dir)
         self.snapshot_reader = snapshot_reader
@@ -65,6 +80,7 @@ class TableReplicator:
         self.merge_mode = merge_mode
         self.cdf = cdf
         self.compact_after_merges = compact_after_merges
+        self.derived = list(derived or [])
         self.table = ManagedTable(Path(warehouse_dir) / table_def.table)
         self.consumer: IncrementConsumer | None = None
 
@@ -135,6 +151,18 @@ class TableReplicator:
         self.registry.set_stage(self.fqn, TableStage.INCREMENTAL)
         self.registry.add(self.fqn, "files_processed", report.files_processed)
         self.registry.add(self.fqn, "ddl_applied", report.ddl_applied)
+        for d in self.derived:
+            # first poll seeds (SecondaryIndex needs an explicit build;
+            # MaintainedAggregate seeds inside refresh); after that each
+            # object folds exactly (its applied_seq, cdf_seq] — a
+            # zero-file poll is a cheap no-op and a crash between merge
+            # and refresh self-repairs next poll
+            if not d.exists() and hasattr(d, "build"):
+                d.build(self.spark, self.table)
+            else:
+                d.refresh(self.spark, self.table)
+        if self.derived:
+            self.registry.add(self.fqn, "derived_refreshed", len(self.derived))
 
     def run_once(self) -> None:
         try:
