@@ -248,3 +248,13 @@ def test_q15_single_suppkey_shuffle_then_tiny_window(spark, sf_dir):
     plan = audit(df).plan
     assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan  # supplier name join broadcasts
+
+
+def test_q10_topk_is_distributed_take_ordered(spark, sf_dir):
+    """Global top-20 must plan TakeOrderedAndProject (per-partition
+    partial top-k), never a single-partition global window sort."""
+    from tidb2dw_spark.plans import audit
+
+    plan = audit(QUERIES["q10_returned_items"](spark, sf_dir)).plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

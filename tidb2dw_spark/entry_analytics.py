@@ -2191,9 +2191,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer in one quarter, top 20.  Both filters (returnflag on the
     fact, date on orders) push to their scans BEFORE the join, so the
     orderkey shuffle moves only returned lines of one quarter's orders;
-    customer broadcasts; the top-20 is a row_number window with a
-    custkey tiebreak — deterministic under ties, and at scale a partial
-    top-k per partition feeds one tiny final sort."""
+    customer broadcasts; the top-20 is orderBy().limit() — Spark plans
+    TakeOrderedAndProject (per-partition partial top-k, tiny final
+    merge), never a single-partition global window sort, and the custkey
+    tiebreak keeps the cut deterministic (bit-equal to the oracle's
+    row_number ≤ 20)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_returnflag") == "R"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
@@ -2207,17 +2209,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
     ).cast("long")
-    agg = (
+    return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(cents).cast("long").alias("revenue_cents"))
-    )
-    w = Window.orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
-    return (
-        agg.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 20)
-        .drop("__rn")
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
     )
 
 
