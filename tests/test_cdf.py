@@ -1249,3 +1249,88 @@ def test_update_where_swap_uses_preimage(spark, tmp_path):
     t.update_where(spark, F.col("k") == 1, {"a": F.col("b"), "b": F.col("a")})
     row = t.read(spark).collect()[0]
     assert (row["a"], row["b"]) == (100, 10)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_mm_event = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(0, 5),                          # key
+    st.sampled_from(["a", "b", None]),          # group (NULL included)
+    st.integers(0, 20),                         # value
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(_mm_event, min_size=1, max_size=6), min_size=1, max_size=3
+    ),
+    present=st.sets(st.integers(0, 5)),
+)
+def test_maintained_minmax_matches_recompute_on_random_feeds(
+    spark, batches, present
+):
+    """Property: for ANY random I/U/D batch sequence (group moves, NULL
+    groups, extremum deletes, births and deaths inside one slice), the
+    maintained SUM/COUNT/MIN/MAX aggregate equals a full recompute —
+    both when refreshed per batch and when ONE refresh spans the whole
+    sequence."""
+    import tempfile
+    from pathlib import Path
+
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    root = Path(tempfile.mkdtemp(prefix="mmprop_"))
+    rows = [(k, "a" if k % 2 else None, -k) for k in sorted(present)] or [
+        (99, "z", 0)
+    ]
+    t = _mk(spark, root, "t", rows)
+    mv_each = MaintainedAggregate(
+        root / "mv1", ["grp"], {"sum_val": "val"},
+        min_cols={"min_val": "val"}, max_cols={"max_val": "val"},
+    )
+    mv_span = MaintainedAggregate(
+        root / "mv2", ["grp"], {"sum_val": "val"},
+        min_cols={"min_val": "val"}, max_cols={"max_val": "val"},
+    )
+    mv_each.refresh(spark, t)
+    mv_span.refresh(spark, t)
+
+    ts = 100
+    for ev in batches:
+        batch = []
+        for flag, k, g, v in ev:
+            batch.append((flag, k, ts, None if flag == "D" else g,
+                          None if flag == "D" else v))
+            ts += 1
+        t.merge(spark, _batch(spark, batch))
+        mv_each.refresh(spark, t)
+
+    mv_span.refresh(spark, t)  # one spanning fold
+
+    key = lambda x: (x[0] is None, x)  # noqa: E731
+    want = sorted(
+        (
+            (r["grp"], r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in t.read(spark)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("val"), F.lit(0)).alias("sum_val"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+            .collect()
+        ),
+        key=key,
+    )
+    for mv in (mv_each, mv_span):
+        got = sorted(
+            (
+                (r["grp"], r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+                for r in mv.read(spark).collect()
+            ),
+            key=key,
+        )
+        assert got == want, (got, want)
