@@ -488,6 +488,52 @@ def test_stream_changes_and_streaming_refresh(spark, tmp_path):
         assert_fresh()
 
 
+def test_streaming_refresh_maintains_minmax(spark, tmp_path):
+    """The streaming wake-up path drives MIN/MAX maintenance too: a
+    batch that deletes a group's extremum arrives through the feed
+    stream, and the foreachBatch refresh (idempotent by applied_seq)
+    leaves the aggregate equal to a recompute."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+    from tidb2dw_spark.streaming.stream import stream_refresh_aggregate
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"total": "val"},
+        min_cols={"min_val": "val"}, max_cols={"max_val": "val"},
+    )
+    mv.refresh(spark, t)  # seed
+    # delete group a's max (k=2, val=20) and move b's row to a new value
+    t.merge(spark, _batch(spark, [("D", 2, 5, None, None), ("U", 3, 5, "b", 7)]))
+    q = stream_refresh_aggregate(
+        spark, t, mv, checkpoint_dir=str(tmp_path / "ckpt_mm")
+    )
+    q.awaitTermination(60)
+    key = lambda x: (x[0] is None, x)  # noqa: E731
+    got = sorted(
+        (
+            (r["grp"], r["n_rows"], r["total"], r["min_val"], r["max_val"])
+            for r in mv.read(spark).collect()
+        ),
+        key=key,
+    )
+    want = sorted(
+        (
+            (r["grp"], r["n_rows"], r["total"], r["min_val"], r["max_val"])
+            for r in t.read(spark)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("val"), F.lit(0)).alias("total"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+            .collect()
+        ),
+        key=key,
+    )
+    assert got == want
+
+
 def test_cascade_replication_via_export(spark, tmp_path):
     """A → warehouse₁ → (export) → warehouse₂: snapshot exported at seq S,
     changelog exported since S, consumed by a second IncrementConsumer —
