@@ -292,7 +292,7 @@ def test_mor_delta_stats_prune_point_lookups(spark, tmp_path):
     assert m.get("delta_stats"), "MoR merges recorded no delta stats"
     # probe key 105: only seq 2's range [100,120) can contain it
     probes = {
-        r["b"]: {105}
+        r["b"]: {(105,)}
         for r in spark.createDataFrame([(105,)], "k long")
         .select(t._bucket_expr(["k"], 2).alias("b"))
         .collect()
@@ -317,6 +317,59 @@ def test_mor_delta_stats_prune_point_lookups(spark, tmp_path):
     # compaction folds deltas and GCs their stats
     t.compact(spark, max_files_per_bucket=10_000)
     assert not t.manifest().get("delta_stats")
+
+
+def test_mor_delta_stats_composite_pk_conjunction(spark, tmp_path):
+    """Composite-PK delta stats: footer harvesting records ranges for
+    EVERY pk column, and probe pruning takes the conjunction — a delta
+    whose leading-column range contains the probe but whose second
+    column's range cannot is skipped.  A probe constraining only the
+    later column (leading matches broadly) still prunes."""
+    schema = "k long, sub string, val long"
+    env = ("flag string, tablename string, schemaname string, "
+           "commit_ts long, k long, sub string, val long")
+    t = ManagedTable(tmp_path / "cmor")
+    t.create(
+        spark.createDataFrame(
+            [(k, s, k) for k in range(50) for s in ("a", "b")], schema
+        ),
+        pk_cols=["k", "sub"], pk_buckets=1, merge_mode="mor",
+    )
+
+    def batch(events):
+        return spark.createDataFrame(
+            [("U", "t", "s", ts, k, s, v) for k, s, ts, v in events], env
+        )
+
+    # same leading-key neighborhood, disjoint second-column ranges
+    t.merge(spark, batch([(k, "a", 1, k * 10) for k in range(0, 20)]))
+    t.merge(spark, batch([(k, "b", 2, k * 100) for k in range(0, 20)]))
+    m = t.manifest()
+    ds = m.get("delta_stats", {})
+    assert ds, "no delta stats harvested"
+    # stats carry BOTH pk columns, as dict col -> [lo, hi]
+    some = next(iter(ds.values()))
+    rng = next(iter(some.values()))
+    assert set(rng) == {"k", "sub"}, rng
+    # probe (5, "b"): leading range of BOTH deltas contains 5, but only
+    # seq 2's sub-range contains "b"
+    pruned = t._prune_delta_seqs(m, {0: {(5, "b")}})
+    assert pruned["bucket_deltas"]["0"] == [2], pruned["bucket_deltas"]
+    # and the pruned read stays exact for keys resolved via either delta
+    for k, s in ((5, "a"), (5, "b"), (40, "a")):
+        got = {
+            (r["k"], r["sub"]): r["val"]
+            for r in t.read_for_keys(
+                spark, spark.createDataFrame([(k, s)], "k long, sub string")
+            ).collect()
+        }
+        want = {
+            (r["k"], r["sub"]): r["val"]
+            for r in t.read(spark)
+            .filter((F.col("k") == k) & (F.col("sub") == s))
+            .collect()
+        }
+        assert got == want, (k, s, got, want)
 
 
 def test_history_commit_log(spark, tmp_path):

