@@ -1151,13 +1151,125 @@ def test_secondary_index_range_layout(spark, tmp_path):
     # writer keeps a boundary-equal value in the LOWER bucket — the
     # driver-side bisect must mirror that exactly (regression: bucket 0's
     # boundary probed into bucket 1 and silently returned empty)
-    for b in ix.meta()["boundaries"]:
+    for (b,) in ix.boundaries:
         got = sorted(r["k"] for r in ix.lookup(spark, t, b).collect())
         want = sorted(
             r["k"] for r in t.read(spark).filter(F.col("val") == b).collect()
         )
         assert got == want, (b, got, want)
         assert_range(b, b)
+
+
+def test_secondary_index_range_layout_date_string_composite(spark, tmp_path):
+    """Range layout over (string, date) COMPOSITE keys: boundaries are
+    typed tuples compared lexicographically (struct ordering Spark-side,
+    tuple bisect driver-side), zone maps carry encoded tuples through the
+    JSON meta, and a date-BETWEEN probe under a status prefix — the
+    reference warehouses' SORTKEY pattern (redshiftsql/sql.go:52-92) —
+    reads only zone-intersecting buckets and equals a full-scan filter,
+    across refreshes that move keys between buckets."""
+    import datetime as dt
+
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (k, "F" if k % 3 else "O", d0 + dt.timedelta(days=k), k)
+        for k in range(1, 61)
+    ]
+    schema = "k long, status string, d date, val long"
+    env = ("flag string, tablename string, schemaname string, commit_ts long, "
+           "k long, status string, d date, val long")
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, schema), pk_cols=["k"], pk_buckets=4,
+        cdf=True,
+    )
+    ix = SecondaryIndex(
+        tmp_path / "ix", col=["status", "d"], pk_cols=["k"], n_buckets=4,
+        layout="range",
+    )
+    ix.build(spark, t)
+    m = ix.meta()
+    assert m["key_types"] == ["string", "date"]
+    assert m["boundaries"] and all(isinstance(b, list) for b in m["boundaries"])
+    # meta survives a JSON round trip via a fresh object (dates re-typed)
+    ix2 = SecondaryIndex(
+        tmp_path / "ix", col=["status", "d"], pk_cols=["k"], n_buckets=4,
+        layout="range",
+    )
+
+    def assert_range(index, lo, hi):
+        got = sorted(r["k"] for r in index.lookup_range(spark, t, lo, hi).collect())
+        key_ge = (F.col("status") > lo[0]) | (
+            (F.col("status") == lo[0]) & (F.col("d") >= F.lit(lo[1]))
+        )
+        key_le = (F.col("status") < hi[0]) | (
+            (F.col("status") == hi[0]) & (F.col("d") <= F.lit(hi[1]))
+        )
+        want = sorted(
+            r["k"] for r in t.read(spark).filter(key_ge & key_le).collect()
+        )
+        assert got == want, ((lo, hi), got, want)
+
+    probes = [
+        (("F", d0 + dt.timedelta(days=5)), ("F", d0 + dt.timedelta(days=20))),
+        (("F", d0), ("F", d0 + dt.timedelta(days=365))),  # all of status F
+        (("A", d0), ("Z", d0 + dt.timedelta(days=365))),  # everything
+        (("O", d0 + dt.timedelta(days=3)), ("O", d0 + dt.timedelta(days=3))),
+        (("G", d0), ("N", d0)),  # empty band between statuses
+    ]
+    for lo, hi in probes:
+        assert_range(ix, lo, hi)
+        assert_range(ix2, lo, hi)  # reconstructed object, decoded meta
+    # a status-F-only probe must not read every bucket (zones separate
+    # the lexicographically-later O keys)
+    f_buckets = ix._range_buckets(
+        ("F", d0), ("F", d0 + dt.timedelta(days=365))
+    )
+    assert len(f_buckets) < len(ix.meta()["zone"])
+    # ISO-string date probes decode for convenience
+    got_iso = sorted(
+        r["k"]
+        for r in ix.lookup_range(
+            spark, t, ("F", "2024-01-06"), ("F", "2024-01-21")
+        ).collect()
+    )
+    assert got_iso == sorted(
+        r["k"] for r in ix.lookup_range(spark, t, probes[0][0], probes[0][1]).collect()
+    )
+    # refresh: moves across buckets, a delete, an insert, a NULL member
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [
+                ("U", "t", "s", 5, 1, "Z", d0 + dt.timedelta(days=400), 99),
+                ("D", "t", "s", 5, 2, None, None, None),
+                ("I", "t", "s", 5, 100, "F", d0 - dt.timedelta(days=1), 7),
+                ("I", "t", "s", 5, 101, None, d0, 8),
+            ],
+            env,
+        ),
+    )
+    ix.refresh(spark, t)
+    for lo, hi in probes + [
+        (("Z", d0), ("Z", dt.date(2026, 1, 1))),
+        (("F", d0 - dt.timedelta(days=2)), ("F", d0)),
+    ]:
+        assert_range(ix, lo, hi)
+    # single-column STRING range key also admitted now
+    ixs = SecondaryIndex(
+        tmp_path / "ixs", col="status", pk_cols=["k"], n_buckets=2,
+        layout="range",
+    )
+    ixs.build(spark, t)
+    got = sorted(
+        r["k"] for r in ixs.lookup_range(spark, t, "F", "F").collect()
+    )
+    want = sorted(
+        r["k"] for r in t.read(spark).filter(F.col("status") == "F").collect()
+    )
+    assert got == want
 
 
 def test_maintained_minmax_group_born_and_shrunk_inside_one_slice(spark, tmp_path):

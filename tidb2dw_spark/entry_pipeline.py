@@ -807,18 +807,32 @@ def table_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANGE_LO, _RANGE_HI = 100, 400
+# composite (status, timestamp) range probe: lexicographic [lo, hi] with a
+# shared status prefix ≡ date BETWEEN under that status — the reference
+# warehouses' SORTKEY probe shape (redshiftsql/sql.go:52-92)
+_RANGE_STATUS = "F"
+_RANGE_TS_LO, _RANGE_TS_HI = "1995-02-01 00:00:00", "1995-04-30 00:00:00"
 
 
 def table_index_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-layout secondary index over ``o_custkey``: value-sorted
-    buckets with per-bucket zone maps in the index meta — the managed
-    table's zone-map trick applied to the index itself.  Same lifecycle
-    as table_index_lookup (build → merge the fixture changelog → refresh
-    from the feed), probed with ``lookup_range(lo, hi)``, which reads
-    ONLY zone-intersecting value buckets before chaining into
-    bucket-pruned ``read_for_keys``.  The oracle recomputes the merge
-    fold and filters BETWEEN the same interval, so a stale zone map or a
-    missed bucket rewrite breaks the hash."""
+    """RANGE-layout secondary indexes: value-sorted buckets with
+    per-bucket zone maps in the index meta — the managed table's zone-map
+    trick applied to the index itself.  Two indexes share the lifecycle
+    (build → merge the fixture changelog → refresh from the feed):
+
+    - single INT key over ``o_custkey``, probed BETWEEN [lo, hi];
+    - COMPOSITE (``o_orderstatus``, ``o_orderdate``) key — typed-tuple
+      boundaries ordered lexicographically — probed with a shared status
+      prefix, i.e. a date BETWEEN under status 'F'.
+
+    Both probes read ONLY zone-intersecting value buckets before chaining
+    into bucket-pruned ``read_for_keys``; results union with a ``probe``
+    discriminator.  The oracle recomputes the merge fold and filters the
+    same intervals, so a stale zone map, a missed bucket rewrite, or a
+    driver/executor collation mismatch on the tuple order breaks the
+    hash."""
+    import datetime as _dt
+
     from .fixtures import CHANGELOG_SQL, TABLE_PK, register_views
     from .operators.secondary_index import SecondaryIndex
 
@@ -833,12 +847,27 @@ def table_index_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pk_cols=TABLE_PK["orders"], n_buckets=8, layout="range",
     )
     ix.build(spark, table)
+    ix2 = SecondaryIndex(
+        wh / "orders_by_status_date", col=["o_orderstatus", "o_orderdate"],
+        pk_cols=TABLE_PK["orders"], n_buckets=8, layout="range",
+    )
+    ix2.build(spark, table)
     table.merge(spark, spark.sql(CHANGELOG_SQL["orders"]))
     ix.refresh(spark, table)
+    ix2.refresh(spark, table)
     assert len(ix._range_buckets(_RANGE_LO, _RANGE_HI)) < ix.n_buckets or (
         ix.n_buckets <= 1
     )
-    return ix.lookup_range(spark, table, _RANGE_LO, _RANGE_HI)
+    lo = (_RANGE_STATUS, _dt.datetime.fromisoformat(_RANGE_TS_LO))
+    hi = (_RANGE_STATUS, _dt.datetime.fromisoformat(_RANGE_TS_HI))
+    return (
+        ix.lookup_range(spark, table, _RANGE_LO, _RANGE_HI)
+        .withColumn("probe", F.lit("custkey_int"))
+        .unionByName(
+            ix2.lookup_range(spark, table, lo, hi)
+            .withColumn("probe", F.lit("status_date"))
+        )
+    )
 
 
 def _index_range_lookup_oracle() -> str:
@@ -857,7 +886,13 @@ merged AS (
   UNION ALL
   SELECT {ORDERS_PAYLOAD} FROM final WHERE flag <> 'D'
 )
-SELECT * FROM merged WHERE o_custkey BETWEEN {_RANGE_LO} AND {_RANGE_HI}
+SELECT m.*, 'custkey_int' AS probe
+FROM merged m WHERE o_custkey BETWEEN {_RANGE_LO} AND {_RANGE_HI}
+UNION ALL
+SELECT m.*, 'status_date' AS probe
+FROM merged m
+WHERE o_orderstatus = '{_RANGE_STATUS}'
+  AND o_orderdate BETWEEN TIMESTAMP '{_RANGE_TS_LO}' AND TIMESTAMP '{_RANGE_TS_HI}'
 """
 
 

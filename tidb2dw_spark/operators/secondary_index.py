@@ -25,8 +25,16 @@ Two layouts:
   managed table's zone-map trick applied to the index itself.
   ``lookup_range(lo, hi)`` reads only buckets whose zone intersects the
   probe interval: O(intersecting buckets), independent of index size.
-  Single integer column only (driver-side bisect must reproduce the
-  bucketing exactly).
+  Keys may be int, string, or date columns — including COMPOSITE keys
+  ordered lexicographically (boundaries are typed tuples; the Spark side
+  buckets by ``struct(cols) > struct(boundary)`` comparisons and the
+  driver twin bisects the same tuples — Python str comparison by code
+  point equals Spark's UTF-8 binary collation because UTF-8 preserves
+  code-point order, and ``datetime.date`` ordering is the calendar order
+  both engines use).  The warehouses the reference targets sort/cluster
+  on arbitrary scalar columns (e.g. Redshift SORTKEY rendering,
+  redshiftsql/sql.go:52-92); date-BETWEEN over a status prefix is the
+  canonical analytics probe this layout serves.
 
 - ``build()`` scans the base once and writes every value bucket.
 - ``refresh()`` folds a CDF slice collapsed to each PK's NET effect:
@@ -78,7 +86,34 @@ _REMOVE_TYPES = ("delete", "update_preimage")
 # joins with the same byte so both sides hash the identical string
 _SEP = "\x1f"
 _PORTABLE_TYPES = ("string", "int", "bigint", "smallint", "tinyint", "long")
-_RANGE_TYPES = ("int", "bigint", "smallint", "tinyint", "long")
+_NUM_TYPES = ("int", "bigint", "smallint", "tinyint", "long")
+# timestamps admit range keys because every clock here is UTC (the session
+# factory pins spark.sql.session.timeZone=UTC): driver-side datetime
+# ordering then agrees with Spark's timestamp ordering, the same contract
+# string keys get from UTF-8 preserving code-point order
+_RANGE_TYPES = _NUM_TYPES + ("string", "date", "timestamp", "timestamp_ntz")
+
+
+def _enc_key(key: tuple) -> list:
+    """JSON-encode one boundary/zone key tuple (dates/timestamps → ISO
+    strings; datetime is a date subclass so one check covers both)."""
+    import datetime as _dt
+
+    return [v.isoformat() if isinstance(v, _dt.date) else v for v in key]
+
+
+def _dec_key(raw: list, key_types: list[str]) -> tuple:
+    """Decode a stored key back to the typed tuple the comparisons use."""
+    import datetime as _dt
+
+    out = []
+    for v, t in zip(raw, key_types):
+        if t == "date" and isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        elif t in ("timestamp", "timestamp_ntz") and isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        out.append(v)
+    return tuple(out)
 
 
 class SecondaryIndex:
@@ -96,10 +131,9 @@ class SecondaryIndex:
         self.n_buckets = n_buckets
         if layout not in ("hash", "range"):
             raise ValueError(f"unknown index layout {layout!r}")
-        if layout == "range" and len(self.cols) != 1:
-            raise ValueError("range layout indexes exactly one column")
         self.layout = layout
-        self.boundaries: list = []
+        self.boundaries: list = []  # list of typed key TUPLES, sorted
+        self.key_types: list = []
 
     @property
     def col(self) -> str:
@@ -154,7 +188,14 @@ class SecondaryIndex:
         self.cols, self.pk_cols = stored_cols, list(m["pk"])
         self.n_buckets = m["n_buckets"]
         self.layout = m.get("layout", "hash")
-        self.boundaries = m.get("boundaries", [])
+        raw = m.get("boundaries", [])
+        # legacy single-int stores kept scalar boundaries; current stores
+        # keep typed tuples (lists) + their dtypes
+        self.key_types = m.get("key_types") or ["bigint"] * len(self.cols)
+        self.boundaries = sorted(
+            _dec_key(b if isinstance(b, list) else [b], self.key_types)
+            for b in raw
+        )
         return m
 
     def _cur_names(self, m: dict, src_m: dict) -> dict[str, str]:
@@ -174,18 +215,44 @@ class SecondaryIndex:
         os.replace(tmp, self._meta_path())
 
     # -- bucketing --------------------------------------------------------
+    def _key_expr(self) -> F.Column:
+        """The sort key as ONE comparable Column: the bare column for a
+        single-column key, a struct (Spark orders structs
+        lexicographically) for a composite key."""
+        if len(self.cols) == 1:
+            return F.col(self.cols[0])
+        return F.struct(*[F.col(c) for c in self.cols])
+
+    def _member_lit(self, v, i: int) -> F.Column:
+        """One boundary/probe member as a literal cast to the indexed
+        column's exact Spark type — F.lit infers e.g. TIMESTAMP for a
+        datetime while the column may be TIMESTAMP_NTZ, and struct
+        comparisons reject mismatched member types."""
+        lit = F.lit(v)
+        if i < len(self.key_types):
+            lit = lit.cast(self.key_types[i])
+        return lit
+
+    def _key_lit(self, key: tuple) -> F.Column:
+        if len(self.cols) == 1:
+            return self._member_lit(key[0], 0)
+        return F.struct(*[self._member_lit(v, i) for i, v in enumerate(key)])
+
     def _bucket_col(self) -> F.Column:
         if self.layout == "range":
             # static boundaries (fixed at build, like pk_buckets at
-            # create): value v → #boundaries STRICTLY BELOW v, i.e.
-            # bisect_left — a value equal to a boundary stays in the
-            # lower bucket ((v > b) is false), and the driver twin must
-            # mirror exactly that (boundaries come from approxQuantile,
-            # i.e. they are real data values, so probes DO hit them)
-            c = F.col(self.cols[0])
+            # create): key k → #boundaries STRICTLY BELOW k, i.e.
+            # bisect_left — a key equal to a boundary stays in the
+            # lower bucket ((k > b) is false), and the driver twin must
+            # mirror exactly that (boundaries come from quantiles, i.e.
+            # they are real data values, so probes DO hit them).
+            # Composite keys compare lexicographically via struct
+            # ordering, matching Python tuple comparison; string order is
+            # UTF-8 binary on both engines (UTF-8 preserves code points).
+            key = self._key_expr()
             expr = F.lit(0)
             for b in self.boundaries:
-                expr = expr + (c > F.lit(b)).cast("int")
+                expr = expr + (key > self._key_lit(b)).cast("int")
             return expr
         return F.pmod(
             md5_long(
@@ -194,18 +261,27 @@ class SecondaryIndex:
             F.lit(self.n_buckets),
         )
 
-    def _bucket_of(self, value) -> int:
-        """Driver-side twin of :meth:`_bucket_col` (shared md5_long_py /
-        bisect — identical for the types each layout admits)."""
-        if self.layout == "range":
-            # bisect_left twins the writer's strict (v > boundary) count:
-            # boundary values land in the LOWER bucket on both sides
-            return bisect.bisect_left(self.boundaries, value)
-        vals = value if isinstance(value, (tuple, list)) else (value,)
+    def _coerce_key(self, value) -> tuple:
+        """Normalize a probe value to the index's typed key tuple (scalars
+        wrap; ISO strings against a date member decode — convenience for
+        callers holding config-file probes)."""
+        vals = tuple(value) if isinstance(value, (tuple, list)) else (value,)
         if len(vals) != len(self.cols):
             raise ValueError(
                 f"probe has {len(vals)} value(s); index key is {self.cols}"
             )
+        if self.layout == "range":
+            return _dec_key(list(vals), self.key_types)
+        return vals
+
+    def _bucket_of(self, value) -> int:
+        """Driver-side twin of :meth:`_bucket_col` (shared md5_long_py /
+        bisect — identical for the types each layout admits)."""
+        if self.layout == "range":
+            # bisect_left twins the writer's strict (key > boundary)
+            # count: boundary keys land in the LOWER bucket on both sides
+            return bisect.bisect_left(self.boundaries, self._coerce_key(value))
+        vals = self._coerce_key(value)
         return md5_long_py(_SEP.join(str(v) for v in vals)) % self.n_buckets
 
     def _entries(self, df: DataFrame) -> DataFrame:
@@ -237,15 +313,35 @@ class SecondaryIndex:
                     "reproduce driver-side"
                 )
         if self.layout == "range":
-            # boundary estimation: approximate quantiles of the BASE —
-            # accuracy only affects balance, never correctness (the same
-            # stored boundaries drive writes and probes forever after)
-            qs = [i / self.n_buckets for i in range(1, self.n_buckets)]
-            raw = df.select(
-                F.col(self.cols[0]).cast("double").alias(self.cols[0])
-            ).na.drop()
-            cuts = raw.approxQuantile(self.cols[0], qs, 0.001)
-            self.boundaries = sorted({int(x) for x in cuts})
+            # boundary estimation — accuracy only affects balance, never
+            # correctness (the same stored boundaries drive writes and
+            # probes forever after).  Single numeric column: Spark's
+            # approxQuantile (one distributed pass, no collect).  String/
+            # date/composite keys: exact quantiles of a bounded SAMPLE
+            # (~200k keys driver-side — sampling error only skews bucket
+            # balance, and the sample is key-columns-only)
+            self.key_types = [dtypes[c] for c in self.cols]
+            if len(self.cols) == 1 and self.key_types[0] in _NUM_TYPES:
+                qs = [i / self.n_buckets for i in range(1, self.n_buckets)]
+                raw = df.select(
+                    F.col(self.cols[0]).cast("double").alias(self.cols[0])
+                ).na.drop()
+                cuts = raw.approxQuantile(self.cols[0], qs, 0.001)
+                self.boundaries = sorted({(int(x),) for x in cuts})
+            else:
+                keyed = self._entries(df).select(*self.cols)
+                n = keyed.count()
+                frac = min(1.0, 200_000 / n) if n else 1.0
+                sample = keyed.sample(False, frac, seed=7).limit(200_000).collect()
+                keys = sorted(tuple(r[c] for c in self.cols) for r in sample)
+                self.boundaries = sorted(
+                    {
+                        keys[(i * len(keys)) // self.n_buckets]
+                        for i in range(1, self.n_buckets)
+                    }
+                    if keys
+                    else set()
+                )
         out = self._entries(df).withColumn(VAL_BUCKET_COL, self._bucket_col())
         out.write.mode("overwrite").partitionBy(VAL_BUCKET_COL).parquet(
             str(self.root / "v=1")
@@ -269,21 +365,28 @@ class SecondaryIndex:
             },
         }
         if self.layout == "range":
-            meta["boundaries"] = self.boundaries
+            meta["boundaries"] = [_enc_key(b) for b in self.boundaries]
+            meta["key_types"] = self.key_types
             meta["zone"] = self._zone_of(out)
         self._commit(meta)
         return src_seq
 
     def _zone_of(self, out: DataFrame) -> dict:
-        """Per-bucket (min, max) of the indexed value — the index's zone
-        map, one bucket-count-sized collect."""
-        c = self.cols[0]
-        return {
-            str(r["b"]): [r["lo"], r["hi"]]
-            for r in out.groupBy(F.col(VAL_BUCKET_COL).alias("b"))
-            .agg(F.min(c).alias("lo"), F.max(c).alias("hi"))
+        """Per-bucket (min, max) of the indexed key — the index's zone
+        map, one bucket-count-sized collect.  Stored JSON-encoded
+        (``[enc(lo_tuple), enc(hi_tuple)]``); composite keys take the
+        lexicographic struct min/max, matching the bucketing order."""
+        key = self._key_expr()
+        zone = {}
+        for r in (
+            out.groupBy(F.col(VAL_BUCKET_COL).alias("b"))
+            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
             .collect()
-        }
+        ):
+            lo = tuple(r["lo"]) if len(self.cols) > 1 else (r["lo"],)
+            hi = tuple(r["hi"]) if len(self.cols) > 1 else (r["hi"],)
+            zone[str(r["b"])] = [_enc_key(lo), _enc_key(hi)]
+        return zone
 
     def _read_buckets(self, spark: SparkSession, m: dict, buckets) -> DataFrame | None:
         paths = []
@@ -410,31 +513,58 @@ class SecondaryIndex:
             cond = eq if cond is None else (cond & eq)
         return base.filter(cond).select(*self.pk_cols)
 
-    def _range_buckets(self, lo, hi) -> list[int]:
-        """Buckets whose ZONE MAP intersects [lo, hi] — the probe's read
-        set, O(intersecting buckets) by construction."""
+    def _range_buckets(self, lo: tuple, hi: tuple) -> list[int]:
+        """Buckets whose ZONE MAP intersects [lo, hi] (typed key tuples) —
+        the probe's read set, O(intersecting buckets) by construction."""
         if self.layout != "range":
             raise ValueError("range probes require layout='range'")
         m = self._load_meta()
+        lo, hi = self._coerce_key(lo), self._coerce_key(hi)  # idempotent
         zone = m.get("zone", {})
-        return sorted(
-            int(b)
-            for b, (bmin, bmax) in zone.items()
-            if bmin is not None and bmax is not None and bmin <= hi and bmax >= lo
+        out = []
+        for b, (bmin, bmax) in zone.items():
+            if bmin is None or bmax is None:
+                continue
+            # legacy scalar zones wrap into 1-tuples like boundaries do
+            zlo = _dec_key(bmin if isinstance(bmin, list) else [bmin], self.key_types)
+            zhi = _dec_key(bmax if isinstance(bmax, list) else [bmax], self.key_types)
+            if zlo <= hi and zhi >= lo:
+                out.append(int(b))
+        return sorted(out)
+
+    def _range_filter(self, lo: tuple, hi: tuple, names=None) -> F.Column:
+        """[lo, hi] lexicographic containment as a Column; for composite
+        keys a leading-column conjunct rides along because the struct
+        comparison itself cannot push down to the parquet scan while the
+        plain leading-column bounds (implied by any lexicographic range)
+        can."""
+        names = names or {c: c for c in self.cols}
+        if len(self.cols) == 1:
+            c = F.col(names[self.cols[0]])
+            return (c >= self._member_lit(lo[0], 0)) & (
+                c <= self._member_lit(hi[0], 0)
+            )
+        key = F.struct(*[F.col(names[c]) for c in self.cols])
+        los = F.struct(*[self._member_lit(v, i) for i, v in enumerate(lo)])
+        his = F.struct(*[self._member_lit(v, i) for i, v in enumerate(hi)])
+        c0 = F.col(names[self.cols[0]])
+        push = (c0 >= self._member_lit(lo[0], 0)) & (
+            c0 <= self._member_lit(hi[0], 0)
         )
+        return push & (key >= los) & (key <= his)
 
     def lookup_range_pks(self, spark: SparkSession, lo, hi) -> DataFrame:
-        """PKs whose indexed value lies in [lo, hi]: reads ONLY the
-        zone-intersecting value buckets."""
+        """PKs whose indexed key lies in [lo, hi] lexicographically: reads
+        ONLY the zone-intersecting value buckets."""
         m = self._load_meta()
+        lo, hi = self._coerce_key(lo), self._coerce_key(hi)
         buckets = self._range_buckets(lo, hi)
         base = self._read_buckets(spark, m, buckets) if buckets else None
         if base is None:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], schema=StructType())
-        c = F.col(self.cols[0])
-        return base.filter((c >= lo) & (c <= hi)).select(*self.pk_cols)
+        return base.filter(self._range_filter(lo, hi)).select(*self.pk_cols)
 
     def _translated_pks(self, pks: DataFrame, names: dict[str, str]) -> DataFrame:
         """Hand the base its CURRENT pk names (field-id translation)."""
@@ -475,10 +605,12 @@ class SecondaryIndex:
         defensively re-filtered by the probe interval."""
         src_m = source.manifest()
         m = self._load_meta(src_m)
+        lo, hi = self._coerce_key(lo), self._coerce_key(hi)
         pks = self.lookup_range_pks(spark, lo, hi)
         if not pks.columns:
             return source.read(spark).limit(0)
         names = self._cur_names(m, src_m)
         pks = self._translated_pks(pks, names)
-        c = F.col(names[self.cols[0]])
-        return source.read_for_keys(spark, pks).filter((c >= lo) & (c <= hi))
+        return source.read_for_keys(spark, pks).filter(
+            self._range_filter(lo, hi, names)
+        )
