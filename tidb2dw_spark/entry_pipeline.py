@@ -415,14 +415,36 @@ def _rename_cdf_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
 
 
 def pipeline_rename_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full change feed ACROSS the rename barrier: commit-1 rows
-    (written physically as o_orderstatus) and commit-2 rows (o_status)
-    surface in ONE conformed frame under the current name, every value
-    real — the oracle re-derives all change rows relationally from the
-    staged files, so a re-seeded/defaulted pre-rename row breaks the
-    hash."""
+    """The full change feed ACROSS the rename barrier, through BOTH
+    surfaces: batch ``changes()`` AND the commit-log STREAMING source
+    (streaming/cdf_source.py — offsets are manifest-gated commit seqs,
+    per-commit conformance by field id), each labeled by a ``via``
+    column.  Commit-1 rows (written physically as o_orderstatus) and
+    commit-2 rows (o_status) surface in ONE conformed frame under the
+    current name, every value real — the oracle re-derives all change
+    rows relationally from the staged files twice (once per label), so a
+    re-seeded/defaulted pre-rename row on EITHER surface breaks the
+    hash.  The streamed half is the driver-level proof of the streaming
+    DDL-barrier ride the reference consumer performs in-stream
+    (increment.go:141-167, 283-329)."""
+    from .streaming.cdf_source import stream_changes_commitlog
+
     table = _rename_cdf_table(spark, sf_dir)
-    return table.changes(spark)
+    batch = table.changes(spark).withColumn("via", F.lit("batch"))
+    out = Path(tempfile.mkdtemp(prefix="tidb2dw_cdfstream_"))
+    q = (
+        stream_changes_commitlog(spark, table)
+        .writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(str(out / "data")).withColumn(
+        "via", F.lit("stream")
+    )
+    return batch.unionByName(streamed)
 
 
 # ---------------------------------------------------------------------------
@@ -987,7 +1009,15 @@ ORACLES = {
     "pipeline_replay_resume": _fold_oracle(RESUME_ROOT),
     "pipeline_mor_replay": _fold_oracle(MOR_ROOT),
     "pipeline_cdf_replay": _cdf_changes_oracle(CDF_ROOT),
-    "pipeline_rename_continuity": _rename_changes_oracle(RENAME_ROOT),
+    # the Spark side returns the feed twice (batch changes() + the
+    # commit-log streaming drain), labeled by 'via' — the oracle mirrors
+    # the duplication so EACH surface must independently reproduce every
+    # conformed change row
+    "pipeline_rename_continuity": (
+        f"WITH feed AS ({_rename_changes_oracle(RENAME_ROOT)})\n"
+        "SELECT f.*, 'batch' AS via FROM feed f\n"
+        "UNION ALL\nSELECT f.*, 'stream' AS via FROM feed f"
+    ),
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),

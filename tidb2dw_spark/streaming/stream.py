@@ -388,11 +388,15 @@ def stream_changes(spark: SparkSession, table: ManagedTable) -> DataFrame:
     files physically store the narrower type (e.g. INT32 under a declared
     LONG), and a single file-source scan pinned to the widened schema
     fails parquet type conversion on them — ``changes()`` groups commits
-    by physical footer schema for exactly this reason, but a streaming
+    by physical footer schema for exactly this reason, but a raw file
     source cannot.  Like a rewrite-path RENAME, a widening DDL therefore
     requires restarting the stream with a fresh checkpoint positioned
-    after the DDL (re-seed downstream state from ``changes()``, whose
-    per-schema scan groups span the barrier correctly).  The file source also trusts the filesystem rather than
+    after the DDL — unless you use the COMMIT-LOG source
+    (:func:`..streaming.cdf_source.stream_changes_commitlog`), which
+    checkpoints by commit seq and conforms each commit by field id, so
+    the same checkpoint rides every pre-start barrier un-re-seeded; this
+    raw file source remains for consumers that want filesystem-latency
+    wakeups with no conformance.  The file source also trusts the filesystem rather than
     the manifest gate, so a crashed merge's not-yet-committed directory
     can be seen early — deterministic retries overwrite it with identical
     content.  Consumers needing the strict manifest-gated view read
