@@ -1,0 +1,180 @@
+"""IvfVectorIndex: ANN index as derived state (operators/ann_index.py).
+
+The maintained-index invariant under test: after ANY sequence of CDC
+merges (inserts, vector-moving updates, deletes), the index CONTENTS
+equal ``build()`` on the current table state with the SAME frozen
+centroids — which implies every probe result equals a from-scratch
+rebuild's.  Centroid freezing is what makes that exact (assignment is a
+pure function of vector × centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tidb2dw_spark.operators.ann_index import IvfVectorIndex
+from tidb2dw_spark.table.managed import ManagedTable
+
+DIM = 8
+SCHEMA = "vec_id long, embedding array<float>"
+ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "vec_id long, embedding array<float>"
+)
+
+
+def _vec(i: int, bump: int = 0) -> list[float]:
+    return [float((i * 7 + j * 3 + bump) % 13 - 6) for j in range(DIM)]
+
+
+def _mk(spark, tmp_path, n=60):
+    t = ManagedTable(tmp_path / "emb")
+    t.create(
+        spark.createDataFrame([(i, _vec(i)) for i in range(n)], SCHEMA),
+        pk_cols=["vec_id"], pk_buckets=4, cdf=True,
+    )
+    return t
+
+
+def _batch(spark, events):
+    """events: (flag, vec_id, ts, vec-or-None)."""
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, k, v) for f, k, ts, v in events], ENV
+    )
+
+
+def _contents(spark, ix: IvfVectorIndex) -> set:
+    m = ix._load_meta()
+    rows = ix._read_cells(spark, m, range(len(m["centroids"])))
+    if rows is None:
+        return set()
+    return {
+        (r["neighbor_id"], tuple(r["qv"]), r["cell"]) for r in rows.collect()
+    }
+
+
+def _rebuilt(spark, tmp_path, t, ix: IvfVectorIndex, name: str) -> IvfVectorIndex:
+    """From-scratch index over t's CURRENT state with ix's centroids."""
+    fresh = IvfVectorIndex(
+        tmp_path / name, id_col="vec_id", vec_col="embedding",
+        n_centroids=ix.n_centroids,
+    )
+    fresh.build(spark, t, centroids=ix._load_meta()["centroids"])
+    return fresh
+
+
+def _topk(spark, ix, queries, k=3, n_probe=2):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["score"], 9))
+        for r in ix.topk(spark, queries, k=k, n_probe=n_probe).collect()
+    )
+
+
+def test_refresh_equals_rebuild_through_churn(spark, tmp_path):
+    """Insert + vector-moving update + delete, refreshed per merge; at
+    every step contents == rebuild-with-same-centroids, and a probe over
+    the surviving corpus returns identical top-k."""
+    t = _mk(spark, tmp_path)
+    ix = IvfVectorIndex(
+        tmp_path / "ivf", id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+    ix.build(spark, t)
+    assert _contents(spark, ix) == _contents(
+        spark, _rebuilt(spark, tmp_path, t, ix, "rb0")
+    )
+    # churn: new ids, moved vectors (bump changes the cell), deletes
+    t.merge(spark, _batch(spark, [
+        ("I", 100 + i, 5, _vec(100 + i)) for i in range(6)
+    ]))
+    ix.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("U", i, 6, _vec(i, bump=7)) for i in range(0, 20, 3)
+    ] + [
+        # ts 7: the id-9 overlap with the updates resolves to the DELETE
+        ("D", i, 7, None) for i in range(1, 20, 4)
+    ]))
+    ix.refresh(spark, t)
+    assert _contents(spark, ix) == _contents(
+        spark, _rebuilt(spark, tmp_path, t, ix, "rb1")
+    )
+    queries = t.read(spark).filter(F.col("vec_id") % 10 == 0)
+    fresh = _rebuilt(spark, tmp_path, t, ix, "rb2")
+    assert _topk(spark, ix, queries) == _topk(spark, fresh, queries)
+    # deleted ids are really gone from the index
+    gone = {r[0] for r in _contents(spark, ix)}
+    assert not gone & set(range(1, 20, 4))
+
+
+def test_one_refresh_spans_multi_change_ids(spark, tmp_path):
+    """An id updated twice then deleted across three commits, folded by
+    ONE refresh: no stale intermediate entry may survive (the removal
+    side covers every preimage cell, the addition side only the final
+    image)."""
+    t = _mk(spark, tmp_path, n=20)
+    ix = IvfVectorIndex(
+        tmp_path / "ivf", id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+    ix.build(spark, t)
+    t.merge(spark, _batch(spark, [("U", 3, 5, _vec(3, bump=1))]))
+    t.merge(spark, _batch(spark, [("U", 3, 6, _vec(3, bump=9))]))
+    t.merge(spark, _batch(spark, [("D", 3, 7, None), ("I", 50, 7, _vec(50))]))
+    ix.refresh(spark, t)  # ONE slice spanning all three commits
+    assert _contents(spark, ix) == _contents(
+        spark, _rebuilt(spark, tmp_path, t, ix, "rb")
+    )
+    ids = {r[0] for r in _contents(spark, ix)}
+    assert 3 not in ids and 50 in ids
+
+
+def test_replicator_derived_protocol_poll_cadence(spark, tmp_path):
+    """The exact duck-typed hook TableReplicator.consume_increments runs
+    per poll (build-or-refresh seeding), driven by engine-originated DML
+    between polls — delete_where/update_where land in the same CDF the
+    CSV consumer's merges do, so this is the poll loop minus the CSV
+    staging (TiDB has no array columns, so an embedding table cannot
+    arrive via the changelog CSVs; it reaches the warehouse as a derived
+    / source-attached table instead)."""
+    t = _mk(spark, tmp_path, n=30)
+    ix = IvfVectorIndex(
+        tmp_path / "ivf", id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+
+    def poll():
+        # verbatim shape of replicate.py's derived-state hook
+        if not ix.exists() and hasattr(ix, "build"):
+            ix.build(spark, t)
+        else:
+            ix.refresh(spark, t)
+
+    poll()  # seed
+    t.delete_where(spark, F.col("vec_id") % 7 == 0)
+    t.update_where(
+        spark,
+        F.col("vec_id") % 5 == 1,
+        {"embedding": F.transform("embedding", lambda x: -x)},
+    )
+    poll()  # steady-state refresh
+    assert _contents(spark, ix) == _contents(
+        spark, _rebuilt(spark, tmp_path, t, ix, "rb")
+    )
+    # a crash between merge and refresh self-repairs: refresh again is a
+    # no-op (idempotent slice fold)
+    before = _contents(spark, ix)
+    poll()
+    assert _contents(spark, ix) == before
+
+
+def test_null_embeddings_not_indexed(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    ix = IvfVectorIndex(
+        tmp_path / "ivf", id_col="vec_id", vec_col="embedding", n_centroids=2
+    )
+    ix.build(spark, t)
+    # NULL insert never lands; value->NULL update leaves the index
+    t.merge(spark, _batch(spark, [("I", 90, 5, None), ("U", 2, 5, None)]))
+    ix.refresh(spark, t)
+    ids = {r[0] for r in _contents(spark, ix)}
+    assert 90 not in ids and 2 not in ids
+    assert _contents(spark, ix) == _contents(
+        spark, _rebuilt(spark, tmp_path, t, ix, "rb")
+    )

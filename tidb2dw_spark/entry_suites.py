@@ -140,6 +140,10 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     # continuous near-dup against the persisted signature store
     "dedup_incremental_minhash": [("phase", "int"), ("id_a", "int"), ("id_b", "int"), ("n_sig_matches", "int")],
     "sim_ivfpq_recall_eval": [("query_id", "int"), ("n_hits", "int"), ("k", "int")],
+    # ANN index as derived state: maintained through a delete/update/
+    # insert-bearing merge, fingerprinted on ids + rank (float score
+    # drives the rank; the rank itself is the cross-engine contract)
+    "sim_ivf_derived_refresh": [("query_id", "int"), ("neighbor_id", "int"), ("rank", "int")],
 }
 
 # Legacy fake-format multimodal plumbing rows (UTF-8 bytes standing in for

@@ -1053,6 +1053,59 @@ QUALIFY rank <= {k}
 """
 
 
+def ivf_derived_refresh_oracle(
+    query_mod: int, k: int, n_centroids: int, n_probe: int
+) -> str:
+    """Mirror of entry_training.sim_ivf_derived_refresh: the IVF index is
+    BUILT pre-churn (so centroids come from the ORIGINAL corpus — frozen,
+    like the maintained index's), then a single CDC commit deletes
+    vec_id%10==7, negates vec_id%10==4's embedding, and inserts
+    (vec_id+100000, reversed embedding) for vec_id%25==3; the search runs
+    over the POST-churn corpus.  Negation and reversal are bit-exact
+    float ops in both engines."""
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         {sql_quantized("embedding")} AS qc
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+), corpus AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 10 = 4
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 10 <> 7
+  UNION ALL
+  SELECT vec_id + 100000, list_reverse(embedding)
+  FROM embeddings WHERE vec_id % 25 = 3
+), c AS (
+  SELECT vec_id AS neighbor_id, {sql_quantized("embedding")} AS cv FROM corpus
+), assign AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT c.neighbor_id, c.cv, cent.cell,
+           row_number() OVER (PARTITION BY c.neighbor_id
+                              ORDER BY {sql_cell_rank("cv", "qc")} DESC, cent.cell ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, {sql_quantized("embedding")} AS qv
+  FROM corpus WHERE vec_id % {query_mod} = 0
+), probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cell_rank("qv", "qc")} DESC, cent.cell ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {sql_qcos("cv", "qv")} AS score
+  FROM probe p JOIN assign a USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def sql_hash_fraction(col: str, salt: str) -> str:
     """Mirror of sampling.hash_fraction: md5-derived uniform [0,1)."""
     expr = f"concat_ws('|', '{salt}', CAST({col} AS VARCHAR))"

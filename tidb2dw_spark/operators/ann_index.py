@@ -1,0 +1,341 @@
+"""IVF vector index as DERIVED STATE on a replicated table.
+
+``build_ivf_index`` / ``append_to_ivf_index`` (functions/similarity.py)
+cover append-only ingest; a replicated embedding store CHURNS — CDC
+deletes and updates must leave the index, not just add to it.  This
+module wraps the persisted IVF layout in the same
+``exists()/build()/refresh(spark, table)`` protocol that
+:class:`~.secondary_index.SecondaryIndex` and
+:class:`~.matview.MaintainedAggregate` implement, so an ANN index rides
+``TableReplicator(derived=[...])``'s poll loop exactly like a B-tree-ish
+index or a rollup does.
+
+Layout mirrors the other derived objects' crash contract::
+
+    <root>/_meta.json      {"applied_seq", "version", "id_col", "vec_col",
+                            "n_centroids", "centroids", "cell_versions",
+                            "field_ids"}
+    <root>/v=N/cell=C/…    (neighbor_id, qv) — integer-quantized vectors
+
+Maintenance is O(changes + touched cells), never O(index):
+
+- the REMOVAL side needs each changed id's OLD cell — which the change
+  feed already carries: preimage/delete rows hold the old embedding, and
+  cell assignment is a deterministic pure function of (vector, frozen
+  centroids), so re-assigning the preimage vector reproduces exactly the
+  cell its entry lives in.  No id→cell sidecar, no index scan.
+- the ADDITION side is the per-id FINAL image of the slice (windowed by
+  commit seq, postimage outranking its preimage), assigned to the same
+  frozen centroids — intermediate states never touch the index.
+- only the union of old/new cells rewrites (``cell_versions``, the same
+  versioned-partition trick as ManagedTable buckets), and a crash
+  between data write and ``_meta.json`` swap is repaired by the
+  deterministic version overwrite on retry.
+
+Centroids are FROZEN at build (the standard IVF trade: rebuild when the
+distribution drifts — the build is one linear pass).  That freeze is
+also what makes the maintained index TESTABLE: its contents after any
+CDC history equal ``build()`` on the current table state with the same
+centroids, so every probe result is oracle-checkable against a
+from-scratch rebuild (and, in the driver gate, against a composed SQL
+recompute in DuckDB).
+
+Reference parity: the reference maintains warehouse-side derived tables
+from the same changefeed its replication loop consumes
+(sink/cdcsql, increment.go:141-167); this is that pattern applied to the
+similarity layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import (
+    _assign_cells,
+    _probe_score_rank,
+    _arrow_cells,
+    _cell_score_structs,
+    ivf_centroids,
+)
+from ..table.managed import CHANGE_TYPE_COL, COMMIT_SEQ_COL, ManagedTable
+
+_ADD_TYPES = ("insert", "update_postimage")
+_REMOVE_TYPES = ("delete", "update_preimage")
+
+
+class IvfVectorIndex:
+    """Persisted IVF index over a CDF-enabled ManagedTable's embedding
+    column, maintained incrementally from the change feed."""
+
+    def __init__(
+        self,
+        root,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 16,
+        kernel: str = "arrow",
+    ):
+        self.root = Path(root)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_centroids = n_centroids
+        self.kernel = kernel
+        self.centroids: list = []
+
+    # -- meta (same crash contract as SecondaryIndex) ---------------------
+    def _meta_path(self) -> Path:
+        return self.root / "_meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def meta(self) -> dict:
+        return json.loads(self._meta_path().read_text())
+
+    def _commit(self, meta: dict) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    def _load_meta(self, src_m: dict | None = None) -> dict:
+        m = self.meta()
+        if m["id_col"] != self.id_col or m["vec_col"] != self.vec_col:
+            ok = False
+            ids = m.get("field_ids") or {}
+            if src_m is not None and ids:
+                inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
+                ok = (
+                    inv.get(ids.get(m["id_col"]), m["id_col"]) == self.id_col
+                    and inv.get(ids.get(m["vec_col"]), m["vec_col"])
+                    == self.vec_col
+                )
+            if not ok:
+                raise ValueError(
+                    f"index at {self.root} is over ({m['id_col']!r}, "
+                    f"{m['vec_col']!r}), not ({self.id_col!r}, {self.vec_col!r})"
+                )
+        self.id_col, self.vec_col = m["id_col"], m["vec_col"]
+        self.n_centroids = m["n_centroids"]
+        self.centroids = m["centroids"]
+        return m
+
+    def _cur_names(self, m: dict, src_m: dict) -> dict[str, str]:
+        """stored name → current base-table name, via field ids (rename
+        continuity, same translation SecondaryIndex performs)."""
+        ids = m.get("field_ids") or {}
+        inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
+        return {
+            n: inv.get(ids.get(n), n) for n in (m["id_col"], m["vec_col"])
+        }
+
+    # -- build / refresh --------------------------------------------------
+    def build(
+        self,
+        spark: SparkSession,
+        source: ManagedTable,
+        centroids: list | None = None,
+    ) -> int:
+        """Full scan → cell-assigned quantized index; records the source's
+        cdf_seq so refresh() starts exactly after the state this build
+        saw.  *centroids* pins an explicit centroid matrix (used by the
+        rebuild-equivalence tests); default derives them from the base
+        (smallest-id init, deterministic)."""
+        src_m = source.manifest()
+        src_seq = src_m.get("cdf_seq", 0)
+        df = source._read_state(spark, src_m).filter(
+            F.col(self.vec_col).isNotNull()
+        )
+        self.centroids = (
+            centroids
+            if centroids is not None
+            else ivf_centroids(df, self.id_col, self.vec_col, self.n_centroids)
+        )
+        out = _assign_cells(df, self.centroids, self.id_col, self.vec_col, self.kernel)
+        out.write.mode("overwrite").partitionBy("cell").parquet(
+            str(self.root / "v=1")
+        )
+        src_ids = src_m.get("field_ids", {})
+        self._commit(
+            {
+                "applied_seq": src_seq,
+                "version": 1,
+                "id_col": self.id_col,
+                "vec_col": self.vec_col,
+                "n_centroids": self.n_centroids,
+                "centroids": self.centroids,
+                "cell_versions": {
+                    str(c): 1 for c in range(len(self.centroids))
+                },
+                "field_ids": {
+                    n: src_ids[n]
+                    for n in (self.id_col, self.vec_col)
+                    if n in src_ids
+                },
+            }
+        )
+        return src_seq
+
+    def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
+        """Fold the feed slice (applied_seq, cdf_seq]: rewrite only the
+        cells that lost or gained vectors."""
+        src_m = source.manifest()
+        m = self._load_meta(src_m)
+        since, src_seq = m["applied_seq"], src_m.get("cdf_seq", 0)
+        if src_seq <= since:
+            return since
+        names = self._cur_names(m, src_m)
+        ch = source.changes(spark, since=since, until=src_seq).select(
+            F.col(CHANGE_TYPE_COL),
+            F.col(COMMIT_SEQ_COL),
+            F.col(names[self.id_col]).alias(self.id_col),
+            F.col(names[self.vec_col]).alias(self.vec_col),
+        )
+        # REMOVALS: every preimage/delete vector in the slice, re-assigned
+        # to the frozen centroids — a NULL preimage vector was never
+        # indexed, so it has no cell to clear
+        removals = _assign_cells(
+            ch.filter(
+                F.col(CHANGE_TYPE_COL).isin(*_REMOVE_TYPES)
+                & F.col(self.vec_col).isNotNull()
+            ),
+            m["centroids"], self.id_col, self.vec_col, self.kernel,
+        ).select("neighbor_id", "cell")
+        # ADDITIONS: per-id FINAL image only (postimage outranks its own
+        # preimage within a commit) — intermediates never land
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.desc(COMMIT_SEQ_COL),
+            F.desc(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES).cast("int")),
+        )
+        final = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        additions = _assign_cells(
+            final.filter(
+                F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES)
+                & F.col(self.vec_col).isNotNull()
+            ),
+            m["centroids"], self.id_col, self.vec_col, self.kernel,
+        )
+        touched = sorted(
+            r["cell"]
+            for r in removals.select("cell")
+            .unionByName(additions.select("cell"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            m["applied_seq"] = src_seq
+            self._commit(m)
+            return src_seq
+        new_version = m["version"] + 1
+        base = self._read_cells(spark, m, touched)
+        gone = removals.select("neighbor_id").unionByName(
+            additions.select("neighbor_id")
+        )
+        survivors = (
+            base.join(F.broadcast(gone), on="neighbor_id", how="left_anti")
+            if base is not None
+            else additions.limit(0)
+        )
+        out = survivors.unionByName(additions).dropDuplicates(["neighbor_id"])
+        out.write.mode("overwrite").partitionBy("cell").parquet(
+            str(self.root / f"v={new_version}")
+        )
+        m["version"] = new_version
+        for c in touched:
+            m["cell_versions"][str(c)] = new_version
+        m["applied_seq"] = src_seq
+        self._commit(m)
+        for p in self.root.glob("v=*"):
+            v = int(p.name.split("=", 1)[1])
+            if v < new_version and v not in {
+                int(x) for x in m["cell_versions"].values()
+            }:
+                shutil.rmtree(p, ignore_errors=True)
+        return src_seq
+
+    # -- probe ------------------------------------------------------------
+    def _read_cells(self, spark, m: dict, cells) -> DataFrame | None:
+        """Union of the probed cells' CURRENT partition dirs, each
+        re-labeled with its cell id (reading the leaf dirs directly drops
+        the partition column)."""
+        parts = []
+        for c in cells:
+            p = (
+                self.root
+                / f"v={m['cell_versions'][str(c)]}"
+                / f"cell={c}"
+            )
+            if p.exists():
+                parts.append(
+                    spark.read.parquet(str(p)).withColumn("cell", F.lit(int(c)))
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """Search the maintained index — same probe plan as
+        similarity.ivf_index_topk (broadcast probes, cell-pruned read,
+        exact quantized-cosine rank), over the maintained cell
+        versions."""
+        m = self._load_meta()
+        centroids = m["centroids"]
+
+        def qarr(c):
+            return F.transform(
+                c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+            )
+
+        qbase = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            qarr(F.col(self.vec_col)).alias("qv"),
+        )
+        if self.kernel == "arrow":
+            probes = _arrow_cells(qbase, "query_id", centroids, n_probe).select(
+                "query_id", "qv", F.explode("cells").alias("cell")
+            )
+        else:
+            probes = qbase.withColumn(
+                "cells", _cell_score_structs(F.col("qv"), centroids)
+            ).select(
+                "query_id",
+                "qv",
+                F.explode_outer(
+                    F.transform(
+                        F.slice(
+                            F.sort_array(F.col("cells"), asc=False), 1, n_probe
+                        ),
+                        lambda s: -s["negc"],
+                    )
+                ).alias("cell"),
+            )
+        cells = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        index = self._read_cells(spark, m, cells)
+        if index is None:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, score double, rank int"
+            )
+        return _probe_score_rank(index, probes, k, self.kernel)
