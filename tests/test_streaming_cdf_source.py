@@ -108,7 +108,6 @@ def test_commitlog_stream_rides_rename_and_widening_unreseeded(spark, tmp_path):
     from tidb2dw_spark.schema.evolve import apply_column_diffs
     from tidb2dw_spark.schema.table_def import TableCol
 
-    t2 = ManagedTable = None  # noqa: F841 (readability)
     from tidb2dw_spark.table.managed import ManagedTable as _MT
 
     t2 = _MT(tmp_path / "t2")
@@ -161,6 +160,45 @@ def test_commitlog_stream_mid_run_ddl_raises_schema_evolved(spark, tmp_path):
     # pre-pin commits still plan fine
     assert reader.partitions({"seq": 0}, {"seq": 1})
     with pytest.raises(SchemaEvolvedError, match="SAME checkpoint"):
+        reader.partitions({"seq": 1}, {"seq": 2})
+
+
+def test_commitlog_stream_mid_run_widening_raises_schema_evolved(spark, tmp_path):
+    """A metadata-only widening MODIFY changes no column NAMES — the
+    post-pin drift check must catch it by TYPE, or read() would down-cast
+    the widened data to the stale pinned type (ArrowInvalid on overflow,
+    silent narrowing otherwise)."""
+    from tidb2dw_spark.schema.diff import diff_columns
+    from tidb2dw_spark.schema.evolve import apply_column_diffs
+    from tidb2dw_spark.schema.table_def import TableCol
+    from tidb2dw_spark.table.managed import ManagedTable as _MT
+
+    t = _MT(tmp_path / "t")
+    t.create(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, qty int"),
+        ["k"], pk_buckets=2, cdf=True,
+    )
+    env_i = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, qty int"
+    )
+    t.merge(spark, spark.createDataFrame([("U", "t", "s", 5, 1, 11)], env_i))
+    reader = CDFStreamReader({"path": str(t.root)})  # pins qty:int
+    v1 = [
+        TableCol(id="1", name="k", tp="bigint", is_pk="true"),
+        TableCol(id="2", name="qty", tp="int"),
+    ]
+    v2 = [v1[0], TableCol(id="4", name="qty", tp="bigint")]
+    apply_column_diffs(spark, t, diff_columns(v1, v2))
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("U", "t", "s", 6, 2, 9_999_999_999)],
+            env_i.replace("qty int", "qty long"),
+        ),
+    )
+    assert reader.partitions({"seq": 0}, {"seq": 1})  # pre-pin fine
+    with pytest.raises(SchemaEvolvedError, match="wider type"):
         reader.partitions({"seq": 1}, {"seq": 2})
 
 

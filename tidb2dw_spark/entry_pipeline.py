@@ -440,7 +440,12 @@ def pipeline_rename_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "commit-log CDF drain did not finish within 300s; reading the "
+            "sink now would hash a PARTIAL stream half as a conformance bug"
+        )
     streamed = spark.read.parquet(str(out / "data")).withColumn(
         "via", F.lit("stream")
     )

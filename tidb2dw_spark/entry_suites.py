@@ -86,7 +86,7 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # CDF-maintained secondary index: build -> merge -> refresh -> probe
     "table_index_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str")],
     # change feed read ACROSS a RENAME barrier un-re-seeded (field ids)
-    "pipeline_rename_continuity": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_status", "str"), ("o_total_cents", "int"), ("_change_type", "str"), ("_commit_seq", "int"), ("_commit_version", "int")],
+    "pipeline_rename_continuity": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_status", "str"), ("o_total_cents", "int"), ("_change_type", "str"), ("_commit_seq", "int"), ("_commit_version", "int"), ("via", "str")],
     # MIN/MAX maintained aggregate across extremum-deleting changes
     "pipeline_incremental_minmax": [("o_orderstatus", "str"), ("n_rows", "int"), ("total_cents", "int"), ("min_cents", "int"), ("max_cents", "int")],
     # range-layout secondary index: zone-pruned value buckets, BETWEEN probe

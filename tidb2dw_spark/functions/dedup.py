@@ -897,6 +897,20 @@ def compact_signature_store(
     batch_dirs = sorted(str(d) for d in root.glob("batch-*"))
     if len(batch_dirs) <= max_batch_dirs:
         return 0
+    # the same legacy-layout guard the reader enforces: folding a legacy
+    # (id, sig) dir into a consolidated banded dir would NULL its band
+    # keys and permanently destroy the reader's ability to detect the
+    # degradation (the consolidated footer carries a band column forever)
+    import pyarrow.parquet as _pq
+
+    for d in batch_dirs:
+        first = next(_Path(d).rglob("*.parquet"), None)
+        if first is not None and "band" not in _pq.read_schema(str(first)).names:
+            raise ValueError(
+                f"signature store dir {d} uses the legacy (id, sig) "
+                "layout; rebuild the store (re-ingest the corpus) before "
+                "compacting"
+            )
     old = spark.read.parquet(*batch_dirs).distinct()
     est_bytes = sum(
         f.stat().st_size for d in batch_dirs for f in _Path(d).rglob("*.parquet")

@@ -679,6 +679,46 @@ def append_to_ivf_index(
     ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
 
 
+def _probe_cells(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    n_probe: int,
+    kernel: str,
+) -> DataFrame:
+    """(query_id, qv, cell) probe rows: quantize each query vector and
+    explode its *n_probe* nearest cells (ties → lowest cell, matching
+    the SQL oracle).  Shared by :func:`ivf_index_topk` and the
+    CDF-maintained :class:`~..operators.ann_index.IvfVectorIndex` so the
+    two probe paths can never diverge."""
+
+    def qarr(c: Column) -> Column:
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        )
+
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), qarr(F.col(vec_col)).alias("qv")
+    )
+    if kernel == "arrow":
+        return _arrow_cells(qbase, "query_id", centroids, n_probe).select(
+            "query_id", "qv", F.explode("cells").alias("cell")
+        )
+    return qbase.withColumn(
+        "cells", _cell_score_structs(F.col("qv"), centroids)
+    ).select(
+        "query_id",
+        "qv",
+        F.explode_outer(
+            F.transform(
+                F.slice(F.sort_array(F.col("cells"), asc=False), 1, n_probe),
+                lambda s: -s["negc"],
+            )
+        ).alias("cell"),
+    )
+
+
 def ivf_index_topk(
     spark,
     index_dir: str,
@@ -700,31 +740,7 @@ def ivf_index_topk(
     with open(os.path.join(index_dir, "centroids.json")) as f:
         centroids = _json.load(f)
 
-    def qarr(c: Column) -> Column:
-        return F.transform(
-            c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
-        )
-
-    qbase = queries.select(
-        F.col(id_col).alias("query_id"), qarr(F.col(vec_col)).alias("qv")
-    )
-    if kernel == "arrow":
-        probes = _arrow_cells(qbase, "query_id", centroids, n_probe).select(
-            "query_id", "qv", F.explode("cells").alias("cell")
-        )
-    else:
-        probes = qbase.withColumn(
-            "cells", _cell_score_structs(F.col("qv"), centroids)
-        ).select(
-            "query_id",
-            "qv",
-            F.explode_outer(
-                F.transform(
-                    F.slice(F.sort_array(F.col("cells"), asc=False), 1, n_probe),
-                    lambda s: -s["negc"],
-                )
-            ).alias("cell"),
-        )
+    probes = _probe_cells(queries, id_col, vec_col, centroids, n_probe, kernel)
     index = spark.read.parquet(os.path.join(index_dir, "cells"))
     return _probe_score_rank(index, probes, k, kernel)
 

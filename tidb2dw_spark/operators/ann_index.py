@@ -59,9 +59,8 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import (
     _assign_cells,
+    _probe_cells,
     _probe_score_rank,
-    _arrow_cells,
-    _cell_score_structs,
     ivf_centroids,
 )
 from ..table.managed import CHANGE_TYPE_COL, COMMIT_SEQ_COL, ManagedTable
@@ -300,36 +299,10 @@ class IvfVectorIndex:
         exact quantized-cosine rank), over the maintained cell
         versions."""
         m = self._load_meta()
-        centroids = m["centroids"]
-
-        def qarr(c):
-            return F.transform(
-                c, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
-            )
-
-        qbase = queries.select(
-            F.col(self.id_col).alias("query_id"),
-            qarr(F.col(self.vec_col)).alias("qv"),
+        probes = _probe_cells(
+            queries, self.id_col, self.vec_col, m["centroids"], n_probe,
+            self.kernel,
         )
-        if self.kernel == "arrow":
-            probes = _arrow_cells(qbase, "query_id", centroids, n_probe).select(
-                "query_id", "qv", F.explode("cells").alias("cell")
-            )
-        else:
-            probes = qbase.withColumn(
-                "cells", _cell_score_structs(F.col("qv"), centroids)
-            ).select(
-                "query_id",
-                "qv",
-                F.explode_outer(
-                    F.transform(
-                        F.slice(
-                            F.sort_array(F.col("cells"), asc=False), 1, n_probe
-                        ),
-                        lambda s: -s["negc"],
-                    )
-                ).alias("cell"),
-            )
         cells = sorted(
             r["cell"] for r in probes.select("cell").distinct().collect()
         )

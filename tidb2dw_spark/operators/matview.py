@@ -221,6 +221,10 @@ def apply_changes_to_agg(
     # state, so a base-recomputed extremum is exact for any group and the
     # override stays correct.  Past the cap, fall back to the broadcast
     # semi-join (full scan, filtered to dirty groups).
+    # Over the cap, the limit-collect's work is re-done by the semi-join
+    # branch — accepted: LocalLimit stops the collect early, both jobs
+    # are bounded by the CHANGES batch (rem_agg ⋈ groups), and the
+    # over-cap case (>5000 dirty groups in one slice) is the rare one.
     _DIRTY_LITERAL_CAP = 5000
     dirty_rows = dirty_keys.limit(_DIRTY_LITERAL_CAP + 1).collect()
     if not dirty_rows:

@@ -110,6 +110,11 @@ def _dec_key(raw: list, key_types: list[str]) -> tuple:
     for v, t in zip(raw, key_types):
         if t == "date" and isinstance(v, str):
             v = _dt.date.fromisoformat(v)
+        elif t == "date" and isinstance(v, _dt.datetime):
+            # a datetime probe against a date member: normalize, or the
+            # driver-side tuple comparisons raise (datetime and date are
+            # mutually incomparable in Python)
+            v = v.date()
         elif t in ("timestamp", "timestamp_ntz") and isinstance(v, str):
             v = _dt.datetime.fromisoformat(v)
         out.append(v)
@@ -329,6 +334,10 @@ class SecondaryIndex:
                 cuts = raw.approxQuantile(self.cols[0], qs, 0.001)
                 self.boundaries = sorted({(int(x),) for x in cuts})
             else:
+                # count + sample = two key-column scans; accepted — build
+                # is already a full-table pass, the extra scan is pruned
+                # to the key columns, and a blind limit() would bias the
+                # boundaries to the first partitions of sorted data
                 keyed = self._entries(df).select(*self.cols)
                 n = keyed.count()
                 frac = min(1.0, 200_000 / n) if n else 1.0

@@ -43,12 +43,14 @@ def get_spark(app_name: str = "tidb2dw_spark", shuffle_partitions: int | None = 
         # auto-enable the live-MySQL source path the moment the
         # environment provides a driver jar (the gated e2e in
         # tests/test_replicate.py un-skips itself off the same probe).
-        # APPEND to any user-supplied spark.jars rather than clobbering
-        # it; note spark.jars only takes effect for the session that
-        # starts the JVM — getOrCreate() against an already-running
-        # session ignores it, so the driver jar must be present when the
-        # FIRST session of the process is built (true here: this factory
-        # is the process's session entry point).
+        # Extra user jars ride along via $SPARK_GRAFT_EXTRA_JARS (this
+        # builder.config overrides spark-defaults.conf's spark.jars, so
+        # that env var is the supported way to combine them).  Note
+        # spark.jars only takes effect for the session that starts the
+        # JVM — getOrCreate() against an already-running session ignores
+        # it, so the driver jar must be present when the FIRST session
+        # of the process is built (true here: this factory is the
+        # process's session entry point).
         existing = os.environ.get("SPARK_GRAFT_EXTRA_JARS", "")
         jars = ",".join(j for j in (existing, jar) if j)
         builder = builder.config("spark.jars", jars)

@@ -140,11 +140,26 @@ class CDFStreamReader(DataSourceStreamReader):
                 return i
         return len(self.epochs)
 
-    def _spec_for(self, seq: int, footer_names: list[str]) -> dict:
+    def _spec_for(self, seq: int, footer) -> dict:
         """physical name → output name for one commit's files, via the
-        PINNED field epochs; detects post-pin schema drift."""
+        PINNED field epochs; detects post-pin schema drift — by NAME
+        (rename/ADD/DROP) and, for post-pin commits, by TYPE too: a
+        metadata-only widening MODIFY changes no names, but its post-DDL
+        files store the wider physical type, and casting them down to
+        the stale pinned type would narrow (or crash) — that must
+        surface as the restart contract, not an executor ArrowInvalid."""
+        import pyarrow.parquet as _pq  # noqa: F401 (signature docs)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         eidx = self._epoch_idx(seq)
         id_to_cur = {v: k for k, v in self.field_ids.items()}
+        footer_names = list(footer.names)
+        target_types = {
+            f.name: f.type
+            for f in to_arrow_schema(
+                StructType.fromJson(json.loads(self.schema_json))
+            )
+        }
         renames: dict = {}
         for name in footer_names:
             if name in _META_COLS:
@@ -180,6 +195,33 @@ class CDFStreamReader(DataSourceStreamReader):
                     f"column(s) {missing}; a DDL barrier landed mid-run — "
                     "restart the query with the SAME checkpoint"
                 )
+            import pyarrow.types as _pat
+
+            def _width_family(t):
+                # widening MODIFYs change integer/float WIDTH; other
+                # arrow-type spellings (timestamp tz flavors, string vs
+                # large_string) vary by writer without any DDL, so only
+                # the numeric families are drift evidence
+                if _pat.is_integer(t) or _pat.is_floating(t):
+                    return str(t)
+                return None
+
+            for name, out in renames.items():
+                want = target_types.get(out)
+                got = footer.field(name).type
+                if (
+                    want is not None
+                    and _width_family(got) is not None
+                    and _width_family(want) is not None
+                    and _width_family(got) != _width_family(want)
+                ):
+                    raise SchemaEvolvedError(
+                        f"commit seq {seq} of {self.root} stores column "
+                        f"{out!r} as {got}, but this stream pinned {want} "
+                        f"at start (cdf_seq {self.pin_seq}); a widening "
+                        "MODIFY landed mid-run — restart the query with "
+                        "the SAME checkpoint to adopt the wider type"
+                    )
         return renames
 
     def partitions(self, start: dict, end: dict):
@@ -198,7 +240,7 @@ class CDFStreamReader(DataSourceStreamReader):
             if not files:  # zero-row commit wrote only _SUCCESS
                 continue
             footer = _pq.read_schema(str(files[0]))
-            renames = self._spec_for(s, list(footer.names))
+            renames = self._spec_for(s, footer)
             for f in files:
                 parts.append(
                     _CommitFilePartition(

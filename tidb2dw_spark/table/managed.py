@@ -932,7 +932,11 @@ class ManagedTable:
         # only up to a cap: a huge key set makes the per-value collect
         # O(#keys) driver memory for pruning that saves little relative to
         # the probe itself, so past the cap we fall back to the bucket-only
-        # collect (bounded by bucket count) and read every pending delta
+        # collect (bounded by bucket count) and read every pending delta.
+        # The over-cap case runs two jobs over the key set; accepted —
+        # the first stops early at the LocalLimit, and the truncated rows
+        # cannot seed the bucket list (a bucket whose keys all sort past
+        # the cap would be silently dropped from the read set)
         has_stats = bool(m.get("delta_stats")) and any(
             m.get("bucket_deltas", {}).values()
         )
