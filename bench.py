@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "q19_discounted_revenue",
     "q20_widget_suppliers",
     "q21_waiting_suppliers",
+    # round 6: SemDeDup + the derived-state ANN probes (their build+churn
+    # fixture is memoized per sf, so best-of-N measures steady-state
+    # search over the maintained index — the serving-path number)
+    "sem_dedup_keep",
+    "sim_ivf_derived_refresh",
+    "sim_ivfpq_derived_refresh",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

@@ -1492,3 +1492,62 @@ def test_maintained_minmax_matches_recompute_on_random_feeds(
             key=key,
         )
         assert got == want, (got, want)
+
+
+def test_stream_derived_refresh_list_across_rename(spark, tmp_path):
+    """The streaming wake-up path generalizes to a LIST of derived
+    objects and, riding the commit-log source, its checkpoint SURVIVES a
+    rewrite-path RENAME barrier between drains: the second drain (same
+    checkpoint) wakes the refreshes, which conform by field id — index
+    probes answer under the new column name and the aggregate equals a
+    recompute, with no re-seed anywhere."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate, init_agg
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+    from tidb2dw_spark.streaming.stream import stream_derived_refresh
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedAggregate(tmp_path / "mv", ["grp"], {"total": "val"})
+    ix = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"])
+    mv.refresh(spark, t)
+    ix.build(spark, t)
+
+    t.merge(spark, _batch(spark, [("I", 8, 5, "c", 80), ("U", 1, 5, "b", 11)]))
+    ck = str(tmp_path / "ck")
+    q = stream_derived_refresh(spark, t, [ix, mv], checkpoint_dir=ck)
+    assert q.awaitTermination(120)
+    assert sorted(
+        r["k"] for r in ix.lookup(spark, t, "b").collect()
+    ) == [1, 3]
+
+    _rename_grp_to_category(spark, t)
+    env2 = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, category string, val long"
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("I", "t", "s", 6, 9, "c", 90), ("D", "t", "s", 6, 8, None, None)],
+            env2,
+        ),
+    )
+    # SAME checkpoint: the commit-log offsets span the barrier
+    q = stream_derived_refresh(spark, t, [ix, mv], checkpoint_dir=ck)
+    assert q.awaitTermination(120)
+    assert sorted(
+        r["k"] for r in ix.lookup(spark, t, "c").collect()
+    ) == [9]
+    got = {
+        r[0]: (r[1], r[2])
+        for r in (
+            (r["grp"], r["n_rows"], r["total"]) for r in mv.read(spark).collect()
+        )
+    }
+    want = {
+        r["category"]: (r["n_rows"], r["total"])
+        for r in init_agg(
+            t.read(spark).withColumnRenamed("category", "grp"), ["grp"],
+            {"total": "val"},
+        ).withColumnRenamed("grp", "category").collect()
+    }
+    assert got == want

@@ -258,3 +258,13 @@ def test_q10_topk_is_distributed_take_ordered(spark, sf_dir):
     plan = audit(QUERIES["q10_returned_items"](spark, sf_dir)).plan
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_sem_dedup_single_cluster_exchange(spark, sf_dir):
+    """SemDeDup is ONE shuffle end-to-end: assignment + centroid
+    similarity are narrow constant-folded expressions, and the pairwise
+    verify is the cluster-local Arrow kernel — no join node, no pair-row
+    exchange, no second pass over the corpus."""
+    a = assert_single_shuffle(QUERIES["sem_dedup_keep"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in a.plan
+    assert a.joins == []

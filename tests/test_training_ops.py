@@ -1123,3 +1123,113 @@ def test_signature_store_compaction_soak(spark, tmp_path):
         .parquet(store).select("id").distinct().count()
         == 50 + 1 + 3  # corpus + probe (distinct id) + steady-state docs
     )
+
+
+def test_signature_store_packed_predicate_and_auto_compact(spark, tmp_path):
+    """The store read prunes with a constant-size `bkb IN (...)` pushed
+    predicate on the packed band*KEY_BUCKETS+kb column; a store dir
+    predating the packed column falls back to the (band, kb) OR-chain
+    with IDENTICAL pairs (no silent row loss through a NULL bkb under a
+    mixed-schema read); compaction upgrades such dirs; and the opt-in
+    auto_compact_dirs knob bounds the directory count inside the ingest
+    loop itself."""
+    import shutil
+    from pathlib import Path
+
+    from tidb2dw_spark.functions.dedup import (
+        SIG_STORE_KEY_BUCKETS,
+        incremental_minhash_pairs,
+    )
+    from tidb2dw_spark.plans import formatted_plan
+
+    store = str(tmp_path / "sigs")
+    common = dict(num_hashes=16, bands=4, shingle_n=3, min_sig_matches=4)
+    base = "the quick brown fox jumps over the lazy dog wearing hat number"
+    for i in range(3):
+        incremental_minhash_pairs(
+            spark.createDataFrame([(i, f"{base} {i}")], "doc_id long, text string"),
+            store, **common,
+        )
+    # identical text to doc 1 -> identical signature -> certain collision
+    probe = spark.createDataFrame(
+        [(100, f"{base} 1")], "doc_id long, text string"
+    )
+    pairs = incremental_minhash_pairs(probe, store, **common)
+    pre = {(r["id_a"], r["id_b"], r["n_sig_matches"]) for r in pairs.collect()}
+    assert pre, "probe should collide with the family"
+    # the packed predicate reaches the parquet scan of the store
+    plan = formatted_plan(pairs)
+    assert "bkb" in plan and "PushedFilters" in plan
+    # stored rows carry the packed column consistent with (band, kb)
+    rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store).select("band", "kb", "bkb").distinct().collect()
+    )
+    assert rows and all(
+        r["bkb"] == r["band"] * SIG_STORE_KEY_BUCKETS + r["kb"] for r in rows
+    )
+    # age ONE dir back to the pre-packed layout: fallback must produce
+    # the same pairs (and must NOT use the bkb predicate, which would
+    # NULL-drop the old dir's rows under a mixed-schema read)
+    victim = sorted(Path(store).glob("batch-*"))[0]
+    aged = spark.read.parquet(str(victim)).drop("bkb")
+    tmp_old = str(tmp_path / "aged")
+    aged.write.parquet(tmp_old)
+    shutil.rmtree(victim)
+    shutil.copytree(tmp_old, victim)
+    mixed = {
+        (r["id_a"], r["id_b"], r["n_sig_matches"])
+        for r in incremental_minhash_pairs(probe, store, **common).collect()
+    }
+    assert mixed == pre
+    # entry-time auto-compaction: the loop itself keeps dirs bounded and
+    # UPGRADES the aged dir to the packed layout
+    for i in range(3):
+        incremental_minhash_pairs(
+            spark.createDataFrame(
+                [(200 + i, f"{base} later {i}")], "doc_id long, text string"
+            ),
+            store, **common, auto_compact_dirs=2,
+        )
+    assert len(list(Path(store).glob("batch-*"))) <= 3
+    for d in Path(store).glob("batch-*"):
+        import pyarrow.parquet as pq
+
+        first = next(Path(d).rglob("*.parquet"))
+        assert "bkb" in pq.read_schema(str(first)).names
+    post = {
+        (r["id_a"], r["id_b"], r["n_sig_matches"])
+        for r in incremental_minhash_pairs(probe, store, **common).collect()
+    }
+    assert pre.issubset(post)
+
+
+def test_semantic_dedup_survivor_rule(spark):
+    """Exact-duplicate vectors must collapse to ONE survivor per cluster
+    neighborhood, and the survivor is the earliest member in (csim, id)
+    order — for identical vectors (identical csim) the LOWEST id.  A
+    vector dissimilar to everything survives untouched, whatever cluster
+    it lands in."""
+    from tidb2dw_spark.functions.clustering import semantic_dedup
+
+    # family A: three identical vectors; family B: two identical
+    # orthogonal-to-A vectors; loner C: orthogonal to both
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=2, iters=2, threshold=0.9).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(out) == 6 and all(r["kept"] is not None for r in out)
+    # identical vectors share a cluster by construction of argmin
+    assert by_id[1]["cluster"] == by_id[2]["cluster"] == by_id[3]["cluster"]
+    assert by_id[10]["cluster"] == by_id[11]["cluster"]
+    # one survivor per identical family: the lowest id (csim ties)
+    assert [by_id[i]["kept"] for i in (1, 2, 3)] == [True, False, False]
+    assert [by_id[i]["kept"] for i in (10, 11)] == [True, False]
+    assert by_id[20]["kept"] is True  # orthogonal to every co-member

@@ -144,6 +144,10 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     # insert-bearing merge, fingerprinted on ids + rank (float score
     # drives the rank; the rank itself is the cross-engine contract)
     "sim_ivf_derived_refresh": [("query_id", "int"), ("neighbor_id", "int"), ("rank", "int")],
+    # SemDeDup: k-means blocking + within-cluster cosine survivor rule
+    "sem_dedup_keep": [("vec_id", "int"), ("cluster", "int"), ("csim", "dbl"), ("kept", "bool")],
+    # compressed ANN as derived state: PQ codes refreshed from the CDF
+    "sim_ivfpq_derived_refresh": [("query_id", "int"), ("neighbor_id", "int"), ("dist", "int"), ("rank", "int")],
 }
 
 # Legacy fake-format multimodal plumbing rows (UTF-8 bytes standing in for

@@ -628,6 +628,9 @@ def sim_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_K, KMEANS_ITERS = 8, 3
+# SemDeDup threshold sits below the corpus' near-orthogonal qcos ceiling
+# (~0.51) so clusters actually shed members at test scale
+SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_T = 8, 2, 0.3
 
 
 @register("emb_kmeans_centroids", O.kmeans_oracle(8, 3))
@@ -656,6 +659,26 @@ def emb_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cluster int, pos int, centroid_q long, cluster_n int"
     )
+
+
+@register(
+    "sem_dedup_keep",
+    O.semantic_dedup_oracle(SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_T),
+)
+def sem_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as a first-class
+    operator: k-means blocks the embedding space, within-cluster pairs
+    above the cosine threshold are semantic duplicates, and each
+    neighborhood keeps its lowest-centroid-similarity member.  ONE
+    shuffle on the cluster key; the pairwise verify is a cluster-local
+    chunked Arrow matmul, and the whole decomposition (clusters, csim,
+    verdicts) is bit-checked against the unrolled SQL oracle."""
+    from .functions.clustering import semantic_dedup
+
+    emb = _emb(spark, sf_dir, spread=False)
+    return semantic_dedup(
+        emb, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, threshold=SEMDEDUP_T
+    ).select(F.col("id").alias("vec_id"), "cluster", "csim", "kept")
 
 
 PQ_SUB, PQ_K, PQ_ITERS, PQ_DIM = 8, 64, 2, 64
@@ -886,6 +909,77 @@ def sim_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOPK_K,
         n_probe=IVFPQ_PROBE,
     )
+
+
+_IVFPQ_DERIVED_CACHE: dict[str, object] = {}
+
+
+@register(
+    "sim_ivfpq_derived_refresh",
+    O.ivfpq_derived_refresh_oracle(
+        IVFPQ_CELLS, PQ_SUB, IVFPQ_CODES, PQ_ITERS, PQ_DIM,
+        TOPK_QUERY_MOD, TOPK_K, IVFPQ_PROBE,
+    ),
+)
+def sim_ivfpq_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED ANN index as derived state
+    (operators/ann_index.IvfPqVectorIndex): residual codebooks train at
+    build and freeze with the centroids; the same delete/negate/insert
+    churn as the IVF derived row lands as one CDC commit; refresh
+    re-encodes only the changed vectors and rewrites only touched cells.
+    The oracle re-trains the frozen parameters on the pre-churn corpus
+    in SQL and ADC-searches the post-churn corpus — a stale code, a
+    missed delete, or an intermediate-state encode breaks the
+    fingerprint."""
+    import tempfile
+    from pathlib import Path
+
+    from .operators.ann_index import IvfPqVectorIndex
+    from .table.managed import ManagedTable
+
+    key = sf_dir
+    if key not in _IVFPQ_DERIVED_CACHE:
+        emb = _emb(spark, sf_dir, spread=False)
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_ivfpqderived_"))
+        t = ManagedTable(wh / "emb").create(
+            emb, ["vec_id"], pk_buckets=8, cdf=True
+        )
+        ix = IvfPqVectorIndex(
+            wh / "ivfpq", id_col="vec_id", vec_col="embedding",
+            n_centroids=IVFPQ_CELLS, n_sub=PQ_SUB, k_codes=IVFPQ_CODES,
+            iters=PQ_ITERS, residual=True,
+        )
+        ix.build(spark, t)
+
+        def env(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("emb").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "vec_id",
+                "embedding",
+                "label",
+            )
+
+        dels = emb.filter(F.col("vec_id") % 10 == 7)
+        upds = emb.filter(F.col("vec_id") % 10 == 4).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        )
+        ins = emb.filter(F.col("vec_id") % 25 == 3).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+            "label",
+        )
+        t.merge(
+            spark,
+            env(dels, "D").unionByName(env(upds, "U")).unionByName(env(ins, "I")),
+        )
+        ix.refresh(spark, t)
+        _IVFPQ_DERIVED_CACHE[key] = (t, ix)
+    t, ix = _IVFPQ_DERIVED_CACHE[key]
+    queries = t.read(spark).filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+    return ix.topk(spark, queries, k=TOPK_K, n_probe=IVFPQ_PROBE)
 
 
 PHASH_MAX_HAMMING = 4

@@ -715,6 +715,7 @@ def incremental_minhash_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     min_sig_matches: int = 8,
+    auto_compact_dirs: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against everything seen so far.
 
@@ -730,8 +731,18 @@ def incremental_minhash_pairs(
     integer exactness also gives the operator a SQL oracle.  Returns
     (id_a, id_b, n_sig_matches) with n_sig_matches ≥ *min_sig_matches*,
     materialized BEFORE the new signatures append to the store (so the
-    result never sees its own batch through the store read)."""
+    result never sees its own batch through the store read).
+
+    *auto_compact_dirs* (opt-in) keeps a CONTINUOUS ingest loop's
+    directory count bounded without a separate maintenance job: when the
+    store holds more than that many ``batch-*`` dirs at ENTRY, they fold
+    through :func:`compact_signature_store` before this batch reads —
+    entry-time placement matters, because compacting after the append
+    would delete directories a just-returned (cached but evictable)
+    result still references for recompute."""
     spark = new_docs.sparkSession
+    if auto_compact_dirs is not None:
+        compact_signature_store(spark, store_dir, max_batch_dirs=auto_compact_dirs)
     rows_per_band = num_hashes // bands
     sh = new_docs.select(
         F.col(id_col).alias("id"),
@@ -762,8 +773,17 @@ def incremental_minhash_pairs(
         ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     new_sigs = new_sigs.persist()
+    # bkb packs (band, kb) into ONE stored int64 — the store read below
+    # prunes with a constant-size `bkb IN (...)` predicate (pushed to
+    # parquet row-group stats on a single column) instead of an OR-chain
+    # of (band = b AND kb = k) conjuncts whose size grows with
+    # bands × SIG_STORE_KEY_BUCKETS; sorting by bkb is identical to
+    # sorting by (band, kb) since kb < SIG_STORE_KEY_BUCKETS.
     banded_new = banded(new_sigs).withColumn(
         "kb", F.pmod(md5_long(F.col("key"), 7), F.lit(SIG_STORE_KEY_BUCKETS))
+    ).withColumn(
+        "bkb",
+        (F.col("band") * SIG_STORE_KEY_BUCKETS + F.col("kb")).cast("long"),
     )
 
     # store read as ONE scan over a snapshot of the batch directories
@@ -792,14 +812,19 @@ def incremental_minhash_pairs(
         # the dir count bounded.
         import pyarrow.parquet as _pq
 
+        all_bkb = True
         for d in batch_dirs:
             first = next(_Path(d).rglob("*.parquet"), None)
-            if first is not None and "band" not in _pq.read_schema(str(first)).names:
+            if first is None:
+                continue
+            names = _pq.read_schema(str(first)).names
+            if "band" not in names:
                 raise ValueError(
                     f"signature store dir {d} uses the legacy (id, sig) "
                     "layout; rebuild the store (re-ingest the corpus) "
                     "before appending banded batches"
                 )
+            all_bkb = all_bkb and "bkb" in names
         touched = sorted(
             (r["band"], r["kb"])
             for r in banded_new.select("band", "kb").distinct().collect()
@@ -809,11 +834,22 @@ def incremental_minhash_pairs(
         if touched:
             old = spark.read.parquet(*batch_dirs)
             if len(touched) < bands * SIG_STORE_KEY_BUCKETS:
-                cond = None
-                for b, kb in touched:
-                    t = (F.col("band") == b) & (F.col("kb") == kb)
-                    cond = t if cond is None else (cond | t)
-                old = old.filter(cond)
+                if all_bkb:
+                    # constant-size pushed predicate on the packed column
+                    old = old.filter(
+                        F.col("bkb").isin(
+                            [b * SIG_STORE_KEY_BUCKETS + kb for b, kb in touched]
+                        )
+                    )
+                else:
+                    # a dir predating the packed column (or a mixed
+                    # store): the OR-chain over the two stored columns
+                    # still pushes down, just with a fatter predicate
+                    cond = None
+                    for b, kb in touched:
+                        t = (F.col("band") == b) & (F.col("kb") == kb)
+                        cond = t if cond is None else (cond | t)
+                    old = old.filter(cond)
             right = right.unionByName(old.select("band", "key", "id", "sig"))
 
     # signatures ride THROUGH the band join (16 ints/row — cheaper than
@@ -911,7 +947,19 @@ def compact_signature_store(
                 "layout; rebuild the store (re-ingest the corpus) before "
                 "compacting"
             )
-    old = spark.read.parquet(*batch_dirs).distinct()
+    # select the five stable columns then RECOMPUTE the packed bkb: a
+    # mixed store (dirs predating the packed column) would otherwise
+    # read NULL bkb for old rows under the newer footer's schema, and
+    # the fold is exactly where such dirs get upgraded
+    old = (
+        spark.read.parquet(*batch_dirs)
+        .select("id", "sig", "band", "key", "kb")
+        .distinct()
+        .withColumn(
+            "bkb",
+            (F.col("band") * SIG_STORE_KEY_BUCKETS + F.col("kb")).cast("long"),
+        )
+    )
     est_bytes = sum(
         f.stat().st_size for d in batch_dirs for f in _Path(d).rglob("*.parquet")
     )

@@ -357,16 +357,13 @@ GROUP BY doc_id
 """
 
 
-def kmeans_oracle(k: int, iters: int) -> str:
-    """Exact oracle for integer-Lloyd k-means (functions/clustering.py):
-    the iteration count is a compile-time constant, so the "iterative
-    algorithm" unrolls into *iters* chained CTE stages — init = the k
-    smallest-id quantized vectors, each stage = argmin assignment
-    (score 2·x·c − ‖c‖², ties to the lower cluster) + half-up integer
-    centroid update floor((2s+n)/(2n)) with empty clusters keeping their
-    previous centroid, then a final assignment for member counts.  All
-    arithmetic stays on exact BIGINTs (posmod-based floor division), so
-    the result is bit-identical to the Spark/driver implementation."""
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """The unrolled integer-Lloyd CTE chain shared by
+    :func:`kmeans_oracle` and :func:`semantic_dedup_oracle`: ``pts``
+    (exploded quantized vectors), ``c0``..``c{iters}`` (centroid stages),
+    ``a0``..``a{iters}`` (assignments; ``a{iters}`` is the final one).
+    Returns the full ``WITH ...`` prefix ending at ``a{iters}`` so
+    callers append their own CTEs with a leading comma."""
     q = """
 WITH pts AS (
   SELECT vec_id AS id, e['p'] AS pos, e['x'] AS x FROM (
@@ -409,14 +406,65 @@ c{t + 1} AS (
          END AS v
   FROM c{t} c LEFT JOIN u{t} u ON u.cluster = c.cluster AND u.pos = c.pos
 )"""
-    q += f"""
+    return q.replace("__K__", str(k))
+
+
+def kmeans_oracle(k: int, iters: int) -> str:
+    """Exact oracle for integer-Lloyd k-means (functions/clustering.py):
+    the iteration count is a compile-time constant, so the "iterative
+    algorithm" unrolls into *iters* chained CTE stages — init = the k
+    smallest-id quantized vectors, each stage = argmin assignment
+    (score 2·x·c − ‖c‖², ties to the lower cluster) + half-up integer
+    centroid update floor((2s+n)/(2n)) with empty clusters keeping their
+    previous centroid, then a final assignment for member counts.  All
+    arithmetic stays on exact BIGINTs (posmod-based floor division), so
+    the result is bit-identical to the Spark/driver implementation."""
+    return f"""{_kmeans_ctes(k, iters)}
 SELECT CAST(c.cluster AS INT) AS cluster, CAST(c.pos AS INT) AS pos,
        CAST(c.v AS BIGINT) AS centroid_q, CAST(COALESCE(fn.n, 0) AS INT) AS cluster_n
 FROM c{iters} c
 LEFT JOIN (SELECT cluster, COUNT(*) AS n FROM a{iters} GROUP BY cluster) fn
   ON fn.cluster = c.cluster
 """
-    return q.replace("__K__", str(k))
+
+
+def semantic_dedup_oracle(k: int, iters: int, threshold: float) -> str:
+    """Mirror of clustering.semantic_dedup (SemDeDup, arXiv:2303.09540):
+    reuses the exact unrolled k-means chain for clusters and centroids,
+    computes each member's centroid similarity (exact integer dots, the
+    same single IEEE sqrt/divide as the Spark side), and drops member x
+    iff an EARLIER member y of its cluster — earlier in (csim, id) tuple
+    order, i.e. closer to the paper's low-redundancy survivor — has
+    quantized cosine ≥ *threshold*.  Every float compared here is built
+    from exact BIGINT dots by one IEEE op each, so the verdicts are
+    bit-identical across engines."""
+    return f"""{_kmeans_ctes(k, iters)},
+cvec AS (
+  SELECT cluster, list(v ORDER BY pos) AS cv, CAST(SUM(v*v) AS BIGINT) AS nn
+  FROM c{iters} GROUP BY cluster
+),
+qvs AS (SELECT vec_id AS id, {sql_quantized("embedding")} AS q FROM embeddings),
+mem AS (
+  SELECT qvs.id, a.cluster, qvs.q,
+         CAST({sql_int_dot("qvs.q", "cv.cv")} AS DOUBLE) /
+         (sqrt(CAST({sql_int_dot("qvs.q", "qvs.q")} AS DOUBLE)) *
+          sqrt(CAST(cv.nn AS DOUBLE))) AS csim
+  FROM qvs
+  JOIN a{iters} a ON a.id = qvs.id
+  JOIN cvec cv ON cv.cluster = a.cluster
+),
+dropped AS (
+  SELECT r.id
+  FROM mem l JOIN mem r
+    ON l.cluster = r.cluster
+   AND (l.csim < r.csim OR (l.csim = r.csim AND l.id < r.id))
+  WHERE {sql_qcos("l.q", "r.q")} >= {threshold}
+  GROUP BY r.id
+)
+SELECT m.id AS vec_id, CAST(m.cluster AS INT) AS cluster, m.csim,
+       (d.id IS NULL) AS kept
+FROM mem m LEFT JOIN dropped d ON d.id = m.id
+"""
 
 
 def _pq_lloyd_chain(iters: int) -> str:
@@ -537,26 +585,13 @@ SELECT * FROM (
     )
 
 
-def ivfpq_topk_oracle(
-    n_centroids: int,
-    n_sub: int,
-    k_codes: int,
-    iters: int,
-    dim: int,
-    query_mod: int,
-    topk: int,
-    n_probe: int,
-) -> str:
-    """Exact oracle for RESIDUAL IVF-PQ search (functions/pq.py:
-    build_ivfpq_index(residual=True) + ivfpq_index_topk): coarse cells =
-    argmax dot/‖c‖ over the n smallest-id vectors (the proven IVF
-    assignment SQL), residual points x − centroid[cell] feed the SAME
-    unrolled Lloyd chain as the PQ oracles, and search recomputes the
-    per-(query, probed-cell) distance LUT and the gather-sum rank — all
-    integer except the one IEEE cell-ranking divide already proven
-    bit-identical by the IVF rows."""
-    d0 = dim // n_sub
-    prelude = f"""
+def _ivfpq_prelude(n_centroids: int, k_codes: int, d0: int) -> str:
+    """Residual IVF-PQ TRAINING prelude over the (pre-churn) corpus:
+    coarse cells, residual points, deterministic codebook init — feeds
+    :func:`_pq_lloyd_chain`.  Shared by :func:`ivfpq_topk_oracle` and
+    :func:`ivfpq_derived_refresh_oracle` (whose search side runs over a
+    CHURNED corpus against these frozen parameters)."""
+    return f"""
 WITH cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          {sql_quantized("embedding")} AS qc
@@ -581,6 +616,28 @@ WITH cent AS (
         FROM assign ORDER BY id LIMIT {k_codes}) s
   JOIN pts p ON p.id = s.id
 )"""
+
+
+def ivfpq_topk_oracle(
+    n_centroids: int,
+    n_sub: int,
+    k_codes: int,
+    iters: int,
+    dim: int,
+    query_mod: int,
+    topk: int,
+    n_probe: int,
+) -> str:
+    """Exact oracle for RESIDUAL IVF-PQ search (functions/pq.py:
+    build_ivfpq_index(residual=True) + ivfpq_index_topk): coarse cells =
+    argmax dot/‖c‖ over the n smallest-id vectors (the proven IVF
+    assignment SQL), residual points x − centroid[cell] feed the SAME
+    unrolled Lloyd chain as the PQ oracles, and search recomputes the
+    per-(query, probed-cell) distance LUT and the gather-sum rank — all
+    integer except the one IEEE cell-ranking divide already proven
+    bit-identical by the IVF rows."""
+    d0 = dim // n_sub
+    prelude = _ivfpq_prelude(n_centroids, k_codes, d0)
     search = f""",
 q0 AS (
   SELECT vec_id AS qid, {sql_quantized("embedding")} AS qv
@@ -619,6 +676,107 @@ SELECT * FROM (
 ) __t WHERE rank <= {topk}
 """
     return prelude + _pq_lloyd_chain(iters) + search
+
+
+def ivfpq_derived_refresh_oracle(
+    n_centroids: int,
+    n_sub: int,
+    k_codes: int,
+    iters: int,
+    dim: int,
+    query_mod: int,
+    topk: int,
+    n_probe: int,
+) -> str:
+    """Mirror of entry_training.sim_ivfpq_derived_refresh: centroids AND
+    residual codebooks train on the PRE-churn corpus (frozen, like the
+    maintained index's), then the same CDC churn as the IVF derived row
+    (delete %10==7, negate %10==4, insert reversed %25==3) lands, and
+    the ADC search runs over the POST-churn corpus re-assigned and
+    re-encoded against the frozen parameters — exactly what
+    IvfPqVectorIndex.refresh must leave behind (unchanged rows keep
+    their build-time codes, which equal a re-encode because encoding is
+    a pure function of vector × frozen params)."""
+    d0 = dim // n_sub
+    churn_search = f""",
+corpus2 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 10 = 4
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 10 <> 7
+  UNION ALL
+  SELECT vec_id + 100000, list_reverse(embedding)
+  FROM embeddings WHERE vec_id % 25 = 3
+), cvec2 AS (
+  SELECT vec_id AS id, {sql_quantized("embedding")} AS cv FROM corpus2
+), assign2 AS (
+  SELECT id, cv, cell, qc FROM (
+    SELECT c.id, c.cv, cent.cell, cent.qc,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {sql_cell_rank("cv", "qc")} DESC, cent.cell ASC) AS rn
+    FROM cvec2 c CROSS JOIN cent) __a2 WHERE rn = 1
+), pts2 AS (
+  SELECT id, (e['p'] // {d0}) AS sub, (e['p'] % {d0}) AS pos, e['x'] AS x
+  FROM (
+    SELECT id, unnest([{{'p': i-1, 'x': cv[i] - qc[i]}}
+                       for i in range(1, len(cv)+1)]) AS e
+    FROM assign2) __r2
+), encn AS (
+  SELECT sub, code, CAST(SUM(v*v) AS BIGINT) AS nn
+  FROM c{iters} GROUP BY sub, code
+), enc AS (
+  SELECT id, sub, code FROM (
+    SELECT p.id, c.sub, c.code,
+           row_number() OVER (
+             PARTITION BY p.id, c.sub
+             ORDER BY (2*SUM(p.x*c.v) - MIN(n.nn)) DESC, c.code ASC) AS rk
+    FROM pts2 p
+    JOIN c{iters} c ON c.sub = p.sub AND c.pos = p.pos
+    JOIN encn n ON n.sub = c.sub AND n.code = c.code
+    GROUP BY p.id, c.sub, c.code
+  ) __e WHERE rk = 1
+), q0 AS (
+  SELECT vec_id AS qid, {sql_quantized("embedding")} AS qv
+  FROM corpus2 WHERE vec_id % {query_mod} = 0
+), qprobe AS (
+  SELECT qid, qv, cell, qc FROM (
+    SELECT q.qid, q.qv, cent.cell, cent.qc,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {sql_cell_rank("qv", "qc")} DESC, cent.cell ASC) AS rn
+    FROM q0 q CROSS JOIN cent) __p WHERE rn <= {n_probe}
+), qrpts AS (
+  SELECT qid, cell, (e['p'] // {d0}) AS sub, (e['p'] % {d0}) AS pos, e['x'] AS x
+  FROM (
+    SELECT qid, cell, unnest([{{'p': i-1, 'x': qv[i] - qc[i]}}
+                              for i in range(1, len(qv)+1)]) AS e
+    FROM qprobe) __q
+), lut AS (
+  SELECT q.qid, q.cell, c.sub, c.code,
+         CAST(SUM((q.x - c.v)*(q.x - c.v)) AS BIGINT) AS d
+  FROM qrpts q JOIN c{iters} c ON c.sub = q.sub AND c.pos = q.pos
+  GROUP BY q.qid, q.cell, c.sub, c.code
+), adc AS (
+  SELECT l.qid AS query_id, av.id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist
+  FROM assign2 av
+  JOIN lut l ON l.cell = av.cell
+  JOIN enc ec ON ec.id = av.id AND ec.sub = l.sub AND ec.code = l.code
+  WHERE av.id <> l.qid
+  GROUP BY l.qid, av.id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT)
+           AS rank
+  FROM adc
+) __t WHERE rank <= {topk}
+"""
+    return (
+        _ivfpq_prelude(n_centroids, k_codes, d0)
+        + _pq_lloyd_chain(iters)
+        + churn_search
+    )
 
 
 def _bpe_chain(n_merges: int) -> str:

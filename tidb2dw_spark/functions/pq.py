@@ -316,6 +316,37 @@ def build_ivfpq_index(
     C = np.asarray(centroids, dtype=np.int64)
     d0 = C.shape[1] // n_sub
 
+    cents = _fit_codebooks(
+        corpus, assigned, C, n_sub=n_sub, k=k, iters=iters,
+        residual=residual, id_col=id_col, vec_col=vec_col,
+    )
+    _encode_assigned(assigned, centroids, cents, residual).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        _json.dump(centroids, f)
+    with open(os.path.join(index_dir, "codebooks.json"), "w") as f:
+        _json.dump({"residual": residual, "codebooks": cents}, f)
+    return centroids, cents
+
+
+def _fit_codebooks(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    C: np.ndarray,
+    n_sub: int,
+    k: int,
+    iters: int,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+) -> Codebooks:
+    """Codebook training shared by :func:`build_ivfpq_index` and the
+    derived-state :class:`~..operators.ann_index.IvfPqVectorIndex`:
+    plain PQ trains on the raw quantized vectors, residual PQ on
+    ``x − centroid[cell]`` via the same integer Lloyd core."""
+    d0 = C.shape[1] // n_sub
+
     if residual:
         res_schema = T.StructType(
             [T.StructField("qv", T.ArrayType(T.LongType(), False), False)]
@@ -347,13 +378,22 @@ def build_ivfpq_index(
             ]
             for m in range(n_sub)
         ]
-        cents = _lloyd_int(
+        return _lloyd_int(
             assigned.mapInPandas(res_kernel, schema=res_schema), init, iters
         )
-    else:
-        cents = pq_fit(corpus, id_col, vec_col, n_sub=n_sub, k=k, iters=iters)
-    cnp = _cents_np(cents)
+    return pq_fit(corpus, id_col, vec_col, n_sub=n_sub, k=k, iters=iters)
 
+
+def _encode_assigned(
+    assigned: DataFrame,
+    centroids: list[list[int]],
+    cents: Codebooks,
+    residual: bool,
+) -> DataFrame:
+    """(neighbor_id, codes, cell) for a cell-assigned frame — the encode
+    pass shared by build / append / derived-state refresh."""
+    cnp = _cents_np(cents)
+    C = np.asarray(centroids, dtype=np.int64)
     out_schema = T.StructType(
         [
             T.StructField("neighbor_id", T.LongType(), False),
@@ -377,14 +417,7 @@ def build_ivfpq_index(
                 }
             )
 
-    assigned.mapInPandas(kernel, schema=out_schema).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
-    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
-        _json.dump(centroids, f)
-    with open(os.path.join(index_dir, "codebooks.json"), "w") as f:
-        _json.dump({"residual": residual, "codebooks": cents}, f)
-    return centroids, cents
+    return assigned.mapInPandas(kernel, schema=out_schema)
 
 
 def append_to_ivfpq_index(
@@ -410,34 +443,9 @@ def append_to_ivfpq_index(
         meta = _json.load(f)
     residual = isinstance(meta, dict) and meta.get("residual", False)
     cents: Codebooks = meta["codebooks"] if isinstance(meta, dict) else meta
-    cnp = _cents_np(cents)
-    C = np.asarray(centroids, dtype=np.int64)
 
     assigned = _assign_cells(corpus, centroids, id_col, vec_col, "arrow")
-    out_schema = T.StructType(
-        [
-            T.StructField("neighbor_id", T.LongType(), False),
-            T.StructField("codes", T.ArrayType(T.LongType(), False), False),
-            T.StructField("cell", T.IntegerType(), False),
-        ]
-    )
-
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["qv"].to_numpy())
-            if residual:
-                V = V - C[pdf["cell"].to_numpy()]
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["neighbor_id"],
-                    "codes": list(_codes_np(V, cnp)),
-                    "cell": pdf["cell"],
-                }
-            )
-
-    assigned.mapInPandas(kernel, schema=out_schema).write.mode(
+    _encode_assigned(assigned, centroids, cents, residual).write.mode(
         "append"
     ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
 
@@ -467,6 +475,36 @@ def ivfpq_index_topk(
         meta = _json.load(f)
     residual = isinstance(meta, dict) and meta.get("residual", False)
     cents: Codebooks = meta["codebooks"] if isinstance(meta, dict) else meta
+
+    def read_cells(all_probed: list[int]) -> DataFrame:
+        # reading through the partitioned root keeps Spark's STATIC
+        # partition pruning on the isin filter (asserted in tests)
+        return spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+            F.col("cell").isin(all_probed)
+        )
+
+    return _ivfpq_search(
+        spark, read_cells, centroids, cents, residual, queries,
+        id_col, vec_col, k, n_probe,
+    )
+
+
+def _ivfpq_search(
+    spark,
+    read_cells,
+    centroids: list[list[int]],
+    cents: Codebooks,
+    residual: bool,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """ADC search core shared by :func:`ivfpq_index_topk` (static
+    parquet layout) and the derived-state index (versioned cell dirs):
+    *read_cells(cells)* returns the (neighbor_id, codes, cell) rows of
+    the probed cells — or None when none exist."""
     cnp = _cents_np(cents)
     n_sub = len(cnp)
     kk = cnp[0].shape[0]
@@ -506,11 +544,13 @@ def ivfpq_index_topk(
         ],
         "query_id long, cell int",
     )
-    index = spark.read.parquet(os.path.join(index_dir, "cells"))
     all_probed = sorted({int(c) for row in probe_cells for c in row})
-    routed = index.filter(F.col("cell").isin(all_probed)).join(
-        F.broadcast(probes), "cell"
-    )
+    index = read_cells(all_probed)
+    if index is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, dist long, rank int"
+        )
+    routed = index.join(F.broadcast(probes), "cell")
 
     qid_sorted = np.sort(qids)
     qidx_of = np.argsort(qids, kind="stable")

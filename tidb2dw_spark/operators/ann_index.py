@@ -136,6 +136,20 @@ class IvfVectorIndex:
             n: inv.get(ids.get(n), n) for n in (m["id_col"], m["vec_col"])
         }
 
+    # -- payload hooks (IvfPqVectorIndex overrides) ------------------------
+    def _fit_extra(
+        self, spark: SparkSession, df: DataFrame, assigned: DataFrame
+    ) -> dict:
+        """Extra FROZEN parameters trained at build (e.g. PQ codebooks);
+        merged into _meta.json.  Base IVF stores raw quantized vectors
+        and needs none."""
+        return {}
+
+    def _encode(self, assigned: DataFrame, m: dict) -> DataFrame:
+        """Cell-assigned rows → the rows actually stored per cell.  Base
+        IVF stores (neighbor_id, qv, cell) unchanged."""
+        return assigned
+
     # -- build / refresh --------------------------------------------------
     def build(
         self,
@@ -158,29 +172,32 @@ class IvfVectorIndex:
             if centroids is not None
             else ivf_centroids(df, self.id_col, self.vec_col, self.n_centroids)
         )
-        out = _assign_cells(df, self.centroids, self.id_col, self.vec_col, self.kernel)
-        out.write.mode("overwrite").partitionBy("cell").parquet(
-            str(self.root / "v=1")
+        assigned = _assign_cells(
+            df, self.centroids, self.id_col, self.vec_col, self.kernel
         )
+        extra = self._fit_extra(spark, df, assigned)
         src_ids = src_m.get("field_ids", {})
-        self._commit(
-            {
-                "applied_seq": src_seq,
-                "version": 1,
-                "id_col": self.id_col,
-                "vec_col": self.vec_col,
-                "n_centroids": self.n_centroids,
-                "centroids": self.centroids,
-                "cell_versions": {
-                    str(c): 1 for c in range(len(self.centroids))
-                },
-                "field_ids": {
-                    n: src_ids[n]
-                    for n in (self.id_col, self.vec_col)
-                    if n in src_ids
-                },
-            }
-        )
+        meta = {
+            "applied_seq": src_seq,
+            "version": 1,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "n_centroids": self.n_centroids,
+            "centroids": self.centroids,
+            "cell_versions": {
+                str(c): 1 for c in range(len(self.centroids))
+            },
+            "field_ids": {
+                n: src_ids[n]
+                for n in (self.id_col, self.vec_col)
+                if n in src_ids
+            },
+            **extra,
+        }
+        self._encode(assigned, meta).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(str(self.root / "v=1"))
+        self._commit(meta)
         return src_seq
 
     def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
@@ -242,12 +259,13 @@ class IvfVectorIndex:
         gone = removals.select("neighbor_id").unionByName(
             additions.select("neighbor_id")
         )
+        enc_add = self._encode(additions, m)
         survivors = (
             base.join(F.broadcast(gone), on="neighbor_id", how="left_anti")
             if base is not None
-            else additions.limit(0)
+            else enc_add.limit(0)
         )
-        out = survivors.unionByName(additions).dropDuplicates(["neighbor_id"])
+        out = survivors.unionByName(enc_add).dropDuplicates(["neighbor_id"])
         out.write.mode("overwrite").partitionBy("cell").parquet(
             str(self.root / f"v={new_version}")
         )
@@ -312,3 +330,86 @@ class IvfVectorIndex:
                 [], "query_id long, neighbor_id long, score double, rank int"
             )
         return _probe_score_rank(index, probes, k, self.kernel)
+
+
+class IvfPqVectorIndex(IvfVectorIndex):
+    """Residual/plain IVF-PQ as derived state: same maintenance protocol
+    as :class:`IvfVectorIndex` (removals by preimage re-assignment,
+    additions from per-id final images, versioned touched-cell rewrites),
+    but cells store **PQ codes** (M small ints per vector) instead of
+    quantized vectors — the compressed layout for embedding stores whose
+    vectors are too big to keep twice.  Codebooks are trained at build
+    and FROZEN alongside the centroids (refresh re-encodes only changed
+    vectors; rebuild when distribution drift decays code fidelity), which
+    keeps the maintained index rebuild-equivalent and therefore
+    oracle-checkable.  Search is the same ADC kernel as
+    functions.pq.ivfpq_index_topk over the maintained cell versions."""
+
+    def __init__(
+        self,
+        root,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 16,
+        n_sub: int = 8,
+        k_codes: int = 64,
+        iters: int = 2,
+        residual: bool = True,
+        kernel: str = "arrow",
+    ):
+        super().__init__(root, id_col, vec_col, n_centroids, kernel)
+        self.n_sub = n_sub
+        self.k_codes = k_codes
+        self.iters = iters
+        self.residual = residual
+
+    def _fit_extra(self, spark, df, assigned):
+        import numpy as np
+
+        from ..functions.pq import _fit_codebooks
+
+        cents = _fit_codebooks(
+            df, assigned, np.asarray(self.centroids, dtype=np.int64),
+            n_sub=self.n_sub, k=self.k_codes, iters=self.iters,
+            residual=self.residual, id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        return {
+            "codebooks": cents,
+            "residual": self.residual,
+            "n_sub": self.n_sub,
+            "k_codes": self.k_codes,
+        }
+
+    def _encode(self, assigned, m):
+        from ..functions.pq import _encode_assigned
+
+        return _encode_assigned(
+            assigned, m["centroids"], m["codebooks"], m["residual"]
+        )
+
+    def topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """ADC search over the maintained cells — identical plan to
+        functions.pq.ivfpq_index_topk, with the probed-cell read going
+        through the versioned partition map."""
+        from ..functions.pq import _ivfpq_search
+
+        m = self._load_meta()
+        return _ivfpq_search(
+            spark,
+            lambda cells: self._read_cells(spark, m, cells),
+            m["centroids"],
+            m["codebooks"],
+            m["residual"],
+            queries,
+            self.id_col,
+            self.vec_col,
+            k,
+            n_probe,
+        )

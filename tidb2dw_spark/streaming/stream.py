@@ -428,26 +428,38 @@ def stream_changes(spark: SparkSession, table: ManagedTable) -> DataFrame:
     )
 
 
-def stream_refresh_aggregate(
+def stream_derived_refresh(
     spark: SparkSession,
     table: ManagedTable,
-    mv,
+    derived,
     checkpoint_dir: str,
     available_now: bool = True,
 ):
-    """Keep a :class:`~..operators.matview.MaintainedAggregate` fresh from
-    the live feed: the change stream is the WAKE-UP SIGNAL, the refresh
-    itself folds by ``_commit_seq`` through the aggregate's own
-    checkpoint.  foreachBatch is at-least-once — applying the batch rows
-    directly would double-count on replay; ``mv.refresh`` is idempotent
-    by construction (it applies exactly ``(applied_seq, cdf_seq]``), so
-    replays and even concurrent refreshes converge."""
+    """Keep DERIVED STATE (a :class:`~..operators.matview.
+    MaintainedAggregate`, :class:`~..operators.secondary_index.
+    SecondaryIndex`, :class:`~..operators.ann_index.IvfVectorIndex`, or a
+    list of them) fresh from the live feed: the change stream is the
+    WAKE-UP SIGNAL, each refresh itself folds by ``_commit_seq`` through
+    the object's own checkpoint.  foreachBatch is at-least-once —
+    applying the batch rows directly would double-count on replay;
+    ``refresh`` is idempotent by construction (it applies exactly
+    ``(applied_seq, cdf_seq]``), so replays and even concurrent refreshes
+    converge.  The signal rides the COMMIT-LOG source
+    (:func:`~.cdf_source.stream_changes_commitlog`), so checkpoints
+    survive RENAME/widening/ADD/DROP barriers that predate the query —
+    the derived objects already conform across those by field id; a
+    barrier landing mid-run surfaces the source's restart contract
+    (restart with the SAME checkpoint) instead of a silent re-seed."""
+    from .cdf_source import stream_changes_commitlog
+
+    objs = list(derived) if isinstance(derived, (list, tuple)) else [derived]
 
     def wake(batch_df: DataFrame, batch_id: int) -> None:
-        mv.refresh(batch_df.sparkSession, table)
+        for d in objs:
+            d.refresh(batch_df.sparkSession, table)
 
     writer = (
-        stream_changes(spark, table)
+        stream_changes_commitlog(spark, table)
         .writeStream.foreachBatch(wake)
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -456,3 +468,18 @@ def stream_refresh_aggregate(
     else:
         writer = writer.trigger(processingTime="12 seconds")
     return writer.start()
+
+
+def stream_refresh_aggregate(
+    spark: SparkSession,
+    table: ManagedTable,
+    mv,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Single-aggregate convenience wrapper over
+    :func:`stream_derived_refresh` (the original name, kept for
+    callers)."""
+    return stream_derived_refresh(
+        spark, table, mv, checkpoint_dir, available_now=available_now
+    )
