@@ -1551,3 +1551,71 @@ def test_stream_derived_refresh_list_across_rename(spark, tmp_path):
         ).withColumnRenamed("grp", "category").collect()
     }
     assert got == want
+
+
+def test_range_index_timestamp_keys_non_utc_driver(spark, tmp_path):
+    """A TIMESTAMP range key must answer correctly when the DRIVER's OS
+    zone is not UTC: classic PySpark converts collected timestamps and
+    datetime literals through the OS-LOCAL zone (fromtimestamp/mktime)
+    even though the session zone is pinned UTC — without explicit
+    normalization, zone maps shift and probe literals land 5h off.
+    Regression for the round-6 review finding; on a UTC host the
+    normalization is a no-op, so this test forces TZ."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        # fixture timestamps from SQL string casts: parsed in the SESSION
+        # zone (UTC), no Python datetime conversion involved
+        rows = spark.sql(
+            "SELECT id AS k, CAST(ts AS TIMESTAMP) AS o_ts, id * 10 AS val "
+            "FROM VALUES "
+            + ", ".join(
+                f"({i}, '1995-{m:02d}-{d:02d} {h:02d}:00:00')"
+                for i, (m, d, h) in enumerate(
+                    [(mm, dd, hh) for mm in (1, 3, 5, 7) for dd in (2, 17)
+                     for hh in (1, 13)]
+                )
+            )
+            + " AS v(id, ts)"
+        )
+        t = ManagedTable(tmp_path / "t")
+        t.create(rows, pk_cols=["k"], pk_buckets=2, cdf=True)
+        ix = SecondaryIndex(
+            tmp_path / "ix", col="o_ts", pk_cols=["k"], n_buckets=4,
+            layout="range",
+        )
+        ix.build(spark, t)
+        lo, hi = dt.datetime(1995, 3, 1), dt.datetime(1995, 5, 31)
+        got = sorted(
+            r["k"] for r in ix.lookup_range(spark, t, lo, hi).collect()
+        )
+        want = sorted(
+            r["k"]
+            for r in t.read(spark).filter(
+                "o_ts BETWEEN TIMESTAMP'1995-03-01 00:00:00' "
+                "AND TIMESTAMP'1995-05-31 00:00:00'"
+            ).collect()
+        )
+        assert got == want and got  # non-trivial interval
+        # a plain DATE probe against the timestamp key coerces to
+        # midnight instead of raising (review finding #3)
+        got_d = sorted(
+            r["k"]
+            for r in ix.lookup_range(
+                spark, t, dt.date(1995, 3, 1), dt.date(1995, 5, 31)
+            ).collect()
+        )
+        assert got_d == want
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()

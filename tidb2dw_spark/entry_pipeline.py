@@ -431,7 +431,13 @@ def pipeline_rename_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = _rename_cdf_table(spark, sf_dir)
     batch = table.changes(spark).withColumn("via", F.lit("batch"))
-    out = Path(tempfile.mkdtemp(prefix="tidb2dw_cdfstream_"))
+    # fixed per-sf root OVERWRITTEN per call (not mkdtemp): the driver
+    # gate and bench invoke this repeatedly, and each drain needs a
+    # fresh checkpoint + sink anyway — an abandoned dir per call would
+    # accrete a feed copy each time
+    out = Path("/tmp/tidb2dw_cdfstream") / Path(sf_dir).name
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
     q = (
         stream_changes_commitlog(spark, table)
         .writeStream.format("parquet")

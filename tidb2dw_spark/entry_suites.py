@@ -90,7 +90,7 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # MIN/MAX maintained aggregate across extremum-deleting changes
     "pipeline_incremental_minmax": [("o_orderstatus", "str"), ("n_rows", "int"), ("total_cents", "int"), ("min_cents", "int"), ("max_cents", "int")],
     # range-layout secondary index: zone-pruned value buckets, BETWEEN probe
-    "table_index_range_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str")],
+    "table_index_range_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str"), ("probe", "str")],
     "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     "q_local_supplier_revenue": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "q_volume_shipping": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],

@@ -492,43 +492,34 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_DERIVED_CACHE: dict[str, object] = {}
 
 
-@register(
-    "sim_ivf_derived_refresh",
-    O.ivf_derived_refresh_oracle(TOPK_QUERY_MOD, TOPK_K, IVF_CENTROIDS, IVF_PROBE),
-)
-def sim_ivf_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF index as DERIVED STATE on a replicated table
-    (operators/ann_index.py): built pre-churn, then a single CDC commit
-    deletes, negates, and inserts vectors; ``refresh()`` folds the change
-    feed — removals located by re-assigning PREIMAGE vectors to the
-    frozen centroids, additions from the per-id final image — rewriting
-    only the touched cells.  The oracle recomputes the search over the
-    post-churn corpus with the pre-churn centroids in SQL, so a stale
-    entry (missed delete), a resurrected intermediate, or a wrong-cell
-    removal breaks the fingerprint.  The churn ops (negate, reverse) are
-    bit-exact float transforms in both engines."""
+def _derived_churn_fixture(
+    spark: SparkSession, sf_dir: str, cache: dict, wh_prefix: str, make_index
+):
+    """Shared build→churn→refresh fixture for the derived-ANN rows: a
+    CDF table over the embeddings corpus, an index built PRE-churn via
+    *make_index(wh_dir)*, then ONE CDC commit applying the churn recipe
+    both oracles mirror — delete vec_id%10==7, negate vec_id%10==4's
+    embedding, insert (vec_id+100000, reversed embedding) for
+    vec_id%25==3 — followed by refresh().  The recipe lives HERE only:
+    an edit desynchronizing it from the oracles breaks both rows'
+    fingerprints instead of silently forking."""
     import tempfile
     from pathlib import Path
 
-    from .operators.ann_index import IvfVectorIndex
     from .table.managed import ManagedTable
 
-    key = sf_dir
-    if key not in _IVF_DERIVED_CACHE:
+    if sf_dir not in cache:
         emb = _emb(spark, sf_dir, spread=False)
-        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_ivfderived_"))
+        wh = Path(tempfile.mkdtemp(prefix=wh_prefix))
         t = ManagedTable(wh / "emb").create(
             emb, ["vec_id"], pk_buckets=8, cdf=True
         )
-        ix = IvfVectorIndex(
-            wh / "ivf", id_col="vec_id", vec_col="embedding",
-            n_centroids=IVF_CENTROIDS,
-        )
+        ix = make_index(wh)
         ix.build(spark, t)
 
         def env(df: DataFrame, flag: str) -> DataFrame:
-            # the envelope carries EVERY table column (embeddings also has
-            # a label column the index ignores)
+            # the envelope carries EVERY table column (embeddings also
+            # has a label column the index ignores)
             return df.select(
                 F.lit(flag).alias("flag"),
                 F.lit("emb").alias("tablename"),
@@ -553,8 +544,34 @@ def sim_ivf_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             env(dels, "D").unionByName(env(upds, "U")).unionByName(env(ins, "I")),
         )
         ix.refresh(spark, t)
-        _IVF_DERIVED_CACHE[key] = (t, ix)
-    t, ix = _IVF_DERIVED_CACHE[key]
+        cache[sf_dir] = (t, ix)
+    return cache[sf_dir]
+
+
+@register(
+    "sim_ivf_derived_refresh",
+    O.ivf_derived_refresh_oracle(TOPK_QUERY_MOD, TOPK_K, IVF_CENTROIDS, IVF_PROBE),
+)
+def sim_ivf_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index as DERIVED STATE on a replicated table
+    (operators/ann_index.py): built pre-churn, then a single CDC commit
+    deletes, negates, and inserts vectors; ``refresh()`` folds the change
+    feed — removals located by re-assigning PREIMAGE vectors to the
+    frozen centroids, additions from the per-id final image — rewriting
+    only the touched cells.  The oracle recomputes the search over the
+    post-churn corpus with the pre-churn centroids in SQL, so a stale
+    entry (missed delete), a resurrected intermediate, or a wrong-cell
+    removal breaks the fingerprint.  The churn ops (negate, reverse) are
+    bit-exact float transforms in both engines."""
+    from .operators.ann_index import IvfVectorIndex
+
+    t, ix = _derived_churn_fixture(
+        spark, sf_dir, _IVF_DERIVED_CACHE, "tidb2dw_ivfderived_",
+        lambda wh: IvfVectorIndex(
+            wh / "ivf", id_col="vec_id", vec_col="embedding",
+            n_centroids=IVF_CENTROIDS,
+        ),
+    )
     queries = t.read(spark).filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     return ix.topk(spark, queries, k=TOPK_K, n_probe=IVF_PROBE)
 
@@ -931,53 +948,16 @@ def sim_ivfpq_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL and ADC-searches the post-churn corpus — a stale code, a
     missed delete, or an intermediate-state encode breaks the
     fingerprint."""
-    import tempfile
-    from pathlib import Path
-
     from .operators.ann_index import IvfPqVectorIndex
-    from .table.managed import ManagedTable
 
-    key = sf_dir
-    if key not in _IVFPQ_DERIVED_CACHE:
-        emb = _emb(spark, sf_dir, spread=False)
-        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_ivfpqderived_"))
-        t = ManagedTable(wh / "emb").create(
-            emb, ["vec_id"], pk_buckets=8, cdf=True
-        )
-        ix = IvfPqVectorIndex(
+    t, ix = _derived_churn_fixture(
+        spark, sf_dir, _IVFPQ_DERIVED_CACHE, "tidb2dw_ivfpqderived_",
+        lambda wh: IvfPqVectorIndex(
             wh / "ivfpq", id_col="vec_id", vec_col="embedding",
             n_centroids=IVFPQ_CELLS, n_sub=PQ_SUB, k_codes=IVFPQ_CODES,
             iters=PQ_ITERS, residual=True,
-        )
-        ix.build(spark, t)
-
-        def env(df: DataFrame, flag: str) -> DataFrame:
-            return df.select(
-                F.lit(flag).alias("flag"),
-                F.lit("emb").alias("tablename"),
-                F.lit("s").alias("schemaname"),
-                F.lit(1).cast("long").alias("commit_ts"),
-                "vec_id",
-                "embedding",
-                "label",
-            )
-
-        dels = emb.filter(F.col("vec_id") % 10 == 7)
-        upds = emb.filter(F.col("vec_id") % 10 == 4).withColumn(
-            "embedding", F.transform("embedding", lambda x: -x)
-        )
-        ins = emb.filter(F.col("vec_id") % 25 == 3).select(
-            (F.col("vec_id") + 100000).alias("vec_id"),
-            F.reverse("embedding").alias("embedding"),
-            "label",
-        )
-        t.merge(
-            spark,
-            env(dels, "D").unionByName(env(upds, "U")).unionByName(env(ins, "I")),
-        )
-        ix.refresh(spark, t)
-        _IVFPQ_DERIVED_CACHE[key] = (t, ix)
-    t, ix = _IVFPQ_DERIVED_CACHE[key]
+        ),
+    )
     queries = t.read(spark).filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
     return ix.topk(spark, queries, k=TOPK_K, n_probe=IVFPQ_PROBE)
 

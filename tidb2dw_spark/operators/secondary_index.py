@@ -87,10 +87,12 @@ _REMOVE_TYPES = ("delete", "update_preimage")
 _SEP = "\x1f"
 _PORTABLE_TYPES = ("string", "int", "bigint", "smallint", "tinyint", "long")
 _NUM_TYPES = ("int", "bigint", "smallint", "tinyint", "long")
-# timestamps admit range keys because every clock here is UTC (the session
-# factory pins spark.sql.session.timeZone=UTC): driver-side datetime
-# ordering then agrees with Spark's timestamp ordering, the same contract
-# string keys get from UTF-8 preserving code-point order
+# timestamps admit range keys because every comparison is normalized to
+# the session zone (pinned UTC): collected values shift local→UTC via
+# _utc_key, literals parse as ISO strings in the session zone, and naive
+# probe datetimes mean UTC wall time — so driver-side datetime ordering
+# agrees with Spark's timestamp ordering on ANY host zone, the same
+# contract string keys get from UTF-8 preserving code-point order
 _RANGE_TYPES = _NUM_TYPES + ("string", "date", "timestamp", "timestamp_ntz")
 
 
@@ -117,8 +119,37 @@ def _dec_key(raw: list, key_types: list[str]) -> tuple:
             v = v.date()
         elif t in ("timestamp", "timestamp_ntz") and isinstance(v, str):
             v = _dt.datetime.fromisoformat(v)
+        elif (
+            t in ("timestamp", "timestamp_ntz")
+            and isinstance(v, _dt.date)
+            and not isinstance(v, _dt.datetime)
+        ):
+            # the mirror of the date-member case above: a plain date
+            # probe against a timestamp member becomes midnight, or the
+            # driver-side tuple comparisons raise TypeError
+            v = _dt.datetime.combine(v, _dt.time.min)
         out.append(v)
     return tuple(out)
+
+
+def _utc_key(key: tuple, key_types: list[str]) -> tuple:
+    """Normalize a COLLECTED key tuple's TimestampType members to UTC
+    wall time.  Classic PySpark's ``TimestampType.fromInternal`` runs
+    ``datetime.fromtimestamp`` — the OS-LOCAL zone — even though the
+    session (timeZone=UTC) ordered and will re-parse values in UTC, so
+    on a non-UTC driver every collected timestamp arrives shifted.
+    Boundaries and zone maps must store the UTC wall time or driver-side
+    bisect/zone pruning silently disagrees with the Spark-side bucketing
+    (a UTC host makes this a no-op; TIMESTAMP_NTZ's utcfromtimestamp and
+    date's ordinal conversions are already zone-free)."""
+    import datetime as _dt
+
+    return tuple(
+        v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if t == "timestamp" and isinstance(v, _dt.datetime)
+        else v
+        for v, t in zip(key, key_types)
+    )
 
 
 class SecondaryIndex:
@@ -232,8 +263,19 @@ class SecondaryIndex:
         """One boundary/probe member as a literal cast to the indexed
         column's exact Spark type — F.lit infers e.g. TIMESTAMP for a
         datetime while the column may be TIMESTAMP_NTZ, and struct
-        comparisons reject mismatched member types."""
-        lit = F.lit(v)
+        comparisons reject mismatched member types.  datetime/date
+        values route through an ISO-STRING cast: string→timestamp parses
+        in the SESSION time zone (pinned UTC), whereas F.lit(datetime)
+        bakes in the OS-local zone via time.mktime — wrong on any
+        non-UTC driver."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            lit = F.lit(v.isoformat(sep=" "))
+        elif isinstance(v, _dt.date):
+            lit = F.lit(v.isoformat())
+        else:
+            lit = F.lit(v)
         if i < len(self.key_types):
             lit = lit.cast(self.key_types[i])
         return lit
@@ -342,7 +384,10 @@ class SecondaryIndex:
                 n = keyed.count()
                 frac = min(1.0, 200_000 / n) if n else 1.0
                 sample = keyed.sample(False, frac, seed=7).limit(200_000).collect()
-                keys = sorted(tuple(r[c] for c in self.cols) for r in sample)
+                keys = sorted(
+                    _utc_key(tuple(r[c] for c in self.cols), self.key_types)
+                    for r in sample
+                )
                 self.boundaries = sorted(
                     {
                         keys[(i * len(keys)) // self.n_buckets]
@@ -394,6 +439,7 @@ class SecondaryIndex:
         ):
             lo = tuple(r["lo"]) if len(self.cols) > 1 else (r["lo"],)
             hi = tuple(r["hi"]) if len(self.cols) > 1 else (r["hi"],)
+            lo, hi = _utc_key(lo, self.key_types), _utc_key(hi, self.key_types)
             zone[str(r["b"])] = [_enc_key(lo), _enc_key(hi)]
         return zone
 

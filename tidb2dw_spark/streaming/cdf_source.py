@@ -98,7 +98,7 @@ class _CommitFilePartition(InputPartition):
 
 
 class CDFStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, planned_schema: StructType | None = None):
         from ..table.managed import ManagedTable
 
         self.root = Path(options["path"])
@@ -120,6 +120,19 @@ class CDFStreamReader(DataSourceStreamReader):
         )
         self.pin_seq = m.get("cdf_seq", 0)
         self.start_seq = int(options.get("startingseq", options.get("startingSeq", 0)))
+        # the query's schema was fixed at PLANNING (.load() called
+        # DataSource.schema()); a DDL landing between planning and start
+        # would make this reader conform to a schema the query no longer
+        # has — surface the restart contract instead of a per-batch
+        # Arrow/catalyst schema error
+        if planned_schema is not None and json.dumps(
+            planned_schema.jsonValue()
+        ) != self.schema_json:
+            raise SchemaEvolvedError(
+                f"{self.root}: a DDL barrier landed between query planning "
+                "and query start; restart the query (same checkpoint) to "
+                "adopt the evolved schema"
+            )
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -134,12 +147,6 @@ class CDFStreamReader(DataSourceStreamReader):
         pass
 
     # -- planning ---------------------------------------------------------
-    def _epoch_idx(self, seq: int) -> int:
-        for i, e in enumerate(self.epochs):
-            if seq <= e["upto_seq"]:
-                return i
-        return len(self.epochs)
-
     def _spec_for(self, seq: int, footer) -> dict:
         """physical name → output name for one commit's files, via the
         PINNED field epochs; detects post-pin schema drift — by NAME
@@ -151,7 +158,13 @@ class CDFStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as _pq  # noqa: F401 (signature docs)
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        eidx = self._epoch_idx(seq)
+        # the epoch index and physical-name→current-name decisions are the
+        # SHARED batch/stream conformance semantics — they live in
+        # table.managed (cdf_epoch_index / cdf_output_name) so the two
+        # surfaces cannot drift
+        from ..table.managed import cdf_epoch_index, cdf_output_name
+
+        eidx = cdf_epoch_index(self.epochs, seq)
         id_to_cur = {v: k for k, v in self.field_ids.items()}
         footer_names = list(footer.names)
         target_types = {
@@ -165,15 +178,12 @@ class CDFStreamReader(DataSourceStreamReader):
             if name in _META_COLS:
                 renames[name] = name
                 continue
-            if eidx < len(self.epochs) and self.field_ids:
-                wid = self.epochs[eidx]["ids"].get(name)
-                cur = id_to_cur.get(wid) if wid is not None else None
-                if wid is not None and cur is None:
-                    renames[name] = None  # dead field: never resurrect
-                    continue
-                out = cur or name
-            else:
-                out = name
+            out = cdf_output_name(
+                name, eidx, self.epochs, self.field_ids, id_to_cur
+            )
+            if out is None:
+                renames[name] = None  # dead field: never resurrect
+                continue
             if out not in self.columns:
                 if seq > self.pin_seq:
                     raise SchemaEvolvedError(
@@ -227,6 +237,15 @@ class CDFStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         import pyarrow.parquet as _pq
 
+        if "seq" not in start or "seq" not in end:
+            raise ValueError(
+                f"offset {start!r} is not a commit-log offset: this "
+                "checkpoint was written by a DIFFERENT source (e.g. the "
+                "file-source stream_changes subscription this source "
+                "replaced).  Start the query with a FRESH checkpoint — "
+                "safe for derived-state refresh consumers, whose refresh "
+                "is idempotent by each object's own applied_seq"
+            )
         lo, hi = start["seq"], end["seq"]
         parts: list[_CommitFilePartition] = []
         for s in range(lo + 1, hi + 1):
@@ -303,7 +322,7 @@ class CDFCommitLogDataSource(DataSource):
         return _feed_schema(ManagedTable(Path(self.options["path"])).manifest())
 
     def streamReader(self, schema: StructType) -> CDFStreamReader:
-        return CDFStreamReader(dict(self.options))
+        return CDFStreamReader(dict(self.options), planned_schema=schema)
 
 
 def stream_changes_commitlog(

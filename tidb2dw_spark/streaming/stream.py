@@ -479,7 +479,14 @@ def stream_refresh_aggregate(
 ):
     """Single-aggregate convenience wrapper over
     :func:`stream_derived_refresh` (the original name, kept for
-    callers)."""
+    callers).
+
+    Upgrade note: checkpoints written by this helper's pre-commit-log
+    implementation (raw file source) are NOT resumable by the new source
+    — the first drain fails loudly naming the mismatch.  Discard the old
+    checkpoint directory and start fresh: the refresh itself is
+    idempotent by the aggregate's own ``applied_seq``, so no state
+    re-seeds and nothing double-counts."""
     return stream_derived_refresh(
         spark, table, mv, checkpoint_dir, available_now=available_now
     )

@@ -53,6 +53,36 @@ COMMIT_SEQ_COL = "_commit_seq"
 COMMIT_VERSION_COL = "_commit_version"
 
 
+def cdf_epoch_index(epochs: list[dict], seq: int) -> int:
+    """Index of the field epoch covering change seq *seq*: *epochs* is
+    sorted by ``upto_seq`` and entry i covers seqs ≤ its ``upto_seq``;
+    seqs past the last entry use the current manifest map (index
+    ``len(epochs)``).  Shared by batch :meth:`ManagedTable.changes` and
+    the streaming commit-log source — the feed's conformance semantics
+    live HERE, once."""
+    for i, e in enumerate(epochs):
+        if seq <= e["upto_seq"]:
+            return i
+    return len(epochs)
+
+
+def cdf_output_name(
+    name: str, eidx: int, epochs: list[dict], field_ids: dict, id_to_cur: dict
+) -> str | None:
+    """Physical (write-time) payload column name → the CURRENT name of
+    the same FIELD ID, or None when that id was since dropped (a dropped
+    field's cells must never surface — not even under a later re-ADD of
+    the same name).  This single decision is what both the batch
+    ``changes()`` relabel and the streaming source's per-file spec
+    apply; keeping it one function makes batch/stream drift impossible."""
+    if eidx >= len(epochs) or not field_ids:
+        return name
+    wid = epochs[eidx]["ids"].get(name)
+    if wid is None:
+        return name
+    return id_to_cur.get(wid)
+
+
 class ManagedTable:
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -639,10 +669,7 @@ class ManagedTable:
         epochs = sorted(m.get("field_epochs", []), key=lambda e: e["upto_seq"])
 
         def epoch_idx(seq: int) -> int:
-            for i, e in enumerate(epochs):
-                if seq <= e["upto_seq"]:
-                    return i
-            return len(epochs)
+            return cdf_epoch_index(epochs, seq)
 
         by_schema: dict[tuple, list[str]] = {}
         for s in range(since + 1, hi + 1):
@@ -690,11 +717,10 @@ class ManagedTable:
                 if c in (CHANGE_TYPE_COL, COMMIT_SEQ_COL, COMMIT_VERSION_COL):
                     out.append(F.col(c))
                     continue
-                wid = writer_ids.get(c)
-                cur = id_to_cur.get(wid)
-                if wid is not None and cur is None:
-                    out.append(F.col(c).alias(f"__dead_{wid}__{c}"))
-                elif cur and cur != c:
+                cur = cdf_output_name(c, eidx, epochs, cur_ids, id_to_cur)
+                if cur is None:
+                    out.append(F.col(c).alias(f"__dead_{writer_ids[c]}__{c}"))
+                elif cur != c:
                     out.append(F.col(c).alias(cur))
                 else:
                     out.append(F.col(c))
