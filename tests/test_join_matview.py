@@ -1,0 +1,220 @@
+"""MaintainedJoinAggregate: incremental join-rollup maintenance from two
+change feeds (operators/join_matview.py).
+
+Invariant under test: after ANY interleaving of CDC merges on the fact
+and dim tables, the maintained rollup equals ``init_join_agg`` recomputed
+over the two tables' current states — bit-for-bit (integer measures).
+The delta algebra (ΔF⋈D_old ∪ F_new⋈ΔD with signed rows) must absorb
+fk moves, dim attribute moves, dim deletes (danglings), same-slice
+insert pairs, and multi-commit slices folded by one refresh.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb2dw_spark.operators.join_matview import (
+    MaintainedJoinAggregate,
+    init_join_agg,
+)
+from tidb2dw_spark.table.managed import ManagedTable
+
+FACT_SCHEMA = "k long, fk long, pri string, cents long"
+FACT_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "k long, fk long, pri string, cents long"
+)
+DIM_SCHEMA = "d long, seg string"
+DIM_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "d long, seg string"
+)
+
+
+def _mk_pair(spark, tmp_path, fact_rows, dim_rows):
+    fact = ManagedTable(tmp_path / "fact")
+    fact.create(
+        spark.createDataFrame(fact_rows, FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    dim = ManagedTable(tmp_path / "dim")
+    dim.create(
+        spark.createDataFrame(dim_rows, DIM_SCHEMA),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    return fact, dim
+
+
+def _fb(spark, events):
+    """fact batch: (flag, k, ts, fk, pri, cents)."""
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, k, fk, p, c) for f, k, ts, fk, p, c in events],
+        FACT_ENV,
+    )
+
+
+def _db(spark, events):
+    """dim batch: (flag, d, ts, seg)."""
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, d, s) for f, d, ts, s in events], DIM_ENV
+    )
+
+
+def _mk_view(tmp_path):
+    return MaintainedJoinAggregate(
+        tmp_path / "mv",
+        fk_col="fk",
+        fact_group_cols=["pri"],
+        dim_group_cols=["seg"],
+        sum_cols={"total_cents": "cents"},
+    )
+
+
+def _state(spark, df):
+    return {
+        (r["pri"], r["seg"]): (r["n_rows"], r["total_cents"])
+        for r in df.collect()
+    }
+
+
+def _recompute(spark, fact, dim):
+    return _state(
+        spark,
+        init_join_agg(
+            fact.read(spark), dim.read(spark), "fk", "d",
+            ["pri", "seg"], {"total_cents": "cents"},
+        ),
+    )
+
+
+BASE_FACT = [
+    (1, 10, "HI", 100), (2, 10, "LO", 200), (3, 20, "HI", 300),
+    (4, 20, "HI", 400), (5, 30, "LO", 500), (6, None, "HI", 600),
+    (7, 99, "LO", 700),  # dangling: no dim row 99
+]
+BASE_DIM = [(10, "A"), (20, "B"), (30, "A")]
+
+
+def test_seed_equals_recompute(spark, tmp_path):
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = _mk_view(tmp_path)
+    mv.refresh(spark, fact, dim)
+    got = _state(spark, mv.read(spark))
+    assert got == _recompute(spark, fact, dim)
+    # NULL fk and dangling fk rows are excluded by the inner join
+    assert sum(n for n, _ in got.values()) == 5
+
+
+def test_adversarial_churn_both_sides(spark, tmp_path):
+    """fk moves, dim attribute moves, dim delete (danglings appear), dim
+    insert (danglings attach), same-slice fact+dim inserts, fact deletes
+    — one refresh folding multi-commit slices on BOTH feeds."""
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = _mk_view(tmp_path)
+    mv.refresh(spark, fact, dim)  # seed
+
+    # commit F1: move k=1 from dim 10 to 20; delete k=2; insert k=8 on a
+    # dim key that will arrive in the SAME refresh window (40)
+    fact.merge(spark, _fb(spark, [
+        ("U", 1, 5, 20, "HI", 110),
+        ("D", 2, 5, None, None, None),
+        ("I", 8, 5, 40, "LO", 800),
+    ]))
+    # commit D1: move dim 20's segment B->C; delete dim 30 (k=5 dangles);
+    # insert dim 40 (k=8 attaches) and dim 99 (k=7 un-dangles!)
+    dim.merge(spark, _db(spark, [
+        ("U", 20, 6, "C"),
+        ("D", 30, 6, None),
+        ("I", 40, 6, "D"),
+        ("I", 99, 6, "A"),
+    ]))
+    # commit F2: update k=3's measure in place
+    fact.merge(spark, _fb(spark, [("U", 3, 7, 20, "HI", 333)]))
+
+    mv.refresh(spark, fact, dim)
+    assert _state(spark, mv.read(spark)) == _recompute(spark, fact, dim)
+
+
+def test_refresh_cadence_invariance(spark, tmp_path):
+    """Per-merge refreshes and one spanning refresh converge to the same
+    rollup (each feed slice applied exactly once, any grouping)."""
+    fact1, dim1 = _mk_pair(spark, tmp_path / "a", BASE_FACT, BASE_DIM)
+    fact2, dim2 = _mk_pair(spark, tmp_path / "b", BASE_FACT, BASE_DIM)
+    mv1, mv2 = _mk_view(tmp_path / "a"), _mk_view(tmp_path / "b")
+    mv1.refresh(spark, fact1, dim1)
+    mv2.refresh(spark, fact2, dim2)
+
+    steps = [
+        ("F", [("U", 1, 5, 30, "LO", 101)]),
+        ("D", [("U", 10, 6, "Z"), ("D", 20, 6, None)]),
+        ("F", [("I", 9, 7, 10, "HI", 900), ("D", 5, 7, None, None, None)]),
+        ("D", [("I", 20, 8, "B2")]),
+        ("F", [("U", 9, 9, 20, "HI", 901)]),
+    ]
+    for side, ev in steps:
+        if side == "F":
+            fact1.merge(spark, _fb(spark, ev))
+            fact2.merge(spark, _fb(spark, ev))
+        else:
+            dim1.merge(spark, _db(spark, ev))
+            dim2.merge(spark, _db(spark, ev))
+        mv1.refresh(spark, fact1, dim1)  # per-step cadence
+    mv2.refresh(spark, fact2, dim2)      # one spanning slice
+
+    want = _recompute(spark, fact1, dim1)
+    assert _state(spark, mv1.read(spark)) == want
+    assert _state(spark, mv2.read(spark)) == want
+
+
+def test_pseudo_random_interleaving(spark, tmp_path):
+    """Deterministic pseudo-random op stream over both tables, refreshed
+    every other step: maintained == recompute at every checkpoint."""
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = _mk_view(tmp_path)
+    mv.refresh(spark, fact, dim)
+    segs = ["A", "B", "C"]
+    pris = ["HI", "LO"]
+    next_k = 100
+    for step in range(1, 9):
+        h = (step * 2654435761) % 97
+        if h % 3 == 0:  # dim op
+            d = [10, 20, 30, 40][h % 4]
+            if h % 2:
+                dim.merge(spark, _db(spark, [("U", d, step, segs[h % 3])]))
+            else:
+                dim.merge(spark, _db(spark, [
+                    ("D", d, step, None), ("I", d + 100, step, segs[h % 3]),
+                ]))
+        else:  # fact op
+            k = [1, 3, 4, 5, 7][h % 5]
+            if h % 2:
+                fact.merge(spark, _fb(spark, [
+                    ("U", k, step, [10, 20, 30][h % 3], pris[h % 2], h * 7),
+                ]))
+            else:
+                fact.merge(spark, _fb(spark, [
+                    ("D", k, step, None, None, None),
+                    ("I", next_k, step, [10, 20, 30][(h // 2) % 3],
+                     pris[(h // 2) % 2], h * 11),
+                ]))
+                next_k += 1
+        if step % 2 == 0:
+            mv.refresh(spark, fact, dim)
+            assert _state(spark, mv.read(spark)) == _recompute(
+                spark, fact, dim
+            ), f"diverged at step {step}"
+    mv.refresh(spark, fact, dim)
+    assert _state(spark, mv.read(spark)) == _recompute(spark, fact, dim)
+
+
+def test_overlapping_names_rejected(spark, tmp_path):
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = MaintainedJoinAggregate(
+        tmp_path / "mv2", fk_col="fk",
+        fact_group_cols=["seg"],  # claims a dim-named column on the fact side
+        dim_group_cols=["seg"],
+        sum_cols={"total_cents": "cents"},
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        mv.refresh(spark, fact, dim)

@@ -1002,6 +1002,154 @@ def index_bench_phases(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance row: a revenue-by-(priority, segment)
+# rollup over orders ⋈ customer kept fresh from BOTH tables' change feeds
+# (operators/join_matview.py — Δ(F⋈D) = ΔF⋈D_old ∪ F_new⋈ΔD with signed
+# rows).  Adversarial churn lands on both sides in one refresh window:
+# fact deletes + fk-moving updates + inserts onto both live and deleted
+# dim keys, dim deletes (danglings appear), segment-moving updates, and
+# inserts that ATTACH previously dangling fact rows.  The oracle is a
+# full join+group recompute over the churned states — any stale term,
+# double-applied slice, or missed dangling breaks the hash.
+# ---------------------------------------------------------------------------
+_JOINAGG_CACHE: dict[str, object] = {}
+
+
+def pipeline_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.join_matview import MaintainedJoinAggregate
+
+    if sf_dir not in _JOINAGG_CACHE:
+        cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+        fact_src = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderpriority",
+                cents.alias("cents"),
+            )
+        )
+        dim_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_joinagg_"))
+        fact = ManagedTable(wh / "fact").create(
+            fact_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        dim = ManagedTable(wh / "dim").create(
+            dim_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedJoinAggregate(
+            wh / "mv",
+            fk_col="o_custkey",
+            fact_group_cols=["o_orderpriority"],
+            dim_group_cols=["c_mktsegment"],
+            sum_cols={"total_cents": "cents"},
+        )
+        mv.refresh(spark, fact, dim)  # seed from the pre-churn join
+
+        fenv = [
+            "flag string, tablename string, schemaname string, "
+            "commit_ts long, o_orderkey long, o_custkey long, "
+            "o_orderpriority string, cents long"
+        ][0]
+
+        def fbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("fact").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_orderpriority", "cents",
+            )
+
+        _ = fenv  # schema doc above; batches derive from the source frame
+        f_del = fact_src.filter(F.col("o_orderkey") % 10 == 7)
+        f_upd = fact_src.filter(F.col("o_orderkey") % 10 == 4).select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50 + 1).alias("o_custkey"),
+            "o_orderpriority",
+            (F.col("cents") + 11).alias("cents"),
+        )
+        f_ins = fact_src.filter(F.col("o_orderkey") % 25 == 3).select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") % 120 + 1).alias("o_custkey"),
+            "o_orderpriority",
+            (F.col("cents") + 5).alias("cents"),
+        )
+        fact.merge(
+            spark,
+            fbatch(f_del, "D")
+            .unionByName(fbatch(f_upd, "U"))
+            .unionByName(fbatch(f_ins, "I")),
+        )
+
+        def dbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("dim").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "c_custkey", "c_mktsegment",
+            )
+
+        d_del = dim_src.filter(F.col("c_custkey") % 10 == 3)
+        d_upd = dim_src.filter(F.col("c_custkey") % 10 == 6).select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("_X")).alias("c_mktsegment"),
+        )
+        d_ins = dim_src.filter(F.col("c_custkey") % 20 == 1).select(
+            (F.col("c_custkey") + 500000).alias("c_custkey"),
+            F.concat(
+                F.lit("NEW_"), (F.col("c_custkey") % 7).cast("string")
+            ).alias("c_mktsegment"),
+        )
+        dim.merge(
+            spark,
+            dbatch(d_del, "D")
+            .unionByName(dbatch(d_upd, "U"))
+            .unionByName(dbatch(d_ins, "I")),
+        )
+        mv.refresh(spark, fact, dim)  # ONE refresh folds both feeds
+        _JOINAGG_CACHE[sf_dir] = mv
+    mv = _JOINAGG_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "o_orderpriority", "c_mktsegment", "n_rows", "total_cents"
+    )
+
+
+_JOINAGG_ORACLE = """
+WITH fact2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 4 THEN (o_custkey % 50) + 1
+              ELSE o_custkey END AS o_custkey,
+         o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 4
+              THEN CAST(round(o_totalprice * 100.0) AS BIGINT) + 11
+              ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1, o_orderpriority,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) + 5
+  FROM orders WHERE o_orderkey % 25 = 3
+), dim2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 6 THEN c_mktsegment || '_X'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 <> 3
+  UNION ALL
+  SELECT c_custkey + 500000, 'NEW_' || CAST(c_custkey % 7 AS VARCHAR)
+  FROM customer WHERE c_custkey % 20 = 1
+)
+SELECT f.o_orderpriority, d.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(f.cents) AS BIGINT) AS total_cents
+FROM fact2 f JOIN dim2 d ON f.o_custkey = d.c_custkey
+GROUP BY f.o_orderpriority, d.c_mktsegment
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
@@ -1010,6 +1158,7 @@ QUERIES = {
     "pipeline_rename_continuity": pipeline_rename_continuity,
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
     "pipeline_incremental_agg": pipeline_incremental_agg,
+    "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
     "pipeline_time_travel": pipeline_time_travel,
     "table_point_lookup": table_point_lookup,
     "table_index_lookup": table_index_lookup,
@@ -1031,6 +1180,7 @@ ORACLES = {
     ),
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
+    "pipeline_incremental_join_agg": _JOINAGG_ORACLE,
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,
     "table_index_lookup": _index_lookup_oracle(),

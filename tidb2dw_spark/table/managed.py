@@ -941,15 +941,21 @@ class ManagedTable:
             .drop("__rn", "__dseq", FLAG_COL)
         )
 
-    def read_for_keys(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+    def read_for_keys(
+        self, spark: SparkSession, keys: DataFrame, manifest: dict | None = None
+    ) -> DataFrame:
         """Point/batch lookup by PK: for a bucketed table, read ONLY the
         bucket partitions the requested keys hash to, then semi-join.
 
         This is the read-side payoff of PK bucketing: a k-key probe against
         a 100 TB table scans ~k buckets (table_size / pk_buckets each), not
         the table.  *keys* must carry the PK columns; it is assumed small
-        (broadcast)."""
-        m = self.manifest()
+        (broadcast).  *manifest* PINS the probed state: a caller that also
+        reads the change feed bounded by a manifest's cdf_seq passes the
+        SAME manifest here, so a merge landing concurrently can't surface
+        in the probe yet replay through the feed (the incremental-fold
+        double-count hazard)."""
+        m = manifest if manifest is not None else self.manifest()
         pk_cols, n = m["pk"], m.get("pk_buckets", 0)
         if n <= 0:
             return self.read(spark).join(F.broadcast(keys), on=pk_cols, how="left_semi")
