@@ -208,6 +208,99 @@ def test_pseudo_random_interleaving(spark, tmp_path):
     assert _state(spark, mv.read(spark)) == _recompute(spark, fact, dim)
 
 
+def test_bound_adapter_rides_the_poll_loop(spark, tmp_path):
+    """`mv.bind(fact, dim)` fits the single-table derived protocol, so the
+    join view rides `TableReplicator(derived=[…])` like any index or
+    single-table matview: seeded on the first poll, folded from BOTH
+    feeds on every later one — including after a replicator RESTART —
+    always equal to a recompute over the two replicas."""
+    from tidb2dw_spark.replicate import TableReplicator
+    from tidb2dw_spark.schema.table_def import TableCol, TableDefinition
+
+    from .test_consumer import users_def_v1, write
+
+    def fact_def():
+        return TableDefinition(
+            schema="tpch", table="fo", version=1,
+            columns=[
+                TableCol(id="1", name="oid", tp="int", precision="11",
+                         is_pk="true"),
+                TableCol(id="2", name="uid", tp="int"),
+                TableCol(id="3", name="amount", tp="int"),
+            ],
+        )
+
+    snap, incr, wh = tmp_path / "snapshot", tmp_path / "increment", tmp_path / "wh"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",30,1991-02-02\n'
+          '3,"carol",41,1992-03-03\n')
+    write(snap / "tpch.fo.000000001.csv",
+          '1,1,100\n2,1,200\n3,2,300\n4,3,400\n5,9,500\n')  # oid 5 dangles
+    users_def_v1().dump(incr / "tpch/users/1/meta")
+    fact_def().dump(incr / "tpch/fo/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"U","users","tpch",100,1,"alice",31,1990-01-01\n')
+    write(incr / "tpch/fo/1/2024-01-01/CDC000001.csv",
+          '"U","fo","tpch",100,3,3,301\n'      # uid move 2 -> 3
+          '"D","fo","tpch",101,4,\\N,\\N\n')
+
+    def mk():
+        rep_d = TableReplicator(spark, snap, incr, wh, users_def_v1(),
+                                pk_buckets=4, cdf=True)
+        rep_f = TableReplicator(spark, snap, incr, wh, fact_def(),
+                                pk_buckets=4, cdf=True)
+        mv = MaintainedJoinAggregate(
+            tmp_path / "mv", fk_col="uid", fact_group_cols=[],
+            dim_group_cols=["age"], sum_cols={"total_amount": "amount"},
+        )
+        bound = mv.bind(rep_f.table, rep_d.table)
+        rep_f.derived.append(bound)
+        return rep_d, rep_f, mv, bound
+
+    def check(rep_d, rep_f, mv):
+        got = {
+            r["age"]: (r["n_rows"], r["total_amount"])
+            for r in mv.read(spark).collect()
+        }
+        want = {
+            r["age"]: (r["n_rows"], r["total_amount"])
+            for r in rep_f.table.read(spark)
+            .join(rep_d.table.read(spark),
+                  F.col("uid") == F.col("id"), "inner")
+            .groupBy("age")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("amount").alias("total_amount"))
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    rep_d, rep_f, mv, bound = mk()
+    rep_d.run_once()
+    rep_f.run_once()  # seeds the join view on the fact's poll
+    check(rep_d, rep_f, mv)
+
+    # second slice on EACH feed; the fact poll's single refresh must fold
+    # the DIM slice too (the wake-up source doesn't bound what's folded)
+    write(incr / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"I","users","tpch",200,4,"dan",30,1995-05-05\n'  # oid 5 attaches? no: uid 9
+          '"U","users","tpch",201,3,"carol",30,1992-03-03\n')
+    write(incr / "tpch/fo/1/2024-01-01/CDC000002.csv",
+          '"I","fo","tpch",200,6,4,600\n')
+    rep_d2, rep_f2, mv2, bound2 = mk()  # RESTART: fresh objects, state on disk
+    rep_d2.run_once()
+    rep_f2.run_once()
+    check(rep_d2, rep_f2, mv2)
+
+    # a mis-wired attachment fails loudly
+    other = ManagedTable(tmp_path / "other")
+    other.create(
+        spark.createDataFrame([(1, 10, "HI", 5)], FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    with pytest.raises(ValueError, match="bound to"):
+        bound2.refresh(spark, other)
+
+
 def test_overlapping_names_rejected(spark, tmp_path):
     fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
     mv = MaintainedJoinAggregate(

@@ -61,6 +61,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -96,6 +97,50 @@ def init_join_agg(
     return joined.groupBy(*[F.col(g) for g in group_cols]).agg(*aggs)
 
 
+class BoundJoinAggregate:
+    """A :class:`MaintainedJoinAggregate` closed over its two tables so it
+    fits the SINGLE-table derived protocol (``exists()`` /
+    ``refresh(spark, table)``) that :class:`~...replicate.TableReplicator`
+    and :func:`~...streaming.stream.stream_derived_refresh` drive.
+
+    ``refresh`` folds BOTH feeds regardless of which table's poll (or
+    commit-log wake-up) triggered it — each refresh applies exactly
+    ``(applied, current]`` of each feed — so attaching to ONE
+    replicator keeps the view fresh on that cadence, and attaching to
+    BOTH (fact's and dim's loops; ``replicate_all`` runs them in
+    threads) is serialized by an in-process lock: the second thread's
+    refresh sees both seqs already applied and no-ops.  *table*, when
+    given, must be one of the pair — a mis-wired attachment fails loudly
+    instead of silently maintaining a view over the wrong tables."""
+
+    def __init__(
+        self,
+        view: "MaintainedJoinAggregate",
+        fact: ManagedTable,
+        dim: ManagedTable,
+    ):
+        self.view, self.fact, self.dim = view, fact, dim
+        self._lock = threading.Lock()
+
+    def exists(self) -> bool:
+        return self.view.exists()
+
+    def read(self, spark) -> DataFrame:
+        return self.view.read(spark)
+
+    def refresh(self, spark: SparkSession, table: ManagedTable | None = None):
+        if table is not None and str(Path(table.root).resolve()) not in {
+            str(Path(self.fact.root).resolve()),
+            str(Path(self.dim.root).resolve()),
+        }:
+            raise ValueError(
+                f"BoundJoinAggregate is bound to {self.fact.root} / "
+                f"{self.dim.root}; refresh was driven by {table.root}"
+            )
+        with self._lock:
+            return self.view.refresh(spark, self.fact, self.dim)
+
+
 class MaintainedJoinAggregate:
     """A JOIN rollup maintained from two CDF-enabled ManagedTables.
 
@@ -119,6 +164,12 @@ class MaintainedJoinAggregate:
         self.dim_group_cols = list(dim_group_cols)
         self.group_cols = self.fact_group_cols + self.dim_group_cols
         self.sum_cols = dict(sum_cols)
+
+    def bind(self, fact: ManagedTable, dim: ManagedTable) -> BoundJoinAggregate:
+        """Close over the two tables → an object the single-table derived
+        hooks (``TableReplicator(derived=[…])``, ``stream_derived_refresh``)
+        can drive."""
+        return BoundJoinAggregate(self, fact, dim)
 
     # -- meta (same crash contract as MaintainedAggregate) ----------------
     def _meta_path(self) -> Path:

@@ -437,7 +437,10 @@ def stream_derived_refresh(
 ):
     """Keep DERIVED STATE (a :class:`~..operators.matview.
     MaintainedAggregate`, :class:`~..operators.secondary_index.
-    SecondaryIndex`, :class:`~..operators.ann_index.IvfVectorIndex`, or a
+    SecondaryIndex`, :class:`~..operators.ann_index.IvfVectorIndex`, a
+    bound join view (:meth:`~..operators.join_matview.
+    MaintainedJoinAggregate.bind` — wake on EITHER table's feed, each
+    refresh folds both), or a
     list of them) fresh from the live feed: the change stream is the
     WAKE-UP SIGNAL, each refresh itself folds by ``_commit_seq`` through
     the object's own checkpoint.  foreachBatch is at-least-once —
