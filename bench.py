@@ -109,6 +109,7 @@ PIPELINE_QUERIES = [
     "pipeline_cdf_replay",
     "pipeline_incremental_agg",
     "pipeline_incremental_join_agg",
+    "pipeline_incremental_distinct",
     "pipeline_incremental_minmax",
     "pipeline_rename_continuity",
     # table_index_lookup's lifecycle is reported SPLIT (index_build /

@@ -1119,6 +1119,92 @@ def pipeline_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact COUNT(DISTINCT) maintenance row (operators/distinct_matview.py):
+# customers-and-statuses per order priority, maintained through a churn
+# batch that stresses exactly what signed folding cannot express — the
+# fk-collapsing update folds MANY custkeys onto (k % 50) + 1 (removing
+# some values' last occurrence while others keep support elsewhere), the
+# delete removes whole rows, and the insert re-adds values.  The oracle
+# is a DuckDB COUNT(DISTINCT) full recompute over the churned state.
+# ---------------------------------------------------------------------------
+_DISTINCT_CACHE: dict[str, object] = {}
+
+
+def pipeline_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.distinct_matview import MaintainedDistinctAggregate
+
+    if sf_dir not in _DISTINCT_CACHE:
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_distinct_"))
+        t = ManagedTable(wh / "orders").create(
+            src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        mv = MaintainedDistinctAggregate(
+            wh / "mv",
+            ["o_orderpriority"],
+            {"n_cust": "o_custkey", "n_status": "o_orderstatus"},
+            n_buckets=8,
+        )
+        mv.refresh(spark, t)  # seed pre-churn
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus",
+            )
+
+        d = src.filter(F.col("o_orderkey") % 10 == 7)
+        u = src.filter(F.col("o_orderkey") % 10 == 4).select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50 + 1).alias("o_custkey"),
+            "o_orderpriority",
+            F.lit("X").alias("o_orderstatus"),
+        )
+        i = src.filter(F.col("o_orderkey") % 25 == 3).select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") % 120 + 1).alias("o_custkey"),
+            "o_orderpriority",
+            F.lit("N").alias("o_orderstatus"),
+        )
+        t.merge(
+            spark,
+            batch(d, "D").unionByName(batch(u, "U")).unionByName(batch(i, "I")),
+        )
+        mv.refresh(spark, t)  # ONE incremental fold over the churn
+        _DISTINCT_CACHE[sf_dir] = mv
+    mv = _DISTINCT_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "o_orderpriority", "n_rows", "n_cust", "n_status"
+    )
+
+
+_DISTINCT_ORACLE = """
+WITH cur AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 4 THEN (o_custkey % 50) + 1
+              ELSE o_custkey END AS o_custkey,
+         o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 4 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1, o_orderpriority, 'N'
+  FROM orders WHERE o_orderkey % 25 = 3
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+FROM cur GROUP BY o_orderpriority
+"""
+
+
 _JOINAGG_ORACLE = """
 WITH fact2 AS (
   SELECT o_orderkey,
@@ -1159,6 +1245,7 @@ QUERIES = {
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
+    "pipeline_incremental_distinct": pipeline_incremental_distinct,
     "pipeline_time_travel": pipeline_time_travel,
     "table_point_lookup": table_point_lookup,
     "table_index_lookup": table_index_lookup,
@@ -1181,6 +1268,7 @@ ORACLES = {
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,
+    "pipeline_incremental_distinct": _DISTINCT_ORACLE,
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,
     "table_index_lookup": _index_lookup_oracle(),

@@ -93,6 +93,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "table_index_range_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str"), ("probe", "str")],
     # JOIN rollup maintained from TWO change feeds (ΔF⋈D_old ∪ F_new⋈ΔD)
     "pipeline_incremental_join_agg": [("o_orderpriority", "str"), ("c_mktsegment", "str"), ("n_rows", "int"), ("total_cents", "int")],
+    # exact COUNT(DISTINCT) via the bucket-partitioned support multiset
+    "pipeline_incremental_distinct": [("o_orderpriority", "str"), ("n_rows", "int"), ("n_cust", "int"), ("n_status", "int")],
     "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     "q_local_supplier_revenue": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "q_volume_shipping": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],

@@ -1,0 +1,409 @@
+"""Exact COUNT(DISTINCT) maintenance over the change data feed.
+
+SUM/COUNT fold from row-level changes alone (:mod:`.matview`); MIN/MAX
+need an occasional dirty-group rescan.  ``COUNT(DISTINCT v)`` is harder
+still — it is not self-maintainable from signed deltas (removing one
+occurrence of a value says nothing about whether OTHER rows still carry
+it), which is why most warehouses either forbid it in incremental
+materialized views or degrade to approximation.  The textbook exact
+answer is an auxiliary SUPPORT multiset: for each group, how many base
+rows carry each distinct value::
+
+    H(g, v) = COUNT(*) of base rows in group g with value v   (v NOT NULL)
+    COUNT(DISTINCT v) over g  ==  |{v : H(g, v) > 0}|
+
+``H`` IS self-maintainable from signed changes (+1 insert/postimage,
+−1 delete/preimage on the (g, v) pair), so the maintenance loop is:
+
+    1. fold the O(changes) slice into per-(g, v) support deltas;
+    2. rewrite ONLY the support buckets (hash(g) % B) those deltas
+       touch — old bucket ∪ deltas → groupBy(g, v) → cnt > 0;
+    3. re-count distinct per TOUCHED group from the new buckets and
+       override those groups in the rollup; untouched groups keep their
+       stored counts, n_rows folds by ± like any matview.
+
+Scale shape: a refresh costs O(changes) + O(touched support buckets) +
+a groups-sized rollup rewrite — never O(table) and never O(all support).
+The support store is distinct-pairs-sized (≤ table), hash-partitioned by
+group into ``n_buckets`` so a CDC batch touching few groups reads/writes
+few buckets; per-bucket version pointers give the same crash contract as
+the managed table (data written first, ``_meta.json`` swapped last by
+``os.replace``, superseded bucket dirs GC'd after the swap).
+
+Exactness: the counts are integers, so maintained == full recompute
+bit-for-bit; the driver row ``pipeline_incremental_distinct`` proves it
+against a DuckDB ``COUNT(DISTINCT)`` recompute after adversarial churn
+(re-inserting a removed value, removing the LAST occurrence, NULL
+transitions, group moves).  NULL values never count (SQL semantics);
+NULL GROUP KEYS are first-class (hash/bucket/nullsafe joins throughout).
+
+Fits the single-table derived protocol (``exists()`` /
+``refresh(spark, table)``), so it rides ``TableReplicator(derived=[…])``
+and ``stream_derived_refresh`` like any index or matview.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..table.managed import CHANGE_TYPE_COL, ManagedTable
+
+_ADD = ("insert", "update_postimage")
+_SUB = ("delete", "update_preimage")
+
+
+def init_distinct_agg(
+    df: DataFrame, group_cols: Sequence[str], distinct_cols: dict[str, str]
+) -> DataFrame:
+    """Seed rollup: (group_cols…, n_rows, <out>=COUNT(DISTINCT <src>)…)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count_distinct(F.col(src)).alias(out)
+            for out, src in distinct_cols.items()
+        ],
+    )
+
+
+class MaintainedDistinctAggregate:
+    """A persisted, restartable exact-distinct rollup over a CDF-enabled
+    :class:`ManagedTable`.
+
+    Layout::
+
+        <root>/_meta.json               applied_seq, version,
+                                        bucket_versions[out][bucket] = r
+        <root>/v=N/…                    the rollup
+        <root>/support/<out>/r=R/__b=K/ support pairs (group…, __v, __cnt)
+                                        for bucket K as written by
+                                        refresh R (each bucket's LIVE
+                                        version is its pointer in meta)
+
+    ``distinct_cols`` maps output column → source column; each output
+    gets its own support store (values keep their native type — no
+    lossy cross-column encoding).
+    """
+
+    def __init__(
+        self,
+        root,
+        group_cols: Sequence[str],
+        distinct_cols: dict[str, str],
+        n_buckets: int = 32,
+    ):
+        self.root = Path(root)
+        self.group_cols = list(group_cols)
+        self.distinct_cols = dict(distinct_cols)
+        self.n_buckets = int(n_buckets)
+        if not self.distinct_cols:
+            raise ValueError("distinct_cols must name at least one output")
+
+    # -- meta / io --------------------------------------------------------
+    def _meta_path(self) -> Path:
+        return self.root / "_meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def meta(self) -> dict:
+        return json.loads(self._meta_path().read_text())
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(str(self.root / f"v={self.meta()['version']}"))
+
+    def _swap_meta(self, meta: dict) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    def _bucket_path(self, out: str, refresh_ver: int, bucket: int) -> Path:
+        return self.root / "support" / out / f"r={refresh_ver}" / f"__b={bucket}"
+
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(F.hash(*[F.col(c) for c in self.group_cols]), F.lit(self.n_buckets))
+
+    # -- field-id translation (same contract as MaintainedAggregate) -----
+    def _source_cols(self) -> list[str]:
+        return list(
+            dict.fromkeys(self.group_cols + list(self.distinct_cols.values()))
+        )
+
+    def _translated(self, m: dict, src_m: dict) -> list:
+        stored = m.get("field_ids") or {}
+        inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
+        cols = []
+        for n in self._source_cols():
+            cur = inv.get(stored.get(n), n) if stored else n
+            cols.append(F.col(cur).alias(n) if cur != n else F.col(n))
+        return cols
+
+    def _nullsafe_eq(self, left: str, right: str):
+        cond = None
+        for c in self.group_cols:
+            eq = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    # -- support-store access --------------------------------------------
+    def _read_buckets(
+        self, spark: SparkSession, out: str, meta: dict, buckets: list[int]
+    ) -> DataFrame | None:
+        """Live support rows for *buckets* (None when none was ever
+        written).  Each bucket reads exactly its pointed refresh dir."""
+        bv = (meta.get("bucket_versions") or {}).get(out, {})
+        paths = [
+            str(self._bucket_path(out, bv[str(b)], b))
+            for b in buckets
+            if str(b) in bv
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    # -- refresh ----------------------------------------------------------
+    def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
+        """Seed on first call, then fold exactly ``(applied_seq, cdf_seq]``;
+        returns the applied checkpoint.  One manifest read pins the seed
+        data + seq (the non-idempotent-fold double-count hazard)."""
+        src_m = source.manifest()
+        if not src_m.get("cdf"):
+            raise ValueError("distinct maintenance needs the change feed (cdf=True)")
+        src_seq = src_m.get("cdf_seq", 0)
+
+        if not self.exists():
+            base = source._read_state(spark, src_m).select(*self._source_cols())
+            rollup = init_distinct_agg(base, self.group_cols, self.distinct_cols)
+            rollup.write.mode("overwrite").parquet(str(self.root / "v=1"))
+            bucket_versions: dict[str, dict[str, int]] = {}
+            for out, src in self.distinct_cols.items():
+                support = (
+                    base.filter(F.col(src).isNotNull())
+                    .groupBy(*self.group_cols, F.col(src).alias("__v"))
+                    .agg(F.count(F.lit(1)).alias("__cnt"))
+                    .withColumn("__b", self._bucket_expr())
+                )
+                support.write.mode("overwrite").partitionBy("__b").parquet(
+                    str(self.root / "support" / out / "r=1")
+                )
+                written = [
+                    int(p.name.split("=", 1)[1])
+                    for p in (self.root / "support" / out / "r=1").glob("__b=*")
+                ]
+                bucket_versions[out] = {str(b): 1 for b in written}
+            src_ids = src_m.get("field_ids", {})
+            self._swap_meta(
+                {
+                    "applied_seq": src_seq,
+                    "version": 1,
+                    "n_buckets": self.n_buckets,
+                    "bucket_versions": bucket_versions,
+                    "field_ids": {
+                        n: src_ids[n] for n in self._source_cols() if n in src_ids
+                    },
+                }
+            )
+            return src_seq
+
+        meta = self.meta()
+        since = meta["applied_seq"]
+        if src_seq <= since:
+            return since
+
+        slice_df = source.changes(spark, since=since, until=src_seq).select(
+            F.col(CHANGE_TYPE_COL), *self._translated(meta, src_m)
+        )
+        sign = (
+            F.when(F.col(CHANGE_TYPE_COL).isin(*_ADD), F.lit(1))
+            .when(F.col(CHANGE_TYPE_COL).isin(*_SUB), F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        signed = slice_df.select(
+            *self.group_cols,
+            *[F.col(src).alias(f"__v_{out}") for out, src in self.distinct_cols.items()],
+            sign.alias("__sign"),
+        )
+
+        version = meta["version"] + 1
+        bucket_versions = {
+            out: dict(bv) for out, bv in (meta.get("bucket_versions") or {}).items()
+        }
+        superseded: list[Path] = []
+        recounts: dict[str, DataFrame] = {}
+        all_touched: DataFrame | None = None
+        for out in self.distinct_cols:
+            # net per-(group, value) support delta — pairs that cancel
+            # inside the slice vanish here and touch nothing
+            pairs = (
+                signed.filter(F.col(f"__v_{out}").isNotNull())
+                .groupBy(*self.group_cols, F.col(f"__v_{out}").alias("__v"))
+                .agg(F.sum("__sign").alias("__cnt"))
+                .filter(F.col("__cnt") != 0)
+            )
+            touched_buckets = sorted(
+                r["__b"]
+                for r in pairs.select(self._bucket_expr().alias("__b"))
+                .distinct()
+                .collect()
+            )
+            if not touched_buckets:
+                continue
+            old = self._read_buckets(
+                spark, out, meta, touched_buckets
+            )
+            folded = pairs if old is None else old.unionByName(pairs)
+            folded = (
+                folded.groupBy(*self.group_cols, "__v")
+                .agg(F.sum("__cnt").alias("__cnt"))
+                .filter(F.col("__cnt") > 0)
+                .withColumn("__b", self._bucket_expr())
+            )
+            # ONE write job for all touched buckets of this refresh
+            folded.write.mode("overwrite").partitionBy("__b").parquet(
+                str(self.root / "support" / out / f"r={version}")
+            )
+            # a touched bucket folding to ZERO surviving pairs writes no
+            # __b dir — its pointer must be DROPPED (the bucket is empty
+            # now), not advanced to a path that doesn't exist
+            materialized = {
+                int(p.name.split("=", 1)[1])
+                for p in (self.root / "support" / out / f"r={version}").glob(
+                    "__b=*"
+                )
+            }
+            bv = bucket_versions.setdefault(out, {})
+            for b in touched_buckets:
+                if str(b) in bv:
+                    superseded.append(self._bucket_path(out, bv[str(b)], b))
+                if b in materialized:
+                    bv[str(b)] = version
+                else:
+                    bv.pop(str(b), None)
+            # touched groups re-counted from the freshly WRITTEN buckets
+            # (read-back: exact, and avoids recomputing the fold twice)
+            touched = pairs.select(*self.group_cols).distinct()
+            new_paths = [
+                str(self._bucket_path(out, version, b))
+                for b in touched_buckets
+                if b in materialized
+            ]
+            if new_paths:
+                counted = (
+                    spark.read.parquet(*new_paths)
+                    .alias("__s")
+                    .join(
+                        F.broadcast(touched.alias("__t")),
+                        self._nullsafe_eq("__s", "__t"),
+                        "left_semi",
+                    )
+                    .groupBy(*self.group_cols)
+                    .agg(F.count(F.lit(1)).cast("long").alias(f"__rc_{out}"))
+                )
+                recounts[out] = (
+                    touched.alias("__t")
+                    .join(
+                        counted.alias("__c"),
+                        self._nullsafe_eq("__t", "__c"),
+                        "left",
+                    )
+                    .select(
+                        *[F.col(f"__t.{c}").alias(c) for c in self.group_cols],
+                        F.coalesce(
+                            F.col(f"__rc_{out}"), F.lit(0).cast("long")
+                        ).alias(f"__rc_{out}"),
+                        F.lit(True).alias(f"__dirty_{out}"),
+                    )
+                )
+            else:
+                recounts[out] = touched.select(
+                    *self.group_cols,
+                    F.lit(0).cast("long").alias(f"__rc_{out}"),
+                    F.lit(True).alias(f"__dirty_{out}"),
+                )
+            all_touched = (
+                touched
+                if all_touched is None
+                else all_touched.unionByName(touched).distinct()
+            )
+
+        # ---- rollup: n_rows folds by ±; distinct cols override per
+        # touched group, untouched groups keep stored counts, groups born
+        # with only-NULL values coalesce to 0 (COUNT(DISTINCT) is never
+        # NULL)
+        stored = self.read(spark)
+        n_deltas = signed.select(
+            *self.group_cols,
+            F.col("__sign").cast("long").alias("n_rows"),
+            *[F.lit(None).cast("long").alias(out) for out in self.distinct_cols],
+        )
+        folded_rollup = (
+            stored.select(*self.group_cols, "n_rows", *self.distinct_cols)
+            .unionByName(n_deltas)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                # the stored row is the only non-NULL contributor
+                *[F.min(out).alias(out) for out in self.distinct_cols],
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        result = folded_rollup.alias("__f")
+        sel = [F.col(f"__f.{c}").alias(c) for c in self.group_cols] + [
+            F.col("__f.n_rows").alias("n_rows")
+        ]
+        for out, rc in recounts.items():
+            result = result.join(
+                rc.alias(f"__r_{out}"), self._nullsafe_eq("__f", f"__r_{out}"), "left"
+            )
+        for out in self.distinct_cols:
+            if out in recounts:
+                sel.append(
+                    F.coalesce(
+                        F.when(
+                            F.col(f"__r_{out}.__dirty_{out}").isNotNull(),
+                            F.col(f"__r_{out}.__rc_{out}"),
+                        ).otherwise(F.col(f"__f.{out}")),
+                        F.lit(0).cast("long"),
+                    ).alias(out)
+                )
+            else:
+                sel.append(
+                    F.coalesce(F.col(f"__f.{out}"), F.lit(0).cast("long")).alias(out)
+                )
+        result = result.select(*sel)
+
+        result.write.mode("overwrite").parquet(str(self.root / f"v={version}"))
+        meta.update(
+            {
+                "applied_seq": src_seq,
+                "version": version,
+                "bucket_versions": bucket_versions,
+            }
+        )
+        self._swap_meta(meta)
+        # GC AFTER the swap: superseded bucket dirs + old rollup versions.
+        # A crash here leaves orphans that the next successful refresh's
+        # deterministic paths simply never read (and overwrite at worst).
+        for p in superseded:
+            shutil.rmtree(p, ignore_errors=True)
+        for out in self.distinct_cols:
+            live = set((bucket_versions.get(out) or {}).values())
+            sdir = self.root / "support" / out
+            if sdir.exists():
+                for rd in sdir.glob("r=*"):
+                    ver = int(rd.name.split("=", 1)[1])
+                    if ver not in live and ver != version:
+                        shutil.rmtree(rd, ignore_errors=True)
+        for p in self.root.glob("v=*"):
+            if int(p.name.split("=", 1)[1]) < version:
+                shutil.rmtree(p, ignore_errors=True)
+        return src_seq
