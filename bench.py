@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "split_train_test",
     "sample_cap_per_source",
     "text_tfidf_top_terms",
+    "text_bm25_topk",
     "pack_sequences",
     "q1_lineitem_agg",
     "q_revenue_by_segment",
@@ -110,6 +111,7 @@ PIPELINE_QUERIES = [
     "pipeline_incremental_agg",
     "pipeline_incremental_join_agg",
     "pipeline_incremental_distinct",
+    "pipeline_distinct_topk",
     "pipeline_incremental_minmax",
     "pipeline_rename_continuity",
     # table_index_lookup's lifecycle is reported SPLIT (index_build /

@@ -919,6 +919,57 @@ def test_maintained_aggregate_survives_rename_barrier(spark, tmp_path):
     assert got == want
 
 
+def test_maintained_distinct_survives_rename_barrier(spark, tmp_path):
+    """A MaintainedDistinctAggregate seeded before a base RENAME of its
+    group column keeps folding across the barrier (field-id translation
+    of both the feed and the support-pair deltas), output schema pinned
+    to seed names, bit-equal to a COUNT(DISTINCT) recompute."""
+    from tidb2dw_spark.operators.distinct_matview import (
+        MaintainedDistinctAggregate,
+    )
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedDistinctAggregate(
+        tmp_path / "mv", ["grp"], {"n_val": "val"}, n_buckets=2
+    )
+    mv.refresh(spark, t)  # seed
+    t.merge(spark, _batch(spark, [("U", 1, 5, "b", 20), ("I", 9, 5, "c", 90)]))
+    _rename_grp_to_category(spark, t)
+    env2 = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, category string, val long"
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            # k=2 moves its val onto k=1's (20 in 'b'? no: k=1 moved to
+            # 'b' with val 20); delete k=3 removes 'b''s last 30
+            [("U", "t", "s", 6, 2, "b", 20), ("D", "t", "s", 6, 3, None, None)],
+            env2,
+        ),
+    )
+    mv.refresh(spark, t)  # ONE refresh spanning the rename barrier
+    key = lambda x: (x[0] is None, x)  # noqa: E731
+    got = sorted(
+        ((r["grp"], r["n_rows"], r["n_val"]) for r in mv.read(spark).collect()),
+        key=key,
+    )
+    want = sorted(
+        (
+            (r["category"], r["n_rows"], r["n_val"])
+            for r in t.read(spark)
+            .groupBy("category")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col("val")).alias("n_val"),
+            )
+            .collect()
+        ),
+        key=key,
+    )
+    assert got == want
+
+
 def test_secondary_index_survives_rename_barrier(spark, tmp_path):
     """An index built on 'grp' before the base renames it to 'category'
     refreshes across the barrier un-re-seeded (feed translated by field

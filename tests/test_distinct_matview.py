@@ -195,6 +195,41 @@ def test_pseudo_random_interleaving(spark, tmp_path):
     assert _state(mv.read(spark)) == _recompute(spark, t)
 
 
+def test_top_values_probe(spark, tmp_path):
+    """Heavy hitters from the support store match a recompute over the
+    base — after churn, with deterministic (cnt DESC, value ASC) ties —
+    and no base-table scan is involved (the store alone answers)."""
+    from pyspark.sql import Window
+
+    t, mv = _mk(spark, tmp_path)
+    mv.refresh(spark, t)
+    t.merge(spark, _b(spark, [
+        ("I", 20, 5, "a", 10, "x"), ("I", 21, 5, "a", 20, "x"),
+        ("I", 22, 5, "b", 10, "q"), ("D", 3, 5, None, None, None),
+        ("U", 4, 5, "b", 10, "z"),
+    ]))
+    mv.refresh(spark, t)
+
+    got = {
+        (r["g"], r["rank"]): (r["__v"], r["__cnt"])
+        for r in mv.top_values(spark, "n_v", 2).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("v").asc())
+    want = {
+        (r["g"], r["rank"]): (r["v"], r["c"])
+        for r in t.read(spark)
+        .filter(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .collect()
+    }
+    assert got == want
+    with pytest.raises(KeyError):
+        mv.top_values(spark, "nope", 2)
+
+
 def test_requires_cdf_and_nonempty_spec(spark, tmp_path):
     t = ManagedTable(tmp_path / "nocdf")
     t.create(

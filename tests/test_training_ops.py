@@ -412,6 +412,36 @@ def test_tfidf_hand_example(spark):
     }
 
 
+def test_bm25_hand_example(spark):
+    """BM25 ordering on a hand-built corpus: a doc matching BOTH query
+    terms outranks single-term docs; among single-term docs the rarer
+    term (higher idf) wins; repeated terms saturate (tf-part < 2×);
+    non-matching docs are absent.  Scores are integers (quantized before
+    the sum), so the assertion is exact."""
+    from tidb2dw_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana pear pear"),
+            (2, "apple apple apple pear"),
+            (3, "banana kiwi kiwi pear"),
+            (4, "kiwi pear kiwi pear"),
+            (5, "apple pear kiwi plum"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, "doc_id", "text", ["apple", "banana"], k=5).collect()
+    assert [r["doc_id"] for r in rows][:1] == [1]          # both terms
+    got = {r["doc_id"]: (r["score_q"], r["n_terms"]) for r in rows}
+    assert set(got) == {1, 2, 3, 5}                        # doc 4 absent
+    assert got[1][1] == 2 and got[2][1] == 1 and got[3][1] == 1
+    # banana (df=2) is rarer than apple (df=3): doc 3 outranks doc 5,
+    # and tripled apple in doc 2 scores less than 2× single-apple doc 5
+    assert got[3][0] > got[5][0]
+    assert got[2][0] < 2 * got[5][0]
+    assert all(isinstance(s, int) for s, _ in got.values())
+
+
 def test_connected_components_chain_and_clique(spark):
     """A 4-node chain (diameter 3, needs >1 propagation round), a triangle,
     and an isolated pair must resolve to min-id components."""

@@ -1184,6 +1184,46 @@ def pipeline_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def pipeline_distinct_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters FREE from the maintained support store: top-5
+    customers by order count per priority, probed from the same
+    MaintainedDistinctAggregate the distinct row maintains (no base
+    scan; the window is partitioned by group).  The oracle recomputes
+    counts over the churned state and ranks with the same
+    (count DESC, value ASC) tiebreak."""
+    pipeline_incremental_distinct(spark, sf_dir)  # (cached) build + churn
+    mv = _DISTINCT_CACHE[sf_dir]
+    return mv.top_values(spark, "n_cust", 5).select(
+        "o_orderpriority",
+        F.col("__v").alias("o_custkey"),
+        F.col("__cnt").alias("cnt"),
+        "rank",
+    )
+
+
+_DISTINCT_TOPK_ORACLE = """
+WITH cur AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 4 THEN (o_custkey % 50) + 1
+              ELSE o_custkey END AS o_custkey,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1, o_orderpriority
+  FROM orders WHERE o_orderkey % 25 = 3
+), counted AS (
+  SELECT o_orderpriority, o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY COUNT(*) DESC, o_custkey ASC
+         ) AS INT) AS rank
+  FROM cur GROUP BY o_orderpriority, o_custkey
+)
+SELECT o_orderpriority, o_custkey, cnt, rank FROM counted WHERE rank <= 5
+"""
+
+
 _DISTINCT_ORACLE = """
 WITH cur AS (
   SELECT o_orderkey,
@@ -1246,6 +1286,7 @@ QUERIES = {
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
     "pipeline_incremental_distinct": pipeline_incremental_distinct,
+    "pipeline_distinct_topk": pipeline_distinct_topk,
     "pipeline_time_travel": pipeline_time_travel,
     "table_point_lookup": table_point_lookup,
     "table_index_lookup": table_index_lookup,
@@ -1269,6 +1310,7 @@ ORACLES = {
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,
     "pipeline_incremental_distinct": _DISTINCT_ORACLE,
+    "pipeline_distinct_topk": _DISTINCT_TOPK_ORACLE,
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,
     "table_index_lookup": _index_lookup_oracle(),

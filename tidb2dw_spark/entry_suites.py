@@ -41,6 +41,8 @@ _WEIGHTS = [10007, 10037, 10061, 10091, 10139, 10141, 10151, 10159, 10163, 10169
 ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "text_features": [("doc_id", "int"), ("n_chars", "int"), ("n_tokens", "int"), ("n_bpe_tokens", "int"), ("fingerprint", "str"), ("lang_pred", "str")],
     "text_quality_score": [("doc_id", "int"), ("n_chars", "int"), ("n_tokens", "int"), ("avg_token_len", "dbl"), ("punct_ratio", "dbl"), ("stopword_ratio", "dbl"), ("quality_score", "dbl")],
+    # BM25 retrieval top-k: integer-ratio scoring (log-free idf), exact
+    "text_bm25_topk": [("doc_id", "int"), ("score_q", "int"), ("n_terms", "int")],
     "q_rollup_priority_status": [("o_orderpriority", "str"), ("o_orderstatus", "str"), ("gid", "int"), ("n_orders", "int"), ("revenue_cents", "int")],
     "q_top3_customers_per_nation": [("c_nationkey", "int"), ("c_custkey", "int"), ("revenue_cents", "int"), ("rnk", "int")],
     "q_doclen_quantiles_by_lang": [("lang", "str"), ("n_docs", "int"), ("p25", "int"), ("p50", "int"), ("p75", "int"), ("p90", "int")],
@@ -95,6 +97,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_incremental_join_agg": [("o_orderpriority", "str"), ("c_mktsegment", "str"), ("n_rows", "int"), ("total_cents", "int")],
     # exact COUNT(DISTINCT) via the bucket-partitioned support multiset
     "pipeline_incremental_distinct": [("o_orderpriority", "str"), ("n_rows", "int"), ("n_cust", "int"), ("n_status", "int")],
+    # heavy hitters probed from the SAME maintained support store
+    "pipeline_distinct_topk": [("o_orderpriority", "str"), ("o_custkey", "int"), ("cnt", "int"), ("rank", "int")],
     "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     "q_local_supplier_revenue": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "q_volume_shipping": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],

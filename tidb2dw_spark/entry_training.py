@@ -1238,6 +1238,20 @@ def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=TFIDF_K)
 
 
+BM25_TERMS = ["spark", "join", "scan", "window"]
+BM25_K = 10
+
+
+@register("text_bm25_topk", O.bm25_topk_oracle(BM25_TERMS, BM25_K))
+def bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval top-k (integer-ratio scoring, cross-engine exact)."""
+    from .functions.text import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), "doc_id", "text", BM25_TERMS, k=BM25_K
+    )
+
+
 @register(
     "dedup_components",
     O.connected_components_oracle(

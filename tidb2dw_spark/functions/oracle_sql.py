@@ -1367,6 +1367,46 @@ SELECT doc_id, term, term_freq, doc_freq, rank FROM (
 """
 
 
+def bm25_topk_oracle(terms: list[str], k: int) -> str:
+    """Mirror of text.bm25_topk over documents: every scoring factor is a
+    ratio of exactly-representable integers (log-free Robertson idf,
+    k1=6/5, b=3/4 folded into integer coefficients), each term
+    contribution quantized to BIGINT before the per-doc sum — identical
+    operation order to the Spark expression, so scores hash bit-equal."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS term FROM documents
+),
+toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT SUM(dl) FROM dl) AS s,
+         (SELECT COUNT(*) FROM documents) AS n
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks_ne
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(1000000.0
+           * ((44.0 * stats.s * tf.tf)
+              / (20.0 * stats.s * tf.tf + 6.0 * stats.s
+                 + 18.0 * dl.dl * stats.n))
+           * ((2.0 * stats.n - 2.0 * dfreq.df + 1.0)
+              / (2.0 * dfreq.df + 1.0))
+         ) AS BIGINT) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_q,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM contrib GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def connected_components_oracle(pairs_sql: str) -> str:
     """Transitive closure over the (undirected) pair graph; component =
     min reachable id — exactly what min-label propagation converges to."""

@@ -191,6 +191,72 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     )
 
 
+def bm25_topk(
+    df, id_col: str, text_col: str, query_terms: list[str], k: int = 10
+):
+    """Top-*k* documents for a term query under BM25 (k1=1.2, b=0.75) —
+    the retrieval scorer behind corpus search and RAG candidate
+    generation — made CROSS-ENGINE EXACT by keeping every scoring factor
+    a ratio of integers.
+
+    The usual BM25 needs ``log`` for IDF and a float ``avgdl``; both
+    poison bit-equality between engines (libm vs JVM log differ in the
+    last ulp, and float sums are order-dependent).  Instead, with
+    k1 = 6/5, b = 3/4, avgdl = S/N (S = corpus token count, N = corpus
+    doc count), the per-term factors reduce algebraically to integer
+    ratios::
+
+        tf_part  = 44·S·tf / (20·S·tf + 6·S + 18·dl·N)
+        idf_part = (2N − 2df + 1) / (2df + 1)      # the log-free
+                                                   # Robertson idf
+    so each is ONE IEEE division of exactly-representable integers —
+    bit-identical in Spark and DuckDB — and each term's contribution is
+    quantized to an integer (``round(1e6 · tf_part · idf_part)``)
+    BEFORE the per-document sum, which is then exact integer addition in
+    any order.  Ranking ties break by doc id.
+
+    Scale shape: the token explode filters to the query terms with a
+    LITERAL ``isin`` before any shuffle (the tf aggregation carries only
+    matching (doc, term) pairs); corpus scalars (N, S) and the per-term
+    doc frequencies are one-row/terms-sized broadcasts; the final top-k
+    is ``orderBy().limit()`` → TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort."""
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokenize(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(F.sum("__dl").alias("__S")).crossJoin(
+        df.agg(F.count(F.lit(1)).alias("__N"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    tf_part = (F.lit(44.0) * F.col("__S") * F.col("__tf")) / (
+        F.lit(20.0) * F.col("__S") * F.col("__tf")
+        + F.lit(6.0) * F.col("__S")
+        + F.lit(18.0) * F.col("__dl") * F.col("__N")
+    )
+    idf_part = (
+        F.lit(2.0) * F.col("__N") - F.lit(2.0) * F.col("__df") + F.lit(1.0)
+    ) / (F.lit(2.0) * F.col("__df") + F.lit(1.0))
+    contrib = F.round(F.lit(1000000.0) * tf_part * idf_part).cast("long")
+    scored = joined.groupBy(id_col).agg(
+        F.sum(contrib).alias("score_q"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    return scored.orderBy(
+        F.col("score_q").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the
     whitespace-normalized, lowercased text (content-defined identity for

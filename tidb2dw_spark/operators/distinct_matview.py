@@ -170,6 +170,51 @@ class MaintainedDistinctAggregate:
             return None
         return spark.read.parquet(*paths)
 
+    # -- probes -----------------------------------------------------------
+    def top_values(self, spark: SparkSession, out: str, k: int) -> DataFrame:
+        """Heavy hitters per group, FREE from the support store the
+        distinct counts already maintain: the top-*k* values of
+        ``distinct_cols[out]``'s source column by occurrence count
+        (ties broken by value — deterministic), as
+        (group…, __v, __cnt, rank).
+
+        The probe reads the live support buckets (distinct-pairs-sized,
+        ≪ table) and windows per group — the partition-by-group window
+        bounds per-task work at any corpus size, and no base-table scan
+        happens at all.  This is the classic curation question ("top
+        domains per language", "top customers per priority") answered
+        from already-maintained state."""
+        from pyspark.sql import Window
+
+        if out not in self.distinct_cols:
+            raise KeyError(f"{out!r} is not a maintained distinct column")
+        meta = self.meta()
+        bv = (meta.get("bucket_versions") or {}).get(out, {})
+        paths = [
+            str(self._bucket_path(out, ver, int(b))) for b, ver in bv.items()
+        ]
+        if not paths:
+            return (
+                spark.read.parquet(str(self.root / f"v={meta['version']}"))
+                .select(*self.group_cols)
+                .limit(0)
+                .select(
+                    *self.group_cols,
+                    F.lit(None).alias("__v"),
+                    F.lit(0).cast("long").alias("__cnt"),
+                    F.lit(0).alias("rank"),
+                )
+            )
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col("__cnt").desc(), F.col("__v").asc()
+        )
+        return (
+            spark.read.parquet(*paths)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*self.group_cols, "__v", "__cnt", "rank")
+        )
+
     # -- refresh ----------------------------------------------------------
     def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
         """Seed on first call, then fold exactly ``(applied_seq, cdf_seq]``;
