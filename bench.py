@@ -112,6 +112,7 @@ PIPELINE_QUERIES = [
     "pipeline_incremental_join_agg",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",
+    "pipeline_distinct_quantile",
     "pipeline_incremental_minmax",
     "pipeline_rename_continuity",
     # table_index_lookup's lifecycle is reported SPLIT (index_build /

@@ -230,6 +230,55 @@ def test_top_values_probe(spark, tmp_path):
         mv.top_values(spark, "nope", 2)
 
 
+def test_quantile_values_probe(spark, tmp_path):
+    """Weighted lower quantiles from the support store == plain per-group
+    quantiles of the source column (the store is the row multiset
+    projected onto v), checked against the index formula
+    ``sorted(rows)[ceil(p·n) − 1]`` with exact integer thresholds."""
+    t, mv = _mk(spark, tmp_path)
+    mv.refresh(spark, t)
+    t.merge(spark, _b(spark, [
+        ("I", 30, 5, "a", 77, None), ("U", 3, 5, "a", 10, "x"),
+    ]))
+    mv.refresh(spark, t)
+    rows = sorted(
+        (r["v"]) for r in t.read(spark).filter(
+            (F.col("g") == "a") & F.col("v").isNotNull()
+        ).collect()
+    )
+    got = {
+        (r["g"], r["q_label"]): r["__v"]
+        for r in mv.quantile_values(
+            spark, "n_v", {"p50": (1, 2), "p75": (3, 4), "p100": (1, 1)}
+        ).collect()
+    }
+    for lbl, (n, d) in {"p50": (1, 2), "p75": (3, 4), "p100": (1, 1)}.items():
+        th = -(-len(rows) * n // d)  # ceil
+        assert got[("a", lbl)] == rows[th - 1], (lbl, rows, got)
+
+
+def test_refresh_touches_only_dirty_buckets(spark, tmp_path):
+    """The O(touched buckets) claim, pinned structurally (no timing): a
+    churn batch confined to one group advances EXACTLY that group's
+    bucket pointer in the touched column's store, leaves every other
+    bucket pointer alone, and doesn't touch the other column's store at
+    all (the batch carries NULL for it)."""
+    t, mv = _mk(spark, tmp_path, n_buckets=8)
+    mv.refresh(spark, t)
+    before = mv.meta()["bucket_versions"]
+    t.merge(spark, _b(spark, [("I", 40, 5, "a", 123, None)]))
+    mv.refresh(spark, t)
+    after = mv.meta()["bucket_versions"]
+    assert after["n_w"] == before["n_w"]          # w untouched: no IO at all
+    moved = {
+        b
+        for b in set(before["n_v"]) | set(after["n_v"])
+        if before["n_v"].get(b) != after["n_v"].get(b)
+    }
+    assert len(moved) == 1                         # exactly group a's bucket
+    assert _state(mv.read(spark)) == _recompute(spark, t)
+
+
 def test_requires_cdf_and_nonempty_spec(spark, tmp_path):
     t = ManagedTable(tmp_path / "nocdf")
     t.create(

@@ -301,6 +301,40 @@ def test_bound_adapter_rides_the_poll_loop(spark, tmp_path):
         bound2.refresh(spark, other)
 
 
+def test_bound_adapter_rides_streaming_wakeup(spark, tmp_path):
+    """The bound join view also rides `stream_derived_refresh`: a drain
+    of the FACT table's commit-log stream wakes ONE refresh that folds
+    BOTH feeds (the wake-up source doesn't bound what's folded), and a
+    dim-only churn is picked up by a drain on the DIM table's stream —
+    the two wake signals share the view's own (fact_seq, dim_seq)
+    checkpoint, so no slice ever double-applies."""
+    from tidb2dw_spark.streaming.stream import stream_derived_refresh
+
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = _mk_view(tmp_path)
+    bound = mv.bind(fact, dim)
+    bound.refresh(spark)  # seed
+
+    fact.merge(spark, _fb(spark, [
+        ("U", 1, 5, 20, "HI", 110), ("D", 5, 5, None, None, None),
+    ]))
+    dim.merge(spark, _db(spark, [("U", 20, 6, "C"), ("I", 99, 6, "A")]))
+    q = stream_derived_refresh(
+        spark, fact, bound, checkpoint_dir=str(tmp_path / "ck_f")
+    )
+    assert q.awaitTermination(120)
+    assert _state(spark, mv.read(spark)) == _recompute(spark, fact, dim)
+
+    # dim-ONLY churn: the fact stream has nothing new, so the dim
+    # table's own wake signal drives the fold
+    dim.merge(spark, _db(spark, [("D", 10, 7, None)]))
+    q = stream_derived_refresh(
+        spark, dim, bound, checkpoint_dir=str(tmp_path / "ck_d")
+    )
+    assert q.awaitTermination(120)
+    assert _state(spark, mv.read(spark)) == _recompute(spark, fact, dim)
+
+
 def test_overlapping_names_rejected(spark, tmp_path):
     fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
     mv = MaintainedJoinAggregate(

@@ -1201,6 +1201,93 @@ def pipeline_distinct_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILE_CACHE: dict[str, object] = {}
+
+
+def pipeline_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maintained quantiles: the support multiset H(g, v) is the
+    row multiset projected onto v, so its cnt-weighted lower quantile IS
+    the plain per-group quantile — here the p25/p50/p90 order value
+    (cents) per priority, kept fresh through churn without a base
+    rescan.  Thresholds are integer arithmetic (ceil via div), so the
+    DuckDB oracle cannot disagree on boundary rows."""
+    from .operators.distinct_matview import MaintainedDistinctAggregate
+
+    if sf_dir not in _QUANTILE_CACHE:
+        cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority", cents.alias("cents")
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_quantile_"))
+        t = ManagedTable(wh / "orders").create(
+            src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        mv = MaintainedDistinctAggregate(
+            wh / "mv", ["o_orderpriority"], {"cents_q": "cents"}, n_buckets=8
+        )
+        mv.refresh(spark, t)  # seed pre-churn
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_orderpriority", "cents",
+            )
+
+        d = src.filter(F.col("o_orderkey") % 10 == 7)
+        u = src.filter(F.col("o_orderkey") % 10 == 4).select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("cents") + 11).alias("cents"),
+        )
+        i = src.filter(F.col("o_orderkey") % 25 == 3).select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            "o_orderpriority",
+            (F.col("cents") + 5).alias("cents"),
+        )
+        t.merge(
+            spark,
+            batch(d, "D").unionByName(batch(u, "U")).unionByName(batch(i, "I")),
+        )
+        mv.refresh(spark, t)
+        _QUANTILE_CACHE[sf_dir] = mv
+    mv = _QUANTILE_CACHE[sf_dir]
+    return mv.quantile_values(
+        spark, "cents_q", {"p25": (1, 4), "p50": (1, 2), "p90": (9, 10)}
+    ).select("o_orderpriority", "q_label", F.col("__v").alias("cents"))
+
+
+_QUANTILE_ORACLE = """
+WITH cur AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 4
+              THEN CAST(round(o_totalprice * 100.0) AS BIGINT) + 11
+              ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 1000000, o_orderpriority,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) + 5
+  FROM orders WHERE o_orderkey % 25 = 3
+), counted AS (
+  SELECT o_orderpriority, cents, COUNT(*) AS cnt
+  FROM cur GROUP BY o_orderpriority, cents
+), cum AS (
+  SELECT o_orderpriority, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM counted
+), q(q_label, qn, qd) AS (
+  VALUES ('p25', 1, 4), ('p50', 1, 2), ('p90', 9, 10)
+)
+SELECT o_orderpriority, q_label, cents
+FROM cum CROSS JOIN q
+WHERE cum >= (tot * qn + qd - 1) // qd
+  AND cum - cnt < (tot * qn + qd - 1) // qd
+"""
+
+
 _DISTINCT_TOPK_ORACLE = """
 WITH cur AS (
   SELECT o_orderkey,
@@ -1287,6 +1374,7 @@ QUERIES = {
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
     "pipeline_incremental_distinct": pipeline_incremental_distinct,
     "pipeline_distinct_topk": pipeline_distinct_topk,
+    "pipeline_distinct_quantile": pipeline_distinct_quantile,
     "pipeline_time_travel": pipeline_time_travel,
     "table_point_lookup": table_point_lookup,
     "table_index_lookup": table_index_lookup,
@@ -1311,6 +1399,7 @@ ORACLES = {
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,
     "pipeline_incremental_distinct": _DISTINCT_ORACLE,
     "pipeline_distinct_topk": _DISTINCT_TOPK_ORACLE,
+    "pipeline_distinct_quantile": _QUANTILE_ORACLE,
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "table_point_lookup": POINT_LOOKUP_ORACLE,
     "table_index_lookup": _index_lookup_oracle(),

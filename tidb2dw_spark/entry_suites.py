@@ -99,6 +99,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_incremental_distinct": [("o_orderpriority", "str"), ("n_rows", "int"), ("n_cust", "int"), ("n_status", "int")],
     # heavy hitters probed from the SAME maintained support store
     "pipeline_distinct_topk": [("o_orderpriority", "str"), ("o_custkey", "int"), ("cnt", "int"), ("rank", "int")],
+    # exact maintained per-group quantiles (integer ceil-div thresholds)
+    "pipeline_distinct_quantile": [("o_orderpriority", "str"), ("q_label", "str"), ("cents", "int")],
     "q_bloom_point_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int")],
     "q_local_supplier_revenue": [("n_name", "str"), ("n_lineitems", "int"), ("revenue_cents", "int")],
     "q_volume_shipping": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],

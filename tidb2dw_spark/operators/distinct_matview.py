@@ -215,6 +215,67 @@ class MaintainedDistinctAggregate:
             .select(*self.group_cols, "__v", "__cnt", "rank")
         )
 
+    def quantile_values(
+        self,
+        spark: SparkSession,
+        out: str,
+        quantiles: dict[str, tuple[int, int]],
+    ) -> DataFrame:
+        """EXACT per-group quantiles, also free from the support store:
+        because H(g, v) is the row multiset projected onto v, the
+        cnt-weighted lower quantile over the store's values IS the plain
+        per-group quantile of the source column — maintained
+        incrementally without touching the base table.
+
+        *quantiles* maps a label to the fraction (num, den) — e.g.
+        ``{"p50": (1, 2), "p90": (9, 10)}``.  The picked value for p is
+        the smallest v whose cumulative count reaches
+        ``ceil(p · total)``, computed in INTEGER arithmetic
+        (``(tot·num + den − 1) div den``) so engines can't disagree on a
+        threshold.  NULLs are absent by construction.  One window over
+        the group-partitioned store; per-task work bounded by group
+        size, never a global sort."""
+        from pyspark.sql import Window
+
+        if out not in self.distinct_cols:
+            raise KeyError(f"{out!r} is not a maintained distinct column")
+        meta = self.meta()
+        bv = (meta.get("bucket_versions") or {}).get(out, {})
+        paths = [
+            str(self._bucket_path(out, ver, int(b))) for b, ver in bv.items()
+        ]
+        qdf = spark.createDataFrame(
+            [(lbl, int(n), int(d)) for lbl, (n, d) in quantiles.items()],
+            "q_label string, __qn long, __qd long",
+        )
+        if not paths:
+            return (
+                spark.read.parquet(str(self.root / f"v={meta['version']}"))
+                .select(*self.group_cols)
+                .limit(0)
+                .crossJoin(qdf.select("q_label"))
+                .select(*self.group_cols, "q_label", F.lit(None).alias("__v"))
+            )
+        wq = (
+            Window.partitionBy(*self.group_cols)
+            .orderBy(F.col("__v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy(*self.group_cols)
+        cum = (
+            spark.read.parquet(*paths)
+            .withColumn("__cum", F.sum("__cnt").over(wq))
+            .withColumn("__tot", F.sum("__cnt").over(wt))
+        )
+        th = F.expr("(__tot * __qn + __qd - 1) div __qd")
+        return (
+            cum.crossJoin(F.broadcast(qdf))
+            .filter(
+                (F.col("__cum") >= th) & (F.col("__cum") - F.col("__cnt") < th)
+            )
+            .select(*self.group_cols, "q_label", "__v")
+        )
+
     # -- refresh ----------------------------------------------------------
     def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
         """Seed on first call, then fold exactly ``(applied_seq, cdf_seq]``;
