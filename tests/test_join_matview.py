@@ -335,6 +335,228 @@ def test_bound_adapter_rides_streaming_wakeup(spark, tmp_path):
     assert _state(spark, mv.read(spark)) == _recompute(spark, fact, dim)
 
 
+STAR_FACT_SCHEMA = "k long, fk1 long, fk2 long, cents long"
+STAR_FACT_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "k long, fk1 long, fk2 long, cents long"
+)
+D2_SCHEMA = "d2 long, region string"
+D2_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "d2 long, region string"
+)
+
+STAR_FACT = [
+    (1, 10, 100, 11), (2, 10, 200, 22), (3, 20, 100, 33),
+    (4, 20, 200, 44), (5, 30, 100, 55), (6, None, 100, 66),
+    (7, 10, None, 77), (8, 99, 300, 88),  # dangling on dim1
+]
+STAR_D1 = [(10, "A"), (20, "B"), (30, "A")]
+STAR_D2 = [(100, "E"), (200, "W"), (300, "E")]
+
+
+def _mk_star(spark, tmp_path):
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact = ManagedTable(tmp_path / "sfact")
+    fact.create(
+        spark.createDataFrame(STAR_FACT, STAR_FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    d1 = ManagedTable(tmp_path / "sd1")
+    d1.create(
+        spark.createDataFrame(STAR_D1, DIM_SCHEMA.replace("d long", "d long")),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    d2 = ManagedTable(tmp_path / "sd2")
+    d2.create(
+        spark.createDataFrame(STAR_D2, D2_SCHEMA),
+        pk_cols=["d2"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedStarAggregate(
+        tmp_path / "smv",
+        dims=[("fk1", ["seg"]), ("fk2", ["region"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+    )
+    return fact, d1, d2, mv
+
+
+def _sfb(spark, events):
+    """star fact batch: (flag, k, ts, fk1, fk2, cents)."""
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, k, a, b, c) for f, k, ts, a, b, c in events],
+        STAR_FACT_ENV,
+    )
+
+
+def _d2b(spark, events):
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, d, r) for f, d, ts, r in events], D2_ENV
+    )
+
+
+def _star_state(df):
+    return {
+        (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+        for r in df.collect()
+    }
+
+
+def _star_recompute(spark, fact, d1, d2):
+    from tidb2dw_spark.operators.join_matview import init_star_agg
+
+    return _star_state(
+        init_star_agg(
+            fact.read(spark),
+            [(d1.read(spark), "fk1", "d"), (d2.read(spark), "fk2", "d2")],
+            ["seg", "region"],
+            {"total_cents": "cents"},
+        )
+    )
+
+
+def test_star_seed_and_churn_all_three_tables(spark, tmp_path):
+    """Two-dim star: seed equals recompute (NULL/dangling fks excluded),
+    then ONE refresh folds adversarial churn on ALL THREE feeds — fact
+    fk moves across both dims, dim1 delete (danglings) + re-insert on a
+    key the fact slice also adopts, dim2 attribute move — bit-equal to
+    a full recompute."""
+    fact, d1, d2, mv = _mk_star(spark, tmp_path)
+    mv.refresh_star(spark, fact, [d1, d2])
+    got = _star_state(mv.read(spark))
+    assert got == _star_recompute(spark, fact, d1, d2)
+    assert sum(n for n, _ in got.values()) == 5  # k6/k7/k8 excluded
+
+    fact.merge(spark, _sfb(spark, [
+        ("U", 1, 5, 20, 200, 12),    # moves across BOTH dims
+        ("D", 4, 5, None, None, None),
+        ("I", 9, 5, 30, 300, 99),
+        ("U", 8, 5, 40, 300, 88),    # adopts a dim1 key inserted this slice
+    ]))
+    d1.merge(spark, _db(spark, [
+        ("D", 30, 6, None),          # k5 (and new k9) dangle
+        ("U", 10, 6, "Z"),
+        ("I", 40, 6, "C"),           # k8 attaches
+    ]))
+    d2.merge(spark, _d2b(spark, [
+        ("U", 100, 7, "N"),
+        ("D", 200, 7, None),         # k1 (just moved onto 200) dangles
+    ]))
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert _star_state(mv.read(spark)) == _star_recompute(spark, fact, d1, d2)
+
+
+def test_star_cadence_invariance(spark, tmp_path):
+    """Per-merge refreshes and one spanning refresh converge (every feed
+    slice applied exactly once at any grouping)."""
+    fa, da1, da2, mva = _mk_star(spark, tmp_path / "a")
+    fb, db1, db2, mvb = _mk_star(spark, tmp_path / "b")
+    mva.refresh_star(spark, fa, [da1, da2])
+    mvb.refresh_star(spark, fb, [db1, db2])
+    steps = [
+        ("F", [("U", 2, 5, 20, 100, 23)]),
+        ("D1", [("U", 20, 6, "Y"), ("D", 10, 6, None)]),
+        ("D2", [("I", 400, 7, "S"), ("U", 300, 7, "W")]),
+        ("F", [("I", 10, 8, 20, 400, 10), ("D", 3, 8, None, None, None)]),
+        ("D1", [("I", 10, 9, "A2")]),
+    ]
+    for side, ev in steps:
+        for f_, d1_, d2_, mv_ in ((fa, da1, da2, mva), (fb, db1, db2, mvb)):
+            if side == "F":
+                f_.merge(spark, _sfb(spark, ev))
+            elif side == "D1":
+                d1_.merge(spark, _db(spark, ev))
+            else:
+                d2_.merge(spark, _d2b(spark, ev))
+        mva.refresh_star(spark, fa, [da1, da2])  # per-step cadence
+    mvb.refresh_star(spark, fb, [db1, db2])      # one spanning slice
+    want = _star_recompute(spark, fa, da1, da2)
+    assert _star_state(mva.read(spark)) == want
+    assert _star_state(mvb.read(spark)) == want
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_pf_ev = st.tuples(
+    st.just("F"), st.sampled_from(["I", "U", "D"]), st.integers(0, 7),
+    st.sampled_from([10, 20, 30, 40, None]),
+    st.sampled_from([100, 200, 300, None]), st.integers(0, 20),
+)
+_pd1_ev = st.tuples(
+    st.just("D1"), st.sampled_from(["I", "U", "D"]),
+    st.sampled_from([10, 20, 30, 40]), st.sampled_from(["A", "B", "C"]),
+)
+_pd2_ev = st.tuples(
+    st.just("D2"), st.sampled_from(["I", "U", "D"]),
+    st.sampled_from([100, 200, 300]), st.sampled_from(["E", "W"]),
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.one_of(_pf_ev, _pd1_ev, _pd2_ev), min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_star_matches_recompute_on_random_feeds(spark, batches):
+    """Property: for ANY random cross-table I/U/D sequence (fk moves,
+    NULL fks, dim deletes/revivals, same-slice interactions), the
+    maintained star rollup equals a full three-way recompute — both
+    refreshed per batch and with ONE refresh spanning everything."""
+    import tempfile as _tf
+    from pathlib import Path as _P
+
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    root = _P(_tf.mkdtemp(prefix="starprop_"))
+    fact, d1, d2, _ = _mk_star(spark, root)
+    mv_each = MaintainedStarAggregate(
+        root / "mv_each", dims=[("fk1", ["seg"]), ("fk2", ["region"])],
+        fact_group_cols=[], sum_cols={"total_cents": "cents"},
+    )
+    mv_span = MaintainedStarAggregate(
+        root / "mv_span", dims=[("fk1", ["seg"]), ("fk2", ["region"])],
+        fact_group_cols=[], sum_cols={"total_cents": "cents"},
+    )
+    mv_each.refresh_star(spark, fact, [d1, d2])
+    mv_span.refresh_star(spark, fact, [d1, d2])
+
+    ts = 100
+    for batch in batches:
+        per = {"F": [], "D1": [], "D2": []}
+        for ev in batch:
+            per[ev[0]].append(ev[1:])
+        if per["F"]:
+            fact.merge(spark, _sfb(spark, [
+                (f, k, ts + i,
+                 None if f == "D" else a, None if f == "D" else b,
+                 None if f == "D" else c)
+                for i, (f, k, a, b, c) in enumerate(per["F"])
+            ]))
+        if per["D1"]:
+            d1.merge(spark, _db(spark, [
+                (f, d, ts + 50 + i, None if f == "D" else s)
+                for i, (f, d, s) in enumerate(per["D1"])
+            ]))
+        if per["D2"]:
+            d2.merge(spark, _d2b(spark, [
+                (f, d, ts + 80 + i, None if f == "D" else r)
+                for i, (f, d, r) in enumerate(per["D2"])
+            ]))
+        ts += 100
+        mv_each.refresh_star(spark, fact, [d1, d2])
+
+    mv_span.refresh_star(spark, fact, [d1, d2])
+    want = _star_recompute(spark, fact, d1, d2)
+    assert _star_state(mv_each.read(spark)) == want
+    assert _star_state(mv_span.read(spark)) == want
+
+
 def test_overlapping_names_rejected(spark, tmp_path):
     fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
     mv = MaintainedJoinAggregate(

@@ -1201,6 +1201,178 @@ def pipeline_distinct_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Two-dim STAR rollup row (operators/join_matview.py:
+# MaintainedStarAggregate): quantity and revenue by (part brand,
+# supplier nation) over lineitem ⋈ part ⋈ supplier, maintained through
+# ONE refresh window that churns ALL THREE feeds — fact fk moves onto
+# deleted part keys (danglings), part deletes/brand moves, supplier
+# nation moves.  The telescoped delta algebra (module docstring) must
+# absorb every cross-table interaction; the oracle is a DuckDB full
+# three-way join+group recompute.  lineitem's duplicate
+# (l_orderkey, l_linenumber) keys (TESTDATA quirk) are deduplicated with
+# a total-order row_number mirrored in the oracle.
+# ---------------------------------------------------------------------------
+_STAR_CACHE: dict[str, object] = {}
+
+
+def pipeline_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _STAR_CACHE:
+        cents = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            cents.alias("cents"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("cents"), F.desc("qty"),
+            F.asc("l_partkey"), F.asc("l_suppkey"),
+        )
+        src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_brand"
+        )
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", F.col("s_nationkey").cast("long").alias("s_nationkey")
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_star_"))
+        fact = ManagedTable(wh / "lineitem").create(
+            src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        d_part = ManagedTable(wh / "part").create(
+            part, ["p_partkey"], pk_buckets=4, cdf=True
+        )
+        d_supp = ManagedTable(wh / "supplier").create(
+            supp, ["s_suppkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[("l_partkey", ["p_brand"]), ("l_suppkey", ["s_nationkey"])],
+            fact_group_cols=[],
+            sum_cols={"qty_sum": "qty", "cents_sum": "cents"},
+        )
+        mv.refresh_star(spark, fact, [d_part, d_supp])  # seed pre-churn
+
+        def fb(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "qty", "cents",
+            )
+
+        f_d = src.filter(F.col("l_orderkey") % 10 == 7)
+        f_u = src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_partkey") % 50 + 1).alias("l_partkey"),
+            "l_suppkey", "qty",
+            (F.col("cents") + 7).alias("cents"),
+        )
+        f_i = src.filter(F.col("l_orderkey") % 25 == 3).select(
+            (F.col("l_orderkey") + 2000000).alias("l_orderkey"),
+            "l_linenumber",
+            (F.col("l_orderkey") % 80 + 1).alias("l_partkey"),
+            (F.col("l_orderkey") % 60 + 1).alias("l_suppkey"),
+            "qty",
+            (F.col("cents") + 5).alias("cents"),
+        )
+        fact.merge(
+            spark,
+            fb(f_d, "D").unionByName(fb(f_u, "U")).unionByName(fb(f_i, "I")),
+        )
+
+        def pb(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("part").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "p_partkey", "p_brand",
+            )
+
+        p_d = part.filter(F.col("p_partkey") % 10 == 3)
+        p_u = part.filter(F.col("p_partkey") % 10 == 6).select(
+            "p_partkey",
+            F.concat(F.col("p_brand"), F.lit("_X")).alias("p_brand"),
+        )
+        d_part.merge(spark, pb(p_d, "D").unionByName(pb(p_u, "U")))
+
+        s_u = supp.filter(F.col("s_suppkey") % 5 == 2).select(
+            F.lit("U").alias("flag"),
+            F.lit("supplier").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "s_suppkey",
+            ((F.col("s_nationkey") + 7) % 25).alias("s_nationkey"),
+        )
+        d_supp.merge(spark, s_u)
+
+        mv.refresh_star(spark, fact, [d_part, d_supp])  # ONE three-feed fold
+        _STAR_CACHE[sf_dir] = mv
+    mv = _STAR_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "p_brand", "s_nationkey", "n_rows", "qty_sum", "cents_sum"
+    )
+
+
+_STAR_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, qty, cents FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * 100.0) AS BIGINT) DESC,
+                      CAST(l_quantity AS BIGINT) DESC,
+                      l_partkey ASC, l_suppkey ASC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curf AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_partkey % 50) + 1
+              ELSE l_partkey END AS l_partkey,
+         l_suppkey, qty,
+         CASE WHEN l_orderkey % 10 = 4 THEN cents + 7
+              ELSE cents END AS cents
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey + 2000000, l_linenumber, (l_orderkey % 80) + 1,
+         (l_orderkey % 60) + 1, qty, cents + 5
+  FROM li WHERE l_orderkey % 25 = 3
+), curp AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 10 = 6 THEN p_brand || '_X'
+              ELSE p_brand END AS p_brand
+  FROM part WHERE p_partkey % 10 <> 3
+), curs AS (
+  SELECT s_suppkey,
+         CAST(CASE WHEN s_suppkey % 5 = 2 THEN (s_nationkey + 7) % 25
+              ELSE s_nationkey END AS BIGINT) AS s_nationkey
+  FROM supplier
+)
+SELECT p.p_brand, s.s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(f.qty) AS BIGINT) AS qty_sum,
+       CAST(SUM(f.cents) AS BIGINT) AS cents_sum
+FROM curf f
+JOIN curp p ON f.l_partkey = p.p_partkey
+JOIN curs s ON f.l_suppkey = s.s_suppkey
+GROUP BY p.p_brand, s.s_nationkey
+"""
+
+
 _QUANTILE_CACHE: dict[str, object] = {}
 
 
@@ -1372,6 +1544,7 @@ QUERIES = {
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
+    "pipeline_star_join_agg": pipeline_star_join_agg,
     "pipeline_incremental_distinct": pipeline_incremental_distinct,
     "pipeline_distinct_topk": pipeline_distinct_topk,
     "pipeline_distinct_quantile": pipeline_distinct_quantile,
@@ -1397,6 +1570,7 @@ ORACLES = {
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,
+    "pipeline_star_join_agg": _STAR_ORACLE,
     "pipeline_incremental_distinct": _DISTINCT_ORACLE,
     "pipeline_distinct_topk": _DISTINCT_TOPK_ORACLE,
     "pipeline_distinct_quantile": _QUANTILE_ORACLE,

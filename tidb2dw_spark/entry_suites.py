@@ -95,6 +95,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "table_index_range_lookup": [("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"), ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str"), ("probe", "str")],
     # JOIN rollup maintained from TWO change feeds (ΔF⋈D_old ∪ F_new⋈ΔD)
     "pipeline_incremental_join_agg": [("o_orderpriority", "str"), ("c_mktsegment", "str"), ("n_rows", "int"), ("total_cents", "int")],
+    # two-dim STAR rollup maintained from THREE feeds (telescoped delta)
+    "pipeline_star_join_agg": [("p_brand", "str"), ("s_nationkey", "int"), ("n_rows", "int"), ("qty_sum", "int"), ("cents_sum", "int")],
     # exact COUNT(DISTINCT) via the bucket-partitioned support multiset
     "pipeline_incremental_distinct": [("o_orderpriority", "str"), ("n_rows", "int"), ("n_cust", "int"), ("n_status", "int")],
     # heavy hitters probed from the SAME maintained support store

@@ -1,57 +1,63 @@
-"""Incremental maintenance of a JOIN rollup from TWO change feeds.
+"""Incremental maintenance of JOIN rollups from multiple change feeds.
 
 :mod:`.matview` keeps single-table aggregates fresh in O(changes); the
-next thing every warehouse deployment builds on a replicated pair is a
-JOINED rollup — revenue by customer segment, events by device class —
-and re-running the join per CDC batch re-scans both tables.  This module
-maintains ``SELECT g…, COUNT(*), SUM(m)… FROM fact JOIN dim ON fact.fk =
-dim.pk GROUP BY g…`` incrementally from the two tables' change data
-feeds, the classic delta algebra for materialized join views (Blakeley
-et al., SIGMOD'86; the same shape Snowflake/BigQuery incremental MVs
-implement):
+next thing every warehouse deployment builds on a replicated set is a
+JOINED rollup — revenue by customer segment, quantity by part brand and
+supplier nation — and re-running the join per CDC batch re-scans every
+table.  This module maintains ``SELECT g…, COUNT(*), SUM(m)… FROM fact
+JOIN dim1 ON fact.fk1 = dim1.pk [JOIN dim2 …] GROUP BY g…``
+incrementally from all the tables' change data feeds, the classic delta
+algebra for materialized join views (Blakeley et al., SIGMOD'86; the
+same shape Snowflake/BigQuery incremental MVs implement), telescoped
+over the star:
 
-    Δ(F ⋈ D)  =  ΔF ⋈ D_old   ∪   F_new ⋈ ΔD
+    Δ(F ⋈ D1 ⋈ … ⋈ Dn) =  ΔF ⋈ D1_old ⋈ … ⋈ Dn_old
+                        ∪  F_new ⋈ ΔD1 ⋈ D2_old ⋈ … ⋈ Dn_old
+                        ∪  F_new ⋈ D1_new ⋈ ΔD2 ⋈ D3_old ⋈ …
+                        ∪  …
+                        ∪  F_new ⋈ D1_new ⋈ … ⋈ D(n-1)_new ⋈ ΔDn
 
 with SIGNED change rows (+1 insert/update_postimage, −1
-delete/update_preimage).  The identity is exact for multiset semantics:
-F_new = F_old + ΔF, so ΔF⊗D_old + F_new⊗ΔD expands to exactly
-F_new⊗D_new − F_old⊗D_old — updates that move a fact row between dim
-keys, dim attribute changes that move whole groups, same-slice
-insert+insert pairs, and danglings from a dim delete all fall out of the
-two terms with no special cases.
+delete/update_preimage); each term carries exactly ONE delta factor and
+that factor supplies the sign.  The identity is exact for multiset
+semantics — replace one factor at a time left to right and the sum
+telescopes to F_new⊗D*_new − F_old⊗D*_old — so fk moves, dim attribute
+moves, danglings from dim deletes, re-attachments from dim inserts, and
+same-slice cross-table churn all fall out with no special cases.
 
 Scale shape (the whole point — never O(table) per refresh):
 
-- ``ΔF ⋈ D_old``: the dim side is reconstructed ONLY for the fk keys the
-  fact slice touches — ``read_for_keys`` probes the dim's PK buckets
-  (O(touched buckets), pinned to the refresh's own manifest), and the
-  slice's own dim changes are REVERSE-APPLIED on those keys (the
-  pre-slice image of a changed key is the earliest slice event's
-  preimage; a key whose earliest event is an insert had no pre-slice
-  row).  The feeds carry pre-images precisely so that old states never
-  need a second table scan.
-- ``F_new ⋈ ΔD``: the fact side is read pinned and filtered to the
+- Old dim states are reconstructed ONLY for the fk keys a term's fact
+  rows touch — ``read_for_keys`` probes the dim's PK buckets (O(touched
+  buckets), pinned to the refresh's own manifests), and the slice's own
+  dim changes are REVERSE-APPLIED on those keys (the pre-slice image of
+  a changed key is the earliest slice event's preimage; a key whose
+  earliest event is an insert had no pre-slice row).  The feeds carry
+  pre-images precisely so that old states never need a second scan.
+- ``F_new ⋈ ΔDi``: the fact side is read pinned and filtered to the
   changed dim keys with a LITERAL ``fk IN (…)`` predicate (batch-bounded
-  collect, same cap-and-fallback contract as the matview dirty-group
-  rescan) so parquet row-group pruning engages — on a fact table
-  clustered or z-ordered by fk this reads a handful of files.  Past the
-  cap, a broadcast semi-join fallback (full scan, filtered).
+  collect, capped with a broadcast-semi fallback) so parquet row-group
+  pruning engages — on a fact table clustered or z-ordered by fk this
+  reads a handful of files.  Within such a term, the OTHER dims' probes
+  are bounded by the fanout of the changed keys, not the table.
 - The fold is one union → groupBy on the group key, identical to the
   single-table matview: partial aggregation map-side, NULL groups
   native, groups whose joined count reaches zero dropped.
 
 Exactness: integer measures make incremental == full recompute
-bit-for-bit; the driver row ``pipeline_incremental_join_agg`` proves the
-maintained rollup equal to a DuckDB full join+group recompute after
-adversarial churn on BOTH tables.  Restrictions (asserted at seed): the
-dim side is keyed by its single-column PK (the N:1 warehouse-dimension
-shape; the reference's replicated tables always carry a PK —
-tidbsql/ddl.go PK discovery), the join is INNER with plain equality
-(NULL fk never matches), and measures are fact-side columns.
+bit-for-bit; the driver rows ``pipeline_incremental_join_agg`` (one
+dim) and ``pipeline_star_join_agg`` (two dims) prove the maintained
+rollup equal to a DuckDB full join+group recompute after adversarial
+churn on EVERY table in one refresh window.  Restrictions (asserted at
+seed): each dim is keyed by its single-column PK (the N:1
+warehouse-dimension shape; the reference's replicated tables always
+carry a PK — tidbsql/ddl.go PK discovery), joins are INNER with plain
+equality (NULL fk never matches), measures are fact-side columns, and
+all consumed column names are pairwise disjoint across the tables.
 
 Crash contract: state is versioned parquet + ``_meta.json`` committed by
-``os.replace`` carrying BOTH applied seqs; a crash between data write
-and meta swap is repaired by the deterministic overwrite on retry, and a
+``os.replace`` carrying ALL applied seqs; a crash between data write and
+meta swap is repaired by the deterministic overwrite on retry, and a
 crash between one table's merge and this refresh self-heals next poll
 (each refresh folds exactly ``(applied, current]`` of each feed).
 """
@@ -60,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import threading
 from collections.abc import Sequence
@@ -89,7 +96,22 @@ def init_join_agg(
     (group_cols…, n_rows, <out>=SUM(<fact src>)…), NULL-as-zero sums —
     the same convention :func:`..matview.init_agg` pins, for the same
     reason (± folding cannot express an all-NULL revival)."""
-    joined = fact.join(dim, fact[fk_col] == dim[dim_pk], "inner")
+    return init_star_agg(
+        fact, [(dim, fk_col, dim_pk)], group_cols, sum_cols
+    )
+
+
+def init_star_agg(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, str, str]],
+    group_cols: Sequence[str],
+    sum_cols: dict[str, str],
+) -> DataFrame:
+    """Seed the star rollup: chained inner joins (*dims* is a list of
+    (dim_df, fact_fk_col, dim_pk_col)), then one groupBy."""
+    joined = fact
+    for dim_df, fk, pk in dims:
+        joined = joined.join(dim_df, joined[fk] == dim_df[pk], "inner")
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
         for out, src in sum_cols.items()
@@ -98,28 +120,28 @@ def init_join_agg(
 
 
 class BoundJoinAggregate:
-    """A :class:`MaintainedJoinAggregate` closed over its two tables so it
-    fits the SINGLE-table derived protocol (``exists()`` /
-    ``refresh(spark, table)``) that :class:`~...replicate.TableReplicator`
-    and :func:`~...streaming.stream.stream_derived_refresh` drive.
+    """A join/star view closed over its tables so it fits the
+    SINGLE-table derived protocol (``exists()`` / ``refresh(spark,
+    table)``) that :class:`~...replicate.TableReplicator` and
+    :func:`~...streaming.stream.stream_derived_refresh` drive.
 
-    ``refresh`` folds BOTH feeds regardless of which table's poll (or
+    ``refresh`` folds ALL feeds regardless of which table's poll (or
     commit-log wake-up) triggered it — each refresh applies exactly
     ``(applied, current]`` of each feed — so attaching to ONE
     replicator keeps the view fresh on that cadence, and attaching to
-    BOTH (fact's and dim's loops; ``replicate_all`` runs them in
-    threads) is serialized by an in-process lock: the second thread's
-    refresh sees both seqs already applied and no-ops.  *table*, when
-    given, must be one of the pair — a mis-wired attachment fails loudly
-    instead of silently maintaining a view over the wrong tables."""
+    several (``replicate_all`` runs them in threads) is serialized by
+    an in-process lock: a second thread's refresh sees every seq
+    already applied and no-ops.  *table*, when given, must be one of
+    the bound set — a mis-wired attachment fails loudly instead of
+    silently maintaining a view over the wrong tables."""
 
     def __init__(
         self,
-        view: "MaintainedJoinAggregate",
+        view,
         fact: ManagedTable,
-        dim: ManagedTable,
+        dims: Sequence[ManagedTable],
     ):
-        self.view, self.fact, self.dim = view, fact, dim
+        self.view, self.fact, self.dims = view, fact, list(dims)
         self._lock = threading.Lock()
 
     def exists(self) -> bool:
@@ -130,46 +152,53 @@ class BoundJoinAggregate:
 
     def refresh(self, spark: SparkSession, table: ManagedTable | None = None):
         if table is not None and str(Path(table.root).resolve()) not in {
-            str(Path(self.fact.root).resolve()),
-            str(Path(self.dim.root).resolve()),
+            str(Path(t.root).resolve()) for t in [self.fact, *self.dims]
         }:
             raise ValueError(
                 f"BoundJoinAggregate is bound to {self.fact.root} / "
-                f"{self.dim.root}; refresh was driven by {table.root}"
+                f"{[str(d.root) for d in self.dims]}; refresh was driven "
+                f"by {table.root}"
             )
         with self._lock:
-            return self.view.refresh(spark, self.fact, self.dim)
+            return self.view.refresh_star(spark, self.fact, self.dims)
 
 
-class MaintainedJoinAggregate:
-    """A JOIN rollup maintained from two CDF-enabled ManagedTables.
+class MaintainedStarAggregate:
+    """A JOIN rollup over fact ⋈ dim1 [⋈ dim2 …] maintained from every
+    table's change feed.
 
-    ``group_cols`` name output group keys; ``fact_group_cols`` /
-    ``dim_group_cols`` say which side supplies each (disjoint; together
-    they equal ``group_cols``).  ``sum_cols`` maps output name → FACT
-    column.  ``fk_col`` is the fact-side join column; the dim side joins
-    on its own (single-column) primary key."""
+    *dims* is an ordered list of ``(fk_col, dim_group_cols)`` — the
+    fact-side join column and which output group keys that dim supplies
+    (may be empty).  ``fact_group_cols`` name the fact-supplied group
+    keys; together (in order: fact, then each dim) they form the output
+    group key.  ``sum_cols`` maps output name → FACT column.  Each dim
+    joins on its own single-column primary key."""
 
     def __init__(
         self,
         root,
-        fk_col: str,
+        dims: Sequence[tuple[str, Sequence[str]]],
         fact_group_cols: Sequence[str],
-        dim_group_cols: Sequence[str],
         sum_cols: dict[str, str],
     ):
         self.root = Path(root)
-        self.fk_col = fk_col
+        self.dims = [(fk, list(gc)) for fk, gc in dims]
+        if not self.dims:
+            raise ValueError("need at least one dim (fk_col, group_cols)")
         self.fact_group_cols = list(fact_group_cols)
-        self.dim_group_cols = list(dim_group_cols)
-        self.group_cols = self.fact_group_cols + self.dim_group_cols
+        self.group_cols = self.fact_group_cols + [
+            g for _, gc in self.dims for g in gc
+        ]
         self.sum_cols = dict(sum_cols)
 
-    def bind(self, fact: ManagedTable, dim: ManagedTable) -> BoundJoinAggregate:
-        """Close over the two tables → an object the single-table derived
+    def bind(
+        self, fact: ManagedTable, dims: ManagedTable | Sequence[ManagedTable]
+    ) -> BoundJoinAggregate:
+        """Close over the tables → an object the single-table derived
         hooks (``TableReplicator(derived=[…])``, ``stream_derived_refresh``)
         can drive."""
-        return BoundJoinAggregate(self, fact, dim)
+        dl = [dims] if isinstance(dims, ManagedTable) else list(dims)
+        return BoundJoinAggregate(self, fact, dl)
 
     # -- meta (same crash contract as MaintainedAggregate) ----------------
     def _meta_path(self) -> Path:
@@ -198,21 +227,21 @@ class MaintainedJoinAggregate:
     def _fact_cols(self) -> list[str]:
         return list(
             dict.fromkeys(
-                [self.fk_col]
+                [fk for fk, _ in self.dims]
                 + self.fact_group_cols
                 + list(self.sum_cols.values())
             )
         )
 
-    def _dim_cols(self, dim_pk: str) -> list[str]:
-        return list(dict.fromkeys([dim_pk] + self.dim_group_cols))
+    def _dim_cols(self, i: int, dim_pk: str) -> list[str]:
+        return list(dict.fromkeys([dim_pk] + self.dims[i][1]))
 
     @staticmethod
     def _translated(
         names: list[str], stored_ids: dict, src_m: dict
     ) -> list:
         """Source's CURRENT names (by field id) aliased back to the names
-        this view was seeded with — a base RENAME on either table neither
+        this view was seeded with — a base RENAME on any table neither
         breaks the fold nor mutates the view's output schema (the same
         translation MaintainedAggregate/SecondaryIndex perform)."""
         inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
@@ -224,7 +253,8 @@ class MaintainedJoinAggregate:
         ]
 
     # -- signed delta projections ----------------------------------------
-    def _signed(self, ch: DataFrame, cols: list) -> DataFrame:
+    @staticmethod
+    def _signed(ch: DataFrame, cols: list) -> DataFrame:
         return ch.select(
             *cols,
             F.when(F.col(CHANGE_TYPE_COL).isin(*_ADD), F.lit(1))
@@ -247,69 +277,99 @@ class MaintainedJoinAggregate:
         )
 
     # -- refresh ----------------------------------------------------------
-    def refresh(
-        self, spark: SparkSession, fact: ManagedTable, dim: ManagedTable
-    ) -> tuple[int, int]:
-        """Fold both feeds' new commits into the rollup; returns the
-        applied (fact_seq, dim_seq) checkpoint.  Both manifests are read
+    def refresh_star(
+        self,
+        spark: SparkSession,
+        fact: ManagedTable,
+        dim_tables: Sequence[ManagedTable],
+    ) -> tuple:
+        """Fold every feed's new commits into the rollup; returns the
+        applied (fact_seq, dim_seq…) checkpoint.  All manifests are read
         ONCE at entry and pin every state read below — the concurrency
         contract the single-table matview established."""
-        mF, mD = fact.manifest(), dim.manifest()
-        for name, m in (("fact", mF), ("dim", mD)):
+        dim_tables = list(dim_tables)
+        if len(dim_tables) != len(self.dims):
+            raise ValueError(
+                f"view has {len(self.dims)} dims, got {len(dim_tables)} tables"
+            )
+        mF = fact.manifest()
+        mDs = [d.manifest() for d in dim_tables]
+        for name, m, t in [
+            ("fact", mF, fact),
+            *[(f"dim{i}", mDs[i], dim_tables[i]) for i in range(len(mDs))],
+        ]:
             if not m.get("cdf"):
                 raise ValueError(
-                    f"{name} table has no change data feed (create(cdf=True))"
+                    f"{name} table {t.root} has no change data feed "
+                    "(create(cdf=True))"
                 )
-        dim_pk_cols = mD["pk"]
-        if len(dim_pk_cols) != 1:
-            raise ValueError(
-                "MaintainedJoinAggregate joins on the dim's single-column "
-                f"PK; {dim.root} has PK {dim_pk_cols}"
-            )
-        sF, sD = mF.get("cdf_seq", 0), mD.get("cdf_seq", 0)
+        for i, m in enumerate(mDs):
+            if len(m["pk"]) != 1:
+                raise ValueError(
+                    "star dims join on their single-column PK; "
+                    f"{dim_tables[i].root} has PK {m['pk']}"
+                )
+        sF = mF.get("cdf_seq", 0)
+        sDs = [m.get("cdf_seq", 0) for m in mDs]
 
         if not self.exists():
-            dim_pk = dim_pk_cols[0]
-            overlap = set(self._fact_cols()) & set(self._dim_cols(dim_pk))
-            if overlap:
-                raise ValueError(
-                    f"fact and dim consumed columns overlap on {sorted(overlap)}; "
-                    "the two sides' names must be disjoint so unqualified "
-                    "group/measure references stay unambiguous"
-                )
-            seed = init_join_agg(
+            dim_pks = [m["pk"][0] for m in mDs]
+            consumed = [self._fact_cols()] + [
+                self._dim_cols(i, dim_pks[i]) for i in range(len(self.dims))
+            ]
+            seen: set[str] = set()
+            for cols in consumed:
+                overlap = seen & set(cols)
+                if overlap:
+                    raise ValueError(
+                        f"consumed columns overlap on {sorted(overlap)}; "
+                        "the tables' names must be pairwise disjoint so "
+                        "unqualified group/measure references stay unambiguous"
+                    )
+                seen |= set(cols)
+            seed = init_star_agg(
                 fact._read_state(spark, mF).select(*self._fact_cols()),
-                dim._read_state(spark, mD).select(*self._dim_cols(dim_pk)),
-                self.fk_col,
-                dim_pk,
+                [
+                    (
+                        dim_tables[i]
+                        ._read_state(spark, mDs[i])
+                        .select(*self._dim_cols(i, dim_pks[i])),
+                        self.dims[i][0],
+                        dim_pks[i],
+                    )
+                    for i in range(len(self.dims))
+                ],
                 self.group_cols,
                 self.sum_cols,
             )
-            f_ids, d_ids = mF.get("field_ids", {}), mD.get("field_ids", {})
+            f_ids = mF.get("field_ids", {})
             self._commit(
                 seed,
                 {
                     "version": 1,
                     "applied_fact": sF,
-                    "applied_dim": sD,
-                    "dim_pk": dim_pk,
+                    "applied_dims": sDs,
+                    "dim_pks": dim_pks,
                     "fact_field_ids": {
                         n: f_ids[n] for n in self._fact_cols() if n in f_ids
                     },
-                    "dim_field_ids": {
-                        n: d_ids[n]
-                        for n in self._dim_cols(dim_pk)
-                        if n in d_ids
-                    },
+                    "dim_field_ids": [
+                        {
+                            n: mDs[i].get("field_ids", {})[n]
+                            for n in self._dim_cols(i, dim_pks[i])
+                            if n in mDs[i].get("field_ids", {})
+                        }
+                        for i in range(len(self.dims))
+                    ],
                 },
             )
-            return sF, sD
+            return (sF, *sDs)
 
         meta = self.meta()
-        aF, aD = meta["applied_fact"], meta["applied_dim"]
-        dim_pk = meta["dim_pk"]
-        if sF <= aF and sD <= aD:
-            return aF, aD
+        aF, aDs = meta["applied_fact"], meta["applied_dims"]
+        dim_pks = meta["dim_pks"]
+        if sF <= aF and all(s <= a for s, a in zip(sDs, aDs)):
+            return (aF, *aDs)
 
         meta_keep = [CHANGE_TYPE_COL, COMMIT_SEQ_COL]
         dF = self._signed(
@@ -321,120 +381,182 @@ class MaintainedJoinAggregate:
             ),
             [F.col(c) for c in self._fact_cols()],
         )
-        dD = self._signed(
-            dim.changes(spark, since=aD, until=sD).select(
-                *self._translated(
-                    self._dim_cols(dim_pk), meta.get("dim_field_ids", {}), mD
+        d_ids = meta.get("dim_field_ids") or [{}] * len(self.dims)
+        dDs = [
+            self._signed(
+                dim_tables[i]
+                .changes(spark, since=aDs[i], until=sDs[i])
+                .select(
+                    *self._translated(
+                        self._dim_cols(i, dim_pks[i]), d_ids[i], mDs[i]
+                    ),
+                    *meta_keep,
                 ),
-                *meta_keep,
-            ),
-            [F.col(c) for c in self._dim_cols(dim_pk)],
-        )
-
-        # ---- term 1: ΔF ⋈ D_old, dim state reconstructed per touched key
-        # the probe frame carries the dim's CURRENT pk name (read_for_keys
-        # semi-joins on the live manifest's pk); results translate back to
-        # seed names below
-        cur_dim_pk = dim_pk_cols[0]
-        fkeys = (
-            dF.filter(F.col(self.fk_col).isNotNull())
-            .select(F.col(self.fk_col).alias(cur_dim_pk))
-            .distinct()
-        )
-        # current dim rows for those keys — bucket-pruned probe PINNED to
-        # this refresh's manifest; dim names translated to seed names
-        d_cur = dim.read_for_keys(spark, fkeys, manifest=mD).select(
-            *self._translated(
-                self._dim_cols(dim_pk), meta.get("dim_field_ids", {}), mD
+                [F.col(c) for c in self._dim_cols(i, dim_pks[i])],
             )
-        )
-        # reverse-apply this slice's dim changes on those keys: the
-        # pre-slice image of a changed key is the EARLIEST slice event's
-        # preimage (update_preimage/delete carry it); a key whose earliest
-        # event is an insert had no pre-slice row.  Keys untouched by the
-        # slice keep their current row.
-        w = Window.partitionBy(dim_pk).orderBy(
-            F.asc("__seq"), F.asc(F.col("__ct").isin(*_ADD).cast("int"))
-        )
-        first_ev = (
-            dD.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        changed_keys = dD.select(dim_pk).distinct()
-        d_old = (
-            d_cur.join(F.broadcast(changed_keys), on=dim_pk, how="left_anti")
-            .unionByName(
-                first_ev.filter(F.col("__ct").isin(*_SUB)).select(
-                    *self._dim_cols(dim_pk)
-                )
-            )
-        )
-        t1 = self._delta_rows(
-            dF.alias("f").join(
-                d_old.alias("d"),
-                F.col(f"f.{self.fk_col}") == F.col(f"d.{dim_pk}"),
-                "inner",
-            ),
-            F.col("f.__sign"),
-        )
+            for i in range(len(self.dims))
+        ]
 
-        # ---- term 2: F_new ⋈ ΔD, fact state filtered to changed dim keys
-        dkey_rows = changed_keys.limit(_FK_LITERAL_CAP + 1).collect()
-        if not dkey_rows:
-            t2 = t1.limit(0)
-        else:
-            f_state = fact._read_state(spark, mF).select(
+        def keys_of(frame: DataFrame, fk: str, cur_pk: str) -> DataFrame:
+            """Distinct non-NULL fk values of *frame*, under the dim's
+            CURRENT pk name (read_for_keys semi-joins on the live
+            manifest's pk)."""
+            return (
+                frame.filter(F.col(fk).isNotNull())
+                .select(F.col(fk).alias(cur_pk))
+                .distinct()
+            )
+
+        def dim_state(i: int, keys: DataFrame) -> DataFrame:
+            """CURRENT (slice-end) dim rows for *keys* — bucket-pruned
+            probe PINNED to this refresh's manifest, translated to seed
+            names."""
+            return dim_tables[i].read_for_keys(
+                spark, keys, manifest=mDs[i]
+            ).select(
                 *self._translated(
-                    self._fact_cols(), meta.get("fact_field_ids", {}), mF
+                    self._dim_cols(i, dim_pks[i]), d_ids[i], mDs[i]
                 )
             )
-            if len(dkey_rows) <= _FK_LITERAL_CAP:
+
+        def dim_old(i: int, keys: DataFrame) -> DataFrame:
+            """PRE-SLICE dim rows for *keys*: current rows for keys the
+            slice didn't touch, ∪ the earliest slice event's preimage for
+            keys it did (a key whose earliest event is an insert had no
+            pre-slice row)."""
+            pk = dim_pks[i]
+            d_cur = dim_state(i, keys)
+            w = Window.partitionBy(pk).orderBy(
+                F.asc("__seq"), F.asc(F.col("__ct").isin(*_ADD).cast("int"))
+            )
+            first_ev = (
+                dDs[i]
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            changed = dDs[i].select(pk).distinct()
+            return d_cur.join(
+                F.broadcast(changed), on=pk, how="left_anti"
+            ).unionByName(
+                first_ev.filter(F.col("__ct").isin(*_SUB)).select(
+                    *self._dim_cols(i, pk)
+                )
+            )
+
+        n = len(self.dims)
+        cur_pks = [m["pk"][0] for m in mDs]
+        terms: list[DataFrame] = []
+
+        # ---- term 0: ΔF ⋈ (every dim OLD), dim states reconstructed
+        # per fk key the fact slice touches
+        t0 = dF.alias("f")
+        for i in range(n):
+            fk = self.dims[i][0]
+            t0 = t0.join(
+                dim_old(i, keys_of(dF, fk, cur_pks[i])),
+                F.col(f"f.{fk}") == F.col(dim_pks[i]),
+                "inner",
+            )
+        terms.append(self._delta_rows(t0, F.col("f.__sign")))
+
+        # ---- term i (1-indexed): F_new(fk_i ∈ ΔDi keys) ⋈ D_j<i NEW ⋈
+        # ΔDi ⋈ D_j>i OLD — one term per dim with slice activity
+        f_state = None
+        for i in range(n):
+            fk_i = self.dims[i][0]
+            changed_i = dDs[i].select(dim_pks[i]).distinct()
+            key_rows = changed_i.limit(_FK_LITERAL_CAP + 1).collect()
+            if not key_rows:
+                continue
+            if f_state is None:
+                f_state = fact._read_state(spark, mF).select(
+                    *self._translated(
+                        self._fact_cols(), meta.get("fact_field_ids", {}), mF
+                    )
+                )
+            if len(key_rows) <= _FK_LITERAL_CAP:
                 # literal IN reaches the parquet scan (row-group pruning
                 # on fk-clustered layouts); NULL fk can never match
                 f_new = f_state.filter(
-                    F.col(self.fk_col).isin([r[dim_pk] for r in dkey_rows])
+                    F.col(fk_i).isin([r[dim_pks[i]] for r in key_rows])
                 )
             else:
                 f_new = f_state.join(
-                    F.broadcast(changed_keys.withColumnRenamed(dim_pk, self.fk_col)),
-                    on=self.fk_col,
+                    F.broadcast(
+                        changed_i.withColumnRenamed(dim_pks[i], fk_i)
+                    ),
+                    on=fk_i,
                     how="left_semi",
                 )
-            t2 = self._delta_rows(
-                f_new.alias("f").join(
-                    dD.alias("d"),
-                    F.col(f"f.{self.fk_col}") == F.col(f"d.{dim_pk}"),
-                    "inner",
-                ),
-                F.col("d.__sign"),
-            )
+            ti = f_new.alias("f")
+            for j in range(n):
+                fk_j = self.dims[j][0]
+                if j == i:
+                    ti = ti.join(
+                        dDs[i].alias("d"),
+                        F.col(f"f.{fk_i}") == F.col(f"d.{dim_pks[i]}"),
+                        "inner",
+                    )
+                else:
+                    keys_j = keys_of(f_new, fk_j, cur_pks[j])
+                    side = (
+                        dim_state(j, keys_j)
+                        if j < i
+                        else dim_old(j, keys_j)
+                    )
+                    ti = ti.join(
+                        side,
+                        F.col(f"f.{fk_j}") == F.col(dim_pks[j]),
+                        "inner",
+                    )
+            terms.append(self._delta_rows(ti, F.col("d.__sign")))
 
         # ---- fold: one union → groupBy on the group key, zero-count
         # groups dropped (they no longer exist in the joined view)
         stored = self.read(spark)
         out_cols = ["n_rows", *self.sum_cols]
+        folded = stored.select(*self.group_cols, *out_cols)
+        for t in terms:
+            folded = folded.unionByName(t.select(*self.group_cols, *out_cols))
         folded = (
-            stored.select(*self.group_cols, *out_cols)
-            .unionByName(t1.select(*self.group_cols, *out_cols))
-            .unionByName(t2.select(*self.group_cols, *out_cols))
-            .groupBy(*self.group_cols)
-            .agg(
-                *[
-                    F.sum(c).cast("long").alias(c)
-                    for c in out_cols
-                ]
-            )
+            folded.groupBy(*self.group_cols)
+            .agg(*[F.sum(c).cast("long").alias(c) for c in out_cols])
             .filter(F.col("n_rows") > 0)
         )
         meta["version"] += 1
-        meta["applied_fact"], meta["applied_dim"] = sF, sD
+        meta["applied_fact"], meta["applied_dims"] = sF, sDs
         self._commit(folded, meta)
         # GC superseded versions (state is tiny, but unbounded dirs decay
         # listing like any other versioned store)
-        import shutil
-
         for p in self.root.glob("v=*"):
             if int(p.name.split("=", 1)[1]) < meta["version"]:
                 shutil.rmtree(p, ignore_errors=True)
+        return (sF, *sDs)
+
+
+class MaintainedJoinAggregate(MaintainedStarAggregate):
+    """The one-dim star — kept as its own name because the fact ⋈ dim
+    rollup is the overwhelmingly common case and reads better at call
+    sites.  ``refresh(spark, fact, dim)`` is the two-table surface the
+    driver row ``pipeline_incremental_join_agg`` exercises."""
+
+    def __init__(
+        self,
+        root,
+        fk_col: str,
+        fact_group_cols: Sequence[str],
+        dim_group_cols: Sequence[str],
+        sum_cols: dict[str, str],
+    ):
+        super().__init__(
+            root, [(fk_col, dim_group_cols)], fact_group_cols, sum_cols
+        )
+        self.fk_col = fk_col
+        self.dim_group_cols = list(dim_group_cols)
+
+    def refresh(
+        self, spark: SparkSession, fact: ManagedTable, dim: ManagedTable
+    ) -> tuple[int, int]:
+        sF, sD = self.refresh_star(spark, fact, [dim])
         return sF, sD

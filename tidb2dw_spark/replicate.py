@@ -58,7 +58,11 @@ class TableReplicator:
         *derived* attaches DERIVED STATE to the poll loop: any objects
         with a ``refresh(spark, table)`` method —
         :class:`~.operators.secondary_index.SecondaryIndex`,
-        :class:`~.operators.matview.MaintainedAggregate` — are refreshed
+        :class:`~.operators.matview.MaintainedAggregate`,
+        :class:`~.operators.distinct_matview.MaintainedDistinctAggregate`,
+        a bound join/star view
+        (:meth:`~.operators.join_matview.MaintainedStarAggregate.bind`),
+        or an ANN index — are refreshed
         from the change feed after every poll that lands data, so
         indexes and rollups ride the SAME cadence as the replica itself.
         Each object checkpoints its own ``applied_seq``, so a crash
