@@ -111,6 +111,7 @@ PIPELINE_QUERIES = [
     "pipeline_incremental_agg",
     "pipeline_incremental_join_agg",
     "pipeline_star_join_agg",
+    "pipeline_snowflake_join_agg",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",
     "pipeline_distinct_quantile",

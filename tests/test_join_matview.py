@@ -476,6 +476,127 @@ def test_star_cadence_invariance(spark, tmp_path):
     assert _star_state(mvb.read(spark)) == want
 
 
+def test_snowflake_chain_dim_joins_earlier_dim(spark, tmp_path):
+    """SNOWFLAKE chain: the second dim joins on the FIRST dim's attribute
+    (customer→nation shape), resolved by schema ownership.  One refresh
+    folds churn on all three feeds — including ΔD1 re-pointing rows to a
+    different D2 key (the chain-hop delta: fact rows change their D2
+    group without ANY fact or D2 change) and a D2 delete dangling a whole
+    chain — bit-equal to a full recompute, at both cadences."""
+    from tidb2dw_spark.operators.join_matview import (
+        MaintainedStarAggregate,
+        init_star_agg,
+    )
+
+    def mk(base):
+        fact = ManagedTable(base / "f")
+        fact.create(
+            spark.createDataFrame(
+                [(1, 10, 11), (2, 10, 22), (3, 20, 33), (4, 30, 44),
+                 (5, None, 55), (6, 99, 66)],
+                "k long, fk1 long, cents long",
+            ),
+            pk_cols=["k"], pk_buckets=4, cdf=True,
+        )
+        d1 = ManagedTable(base / "d1")
+        d1.create(
+            spark.createDataFrame(
+                [(10, "A", 100), (20, "B", 200), (30, "A", None)],
+                "d long, seg string, nk long",
+            ),
+            pk_cols=["d"], pk_buckets=2, cdf=True,
+        )
+        d2 = ManagedTable(base / "d2")
+        d2.create(
+            spark.createDataFrame(
+                [(100, "E"), (200, "W"), (300, "E")], "nid long, region string"
+            ),
+            pk_cols=["nid"], pk_buckets=2, cdf=True,
+        )
+        mv = MaintainedStarAggregate(
+            base / "mv",
+            dims=[("fk1", ["seg"]), ("nk", ["region"])],  # nk lives on d1
+            fact_group_cols=[],
+            sum_cols={"total_cents": "cents"},
+        )
+        return fact, d1, d2, mv
+
+    def recompute(fact, d1, d2):
+        return {
+            (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+            for r in init_star_agg(
+                fact.read(spark),
+                [(d1.read(spark), "fk1", "d"), (d2.read(spark), "nk", "nid")],
+                ["seg", "region"],
+                {"total_cents": "cents"},
+            ).collect()
+        }
+
+    def state(mv):
+        return {
+            (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+            for r in mv.read(spark).collect()
+        }
+
+    fa, da1, da2, mva = mk(tmp_path / "a")   # per-step cadence
+    fb, db1, db2, mvb = mk(tmp_path / "b")   # one spanning refresh
+    mva.refresh_star(spark, fa, [da1, da2])
+    mvb.refresh_star(spark, fb, [db1, db2])
+    assert state(mva) == recompute(fa, da1, da2)
+    # NULL fk (k5), dangling fk (k6), NULL chain key (d30) all excluded
+    assert sum(n for n, _ in state(mva).values()) == 3
+
+    f_env = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, fk1 long, cents long"
+    )
+    d1_env = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "d long, seg string, nk long"
+    )
+    d2_env = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "nid long, region string"
+    )
+    steps = [
+        # ΔD1 re-points d=10 to nation 300: k1/k2 change D2 group with no
+        # fact or D2 event at all (the chain-hop delta)
+        ("D1", [("U", 10, 5, "A", 300)]),
+        # fact churn: fk move onto d=20, delete, insert onto d=30 (whose
+        # nk is NULL → stays excluded)
+        ("F", [("U", 1, 6, 20, 12), ("D", 3, 6, None, None),
+               ("I", 7, 6, 30, 77)]),
+        # D2 delete dangles every chain through nation 200; D2 insert
+        # revives nation for a later D1 re-point
+        ("D2", [("D", 200, 7, None), ("I", 400, 7, "S")]),
+        # ΔD1: d=20 re-points onto the just-inserted nation 400 and
+        # changes segment in the same event; d=30 gains a real nk
+        ("D1", [("U", 20, 8, "C", 400), ("U", 30, 8, "A", 100)]),
+    ]
+    for tbl, ev in steps:
+        for f_, d1_, d2_, mv_ in ((fa, da1, da2, mva), (fb, db1, db2, mvb)):
+            if tbl == "F":
+                f_.merge(spark, spark.createDataFrame(
+                    [(e[0], "t", "s", e[2], e[1], e[3], e[4]) for e in ev],
+                    f_env,
+                ))
+            elif tbl == "D1":
+                d1_.merge(spark, spark.createDataFrame(
+                    [(e[0], "t", "s", e[2], e[1], e[3], e[4]) for e in ev],
+                    d1_env,
+                ))
+            else:
+                d2_.merge(spark, spark.createDataFrame(
+                    [(e[0], "t", "s", e[2], e[1], e[3]) for e in ev],
+                    d2_env,
+                ))
+        mva.refresh_star(spark, fa, [da1, da2])
+        assert state(mva) == recompute(fa, da1, da2), f"diverged at {tbl}"
+    mvb.refresh_star(spark, fb, [db1, db2])
+    assert state(mvb) == recompute(fb, db1, db2)
+    assert state(mvb) == state(mva)
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 _pf_ev = st.tuples(

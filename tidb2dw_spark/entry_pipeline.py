@@ -1373,6 +1373,162 @@ GROUP BY p.p_brand, s.s_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# SNOWFLAKE chain row: orders ⋈ customer ⋈ nation where NATION joins on
+# CUSTOMER's attribute (c_nationkey) — the chain-hop topology resolved
+# by schema ownership.  The customer churn re-points nationkeys, so fact
+# rows change their nation group with NO fact or nation event at all —
+# the delta only a chain-aware fold can absorb.
+# ---------------------------------------------------------------------------
+_SNOWFLAKE_CACHE: dict[str, object] = {}
+
+
+def pipeline_snowflake_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _SNOWFLAKE_CACHE:
+        cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+        fact_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", cents.alias("cents")
+        )
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        )
+        nat_src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_snowflake_"))
+        fact = ManagedTable(wh / "orders").create(
+            fact_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        cust = ManagedTable(wh / "customer").create(
+            cust_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        nat = ManagedTable(wh / "nation").create(
+            nat_src, ["n_nationkey"], pk_buckets=2, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[
+                ("o_custkey", ["c_mktsegment"]),
+                ("c_nationkey", ["n_name"]),  # ← lives on customer
+            ],
+            fact_group_cols=[],
+            sum_cols={"total_cents": "cents"},
+        )
+        mv.refresh_star(spark, fact, [cust, nat])  # seed pre-churn
+
+        def fb(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "cents",
+            )
+
+        f_d = fact_src.filter(F.col("o_orderkey") % 10 == 7)
+        f_u = fact_src.filter(F.col("o_orderkey") % 10 == 4).select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50 + 1).alias("o_custkey"),
+            (F.col("cents") + 11).alias("cents"),
+        )
+        f_i = fact_src.filter(F.col("o_orderkey") % 25 == 3).select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") % 120 + 1).alias("o_custkey"),
+            (F.col("cents") + 5).alias("cents"),
+        )
+        fact.merge(
+            spark,
+            fb(f_d, "D").unionByName(fb(f_u, "U")).unionByName(fb(f_i, "I")),
+        )
+
+        def cb(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("customer").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "c_custkey", "c_mktsegment", "c_nationkey",
+            )
+
+        c_d = cust_src.filter(F.col("c_custkey") % 10 == 3)
+        c_u = cust_src.filter(F.col("c_custkey") % 10 == 6).select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("_X")).alias("c_mktsegment"),
+            ((F.col("c_nationkey") + 5) % 25).alias("c_nationkey"),
+        )
+        c_i = cust_src.filter(F.col("c_custkey") % 20 == 1).select(
+            (F.col("c_custkey") + 500000).alias("c_custkey"),
+            F.concat(
+                F.lit("NEW_"), (F.col("c_custkey") % 7).cast("string")
+            ).alias("c_mktsegment"),
+            (F.col("c_custkey") % 25).alias("c_nationkey"),
+        )
+        cust.merge(
+            spark,
+            cb(c_d, "D").unionByName(cb(c_u, "U")).unionByName(cb(c_i, "I")),
+        )
+
+        n_u = nat_src.filter(F.col("n_nationkey") % 5 == 2).select(
+            F.lit("U").alias("flag"),
+            F.lit("nation").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "n_nationkey",
+            F.concat(F.col("n_name"), F.lit("_R")).alias("n_name"),
+        )
+        nat.merge(spark, n_u)
+
+        mv.refresh_star(spark, fact, [cust, nat])  # ONE three-feed fold
+        _SNOWFLAKE_CACHE[sf_dir] = mv
+    mv = _SNOWFLAKE_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "c_mktsegment", "n_name", "n_rows", "total_cents"
+    )
+
+
+_SNOWFLAKE_ORACLE = """
+WITH curf AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 4 THEN (o_custkey % 50) + 1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 10 = 4
+              THEN CAST(round(o_totalprice * 100.0) AS BIGINT) + 11
+              ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) + 5
+  FROM orders WHERE o_orderkey % 25 = 3
+), curc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 6 THEN c_mktsegment || '_X'
+              ELSE c_mktsegment END AS c_mktsegment,
+         CAST(CASE WHEN c_custkey % 10 = 6 THEN (c_nationkey + 5) % 25
+              ELSE c_nationkey END AS BIGINT) AS c_nationkey
+  FROM customer WHERE c_custkey % 10 <> 3
+  UNION ALL
+  SELECT c_custkey + 500000, 'NEW_' || CAST(c_custkey % 7 AS VARCHAR),
+         CAST(c_custkey % 25 AS BIGINT)
+  FROM customer WHERE c_custkey % 20 = 1
+), curn AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+         CASE WHEN n_nationkey % 5 = 2 THEN n_name || '_R'
+              ELSE n_name END AS n_name
+  FROM nation
+)
+SELECT c.c_mktsegment, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(f.cents) AS BIGINT) AS total_cents
+FROM curf f
+JOIN curc c ON f.o_custkey = c.c_custkey
+JOIN curn n ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_mktsegment, n.n_name
+"""
+
+
 _QUANTILE_CACHE: dict[str, object] = {}
 
 
@@ -1545,6 +1701,7 @@ QUERIES = {
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
     "pipeline_star_join_agg": pipeline_star_join_agg,
+    "pipeline_snowflake_join_agg": pipeline_snowflake_join_agg,
     "pipeline_incremental_distinct": pipeline_incremental_distinct,
     "pipeline_distinct_topk": pipeline_distinct_topk,
     "pipeline_distinct_quantile": pipeline_distinct_quantile,
@@ -1571,6 +1728,7 @@ ORACLES = {
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,
     "pipeline_star_join_agg": _STAR_ORACLE,
+    "pipeline_snowflake_join_agg": _SNOWFLAKE_ORACLE,
     "pipeline_incremental_distinct": _DISTINCT_ORACLE,
     "pipeline_distinct_topk": _DISTINCT_TOPK_ORACLE,
     "pipeline_distinct_quantile": _QUANTILE_ORACLE,

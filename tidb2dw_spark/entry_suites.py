@@ -97,6 +97,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_incremental_join_agg": [("o_orderpriority", "str"), ("c_mktsegment", "str"), ("n_rows", "int"), ("total_cents", "int")],
     # two-dim STAR rollup maintained from THREE feeds (telescoped delta)
     "pipeline_star_join_agg": [("p_brand", "str"), ("s_nationkey", "int"), ("n_rows", "int"), ("qty_sum", "int"), ("cents_sum", "int")],
+    # SNOWFLAKE chain: nation joins on CUSTOMER's attribute (ownership)
+    "pipeline_snowflake_join_agg": [("c_mktsegment", "str"), ("n_name", "str"), ("n_rows", "int"), ("total_cents", "int")],
     # exact COUNT(DISTINCT) via the bucket-partitioned support multiset
     "pipeline_incremental_distinct": [("o_orderpriority", "str"), ("n_rows", "int"), ("n_cust", "int"), ("n_status", "int")],
     # heavy hitters probed from the SAME maintained support store

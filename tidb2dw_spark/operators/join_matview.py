@@ -224,17 +224,64 @@ class MaintainedStarAggregate:
         os.replace(tmp, self._meta_path())
 
     # -- column sets ------------------------------------------------------
-    def _fact_cols(self) -> list[str]:
-        return list(
+    def _resolve(
+        self,
+        spark: SparkSession,
+        fact: ManagedTable,
+        dim_tables: list[ManagedTable],
+        mF: dict,
+        mDs: list[dict],
+    ) -> tuple[list[str], list[int], list[str], list[list[str]]]:
+        """Resolve the join topology: each dim's join column lives on the
+        FACT (a star arm, owner −1) or on an EARLIER dim (a snowflake
+        chain hop, owner j) — resolved by schema membership, latest
+        earlier owner wins.  Returns (dim_pks, owners, fact_cols,
+        dim_cols) where the consumed column lists include the chain
+        columns their owner must carry through the join."""
+        dim_pks = [m["pk"][0] for m in mDs]
+        fact_schema = set(fact._read_state(spark, mF).columns)
+        dim_schemas = [
+            set(dim_tables[i]._read_state(spark, mDs[i]).columns)
+            for i in range(len(mDs))
+        ]
+        owners: list[int] = []
+        for i, (jc, _) in enumerate(self.dims):
+            if jc in fact_schema:
+                owners.append(-1)
+            else:
+                cand = [j for j in range(i) if jc in dim_schemas[j]]
+                if not cand:
+                    raise ValueError(
+                        f"join column {jc!r} of dim {i} is on neither the "
+                        "fact nor any earlier dim"
+                    )
+                owners.append(cand[-1])
+        fact_cols = list(
             dict.fromkeys(
-                [fk for fk, _ in self.dims]
+                [
+                    self.dims[i][0]
+                    for i in range(len(self.dims))
+                    if owners[i] == -1
+                ]
                 + self.fact_group_cols
                 + list(self.sum_cols.values())
             )
         )
-
-    def _dim_cols(self, i: int, dim_pk: str) -> list[str]:
-        return list(dict.fromkeys([dim_pk] + self.dims[i][1]))
+        dim_cols = [
+            list(
+                dict.fromkeys(
+                    [dim_pks[j]]
+                    + self.dims[j][1]
+                    + [
+                        self.dims[i][0]
+                        for i in range(len(self.dims))
+                        if owners[i] == j
+                    ]
+                )
+            )
+            for j in range(len(self.dims))
+        ]
+        return dim_pks, owners, fact_cols, dim_cols
 
     @staticmethod
     def _translated(
@@ -313,12 +360,11 @@ class MaintainedStarAggregate:
         sDs = [m.get("cdf_seq", 0) for m in mDs]
 
         if not self.exists():
-            dim_pks = [m["pk"][0] for m in mDs]
-            consumed = [self._fact_cols()] + [
-                self._dim_cols(i, dim_pks[i]) for i in range(len(self.dims))
-            ]
+            dim_pks, owners, fact_cols, dim_cols = self._resolve(
+                spark, fact, dim_tables, mF, mDs
+            )
             seen: set[str] = set()
-            for cols in consumed:
+            for cols in [fact_cols, *dim_cols]:
                 overlap = seen & set(cols)
                 if overlap:
                     raise ValueError(
@@ -328,12 +374,12 @@ class MaintainedStarAggregate:
                     )
                 seen |= set(cols)
             seed = init_star_agg(
-                fact._read_state(spark, mF).select(*self._fact_cols()),
+                fact._read_state(spark, mF).select(*fact_cols),
                 [
                     (
                         dim_tables[i]
                         ._read_state(spark, mDs[i])
-                        .select(*self._dim_cols(i, dim_pks[i])),
+                        .select(*dim_cols[i]),
                         self.dims[i][0],
                         dim_pks[i],
                     )
@@ -350,13 +396,16 @@ class MaintainedStarAggregate:
                     "applied_fact": sF,
                     "applied_dims": sDs,
                     "dim_pks": dim_pks,
+                    "owners": owners,
+                    "fact_cols": fact_cols,
+                    "dim_cols": dim_cols,
                     "fact_field_ids": {
-                        n: f_ids[n] for n in self._fact_cols() if n in f_ids
+                        n: f_ids[n] for n in fact_cols if n in f_ids
                     },
                     "dim_field_ids": [
                         {
                             n: mDs[i].get("field_ids", {})[n]
-                            for n in self._dim_cols(i, dim_pks[i])
+                            for n in dim_cols[i]
                             if n in mDs[i].get("field_ids", {})
                         }
                         for i in range(len(self.dims))
@@ -368,6 +417,8 @@ class MaintainedStarAggregate:
         meta = self.meta()
         aF, aDs = meta["applied_fact"], meta["applied_dims"]
         dim_pks = meta["dim_pks"]
+        owners = meta["owners"]
+        fact_cols, dim_cols = meta["fact_cols"], meta["dim_cols"]
         if sF <= aF and all(s <= a for s, a in zip(sDs, aDs)):
             return (aF, *aDs)
 
@@ -375,11 +426,11 @@ class MaintainedStarAggregate:
         dF = self._signed(
             fact.changes(spark, since=aF, until=sF).select(
                 *self._translated(
-                    self._fact_cols(), meta.get("fact_field_ids", {}), mF
+                    fact_cols, meta.get("fact_field_ids", {}), mF
                 ),
                 *meta_keep,
             ),
-            [F.col(c) for c in self._fact_cols()],
+            [F.col(c) for c in fact_cols],
         )
         d_ids = meta.get("dim_field_ids") or [{}] * len(self.dims)
         dDs = [
@@ -387,23 +438,21 @@ class MaintainedStarAggregate:
                 dim_tables[i]
                 .changes(spark, since=aDs[i], until=sDs[i])
                 .select(
-                    *self._translated(
-                        self._dim_cols(i, dim_pks[i]), d_ids[i], mDs[i]
-                    ),
+                    *self._translated(dim_cols[i], d_ids[i], mDs[i]),
                     *meta_keep,
                 ),
-                [F.col(c) for c in self._dim_cols(i, dim_pks[i])],
+                [F.col(c) for c in dim_cols[i]],
             )
             for i in range(len(self.dims))
         ]
 
-        def keys_of(frame: DataFrame, fk: str, cur_pk: str) -> DataFrame:
-            """Distinct non-NULL fk values of *frame*, under the dim's
-            CURRENT pk name (read_for_keys semi-joins on the live
+        def keys_of(frame: DataFrame, jc: str, cur_pk: str) -> DataFrame:
+            """Distinct non-NULL join-column values of *frame*, under the
+            dim's CURRENT pk name (read_for_keys semi-joins on the live
             manifest's pk)."""
             return (
-                frame.filter(F.col(fk).isNotNull())
-                .select(F.col(fk).alias(cur_pk))
+                frame.filter(F.col(jc).isNotNull())
+                .select(F.col(jc).alias(cur_pk))
                 .distinct()
             )
 
@@ -413,10 +462,14 @@ class MaintainedStarAggregate:
             names."""
             return dim_tables[i].read_for_keys(
                 spark, keys, manifest=mDs[i]
-            ).select(
-                *self._translated(
-                    self._dim_cols(i, dim_pks[i]), d_ids[i], mDs[i]
-                )
+            ).select(*self._translated(dim_cols[i], d_ids[i], mDs[i]))
+
+        def dim_full_state(i: int) -> DataFrame:
+            """Full CURRENT dim state (dim-sized scan) — used only to
+            resolve a chain hop's key set; dims are the small side of a
+            star/snowflake by construction."""
+            return dim_tables[i]._read_state(spark, mDs[i]).select(
+                *self._translated(dim_cols[i], d_ids[i], mDs[i])
             )
 
         def dim_old(i: int, keys: DataFrame) -> DataFrame:
@@ -440,7 +493,7 @@ class MaintainedStarAggregate:
                 F.broadcast(changed), on=pk, how="left_anti"
             ).unionByName(
                 first_ev.filter(F.col("__ct").isin(*_SUB)).select(
-                    *self._dim_cols(i, pk)
+                    *dim_cols[i]
                 )
             )
 
@@ -448,23 +501,47 @@ class MaintainedStarAggregate:
         cur_pks = [m["pk"][0] for m in mDs]
         terms: list[DataFrame] = []
 
-        # ---- term 0: ΔF ⋈ (every dim OLD), dim states reconstructed
-        # per fk key the fact slice touches
+        # ---- term 0: ΔF ⋈ (every dim OLD), dim states reconstructed per
+        # join key the ACCUMULATED frame reaches — for a chain hop the
+        # key column arrives with the owning dim's join, so keys project
+        # from the partial join, not the fact slice alone
         t0 = dF.alias("f")
         for i in range(n):
-            fk = self.dims[i][0]
+            jc = self.dims[i][0]
             t0 = t0.join(
-                dim_old(i, keys_of(dF, fk, cur_pks[i])),
-                F.col(f"f.{fk}") == F.col(dim_pks[i]),
+                dim_old(i, keys_of(t0, jc, cur_pks[i])),
+                F.col(jc) == F.col(dim_pks[i]),
                 "inner",
             )
         terms.append(self._delta_rows(t0, F.col("f.__sign")))
 
-        # ---- term i (1-indexed): F_new(fk_i ∈ ΔDi keys) ⋈ D_j<i NEW ⋈
-        # ΔDi ⋈ D_j>i OLD — one term per dim with slice activity
+        # ---- term i (1-indexed): F_new(reaching ΔDi) ⋈ D_j<i NEW ⋈
+        # ΔDi ⋈ D_j>i OLD — one term per dim with slice activity.  The
+        # fact restriction walks the ownership chain back to the fact:
+        # star arm → literal fk IN; chain hop → filter the owning dim's
+        # (dim-sized) state by the changed attribute values, then recurse
+        # on ITS pks — every level batch-bounded and capped.
+        def fact_filter_for(i: int, values: list) -> F.Column | None:
+            """A fact-scan predicate selecting rows whose join chain can
+            reach dim *i* keys in *values*; None = give up (over cap) and
+            let the inner joins restrict."""
+            jc = self.dims[i][0]
+            if owners[i] == -1:
+                return F.col(jc).isin(values)
+            j = owners[i]
+            hop = (
+                dim_full_state(j)
+                .filter(F.col(jc).isin(values))
+                .select(dim_pks[j])
+                .limit(_FK_LITERAL_CAP + 1)
+                .collect()
+            )
+            if len(hop) > _FK_LITERAL_CAP:
+                return None
+            return fact_filter_for(j, [r[dim_pks[j]] for r in hop])
+
         f_state = None
         for i in range(n):
-            fk_i = self.dims[i][0]
             changed_i = dDs[i].select(dim_pks[i]).distinct()
             key_rows = changed_i.limit(_FK_LITERAL_CAP + 1).collect()
             if not key_rows:
@@ -472,34 +549,42 @@ class MaintainedStarAggregate:
             if f_state is None:
                 f_state = fact._read_state(spark, mF).select(
                     *self._translated(
-                        self._fact_cols(), meta.get("fact_field_ids", {}), mF
+                        fact_cols, meta.get("fact_field_ids", {}), mF
                     )
                 )
-            if len(key_rows) <= _FK_LITERAL_CAP:
-                # literal IN reaches the parquet scan (row-group pruning
-                # on fk-clustered layouts); NULL fk can never match
-                f_new = f_state.filter(
-                    F.col(fk_i).isin([r[dim_pks[i]] for r in key_rows])
-                )
-            else:
+            pred = (
+                fact_filter_for(i, [r[dim_pks[i]] for r in key_rows])
+                if len(key_rows) <= _FK_LITERAL_CAP
+                else None
+            )
+            if pred is not None:
+                f_new = f_state.filter(pred)
+            elif owners[i] == -1:
+                # over-cap star arm: broadcast semi-join (full scan,
+                # filtered) — same trade as matview's dirty cap
                 f_new = f_state.join(
                     F.broadcast(
-                        changed_i.withColumnRenamed(dim_pks[i], fk_i)
+                        changed_i.withColumnRenamed(
+                            dim_pks[i], self.dims[i][0]
+                        )
                     ),
-                    on=fk_i,
+                    on=self.dims[i][0],
                     how="left_semi",
                 )
+            else:
+                # over-cap chain hop: the inner joins restrict
+                f_new = f_state
             ti = f_new.alias("f")
             for j in range(n):
-                fk_j = self.dims[j][0]
+                jc_j = self.dims[j][0]
                 if j == i:
                     ti = ti.join(
                         dDs[i].alias("d"),
-                        F.col(f"f.{fk_i}") == F.col(f"d.{dim_pks[i]}"),
+                        F.col(jc_j) == F.col(f"d.{dim_pks[i]}"),
                         "inner",
                     )
                 else:
-                    keys_j = keys_of(f_new, fk_j, cur_pks[j])
+                    keys_j = keys_of(ti, jc_j, cur_pks[j])
                     side = (
                         dim_state(j, keys_j)
                         if j < i
@@ -507,7 +592,7 @@ class MaintainedStarAggregate:
                     )
                     ti = ti.join(
                         side,
-                        F.col(f"f.{fk_j}") == F.col(dim_pks[j]),
+                        F.col(jc_j) == F.col(dim_pks[j]),
                         "inner",
                     )
             terms.append(self._delta_rows(ti, F.col("d.__sign")))
