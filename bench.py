@@ -112,6 +112,8 @@ PIPELINE_QUERIES = [
     "pipeline_incremental_join_agg",
     "pipeline_star_join_agg",
     "pipeline_snowflake_join_agg",
+    "pipeline_join_minmax",
+    "pipeline_maintained_q1",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",
     "pipeline_distinct_quantile",

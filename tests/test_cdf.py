@@ -269,6 +269,66 @@ def test_maintained_aggregate_restart_and_retention(spark, tmp_path):
     assert got == want
 
 
+def test_maintained_aggregate_where_boundary_crossing(spark, tmp_path):
+    """WHERE-filtered maintained view: change rows contribute iff they
+    satisfy the row-local predicate, so an update whose only effect is
+    crossing the boundary folds as a one-sided remove/add.  Covers: out→in,
+    in→out, in-slice insert outside the filter, delete of an in-filter
+    row, and min/max dirty rescan against the FILTERED base — always
+    equal to a recompute of σ_where(table)."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate, init_agg
+
+    t = _mk(spark, tmp_path, "t", BASE)  # vals 10,20,30,40
+    mv = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"total": "val"},
+        min_cols={"lo": "val"}, max_cols={"hi": "val"},
+        where="val <= 25", where_cols=["val"],
+    )
+    mv.refresh(spark, t)
+
+    def want():
+        return {
+            r["grp"]: (r["n_rows"], r["total"], r["lo"], r["hi"])
+            for r in init_agg(
+                t.read(spark).filter("val <= 25"), ["grp"],
+                {"total": "val"}, {"lo": "val"}, {"hi": "val"},
+            ).collect()
+        }
+
+    def got():
+        return {
+            r["grp"]: (r["n_rows"], r["total"], r["lo"], r["hi"])
+            for r in mv.read(spark).collect()
+        }
+
+    assert got() == want()
+    assert got()["a"] == (2, 30, 10, 20)
+    steps = [
+        # in→out (k1: 10→99 leaves), out→in (k3: 30→25 joins as b's only)
+        [("U", 1, 5, "a", 99), ("U", 3, 5, "b", 25)],
+        # delete the filtered group's max (k2=20 → dirty rescan on σ(base));
+        # insert outside the filter (invisible)
+        [("D", 2, 6, None, None), ("I", 7, 6, "a", 50)],
+        # out→in revival of k1 at a new low
+        [("U", 1, 7, "a", 1)],
+    ]
+    for ev in steps:
+        t.merge(spark, _batch(spark, ev))
+        mv = MaintainedAggregate(  # restart each round: state in meta
+            tmp_path / "mv", ["grp"], {"total": "val"},
+            min_cols={"lo": "val"}, max_cols={"hi": "val"},
+            where="val <= 25", where_cols=["val"],
+        )
+        mv.refresh(spark, t)
+        assert got() == want()
+    # guard: a different predicate on the same state fails loudly
+    with pytest.raises(ValueError, match="seeded with where"):
+        MaintainedAggregate(
+            tmp_path / "mv", ["grp"], {"total": "val"},
+            where="val <= 30", where_cols=["val"],
+        ).refresh(spark, t)
+
+
 def test_consumer_cdf_two_polls_with_maintained_agg(spark, tmp_path):
     """Full consumer loop with the feed on: poll 1 merges the v1 group,
     poll 2 merges a late v1 file, applies the ADD barrier, and merges the

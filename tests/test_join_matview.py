@@ -597,6 +597,223 @@ def test_snowflake_chain_dim_joins_earlier_dim(spark, tmp_path):
     assert state(mvb) == state(mva)
 
 
+def _mk_star_mm(spark, tmp_path):
+    """Star tables + a view that also maintains MIN/MAX of cents."""
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact, d1, d2, _ = _mk_star(spark, tmp_path)
+    mv = MaintainedStarAggregate(
+        tmp_path / "smv_mm",
+        dims=[("fk1", ["seg"]), ("fk2", ["region"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        min_cols={"min_cents": "cents"},
+        max_cols={"max_cents": "cents"},
+    )
+    return fact, d1, d2, mv
+
+
+def _star_state_mm(df):
+    return {
+        (r["seg"], r["region"]): (
+            r["n_rows"], r["total_cents"], r["min_cents"], r["max_cents"]
+        )
+        for r in df.collect()
+    }
+
+
+def _star_recompute_mm(spark, fact, d1, d2):
+    from tidb2dw_spark.operators.join_matview import init_star_agg
+
+    return _star_state_mm(
+        init_star_agg(
+            fact.read(spark),
+            [(d1.read(spark), "fk1", "d"), (d2.read(spark), "fk2", "d2")],
+            ["seg", "region"],
+            {"total_cents": "cents"},
+            {"min_cents": "cents"},
+            {"max_cents": "cents"},
+        )
+    )
+
+
+def test_star_minmax_dirty_rescan(spark, tmp_path):
+    """MIN/MAX over the JOIN: adds tighten inside the fold; removals that
+    hit a group's stored extremum (fact deletes of a group's argmin AND
+    argmax, a fact fk move carrying a group's min away, a dim attribute
+    move relocating a whole key's rows, a dim delete dangling them) mark
+    groups dirty, and the join-restricted rescan re-derives exactly those
+    — bit-equal to a full recompute at per-step AND spanning cadences."""
+    fa, da1, da2, mva = _mk_star_mm(spark, tmp_path / "a")
+    fb, db1, db2, mvb = _mk_star_mm(spark, tmp_path / "b")
+    mva.refresh_star(spark, fa, [da1, da2])
+    mvb.refresh_star(spark, fb, [db1, db2])
+    assert _star_state_mm(mva.read(spark)) == _star_recompute_mm(
+        spark, fa, da1, da2
+    )
+
+    steps = [
+        # k2 is (A,W)'s only row (min==max): delete → group gone;
+        # k1 (A,E min=11) moves to (B,W) → old group dirty, new tightens
+        ("F", [("D", 2, 5, None, None, None), ("U", 1, 5, 20, 200, 12)]),
+        # d1=30 A→B: k5 (cents 55) leaves (A,*) and joins (B,*);
+        # d1=20 deleted: its fact rows dangle (every (B,*) group dirty)
+        ("D1", [("U", 30, 6, "B"), ("D", 20, 6, None)]),
+        # insert that only TIGHTENS (no dirty): new max for (B,E)
+        ("F", [("I", 9, 7, 30, 100, 999), ("I", 10, 7, 30, 100, 1)]),
+        # d2 attribute move relocates (…,E) rows under a new region name
+        ("D2", [("U", 100, 8, "N")]),
+    ]
+    for side, ev in steps:
+        for f_, d1_, d2_, mv_ in ((fa, da1, da2, mva), (fb, db1, db2, mvb)):
+            if side == "F":
+                f_.merge(spark, _sfb(spark, ev))
+            elif side == "D1":
+                d1_.merge(spark, _db(spark, ev))
+            else:
+                d2_.merge(spark, _d2b(spark, ev))
+        mva.refresh_star(spark, fa, [da1, da2])  # per-step cadence
+    mvb.refresh_star(spark, fb, [db1, db2])      # one spanning slice
+    want = _star_recompute_mm(spark, fa, da1, da2)
+    assert _star_state_mm(mva.read(spark)) == want
+    assert _star_state_mm(mvb.read(spark)) == want
+
+
+def test_snowflake_minmax_chain_rescan(spark, tmp_path):
+    """MIN/MAX through a SNOWFLAKE chain: a ΔD1 re-point moves fact rows
+    between D2 groups with no fact/D2 event — the removal side must mark
+    the OLD chain group dirty and the rescan walks the ownership chain
+    back to a literal fact predicate."""
+    from tidb2dw_spark.operators.join_matview import (
+        MaintainedStarAggregate,
+        init_star_agg,
+    )
+
+    fact = ManagedTable(tmp_path / "f")
+    fact.create(
+        spark.createDataFrame(
+            [(1, 10, 5), (2, 10, 9), (3, 20, 3), (4, 30, 8)],
+            "k long, fk1 long, m long",
+        ),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    d1 = ManagedTable(tmp_path / "d1")
+    d1.create(
+        spark.createDataFrame(
+            [(10, 100), (20, 100), (30, 200)], "d long, nk long"
+        ),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    d2 = ManagedTable(tmp_path / "d2")
+    d2.create(
+        spark.createDataFrame([(100, "E"), (200, "W")], "nid long, region string"),
+        pk_cols=["nid"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedStarAggregate(
+        tmp_path / "mv",
+        dims=[("fk1", []), ("nk", ["region"])],
+        fact_group_cols=[],
+        sum_cols={"s": "m"},
+        min_cols={"mn": "m"},
+        max_cols={"mx": "m"},
+    )
+    mv.refresh_star(spark, fact, [d1, d2])
+
+    def recompute():
+        return {
+            r["region"]: (r["n_rows"], r["s"], r["mn"], r["mx"])
+            for r in init_star_agg(
+                fact.read(spark),
+                [(d1.read(spark), "fk1", "d"), (d2.read(spark), "nk", "nid")],
+                ["region"],
+                {"s": "m"}, {"mn": "m"}, {"mx": "m"},
+            ).collect()
+        }
+
+    def state():
+        return {
+            r["region"]: (r["n_rows"], r["s"], r["mn"], r["mx"])
+            for r in mv.read(spark).collect()
+        }
+
+    assert state() == recompute()
+    # chain-hop delta alone: d=10 re-points 100→200.  E loses its max (9)
+    # AND min (5) with no fact or D2 event; W gains rows (tighten only on
+    # the add side, dirty on the remove side).
+    d1.merge(
+        spark,
+        spark.createDataFrame(
+            [("U", "d1", "s", 5, 10, 200)],
+            "flag string, tablename string, schemaname string, "
+            "commit_ts long, d long, nk long",
+        ),
+    )
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert state() == recompute()
+    # and a fact delete of W's new max (k2, m=9) → chain-walked rescan
+    fact.merge(
+        spark,
+        spark.createDataFrame(
+            [("D", "f", "s", 6, 2, None, None)],
+            "flag string, tablename string, schemaname string, "
+            "commit_ts long, k long, fk1 long, m long",
+        ),
+    )
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert state() == recompute()
+
+
+def test_join_view_fact_where(spark, tmp_path):
+    """fact_where on the join view: σ commutes with Δ for a row-local
+    fact predicate — boundary-crossing fact updates fold one-sided, dim
+    churn folds against the FILTERED fact (including the min/max rescan),
+    and the seed guard rejects a predicate mismatch."""
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = MaintainedJoinAggregate(
+        tmp_path / "mvw", fk_col="fk",
+        fact_group_cols=[], dim_group_cols=["seg"],
+        sum_cols={"total_cents": "cents"},
+        min_cols={"lo": "cents"}, max_cols={"hi": "cents"},
+        fact_where="cents <= 400", fact_where_cols=["cents"],
+    )
+    mv.refresh(spark, fact, dim)
+
+    def want():
+        return {
+            r["seg"]: (r["n_rows"], r["total_cents"], r["lo"], r["hi"])
+            for r in init_join_agg(
+                fact.read(spark).filter("cents <= 400"), dim.read(spark),
+                "fk", "d", ["seg"], {"total_cents": "cents"},
+                {"lo": "cents"}, {"hi": "cents"},
+            ).collect()
+        }
+
+    def got():
+        return {
+            r["seg"]: (r["n_rows"], r["total_cents"], r["lo"], r["hi"])
+            for r in mv.read(spark).collect()
+        }
+
+    assert got() == want()
+    assert got() == {"A": (2, 300, 100, 200), "B": (2, 700, 300, 400)}
+    # fact churn crosses the boundary both ways; dim churn moves a seg
+    fact.merge(spark, _fb(spark, [
+        ("U", 1, 5, 10, "HI", 999),   # in→out (was A's min, 100)
+        ("U", 5, 5, 30, "LO", 150),   # out→in (500 → 150, joins A)
+        ("D", 4, 5, None, None, None),  # removes B's max → dirty rescan
+        ("I", 9, 5, 30, "HI", 350),
+    ]))
+    dim.merge(spark, _db(spark, [("U", 30, 6, "B")]))
+    mv.refresh(spark, fact, dim)
+    assert got() == want()
+    with pytest.raises(ValueError, match="fact_where"):
+        MaintainedJoinAggregate(
+            tmp_path / "mvw", fk_col="fk",
+            fact_group_cols=[], dim_group_cols=["seg"],
+            sum_cols={"total_cents": "cents"},
+        ).refresh(spark, fact, dim)
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 _pf_ev = st.tuples(
@@ -636,13 +853,14 @@ def test_star_matches_recompute_on_random_feeds(spark, batches):
 
     root = _P(_tf.mkdtemp(prefix="starprop_"))
     fact, d1, d2, _ = _mk_star(spark, root)
+    mm = dict(min_cols={"min_cents": "cents"}, max_cols={"max_cents": "cents"})
     mv_each = MaintainedStarAggregate(
         root / "mv_each", dims=[("fk1", ["seg"]), ("fk2", ["region"])],
-        fact_group_cols=[], sum_cols={"total_cents": "cents"},
+        fact_group_cols=[], sum_cols={"total_cents": "cents"}, **mm,
     )
     mv_span = MaintainedStarAggregate(
         root / "mv_span", dims=[("fk1", ["seg"]), ("fk2", ["region"])],
-        fact_group_cols=[], sum_cols={"total_cents": "cents"},
+        fact_group_cols=[], sum_cols={"total_cents": "cents"}, **mm,
     )
     mv_each.refresh_star(spark, fact, [d1, d2])
     mv_span.refresh_star(spark, fact, [d1, d2])
@@ -673,9 +891,9 @@ def test_star_matches_recompute_on_random_feeds(spark, batches):
         mv_each.refresh_star(spark, fact, [d1, d2])
 
     mv_span.refresh_star(spark, fact, [d1, d2])
-    want = _star_recompute(spark, fact, d1, d2)
-    assert _star_state(mv_each.read(spark)) == want
-    assert _star_state(mv_span.read(spark)) == want
+    want = _star_recompute_mm(spark, fact, d1, d2)
+    assert _star_state_mm(mv_each.read(spark)) == want
+    assert _star_state_mm(mv_span.read(spark)) == want
 
 
 def test_overlapping_names_rejected(spark, tmp_path):

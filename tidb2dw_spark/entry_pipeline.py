@@ -1120,6 +1120,317 @@ def pipeline_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# MIN/MAX over the maintained JOIN view: revenue extremes per customer
+# segment kept fresh through TWO churn rounds — the second one derived
+# from the replica's own post-round-1 state so deletes/updates hit the
+# CURRENT extrema and force the dirty-group rescan through the join
+# (adds alone only tighten; the rescan path is what this row proves).
+# Oracle: DuckDB full join recompute of the doubly-churned state.
+# ---------------------------------------------------------------------------
+_JOINMM_CACHE: dict[str, object] = {}
+
+
+def pipeline_join_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.join_matview import MaintainedJoinAggregate
+
+    if sf_dir not in _JOINMM_CACHE:
+        cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+        fact_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", cents.alias("cents")
+        )
+        dim_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_joinmm_"))
+        fact = ManagedTable(wh / "fact").create(
+            fact_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        dim = ManagedTable(wh / "dim").create(
+            dim_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedJoinAggregate(
+            wh / "mv",
+            fk_col="o_custkey",
+            fact_group_cols=[],
+            dim_group_cols=["c_mktsegment"],
+            sum_cols={"total_cents": "cents"},
+            min_cols={"min_cents": "cents"},
+            max_cols={"max_cents": "cents"},
+        )
+        mv.refresh(spark, fact, dim)  # seed
+
+        def fbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("fact").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "cents",
+            )
+
+        # round 1: the standard modular churn on both feeds
+        f_del = fact_src.filter(F.col("o_orderkey") % 10 == 7)
+        f_upd = fact_src.filter(F.col("o_orderkey") % 10 == 4).select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50 + 1).alias("o_custkey"),
+            (F.col("cents") + 11).alias("cents"),
+        )
+        f_ins = fact_src.filter(F.col("o_orderkey") % 25 == 3).select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") % 120 + 1).alias("o_custkey"),
+            (F.col("cents") + 5).alias("cents"),
+        )
+        fact.merge(
+            spark,
+            fbatch(f_del, "D")
+            .unionByName(fbatch(f_upd, "U"))
+            .unionByName(fbatch(f_ins, "I")),
+        )
+
+        def dbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("dim").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "c_custkey", "c_mktsegment",
+            )
+
+        d_del = dim_src.filter(F.col("c_custkey") % 10 == 3)
+        d_upd = dim_src.filter(F.col("c_custkey") % 10 == 6).select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("_X")).alias("c_mktsegment"),
+        )
+        dim.merge(spark, dbatch(d_del, "D").unionByName(dbatch(d_upd, "U")))
+        mv.refresh(spark, fact, dim)
+
+        # round 2 derives from the replica's CURRENT state, so the
+        # deletes remove rows holding the refreshed extrema and the
+        # cents cuts undercut stored minima group-wide
+        cur = fact.read(spark)
+        f2_del = cur.filter(F.col("o_orderkey") % 7 == 5)
+        f2_upd = cur.filter(
+            (F.col("o_orderkey") % 7 != 5) & (F.col("o_orderkey") % 9 == 2)
+        ).select(
+            "o_orderkey", "o_custkey", (F.col("cents") - 17).alias("cents")
+        )
+        fact.merge(
+            spark, fbatch(f2_del, "D").unionByName(fbatch(f2_upd, "U"))
+        )
+        mv.refresh(spark, fact, dim)
+        _JOINMM_CACHE[sf_dir] = mv
+    mv = _JOINMM_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "c_mktsegment", "n_rows", "total_cents", "min_cents", "max_cents"
+    )
+
+
+_JOINMM_ORACLE = """
+WITH fact1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 4 THEN (o_custkey % 50) + 1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 10 = 4
+              THEN CAST(round(o_totalprice * 100.0) AS BIGINT) + 11
+              ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) + 5
+  FROM orders WHERE o_orderkey % 25 = 3
+), fact2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 9 = 2 THEN cents - 17 ELSE cents END AS cents
+  FROM fact1 WHERE o_orderkey % 7 <> 5
+), dim2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 6 THEN c_mktsegment || '_X'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 <> 3
+)
+SELECT d.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(f.cents) AS BIGINT) AS total_cents,
+       CAST(MIN(f.cents) AS BIGINT) AS min_cents,
+       CAST(MAX(f.cents) AS BIGINT) AS max_cents
+FROM fact2 f JOIN dim2 d ON f.o_custkey = d.c_custkey
+GROUP BY d.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 as a MAINTAINED view: the canonical pricing-summary rollup
+# (sums, counts, and exact integer-division averages per
+# returnflag/linestatus, WHERE shipdate <= cutoff) kept fresh through
+# churn whose shipdate pushes move rows ACROSS the predicate boundary —
+# a filtered maintained view must fold an update as a one-sided
+# remove/add when only the WHERE verdict changes.  Measures are
+# integer-quantized at ingest (cents, discount/tax in hundredths;
+# disc_price/charge as exact integer products) so incremental == DuckDB
+# recompute bit-for-bit, averages included (floor division both sides).
+# ---------------------------------------------------------------------------
+_Q1VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.matview import MaintainedAggregate
+
+    if sf_dir not in _Q1VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias(
+                "base_cents"
+            ),
+            F.round(F.col("l_discount") * 100.0).cast("long").alias("disc_h"),
+            F.round(F.col("l_tax") * 100.0).cast("long").alias("tax_h"),
+            "l_shipdate",
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("base_cents"), F.desc("qty"), F.desc("disc_h"),
+            F.desc("tax_h"), F.desc("l_returnflag"), F.desc("l_linestatus"),
+            F.desc("l_shipdate"),
+        )
+        src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+        def derive(df: DataFrame) -> DataFrame:
+            dp = F.col("base_cents") * (F.lit(100) - F.col("disc_h"))
+            return df.withColumn("disc_price_c", dp).withColumn(
+                "charge_c", dp * (F.lit(100) + F.col("tax_h"))
+            )
+
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q1view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            derive(src), ["l_orderkey", "l_linenumber"], pk_buckets=8,
+            cdf=True,
+        )
+        mv = MaintainedAggregate(
+            wh / "mv",
+            ["l_returnflag", "l_linestatus"],
+            sum_cols={
+                "sum_qty": "qty",
+                "sum_base_cents": "base_cents",
+                "sum_disc_price": "disc_price_c",
+                "sum_charge": "charge_c",
+                "sum_disc_h": "disc_h",
+            },
+            where="l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'",
+            where_cols=["l_shipdate"],
+        )
+        mv.refresh(spark, li)  # seed from the pre-churn state
+
+        cols = [
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "qty", "base_cents", "disc_h", "tax_h", "disc_price_c",
+            "charge_c", "l_shipdate",
+        ]
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return derive(df).select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                *cols,
+            )
+
+        plain = src  # pre-churn image drives the batch derivations
+        b_del = plain.filter(F.col("l_orderkey") % 10 == 7)
+        b_upd = plain.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            (F.col("qty") + 1).alias("qty"),
+            "base_cents", "disc_h", "tax_h",
+            (F.col("l_shipdate") + F.expr("INTERVAL 200 DAY")).alias(
+                "l_shipdate"
+            ),
+        )
+        b_ins = plain.filter(F.col("l_orderkey") % 25 == 3).select(
+            (F.col("l_orderkey") + 5000000).alias("l_orderkey"),
+            "l_linenumber", "l_returnflag", "l_linestatus", "qty",
+            (F.col("base_cents") + 7).alias("base_cents"),
+            "disc_h", "tax_h",
+            (F.col("l_shipdate") - F.expr("INTERVAL 30 DAY")).alias(
+                "l_shipdate"
+            ),
+        )
+        li.merge(
+            spark,
+            batch(b_del, "D")
+            .unionByName(batch(b_upd, "U"))
+            .unionByName(batch(b_ins, "I")),
+        )
+        mv.refresh(spark, li)  # ONE slice folds deletes/boundary-crossers
+        _Q1VIEW_CACHE[sf_dir] = mv
+    mv = _Q1VIEW_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+        "sum_base_cents", "sum_disc_price", "sum_charge",
+        F.expr("(1000 * sum_qty) div n_rows").alias("avg_qty_milli"),
+        F.expr("(1000 * sum_base_cents) div n_rows").alias("avg_price_milli"),
+        F.expr("(1000 * sum_disc_h) div n_rows").alias("avg_disc_milli"),
+    )
+
+
+_Q1VIEW_ORACLE = """
+WITH li AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS base_cents,
+           CAST(round(l_discount * 100.0) AS BIGINT) AS disc_h,
+           CAST(round(l_tax * 100.0) AS BIGINT) AS tax_h,
+           l_shipdate,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * 100.0) AS BIGINT) DESC,
+                      CAST(l_quantity AS BIGINT) DESC,
+                      CAST(round(l_discount * 100.0) AS BIGINT) DESC,
+                      CAST(round(l_tax * 100.0) AS BIGINT) DESC,
+                      l_returnflag DESC, l_linestatus DESC, l_shipdate DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), cur AS (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN l_orderkey % 10 = 4 THEN qty + 1 ELSE qty END AS qty,
+         base_cents, disc_h, tax_h,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate + INTERVAL 200 DAY
+              ELSE l_shipdate END AS l_shipdate
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, qty, base_cents + 7, disc_h, tax_h,
+         l_shipdate - INTERVAL 30 DAY
+  FROM li WHERE l_orderkey % 25 = 3
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(base_cents) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(base_cents * (100 - disc_h)) AS BIGINT) AS sum_disc_price,
+       CAST(SUM(base_cents * (100 - disc_h) * (100 + tax_h)) AS BIGINT)
+         AS sum_charge,
+       (1000 * CAST(SUM(qty) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS avg_qty_milli,
+       (1000 * CAST(SUM(base_cents) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS avg_price_milli,
+       (1000 * CAST(SUM(disc_h) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS avg_disc_milli
+FROM cur
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact COUNT(DISTINCT) maintenance row (operators/distinct_matview.py):
 # customers-and-statuses per order priority, maintained through a churn
 # batch that stresses exactly what signed folding cannot express — the
@@ -1702,6 +2013,8 @@ QUERIES = {
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
     "pipeline_star_join_agg": pipeline_star_join_agg,
     "pipeline_snowflake_join_agg": pipeline_snowflake_join_agg,
+    "pipeline_join_minmax": pipeline_join_minmax,
+    "pipeline_maintained_q1": pipeline_maintained_q1,
     "pipeline_incremental_distinct": pipeline_incremental_distinct,
     "pipeline_distinct_topk": pipeline_distinct_topk,
     "pipeline_distinct_quantile": pipeline_distinct_quantile,
@@ -1729,6 +2042,8 @@ ORACLES = {
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,
     "pipeline_star_join_agg": _STAR_ORACLE,
     "pipeline_snowflake_join_agg": _SNOWFLAKE_ORACLE,
+    "pipeline_join_minmax": _JOINMM_ORACLE,
+    "pipeline_maintained_q1": _Q1VIEW_ORACLE,
     "pipeline_incremental_distinct": _DISTINCT_ORACLE,
     "pipeline_distinct_topk": _DISTINCT_TOPK_ORACLE,
     "pipeline_distinct_quantile": _QUANTILE_ORACLE,

@@ -99,6 +99,10 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_star_join_agg": [("p_brand", "str"), ("s_nationkey", "int"), ("n_rows", "int"), ("qty_sum", "int"), ("cents_sum", "int")],
     # SNOWFLAKE chain: nation joins on CUSTOMER's attribute (ownership)
     "pipeline_snowflake_join_agg": [("c_mktsegment", "str"), ("n_name", "str"), ("n_rows", "int"), ("total_cents", "int")],
+    # MIN/MAX over the join view — dirty-group rescan through the join
+    "pipeline_join_minmax": [("c_mktsegment", "str"), ("n_rows", "int"), ("total_cents", "int"), ("min_cents", "int"), ("max_cents", "int")],
+    # TPC-H Q1 maintained: WHERE-filtered view, exact integer-div averages
+    "pipeline_maintained_q1": [("l_returnflag", "str"), ("l_linestatus", "str"), ("n_rows", "int"), ("sum_qty", "int"), ("sum_base_cents", "int"), ("sum_disc_price", "int"), ("sum_charge", "int"), ("avg_qty_milli", "int"), ("avg_price_milli", "int"), ("avg_disc_milli", "int")],
     # exact COUNT(DISTINCT) via the bucket-partitioned support multiset
     "pipeline_incremental_distinct": [("o_orderpriority", "str"), ("n_rows", "int"), ("n_cust", "int"), ("n_status", "int")],
     # heavy hitters probed from the SAME maintained support store

@@ -43,6 +43,14 @@ Scale shape (the whole point — never O(table) per refresh):
 - The fold is one union → groupBy on the group key, identical to the
   single-table matview: partial aggregation map-side, NULL groups
   native, groups whose joined count reaches zero dropped.
+- MIN/MAX measures (fact-side) follow matview.py's algebra through the
+  join: add rows tighten inside the same fold; removals touching a
+  stored extremum mark the group DIRTY, and dirty groups are re-derived
+  from the CURRENT join restricted by literal group-key boxes pushed to
+  the fact and dim scans — plus each attr-supplying dim's box-matching
+  pks walked back through the ownership chain to a literal fact
+  predicate — so the rescan is O(dirty groups' rows), capped with a
+  broadcast-semi fallback (``_rescan_override``).
 
 Exactness: integer measures make incremental == full recompute
 bit-for-bit; the driver rows ``pipeline_incremental_join_agg`` (one
@@ -91,13 +99,16 @@ def init_join_agg(
     dim_pk: str,
     group_cols: Sequence[str],
     sum_cols: dict[str, str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Seed: the full inner-join rollup
     (group_cols…, n_rows, <out>=SUM(<fact src>)…), NULL-as-zero sums —
     the same convention :func:`..matview.init_agg` pins, for the same
     reason (± folding cannot express an all-NULL revival)."""
     return init_star_agg(
-        fact, [(dim, fk_col, dim_pk)], group_cols, sum_cols
+        fact, [(dim, fk_col, dim_pk)], group_cols, sum_cols,
+        min_cols, max_cols,
     )
 
 
@@ -106,6 +117,8 @@ def init_star_agg(
     dims: Sequence[tuple[DataFrame, str, str]],
     group_cols: Sequence[str],
     sum_cols: dict[str, str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Seed the star rollup: chained inner joins (*dims* is a list of
     (dim_df, fact_fk_col, dim_pk_col)), then one groupBy."""
@@ -116,6 +129,8 @@ def init_star_agg(
         F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
         for out, src in sum_cols.items()
     ]
+    aggs += [F.min(F.col(src)).alias(out) for out, src in (min_cols or {}).items()]
+    aggs += [F.max(F.col(src)).alias(out) for out, src in (max_cols or {}).items()]
     return joined.groupBy(*[F.col(g) for g in group_cols]).agg(*aggs)
 
 
@@ -180,16 +195,37 @@ class MaintainedStarAggregate:
         dims: Sequence[tuple[str, Sequence[str]]],
         fact_group_cols: Sequence[str],
         sum_cols: dict[str, str],
+        min_cols: dict[str, str] | None = None,
+        max_cols: dict[str, str] | None = None,
+        fact_where: str | None = None,
+        fact_where_cols: Sequence[str] | None = None,
     ):
         self.root = Path(root)
         self.dims = [(fk, list(gc)) for fk, gc in dims]
         if not self.dims:
             raise ValueError("need at least one dim (fk_col, group_cols)")
+        # row-local SQL predicate over FACT columns: the view aggregates
+        # σ_where(F) ⋈ dims.  Row-locality on the fact makes σ commute
+        # with Δ — applying it to the fact's change slice and to every
+        # pinned fact-state read is the whole implementation.
+        self.fact_where = fact_where
+        self.fact_where_cols = list(fact_where_cols or [])
+        if self.fact_where_cols and not fact_where:
+            raise ValueError("fact_where_cols given without fact_where")
         self.fact_group_cols = list(fact_group_cols)
         self.group_cols = self.fact_group_cols + [
             g for _, gc in self.dims for g in gc
         ]
         self.sum_cols = dict(sum_cols)
+        self.min_cols = dict(min_cols or {})
+        self.max_cols = dict(max_cols or {})
+        self.mm_outs = list(self.min_cols) + list(self.max_cols)
+        outs = ["n_rows", *self.group_cols, *self.sum_cols]
+        clash = set(self.mm_outs) & set(outs)
+        if clash or len(set(self.mm_outs)) != len(self.mm_outs):
+            raise ValueError(
+                f"min/max output names collide: {sorted(clash) or self.mm_outs}"
+            )
 
     def bind(
         self, fact: ManagedTable, dims: ManagedTable | Sequence[ManagedTable]
@@ -265,6 +301,9 @@ class MaintainedStarAggregate:
                 ]
                 + self.fact_group_cols
                 + list(self.sum_cols.values())
+                + list(self.min_cols.values())
+                + list(self.max_cols.values())
+                + self.fact_where_cols
             )
         )
         dim_cols = [
@@ -312,8 +351,10 @@ class MaintainedStarAggregate:
         )
 
     def _delta_rows(self, joined: DataFrame, sign: F.Column) -> DataFrame:
-        """(group…, ±measures, ±1) contribution rows from a joined signed
-        delta frame."""
+        """(group…, ±measures, ±1[, add/remove-side extrema]) contribution
+        rows from a joined signed delta frame.  The add-side extremum is
+        NULL on remove rows and vice versa, so min/max aggregation in the
+        fold sees each side separately."""
         return joined.select(
             *[F.col(g) for g in self.group_cols],
             *[
@@ -321,7 +362,140 @@ class MaintainedStarAggregate:
                 for out, src in self.sum_cols.items()
             ],
             sign.alias("n_rows"),
+            *[
+                F.when(sign > 0, F.col(src)).alias(f"__add_{out}")
+                for out, src in {**self.min_cols, **self.max_cols}.items()
+            ],
+            *[
+                F.when(sign < 0, F.col(src)).alias(f"__rem_{out}")
+                for out, src in {**self.min_cols, **self.max_cols}.items()
+            ],
         )
+
+    def _rescan_override(
+        self,
+        spark: SparkSession,
+        folded: DataFrame,
+        dirty_keys: DataFrame,
+        dirty_rows: list,
+        tightened: list,
+        out_cols: list[str],
+        fact: ManagedTable,
+        mF: dict,
+        mDs: list[dict],
+        meta: dict,
+        f_state: DataFrame | None,
+        dim_full_state,
+        fact_filter_for,
+        dim_pks: list[str],
+    ) -> DataFrame:
+        """Re-derive the dirty groups' extrema from the CURRENT join and
+        override them in *folded*.
+
+        Under the cap the restriction is LITERAL: a per-column IN box on
+        the fact's own group columns, a per-column IN box on each dim's
+        group attributes (pushed to the dim scans), and — because the
+        group key lives mostly dim-side — each attr-supplying dim's
+        box-matching pks walked back through the ownership chain to a
+        literal fact predicate (capped per hop), so the fact scan prunes
+        too instead of relying on the inner joins alone.  The box is a
+        SUPERSET filter on group columns only, so any group it admits is
+        recomputed completely and overriding a matched non-dirty group
+        stays exact.  Past the cap: full join, broadcast-semi filtered to
+        the dirty keys."""
+        under_cap = len(dirty_rows) <= _FK_LITERAL_CAP
+
+        def box(cols: list[str]) -> F.Column | None:
+            if not cols:
+                return None
+            pred = None
+            for c in cols:
+                vals = {r[c] for r in dirty_rows}
+                has_null = None in vals
+                non_null = [v for v in vals if v is not None]
+                p = F.col(c).isin(non_null) if non_null else F.lit(False)
+                if has_null:
+                    p = p | F.col(c).isNull()
+                pred = p if pred is None else (pred & p)
+            return pred
+
+        def _nullsafe(left: str, right: str) -> F.Column:
+            cond = None
+            for c in self.group_cols:
+                eq = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+                cond = eq if cond is None else (cond & eq)
+            return cond
+
+        if f_state is None:
+            f_state = fact._read_state(spark, mF).select(
+                *self._translated(
+                    meta["fact_cols"], meta.get("fact_field_ids", {}), mF
+                )
+            )
+            if self.fact_where:
+                f_state = f_state.filter(F.expr(self.fact_where))
+        joined = f_state
+        if under_cap:
+            fp = box(self.fact_group_cols)
+            if fp is not None:
+                joined = joined.filter(fp)
+            for i in range(len(self.dims)):
+                if not self.dims[i][1]:
+                    continue
+                rows = (
+                    dim_full_state(i)
+                    .filter(box(self.dims[i][1]))
+                    .select(dim_pks[i])
+                    .limit(_FK_LITERAL_CAP + 1)
+                    .collect()
+                )
+                if not rows or len(rows) > _FK_LITERAL_CAP:
+                    continue
+                pred = fact_filter_for(i, [r[dim_pks[i]] for r in rows])
+                if pred is not None:
+                    joined = joined.filter(pred)
+        for i in range(len(self.dims)):
+            side = dim_full_state(i)
+            bp = box(self.dims[i][1]) if under_cap else None
+            if bp is not None:
+                side = side.filter(bp)
+            joined = joined.join(
+                side, F.col(self.dims[i][0]) == F.col(dim_pks[i]), "inner"
+            )
+        if not under_cap:
+            joined = joined.alias("__j").join(
+                F.broadcast(dirty_keys.alias("__d")),
+                _nullsafe("__j", "__d"),
+                "left_semi",
+            )
+        rescan = (
+            joined.groupBy(*self.group_cols)
+            .agg(
+                *[
+                    F.min(F.col(src)).alias(f"__rs_{o}")
+                    for o, src in self.min_cols.items()
+                ],
+                *[
+                    F.max(F.col(src)).alias(f"__rs_{o}")
+                    for o, src in self.max_cols.items()
+                ],
+            )
+            .withColumn("__dirty", F.lit(True))
+        )
+        j2 = folded.alias("__f").join(
+            rescan.alias("__r"), _nullsafe("__f", "__r"), "left"
+        )
+        sel = [F.col(f"__f.{c}").alias(c) for c in self.group_cols]
+        sel += [F.col(f"__f.{c}").alias(c) for c in out_cols]
+        for o, t_ in zip(self.mm_outs, tightened):
+            sel.append(
+                F.when(
+                    F.col("__r.__dirty").isNotNull(), F.col(f"__r.__rs_{o}")
+                )
+                .otherwise(t_)
+                .alias(o)
+            )
+        return j2.select(*sel)
 
     # -- refresh ----------------------------------------------------------
     def refresh_star(
@@ -373,8 +547,11 @@ class MaintainedStarAggregate:
                         "unqualified group/measure references stay unambiguous"
                     )
                 seen |= set(cols)
+            f_seed = fact._read_state(spark, mF).select(*fact_cols)
+            if self.fact_where:
+                f_seed = f_seed.filter(F.expr(self.fact_where))
             seed = init_star_agg(
-                fact._read_state(spark, mF).select(*fact_cols),
+                f_seed,
                 [
                     (
                         dim_tables[i]
@@ -387,6 +564,8 @@ class MaintainedStarAggregate:
                 ],
                 self.group_cols,
                 self.sum_cols,
+                self.min_cols,
+                self.max_cols,
             )
             f_ids = mF.get("field_ids", {})
             self._commit(
@@ -395,6 +574,7 @@ class MaintainedStarAggregate:
                     "version": 1,
                     "applied_fact": sF,
                     "applied_dims": sDs,
+                    "fact_where": self.fact_where,
                     "dim_pks": dim_pks,
                     "owners": owners,
                     "fact_cols": fact_cols,
@@ -419,19 +599,37 @@ class MaintainedStarAggregate:
         dim_pks = meta["dim_pks"]
         owners = meta["owners"]
         fact_cols, dim_cols = meta["fact_cols"], meta["dim_cols"]
+        missing_srcs = sorted(
+            {
+                s
+                for s in {**self.min_cols, **self.max_cols}.values()
+                if s not in fact_cols
+            }
+        )
+        if missing_srcs:
+            raise ValueError(
+                f"view at {self.root} was seeded without min/max source "
+                f"columns {missing_srcs}; rebuild it to add them"
+            )
+        if meta.get("fact_where") != self.fact_where:
+            raise ValueError(
+                f"view at {self.root} was seeded with fact_where="
+                f"{meta.get('fact_where')!r}; constructed with "
+                f"{self.fact_where!r} — rebuild instead of mixing filters"
+            )
         if sF <= aF and all(s <= a for s, a in zip(sDs, aDs)):
             return (aF, *aDs)
 
         meta_keep = [CHANGE_TYPE_COL, COMMIT_SEQ_COL]
-        dF = self._signed(
-            fact.changes(spark, since=aF, until=sF).select(
-                *self._translated(
-                    fact_cols, meta.get("fact_field_ids", {}), mF
-                ),
-                *meta_keep,
-            ),
-            [F.col(c) for c in fact_cols],
+        f_slice = fact.changes(spark, since=aF, until=sF).select(
+            *self._translated(fact_cols, meta.get("fact_field_ids", {}), mF),
+            *meta_keep,
         )
+        if self.fact_where:
+            # σ commutes with Δ for a row-local fact predicate: a change
+            # row (pre- or post-image) contributes iff it satisfies it
+            f_slice = f_slice.filter(F.expr(self.fact_where))
+        dF = self._signed(f_slice, [F.col(c) for c in fact_cols])
         d_ids = meta.get("dim_field_ids") or [{}] * len(self.dims)
         dDs = [
             self._signed(
@@ -552,6 +750,8 @@ class MaintainedStarAggregate:
                         fact_cols, meta.get("fact_field_ids", {}), mF
                     )
                 )
+                if self.fact_where:
+                    f_state = f_state.filter(F.expr(self.fact_where))
             pred = (
                 fact_filter_for(i, [r[dim_pks[i]] for r in key_rows])
                 if len(key_rows) <= _FK_LITERAL_CAP
@@ -601,14 +801,102 @@ class MaintainedStarAggregate:
         # groups dropped (they no longer exist in the joined view)
         stored = self.read(spark)
         out_cols = ["n_rows", *self.sum_cols]
-        folded = stored.select(*self.group_cols, *out_cols)
-        for t in terms:
-            folded = folded.unionByName(t.select(*self.group_cols, *out_cols))
-        folded = (
-            folded.groupBy(*self.group_cols)
-            .agg(*[F.sum(c).cast("long").alias(c) for c in out_cols])
-            .filter(F.col("n_rows") > 0)
-        )
+        mm = self.mm_outs
+        if not mm:
+            folded = stored.select(*self.group_cols, *out_cols)
+            for t in terms:
+                folded = folded.unionByName(
+                    t.select(*self.group_cols, *out_cols)
+                )
+            folded = (
+                folded.groupBy(*self.group_cols)
+                .agg(*[F.sum(c).cast("long").alias(c) for c in out_cols])
+                .filter(F.col("n_rows") > 0)
+            )
+        else:
+            # MIN/MAX over the join (same algebra matview.py pins for one
+            # table): adds TIGHTEN in the fold; a removal touching a
+            # group's stored extremum (or hitting a group born inside the
+            # slice) marks it DIRTY, and dirty groups are re-derived from
+            # the CURRENT join restricted to the dirty group keys.  The
+            # union rows carry __cur (stored side) and __add/__rem (term
+            # side) so ONE groupBy yields state, tighten candidates, and
+            # dirty evidence together; the result is group-count-sized
+            # and localCheckpointed so neither the dirty-key collect nor
+            # the final assembly re-executes the join-heavy term plans.
+            mtype = {out: stored.schema[out].dataType for out in mm}
+
+            def _nulls(pfx: str) -> list:
+                return [
+                    F.lit(None).cast(mtype[o]).alias(f"{pfx}{o}") for o in mm
+                ]
+
+            folded = stored.select(
+                *self.group_cols,
+                *out_cols,
+                *[F.col(o).alias(f"__cur_{o}") for o in mm],
+                *_nulls("__add_"),
+                *_nulls("__rem_"),
+            )
+            for t in terms:
+                folded = folded.unionByName(
+                    t.select(
+                        *self.group_cols,
+                        *out_cols,
+                        *_nulls("__cur_"),
+                        *[F.col(f"__add_{o}") for o in mm],
+                        *[F.col(f"__rem_{o}") for o in mm],
+                    )
+                )
+            folded = (
+                folded.groupBy(*self.group_cols)
+                .agg(
+                    *[F.sum(c).cast("long").alias(c) for c in out_cols],
+                    *[F.min(f"__cur_{o}").alias(f"__cur_{o}") for o in mm],
+                    *[
+                        (F.min if o in self.min_cols else F.max)(
+                            f"__add_{o}"
+                        ).alias(f"__add_{o}")
+                        for o in mm
+                    ],
+                    *[
+                        (F.min if o in self.min_cols else F.max)(
+                            f"__rem_{o}"
+                        ).alias(f"__rem_{o}")
+                        for o in mm
+                    ],
+                )
+                .filter(F.col("n_rows") > 0)
+                .localCheckpoint()
+            )
+
+            def _dirty(o: str) -> F.Column:
+                cur, rem = F.col(f"__cur_{o}"), F.col(f"__rem_{o}")
+                cmp = rem <= cur if o in self.min_cols else rem >= cur
+                return rem.isNotNull() & (cur.isNull() | cmp)
+
+            any_dirty = None
+            for o in mm:
+                any_dirty = (
+                    _dirty(o) if any_dirty is None else (any_dirty | _dirty(o))
+                )
+            dirty_keys = folded.filter(any_dirty).select(*self.group_cols)
+            dirty_rows = dirty_keys.limit(_FK_LITERAL_CAP + 1).collect()
+
+            tightened = [
+                (F.least if o in self.min_cols else F.greatest)(
+                    F.col(f"__cur_{o}"), F.col(f"__add_{o}")
+                ).alias(o)
+                for o in mm
+            ]
+            if not dirty_rows:
+                folded = folded.select(*self.group_cols, *out_cols, *tightened)
+            else:
+                folded = self._rescan_override(
+                    spark, folded, dirty_keys, dirty_rows, tightened,
+                    out_cols, fact, mF, mDs, meta, f_state,
+                    dim_full_state, fact_filter_for, dim_pks,
+                )
         meta["version"] += 1
         meta["applied_fact"], meta["applied_dims"] = sF, sDs
         self._commit(folded, meta)
@@ -633,9 +921,14 @@ class MaintainedJoinAggregate(MaintainedStarAggregate):
         fact_group_cols: Sequence[str],
         dim_group_cols: Sequence[str],
         sum_cols: dict[str, str],
+        min_cols: dict[str, str] | None = None,
+        max_cols: dict[str, str] | None = None,
+        fact_where: str | None = None,
+        fact_where_cols: Sequence[str] | None = None,
     ):
         super().__init__(
-            root, [(fk_col, dim_group_cols)], fact_group_cols, sum_cols
+            root, [(fk_col, dim_group_cols)], fact_group_cols, sum_cols,
+            min_cols, max_cols, fact_where, fact_where_cols,
         )
         self.fk_col = fk_col
         self.dim_group_cols = list(dim_group_cols)

@@ -309,6 +309,8 @@ class MaintainedAggregate:
         sum_cols: dict[str, str],
         min_cols: dict[str, str] | None = None,
         max_cols: dict[str, str] | None = None,
+        where: str | None = None,
+        where_cols: Sequence[str] | None = None,
     ):
         from pathlib import Path
 
@@ -317,6 +319,17 @@ class MaintainedAggregate:
         self.sum_cols = dict(sum_cols)
         self.min_cols = dict(min_cols or {})
         self.max_cols = dict(max_cols or {})
+        # *where* is a row-local SQL predicate over base columns: the view
+        # is the aggregate of σ_where(base).  Row-locality makes σ commute
+        # with Δ — a change row (pre- or post-image) contributes iff it
+        # satisfies the predicate, so update rows crossing the boundary
+        # fold as a one-sided remove or add with no special casing.
+        # *where_cols* names any predicate inputs not already consumed by
+        # group/measure columns (they must ride the feed projection).
+        self.where = where
+        self.where_cols = list(where_cols or [])
+        if self.where_cols and not where:
+            raise ValueError("where_cols given without a where predicate")
 
     def _meta_path(self):
         return self.root / "_meta.json"
@@ -334,7 +347,7 @@ class MaintainedAggregate:
 
     def _commit(
         self, agg: DataFrame, version: int, applied_seq: int,
-        field_ids: dict | None = None,
+        field_ids: dict | None = None, where: str | None = None,
     ) -> None:
         import json
         import os
@@ -345,6 +358,8 @@ class MaintainedAggregate:
         meta = {"applied_seq": applied_seq, "version": version}
         if field_ids:
             meta["field_ids"] = field_ids
+        if where is not None:
+            meta["where"] = where
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
@@ -358,6 +373,7 @@ class MaintainedAggregate:
                 + list(self.sum_cols.values())
                 + list(self.min_cols.values())
                 + list(self.max_cols.values())
+                + self.where_cols
             )
         )
 
@@ -399,8 +415,11 @@ class MaintainedAggregate:
         src_m = source.manifest()
         src_seq = src_m.get("cdf_seq", 0)
         if not self.exists():
+            src = source._read_state(spark, src_m)
+            if self.where:
+                src = src.filter(F.expr(self.where))
             seed = init_agg(
-                source._read_state(spark, src_m),
+                src,
                 self.group_cols,
                 self.sum_cols,
                 self.min_cols,
@@ -414,9 +433,16 @@ class MaintainedAggregate:
                 field_ids={
                     n: src_ids[n] for n in self._source_cols() if n in src_ids
                 },
+                where=self.where,
             )
             return src_seq
         m = self.meta()
+        if m.get("where") != self.where:
+            raise ValueError(
+                f"aggregate at {self.root} was seeded with where="
+                f"{m.get('where')!r}; constructed with {self.where!r} — "
+                "rebuild instead of silently mixing filtered states"
+            )
         since = m["applied_seq"]
         if src_seq <= since:
             return since
@@ -430,11 +456,16 @@ class MaintainedAggregate:
             base = self._feed_base_projection(
                 source._read_state(spark, src_m), m, src_m
             )
+            if self.where:
+                base = base.filter(F.expr(self.where))
+        feed = self._feed_projection(
+            source.changes(spark, since=since, until=src_seq), m, src_m
+        )
+        if self.where:
+            feed = feed.filter(F.expr(self.where))
         updated = apply_changes_to_agg(
             self.read(spark),
-            self._feed_projection(
-                source.changes(spark, since=since, until=src_seq), m, src_m
-            ),
+            feed,
             self.group_cols,
             self.sum_cols,
             self.min_cols,
@@ -442,7 +473,10 @@ class MaintainedAggregate:
             base=base,
         )
         new_version = m["version"] + 1
-        self._commit(updated, new_version, src_seq, field_ids=m.get("field_ids"))
+        self._commit(
+            updated, new_version, src_seq,
+            field_ids=m.get("field_ids"), where=m.get("where"),
+        )
         for p in self.root.glob("v=*"):  # committed: old versions removable
             if int(p.name.split("=", 1)[1]) < new_version:
                 shutil.rmtree(p, ignore_errors=True)
