@@ -114,6 +114,7 @@ PIPELINE_QUERIES = [
     "pipeline_snowflake_join_agg",
     "pipeline_join_minmax",
     "pipeline_maintained_q1",
+    "pipeline_maintained_q3",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",
     "pipeline_distinct_quantile",

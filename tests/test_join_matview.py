@@ -814,6 +814,110 @@ def test_join_view_fact_where(spark, tmp_path):
         ).refresh(spark, fact, dim)
 
 
+def test_dim_where_boundary_and_chain(spark, tmp_path):
+    """dim_wheres: each dim's σ applies to its seed, slice, and every
+    reconstructed state.  Covers a dim attribute move across its own
+    predicate boundary (folds as one-sided dim remove/add), combined
+    fact_where crossings, min/max rescan against the filtered join, and
+    a chain whose OWNER dim is filtered — a custkey re-point on a
+    σ-excluded order must stay invisible."""
+    from tidb2dw_spark.operators.join_matview import (
+        MaintainedStarAggregate,
+        init_star_agg,
+    )
+
+    fact = ManagedTable(tmp_path / "f")
+    fact.create(
+        spark.createDataFrame(
+            [(1, 10, 5), (2, 10, 9), (3, 20, 3), (4, 30, 8), (5, 20, 4)],
+            "k long, fk long, m long",
+        ),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    d1 = ManagedTable(tmp_path / "d1")
+    d1.create(
+        spark.createDataFrame(
+            [(10, "A", 1, 100), (20, "B", 0, 100), (30, "A", 1, 200)],
+            "d long, seg string, act long, ck long",
+        ),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    d2 = ManagedTable(tmp_path / "d2")
+    d2.create(
+        spark.createDataFrame(
+            [(100, "E", 1), (200, "W", 0)], "cid long, region string, vip long"
+        ),
+        pk_cols=["cid"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedStarAggregate(
+        tmp_path / "mv",
+        dims=[("fk", ["seg"]), ("ck", ["region"])],  # ck owned by d1
+        fact_group_cols=[],
+        sum_cols={"s": "m"},
+        min_cols={"mn": "m"},
+        fact_where="m >= 4", fact_where_cols=[],
+        dim_wheres=["act = 1", "vip = 1"],
+        dim_where_cols=[["act"], ["vip"]],
+    )
+    mv.refresh_star(spark, fact, [d1, d2])
+
+    def rec():
+        return sorted(
+            tuple(r)
+            for r in init_star_agg(
+                fact.read(spark).filter("m >= 4"),
+                [
+                    (d1.read(spark).filter("act = 1"), "fk", "d"),
+                    (d2.read(spark).filter("vip = 1"), "ck", "cid"),
+                ],
+                ["seg", "region"], {"s": "m"}, {"mn": "m"},
+            ).collect()
+        )
+
+    def st_():
+        return sorted(tuple(r) for r in mv.read(spark).collect())
+
+    assert st_() == rec()
+
+    d1_env = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "d long, seg string, act long, ck long"
+    )
+    d2_env = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "cid long, region string, vip long"
+    )
+    f_env = (
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "k long, fk long, m long"
+    )
+    # d1: 20 activates (B enters), 10 deactivates (A shrinks) AND its ck
+    # re-points to 200 in the SAME event — invisible while inactive
+    d1.merge(spark, spark.createDataFrame(
+        [("U", "d", "s", 2, 20, "B", 1, 100),
+         ("U", "d", "s", 2, 10, "A", 0, 200)], d1_env))
+    # d2: 200 becomes vip (W enters for rows chained through ck=200)
+    d2.merge(spark, spark.createDataFrame(
+        [("U", "d", "s", 2, 200, "W", 1)], d2_env))
+    # fact: k3 crosses in (3→7), k2 crosses out (9→2, was a max)
+    fact.merge(spark, spark.createDataFrame(
+        [("U", "f", "s", 2, 3, 20, 7), ("U", "f", "s", 2, 2, 10, 2)], f_env))
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert st_() == rec()
+    # reactivate d=10: its rows resurface under the re-pointed chain
+    d1.merge(spark, spark.createDataFrame(
+        [("U", "d", "s", 3, 10, "A", 1, 200)], d1_env))
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert st_() == rec()
+    with pytest.raises(ValueError, match="dim_wheres"):
+        MaintainedStarAggregate(
+            tmp_path / "mv",
+            dims=[("fk", ["seg"]), ("ck", ["region"])],
+            fact_group_cols=[], sum_cols={"s": "m"}, min_cols={"mn": "m"},
+            fact_where="m >= 4",
+        ).refresh_star(spark, fact, [d1, d2])
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 _pf_ev = st.tuples(

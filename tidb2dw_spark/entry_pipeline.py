@@ -1431,6 +1431,231 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q3 as a MAINTAINED snowflake view: unshipped-order revenue
+# (lineitem ⋈ orders ⋈ customer, customer reached through ORDERS'
+# o_custkey — a chain hop) with ALL THREE of Q3's filters live:
+# fact_where on l_shipdate, dim_wheres on o_orderdate and
+# c_mktsegment='BUILDING'.  The churn crosses every boundary at once —
+# shipdates move in/out, order dates move in/out, custkey re-points
+# change BUILDING membership with no customer event (chain-hop), whole
+# orders delete (dangling lineitems), segments flip on customers.  The
+# read is the classic top-10 by revenue with a deterministic tiebreak.
+# ---------------------------------------------------------------------------
+_Q3VIEW_CACHE: dict[str, object] = {}
+_Q3_CUTOFF = "TIMESTAMP '1995-03-15 00:00:00'"
+
+
+def pipeline_maintained_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q3VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias(
+                "base_cents"
+            ),
+            F.round(F.col("l_discount") * 100.0).cast("long").alias("disc_h"),
+            "l_shipdate",
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("base_cents"), F.desc("disc_h"), F.desc("l_shipdate")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn(
+                "disc_price_c",
+                F.col("base_cents") * (F.lit(100) - F.col("disc_h")),
+            )
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+        )
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q3view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        cust = ManagedTable(wh / "customer").create(
+            cust_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[
+                ("l_orderkey", ["o_orderdate", "o_orderpriority"]),
+                ("o_custkey", []),  # chain hop through orders
+            ],
+            fact_group_cols=["l_orderkey"],
+            sum_cols={"revenue_c": "disc_price_c"},
+            fact_where=f"l_shipdate > {_Q3_CUTOFF}",
+            fact_where_cols=["l_shipdate"],
+            dim_wheres=[
+                f"o_orderdate < {_Q3_CUTOFF}",
+                "c_mktsegment = 'BUILDING'",
+            ],
+            dim_where_cols=[[], ["c_mktsegment"]],
+        )
+        mv.refresh_star(spark, li, [orders, cust])  # seed
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.withColumn(
+                "disc_price_c",
+                F.col("base_cents") * (F.lit(100) - F.col("disc_h")),
+            ).select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "base_cents", "disc_h",
+                "disc_price_c", "l_shipdate",
+            )
+
+        plain = li_src.drop("disc_price_c")
+        l_del = plain.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = plain.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            (F.col("base_cents") + 100).alias("base_cents"), "disc_h",
+            (F.col("l_shipdate") - F.expr("INTERVAL 300 DAY")).alias(
+                "l_shipdate"
+            ),
+        )
+        l_ins = plain.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            "base_cents", "disc_h",
+            (F.col("l_shipdate") + F.expr("INTERVAL 50 DAY")).alias(
+                "l_shipdate"
+            ),
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_upd, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+
+        def obatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+            )
+
+        o_del = ord_src.filter(F.col("o_orderkey") % 10 == 3)
+        o_date = ord_src.filter(F.col("o_orderkey") % 10 == 8).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 150 DAY")).alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        )
+        o_repoint = ord_src.filter(F.col("o_orderkey") % 10 == 9).select(
+            "o_orderkey",
+            (F.col("o_custkey") % 100 + 1).alias("o_custkey"),
+            "o_orderdate", "o_orderpriority",
+        )
+        orders.merge(
+            spark,
+            obatch(o_del, "D")
+            .unionByName(obatch(o_date, "U"))
+            .unionByName(obatch(o_repoint, "U")),
+        )
+
+        c_seg = cust_src.filter(F.col("c_custkey") % 10 == 2).select(
+            F.lit("U").alias("flag"),
+            F.lit("customer").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "c_custkey", F.lit("BUILDING").alias("c_mktsegment"),
+        ).unionByName(
+            cust_src.filter(F.col("c_custkey") % 10 == 5).select(
+                F.lit("U").alias("flag"),
+                F.lit("customer").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "c_custkey", F.lit("OTHER").alias("c_mktsegment"),
+            )
+        )
+        cust.merge(spark, c_seg)
+
+        mv.refresh_star(spark, li, [orders, cust])  # ONE three-feed fold
+        _Q3VIEW_CACHE[sf_dir] = mv
+    mv = _Q3VIEW_CACHE[sf_dir]
+    return (
+        mv.read(spark)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue_c")
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, base_cents, disc_h, l_shipdate FROM (
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS base_cents,
+           CAST(round(l_discount * 100.0) AS BIGINT) AS disc_h,
+           l_shipdate,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * 100.0) AS BIGINT) DESC,
+                      CAST(round(l_discount * 100.0) AS BIGINT) DESC,
+                      l_shipdate DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN base_cents + 100
+              ELSE base_cents END AS base_cents,
+         disc_h,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate - INTERVAL 300 DAY
+              ELSE l_shipdate END AS l_shipdate
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, base_cents, disc_h, l_shipdate + INTERVAL 50 DAY
+  FROM li WHERE l_orderkey % 25 = 3
+), curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN (o_custkey % 100) + 1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 10 = 8 THEN o_orderdate + INTERVAL 150 DAY
+              ELSE o_orderdate END AS o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 3
+), curc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 2 THEN 'BUILDING'
+              WHEN c_custkey % 10 = 5 THEN 'OTHER'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(l.base_cents * (100 - l.disc_h)) AS BIGINT) AS revenue_c
+FROM curl l
+JOIN curo o ON l.l_orderkey = o.o_orderkey
+JOIN curc c ON o.o_custkey = c.c_custkey
+WHERE l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND c.c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact COUNT(DISTINCT) maintenance row (operators/distinct_matview.py):
 # customers-and-statuses per order priority, maintained through a churn
 # batch that stresses exactly what signed folding cannot express — the
@@ -2015,6 +2240,7 @@ QUERIES = {
     "pipeline_snowflake_join_agg": pipeline_snowflake_join_agg,
     "pipeline_join_minmax": pipeline_join_minmax,
     "pipeline_maintained_q1": pipeline_maintained_q1,
+    "pipeline_maintained_q3": pipeline_maintained_q3,
     "pipeline_incremental_distinct": pipeline_incremental_distinct,
     "pipeline_distinct_topk": pipeline_distinct_topk,
     "pipeline_distinct_quantile": pipeline_distinct_quantile,
@@ -2044,6 +2270,7 @@ ORACLES = {
     "pipeline_snowflake_join_agg": _SNOWFLAKE_ORACLE,
     "pipeline_join_minmax": _JOINMM_ORACLE,
     "pipeline_maintained_q1": _Q1VIEW_ORACLE,
+    "pipeline_maintained_q3": _Q3VIEW_ORACLE,
     "pipeline_incremental_distinct": _DISTINCT_ORACLE,
     "pipeline_distinct_topk": _DISTINCT_TOPK_ORACLE,
     "pipeline_distinct_quantile": _QUANTILE_ORACLE,

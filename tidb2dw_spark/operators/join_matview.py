@@ -199,6 +199,8 @@ class MaintainedStarAggregate:
         max_cols: dict[str, str] | None = None,
         fact_where: str | None = None,
         fact_where_cols: Sequence[str] | None = None,
+        dim_wheres: Sequence[str | None] | None = None,
+        dim_where_cols: Sequence[Sequence[str]] | None = None,
     ):
         self.root = Path(root)
         self.dims = [(fk, list(gc)) for fk, gc in dims]
@@ -212,6 +214,30 @@ class MaintainedStarAggregate:
         self.fact_where_cols = list(fact_where_cols or [])
         if self.fact_where_cols and not fact_where:
             raise ValueError("fact_where_cols given without fact_where")
+        # per-dim row-local predicates: the view aggregates
+        # σF(F) ⋈ σ1(D1) ⋈ … — each σi is applied to dim i's seed state,
+        # its change slice (pre- AND post-images, so an attribute move
+        # across the predicate boundary folds as a one-sided dim
+        # remove/add), and every reconstructed state (current, old, full).
+        # The pre-slice reconstruction stays exact under filtering: a key
+        # whose earliest FILTERED event is a preimage was in σ(D_old) with
+        # exactly that row; a key whose earliest filtered event is a
+        # postimage was not; a key with no filtered events reconstructs
+        # from its (filtered) current row.
+        self.dim_wheres = list(dim_wheres) if dim_wheres else [None] * len(self.dims)
+        if len(self.dim_wheres) != len(self.dims):
+            raise ValueError(
+                f"dim_wheres has {len(self.dim_wheres)} entries for "
+                f"{len(self.dims)} dims"
+            )
+        self.dim_where_cols = [
+            list(c) for c in (dim_where_cols or [[]] * len(self.dims))
+        ]
+        if len(self.dim_where_cols) != len(self.dims):
+            raise ValueError(
+                f"dim_where_cols has {len(self.dim_where_cols)} entries "
+                f"for {len(self.dims)} dims"
+            )
         self.fact_group_cols = list(fact_group_cols)
         self.group_cols = self.fact_group_cols + [
             g for _, gc in self.dims for g in gc
@@ -311,6 +337,7 @@ class MaintainedStarAggregate:
                 dict.fromkeys(
                     [dim_pks[j]]
                     + self.dims[j][1]
+                    + self.dim_where_cols[j]
                     + [
                         self.dims[i][0]
                         for i in range(len(self.dims))
@@ -550,16 +577,19 @@ class MaintainedStarAggregate:
             f_seed = fact._read_state(spark, mF).select(*fact_cols)
             if self.fact_where:
                 f_seed = f_seed.filter(F.expr(self.fact_where))
+
+            def _d_seed(i: int) -> DataFrame:
+                d = dim_tables[i]._read_state(spark, mDs[i]).select(
+                    *dim_cols[i]
+                )
+                if self.dim_wheres[i]:
+                    d = d.filter(F.expr(self.dim_wheres[i]))
+                return d
+
             seed = init_star_agg(
                 f_seed,
                 [
-                    (
-                        dim_tables[i]
-                        ._read_state(spark, mDs[i])
-                        .select(*dim_cols[i]),
-                        self.dims[i][0],
-                        dim_pks[i],
-                    )
+                    (_d_seed(i), self.dims[i][0], dim_pks[i])
                     for i in range(len(self.dims))
                 ],
                 self.group_cols,
@@ -575,6 +605,7 @@ class MaintainedStarAggregate:
                     "applied_fact": sF,
                     "applied_dims": sDs,
                     "fact_where": self.fact_where,
+                    "dim_wheres": self.dim_wheres,
                     "dim_pks": dim_pks,
                     "owners": owners,
                     "fact_cols": fact_cols,
@@ -617,6 +648,12 @@ class MaintainedStarAggregate:
                 f"{meta.get('fact_where')!r}; constructed with "
                 f"{self.fact_where!r} — rebuild instead of mixing filters"
             )
+        if meta.get("dim_wheres", [None] * len(self.dims)) != self.dim_wheres:
+            raise ValueError(
+                f"view at {self.root} was seeded with dim_wheres="
+                f"{meta.get('dim_wheres')!r}; constructed with "
+                f"{self.dim_wheres!r} — rebuild instead of mixing filters"
+            )
         if sF <= aF and all(s <= a for s, a in zip(sDs, aDs)):
             return (aF, *aDs)
 
@@ -631,16 +668,20 @@ class MaintainedStarAggregate:
             f_slice = f_slice.filter(F.expr(self.fact_where))
         dF = self._signed(f_slice, [F.col(c) for c in fact_cols])
         d_ids = meta.get("dim_field_ids") or [{}] * len(self.dims)
-        dDs = [
-            self._signed(
-                dim_tables[i]
-                .changes(spark, since=aDs[i], until=sDs[i])
-                .select(
-                    *self._translated(dim_cols[i], d_ids[i], mDs[i]),
-                    *meta_keep,
-                ),
-                [F.col(c) for c in dim_cols[i]],
+
+        def _d_slice(i: int) -> DataFrame:
+            sl = dim_tables[i].changes(spark, since=aDs[i], until=sDs[i]).select(
+                *self._translated(dim_cols[i], d_ids[i], mDs[i]),
+                *meta_keep,
             )
+            if self.dim_wheres[i]:
+                # σ commutes with Δ row-locally: pre-/post-images
+                # contribute iff they satisfy the dim's predicate
+                sl = sl.filter(F.expr(self.dim_wheres[i]))
+            return sl
+
+        dDs = [
+            self._signed(_d_slice(i), [F.col(c) for c in dim_cols[i]])
             for i in range(len(self.dims))
         ]
 
@@ -657,18 +698,26 @@ class MaintainedStarAggregate:
         def dim_state(i: int, keys: DataFrame) -> DataFrame:
             """CURRENT (slice-end) dim rows for *keys* — bucket-pruned
             probe PINNED to this refresh's manifest, translated to seed
-            names."""
-            return dim_tables[i].read_for_keys(
+            names, filtered to the dim's σ (also covers dim_old's
+            current-row side, keeping the pre-slice reconstruction in
+            σ-space end to end)."""
+            d = dim_tables[i].read_for_keys(
                 spark, keys, manifest=mDs[i]
             ).select(*self._translated(dim_cols[i], d_ids[i], mDs[i]))
+            if self.dim_wheres[i]:
+                d = d.filter(F.expr(self.dim_wheres[i]))
+            return d
 
         def dim_full_state(i: int) -> DataFrame:
             """Full CURRENT dim state (dim-sized scan) — used only to
             resolve a chain hop's key set; dims are the small side of a
             star/snowflake by construction."""
-            return dim_tables[i]._read_state(spark, mDs[i]).select(
+            d = dim_tables[i]._read_state(spark, mDs[i]).select(
                 *self._translated(dim_cols[i], d_ids[i], mDs[i])
             )
+            if self.dim_wheres[i]:
+                d = d.filter(F.expr(self.dim_wheres[i]))
+            return d
 
         def dim_old(i: int, keys: DataFrame) -> DataFrame:
             """PRE-SLICE dim rows for *keys*: current rows for keys the
@@ -925,10 +974,13 @@ class MaintainedJoinAggregate(MaintainedStarAggregate):
         max_cols: dict[str, str] | None = None,
         fact_where: str | None = None,
         fact_where_cols: Sequence[str] | None = None,
+        dim_where: str | None = None,
+        dim_where_cols: Sequence[str] | None = None,
     ):
         super().__init__(
             root, [(fk_col, dim_group_cols)], fact_group_cols, sum_cols,
             min_cols, max_cols, fact_where, fact_where_cols,
+            [dim_where], [list(dim_where_cols or [])],
         )
         self.fk_col = fk_col
         self.dim_group_cols = list(dim_group_cols)
