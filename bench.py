@@ -115,6 +115,7 @@ PIPELINE_QUERIES = [
     "pipeline_join_minmax",
     "pipeline_maintained_q1",
     "pipeline_maintained_q3",
+    "pipeline_maintained_q13",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",
     "pipeline_distinct_quantile",

@@ -1073,7 +1073,7 @@ def pipeline_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("cents") + 11).alias("cents"),
         )
         f_ins = fact_src.filter(F.col("o_orderkey") % 25 == 3).select(
-            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
             (F.col("o_orderkey") % 120 + 1).alias("o_custkey"),
             "o_orderpriority",
             (F.col("cents") + 5).alias("cents"),
@@ -1100,7 +1100,7 @@ def pipeline_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame
             F.concat(F.col("c_mktsegment"), F.lit("_X")).alias("c_mktsegment"),
         )
         d_ins = dim_src.filter(F.col("c_custkey") % 20 == 1).select(
-            (F.col("c_custkey") + 500000).alias("c_custkey"),
+            (F.col("c_custkey") + 100000000).alias("c_custkey"),
             F.concat(
                 F.lit("NEW_"), (F.col("c_custkey") % 7).cast("string")
             ).alias("c_mktsegment"),
@@ -1176,7 +1176,7 @@ def pipeline_join_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") + 11).alias("cents"),
         )
         f_ins = fact_src.filter(F.col("o_orderkey") % 25 == 3).select(
-            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
             (F.col("o_orderkey") % 120 + 1).alias("o_custkey"),
             (F.col("cents") + 5).alias("cents"),
         )
@@ -1235,7 +1235,7 @@ WITH fact1 AS (
               ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS cents
   FROM orders WHERE o_orderkey % 10 <> 7
   UNION ALL
-  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1,
+  SELECT o_orderkey + 100000000, (o_orderkey % 120) + 1,
          CAST(round(o_totalprice * 100.0) AS BIGINT) + 5
   FROM orders WHERE o_orderkey % 25 = 3
 ), fact2 AS (
@@ -1354,7 +1354,7 @@ def pipeline_maintained_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         b_ins = plain.filter(F.col("l_orderkey") % 25 == 3).select(
-            (F.col("l_orderkey") + 5000000).alias("l_orderkey"),
+            (F.col("l_orderkey") + 10000000000).alias("l_orderkey"),
             "l_linenumber", "l_returnflag", "l_linestatus", "qty",
             (F.col("base_cents") + 7).alias("base_cents"),
             "disc_h", "tax_h",
@@ -1656,6 +1656,113 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q13 via COMPOSITION: the inner correlation (orders per customer,
+# with Q13's anti-filter) is a maintained keyed-count view — O(changes)
+# upkeep — and the outer distribution is a customer LEFT JOIN against
+# that groups-sized state at read (exactly what Q13 itself scans).  The
+# churn flips orders across the filter, deletes a customer's LAST
+# qualifying order (they must move to the c_count=0 bucket), and gives
+# order-less customers their first (0 → 1).
+# ---------------------------------------------------------------------------
+_Q13VIEW_CACHE: dict[str, object] = {}
+_Q13_FILTER = "o_orderpriority NOT LIKE '1-%'"
+
+
+def pipeline_maintained_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.matview import MaintainedAggregate
+
+    if sf_dir not in _Q13VIEW_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q13view_"))
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        mv = MaintainedAggregate(
+            wh / "mv",
+            ["o_custkey"],
+            sum_cols={},
+            where=_Q13_FILTER,
+            where_cols=["o_orderpriority"],
+        )
+        mv.refresh(spark, orders)
+
+        def obatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_orderpriority",
+            )
+
+        o_del = ord_src.filter(F.col("o_orderkey") % 10 == 7)
+        o_flip = ord_src.filter(F.col("o_orderkey") % 10 == 4).select(
+            "o_orderkey", "o_custkey",
+            # URGENT ↔ not: crosses the filter in both directions
+            F.when(
+                F.col("o_orderpriority").startswith("1-"), F.lit("3-MEDIUM")
+            ).otherwise(F.lit("1-URGENT")).alias("o_orderpriority"),
+        )
+        o_ins = ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            # first orders for high custkeys that may have had none
+            (F.col("o_orderkey") % 299983).alias("o_custkey"),
+            F.lit("5-LOW").alias("o_orderpriority"),
+        )
+        orders.merge(
+            spark,
+            obatch(o_del, "D")
+            .unionByName(obatch(o_flip, "U"))
+            .unionByName(obatch(o_ins, "I")),
+        )
+        mv.refresh(spark, orders)
+        _Q13VIEW_CACHE[sf_dir] = mv
+    mv = _Q13VIEW_CACHE[sf_dir]
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey"
+    )
+    counts = mv.read(spark).select(
+        F.col("o_custkey").alias("c_custkey"), F.col("n_rows").alias("c_count")
+    )
+    # no forced broadcast: the count state is customer-cardinality at the
+    # limit, so let the optimizer pick the join strategy from its size
+    return (
+        customers.join(counts, on="c_custkey", how="left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+_Q13VIEW_ORACLE = """
+WITH curo AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 4 THEN
+                CASE WHEN o_orderpriority LIKE '1-%' THEN '3-MEDIUM'
+                     ELSE '1-URGENT' END
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderkey % 299983, '5-LOW'
+  FROM orders WHERE o_orderkey % 25 = 3
+), per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT * FROM curo WHERE o_orderpriority NOT LIKE '1-%'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact COUNT(DISTINCT) maintenance row (operators/distinct_matview.py):
 # customers-and-statuses per order priority, maintained through a churn
 # batch that stresses exactly what signed folding cannot express — the
@@ -1703,7 +1810,7 @@ def pipeline_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit("X").alias("o_orderstatus"),
         )
         i = src.filter(F.col("o_orderkey") % 25 == 3).select(
-            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
             (F.col("o_orderkey") % 120 + 1).alias("o_custkey"),
             "o_orderpriority",
             F.lit("N").alias("o_orderstatus"),
@@ -1971,7 +2078,7 @@ def pipeline_snowflake_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") + 11).alias("cents"),
         )
         f_i = fact_src.filter(F.col("o_orderkey") % 25 == 3).select(
-            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
             (F.col("o_orderkey") % 120 + 1).alias("o_custkey"),
             (F.col("cents") + 5).alias("cents"),
         )
@@ -1996,7 +2103,7 @@ def pipeline_snowflake_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("c_nationkey") + 5) % 25).alias("c_nationkey"),
         )
         c_i = cust_src.filter(F.col("c_custkey") % 20 == 1).select(
-            (F.col("c_custkey") + 500000).alias("c_custkey"),
+            (F.col("c_custkey") + 100000000).alias("c_custkey"),
             F.concat(
                 F.lit("NEW_"), (F.col("c_custkey") % 7).cast("string")
             ).alias("c_mktsegment"),
@@ -2035,7 +2142,7 @@ WITH curf AS (
               ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS cents
   FROM orders WHERE o_orderkey % 10 <> 7
   UNION ALL
-  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1,
+  SELECT o_orderkey + 100000000, (o_orderkey % 120) + 1,
          CAST(round(o_totalprice * 100.0) AS BIGINT) + 5
   FROM orders WHERE o_orderkey % 25 = 3
 ), curc AS (
@@ -2046,7 +2153,7 @@ WITH curf AS (
               ELSE c_nationkey END AS BIGINT) AS c_nationkey
   FROM customer WHERE c_custkey % 10 <> 3
   UNION ALL
-  SELECT c_custkey + 500000, 'NEW_' || CAST(c_custkey % 7 AS VARCHAR),
+  SELECT c_custkey + 100000000, 'NEW_' || CAST(c_custkey % 7 AS VARCHAR),
          CAST(c_custkey % 25 AS BIGINT)
   FROM customer WHERE c_custkey % 20 = 1
 ), curn AS (
@@ -2106,7 +2213,7 @@ def pipeline_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") + 11).alias("cents"),
         )
         i = src.filter(F.col("o_orderkey") % 25 == 3).select(
-            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
             "o_orderpriority",
             (F.col("cents") + 5).alias("cents"),
         )
@@ -2130,7 +2237,7 @@ WITH cur AS (
               ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS cents
   FROM orders WHERE o_orderkey % 10 <> 7
   UNION ALL
-  SELECT o_orderkey + 1000000, o_orderpriority,
+  SELECT o_orderkey + 100000000, o_orderpriority,
          CAST(round(o_totalprice * 100.0) AS BIGINT) + 5
   FROM orders WHERE o_orderkey % 25 = 3
 ), counted AS (
@@ -2160,7 +2267,7 @@ WITH cur AS (
          o_orderpriority
   FROM orders WHERE o_orderkey % 10 <> 7
   UNION ALL
-  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1, o_orderpriority
+  SELECT o_orderkey + 100000000, (o_orderkey % 120) + 1, o_orderpriority
   FROM orders WHERE o_orderkey % 25 = 3
 ), counted AS (
   SELECT o_orderpriority, o_custkey,
@@ -2185,7 +2292,7 @@ WITH cur AS (
               ELSE o_orderstatus END AS o_orderstatus
   FROM orders WHERE o_orderkey % 10 <> 7
   UNION ALL
-  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1, o_orderpriority, 'N'
+  SELECT o_orderkey + 100000000, (o_orderkey % 120) + 1, o_orderpriority, 'N'
   FROM orders WHERE o_orderkey % 25 = 3
 )
 SELECT o_orderpriority,
@@ -2207,7 +2314,7 @@ WITH fact2 AS (
               ELSE CAST(round(o_totalprice * 100.0) AS BIGINT) END AS cents
   FROM orders WHERE o_orderkey % 10 <> 7
   UNION ALL
-  SELECT o_orderkey + 1000000, (o_orderkey % 120) + 1, o_orderpriority,
+  SELECT o_orderkey + 100000000, (o_orderkey % 120) + 1, o_orderpriority,
          CAST(round(o_totalprice * 100.0) AS BIGINT) + 5
   FROM orders WHERE o_orderkey % 25 = 3
 ), dim2 AS (
@@ -2216,7 +2323,7 @@ WITH fact2 AS (
               ELSE c_mktsegment END AS c_mktsegment
   FROM customer WHERE c_custkey % 10 <> 3
   UNION ALL
-  SELECT c_custkey + 500000, 'NEW_' || CAST(c_custkey % 7 AS VARCHAR)
+  SELECT c_custkey + 100000000, 'NEW_' || CAST(c_custkey % 7 AS VARCHAR)
   FROM customer WHERE c_custkey % 20 = 1
 )
 SELECT f.o_orderpriority, d.c_mktsegment,
@@ -2241,6 +2348,7 @@ QUERIES = {
     "pipeline_join_minmax": pipeline_join_minmax,
     "pipeline_maintained_q1": pipeline_maintained_q1,
     "pipeline_maintained_q3": pipeline_maintained_q3,
+    "pipeline_maintained_q13": pipeline_maintained_q13,
     "pipeline_incremental_distinct": pipeline_incremental_distinct,
     "pipeline_distinct_topk": pipeline_distinct_topk,
     "pipeline_distinct_quantile": pipeline_distinct_quantile,
@@ -2271,6 +2379,7 @@ ORACLES = {
     "pipeline_join_minmax": _JOINMM_ORACLE,
     "pipeline_maintained_q1": _Q1VIEW_ORACLE,
     "pipeline_maintained_q3": _Q3VIEW_ORACLE,
+    "pipeline_maintained_q13": _Q13VIEW_ORACLE,
     "pipeline_incremental_distinct": _DISTINCT_ORACLE,
     "pipeline_distinct_topk": _DISTINCT_TOPK_ORACLE,
     "pipeline_distinct_quantile": _QUANTILE_ORACLE,

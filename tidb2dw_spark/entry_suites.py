@@ -105,6 +105,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_maintained_q1": [("l_returnflag", "str"), ("l_linestatus", "str"), ("n_rows", "int"), ("sum_qty", "int"), ("sum_base_cents", "int"), ("sum_disc_price", "int"), ("sum_charge", "int"), ("avg_qty_milli", "int"), ("avg_price_milli", "int"), ("avg_disc_milli", "int")],
     # TPC-H Q3 maintained: chain join + fact/dim WHEREs, top-10 read
     "pipeline_maintained_q3": [("l_orderkey", "int"), ("o_orderdate", "ts"), ("o_orderpriority", "str"), ("revenue_c", "int")],
+    # TPC-H Q13 composed: maintained keyed counts + left-join read
+    "pipeline_maintained_q13": [("c_count", "int"), ("custdist", "int")],
     # exact COUNT(DISTINCT) via the bucket-partitioned support multiset
     "pipeline_incremental_distinct": [("o_orderpriority", "str"), ("n_rows", "int"), ("n_cust", "int"), ("n_status", "int")],
     # heavy hitters probed from the SAME maintained support store

@@ -16,7 +16,7 @@ Event classes per key (FIXTURES.md §3 coverage matrix), selected by
     4 → I then D at higher ts         (same-batch insert+delete → net delete,
                                        SURVEY §7 hard-part 5)
     5 → D then I at higher ts         (net reinsert)
-    6 → I with key+1000000            (not-matched insert arm)
+    6 → I with key+100000000            (not-matched insert arm)
 
 commit_ts = pk*10 + seq keeps events per key strictly ordered and globally
 deterministic.  Shape note: one scan + CROSS JOIN a 2-row sequence + CASE,
@@ -42,7 +42,7 @@ SELECT CASE WHEN (m = 3) OR (m = 4 AND i = 2) OR (m = 5 AND i = 1) THEN 'D'
             ELSE 'U' END AS flag,
        'orders' AS tablename, 'tpch' AS schemaname,
        CAST(o_orderkey*10 + i AS BIGINT) AS commit_ts,
-       CASE WHEN m = 6 THEN o_orderkey + 1000000 ELSE o_orderkey END AS o_orderkey,
+       CASE WHEN m = 6 THEN o_orderkey + 100000000 ELSE o_orderkey END AS o_orderkey,
        o_custkey,
        CASE WHEN m = 1 THEN 'U1' WHEN m = 2 AND i = 1 THEN 'XX'
             WHEN m = 2 AND i = 2 THEN 'U2' WHEN m = 4 THEN 'I4'

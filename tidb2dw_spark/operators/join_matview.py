@@ -84,12 +84,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..table.managed import CHANGE_TYPE_COL, COMMIT_SEQ_COL, ManagedTable
+from .matview import DIRTY_LITERAL_CAP, literal_group_box, nullsafe_group_eq
 
 _ADD = ("insert", "update_postimage")
 _SUB = ("delete", "update_preimage")
 # past this many changed dim keys, the literal fk IN (...) predicate is
-# replaced by a broadcast semi-join (same trade as matview's dirty cap)
-_FK_LITERAL_CAP = 5000
+# replaced by a broadcast semi-join — the SAME cap as matview's dirty
+# rescan so the literal-vs-broadcast trade can't drift between the two
+_FK_LITERAL_CAP = DIRTY_LITERAL_CAP
 
 
 def init_join_agg(
@@ -308,14 +310,26 @@ class MaintainedStarAggregate:
         ]
         owners: list[int] = []
         for i, (jc, _) in enumerate(self.dims):
+            cand = [j for j in range(i) if jc in dim_schemas[j]]
             if jc in fact_schema:
+                if cand:
+                    raise ValueError(
+                        f"join column {jc!r} of dim {i} is ambiguous: it "
+                        f"exists on the fact AND on earlier dim(s) {cand} "
+                        "— rename one side so the topology is explicit"
+                    )
                 owners.append(-1)
             else:
-                cand = [j for j in range(i) if jc in dim_schemas[j]]
                 if not cand:
                     raise ValueError(
                         f"join column {jc!r} of dim {i} is on neither the "
                         "fact nor any earlier dim"
+                    )
+                if len(cand) > 1:
+                    raise ValueError(
+                        f"join column {jc!r} of dim {i} is ambiguous: it "
+                        f"exists on earlier dims {cand} — rename so the "
+                        "topology is explicit"
                     )
                 owners.append(cand[-1])
         fact_cols = list(
@@ -433,25 +447,10 @@ class MaintainedStarAggregate:
         under_cap = len(dirty_rows) <= _FK_LITERAL_CAP
 
         def box(cols: list[str]) -> F.Column | None:
-            if not cols:
-                return None
-            pred = None
-            for c in cols:
-                vals = {r[c] for r in dirty_rows}
-                has_null = None in vals
-                non_null = [v for v in vals if v is not None]
-                p = F.col(c).isin(non_null) if non_null else F.lit(False)
-                if has_null:
-                    p = p | F.col(c).isNull()
-                pred = p if pred is None else (pred & p)
-            return pred
+            return literal_group_box(dirty_rows, cols)
 
         def _nullsafe(left: str, right: str) -> F.Column:
-            cond = None
-            for c in self.group_cols:
-                eq = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
-                cond = eq if cond is None else (cond & eq)
-            return cond
+            return nullsafe_group_eq(left, right, self.group_cols)
 
         if f_state is None:
             f_state = fact._read_state(spark, mF).select(
@@ -606,6 +605,7 @@ class MaintainedStarAggregate:
                     "applied_dims": sDs,
                     "fact_where": self.fact_where,
                     "dim_wheres": self.dim_wheres,
+                    "mm_outs": self.mm_outs,
                     "dim_pks": dim_pks,
                     "owners": owners,
                     "fact_cols": fact_cols,
@@ -628,8 +628,23 @@ class MaintainedStarAggregate:
         meta = self.meta()
         aF, aDs = meta["applied_fact"], meta["applied_dims"]
         dim_pks = meta["dim_pks"]
+        missing_meta = [
+            k for k in ("owners", "fact_cols", "dim_cols") if k not in meta
+        ]
+        if missing_meta:
+            raise ValueError(
+                f"view at {self.root} was seeded by an older engine version "
+                f"(meta lacks {missing_meta}); delete and reseed it"
+            )
         owners = meta["owners"]
         fact_cols, dim_cols = meta["fact_cols"], meta["dim_cols"]
+        if meta.get("mm_outs", []) != self.mm_outs:
+            raise ValueError(
+                f"view at {self.root} was seeded with min/max outputs "
+                f"{meta.get('mm_outs', [])}; constructed with "
+                f"{self.mm_outs} — a mismatched refresh would silently "
+                "drop or corrupt the maintained extrema; rebuild instead"
+            )
         missing_srcs = sorted(
             {
                 s

@@ -72,6 +72,41 @@ def init_agg(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+# past this many dirty/changed group keys, literal predicates are replaced
+# by a broadcast semi-join (shared by the single-table and join-view
+# maintainers so the trade-off can't drift between them)
+DIRTY_LITERAL_CAP = 5000
+
+
+def literal_group_box(rows, cols: Sequence[str]):
+    """Per-column literal IN predicate over collected group-key *rows* —
+    NULL-aware, a SUPERSET box of the exact tuple set (safe wherever the
+    consumer recomputes whole groups).  Literals reach the parquet scan,
+    so row-group pruning engages where a runtime broadcast build side
+    cannot.  None when *cols* is empty."""
+    if not cols:
+        return None
+    pred = None
+    for c in cols:
+        vals = {r[c] for r in rows}
+        has_null = None in vals
+        non_null = [v for v in vals if v is not None]
+        p = F.col(c).isin(non_null) if non_null else F.lit(False)
+        if has_null:
+            p = p | F.col(c).isNull()
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
+def nullsafe_group_eq(left: str, right: str, cols: Sequence[str]):
+    """Null-safe equality of *cols* between two aliased frames."""
+    cond = None
+    for c in cols:
+        eq = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
 def apply_changes_to_agg(
     agg: DataFrame,
     changes: DataFrame,
@@ -165,11 +200,7 @@ def apply_changes_to_agg(
         return folded
 
     def _nullsafe_eq(left_alias: str, right_alias: str):
-        cond = None
-        for c in group_cols:
-            eq = F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        return cond
+        return nullsafe_group_eq(left_alias, right_alias, group_cols)
 
     # DIRTY groups derive from stored-state + remove-side extrema alone —
     # never from the fold — so the (expensive) folded union aggregate is
@@ -225,8 +256,7 @@ def apply_changes_to_agg(
     # branch — accepted: LocalLimit stops the collect early, both jobs
     # are bounded by the CHANGES batch (rem_agg ⋈ groups), and the
     # over-cap case (>5000 dirty groups in one slice) is the rare one.
-    _DIRTY_LITERAL_CAP = 5000
-    dirty_rows = dirty_keys.limit(_DIRTY_LITERAL_CAP + 1).collect()
+    dirty_rows = dirty_keys.limit(DIRTY_LITERAL_CAP + 1).collect()
     if not dirty_rows:
         out_cols = [F.col(c) for c in group_cols]
         out_cols.append(F.col("n_rows"))
@@ -237,17 +267,9 @@ def apply_changes_to_agg(
                 tighten(F.col(f"__cur_{out}"), F.col(f"__add_{out}")).alias(out)
             )
         return folded.select(*out_cols)
-    if len(dirty_rows) <= _DIRTY_LITERAL_CAP:
-        pred = None
-        for c in group_cols:
-            vals = {r[c] for r in dirty_rows}
-            has_null = None in vals
-            non_null = [v for v in vals if v is not None]
-            p = F.col(c).isin(non_null) if non_null else F.lit(False)
-            if has_null:
-                p = p | F.col(c).isNull()
-            pred = p if pred is None else (pred & p)
-        scan = base.filter(pred)
+    if len(dirty_rows) <= DIRTY_LITERAL_CAP:
+        pred = literal_group_box(dirty_rows, group_cols)
+        scan = base.filter(pred) if pred is not None else base
     else:
         scan = base.alias("__b").join(
             F.broadcast(dirty_keys.alias("__d")),
@@ -348,6 +370,7 @@ class MaintainedAggregate:
     def _commit(
         self, agg: DataFrame, version: int, applied_seq: int,
         field_ids: dict | None = None, where: str | None = None,
+        mm_outs: list[str] | None = None,
     ) -> None:
         import json
         import os
@@ -360,6 +383,8 @@ class MaintainedAggregate:
             meta["field_ids"] = field_ids
         if where is not None:
             meta["where"] = where
+        if mm_outs is not None:
+            meta["mm_outs"] = mm_outs
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
@@ -434,6 +459,7 @@ class MaintainedAggregate:
                     n: src_ids[n] for n in self._source_cols() if n in src_ids
                 },
                 where=self.where,
+                mm_outs=list(self.min_cols) + list(self.max_cols),
             )
             return src_seq
         m = self.meta()
@@ -442,6 +468,14 @@ class MaintainedAggregate:
                 f"aggregate at {self.root} was seeded with where="
                 f"{m.get('where')!r}; constructed with {self.where!r} — "
                 "rebuild instead of silently mixing filtered states"
+            )
+        mm_outs = list(self.min_cols) + list(self.max_cols)
+        if m.get("mm_outs", []) != mm_outs:
+            raise ValueError(
+                f"aggregate at {self.root} was seeded with min/max outputs "
+                f"{m.get('mm_outs', [])}; constructed with {mm_outs} — a "
+                "mismatched refresh would silently drop or corrupt the "
+                "maintained extrema; rebuild instead"
             )
         since = m["applied_seq"]
         if src_seq <= since:
@@ -476,6 +510,7 @@ class MaintainedAggregate:
         self._commit(
             updated, new_version, src_seq,
             field_ids=m.get("field_ids"), where=m.get("where"),
+            mm_outs=m.get("mm_outs"),
         )
         for p in self.root.glob("v=*"):  # committed: old versions removable
             if int(p.name.split("=", 1)[1]) < new_version:
