@@ -268,3 +268,15 @@ def test_sem_dedup_single_cluster_exchange(spark, sf_dir):
     a = assert_single_shuffle(QUERIES["sem_dedup_keep"](spark, sf_dir))
     assert "FlatMapGroupsInPandas" in a.plan
     assert a.joins == []
+
+
+def test_maintained_q3_read_is_distributed_take_ordered(spark, sf_dir):
+    """The maintained-Q3 top-10 read must plan TakeOrderedAndProject over
+    the group-sized view state — never a global window sort — so the
+    serving path stays O(state/partitions) at any view size."""
+    from tidb2dw_spark.entry_pipeline import QUERIES as PQ
+    from tidb2dw_spark.plans import audit
+
+    plan = audit(PQ["pipeline_maintained_q3"](spark, sf_dir)).plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -313,7 +313,14 @@ def test_replicator_maintains_derived_state_per_poll(spark, tmp_path):
 
     rep, ix, mv, reg = mk()
     rep.run_once()
-    assert reg.snapshot()["tables"]["tpch.users"]["counters"]["derived_refreshed"] == 2
+    m_users = reg.snapshot()["tables"]["tpch.users"]
+    assert m_users["counters"]["derived_refreshed"] == 2
+    # per-object upkeep cost is recorded by class: cumulative counter +
+    # last-refresh gauge for both the index and the aggregate
+    assert m_users["counters"]["derived_secondaryindex_seconds"] > 0
+    assert m_users["counters"]["derived_maintainedaggregate_seconds"] > 0
+    assert m_users["gauges"]["derived_secondaryindex_last_seconds"] > 0
+    assert m_users["gauges"]["derived_maintainedaggregate_last_seconds"] > 0
     check(rep, ix, mv)
     # wait: on the FIRST poll the index was BUILT (post-merge state) and
     # the aggregate seeded; a later poll must fold only the new slice

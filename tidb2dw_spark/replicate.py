@@ -12,6 +12,7 @@ concurrent jobs interleave on the shared scheduler.
 from __future__ import annotations
 
 import threading
+import time
 from collections.abc import Callable
 from pathlib import Path
 
@@ -161,10 +162,21 @@ class TableReplicator:
             # object folds exactly (its applied_seq, cdf_seq] — a
             # zero-file poll is a cheap no-op and a crash between merge
             # and refresh self-repairs next poll
+            t0 = time.monotonic()
             if not d.exists() and hasattr(d, "build"):
                 d.build(self.spark, self.table)
             else:
                 d.refresh(self.spark, self.table)
+            # per-object upkeep cost rides the registry (metrics.go Add
+            # parity): cumulative seconds + a last-refresh gauge, keyed
+            # by the object's class so /info and the prometheus text
+            # separate index upkeep from view upkeep
+            kind = type(d).__name__.lower()
+            dt = time.monotonic() - t0
+            self.registry.add(self.fqn, f"derived_{kind}_seconds", dt)
+            self.registry.set_gauge(
+                self.fqn, f"derived_{kind}_last_seconds", round(dt, 6)
+            )
         if self.derived:
             self.registry.add(self.fqn, "derived_refreshed", len(self.derived))
 
