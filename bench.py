@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     # fixture is memoized per sf, so best-of-N measures steady-state
     # search over the maintained index — the serving-path number)
     "sem_dedup_keep",
+    "dedup_incremental_semdedup",
     "sim_ivf_derived_refresh",
     "sim_ivfpq_derived_refresh",
 ]

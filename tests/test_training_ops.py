@@ -1263,3 +1263,63 @@ def test_semantic_dedup_survivor_rule(spark):
     assert [by_id[i]["kept"] for i in (1, 2, 3)] == [True, False, False]
     assert [by_id[i]["kept"] for i in (10, 11)] == [True, False]
     assert by_id[20]["kept"] is True  # orthogonal to every co-member
+
+
+def test_incremental_semdedup_store_contract(spark, tmp_path):
+    """IncrementalSemDedup: the seed keeps one survivor per identical
+    family; a second batch duplicating stored survivors drops ENTIRELY
+    against the store (no batch-one rescan), novel content is kept and
+    appended, a third batch then drops against batch-two's survivors,
+    and the lifecycle guards (double seed, threshold drift) fail loudly."""
+    from tidb2dw_spark.functions.clustering import IncrementalSemDedup
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    store = IncrementalSemDedup(
+        tmp_path / "store", k=2, iters=2, threshold=0.9
+    )
+    d0 = {
+        r["id"]: r["kept"]
+        for r in store.seed(
+            spark,
+            df([(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),
+                (10, [0.0, 1.0, 0.0])]),
+        ).collect()
+    }
+    assert d0 == {1: True, 2: False, 10: True}
+
+    with pytest.raises(ValueError, match="already seeded"):
+        store.seed(spark, df([(99, [1.0, 0.0, 0.0])]))
+    with pytest.raises(ValueError, match="threshold"):
+        IncrementalSemDedup(
+            tmp_path / "store", k=2, iters=2, threshold=0.5
+        ).dedup_batch(spark, df([(99, [1.0, 0.0, 0.0])]))
+
+    # batch 2: 100 duplicates stored survivor 1 → dropped; 20 is novel →
+    # kept; 21 duplicates 20 WITHIN the batch → dropped
+    d1 = {
+        r["id"]: r["kept"]
+        for r in store.dedup_batch(
+            spark,
+            df([(100, [1.0, 0.0, 0.0]), (20, [0.0, 0.0, 1.0]),
+                (21, [0.0, 0.0, 1.0])]),
+        ).collect()
+    }
+    assert d1 == {100: False, 20: True, 21: False}
+    # batch 3: duplicates batch-TWO's survivor (20) → dropped via the
+    # store, proving survivors accumulate across batches
+    d2 = {
+        r["id"]: r["kept"]
+        for r in store.dedup_batch(spark, df([(200, [0.0, 0.0, 1.0])])).collect()
+    }
+    assert d2 == {200: False}
+    assert store.meta()["batches"] == 3
+    # the store holds exactly the survivors: 1, 10, 20
+    kept_ids = sorted(
+        r["id"]
+        for r in spark.read.parquet(str(tmp_path / "store/kept")).collect()
+    )
+    assert kept_ids == [1, 10, 20]

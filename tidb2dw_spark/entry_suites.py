@@ -161,6 +161,9 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     "sim_ivfpq_topk": [("query_id", "int"), ("neighbor_id", "int"), ("dist", "int"), ("rank", "int")],
     # continuous near-dup against the persisted signature store
     "dedup_incremental_minhash": [("phase", "int"), ("id_a", "int"), ("id_b", "int"), ("n_sig_matches", "int")],
+    # cross-batch SemDeDup vs the persisted survivor store (frozen
+    # centroids; store-then-batch precedence; exact two-phase oracle)
+    "dedup_incremental_semdedup": [("vec_id", "int"), ("cluster", "int"), ("csim", "dbl"), ("phase", "int"), ("kept", "bool")],
     "sim_ivfpq_recall_eval": [("query_id", "int"), ("n_hits", "int"), ("k", "int")],
     # ANN index as derived state: maintained through a delete/update/
     # insert-bearing merge, fingerprinted on ids + rank (float score

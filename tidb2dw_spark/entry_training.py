@@ -698,6 +698,46 @@ def sem_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("vec_id"), "cluster", "csim", "kept")
 
 
+_SEMDEDUP_STORE_CACHE: dict[str, object] = {}
+
+
+@register(
+    "dedup_incremental_semdedup",
+    O.incremental_semdedup_oracle(SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_T),
+)
+def dedup_incremental_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch SemDeDup against a persisted survivor store
+    (clustering.IncrementalSemDedup) — the embedding-space twin of the
+    banded signature store: the SEED batch (vec_id % 2 == 0) fits the
+    frozen centroids and keeps its one-shot survivors; the SECOND batch
+    is deduplicated against those survivors AND itself without
+    rescanning batch one (store read = partition-pruned to the batch's
+    clusters; verify = the same cluster-local chunked Arrow matmul; one
+    shuffle).  The oracle re-derives both phases exactly, including the
+    store-then-batch precedence."""
+    import tempfile as _tf
+    from pathlib import Path as _P
+
+    from .functions.clustering import IncrementalSemDedup
+
+    if sf_dir not in _SEMDEDUP_STORE_CACHE:
+        emb = _emb(spark, sf_dir, spread=False)
+        store = IncrementalSemDedup(
+            _P(_tf.mkdtemp(prefix="tidb2dw_semstore_")) / "store",
+            k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, threshold=SEMDEDUP_T,
+        )
+        d0 = store.seed(spark, emb.filter(F.col("vec_id") % 2 == 0))
+        d1 = store.dedup_batch(spark, emb.filter(F.col("vec_id") % 2 == 1))
+        _SEMDEDUP_STORE_CACHE[sf_dir] = (
+            d0.withColumn("phase", F.lit(0).cast("int")),
+            d1.withColumn("phase", F.lit(1).cast("int")),
+        )
+    d0, d1 = _SEMDEDUP_STORE_CACHE[sf_dir]
+    return d0.unionByName(d1).select(
+        F.col("id").alias("vec_id"), "cluster", "csim", "phase", "kept"
+    )
+
+
 PQ_SUB, PQ_K, PQ_ITERS, PQ_DIM = 8, 64, 2, 64
 
 # codebook training is deterministic (integer Lloyd, fixed init), so the

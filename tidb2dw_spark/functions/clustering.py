@@ -159,6 +159,48 @@ def kmeans_fit_py(vectors: dict[int, list[float]], k: int, iters: int) -> list[l
     return cents
 
 
+def _assign_score(
+    corpus: DataFrame, cents: list[list[int]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, qv, cluster, csim) for every corpus row against FIXED
+    centroids — cluster assignment and centroid similarity as narrow
+    JVM-side integer expressions (the k·dim centroid matrix is a
+    constant-folded literal; no join, no shuffle)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+    cent_arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('c', array({','.join(f'{x}L' for x in c)}),"
+            f" 'nn', {sum(x * x for x in c)}L)"
+            for c in cents
+        )
+        + ")"
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        qv.alias("qv"),
+        _euclid_argmin(qv, cents).alias("cluster"),
+    )
+    m = F.element_at(cent_arr, F.col("cluster") + 1)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), m["c"], lambda x, c: x * c),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    nq = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    return assigned.withColumn(
+        "csim",
+        dot.cast("double")
+        / (F.sqrt(nq.cast("double")) * F.sqrt(m["nn"].cast("double"))),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -203,39 +245,7 @@ def semantic_dedup(
     cents = centroids if centroids is not None else kmeans_fit(
         corpus, id_col, vec_col, k, iters
     )
-    qv = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
-    )
-    cent_arr = F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('c', array({','.join(f'{x}L' for x in c)}),"
-            f" 'nn', {sum(x * x for x in c)}L)"
-            for c in cents
-        )
-        + ")"
-    )
-    assigned = corpus.select(
-        F.col(id_col).alias("id"),
-        qv.alias("qv"),
-        _euclid_argmin(qv, cents).alias("cluster"),
-    )
-    m = F.element_at(cent_arr, F.col("cluster") + 1)
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), m["c"], lambda x, c: x * c),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
-    )
-    nq = F.aggregate(
-        F.transform(F.col("qv"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
-    )
-    scored = assigned.withColumn(
-        "csim",
-        dot.cast("double")
-        / (F.sqrt(nq.cast("double")) * F.sqrt(m["nn"].cast("double"))),
-    )
+    scored = _assign_score(corpus, cents, id_col, vec_col)
     t = threshold
     chunk = 4096
 
@@ -277,4 +287,211 @@ def semantic_dedup(
 
     return scored.groupBy("cluster").applyInPandas(
         per_cluster, schema="id long, cluster int, csim double, kept boolean"
+    )
+
+
+class IncrementalSemDedup:
+    """Cross-batch SemDeDup against a persisted survivor store — the
+    embedding-space twin of the banded signature store
+    (functions/dedup.py): new batches are deduplicated against every
+    SURVIVOR kept so far without ever rescanning past batches.
+
+    Contract (the online variant of the batch rule): centroids are
+    FROZEN at seed (like the IVF index — drift is a rebuild, not a
+    refresh); a new-batch member x is dropped iff its quantized cosine
+    to some STORED survivor of its cluster reaches the threshold, or to
+    some batch member earlier than x in (csim, id) order.  Stored
+    survivors are "earlier" by definition — they arrived first — so the
+    decision is deterministic given the batch split, and survivors are
+    never retroactively dropped (once kept, always kept).
+
+    Scale shape: assignment + centroid similarity are narrow JVM
+    expressions; the verify is the same cluster-local chunked Arrow
+    matmul as :func:`semantic_dedup`, ONE shuffle on the cluster key
+    over (batch ∪ store-restricted-to-batch-clusters); the store is
+    cluster-partitioned parquet, so that restriction is partition
+    pruning, and each batch appends one file set per touched cluster.
+    Survivor counts are bounded by the threshold's packing number per
+    cluster region, not by corpus size — the store grows with DISTINCT
+    content only.
+
+    Layout::
+
+        <root>/_meta.json     {"centroids": [...], "k", "threshold",
+                               "batches": N}   (os.replace)
+        <root>/kept/cluster=<c>/…  (id, qv, csim) survivor rows
+    """
+
+    def __init__(
+        self,
+        root,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 8,
+        iters: int = 3,
+        threshold: float = 0.9,
+    ):
+        from pathlib import Path
+
+        self.root = Path(root)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.k, self.iters, self.threshold = k, iters, threshold
+
+    def _meta_path(self):
+        return self.root / "_meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def meta(self) -> dict:
+        import json
+
+        return json.loads(self._meta_path().read_text())
+
+    def _write_meta(self, meta: dict) -> None:
+        import json
+        import os
+        import tempfile
+
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    def _append_kept(self, decisions: DataFrame) -> None:
+        (
+            decisions.filter(F.col("kept"))
+            .select("id", "qv", "cluster", "csim")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(str(self.root / "kept"))
+        )
+
+    def seed(self, spark, batch: DataFrame) -> DataFrame:
+        """Fit centroids on the first batch, run the one-shot rule, and
+        persist the survivors.  Returns (id, cluster, csim, kept) for
+        every batch row."""
+        if self.exists():
+            raise ValueError(f"store at {self.root} is already seeded")
+        cents = kmeans_fit(batch, self.id_col, self.vec_col, self.k, self.iters)
+        scored = _assign_score(batch, cents, self.id_col, self.vec_col)
+        decisions = _semdedup_kernel(scored, None, self.threshold).localCheckpoint()
+        self._append_kept(decisions)
+        self._write_meta(
+            {
+                "centroids": cents,
+                "k": self.k,
+                "iters": self.iters,
+                "threshold": self.threshold,
+                "batches": 1,
+            }
+        )
+        return decisions.drop("qv")
+
+    def dedup_batch(self, spark, batch: DataFrame) -> DataFrame:
+        """Deduplicate *batch* against the store (and itself), append the
+        new survivors, and return (id, cluster, csim, kept)."""
+        meta = self.meta()
+        if meta["threshold"] != self.threshold:
+            raise ValueError(
+                f"store at {self.root} was seeded with threshold="
+                f"{meta['threshold']}; constructed with {self.threshold}"
+            )
+        scored = _assign_score(
+            batch, meta["centroids"], self.id_col, self.vec_col
+        ).localCheckpoint()  # pin: cluster ids drive the store pruning
+        clusters = [
+            r["cluster"] for r in scored.select("cluster").distinct().collect()
+        ]
+        spark_ = scored.sparkSession
+        stored = (
+            spark_.read.parquet(str(self.root / "kept"))
+            .filter(F.col("cluster").isin(clusters))  # partition pruning
+            .select("id", "qv", "cluster", "csim")
+        )
+        decisions = _semdedup_kernel(
+            scored, stored, meta["threshold"]
+        ).localCheckpoint()
+        self._append_kept(decisions)
+        meta["batches"] += 1
+        self._write_meta(meta)
+        return decisions.drop("qv")
+
+
+def _semdedup_kernel(
+    scored: DataFrame, stored: DataFrame | None, threshold: float
+) -> DataFrame:
+    """Cluster-local survivor rule over (batch ∪ stored): batch members
+    sorted by (csim, id); each is dropped iff its max cosine to a stored
+    survivor or an EARLIER batch member reaches *threshold*.  Output has
+    one row per BATCH member (stored rows only arm the comparison), with
+    qv retained so the caller can persist new survivors."""
+    import numpy as np
+    import pandas as pd
+
+    t = threshold
+    chunk = 4096
+    batch = scored.withColumn("__stored", F.lit(False))
+    frame = (
+        batch
+        if stored is None
+        else batch.unionByName(stored.withColumn("__stored", F.lit(True)))
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        new = pdf[~pdf["__stored"]].sort_values(["csim", "id"]).reset_index(drop=True)
+        old = pdf[pdf["__stored"]]
+        n = len(new)
+        if n == 0:
+            return pd.DataFrame(
+                {"id": [], "qv": [], "cluster": [], "csim": [], "kept": []}
+            )
+        M = np.stack(new["qv"].to_numpy()).astype(np.int64)
+        norms = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        max_prior = np.full(n, -np.inf)
+        if len(old):
+            S = np.stack(old["qv"].to_numpy()).astype(np.int64)
+            snorms = np.sqrt((S * S).sum(axis=1).astype(np.float64))
+            for j0 in range(0, n, chunk):
+                j1 = min(j0 + chunk, n)
+                for i0 in range(0, len(old), chunk):
+                    i1 = min(i0 + chunk, len(old))
+                    dots = S[i0:i1] @ M[j0:j1].T
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        q = dots.astype(np.float64) / (
+                            snorms[i0:i1, None] * norms[None, j0:j1]
+                        )
+                    if q.size:
+                        max_prior[j0:j1] = np.maximum(
+                            max_prior[j0:j1], q.max(axis=0)
+                        )
+        for j0 in range(0, n, chunk):
+            j1 = min(j0 + chunk, n)
+            for i0 in range(0, j1, chunk):
+                i1 = min(i0 + chunk, j1)
+                dots = M[i0:i1] @ M[j0:j1].T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    q = dots.astype(np.float64) / (
+                        norms[i0:i1, None] * norms[None, j0:j1]
+                    )
+                earlier = (
+                    np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
+                )
+                q = np.where(earlier, q, -np.inf)
+                if q.size:
+                    max_prior[j0:j1] = np.maximum(max_prior[j0:j1], q.max(axis=0))
+        return pd.DataFrame(
+            {
+                "id": new["id"],
+                "qv": new["qv"],
+                "cluster": new["cluster"],
+                "csim": new["csim"],
+                "kept": ~(max_prior >= t),
+            }
+        )
+
+    return frame.groupBy("cluster").applyInPandas(
+        per_cluster,
+        schema="id long, qv array<long>, cluster int, csim double, kept boolean",
     )

@@ -357,13 +357,15 @@ GROUP BY doc_id
 """
 
 
-def _kmeans_ctes(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int, source: str = "embeddings") -> str:
     """The unrolled integer-Lloyd CTE chain shared by
     :func:`kmeans_oracle` and :func:`semantic_dedup_oracle`: ``pts``
     (exploded quantized vectors), ``c0``..``c{iters}`` (centroid stages),
     ``a0``..``a{iters}`` (assignments; ``a{iters}`` is the final one).
     Returns the full ``WITH ...`` prefix ending at ``a{iters}`` so
-    callers append their own CTEs with a leading comma."""
+    callers append their own CTEs with a leading comma.  *source* is the
+    relation the fit runs over (a table name or parenthesized subquery —
+    the incremental oracle fits on the SEED batch only)."""
     q = """
 WITH pts AS (
   SELECT vec_id AS id, e['p'] AS pos, e['x'] AS x FROM (
@@ -371,14 +373,14 @@ WITH pts AS (
            unnest([{'p': i-1,
                     'x': (round(CAST(embedding[i] AS DOUBLE)*1000000))::BIGINT}
                    for i in range(1, len(embedding)+1)]) AS e
-    FROM embeddings) __u
+    FROM __SRC__ __s) __u
 ),
 c0 AS (
   SELECT s.rn - 1 AS cluster, p.pos, p.x AS v
   FROM (SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) AS rn
-        FROM embeddings ORDER BY vec_id LIMIT __K__) s
+        FROM __SRC__ __s2 ORDER BY vec_id LIMIT __K__) s
   JOIN pts p ON p.id = s.id
-)"""
+)""".replace("__SRC__", source)
     for t in range(iters + 1):  # one extra assignment for member counts
         q += f""",
 n{t} AS (SELECT cluster, CAST(SUM(v*v) AS BIGINT) AS nn FROM c{t} GROUP BY cluster),
@@ -464,6 +466,76 @@ dropped AS (
 SELECT m.id AS vec_id, CAST(m.cluster AS INT) AS cluster, m.csim,
        (d.id IS NULL) AS kept
 FROM mem m LEFT JOIN dropped d ON d.id = m.id
+"""
+
+
+def incremental_semdedup_oracle(
+    k: int, iters: int, threshold: float, split_mod: int = 2
+) -> str:
+    """Mirror of clustering.IncrementalSemDedup driven by the driver
+    row's deterministic split (seed = vec_id % *split_mod* == 0, one
+    incremental batch = the rest): the k-means chain fits on the SEED
+    subset only (frozen centroids), every row is assigned/scored against
+    those centroids, phase-0 decisions follow the one-shot rule, and a
+    phase-1 member is dropped iff a PHASE-0 SURVIVOR of its cluster or
+    an earlier (csim, id) phase-1 member reaches the cosine threshold —
+    the store-then-batch precedence the incremental operator pins."""
+    src = f"(SELECT * FROM embeddings WHERE vec_id % {split_mod} = 0)"
+    return f"""{_kmeans_ctes(k, iters, source=src)},
+cvec AS (
+  SELECT cluster, list(v ORDER BY pos) AS cv, CAST(SUM(v*v) AS BIGINT) AS nn
+  FROM c{iters} GROUP BY cluster
+),
+qall AS (SELECT vec_id AS id, {sql_quantized("embedding")} AS q,
+                CAST(CASE WHEN vec_id % {split_mod} = 0 THEN 0 ELSE 1 END
+                     AS INT) AS phase
+         FROM embeddings),
+asg AS (
+  SELECT id, cluster FROM (
+    SELECT qall.id, cv.cluster,
+           row_number() OVER (
+             PARTITION BY qall.id
+             ORDER BY (2*{sql_int_dot("qall.q", "cv.cv")} - cv.nn) DESC,
+                      cv.cluster ASC) AS rk
+    FROM qall CROSS JOIN cvec cv
+  ) __r WHERE rk = 1
+),
+mem AS (
+  SELECT qall.id, qall.phase, asg.cluster, qall.q,
+         CAST({sql_int_dot("qall.q", "cv.cv")} AS DOUBLE) /
+         (sqrt(CAST({sql_int_dot("qall.q", "qall.q")} AS DOUBLE)) *
+          sqrt(CAST(cv.nn AS DOUBLE))) AS csim
+  FROM qall JOIN asg ON asg.id = qall.id
+  JOIN cvec cv ON cv.cluster = asg.cluster
+),
+drop0 AS (
+  SELECT r.id FROM mem l JOIN mem r
+    ON l.cluster = r.cluster AND l.phase = 0 AND r.phase = 0
+   AND (l.csim < r.csim OR (l.csim = r.csim AND l.id < r.id))
+  WHERE {sql_qcos("l.q", "r.q")} >= {threshold}
+  GROUP BY r.id
+),
+prior AS (
+  SELECT m.id, m.cluster, m.csim, m.q, TRUE AS st
+  FROM mem m LEFT JOIN drop0 d ON d.id = m.id
+  WHERE m.phase = 0 AND d.id IS NULL
+  UNION ALL
+  SELECT id, cluster, csim, q, FALSE FROM mem WHERE phase = 1
+),
+drop1 AS (
+  SELECT r.id FROM prior l JOIN mem r
+    ON l.cluster = r.cluster AND r.phase = 1 AND l.id <> r.id
+   AND (l.st OR l.csim < r.csim OR (l.csim = r.csim AND l.id < r.id))
+  WHERE {sql_qcos("l.q", "r.q")} >= {threshold}
+  GROUP BY r.id
+)
+SELECT m.id AS vec_id, CAST(m.cluster AS INT) AS cluster, m.csim,
+       CAST(m.phase AS INT) AS phase,
+       (CASE WHEN m.phase = 0 THEN d0.id IS NULL
+             ELSE d1.id IS NULL END) AS kept
+FROM mem m
+LEFT JOIN drop0 d0 ON d0.id = m.id
+LEFT JOIN drop1 d1 ON d1.id = m.id
 """
 
 
