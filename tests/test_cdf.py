@@ -1730,3 +1730,121 @@ def test_range_index_timestamp_keys_non_utc_driver(spark, tmp_path):
         else:
             os.environ["TZ"] = old
         _time.tzset()
+
+
+def test_matview_timestamp_group_box_non_utc_driver(spark, tmp_path):
+    """A TIMESTAMP group key's dirty-group literal box must select the
+    right groups on a NON-UTC driver, including DST FOLD hours: classic
+    PySpark collects timestamps via OS-local fromtimestamp and rebuilds
+    literals via mktime, which collapses the fold's two UTC instants
+    onto one — so the dirty rescan silently skipped one group and its
+    stale (tightened-only) min survived.  The fix routes collected
+    datetimes local→UTC (fold-aware astimezone) and builds ISO-string
+    cast literals parsed in the session zone (ADVICE round-6 medium)."""
+    import os
+    import time as _time
+
+    from tidb2dw_spark.operators.matview import (
+        apply_changes_to_agg,
+        init_agg,
+    )
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        # two group keys that are DIFFERENT UTC instants but the SAME
+        # naive local wall time in New York (the 2024-11-03 fold hour):
+        # 05:30Z = 01:30 EDT (fold 0), 06:30Z = 01:30 EST (fold 1)
+        base = spark.sql(
+            "SELECT CAST(ts AS TIMESTAMP) AS g, k, val FROM VALUES "
+            "('2024-11-03 05:30:00', 1, 10), ('2024-11-03 05:30:00', 2, 20),"
+            "('2024-11-03 06:30:00', 3, 11), ('2024-11-03 06:30:00', 4, 21) "
+            "AS v(ts, k, val)"
+        )
+        agg = init_agg(base, ["g"], {}, min_cols={"min_val": "val"})
+        # delete EACH group's current minimum -> both groups go dirty and
+        # must be re-derived from the base through the literal box
+        changes = spark.sql(
+            "SELECT CAST(ts AS TIMESTAMP) AS g, k, val, "
+            "'delete' AS _change_type FROM VALUES "
+            "('2024-11-03 05:30:00', 1, 10), "
+            "('2024-11-03 06:30:00', 3, 11) AS v(ts, k, val)"
+        )
+        new_base = base.filter(~F.col("k").isin(1, 3))
+        got = {
+            (r["g"], r["min_val"], r["n_rows"])
+            for r in apply_changes_to_agg(
+                agg, changes, ["g"], {}, min_cols={"min_val": "val"},
+                base=new_base,
+            ).collect()
+        }
+        want = {
+            (r["g"], r["min_val"], r["n_rows"])
+            for r in init_agg(
+                new_base, ["g"], {}, min_cols={"min_val": "val"}
+            ).collect()
+        }
+        assert got == want
+        assert {r[1] for r in got} == {20, 21}  # both rescans landed
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()
+
+
+def test_matview_legacy_meta_without_mm_outs_refreshes(spark, tmp_path):
+    """A min/max view whose _meta.json predates the round-6 'mm_outs' key
+    (legacy seed) must keep refreshing — its persisted state is valid —
+    and the refresh backfills the key so the strict mismatch check
+    applies from then on (ADVICE round-6 low)."""
+    import json as _json
+
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"total": "val"}, min_cols={"lo": "val"}
+    )
+    mv.refresh(spark, t)
+    meta = _json.loads((tmp_path / "mv" / "_meta.json").read_text())
+    del meta["mm_outs"]  # simulate the pre-round-6 layout
+    (tmp_path / "mv" / "_meta.json").write_text(_json.dumps(meta))
+    t.merge(spark, _batch(spark, [("D", 1, 5, None, None), ("I", 9, 5, "b", 5)]))
+    mv2 = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"total": "val"}, min_cols={"lo": "val"}
+    )
+    mv2.refresh(spark, t)
+    got = {
+        (r["grp"], r["total"], r["lo"], r["n_rows"])
+        for r in mv2.read(spark).collect()
+    }
+    want = {
+        (r["grp"], r["total"], r["lo"], r["n_rows"])
+        for r in t.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.coalesce(F.sum("val"), F.lit(0)).alias("total"),
+            F.min("val").alias("lo"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert _json.loads((tmp_path / "mv" / "_meta.json").read_text())[
+        "mm_outs"
+    ] == ["lo"]
+    # a legacy meta whose stored state LACKS the constructed extrema
+    # still fails loudly (it genuinely needs a rebuild)
+    meta = _json.loads((tmp_path / "mv" / "_meta.json").read_text())
+    del meta["mm_outs"]
+    (tmp_path / "mv" / "_meta.json").write_text(_json.dumps(meta))
+    bad = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"total": "val"},
+        min_cols={"lo": "val"}, max_cols={"hi": "val"},
+    )
+    t.merge(spark, _batch(spark, [("U", 2, 9, "a", 23)]))
+    with pytest.raises(ValueError, match="lacks extrema"):
+        bad.refresh(spark, t)

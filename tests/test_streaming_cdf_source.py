@@ -242,3 +242,33 @@ def test_commitlog_stream_add_default_backfill(spark, tmp_path):
     by_seq = {(r[0], r[4]): r[3] for r in got}
     assert by_seq[(1, "update_postimage")] == 7  # pre-ADD file: default
     assert by_seq[(2, "update_postimage")] == 99  # post-ADD: stored value
+
+
+def test_stream_derived_refresh_bootstraps_unbuilt_index(spark, tmp_path):
+    """stream_derived_refresh advertises index support, but an UNBUILT
+    SecondaryIndex attached to the stream used to die with a missing
+    _meta.json on the first microbatch — the wake must mirror the
+    replicator's exists()/build() bootstrap (ADVICE round-6 low)."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+    from tidb2dw_spark.streaming.stream import stream_derived_refresh
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "b", 11), ("I", 9, 5, "c", 90)]))
+    ix = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=4)
+    assert not ix.exists()
+    q = stream_derived_refresh(
+        spark, t, ix, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert ix.exists()
+    got = sorted(r["k"] for r in ix.lookup(spark, t, "b").collect())
+    assert got == [1, 3]
+    # and the NEXT drain refreshes (covers the post-build branch)
+    t.merge(spark, _batch(spark, [("U", 2, 7, "b", 22)]))
+    q2 = stream_derived_refresh(
+        spark, t, ix, str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(r["k"] for r in ix.lookup(spark, t, "b").collect())
+    assert got2 == [1, 2, 3]

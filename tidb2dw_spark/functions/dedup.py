@@ -739,7 +739,17 @@ def incremental_minhash_pairs(
     through :func:`compact_signature_store` before this batch reads —
     entry-time placement matters, because compacting after the append
     would delete directories a just-returned (cached but evictable)
-    result still references for recompute."""
+    result still references for recompute.
+
+    Caller contract under *auto_compact_dirs*: CONSUME (collect, write,
+    or ``localCheckpoint``) each returned pairs DataFrame BEFORE the next
+    ingest call.  The result is only ``persist()``-ed — evictable — and
+    its recompute path reads the store dirs enumerated at ITS call; a
+    later call's entry-time compaction deletes those dirs, so an evicted
+    result that is first materialized after a subsequent ingest fails
+    (loudly, with a missing-path error — never silently wrong).  Without
+    auto-compaction the store is append-only and returned frames stay
+    recomputable indefinitely."""
     spark = new_docs.sparkSession
     if auto_compact_dirs is not None:
         compact_signature_store(spark, store_dir, max_batch_dirs=auto_compact_dirs)

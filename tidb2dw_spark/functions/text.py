@@ -215,6 +215,16 @@ def bm25_topk(
     BEFORE the per-document sum, which is then exact integer addition in
     any order.  Ranking ties break by doc id.
 
+    Validity bound: "exactly representable" holds only while every
+    intermediate product stays under 2^53 — the binding ones are
+    ``44·S·tf`` and ``18·dl·N`` (S = corpus token count, N = corpus doc
+    count, dl ≤ longest doc).  With tf ≤ dl that is safe up to roughly
+    S·dl < 2·10^14 (e.g. a 10^11-token corpus with 1k-token docs);
+    beyond it the integer-ratio premise silently degrades to ordinary
+    float error and cross-engine rankings may drift at ties.  Shard the
+    corpus (per-shard S, N) or rescale the quantization before that
+    point.
+
     Scale shape: the token explode filters to the query terms with a
     LITERAL ``isin`` before any shuffle (the tf aggregation carries only
     matching (doc, term) pairs); corpus scalars (N, S) and the per-term

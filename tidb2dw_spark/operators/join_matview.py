@@ -84,7 +84,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..table.managed import CHANGE_TYPE_COL, COMMIT_SEQ_COL, ManagedTable
-from .matview import DIRTY_LITERAL_CAP, literal_group_box, nullsafe_group_eq
+from .matview import (
+    DIRTY_LITERAL_CAP,
+    literal_group_box,
+    nullsafe_group_eq,
+    typed_in_lits,
+)
 
 _ADD = ("insert", "update_postimage")
 _SUB = ("delete", "update_preimage")
@@ -446,8 +451,12 @@ class MaintainedStarAggregate:
         the dirty keys."""
         under_cap = len(dirty_rows) <= _FK_LITERAL_CAP
 
-        def box(cols: list[str]) -> F.Column | None:
-            return literal_group_box(dirty_rows, cols)
+        def box(cols: list[str], frame: DataFrame) -> F.Column | None:
+            # the frame supplies column dtypes so temporal members take
+            # the DST-safe ISO-cast literal path (ADVICE: the collected
+            # local-datetime → mktime round-trip is lossy on non-UTC
+            # drivers in fold/gap hours)
+            return literal_group_box(dirty_rows, cols, dict(frame.dtypes))
 
         def _nullsafe(left: str, right: str) -> F.Column:
             return nullsafe_group_eq(left, right, self.group_cols)
@@ -462,15 +471,16 @@ class MaintainedStarAggregate:
                 f_state = f_state.filter(F.expr(self.fact_where))
         joined = f_state
         if under_cap:
-            fp = box(self.fact_group_cols)
+            fp = box(self.fact_group_cols, f_state)
             if fp is not None:
                 joined = joined.filter(fp)
             for i in range(len(self.dims)):
                 if not self.dims[i][1]:
                     continue
+                d_state = dim_full_state(i)
                 rows = (
-                    dim_full_state(i)
-                    .filter(box(self.dims[i][1]))
+                    d_state
+                    .filter(box(self.dims[i][1], d_state))
                     .select(dim_pks[i])
                     .limit(_FK_LITERAL_CAP + 1)
                     .collect()
@@ -482,7 +492,7 @@ class MaintainedStarAggregate:
                     joined = joined.filter(pred)
         for i in range(len(self.dims)):
             side = dim_full_state(i)
-            bp = box(self.dims[i][1]) if under_cap else None
+            bp = box(self.dims[i][1], side) if under_cap else None
             if bp is not None:
                 side = side.filter(bp)
             joined = joined.join(
@@ -789,11 +799,13 @@ class MaintainedStarAggregate:
             let the inner joins restrict."""
             jc = self.dims[i][0]
             if owners[i] == -1:
-                return F.col(jc).isin(values)
+                # typed_in_lits: collected temporal keys rebuild as
+                # ISO-cast literals (DST-safe on non-UTC drivers)
+                return F.col(jc).isin(typed_in_lits(values))
             j = owners[i]
             hop = (
                 dim_full_state(j)
-                .filter(F.col(jc).isin(values))
+                .filter(F.col(jc).isin(typed_in_lits(values)))
                 .select(dim_pks[j])
                 .limit(_FK_LITERAL_CAP + 1)
                 .collect()

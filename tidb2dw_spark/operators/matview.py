@@ -78,19 +78,67 @@ def init_agg(
 DIRTY_LITERAL_CAP = 5000
 
 
-def literal_group_box(rows, cols: Sequence[str]):
+def typed_in_lits(values, dtype: str | None = None) -> list:
+    """Collected values as ``isin`` arguments, DST-safe for temporals.
+
+    Classic PySpark's collect converts TIMESTAMP via the OS-LOCAL
+    ``datetime.fromtimestamp`` and ``F.lit(datetime)`` converts back via
+    ``time.mktime`` — a round-trip that is LOSSY in DST fold/gap hours on
+    any non-UTC driver, so a literal rebuilt from a collected timestamp
+    can silently miss the stored row.  The fix is the same contract
+    SecondaryIndex._member_lit pins: normalize the collected local wall
+    time to UTC wall time, then route the literal through an ISO-STRING
+    cast, which parses in the SESSION zone (pinned UTC).  Non-temporal
+    values pass through unchanged; the cast literals are constant-folded,
+    so the IN predicate still reaches the parquet scan.  *dtype* is the
+    column's Spark type name when the caller knows it (``timestamp_ntz``
+    collects zone-free and must NOT be shifted).
+
+    Deduplication happens HERE, after normalization: Python datetime
+    equality ignores PEP-495 ``fold``, so a pre-normalization ``set()``
+    would collapse the fold hour's two distinct UTC instants into one
+    and silently drop a literal."""
+    import datetime as _dt
+
+    out, seen = [], set()
+    for v in values:
+        if isinstance(v, _dt.datetime):
+            if dtype != "timestamp_ntz":
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            key = ("__ts", v.isoformat(sep=" "))
+            lit = F.lit(key[1]).cast(dtype or "timestamp")
+        elif isinstance(v, _dt.date):
+            key = ("__dt", v.isoformat())
+            lit = F.lit(key[1]).cast(dtype or "date")
+        else:
+            key, lit = v, v
+        if key not in seen:
+            seen.add(key)
+            out.append(lit)
+    return out
+
+
+def literal_group_box(rows, cols: Sequence[str], dtypes: dict | None = None):
     """Per-column literal IN predicate over collected group-key *rows* —
     NULL-aware, a SUPERSET box of the exact tuple set (safe wherever the
     consumer recomputes whole groups).  Literals reach the parquet scan,
     so row-group pruning engages where a runtime broadcast build side
-    cannot.  None when *cols* is empty."""
+    cannot.  None when *cols* is empty.  *dtypes* (column → Spark type
+    name) lets temporal members take the DST-safe ISO-cast path of
+    :func:`typed_in_lits`."""
     if not cols:
         return None
     pred = None
     for c in cols:
-        vals = {r[c] for r in rows}
-        has_null = None in vals
-        non_null = [v for v in vals if v is not None]
+        # NO set() here: typed_in_lits dedups AFTER normalization (a raw
+        # set would merge DST-fold twins, whose datetime __eq__ ignores
+        # fold, and drop one group's literal)
+        vals = [r[c] for r in rows]
+        has_null = any(v is None for v in vals)
+        non_null = typed_in_lits(
+            [v for v in vals if v is not None],
+            (dtypes or {}).get(c),
+        )
         p = F.col(c).isin(non_null) if non_null else F.lit(False)
         if has_null:
             p = p | F.col(c).isNull()
@@ -268,7 +316,7 @@ def apply_changes_to_agg(
             )
         return folded.select(*out_cols)
     if len(dirty_rows) <= DIRTY_LITERAL_CAP:
-        pred = literal_group_box(dirty_rows, group_cols)
+        pred = literal_group_box(dirty_rows, group_cols, dict(base.dtypes))
         scan = base.filter(pred) if pred is not None else base
     else:
         scan = base.alias("__b").join(
@@ -470,13 +518,27 @@ class MaintainedAggregate:
                 "rebuild instead of silently mixing filtered states"
             )
         mm_outs = list(self.min_cols) + list(self.max_cols)
-        if m.get("mm_outs", []) != mm_outs:
-            raise ValueError(
-                f"aggregate at {self.root} was seeded with min/max outputs "
-                f"{m.get('mm_outs', [])}; constructed with {mm_outs} — a "
-                "mismatched refresh would silently drop or corrupt the "
-                "maintained extrema; rebuild instead"
-            )
+        if "mm_outs" in m:
+            if m["mm_outs"] != mm_outs:
+                raise ValueError(
+                    f"aggregate at {self.root} was seeded with min/max "
+                    f"outputs {m['mm_outs']}; constructed with {mm_outs} — "
+                    "a mismatched refresh would silently drop or corrupt "
+                    "the maintained extrema; rebuild instead"
+                )
+        elif mm_outs:
+            # legacy-unknown meta (pre-round-6 seed): the stored rollup is
+            # still valid — verify the constructed extrema columns exist in
+            # the persisted schema instead of hard-failing, and backfill
+            # the key on this commit so the strict check applies hereafter
+            stored_cols = set(self.read(spark).columns)
+            missing = [o for o in mm_outs if o not in stored_cols]
+            if missing:
+                raise ValueError(
+                    f"aggregate at {self.root} (legacy meta, no mm_outs) "
+                    f"lacks extrema column(s) {missing}; rebuild to add them"
+                )
+            m["mm_outs"] = mm_outs
         since = m["applied_seq"]
         if src_seq <= since:
             return since

@@ -459,7 +459,15 @@ def stream_derived_refresh(
 
     def wake(batch_df: DataFrame, batch_id: int) -> None:
         for d in objs:
-            d.refresh(batch_df.sparkSession, table)
+            # same bootstrap guard as TableReplicator's poll loop: an
+            # index-shaped object (SecondaryIndex / IvfVectorIndex) needs
+            # an explicit first build — refreshing an unbuilt one dies on
+            # a missing _meta.json; view-shaped objects seed inside
+            # refresh and take the else branch on first wake
+            if not d.exists() and hasattr(d, "build"):
+                d.build(batch_df.sparkSession, table)
+            else:
+                d.refresh(batch_df.sparkSession, table)
 
     writer = (
         stream_changes_commitlog(spark, table)
