@@ -1848,3 +1848,47 @@ def test_matview_legacy_meta_without_mm_outs_refreshes(spark, tmp_path):
     t.merge(spark, _batch(spark, [("U", 2, 9, "a", 23)]))
     with pytest.raises(ValueError, match="lacks extrema"):
         bad.refresh(spark, t)
+
+
+def test_matview_legacy_meta_idle_feed_backfills_and_guards_extrema(
+    spark, tmp_path
+):
+    """Round-7 ADVICE (both low items): (a) a legacy meta on an IDLE
+    table persists the mm_outs backfill immediately (not only with the
+    next data commit), so the strict mismatch check applies from the very
+    next construction; (b) a constructor with NO min/max opening a legacy
+    meta whose store carries extrema refuses instead of silently dropping
+    the persisted columns on the next fold."""
+    import json as _json
+
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"total": "val"}, min_cols={"lo": "val"}
+    )
+    mv.refresh(spark, t)
+    meta_p = tmp_path / "mv" / "_meta.json"
+    meta = _json.loads(meta_p.read_text())
+    del meta["mm_outs"]
+    meta_p.write_text(_json.dumps(meta))
+    # (b) no-min/max constructor vs a store carrying 'lo' → loud refusal
+    dropper = MaintainedAggregate(tmp_path / "mv", ["grp"], {"total": "val"})
+    with pytest.raises(ValueError, match="does not maintain"):
+        dropper.refresh(spark, t)
+    # (a) matching constructor, feed IDLE (no merges since seed): the
+    # refresh no-ops but the meta upgrade must still land on disk
+    mv2 = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"total": "val"}, min_cols={"lo": "val"}
+    )
+    before = mv2.meta()["version"]
+    mv2.refresh(spark, t)
+    upgraded = _json.loads(meta_p.read_text())
+    assert upgraded["mm_outs"] == ["lo"]
+    assert upgraded["version"] == before  # metadata-only rewrite
+    # and the strict check now fires without any data commit in between
+    strict = MaintainedAggregate(
+        tmp_path / "mv", ["grp"], {"total": "val"}, max_cols={"hi": "val"}
+    )
+    with pytest.raises(ValueError, match="seeded with min/max"):
+        strict.refresh(spark, t)

@@ -597,6 +597,125 @@ def test_snowflake_chain_dim_joins_earlier_dim(spark, tmp_path):
     assert state(mvb) == state(mva)
 
 
+def test_snowflake_chain_hop_probes_reverse_index(spark, tmp_path, monkeypatch):
+    """Round-7 task: the chain-hop key resolution must probe a reverse
+    (attribute → pk) SecondaryIndex maintained under the view root
+    instead of scanning the owning dim per hop.  Pins: (a) a refresh with
+    ΔD2 activity resolves the hop via SecondaryIndex.lookup_pks_in; (b)
+    the index exists on disk under the view root and is maintained (its
+    applied_seq advances with the dim feed); (c) results stay bit-equal
+    to recompute — including a D1 attribute move folded in the SAME slice
+    (stale-index hazard: the index must be refreshed to the view's pinned
+    manifest BEFORE the probe)."""
+    from tidb2dw_spark.operators import secondary_index as si_mod
+    from tidb2dw_spark.operators.join_matview import (
+        MaintainedStarAggregate,
+        init_star_agg,
+    )
+
+    fact = ManagedTable(tmp_path / "f")
+    fact.create(
+        spark.createDataFrame(
+            [(1, 10, 11), (2, 10, 22), (3, 20, 33), (4, 30, 44)],
+            "k long, fk1 long, cents long",
+        ),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    d1 = ManagedTable(tmp_path / "d1")
+    d1.create(
+        spark.createDataFrame(
+            [(10, "A", 100), (20, "B", 200), (30, "A", 300)],
+            "d long, seg string, nk long",
+        ),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    d2 = ManagedTable(tmp_path / "d2")
+    d2.create(
+        spark.createDataFrame(
+            [(100, "E"), (200, "W"), (300, "E")], "nid long, region string"
+        ),
+        pk_cols=["nid"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedStarAggregate(
+        tmp_path / "mv",
+        dims=[("fk1", ["seg"]), ("nk", ["region"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+    )
+    mv.refresh_star(spark, fact, [d1, d2])
+
+    probes = []
+    orig = si_mod.SecondaryIndex.lookup_pks_in
+
+    def spy(self, spark_, values):
+        probes.append((str(self.root), sorted(values)))
+        return orig(self, spark_, values)
+
+    monkeypatch.setattr(si_mod.SecondaryIndex, "lookup_pks_in", spy)
+
+    # ΔD2 (region move + delete) makes term-2 resolve the nk chain hop;
+    # ΔD1 in the SAME slice re-points d=10 → nation 300 (index must see
+    # the pinned post-slice attribute, not the build-time one)
+    d1.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 5, 10, "A", 300)],
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "d long, seg string, nk long",
+    ))
+    d2.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 6, 300, "N"), ("D", "t", "s", 6, 200, None)],
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "nid long, region string",
+    ))
+    mv.refresh_star(spark, fact, [d1, d2])
+
+    assert probes, "chain hop did not go through the reverse index"
+    assert all("_hopidx1" in r for r, _ in probes)
+    idx_meta_p = tmp_path / "mv" / "_hopidx1" / "_meta.json"
+    assert idx_meta_p.exists()
+    import json as _json
+
+    assert _json.loads(idx_meta_p.read_text())["applied_seq"] == \
+        d1.manifest()["cdf_seq"]
+    got = {
+        (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+        for r in mv.read(spark).collect()
+    }
+    want = {
+        (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+        for r in init_star_agg(
+            fact.read(spark),
+            [(d1.read(spark), "fk1", "d"), (d2.read(spark), "nk", "nid")],
+            ["seg", "region"],
+            {"total_cents": "cents"},
+        ).collect()
+    }
+    assert got == want
+    # a second round of chained churn keeps the SAME index fresh
+    # (refresh path, not rebuild) and stays exact
+    probes.clear()
+    d2.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 7, 100, "S")],
+        "flag string, tablename string, schemaname string, commit_ts long, "
+        "nid long, region string",
+    ))
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert probes
+    got2 = {
+        (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+        for r in mv.read(spark).collect()
+    }
+    want2 = {
+        (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+        for r in init_star_agg(
+            fact.read(spark),
+            [(d1.read(spark), "fk1", "d"), (d2.read(spark), "nk", "nid")],
+            ["seg", "region"],
+            {"total_cents": "cents"},
+        ).collect()
+    }
+    assert got2 == want2
+
+
 def _mk_star_mm(spark, tmp_path):
     """Star tables + a view that also maintains MIN/MAX of cents."""
     from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
@@ -998,6 +1117,157 @@ def test_star_matches_recompute_on_random_feeds(spark, batches):
     want = _star_recompute_mm(spark, fact, d1, d2)
     assert _star_state_mm(mv_each.read(spark)) == want
     assert _star_state_mm(mv_span.read(spark)) == want
+
+
+# --- composite-PK dims (partsupp shape: dim keyed by a two-column PK) ---
+
+CPK_FACT_SCHEMA = "k long, pfk long, sfk long, pri string, qty long"
+CPK_FACT_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "k long, pfk long, sfk long, pri string, qty long"
+)
+CPK_DIM_SCHEMA = "pd long, sd long, band string, cost long"
+CPK_DIM_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "pd long, sd long, band string, cost long"
+)
+
+CPK_FACT = [
+    (1, 10, 1, "HI", 5), (2, 10, 2, "LO", 6), (3, 20, 1, "HI", 7),
+    (4, 20, 2, "LO", 8), (5, 10, 1, "LO", 9), (6, None, 1, "HI", 10),
+    (7, 10, None, "HI", 11), (8, 30, 3, "LO", 12),  # dangling pair
+]
+CPK_DIM = [
+    (10, 1, "CHEAP", 100), (10, 2, "DEAR", 200),
+    (20, 1, "DEAR", 300), (20, 2, "CHEAP", 400),
+]
+
+
+def _mk_cpk(spark, tmp_path, min_cols=None):
+    fact = ManagedTable(tmp_path / "cfact")
+    fact.create(
+        spark.createDataFrame(CPK_FACT, CPK_FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    dim = ManagedTable(tmp_path / "cdim")
+    dim.create(
+        spark.createDataFrame(CPK_DIM, CPK_DIM_SCHEMA),
+        pk_cols=["pd", "sd"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedJoinAggregate(
+        tmp_path / "cmv",
+        fk_col=["pfk", "sfk"],
+        fact_group_cols=["pri"],
+        dim_group_cols=["band"],
+        sum_cols={"total_qty": "qty"},
+        min_cols=min_cols,
+    )
+    return fact, dim, mv
+
+
+def _cfb(spark, events):
+    """composite fact batch: (flag, k, ts, pfk, sfk, pri, qty)."""
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, k, p, s, pr, q) for f, k, ts, p, s, pr, q in events],
+        CPK_FACT_ENV,
+    )
+
+
+def _cdb(spark, events):
+    """composite dim batch: (flag, (pd, sd), ts, band, cost)."""
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, pd, sd, b, c) for f, (pd, sd), ts, b, c in events],
+        CPK_DIM_ENV,
+    )
+
+
+def _cpk_recompute(spark, fact, dim, min_cols=None):
+    agg = init_join_agg(
+        fact.read(spark), dim.read(spark), ["pfk", "sfk"], ["pd", "sd"],
+        ["pri", "band"], {"total_qty": "qty"}, min_cols=min_cols,
+    )
+    cols = ["n_rows", "total_qty"] + list(min_cols or {})
+    return {
+        (r["pri"], r["band"]): tuple(r[c] for c in cols)
+        for r in agg.collect()
+    }
+
+
+def _cpk_state(df, min_cols=None):
+    cols = ["n_rows", "total_qty"] + list(min_cols or {})
+    return {
+        (r["pri"], r["band"]): tuple(r[c] for c in cols)
+        for r in df.collect()
+    }
+
+
+def test_composite_pk_dim_seed_and_churn(spark, tmp_path):
+    """A dim keyed by a TWO-column PK (partsupp shape): seed equals
+    recompute (NULL-member and dangling fk pairs excluded), then one
+    refresh folds adversarial churn on BOTH feeds — fact key-pair moves,
+    dim attribute moves, a dim delete (danglings appear), a dim insert
+    the fact slice adopts — bit-equal to a full recompute."""
+    fact, dim, mv = _mk_cpk(spark, tmp_path)
+    mv.refresh(spark, fact, dim)
+    got = _cpk_state(mv.read(spark))
+    assert got == _cpk_recompute(spark, fact, dim)
+    assert sum(v[0] for v in got.values()) == 5  # k6/k7/k8 excluded
+
+    fact.merge(spark, _cfb(spark, [
+        ("U", 1, 5, 20, 2, "HI", 50),   # moves to another key PAIR
+        ("D", 4, 5, None, None, None, None),
+        ("I", 9, 5, 30, 3, "LO", 60),   # adopts the pair inserted below
+        ("U", 5, 5, 10, 2, "LO", 9),    # second member flips only
+    ]))
+    dim.merge(spark, _cdb(spark, [
+        ("D", (10, 1), 6, None, None),      # k3-era rows dangle
+        ("U", (20, 2), 6, "MID", 400),      # attribute move
+        ("I", (30, 3), 6, "CHEAP", 500),    # k8 + new k9 attach
+    ]))
+    mv.refresh(spark, fact, dim)
+    assert _cpk_state(mv.read(spark)) == _cpk_recompute(spark, fact, dim)
+
+
+def test_composite_pk_dim_minmax_dirty_rescan(spark, tmp_path):
+    """MIN through a composite-keyed join: deleting a group's current
+    minimum forces the dirty rescan, whose fact restriction walks the
+    composite fk as a per-column literal box (superset; the inner join
+    re-tightens) — result bit-equal to recompute."""
+    fact, dim, mv = _mk_cpk(spark, tmp_path, min_cols={"min_qty": "qty"})
+    mv.refresh(spark, fact, dim)
+    # k2 is (LO, DEAR)'s minimum (qty 6); delete it → dirty rescan
+    fact.merge(spark, _cfb(spark, [
+        ("D", 2, 5, None, None, None, None),
+        ("I", 10, 5, 20, 1, "HI", 1),   # new minimum for (HI, DEAR)
+    ]))
+    dim.merge(spark, _cdb(spark, [
+        ("U", (20, 1), 6, "DEAR", 333),  # same band, cost move (no-op grp)
+    ]))
+    mv.refresh(spark, fact, dim)
+    assert _cpk_state(
+        mv.read(spark), {"min_qty": "qty"}
+    ) == _cpk_recompute(spark, fact, dim, min_cols={"min_qty": "qty"})
+
+
+def test_composite_pk_arity_mismatch_rejected(spark, tmp_path):
+    """fk tuple arity must match the dim's PK arity — a single-column fk
+    against a two-column-PK dim fails loudly at seed."""
+    fact = ManagedTable(tmp_path / "f")
+    fact.create(
+        spark.createDataFrame(CPK_FACT, CPK_FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    dim = ManagedTable(tmp_path / "d")
+    dim.create(
+        spark.createDataFrame(CPK_DIM, CPK_DIM_SCHEMA),
+        pk_cols=["pd", "sd"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedJoinAggregate(
+        tmp_path / "mv", fk_col="pfk", fact_group_cols=["pri"],
+        dim_group_cols=["band"], sum_cols={"total_qty": "qty"},
+    )
+    with pytest.raises(ValueError, match="arity"):
+        mv.refresh(spark, fact, dim)
 
 
 def test_overlapping_names_rejected(spark, tmp_path):

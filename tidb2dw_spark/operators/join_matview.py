@@ -57,11 +57,13 @@ bit-for-bit; the driver rows ``pipeline_incremental_join_agg`` (one
 dim) and ``pipeline_star_join_agg`` (two dims) prove the maintained
 rollup equal to a DuckDB full join+group recompute after adversarial
 churn on EVERY table in one refresh window.  Restrictions (asserted at
-seed): each dim is keyed by its single-column PK (the N:1
-warehouse-dimension shape; the reference's replicated tables always
+seed): each dim is keyed by its PK — single-column or COMPOSITE, the fk
+tuple's arity matching (the N:1 warehouse-dimension shape incl.
+partsupp-style two-part keys; the reference's replicated tables always
 carry a PK — tidbsql/ddl.go PK discovery), joins are INNER with plain
-equality (NULL fk never matches), measures are fact-side columns, and
-all consumed column names are pairwise disjoint across the tables.
+equality (a NULL in any fk member never matches), measures are
+fact-side columns, and all consumed column names are pairwise disjoint
+across the tables.
 
 Crash contract: state is versioned parquet + ``_meta.json`` committed by
 ``os.replace`` carrying ALL applied seqs; a crash between data write and
@@ -99,6 +101,39 @@ _SUB = ("delete", "update_preimage")
 _FK_LITERAL_CAP = DIRTY_LITERAL_CAP
 
 
+def _join_eq(
+    left_cols: Sequence[str], right_cols: Sequence[str],
+    right_alias: str | None = None,
+):
+    """Conjunctive equi-join condition over zipped column lists (the
+    composite-key generalization of ``F.col(fk) == F.col(pk)``);
+    unqualified names stay unambiguous because consumed columns are
+    pairwise disjoint across the view's tables (asserted at seed)."""
+    cond = None
+    for lc, rc in zip(left_cols, right_cols):
+        r = F.col(f"{right_alias}.{rc}") if right_alias else F.col(rc)
+        eq = F.col(lc) == r
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
+def _in_box(cols: Sequence[str], key_tuples: list, dtypes: dict | None):
+    """Per-column literal IN over PK *key_tuples* — EXACT for a single
+    column, a SUPERSET box for composites.  Every call site is
+    pruning-only (an inner equi-join downstream enforces exactness), so
+    the superset is safe; literals reach the parquet scan for row-group
+    pruning.  PK values are non-NULL by contract; temporal members take
+    :func:`..matview.typed_in_lits`'s DST-safe ISO-cast path."""
+    pred = None
+    for ci, c in enumerate(cols):
+        lits = typed_in_lits(
+            [t[ci] for t in key_tuples], (dtypes or {}).get(c)
+        )
+        p = F.col(c).isin(lits) if lits else F.lit(False)
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
 def init_join_agg(
     fact: DataFrame,
     dim: DataFrame,
@@ -131,7 +166,13 @@ def init_star_agg(
     (dim_df, fact_fk_col, dim_pk_col)), then one groupBy."""
     joined = fact
     for dim_df, fk, pk in dims:
-        joined = joined.join(dim_df, joined[fk] == dim_df[pk], "inner")
+        fks = [fk] if isinstance(fk, str) else list(fk)
+        pks = [pk] if isinstance(pk, str) else list(pk)
+        cond = None
+        for fc, pc in zip(fks, pks):
+            eq = joined[fc] == dim_df[pc]
+            cond = eq if cond is None else (cond & eq)
+        joined = joined.join(dim_df, cond, "inner")
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
         for out, src in sum_cols.items()
@@ -189,12 +230,20 @@ class MaintainedStarAggregate:
     """A JOIN rollup over fact ⋈ dim1 [⋈ dim2 …] maintained from every
     table's change feed.
 
-    *dims* is an ordered list of ``(fk_col, dim_group_cols)`` — the
-    fact-side join column and which output group keys that dim supplies
-    (may be empty).  ``fact_group_cols`` name the fact-supplied group
-    keys; together (in order: fact, then each dim) they form the output
-    group key.  ``sum_cols`` maps output name → FACT column.  Each dim
-    joins on its own single-column primary key."""
+    *dims* is an ordered list of ``(fk_cols, dim_group_cols)`` — the
+    join column(s) (a name, or a sequence of names for a COMPOSITE key;
+    all must live on the same owner) and which output group keys that
+    dim supplies (may be empty).  ``fact_group_cols`` name the
+    fact-supplied group keys; together (in order: fact, then each dim)
+    they form the output group key.  ``sum_cols`` maps output name →
+    FACT column.  Each dim joins on its (possibly composite) primary
+    key — arity must match its fk tuple (the partsupp-style dim the
+    reference replicates via multi-column PK discovery,
+    tidbsql/ddl.go)."""
+
+    @staticmethod
+    def _cols(x) -> list[str]:
+        return [x] if isinstance(x, str) else list(x)
 
     def __init__(
         self,
@@ -210,7 +259,7 @@ class MaintainedStarAggregate:
         dim_where_cols: Sequence[Sequence[str]] | None = None,
     ):
         self.root = Path(root)
-        self.dims = [(fk, list(gc)) for fk, gc in dims]
+        self.dims = [(self._cols(fk), list(gc)) for fk, gc in dims]
         if not self.dims:
             raise ValueError("need at least one dim (fk_col, group_cols)")
         # row-local SQL predicate over FACT columns: the view aggregates
@@ -301,48 +350,56 @@ class MaintainedStarAggregate:
         mF: dict,
         mDs: list[dict],
     ) -> tuple[list[str], list[int], list[str], list[list[str]]]:
-        """Resolve the join topology: each dim's join column lives on the
-        FACT (a star arm, owner −1) or on an EARLIER dim (a snowflake
-        chain hop, owner j) — resolved by schema membership, latest
-        earlier owner wins.  Returns (dim_pks, owners, fact_cols,
-        dim_cols) where the consumed column lists include the chain
-        columns their owner must carry through the join."""
-        dim_pks = [m["pk"][0] for m in mDs]
+        """Resolve the join topology: each dim's join column(s) live on
+        the FACT (a star arm, owner −1) or on an EARLIER dim (a snowflake
+        chain hop, owner j) — resolved by schema membership (a composite
+        key's columns must ALL live on the same owner), latest earlier
+        owner wins.  Returns (dim_pks, owners, fact_cols, dim_cols)
+        where the consumed column lists include the chain columns their
+        owner must carry through the join."""
+        dim_pks = [list(m["pk"]) for m in mDs]
         fact_schema = set(fact._read_state(spark, mF).columns)
         dim_schemas = [
             set(dim_tables[i]._read_state(spark, mDs[i]).columns)
             for i in range(len(mDs))
         ]
         owners: list[int] = []
-        for i, (jc, _) in enumerate(self.dims):
-            cand = [j for j in range(i) if jc in dim_schemas[j]]
-            if jc in fact_schema:
+        for i, (jcs, _) in enumerate(self.dims):
+            cand = [
+                j
+                for j in range(i)
+                if all(c in dim_schemas[j] for c in jcs)
+            ]
+            if all(c in fact_schema for c in jcs):
                 if cand:
                     raise ValueError(
-                        f"join column {jc!r} of dim {i} is ambiguous: it "
-                        f"exists on the fact AND on earlier dim(s) {cand} "
-                        "— rename one side so the topology is explicit"
+                        f"join column(s) {jcs!r} of dim {i} are ambiguous: "
+                        f"they exist on the fact AND on earlier dim(s) "
+                        f"{cand} — rename one side so the topology is "
+                        "explicit"
                     )
                 owners.append(-1)
             else:
                 if not cand:
                     raise ValueError(
-                        f"join column {jc!r} of dim {i} is on neither the "
-                        "fact nor any earlier dim"
+                        f"join column(s) {jcs!r} of dim {i} live on "
+                        "neither the fact nor any single earlier dim "
+                        "(a composite key cannot straddle tables)"
                     )
                 if len(cand) > 1:
                     raise ValueError(
-                        f"join column {jc!r} of dim {i} is ambiguous: it "
-                        f"exists on earlier dims {cand} — rename so the "
-                        "topology is explicit"
+                        f"join column(s) {jcs!r} of dim {i} are ambiguous: "
+                        f"they exist on earlier dims {cand} — rename so "
+                        "the topology is explicit"
                     )
                 owners.append(cand[-1])
         fact_cols = list(
             dict.fromkeys(
                 [
-                    self.dims[i][0]
+                    c
                     for i in range(len(self.dims))
                     if owners[i] == -1
+                    for c in self.dims[i][0]
                 ]
                 + self.fact_group_cols
                 + list(self.sum_cols.values())
@@ -354,13 +411,14 @@ class MaintainedStarAggregate:
         dim_cols = [
             list(
                 dict.fromkeys(
-                    [dim_pks[j]]
+                    dim_pks[j]
                     + self.dims[j][1]
                     + self.dim_where_cols[j]
                     + [
-                        self.dims[i][0]
+                        c
                         for i in range(len(self.dims))
                         if owners[i] == j
+                        for c in self.dims[i][0]
                     ]
                 )
             )
@@ -433,7 +491,7 @@ class MaintainedStarAggregate:
         f_state: DataFrame | None,
         dim_full_state,
         fact_filter_for,
-        dim_pks: list[str],
+        dim_pks: list[list[str]],
     ) -> DataFrame:
         """Re-derive the dirty groups' extrema from the CURRENT join and
         override them in *folded*.
@@ -481,13 +539,15 @@ class MaintainedStarAggregate:
                 rows = (
                     d_state
                     .filter(box(self.dims[i][1], d_state))
-                    .select(dim_pks[i])
+                    .select(*dim_pks[i])
                     .limit(_FK_LITERAL_CAP + 1)
                     .collect()
                 )
                 if not rows or len(rows) > _FK_LITERAL_CAP:
                     continue
-                pred = fact_filter_for(i, [r[dim_pks[i]] for r in rows])
+                pred = fact_filter_for(
+                    i, [tuple(r[p] for p in dim_pks[i]) for r in rows]
+                )
                 if pred is not None:
                     joined = joined.filter(pred)
         for i in range(len(self.dims)):
@@ -496,7 +556,7 @@ class MaintainedStarAggregate:
             if bp is not None:
                 side = side.filter(bp)
             joined = joined.join(
-                side, F.col(self.dims[i][0]) == F.col(dim_pks[i]), "inner"
+                side, _join_eq(self.dims[i][0], dim_pks[i]), "inner"
             )
         if not under_cap:
             joined = joined.alias("__j").join(
@@ -561,10 +621,11 @@ class MaintainedStarAggregate:
                     "(create(cdf=True))"
                 )
         for i, m in enumerate(mDs):
-            if len(m["pk"]) != 1:
+            if len(m["pk"]) != len(self.dims[i][0]):
                 raise ValueError(
-                    "star dims join on their single-column PK; "
-                    f"{dim_tables[i].root} has PK {m['pk']}"
+                    f"dim {i} joins on {len(self.dims[i][0])} column(s) "
+                    f"{self.dims[i][0]} but {dim_tables[i].root} has PK "
+                    f"{m['pk']} — fk arity must match the dim's PK"
                 )
         sF = mF.get("cdf_seq", 0)
         sDs = [m.get("cdf_seq", 0) for m in mDs]
@@ -637,7 +698,10 @@ class MaintainedStarAggregate:
 
         meta = self.meta()
         aF, aDs = meta["applied_fact"], meta["applied_dims"]
-        dim_pks = meta["dim_pks"]
+        # pre-composite metas stored dim_pks as bare strings
+        dim_pks = [
+            [p] if isinstance(p, str) else list(p) for p in meta["dim_pks"]
+        ]
         missing_meta = [
             k for k in ("owners", "fact_cols", "dim_cols") if k not in meta
         ]
@@ -710,15 +774,19 @@ class MaintainedStarAggregate:
             for i in range(len(self.dims))
         ]
 
-        def keys_of(frame: DataFrame, jc: str, cur_pk: str) -> DataFrame:
-            """Distinct non-NULL join-column values of *frame*, under the
-            dim's CURRENT pk name (read_for_keys semi-joins on the live
-            manifest's pk)."""
-            return (
-                frame.filter(F.col(jc).isNotNull())
-                .select(F.col(jc).alias(cur_pk))
-                .distinct()
-            )
+        def keys_of(
+            frame: DataFrame, jcs: list[str], cur_pk: list[str]
+        ) -> DataFrame:
+            """Distinct join-key tuples of *frame* with every member
+            non-NULL (a NULL member can never match the inner equi-join),
+            under the dim's CURRENT pk names (read_for_keys semi-joins on
+            the live manifest's pk)."""
+            f = frame
+            for c in jcs:
+                f = f.filter(F.col(c).isNotNull())
+            return f.select(
+                *[F.col(c).alias(p) for c, p in zip(jcs, cur_pk)]
+            ).distinct()
 
         def dim_state(i: int, keys: DataFrame) -> DataFrame:
             """CURRENT (slice-end) dim rows for *keys* — bucket-pruned
@@ -751,7 +819,7 @@ class MaintainedStarAggregate:
             pre-slice row)."""
             pk = dim_pks[i]
             d_cur = dim_state(i, keys)
-            w = Window.partitionBy(pk).orderBy(
+            w = Window.partitionBy(*pk).orderBy(
                 F.asc("__seq"), F.asc(F.col("__ct").isin(*_ADD).cast("int"))
             )
             first_ev = (
@@ -760,7 +828,7 @@ class MaintainedStarAggregate:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-            changed = dDs[i].select(pk).distinct()
+            changed = dDs[i].select(*pk).distinct()
             return d_cur.join(
                 F.broadcast(changed), on=pk, how="left_anti"
             ).unionByName(
@@ -770,7 +838,7 @@ class MaintainedStarAggregate:
             )
 
         n = len(self.dims)
-        cur_pks = [m["pk"][0] for m in mDs]
+        cur_pks = [list(m["pk"]) for m in mDs]
         terms: list[DataFrame] = []
 
         # ---- term 0: ΔF ⋈ (every dim OLD), dim states reconstructed per
@@ -779,10 +847,10 @@ class MaintainedStarAggregate:
         # from the partial join, not the fact slice alone
         t0 = dF.alias("f")
         for i in range(n):
-            jc = self.dims[i][0]
+            jcs = self.dims[i][0]
             t0 = t0.join(
-                dim_old(i, keys_of(t0, jc, cur_pks[i])),
-                F.col(jc) == F.col(dim_pks[i]),
+                dim_old(i, keys_of(t0, jcs, cur_pks[i])),
+                _join_eq(jcs, dim_pks[i]),
                 "inner",
             )
         terms.append(self._delta_rows(t0, F.col("f.__sign")))
@@ -793,30 +861,103 @@ class MaintainedStarAggregate:
         # star arm → literal fk IN; chain hop → filter the owning dim's
         # (dim-sized) state by the changed attribute values, then recurse
         # on ITS pks — every level batch-bounded and capped.
-        def fact_filter_for(i: int, values: list) -> F.Column | None:
-            """A fact-scan predicate selecting rows whose join chain can
-            reach dim *i* keys in *values*; None = give up (over cap) and
-            let the inner joins restrict."""
-            jc = self.dims[i][0]
-            if owners[i] == -1:
-                # typed_in_lits: collected temporal keys rebuild as
-                # ISO-cast literals (DST-safe on non-UTC drivers)
-                return F.col(jc).isin(typed_in_lits(values))
-            j = owners[i]
-            hop = (
-                dim_full_state(j)
-                .filter(F.col(jc).isin(typed_in_lits(values)))
-                .select(dim_pks[j])
-                .limit(_FK_LITERAL_CAP + 1)
-                .collect()
+        _dt_cache: dict[int, dict] = {}
+
+        def col_dtypes(j: int) -> dict:
+            """column → Spark type name for a table's translated state
+            (-1 = fact), cached per refresh.  Schema-only (parquet footer)
+            — no job runs.  Threads dtypes into :func:`typed_in_lits` so a
+            temporal join key takes the DST-safe ISO-cast path and a
+            ``timestamp_ntz`` key is neither shifted nor cast to
+            ``timestamp`` (the helper's contract)."""
+            if j not in _dt_cache:
+                if j == -1:
+                    fr = fact._read_state(spark, mF).select(
+                        *self._translated(
+                            fact_cols, meta.get("fact_field_ids", {}), mF
+                        )
+                    )
+                else:
+                    fr = dim_full_state(j)
+                _dt_cache[j] = dict(fr.dtypes)
+            return _dt_cache[j]
+
+        # ---- chain-hop reverse indexes: (attribute → pk) on each OWNING
+        # dim, maintained under the view root and PINNED to this refresh's
+        # manifests, so resolving a hop probes O(touched value buckets)
+        # instead of scanning the owning dim (at sf100 a chained customer
+        # dim is 15M rows — the round-7 O(dim) finding).  Built lazily on
+        # the first refresh that hits the hop; maintenance thereafter is
+        # O(dim changes + touched buckets).  Unsupported attribute types
+        # (hash layout admits string/int) fall back to the dim scan.
+        _hop_idx_cache: dict[int, object] = {}
+
+        def hop_index(i: int, j: int):
+            """Reverse SecondaryIndex over dim *j*'s (current-named)
+            columns that dim *i* joins on, refreshed to this refresh's
+            pin; None = unsupported → scan fallback.  The view is the
+            index's single writer (BoundJoinAggregate serializes
+            refreshes), so its applied_seq only advances to pinned
+            seqs — the superset contract fact_filter_for needs."""
+            if i in _hop_idx_cache:
+                return _hop_idx_cache[i]
+            from .secondary_index import SecondaryIndex
+
+            inv = {
+                v: k for k, v in (mDs[j].get("field_ids") or {}).items()
+            }
+            cur = [inv.get(d_ids[j].get(c), c) for c in self.dims[i][0]]
+            idx = SecondaryIndex(
+                self.root / f"_hopidx{i}", col=cur, pk_cols=cur_pks[j]
             )
+            try:
+                if idx.exists():
+                    idx.refresh(spark, dim_tables[j], manifest=mDs[j])
+                else:
+                    idx.build(spark, dim_tables[j], manifest=mDs[j])
+            except ValueError:
+                idx = None  # e.g. non-portable attribute dtype
+            _hop_idx_cache[i] = idx
+            return idx
+
+        def fact_filter_for(i: int, key_tuples: list) -> F.Column | None:
+            """A fact-scan predicate selecting rows whose join chain can
+            reach dim *i* key tuples in *key_tuples*; None = give up
+            (over cap) and let the inner joins restrict.  Literals route
+            through typed_in_lits (DST-safe ISO casts for temporals);
+            composite keys use the per-column superset box of
+            :func:`_in_box` — safe here because every consumer's inner
+            join enforces exactness.  A chain hop resolves via the
+            reverse index (O(probed value buckets)); the index ignores
+            the dim's σ, a further superset, equally safe."""
+            jcs = self.dims[i][0]
+            if owners[i] == -1:
+                return _in_box(jcs, key_tuples, col_dtypes(-1))
+            j = owners[i]
+            idx = hop_index(i, j)
+            if idx is not None:
+                hop_rows = (
+                    idx.lookup_pks_in(spark, key_tuples)
+                    .limit(_FK_LITERAL_CAP + 1)
+                    .collect()
+                )
+                hop = [tuple(r[p] for p in idx.pk_cols) for r in hop_rows]
+            else:
+                rows = (
+                    dim_full_state(j)
+                    .filter(_in_box(jcs, key_tuples, col_dtypes(j)))
+                    .select(*dim_pks[j])
+                    .limit(_FK_LITERAL_CAP + 1)
+                    .collect()
+                )
+                hop = [tuple(r[p] for p in dim_pks[j]) for r in rows]
             if len(hop) > _FK_LITERAL_CAP:
                 return None
-            return fact_filter_for(j, [r[dim_pks[j]] for r in hop])
+            return fact_filter_for(j, hop)
 
         f_state = None
         for i in range(n):
-            changed_i = dDs[i].select(dim_pks[i]).distinct()
+            changed_i = dDs[i].select(*dim_pks[i]).distinct()
             key_rows = changed_i.limit(_FK_LITERAL_CAP + 1).collect()
             if not key_rows:
                 continue
@@ -829,7 +970,9 @@ class MaintainedStarAggregate:
                 if self.fact_where:
                     f_state = f_state.filter(F.expr(self.fact_where))
             pred = (
-                fact_filter_for(i, [r[dim_pks[i]] for r in key_rows])
+                fact_filter_for(
+                    i, [tuple(r[p] for p in dim_pks[i]) for r in key_rows]
+                )
                 if len(key_rows) <= _FK_LITERAL_CAP
                 else None
             )
@@ -838,13 +981,12 @@ class MaintainedStarAggregate:
             elif owners[i] == -1:
                 # over-cap star arm: broadcast semi-join (full scan,
                 # filtered) — same trade as matview's dirty cap
+                ren = changed_i
+                for pc, fc in zip(dim_pks[i], self.dims[i][0]):
+                    ren = ren.withColumnRenamed(pc, fc)
                 f_new = f_state.join(
-                    F.broadcast(
-                        changed_i.withColumnRenamed(
-                            dim_pks[i], self.dims[i][0]
-                        )
-                    ),
-                    on=self.dims[i][0],
+                    F.broadcast(ren),
+                    on=list(self.dims[i][0]),
                     how="left_semi",
                 )
             else:
@@ -852,15 +994,15 @@ class MaintainedStarAggregate:
                 f_new = f_state
             ti = f_new.alias("f")
             for j in range(n):
-                jc_j = self.dims[j][0]
+                jcs_j = self.dims[j][0]
                 if j == i:
                     ti = ti.join(
                         dDs[i].alias("d"),
-                        F.col(jc_j) == F.col(f"d.{dim_pks[i]}"),
+                        _join_eq(jcs_j, dim_pks[i], right_alias="d"),
                         "inner",
                     )
                 else:
-                    keys_j = keys_of(ti, jc_j, cur_pks[j])
+                    keys_j = keys_of(ti, jcs_j, cur_pks[j])
                     side = (
                         dim_state(j, keys_j)
                         if j < i
@@ -868,7 +1010,7 @@ class MaintainedStarAggregate:
                     )
                     ti = ti.join(
                         side,
-                        F.col(jc_j) == F.col(dim_pks[j]),
+                        _join_eq(jcs_j, dim_pks[j]),
                         "inner",
                     )
             terms.append(self._delta_rows(ti, F.col("d.__sign")))

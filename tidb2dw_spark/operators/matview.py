@@ -438,6 +438,19 @@ class MaintainedAggregate:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
 
+    def _rewrite_meta(self, m: dict) -> None:
+        """Atomically rewrite ``_meta.json`` WITHOUT a data commit — used
+        for metadata-only upgrades (e.g. backfilling ``mm_outs`` on a
+        legacy meta) that must land even when the feed is idle."""
+        import json
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._meta_path())
+
     def _source_cols(self) -> list[str]:
         """Base-table columns this aggregate consumes, deduped in order."""
         return list(
@@ -526,19 +539,39 @@ class MaintainedAggregate:
                     "a mismatched refresh would silently drop or corrupt "
                     "the maintained extrema; rebuild instead"
                 )
-        elif mm_outs:
+        else:
             # legacy-unknown meta (pre-round-6 seed): the stored rollup is
-            # still valid — verify the constructed extrema columns exist in
-            # the persisted schema instead of hard-failing, and backfill
-            # the key on this commit so the strict check applies hereafter
-            stored_cols = set(self.read(spark).columns)
+            # still valid — verify the constructed extrema columns against
+            # the persisted schema instead of hard-failing.  The check is
+            # two-sided: constructed extrema must exist in the store, AND
+            # a store carrying extrema this constructor does NOT know about
+            # must refuse (a refresh projects only group+n_rows+sum+mm
+            # columns, so unknown persisted extrema would be silently
+            # destroyed on the next commit).
+            stored_cols = list(self.read(spark).columns)
             missing = [o for o in mm_outs if o not in stored_cols]
             if missing:
                 raise ValueError(
                     f"aggregate at {self.root} (legacy meta, no mm_outs) "
                     f"lacks extrema column(s) {missing}; rebuild to add them"
                 )
+            core = set(self.group_cols) | {"n_rows"} | set(self.sum_cols)
+            extra = [
+                c for c in stored_cols if c not in core and c not in mm_outs
+            ]
+            if extra:
+                raise ValueError(
+                    f"aggregate at {self.root} (legacy meta, no mm_outs) "
+                    f"carries persisted column(s) {extra} this constructor "
+                    "does not maintain — a refresh would silently drop "
+                    "them; construct with matching min/max outputs or "
+                    "rebuild"
+                )
+            # persist the backfilled key NOW (not only on the next data
+            # commit): a legacy meta on an idle table otherwise never
+            # upgrades to the strict mismatch check above
             m["mm_outs"] = mm_outs
+            self._rewrite_meta(m)
         since = m["applied_seq"]
         if src_seq <= since:
             return since

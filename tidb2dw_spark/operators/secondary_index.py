@@ -339,15 +339,22 @@ class SecondaryIndex:
         return df.filter(cond).select(*self.cols, *self.pk_cols)
 
     # -- build / refresh --------------------------------------------------
-    def build(self, spark: SparkSession, source: ManagedTable) -> int:
+    def build(
+        self, spark: SparkSession, source: ManagedTable,
+        manifest: dict | None = None,
+    ) -> int:
         """Full scan of the base table → every value bucket written;
         records the source's current cdf_seq so refresh() starts exactly
-        after the state this build saw."""
+        after the state this build saw.  *manifest* PINS the scanned
+        state (same contract as ``read_for_keys``): a caller composing
+        the index into a larger pinned refresh (e.g. the join view's
+        chain-hop probe) passes its own manifest so the index lands at
+        exactly that state, not a concurrently-advanced one."""
         # one manifest read pins the scanned data AND the recorded seq (a
         # merge landing in between would otherwise be both in the build
         # and replayed by the first refresh), and one DataFrame serves the
         # type check and the scan
-        src_m = source.manifest()
+        src_m = manifest if manifest is not None else source.manifest()
         src_seq = src_m.get("cdf_seq", 0)
         df = source._read_state(spark, src_m)
         dtypes = dict(df.dtypes)
@@ -451,10 +458,16 @@ class SecondaryIndex:
                 paths.append(str(p))
         return spark.read.parquet(*paths) if paths else None
 
-    def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
+    def refresh(
+        self, spark: SparkSession, source: ManagedTable,
+        manifest: dict | None = None,
+    ) -> int:
         """Fold the feed slice (applied_seq, cdf_seq]: rewrite only the
-        value buckets that gained or lost entries."""
-        src_m = source.manifest()
+        value buckets that gained or lost entries.  *manifest* PINS the
+        slice's upper bound (see :meth:`build`); the caller must be the
+        index's single writer so ``applied_seq`` only ever advances to
+        its own pinned seqs."""
+        src_m = manifest if manifest is not None else source.manifest()
         m = self._load_meta(src_m)
         since, src_seq = m["applied_seq"], src_m.get("cdf_seq", 0)
         if src_seq <= since:
@@ -566,6 +579,57 @@ class SecondaryIndex:
         for c, v in zip(self.cols, vals):
             eq = F.col(c) == v
             cond = eq if cond is None else (cond & eq)
+        return base.filter(cond).select(*self.pk_cols)
+
+    def lookup_pks_in(self, spark: SparkSession, values) -> DataFrame:
+        """PKs whose indexed key equals ANY of *values* (each a scalar,
+        or a tuple for composite keys) — the batch twin of
+        :meth:`lookup_pks`: ONE read over only the value buckets the
+        probes hash/bisect to, O(distinct probe buckets) regardless of
+        index size.  Serves reverse (attribute → pk) resolution — e.g.
+        the join view's chain hop, where a changed dim's keys map back
+        through the owning dim's attribute to its PKs without scanning
+        the dim.  Hash layout admits only string/int key types, so plain
+        literal IN is exact with no temporal-zone hazard; range-layout
+        temporal keys route through the ISO-cast literals the layout's
+        probes already use."""
+        m = self._load_meta()
+        keys = {self._coerce_key(v) for v in values}
+        if not keys:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], schema=StructType())
+        buckets = sorted({self._bucket_of(k) for k in keys})
+        base = self._read_buckets(spark, m, buckets)
+        if base is None:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], schema=StructType())
+        use_lits = self.layout == "range"  # key_types known → cast lits
+        if len(self.cols) == 1:
+            cond = F.col(self.cols[0]).isin(
+                [self._member_lit(k[0], 0) for k in keys]
+                if use_lits
+                else [k[0] for k in keys]
+            )
+        else:
+            # per-member IN prunes the scan (pushes to parquet); the
+            # struct-IN refines to the exact tuple set
+            cond = F.struct(*[F.col(c) for c in self.cols]).isin(
+                [
+                    self._key_lit(k)
+                    if use_lits
+                    else F.struct(*[F.lit(v) for v in k])
+                    for k in keys
+                ]
+            )
+            for i, c in enumerate(self.cols):
+                mem = (
+                    [self._member_lit(k[i], i) for k in keys]
+                    if use_lits
+                    else [k[i] for k in keys]
+                )
+                cond = F.col(c).isin(mem) & cond
         return base.filter(cond).select(*self.pk_cols)
 
     def _range_buckets(self, lo: tuple, hi: tuple) -> list[int]:
