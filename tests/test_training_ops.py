@@ -1265,6 +1265,92 @@ def test_semantic_dedup_survivor_rule(spark):
     assert by_id[20]["kept"] is True  # orthogonal to every co-member
 
 
+def test_semantic_dedup_cluster_cap_exact_and_bounded(spark):
+    """Round-7 finding: a skew-collapsed k-means (near-duplicate
+    embeddings collapse into one cluster) made the per-cluster kernel
+    O(cluster²) in ONE task.  With *cluster_cap*, oversized clusters
+    route through the blocked pair kernel — the keep-set must be
+    IDENTICAL to the uncapped run (the rule decomposes exactly: max over
+    earlier members is associative over contiguous blocks)."""
+    from tidb2dw_spark.functions.clustering import semantic_dedup
+
+    # adversarially collapsed: 300 vectors in one tight cone (one k-means
+    # cluster), 30 in an orthogonal cone — the big cluster breaches the
+    # cap, the small one stays on the plain kernel, so BOTH paths and
+    # their union are exercised
+    rows = [
+        (i, [1000.0, float(i % 11), float((i * 7) % 13), 0.0])
+        for i in range(300)
+    ] + [
+        (i, [0.0, 0.0, float(i % 5), 1000.0]) for i in range(300, 330)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        r["id"]: (r["cluster"], r["csim"], r["kept"])
+        for r in semantic_dedup(
+            df, k=2, iters=2, threshold=0.95, cluster_cap=None
+        ).collect()
+    }
+    capped = {
+        r["id"]: (r["cluster"], r["csim"], r["kept"])
+        for r in semantic_dedup(
+            df, k=2, iters=2, threshold=0.95, cluster_cap=50, block=32
+        ).collect()
+    }
+    assert capped == base
+    kept = sum(1 for _, _, k_ in base.values() if k_)
+    assert 0 < kept < len(rows)  # the threshold actually bites
+
+
+def test_incremental_semdedup_cluster_cap_exact(spark, tmp_path):
+    """The incremental store variant under the cap: seed and a second
+    batch (deduping against STORED survivors through block −1) must make
+    decisions identical to an uncapped twin store, and persist the same
+    survivor set."""
+    from tidb2dw_spark.functions.clustering import IncrementalSemDedup
+
+    def df(lo, hi, axis):
+        rows = [
+            (i, [1000.0 * (axis == 0), float(i % 9),
+                 float((i * 5) % 11), 1000.0 * (axis == 1)])
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    plain = IncrementalSemDedup(
+        tmp_path / "plain", k=2, iters=2, threshold=0.95, cluster_cap=None
+    )
+    capped = IncrementalSemDedup(
+        tmp_path / "capped", k=2, iters=2, threshold=0.95,
+        cluster_cap=20, block=16,
+    )
+    b1 = df(0, 100, axis=0)
+    d_plain = {
+        r["id"]: (r["cluster"], r["kept"])
+        for r in plain.seed(spark, b1).collect()
+    }
+    d_capped = {
+        r["id"]: (r["cluster"], r["kept"])
+        for r in capped.seed(spark, b1).collect()
+    }
+    assert d_capped == d_plain
+    b2 = df(100, 160, axis=0)  # same cone: drops ride the stored side
+    d2_plain = {
+        r["id"]: r["kept"] for r in plain.dedup_batch(spark, b2).collect()
+    }
+    d2_capped = {
+        r["id"]: r["kept"] for r in capped.dedup_batch(spark, b2).collect()
+    }
+    assert d2_capped == d2_plain
+    kept_of = lambda s: sorted(  # noqa: E731
+        r["id"]
+        for r in spark.read.parquet(str(s.root / "kept")).collect()
+    )
+    assert kept_of(capped) == kept_of(plain)
+
+
 def test_incremental_semdedup_store_contract(spark, tmp_path):
     """IncrementalSemDedup: the seed keeps one survivor per identical
     family; a second batch duplicating stored survivors drops ENTIRELY

@@ -2334,12 +2334,180 @@ GROUP BY f.o_orderpriority, d.c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Self-healing stream supervision: RENAME + widening barriers land WHILE a
+# continuous commit-log stream maintains an aggregate; the supervisor
+# restarts from the same checkpoint each time (streaming/supervisor.py) and
+# the drained rollup must equal a full recompute — the reference consumer's
+# unattended DDL ride (increment.go:283-329), proven end-to-end.
+# ---------------------------------------------------------------------------
+def pipeline_stream_selfheal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained rollup (status → count, sum cents) kept fresh by a
+    CONTINUOUS supervised stream while three CDC batches land — the
+    second after a live RENAME (o_orderstatus → o_status), the third
+    after a live widening MODIFY (o_total_cents int → bigint).  Each
+    barrier kills the running query with SchemaEvolvedError; the
+    supervisor restarts it from the SAME checkpoint with no manual
+    intervention, and the function raises loudly if the heal never
+    happened (restarts < 2) or a catch-up stalls — so a green row IS the
+    self-heal proof.  The oracle recomputes the final fold relationally
+    from the orders table."""
+    import time as _time
+
+    from .operators.matview import MaintainedAggregate
+    from .schema.diff import diff_columns
+    from .schema.evolve import apply_column_diffs
+    from .streaming.supervisor import StreamSupervisor
+
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_selfheal_"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("int").alias("o_total_cents"),
+    )
+    table = ManagedTable(wh / "orders_live").create(
+        orders, ["o_orderkey"], pk_buckets=_PK_BUCKETS, cdf=True
+    )
+    k = F.col("o_orderkey")
+
+    def _env_batch(df: DataFrame, flag, ts_base: int, status, cents) -> DataFrame:
+        return df.select(
+            F.lit(flag).alias("flag"),
+            F.lit(_TABLE).alias("tablename"),
+            F.lit(_SCHEMA).alias("schemaname"),
+            (F.lit(ts_base) + k % 97).cast("long").alias("commit_ts"),
+            F.col("o_orderkey").cast("long"),
+            F.col("o_custkey").cast("long"),
+            status.alias("o_orderstatus"),
+            cents.alias("o_total_cents"),
+        )
+
+    b1 = (
+        _env_batch(  # updates
+            orders.filter(k % 21 == 0), "U", 10_000,
+            F.lit("P1"), (F.col("o_total_cents") + 100).cast("int"),
+        )
+        .unionByName(_env_batch(  # deletes land LAST within the batch
+            orders.filter(k % 33 == 0), "D", 20_000,
+            F.lit(None).cast("string"), F.lit(None).cast("int"),
+        ))
+        .unionByName(_env_batch(  # inserts on fresh keys
+            orders.filter(k % 30 == 0).withColumn(
+                "o_orderkey", k + 100_000_000
+            ), "I", 21_000,
+            F.lit("N1"), (F.col("o_total_cents") + 1).cast("int"),
+        ))
+    )
+
+    def _wait(cond, what: str, timeout: float = 240) -> None:
+        end = _time.time() + timeout
+        while _time.time() < end:
+            if cond():
+                return
+            _time.sleep(0.5)
+        raise RuntimeError(f"self-heal stream stalled waiting for {what}")
+
+    mv = MaintainedAggregate(
+        wh / "mv", ["o_orderstatus"], {"total_cents": "o_total_cents"}
+    )
+    sup = StreamSupervisor(
+        spark, table, mv, wh / "ckpt", processing_interval="1 second"
+    )
+    table.merge(spark, b1)
+    sup.start()
+    try:
+        _wait(
+            lambda: mv.exists()
+            and mv.meta()["applied_seq"] == table.manifest()["cdf_seq"],
+            "initial catch-up",
+        )
+        # ---- live RENAME o_orderstatus -> o_status (mid-run barrier 1)
+        v1 = _def_v1().columns  # ids 1..4 match creation order
+        v1 = [
+            v1[0], v1[1], v1[2],
+            TableCol(id="4", name="o_total_cents", tp="int"),
+        ]
+        v2 = [
+            v1[0], v1[1],
+            TableCol(id="3", name="o_status", tp="varchar", precision="10"),
+            v1[3],
+        ]
+        apply_column_diffs(spark, table, diff_columns(v1, v2))
+        b2 = _env_batch(
+            orders.filter(k % 27 == 0), "U", 30_000,
+            F.lit("R2"), (F.col("o_total_cents") + 7).cast("int"),
+        ).withColumnRenamed("o_orderstatus", "o_status")
+        table.merge(spark, b2)
+        _wait(
+            lambda: mv.meta()["applied_seq"] == table.manifest()["cdf_seq"],
+            "heal after rename",
+        )
+        # ---- live widening o_total_cents int -> bigint (barrier 2)
+        v3 = [
+            v2[0], v2[1], v2[2],
+            TableCol(id="9", name="o_total_cents", tp="bigint"),
+        ]
+        apply_column_diffs(spark, table, diff_columns(v2, v3))
+        b3 = _env_batch(
+            orders.filter(k % 45 == 0), "U", 40_000,
+            F.lit("W3"),
+            (F.col("o_total_cents").cast("long") + F.lit(3_000_000_000)),
+        ).withColumnRenamed("o_orderstatus", "o_status")
+        table.merge(spark, b3)
+        _wait(
+            lambda: mv.meta()["applied_seq"] == table.manifest()["cdf_seq"],
+            "heal after widening",
+        )
+    finally:
+        stats = sup.stop()
+    if stats["restarts"] < 2:
+        raise RuntimeError(
+            f"expected >=2 mid-run heals (rename + widening), got "
+            f"{stats['restarts']} — the barriers did not exercise the "
+            "supervisor"
+        )
+    return mv.read(spark).select(
+        "o_orderstatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+_SELFHEAL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), final AS (
+  SELECT k,
+    CASE WHEN k % 45 = 0 THEN 'W3'
+         WHEN k % 27 = 0 THEN 'R2'
+         WHEN k % 21 = 0 THEN 'P1'
+         ELSE st END AS st,
+    CASE WHEN k % 45 = 0 THEN cents + 3000000000
+         WHEN k % 27 = 0 THEN cents + 7
+         WHEN k % 21 = 0 THEN cents + 100
+         ELSE cents END AS cents
+  FROM base
+  WHERE NOT (k % 33 = 0 AND k % 27 <> 0 AND k % 45 <> 0)
+  UNION ALL
+  SELECT k + 100000000, 'N1', cents + 1 FROM base WHERE k % 30 = 0
+)
+SELECT st AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+FROM final GROUP BY st
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
     "pipeline_mor_replay": pipeline_mor_replay,
     "pipeline_cdf_replay": pipeline_cdf_replay,
     "pipeline_rename_continuity": pipeline_rename_continuity,
+    "pipeline_stream_selfheal": pipeline_stream_selfheal,
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
@@ -2371,6 +2539,7 @@ ORACLES = {
         "SELECT f.*, 'batch' AS via FROM feed f\n"
         "UNION ALL\nSELECT f.*, 'stream' AS via FROM feed f"
     ),
+    "pipeline_stream_selfheal": _SELFHEAL_ORACLE,
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,

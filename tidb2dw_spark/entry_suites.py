@@ -107,6 +107,9 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_maintained_q3": [("l_orderkey", "int"), ("o_orderdate", "ts"), ("o_orderpriority", "str"), ("revenue_c", "int")],
     # TPC-H Q13 composed: maintained keyed counts + left-join read
     "pipeline_maintained_q13": [("c_count", "int"), ("custdist", "int")],
+    # self-healing stream supervision: mid-run RENAME + widening barriers
+    # healed by same-checkpoint restarts (the query raises if no heal ran)
+    "pipeline_stream_selfheal": [("o_orderstatus", "str"), ("n_rows", "int"), ("total_cents", "int")],
     # exact COUNT(DISTINCT) via the bucket-partitioned support multiset
     "pipeline_incremental_distinct": [("o_orderpriority", "str"), ("n_rows", "int"), ("n_cust", "int"), ("n_status", "int")],
     # heavy hitters probed from the SAME maintained support store

@@ -201,6 +201,152 @@ def _assign_score(
     )
 
 
+def _blocked_semdedup(
+    scored: DataFrame,
+    stored: DataFrame | None,
+    threshold: float,
+    block: int,
+) -> DataFrame:
+    """EXACT SemDeDup rule with bounded task size for oversized clusters.
+
+    The one-task-per-cluster kernel is O(cluster²) time inside a single
+    task — a skew-collapsed k-means (which near-duplicate embeddings,
+    the dedup input, produce) can put a huge corpus fraction in one
+    cluster and stall the stage.  The keep rule decomposes exactly:
+    member x is dropped iff max cosine over ALL (csim, id)-earlier
+    members ≥ threshold, and max is associative — so the cluster is cut
+    into contiguous BLOCKS of the survivor order and every (earlier
+    block, block) pair becomes its own bounded task (block² work,
+    2·block resident vectors).  Per-member partial maxima fold with one
+    thin ``groupBy(id).max`` — bit-identical to the single-task kernel
+    (same int64 dots, same float64 divide, max over a different but
+    exhaustive partition of the same pair set).
+
+    *stored* rows (the incremental store's survivors) are "earlier than
+    everything" by contract and ride as block −1.  Output matches
+    :func:`_semdedup_kernel`: one row per batch member with ``qv``
+    retained."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    t = threshold
+    w = Window.partitionBy("cluster").orderBy("csim", "id")
+    # rank on a thin projection (no vectors ride the sort), then hang the
+    # block id back on the full rows by unique id
+    ranked = (
+        scored.select("cluster", "csim", "id")
+        .withColumn(
+            "__b",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(block)).cast("int"),
+        )
+        .select("id", "__b")
+    )
+    blocked = scored.select("id", "qv", "cluster", "csim").join(
+        ranked, on="id"
+    )
+    if stored is not None:
+        blocked = blocked.unionByName(
+            stored.select("id", "qv", "cluster", "csim").withColumn(
+                "__b", F.lit(-1)
+            )
+        )
+    packed = blocked.groupBy("cluster", "__b").agg(
+        F.collect_list(F.struct("id", "csim", "qv")).alias("mem")
+    )
+    pairs = (
+        packed.alias("L")
+        .join(
+            packed.alias("R"),
+            (F.col("L.cluster") == F.col("R.cluster"))
+            & (F.col("L.__b") <= F.col("R.__b"))
+            & (F.col("R.__b") >= 0),
+        )
+        .select(
+            F.col("L.__b").alias("lb"),
+            F.col("R.__b").alias("rb"),
+            F.col("L.mem").alias("lmem"),
+            F.col("R.mem").alias("rmem"),
+        )
+        # spread the pair tasks: without this, the arrow batches keep
+        # several block-pairs on one core while others idle
+        .repartition(F.col("lb"), F.col("rb"))
+    )
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            for lb, rb, lmem, rmem in zip(
+                pdf["lb"], pdf["rb"], pdf["lmem"], pdf["rmem"]
+            ):
+                Ml = np.stack(
+                    [np.asarray(m["qv"]) for m in lmem]
+                ).astype(np.int64)
+                Mr = np.stack(
+                    [np.asarray(m["qv"]) for m in rmem]
+                ).astype(np.int64)
+                lnorm = np.sqrt((Ml * Ml).sum(axis=1).astype(np.float64))
+                rnorm = np.sqrt((Mr * Mr).sum(axis=1).astype(np.float64))
+                dots = Ml @ Mr.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    q = dots.astype(np.float64) / (
+                        lnorm[:, None] * rnorm[None, :]
+                    )
+                if lb == rb:
+                    lcs = np.asarray([m["csim"] for m in lmem])
+                    lid = np.asarray([m["id"] for m in lmem])
+                    rcs = np.asarray([m["csim"] for m in rmem])
+                    rid = np.asarray([m["id"] for m in rmem])
+                    earlier = (lcs[:, None] < rcs[None, :]) | (
+                        (lcs[:, None] == rcs[None, :])
+                        & (lid[:, None] < rid[None, :])
+                    )
+                    q = np.where(earlier, q, -np.inf)
+                yield pd.DataFrame(
+                    {
+                        "id": [m["id"] for m in rmem],
+                        "mp": q.max(axis=0) if q.size else
+                        np.full(len(rmem), -np.inf),
+                    }
+                )
+
+    partial = pairs.mapInPandas(kernel, schema="id long, mp double")
+    folded = partial.groupBy("id").agg(F.max("mp").alias("__mp"))
+    return scored.join(folded, on="id", how="left").select(
+        "id", "qv", "cluster", "csim",
+        (
+            ~(
+                F.coalesce(F.col("__mp"), F.lit(float("-inf")))
+                >= F.lit(t)
+            )
+        ).alias("kept"),
+    )
+
+
+def _oversized_clusters(
+    scored: DataFrame, cluster_cap: int | None
+) -> list[int]:
+    """Cluster ids whose member count exceeds *cluster_cap* (k-sized
+    collect); logs the skew event — at scale this is the signal that k
+    is too small for the corpus and a re-fit is worth scheduling."""
+    if cluster_cap is None:
+        return []
+    big = [
+        (r["cluster"], r["count"])
+        for r in scored.groupBy("cluster").count().collect()
+        if r["count"] > cluster_cap
+    ]
+    if big:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semantic_dedup: %d cluster(s) exceed cluster_cap=%d %s — "
+            "routing them through the blocked pair kernel (exact, "
+            "bounded task size); consider raising k",
+            len(big), cluster_cap, big[:8],
+        )
+    return [c for c, _ in big]
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -209,6 +355,8 @@ def semantic_dedup(
     iters: int = 3,
     threshold: float = 0.9,
     centroids: list[list[int]] | None = None,
+    cluster_cap: int | None = 100_000,
+    block: int = 8192,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means clusters the embedding space, pairs WITHIN
@@ -248,6 +396,11 @@ def semantic_dedup(
     scored = _assign_score(corpus, cents, id_col, vec_col)
     t = threshold
     chunk = 4096
+    # skew guard (round-7 finding): clusters above *cluster_cap* route
+    # through the blocked pair kernel — EXACT same keep-set, task size
+    # bounded at block² instead of cluster² (cluster_cap=None disables,
+    # restoring the one-task-per-cluster plan unconditionally)
+    big = _oversized_clusters(scored, cluster_cap)
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         # the (csim, id) sort IS the survivor order — ties on the double
@@ -285,9 +438,19 @@ def semantic_dedup(
             }
         )
 
-    return scored.groupBy("cluster").applyInPandas(
+    small = (
+        scored.filter(~F.col("cluster").isin(big)) if big else scored
+    )
+    out = small.groupBy("cluster").applyInPandas(
         per_cluster, schema="id long, cluster int, csim double, kept boolean"
     )
+    if big:
+        out = out.unionByName(
+            _blocked_semdedup(
+                scored.filter(F.col("cluster").isin(big)), None, t, block
+            ).select("id", "cluster", "csim", "kept")
+        )
+    return out
 
 
 class IncrementalSemDedup:
@@ -330,12 +493,15 @@ class IncrementalSemDedup:
         k: int = 8,
         iters: int = 3,
         threshold: float = 0.9,
+        cluster_cap: int | None = 100_000,
+        block: int = 8192,
     ):
         from pathlib import Path
 
         self.root = Path(root)
         self.id_col, self.vec_col = id_col, vec_col
         self.k, self.iters, self.threshold = k, iters, threshold
+        self.cluster_cap, self.block = cluster_cap, block
 
     def _meta_path(self):
         return self.root / "_meta.json"
@@ -376,7 +542,9 @@ class IncrementalSemDedup:
             raise ValueError(f"store at {self.root} is already seeded")
         cents = kmeans_fit(batch, self.id_col, self.vec_col, self.k, self.iters)
         scored = _assign_score(batch, cents, self.id_col, self.vec_col)
-        decisions = _semdedup_kernel(scored, None, self.threshold).localCheckpoint()
+        decisions = _semdedup_kernel(
+            scored, None, self.threshold, self.cluster_cap, self.block
+        ).localCheckpoint()
         self._append_kept(decisions)
         self._write_meta(
             {
@@ -411,7 +579,7 @@ class IncrementalSemDedup:
             .select("id", "qv", "cluster", "csim")
         )
         decisions = _semdedup_kernel(
-            scored, stored, meta["threshold"]
+            scored, stored, meta["threshold"], self.cluster_cap, self.block
         ).localCheckpoint()
         self._append_kept(decisions)
         meta["batches"] += 1
@@ -420,13 +588,43 @@ class IncrementalSemDedup:
 
 
 def _semdedup_kernel(
+    scored: DataFrame,
+    stored: DataFrame | None,
+    threshold: float,
+    cluster_cap: int | None = 100_000,
+    block: int = 8192,
+) -> DataFrame:
+    """Cluster-local survivor rule over (batch ∪ stored) with the same
+    skew guard as :func:`semantic_dedup`: batch-oversized clusters (and
+    their stored survivors) route through the blocked pair kernel —
+    exact keep-set, bounded task size."""
+    big = _oversized_clusters(scored, cluster_cap)
+    if not big:
+        return _plain_semdedup_kernel(scored, stored, threshold)
+    in_big = F.col("cluster").isin(big)
+    return _plain_semdedup_kernel(
+        scored.filter(~in_big),
+        stored.filter(~in_big) if stored is not None else None,
+        threshold,
+    ).unionByName(
+        _blocked_semdedup(
+            scored.filter(in_big),
+            stored.filter(in_big) if stored is not None else None,
+            threshold,
+            block,
+        )
+    )
+
+
+def _plain_semdedup_kernel(
     scored: DataFrame, stored: DataFrame | None, threshold: float
 ) -> DataFrame:
-    """Cluster-local survivor rule over (batch ∪ stored): batch members
-    sorted by (csim, id); each is dropped iff its max cosine to a stored
-    survivor or an EARLIER batch member reaches *threshold*.  Output has
-    one row per BATCH member (stored rows only arm the comparison), with
-    qv retained so the caller can persist new survivors."""
+    """One-task-per-cluster survivor rule over (batch ∪ stored): batch
+    members sorted by (csim, id); each is dropped iff its max cosine to a
+    stored survivor or an EARLIER batch member reaches *threshold*.
+    Output has one row per BATCH member (stored rows only arm the
+    comparison), with qv retained so the caller can persist new
+    survivors."""
     import numpy as np
     import pandas as pd
 

@@ -69,6 +69,57 @@ _ADD_TYPES = ("insert", "update_postimage")
 _REMOVE_TYPES = ("delete", "update_preimage")
 
 
+def _cell_sim(centroids: list[list[int]]) -> F.Column:
+    """True cosine of a row's ``qv`` to its assigned cell's centroid —
+    the drift monitor's assignment-quality signal.  The centroid matrix
+    constant-folds into one literal (same trick as
+    similarity._cell_score_structs); zero-norm guards divide by 1 so a
+    degenerate vector scores 0, not NaN."""
+    import math
+
+    matrix = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}L" for x in c) + ")" for c in centroids
+        )
+        + ")"
+    )
+    norms = F.array(
+        *[
+            F.lit(math.sqrt(sum(x * x for x in c)) or 1.0)
+            for c in centroids
+        ]
+    )
+    cent = F.element_at(matrix, F.col("cell") + F.lit(1))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), cent, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    cnorm = F.element_at(norms, F.col("cell") + F.lit(1))
+    denom = qnorm * cnorm
+    return dot / F.when(denom > 0, denom).otherwise(F.lit(1.0))
+
+
+def _cell_stats(assigned: DataFrame, centroids: list[list[int]]) -> dict:
+    """Per-cell (count, Σ assignment-cosine) of an assigned frame — a
+    cell-count-sized collect."""
+    rows = (
+        assigned.withColumn("__sim", _cell_sim(centroids))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__sim").alias("s"))
+        .collect()
+    )
+    return {int(r["cell"]): (int(r["n"]), float(r["s"] or 0.0)) for r in rows}
+
+
 class IvfVectorIndex:
     """Persisted IVF index over a CDF-enabled ManagedTable's embedding
     column, maintained incrementally from the change feed."""
@@ -176,6 +227,28 @@ class IvfVectorIndex:
             df, self.centroids, self.id_col, self.vec_col, self.kernel
         )
         extra = self._fit_extra(spark, df, assigned)
+        # drift baseline: per-cell sizes + mean assignment cosine under
+        # the frozen centroids (one extra key-columns-only pass; build is
+        # already a full scan).  Refresh maintains the "cur_*" side in
+        # O(changes) so needs_rebuild() is a metadata read, never a scan.
+        stats = _cell_stats(assigned, self.centroids)
+        n_total = sum(n for n, _ in stats.values())
+        sim_sum = sum(s for _, s in stats.values())
+        drift = {
+            "built_n": n_total,
+            "built_max_share": (
+                max((n for n, _ in stats.values()), default=0) / n_total
+                if n_total
+                else 0.0
+            ),
+            "built_mean_sim": (sim_sum / n_total) if n_total else 0.0,
+            "cur_cell_counts": {
+                str(c): n for c, (n, _) in stats.items()
+            },
+            "cur_n": n_total,
+            "cur_sim_sum": sim_sum,
+            "churned": 0,
+        }
         src_ids = src_m.get("field_ids", {})
         meta = {
             "applied_seq": src_seq,
@@ -192,6 +265,7 @@ class IvfVectorIndex:
                 for n in (self.id_col, self.vec_col)
                 if n in src_ids
             },
+            "drift": drift,
             **extra,
         }
         self._encode(assigned, meta).write.mode("overwrite").partitionBy(
@@ -224,7 +298,7 @@ class IvfVectorIndex:
                 & F.col(self.vec_col).isNotNull()
             ),
             m["centroids"], self.id_col, self.vec_col, self.kernel,
-        ).select("neighbor_id", "cell")
+        ).select("neighbor_id", "cell", "qv")
         # ADDITIONS: per-id FINAL image only (postimage outranks its own
         # preimage within a commit) — intermediates never land
         w = Window.partitionBy(self.id_col).orderBy(
@@ -254,6 +328,30 @@ class IvfVectorIndex:
             m["applied_seq"] = src_seq
             self._commit(m)
             return src_seq
+        # drift bookkeeping (monitor-grade, O(changes)): cell counts move
+        # by ±, the assignment-cosine running sum moves by the signed per
+        # -cell sums, cumulative churn accrues both sides.  Legacy metas
+        # (pre-monitor build) carry no baseline — skipped, needs_rebuild
+        # stays silent until the next build().
+        d = m.get("drift")
+        if d is not None:
+            rm = _cell_stats(removals, m["centroids"])
+            ad = _cell_stats(additions, m["centroids"])
+            counts = d.get("cur_cell_counts", {})
+            for c, (n, _) in rm.items():
+                counts[str(c)] = max(0, counts.get(str(c), 0) - n)
+            for c, (n, _) in ad.items():
+                counts[str(c)] = counts.get(str(c), 0) + n
+            n_rm = sum(n for n, _ in rm.values())
+            n_ad = sum(n for n, _ in ad.values())
+            d["cur_cell_counts"] = counts
+            d["cur_n"] = max(0, d.get("cur_n", 0) + n_ad - n_rm)
+            d["cur_sim_sum"] = (
+                d.get("cur_sim_sum", 0.0)
+                + sum(s for _, s in ad.values())
+                - sum(s for _, s in rm.values())
+            )
+            d["churned"] = d.get("churned", 0) + n_ad + n_rm
         new_version = m["version"] + 1
         base = self._read_cells(spark, m, touched)
         gone = removals.select("neighbor_id").unionByName(
@@ -281,6 +379,80 @@ class IvfVectorIndex:
             }:
                 shutil.rmtree(p, ignore_errors=True)
         return src_seq
+
+    # -- drift monitor ----------------------------------------------------
+    def drift_stats(self) -> dict:
+        """Current drift gauges vs the build-time baseline — a metadata
+        read, no Spark job.  Empty dict for a legacy (pre-monitor) meta.
+
+        - ``cell_max_share``: largest cell's fraction of the index;
+          ``skew_factor`` = its ratio to the build-time max share (a
+          hot cell degrades probe latency AND recall — n_probe cells
+          cover less of the corpus).
+        - ``assign_sim_drop``: build-time mean assignment cosine minus
+          the current mean — vectors drifting away from the frozen
+          centroids land in increasingly wrong cells.
+        - ``churn_ratio``: cumulative churned rows / built size — the
+          coarse "how stale is the freeze" odometer."""
+        m = self.meta()
+        d = m.get("drift")
+        if not d:
+            return {}
+        cur_n = max(0, int(d.get("cur_n", 0)))
+        counts = [n for n in d.get("cur_cell_counts", {}).values() if n > 0]
+        cur_max_share = (max(counts) / cur_n) if cur_n and counts else 0.0
+        cur_mean_sim = (d.get("cur_sim_sum", 0.0) / cur_n) if cur_n else 0.0
+        built_share = d.get("built_max_share") or 0.0
+        return {
+            "cur_n": float(cur_n),
+            "cell_max_share": cur_max_share,
+            "skew_factor": (
+                cur_max_share / built_share if built_share else 0.0
+            ),
+            "assign_sim_drop": (
+                d.get("built_mean_sim", 0.0) - cur_mean_sim
+                if cur_n
+                else 0.0
+            ),
+            "churn_ratio": (
+                d.get("churned", 0) / d["built_n"]
+                if d.get("built_n")
+                else 0.0
+            ),
+        }
+
+    def needs_rebuild(
+        self,
+        skew_factor: float = 2.0,
+        sim_drop: float = 0.05,
+        churn_ratio: float = 2.0,
+    ) -> bool:
+        """True when any drift gauge crosses its threshold — the signal
+        that the frozen centroids no longer fit the corpus and a
+        ``build()`` is worth scheduling.  Maintenance itself stays EXACT
+        either way (refresh is rebuild-equivalent under the frozen
+        centroids); this guards RECALL, which the exactness oracle
+        cannot see.  Always False for a legacy meta without a baseline."""
+        s = self.drift_stats()
+        if not s:
+            return False
+        return (
+            s["skew_factor"] >= skew_factor
+            or s["assign_sim_drop"] >= sim_drop
+            or s["churn_ratio"] >= churn_ratio
+        )
+
+    def health_gauges(self) -> dict:
+        """Gauges for the replicator's metrics registry (surfaced as
+        ``derived_<class>_<name>``); ``needs_rebuild`` rides along as
+        0/1 so an alert can key on one series."""
+        s = self.drift_stats()
+        if not s:
+            return {}
+        return {
+            **{k: float(v) for k, v in s.items()},
+            "needs_rebuild": float(self.needs_rebuild()),
+        }
 
     # -- probe ------------------------------------------------------------
     def _read_cells(self, spark, m: dict, cells) -> DataFrame | None:

@@ -177,6 +177,16 @@ class TableReplicator:
             self.registry.set_gauge(
                 self.fqn, f"derived_{kind}_last_seconds", round(dt, 6)
             )
+            # health gauges (e.g. the ANN index's drift monitor —
+            # skew/sim-drop/churn + needs_rebuild): surfaced per poll so
+            # an operator alerting on the registry sees staleness build
+            # up without ever scanning the index
+            gauges = getattr(d, "health_gauges", None)
+            if callable(gauges):
+                for gname, gval in (gauges() or {}).items():
+                    self.registry.set_gauge(
+                        self.fqn, f"derived_{kind}_{gname}", round(gval, 6)
+                    )
         if self.derived:
             self.registry.add(self.fqn, "derived_refreshed", len(self.derived))
 

@@ -434,6 +434,7 @@ def stream_derived_refresh(
     derived,
     checkpoint_dir: str,
     available_now: bool = True,
+    processing_interval: str = "12 seconds",
 ):
     """Keep DERIVED STATE (a :class:`~..operators.matview.
     MaintainedAggregate`, :class:`~..operators.secondary_index.
@@ -477,7 +478,7 @@ def stream_derived_refresh(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="12 seconds")
+        writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
 
 
