@@ -117,6 +117,13 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_q1",
     "pipeline_maintained_q3",
     "pipeline_maintained_q13",
+    # round 8: distinct-through-join (Q16) + the six-table deep
+    # snowflake with the cross-dim equality (Q5).
+    # pipeline_stream_selfheal is EXCLUDED: its wall time is the
+    # continuous trigger's sleep cadence + two supervised restarts —
+    # a liveness proof, not a throughput surface.
+    "pipeline_maintained_q16",
+    "pipeline_maintained_q5",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",
     "pipeline_distinct_quantile",

@@ -1280,3 +1280,191 @@ def test_overlapping_names_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="overlap"):
         mv.refresh(spark, fact, dim)
+
+
+# ---------------------------------------------------------------------------
+# join_where: a row-local predicate over the JOINED row (the cross-dim
+# equality TPC-H Q5 needs).  σ_J commutes with the delta decomposition,
+# so maintained == σ_J applied to a full recompute — under churn that
+# flips the equality from EITHER side.
+# ---------------------------------------------------------------------------
+JW_FACT_SCHEMA = "k long, fk1 long, fk2 long, cents long"
+JW_FACT_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "k long, fk1 long, fk2 long, cents long"
+)
+JW_D1_SCHEMA = "d long, seg string, a long"
+JW_D1_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "d long, seg string, a long"
+)
+JW_D2_SCHEMA = "d2 long, region string, b long"
+JW_D2_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "d2 long, region string, b long"
+)
+
+JW_FACT = [
+    (1, 10, 100, 11), (2, 10, 200, 22), (3, 20, 100, 33),
+    (4, 20, 300, 44), (5, 30, 200, 55),
+]
+JW_D1 = [(10, "A", 1), (20, "B", 2), (30, "A", 3)]
+JW_D2 = [(100, "E", 1), (200, "W", 2), (300, "E", 9)]
+
+
+def _mk_jw(spark, tmp_path):
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact = ManagedTable(tmp_path / "jwf").create(
+        spark.createDataFrame(JW_FACT, JW_FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    d1 = ManagedTable(tmp_path / "jwd1").create(
+        spark.createDataFrame(JW_D1, JW_D1_SCHEMA),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    d2 = ManagedTable(tmp_path / "jwd2").create(
+        spark.createDataFrame(JW_D2, JW_D2_SCHEMA),
+        pk_cols=["d2"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedStarAggregate(
+        tmp_path / "jwmv",
+        dims=[("fk1", ["seg"]), ("fk2", ["region"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        # a/b consumed via the per-dim extra-columns channel (legal
+        # without a dim_where)
+        dim_where_cols=[["a"], ["b"]],
+        join_where="a = b",
+    )
+    return fact, d1, d2, mv
+
+
+def _jw_recompute(spark, fact, d1, d2):
+    j = (
+        fact.read(spark)
+        .join(d1.read(spark), F.col("fk1") == F.col("d"), "inner")
+        .join(d2.read(spark), F.col("fk2") == F.col("d2"), "inner")
+        .filter(F.col("a") == F.col("b"))
+        .groupBy("seg", "region")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    return {
+        (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+        for r in j.collect()
+    }
+
+
+def _jw_state(df):
+    return {
+        (r["seg"], r["region"]): (r["n_rows"], r["total_cents"])
+        for r in df.collect()
+    }
+
+
+def test_join_where_seed_and_churn_flips_both_sides(spark, tmp_path):
+    fact, d1, d2, mv = _mk_jw(spark, tmp_path)
+    mv.refresh_star(spark, fact, [d1, d2])
+    got = _jw_state(mv.read(spark))
+    assert got == _jw_recompute(spark, fact, d1, d2)
+    # only k=1 (a=1,b=1) and k=5 (a=3? no — a=3,b=2) … verify k1 + k2? a(10)=1
+    # matches b(100)=1 → k1; a(10)=1 vs b(200)=2 → k2 out; a(20)=2 vs b(100)=1
+    # → k3 out; a(20)=2 vs b(300)=9 → k4 out; a(30)=3 vs b(200)=2 → k5 out.
+    assert sum(n for n, _ in got.values()) == 1
+
+    # flip the equality from the d1 side (a move makes k3 match), the d2
+    # side (b move makes k4 match and breaks k1), and churn the fact too
+    d1.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 5, 20, "B", 1)], JW_D1_ENV
+    ))
+    d2.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 6, 100, "E", 1), ("U", "t", "s", 6, 300, "E", 2)],
+        JW_D2_ENV,
+    ))
+    fact.merge(spark, spark.createDataFrame(
+        [("I", "t", "s", 7, 6, 30, 200, 66),
+         ("D", "t", "s", 7, 2, None, None, None)],
+        JW_FACT_ENV,
+    ))
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert _jw_state(mv.read(spark)) == _jw_recompute(spark, fact, d1, d2)
+
+    # mismatched reconstruction is refused
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    other = MaintainedStarAggregate(
+        tmp_path / "jwmv",
+        dims=[("fk1", ["seg"]), ("fk2", ["region"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        dim_where_cols=[["a"], ["b"]],
+    )
+    fact.merge(spark, spark.createDataFrame(
+        [("D", "t", "s", 9, 5, None, None, None)], JW_FACT_ENV
+    ))
+    with pytest.raises(ValueError, match="join_where"):
+        other.refresh_star(spark, fact, [d1, d2])
+
+
+def test_join_where_distinct_star(spark, tmp_path):
+    """join_where composes with the distinct-through-join view: the
+    equality flip must add/remove SUPPORT, not just counts."""
+    from tidb2dw_spark.operators.join_matview import (
+        MaintainedDistinctStarAggregate,
+    )
+
+    fact = ManagedTable(tmp_path / "jdf").create(
+        spark.createDataFrame(JW_FACT, JW_FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    d1 = ManagedTable(tmp_path / "jdd1").create(
+        spark.createDataFrame(JW_D1, JW_D1_SCHEMA),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    d2 = ManagedTable(tmp_path / "jdd2").create(
+        spark.createDataFrame(JW_D2, JW_D2_SCHEMA),
+        pk_cols=["d2"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedDistinctStarAggregate(
+        tmp_path / "jdmv",
+        dims=[("fk1", ["seg"]), ("fk2", [])],
+        fact_group_cols=[],
+        sum_cols={},
+        distinct_cols={"n_fk2": "fk2"},
+        dim_where_cols=[["a"], ["b"]],
+        join_where="a = b",
+        n_buckets=4,
+    )
+
+    def recompute():
+        j = (
+            fact.read(spark)
+            .join(d1.read(spark), F.col("fk1") == F.col("d"), "inner")
+            .join(d2.read(spark), F.col("fk2") == F.col("d2"), "inner")
+            .filter(F.col("a") == F.col("b"))
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col("fk2")).alias("n_fk2"),
+            )
+        )
+        return {r["seg"]: (r["n_rows"], r["n_fk2"]) for r in j.collect()}
+
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert {
+        r["seg"]: (r["n_rows"], r["n_fk2"]) for r in mv.read(spark).collect()
+    } == recompute()
+    d2.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 5, 200, "W", 1), ("U", "t", "s", 5, 100, "E", 7)],
+        JW_D2_ENV,
+    ))
+    d1.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 6, 30, "A", 2)], JW_D1_ENV
+    ))
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert {
+        r["seg"]: (r["n_rows"], r["n_fk2"]) for r in mv.read(spark).collect()
+    } == recompute()

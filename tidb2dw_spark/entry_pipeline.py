@@ -1763,6 +1763,415 @@ GROUP BY c_count
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q16 as a LIVE view — exact COUNT(DISTINCT supplier) THROUGH the
+# join (MaintainedDistinctStarAggregate): fact lineitem, part dim supplies
+# the (brand, size) group key under Q16's part filters, and the supplier
+# exclusion ("NOT IN complaints") is the σ-dim "s_nationkey >= 10" (every
+# l_suppkey exists in supplier, so inner-join-on-the-allowlist ≡ NOT IN
+# the denylist).  Churn hits ALL THREE feeds: lineitem deletes remove
+# suppliers' LAST qualifying rows in some groups, supplier re-points move
+# rows between suppliers, part size/type moves RELOCATE whole support
+# sets across groups or out of the σ, and nationkey flips admit/expel a
+# supplier's every row at once.  The oracle recomputes COUNT(DISTINCT)
+# relationally over the churned state — the maintained answer must be
+# bit-equal.  (Batch twin: entry_analytics.q_brand_supplier_counts;
+# reference parity: the reference leaves COUNT(DISTINCT) to per-query
+# warehouse recompute, e.g. pkg/snowsql/sql.go merge pipelines.)
+# ---------------------------------------------------------------------------
+_Q16VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedDistinctStarAggregate
+
+    if sf_dir not in _Q16VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        )
+        # testdata lineitem carries duplicate (l_orderkey, l_linenumber)
+        # keys — derive a deterministic survivor per PK (TESTDATA gotcha)
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("l_partkey"), F.desc("l_suppkey")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        part_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_brand",
+            F.col("p_size").cast("long").alias("p_size"), "p_type",
+        )
+        supp_src = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q16view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        part = ManagedTable(wh / "part").create(
+            part_src, ["p_partkey"], pk_buckets=4, cdf=True
+        )
+        supp = ManagedTable(wh / "supplier").create(
+            supp_src, ["s_suppkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedDistinctStarAggregate(
+            wh / "mv",
+            dims=[("l_partkey", ["p_brand", "p_size"]), ("l_suppkey", [])],
+            fact_group_cols=[],
+            sum_cols={},
+            distinct_cols={"supplier_cnt": "l_suppkey"},
+            dim_wheres=[
+                "p_type <> 'PROMO' AND p_size IN (1, 9, 19, 29, 39, 49)",
+                "s_nationkey >= 10",
+            ],
+            dim_where_cols=[["p_type"], ["s_nationkey"]],
+        )
+        mv.refresh_star(spark, li, [part, supp])  # seed
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_sup = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            (F.col("l_suppkey") % 50 + 1).alias("l_suppkey"),
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            "l_partkey",
+            (F.col("l_suppkey") % 97 + 1).alias("l_suppkey"),
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_sup, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+
+        p_move = part_src.filter(F.col("p_partkey") % 10 == 2).select(
+            F.lit("U").alias("flag"),
+            F.lit("part").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "p_partkey", "p_brand",
+            F.lit(9).cast("long").alias("p_size"), "p_type",
+        ).unionByName(
+            part_src.filter(F.col("p_partkey") % 10 == 5).select(
+                F.lit("U").alias("flag"),
+                F.lit("part").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "p_partkey", "p_brand", "p_size",
+                F.lit("PROMO").alias("p_type"),
+            )
+        )
+        part.merge(spark, p_move)
+
+        s_flip = supp_src.filter(F.col("s_suppkey") % 10 == 3).select(
+            F.lit("U").alias("flag"),
+            F.lit("supplier").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "s_suppkey",
+            (F.col("s_nationkey") + 10).alias("s_nationkey"),
+        ).unionByName(
+            supp_src.filter(F.col("s_suppkey") % 10 == 6).select(
+                F.lit("U").alias("flag"),
+                F.lit("supplier").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "s_suppkey",
+                (F.col("s_nationkey") % 5).alias("s_nationkey"),
+            )
+        )
+        supp.merge(spark, s_flip)
+
+        mv.refresh_star(spark, li, [part, supp])  # ONE three-feed fold
+        _Q16VIEW_CACHE[sf_dir] = mv
+    mv = _Q16VIEW_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "p_brand", "p_size",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+    )
+
+
+_Q16VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_partkey DESC, l_suppkey DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_suppkey % 50) + 1
+              ELSE l_suppkey END AS l_suppkey
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_partkey, (l_suppkey % 97) + 1
+  FROM li WHERE l_orderkey % 25 = 3
+), curp AS (
+  SELECT p_partkey, p_brand,
+         CAST(CASE WHEN p_partkey % 10 = 2 THEN 9 ELSE p_size END AS BIGINT)
+           AS p_size,
+         CASE WHEN p_partkey % 10 = 5 THEN 'PROMO' ELSE p_type END AS p_type
+  FROM part
+), curs AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 10 = 3 THEN s_nationkey + 10
+              WHEN s_suppkey % 10 = 6 THEN s_nationkey % 5
+              ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+)
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM curl l
+JOIN curp p ON l.l_partkey = p.p_partkey
+JOIN curs s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 9, 19, 29, 39, 49)
+  AND s.s_nationkey >= 10
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 as a LIVE view — the DEEP snowflake: lineitem ⋈ orders ⋈
+# customer ⋈ supplier ⋈ nation ⋈ region with the cross-dim equality
+# c_nationkey = s_nationkey (join_where: row-local over the JOINED row,
+# so it commutes with the delta terms) and the region σ.  Ownership
+# chains at depth: customer hangs off orders, nation off customer,
+# region off nation — three hops the Q3 view (one hop) never exercises.
+# Churn lands on FIVE feeds, including a nation→region re-point that
+# relocates a whole nation's revenue in/out of ASIA and nationkey moves
+# on BOTH customer and supplier that flip the equality row by row.
+# Oracle = DuckDB recompute over the churned state (batch twin:
+# entry_analytics.q_local_supplier_revenue).
+# ---------------------------------------------------------------------------
+_Q5VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q5VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+            ).cast("long").alias("revenue_c"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("revenue_c"), F.desc("l_suppkey")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        supp_src = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        nat_src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        reg_src = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+            "r_regionkey", "r_name"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q5view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        cust = ManagedTable(wh / "customer").create(
+            cust_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        supp = ManagedTable(wh / "supplier").create(
+            supp_src, ["s_suppkey"], pk_buckets=4, cdf=True
+        )
+        nation = ManagedTable(wh / "nation").create(
+            nat_src, ["n_nationkey"], pk_buckets=2, cdf=True
+        )
+        region = ManagedTable(wh / "region").create(
+            reg_src, ["r_regionkey"], pk_buckets=2, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[
+                ("l_orderkey", []),      # orders (carries o_custkey)
+                ("o_custkey", []),       # customer, chained off orders
+                ("l_suppkey", []),       # supplier (carries s_nationkey)
+                ("c_nationkey", ["n_name"]),  # nation, chained off customer
+                ("n_regionkey", []),     # region, chained off nation
+            ],
+            fact_group_cols=[],
+            sum_cols={"revenue_c": "revenue_c"},
+            dim_wheres=[None, None, None, None, "r_name = 'ASIA'"],
+            dim_where_cols=[[], [], ["s_nationkey"], [], ["r_name"]],
+            join_where="c_nationkey = s_nationkey",
+        )
+        mv.refresh_star(spark, li, [orders, cust, supp, nation, region])
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_suppkey", "revenue_c",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_suppkey") % 50 + 1).alias("l_suppkey"),
+            (F.col("revenue_c") + 11).alias("revenue_c"),
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            (F.col("l_suppkey") % 97 + 1).alias("l_suppkey"),
+            "revenue_c",
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_upd, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+
+        def env(df: DataFrame, tbl: str, cols: list[str]) -> DataFrame:
+            return df.select(
+                F.lit("U").alias("flag"),
+                F.lit(tbl).alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                *cols,
+            )
+
+        orders.merge(spark, env(
+            ord_src.filter(F.col("o_orderkey") % 10 == 9).select(
+                "o_orderkey", (F.col("o_custkey") % 100 + 1).alias("o_custkey")
+            ),
+            "orders", ["o_orderkey", "o_custkey"],
+        ))
+        cust.merge(spark, env(
+            cust_src.filter(F.col("c_custkey") % 10 == 2).select(
+                "c_custkey",
+                ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+            ),
+            "customer", ["c_custkey", "c_nationkey"],
+        ))
+        supp.merge(spark, env(
+            supp_src.filter(F.col("s_suppkey") % 10 == 3).select(
+                "s_suppkey",
+                ((F.col("s_nationkey") + 3) % 25).alias("s_nationkey"),
+            ),
+            "supplier", ["s_suppkey", "s_nationkey"],
+        ))
+        nation.merge(spark, env(
+            nat_src.filter(F.col("n_nationkey") % 5 == 2).select(
+                "n_nationkey", "n_name",
+                ((F.col("n_regionkey") + 1) % 5).alias("n_regionkey"),
+            ),
+            "nation", ["n_nationkey", "n_name", "n_regionkey"],
+        ))
+
+        # ONE six-feed fold
+        mv.refresh_star(spark, li, [orders, cust, supp, nation, region])
+        _Q5VIEW_CACHE[sf_dir] = mv
+    mv = _Q5VIEW_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "n_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("revenue_c").cast("long").alias("revenue_c"),
+    )
+
+
+_Q5VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, revenue_c FROM (
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)
+             AS revenue_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS BIGINT) DESC,
+                      l_suppkey DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_suppkey % 50) + 1
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN revenue_c + 11
+              ELSE revenue_c END AS revenue_c
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, (l_suppkey % 97) + 1, revenue_c
+  FROM li WHERE l_orderkey % 25 = 3
+), curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN (o_custkey % 100) + 1
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+), curc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 2 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer
+), curs AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 10 = 3 THEN (s_nationkey + 3) % 25
+              ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+), curn AS (
+  SELECT n_nationkey, n_name,
+         CASE WHEN n_nationkey % 5 = 2 THEN (n_regionkey + 1) % 5
+              ELSE n_regionkey END AS n_regionkey
+  FROM nation
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l.revenue_c) AS BIGINT) AS revenue_c
+FROM curl l
+JOIN curo o ON l.l_orderkey = o.o_orderkey
+JOIN curc c ON o.o_custkey = c.c_custkey
+JOIN curs s ON l.l_suppkey = s.s_suppkey
+JOIN curn n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact COUNT(DISTINCT) maintenance row (operators/distinct_matview.py):
 # customers-and-statuses per order priority, maintained through a churn
 # batch that stresses exactly what signed folding cannot express — the
@@ -2508,6 +2917,8 @@ QUERIES = {
     "pipeline_cdf_replay": pipeline_cdf_replay,
     "pipeline_rename_continuity": pipeline_rename_continuity,
     "pipeline_stream_selfheal": pipeline_stream_selfheal,
+    "pipeline_maintained_q16": pipeline_maintained_q16,
+    "pipeline_maintained_q5": pipeline_maintained_q5,
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
@@ -2540,6 +2951,8 @@ ORACLES = {
         "UNION ALL\nSELECT f.*, 'stream' AS via FROM feed f"
     ),
     "pipeline_stream_selfheal": _SELFHEAL_ORACLE,
+    "pipeline_maintained_q16": _Q16VIEW_ORACLE,
+    "pipeline_maintained_q5": _Q5VIEW_ORACLE,
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,

@@ -107,6 +107,12 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_maintained_q3": [("l_orderkey", "int"), ("o_orderdate", "ts"), ("o_orderpriority", "str"), ("revenue_c", "int")],
     # TPC-H Q13 composed: maintained keyed counts + left-join read
     "pipeline_maintained_q13": [("c_count", "int"), ("custdist", "int")],
+    # TPC-H Q16 live: COUNT(DISTINCT supplier) THROUGH the join, support
+    # multiset maintained from the signed star delta terms
+    "pipeline_maintained_q16": [("p_brand", "str"), ("p_size", "int"), ("n_rows", "int"), ("supplier_cnt", "int")],
+    # TPC-H Q5 live: six-table snowflake at depth 3 with the cross-dim
+    # c_nationkey = s_nationkey join_where and the region σ
+    "pipeline_maintained_q5": [("n_name", "str"), ("n_rows", "int"), ("revenue_c", "int")],
     # self-healing stream supervision: mid-run RENAME + widening barriers
     # healed by same-checkpoint restarts (the query raises if no heal ran)
     "pipeline_stream_selfheal": [("o_orderstatus", "str"), ("n_rows", "int"), ("total_cents", "int")],

@@ -60,6 +60,196 @@ _ADD = ("insert", "update_postimage")
 _SUB = ("delete", "update_preimage")
 
 
+class SupportStore:
+    """The bucket-partitioned ``(group…, __v, __cnt)`` multiset store
+    behind exact COUNT(DISTINCT) maintenance — one store per distinct
+    output, hash-partitioned by group key into ``n_buckets`` so a
+    refresh touching few groups reads/writes few buckets.
+
+    Shared by :class:`MaintainedDistinctAggregate` (single table) and
+    :class:`~.join_matview.MaintainedDistinctStarAggregate` (distinct
+    through a join): both feed it net per-(group, value) support deltas
+    — the single-table view derives them from the change slice, the
+    join view from its signed join-delta terms — and the layout, fold,
+    recount, and crash contract are identical.  The OWNER commits the
+    bucket pointers inside its own ``_meta.json`` swap: this class only
+    writes data dirs (``support/<out>/r=R/__b=K``) and reports which
+    pointers to advance/drop, so a crash between the write and the
+    owner's swap leaves unreferenced orphans the next refresh's
+    deterministic paths overwrite at worst."""
+
+    def __init__(self, root, group_cols: Sequence[str], n_buckets: int):
+        self.root = Path(root)
+        self.group_cols = list(group_cols)
+        self.n_buckets = int(n_buckets)
+
+    def bucket_path(self, out: str, refresh_ver: int, bucket: int) -> Path:
+        return self.root / "support" / out / f"r={refresh_ver}" / f"__b={bucket}"
+
+    def bucket_expr(self) -> F.Column:
+        return F.pmod(
+            F.hash(*[F.col(c) for c in self.group_cols]), F.lit(self.n_buckets)
+        )
+
+    def nullsafe_eq(self, left: str, right: str):
+        cond = None
+        for c in self.group_cols:
+            eq = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    def read_buckets(
+        self, spark: SparkSession, out: str, bv: dict, buckets: list[int]
+    ) -> DataFrame | None:
+        """Live support rows for *buckets* under pointer map *bv* (None
+        when none was ever written) — each bucket reads exactly its
+        pointed refresh dir."""
+        paths = [
+            str(self.bucket_path(out, bv[str(b)], b))
+            for b in buckets
+            if str(b) in bv
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def live_paths(self, out: str, bv: dict) -> list[str]:
+        return [
+            str(self.bucket_path(out, ver, int(b))) for b, ver in bv.items()
+        ]
+
+    def seed_out(
+        self, spark: SparkSession, out: str, base: DataFrame, src: str
+    ) -> dict[str, int]:
+        """Write the full support store for *out* from seed state *base*
+        (r=1); returns the bucket→version pointer map the owner commits.
+        """
+        support = (
+            base.filter(F.col(src).isNotNull())
+            .groupBy(*self.group_cols, F.col(src).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn("__b", self.bucket_expr())
+        )
+        support.write.mode("overwrite").partitionBy("__b").parquet(
+            str(self.root / "support" / out / "r=1")
+        )
+        written = [
+            int(p.name.split("=", 1)[1])
+            for p in (self.root / "support" / out / "r=1").glob("__b=*")
+        ]
+        return {str(b): 1 for b in written}
+
+    def fold_out(
+        self,
+        spark: SparkSession,
+        out: str,
+        pairs: DataFrame,
+        bv: dict,
+        version: int,
+    ) -> tuple[list[Path], DataFrame | None, DataFrame | None]:
+        """Fold net per-(group, value) support deltas *pairs* (``__cnt``
+        ≠ 0) into *out*'s store: rewrite ONLY the touched buckets at
+        ``r=version``, advance/drop their pointers in *bv* (mutated in
+        place — the owner persists it), and re-count distinct per
+        TOUCHED group from the freshly written buckets.
+
+        Returns ``(superseded_paths, recount, touched)`` where *recount*
+        is (group…, __rc_<out>, __dirty_<out>) for every touched group
+        (``None`` when the slice touched nothing) and *touched* its bare
+        group keys.  Superseded dirs are the CALLER's to GC after its
+        meta swap."""
+        touched_buckets = sorted(
+            r["__b"]
+            for r in pairs.select(self.bucket_expr().alias("__b"))
+            .distinct()
+            .collect()
+        )
+        if not touched_buckets:
+            return [], None, None
+        old = self.read_buckets(spark, out, bv, touched_buckets)
+        folded = pairs if old is None else old.unionByName(pairs)
+        folded = (
+            folded.groupBy(*self.group_cols, "__v")
+            .agg(F.sum("__cnt").alias("__cnt"))
+            .filter(F.col("__cnt") > 0)
+            .withColumn("__b", self.bucket_expr())
+        )
+        # ONE write job for all touched buckets of this refresh
+        folded.write.mode("overwrite").partitionBy("__b").parquet(
+            str(self.root / "support" / out / f"r={version}")
+        )
+        # a touched bucket folding to ZERO surviving pairs writes no
+        # __b dir — its pointer must be DROPPED (the bucket is empty
+        # now), not advanced to a path that doesn't exist
+        materialized = {
+            int(p.name.split("=", 1)[1])
+            for p in (self.root / "support" / out / f"r={version}").glob(
+                "__b=*"
+            )
+        }
+        superseded: list[Path] = []
+        for b in touched_buckets:
+            if str(b) in bv:
+                superseded.append(self.bucket_path(out, bv[str(b)], b))
+            if b in materialized:
+                bv[str(b)] = version
+            else:
+                bv.pop(str(b), None)
+        # touched groups re-counted from the freshly WRITTEN buckets
+        # (read-back: exact, and avoids recomputing the fold twice)
+        touched = pairs.select(*self.group_cols).distinct()
+        new_paths = [
+            str(self.bucket_path(out, version, b))
+            for b in touched_buckets
+            if b in materialized
+        ]
+        if new_paths:
+            counted = (
+                spark.read.parquet(*new_paths)
+                .alias("__s")
+                .join(
+                    F.broadcast(touched.alias("__t")),
+                    self.nullsafe_eq("__s", "__t"),
+                    "left_semi",
+                )
+                .groupBy(*self.group_cols)
+                .agg(F.count(F.lit(1)).cast("long").alias(f"__rc_{out}"))
+            )
+            recount = (
+                touched.alias("__t")
+                .join(
+                    counted.alias("__c"),
+                    self.nullsafe_eq("__t", "__c"),
+                    "left",
+                )
+                .select(
+                    *[F.col(f"__t.{c}").alias(c) for c in self.group_cols],
+                    F.coalesce(
+                        F.col(f"__rc_{out}"), F.lit(0).cast("long")
+                    ).alias(f"__rc_{out}"),
+                    F.lit(True).alias(f"__dirty_{out}"),
+                )
+            )
+        else:
+            recount = touched.select(
+                *self.group_cols,
+                F.lit(0).cast("long").alias(f"__rc_{out}"),
+                F.lit(True).alias(f"__dirty_{out}"),
+            )
+        return superseded, recount, touched
+
+    def gc_out(self, out: str, bv: dict, version: int) -> None:
+        """Remove refresh dirs no live pointer references (run AFTER the
+        owner's meta swap)."""
+        live = set(bv.values())
+        sdir = self.root / "support" / out
+        if sdir.exists():
+            for rd in sdir.glob("r=*"):
+                ver = int(rd.name.split("=", 1)[1])
+                if ver not in live and ver != version:
+                    shutil.rmtree(rd, ignore_errors=True)
+
+
 def init_distinct_agg(
     df: DataFrame, group_cols: Sequence[str], distinct_cols: dict[str, str]
 ) -> DataFrame:
@@ -105,6 +295,7 @@ class MaintainedDistinctAggregate:
         self.n_buckets = int(n_buckets)
         if not self.distinct_cols:
             raise ValueError("distinct_cols must name at least one output")
+        self._store = SupportStore(self.root, self.group_cols, self.n_buckets)
 
     # -- meta / io --------------------------------------------------------
     def _meta_path(self) -> Path:
@@ -127,10 +318,10 @@ class MaintainedDistinctAggregate:
         os.replace(tmp, self._meta_path())
 
     def _bucket_path(self, out: str, refresh_ver: int, bucket: int) -> Path:
-        return self.root / "support" / out / f"r={refresh_ver}" / f"__b={bucket}"
+        return self._store.bucket_path(out, refresh_ver, bucket)
 
     def _bucket_expr(self) -> F.Column:
-        return F.pmod(F.hash(*[F.col(c) for c in self.group_cols]), F.lit(self.n_buckets))
+        return self._store.bucket_expr()
 
     # -- field-id translation (same contract as MaintainedAggregate) -----
     def _source_cols(self) -> list[str]:
@@ -148,11 +339,7 @@ class MaintainedDistinctAggregate:
         return cols
 
     def _nullsafe_eq(self, left: str, right: str):
-        cond = None
-        for c in self.group_cols:
-            eq = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        return cond
+        return self._store.nullsafe_eq(left, right)
 
     # -- support-store access --------------------------------------------
     def _read_buckets(
@@ -160,15 +347,10 @@ class MaintainedDistinctAggregate:
     ) -> DataFrame | None:
         """Live support rows for *buckets* (None when none was ever
         written).  Each bucket reads exactly its pointed refresh dir."""
-        bv = (meta.get("bucket_versions") or {}).get(out, {})
-        paths = [
-            str(self._bucket_path(out, bv[str(b)], b))
-            for b in buckets
-            if str(b) in bv
-        ]
-        if not paths:
-            return None
-        return spark.read.parquet(*paths)
+        return self._store.read_buckets(
+            spark, out, (meta.get("bucket_versions") or {}).get(out, {}),
+            buckets,
+        )
 
     # -- probes -----------------------------------------------------------
     def top_values(self, spark: SparkSession, out: str, k: int) -> DataFrame:
@@ -290,22 +472,10 @@ class MaintainedDistinctAggregate:
             base = source._read_state(spark, src_m).select(*self._source_cols())
             rollup = init_distinct_agg(base, self.group_cols, self.distinct_cols)
             rollup.write.mode("overwrite").parquet(str(self.root / "v=1"))
-            bucket_versions: dict[str, dict[str, int]] = {}
-            for out, src in self.distinct_cols.items():
-                support = (
-                    base.filter(F.col(src).isNotNull())
-                    .groupBy(*self.group_cols, F.col(src).alias("__v"))
-                    .agg(F.count(F.lit(1)).alias("__cnt"))
-                    .withColumn("__b", self._bucket_expr())
-                )
-                support.write.mode("overwrite").partitionBy("__b").parquet(
-                    str(self.root / "support" / out / "r=1")
-                )
-                written = [
-                    int(p.name.split("=", 1)[1])
-                    for p in (self.root / "support" / out / "r=1").glob("__b=*")
-                ]
-                bucket_versions[out] = {str(b): 1 for b in written}
+            bucket_versions = {
+                out: self._store.seed_out(spark, out, base, src)
+                for out, src in self.distinct_cols.items()
+            }
             src_ids = src_m.get("field_ids", {})
             self._swap_meta(
                 {
@@ -355,86 +525,14 @@ class MaintainedDistinctAggregate:
                 .agg(F.sum("__sign").alias("__cnt"))
                 .filter(F.col("__cnt") != 0)
             )
-            touched_buckets = sorted(
-                r["__b"]
-                for r in pairs.select(self._bucket_expr().alias("__b"))
-                .distinct()
-                .collect()
+            sup, recount, touched = self._store.fold_out(
+                spark, out, pairs, bucket_versions.setdefault(out, {}),
+                version,
             )
-            if not touched_buckets:
+            superseded.extend(sup)
+            if recount is None:
                 continue
-            old = self._read_buckets(
-                spark, out, meta, touched_buckets
-            )
-            folded = pairs if old is None else old.unionByName(pairs)
-            folded = (
-                folded.groupBy(*self.group_cols, "__v")
-                .agg(F.sum("__cnt").alias("__cnt"))
-                .filter(F.col("__cnt") > 0)
-                .withColumn("__b", self._bucket_expr())
-            )
-            # ONE write job for all touched buckets of this refresh
-            folded.write.mode("overwrite").partitionBy("__b").parquet(
-                str(self.root / "support" / out / f"r={version}")
-            )
-            # a touched bucket folding to ZERO surviving pairs writes no
-            # __b dir — its pointer must be DROPPED (the bucket is empty
-            # now), not advanced to a path that doesn't exist
-            materialized = {
-                int(p.name.split("=", 1)[1])
-                for p in (self.root / "support" / out / f"r={version}").glob(
-                    "__b=*"
-                )
-            }
-            bv = bucket_versions.setdefault(out, {})
-            for b in touched_buckets:
-                if str(b) in bv:
-                    superseded.append(self._bucket_path(out, bv[str(b)], b))
-                if b in materialized:
-                    bv[str(b)] = version
-                else:
-                    bv.pop(str(b), None)
-            # touched groups re-counted from the freshly WRITTEN buckets
-            # (read-back: exact, and avoids recomputing the fold twice)
-            touched = pairs.select(*self.group_cols).distinct()
-            new_paths = [
-                str(self._bucket_path(out, version, b))
-                for b in touched_buckets
-                if b in materialized
-            ]
-            if new_paths:
-                counted = (
-                    spark.read.parquet(*new_paths)
-                    .alias("__s")
-                    .join(
-                        F.broadcast(touched.alias("__t")),
-                        self._nullsafe_eq("__s", "__t"),
-                        "left_semi",
-                    )
-                    .groupBy(*self.group_cols)
-                    .agg(F.count(F.lit(1)).cast("long").alias(f"__rc_{out}"))
-                )
-                recounts[out] = (
-                    touched.alias("__t")
-                    .join(
-                        counted.alias("__c"),
-                        self._nullsafe_eq("__t", "__c"),
-                        "left",
-                    )
-                    .select(
-                        *[F.col(f"__t.{c}").alias(c) for c in self.group_cols],
-                        F.coalesce(
-                            F.col(f"__rc_{out}"), F.lit(0).cast("long")
-                        ).alias(f"__rc_{out}"),
-                        F.lit(True).alias(f"__dirty_{out}"),
-                    )
-                )
-            else:
-                recounts[out] = touched.select(
-                    *self.group_cols,
-                    F.lit(0).cast("long").alias(f"__rc_{out}"),
-                    F.lit(True).alias(f"__dirty_{out}"),
-                )
+            recounts[out] = recount
             all_touched = (
                 touched
                 if all_touched is None
@@ -502,13 +600,7 @@ class MaintainedDistinctAggregate:
         for p in superseded:
             shutil.rmtree(p, ignore_errors=True)
         for out in self.distinct_cols:
-            live = set((bucket_versions.get(out) or {}).values())
-            sdir = self.root / "support" / out
-            if sdir.exists():
-                for rd in sdir.glob("r=*"):
-                    ver = int(rd.name.split("=", 1)[1])
-                    if ver not in live and ver != version:
-                        shutil.rmtree(rd, ignore_errors=True)
+            self._store.gc_out(out, bucket_versions.get(out) or {}, version)
         for p in self.root.glob("v=*"):
             if int(p.name.split("=", 1)[1]) < version:
                 shutil.rmtree(p, ignore_errors=True)

@@ -154,16 +154,11 @@ def init_join_agg(
     )
 
 
-def init_star_agg(
-    fact: DataFrame,
-    dims: Sequence[tuple[DataFrame, str, str]],
-    group_cols: Sequence[str],
-    sum_cols: dict[str, str],
-    min_cols: dict[str, str] | None = None,
-    max_cols: dict[str, str] | None = None,
+def _seed_join(
+    fact: DataFrame, dims: Sequence[tuple[DataFrame, str, str]]
 ) -> DataFrame:
-    """Seed the star rollup: chained inner joins (*dims* is a list of
-    (dim_df, fact_fk_col, dim_pk_col)), then one groupBy."""
+    """The full seed join: chained inner joins (*dims* is a list of
+    (dim_df, fact_fk_col(s), dim_pk_col(s)))."""
     joined = fact
     for dim_df, fk, pk in dims:
         fks = [fk] if isinstance(fk, str) else list(fk)
@@ -173,6 +168,25 @@ def init_star_agg(
             eq = joined[fc] == dim_df[pc]
             cond = eq if cond is None else (cond & eq)
         joined = joined.join(dim_df, cond, "inner")
+    return joined
+
+
+def init_star_agg(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, str, str]],
+    group_cols: Sequence[str],
+    sum_cols: dict[str, str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+    join_where: str | None = None,
+) -> DataFrame:
+    """Seed the star rollup: chained inner joins (*dims* is a list of
+    (dim_df, fact_fk_col, dim_pk_col)), an optional row-local predicate
+    over the JOINED row (*join_where* — cross-table columns allowed),
+    then one groupBy."""
+    joined = _seed_join(fact, dims)
+    if join_where:
+        joined = joined.filter(F.expr(join_where))
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
         for out, src in sum_cols.items()
@@ -257,6 +271,7 @@ class MaintainedStarAggregate:
         fact_where_cols: Sequence[str] | None = None,
         dim_wheres: Sequence[str | None] | None = None,
         dim_where_cols: Sequence[Sequence[str]] | None = None,
+        join_where: str | None = None,
     ):
         self.root = Path(root)
         self.dims = [(self._cols(fk), list(gc)) for fk, gc in dims]
@@ -268,7 +283,17 @@ class MaintainedStarAggregate:
         # pinned fact-state read is the whole implementation.
         self.fact_where = fact_where
         self.fact_where_cols = list(fact_where_cols or [])
-        if self.fact_where_cols and not fact_where:
+        # row-local predicate over the JOINED row — the cross-dim
+        # equality a deep snowflake needs (TPC-H Q5's
+        # c_nationkey = s_nationkey).  It commutes with the delta
+        # decomposition because the terms enumerate exactly the joined
+        # view's multiset delta rows and σ_J judges each joined row
+        # independently: σ_J(Δ(J)) = Δ(σ_J(J)).  Columns it references
+        # must be consumed — group/measure/where columns are; extra
+        # dim-side columns ride that dim's dim_where_cols (legal without
+        # a dim_where), extra fact columns ride fact_where_cols.
+        self.join_where = join_where
+        if self.fact_where_cols and not (fact_where or join_where):
             raise ValueError("fact_where_cols given without fact_where")
         # per-dim row-local predicates: the view aggregates
         # σF(F) ⋈ σ1(D1) ⋈ … — each σi is applied to dim i's seed state,
@@ -341,6 +366,37 @@ class MaintainedStarAggregate:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
 
+    def _seed_commit(
+        self,
+        spark: SparkSession,
+        f_seed: DataFrame,
+        d_seeds: list[DataFrame],
+        dim_pks: list[list[str]],
+        meta: dict,
+    ) -> None:
+        """Aggregate the seed join and commit version 1 (subclass hook:
+        the distinct view also writes its support store here)."""
+        seed = init_star_agg(
+            f_seed,
+            [
+                (d_seeds[i], self.dims[i][0], dim_pks[i])
+                for i in range(len(self.dims))
+            ],
+            self.group_cols,
+            self.sum_cols,
+            self.min_cols,
+            self.max_cols,
+            join_where=self.join_where,
+        )
+        self._commit(seed, meta)
+
+    def _extra_cols(self) -> list[str]:
+        """Additional FACT columns a subclass consumes (e.g. a distinct
+        view's source columns) — rides ``_resolve``'s fact set so the
+        feed projection, field-id pinning, and rename translation all
+        cover them."""
+        return []
+
     # -- column sets ------------------------------------------------------
     def _resolve(
         self,
@@ -406,6 +462,7 @@ class MaintainedStarAggregate:
                 + list(self.min_cols.values())
                 + list(self.max_cols.values())
                 + self.fact_where_cols
+                + self._extra_cols()
             )
         )
         dim_cols = [
@@ -558,6 +615,8 @@ class MaintainedStarAggregate:
             joined = joined.join(
                 side, _join_eq(self.dims[i][0], dim_pks[i]), "inner"
             )
+        if self.join_where:
+            joined = joined.filter(F.expr(self.join_where))
         if not under_cap:
             joined = joined.alias("__j").join(
                 F.broadcast(dirty_keys.alias("__d")),
@@ -656,43 +715,35 @@ class MaintainedStarAggregate:
                     d = d.filter(F.expr(self.dim_wheres[i]))
                 return d
 
-            seed = init_star_agg(
-                f_seed,
-                [
-                    (_d_seed(i), self.dims[i][0], dim_pks[i])
+            f_ids = mF.get("field_ids", {})
+            meta = {
+                "version": 1,
+                "applied_fact": sF,
+                "applied_dims": sDs,
+                "fact_where": self.fact_where,
+                "dim_wheres": self.dim_wheres,
+                "join_where": self.join_where,
+                "mm_outs": self.mm_outs,
+                "dim_pks": dim_pks,
+                "owners": owners,
+                "fact_cols": fact_cols,
+                "dim_cols": dim_cols,
+                "fact_field_ids": {
+                    n: f_ids[n] for n in fact_cols if n in f_ids
+                },
+                "dim_field_ids": [
+                    {
+                        n: mDs[i].get("field_ids", {})[n]
+                        for n in dim_cols[i]
+                        if n in mDs[i].get("field_ids", {})
+                    }
                     for i in range(len(self.dims))
                 ],
-                self.group_cols,
-                self.sum_cols,
-                self.min_cols,
-                self.max_cols,
-            )
-            f_ids = mF.get("field_ids", {})
-            self._commit(
-                seed,
-                {
-                    "version": 1,
-                    "applied_fact": sF,
-                    "applied_dims": sDs,
-                    "fact_where": self.fact_where,
-                    "dim_wheres": self.dim_wheres,
-                    "mm_outs": self.mm_outs,
-                    "dim_pks": dim_pks,
-                    "owners": owners,
-                    "fact_cols": fact_cols,
-                    "dim_cols": dim_cols,
-                    "fact_field_ids": {
-                        n: f_ids[n] for n in fact_cols if n in f_ids
-                    },
-                    "dim_field_ids": [
-                        {
-                            n: mDs[i].get("field_ids", {})[n]
-                            for n in dim_cols[i]
-                            if n in mDs[i].get("field_ids", {})
-                        }
-                        for i in range(len(self.dims))
-                    ],
-                },
+            }
+            self._seed_commit(
+                spark, f_seed,
+                [_d_seed(i) for i in range(len(self.dims))],
+                dim_pks, meta,
             )
             return (sF, *sDs)
 
@@ -742,6 +793,12 @@ class MaintainedStarAggregate:
                 f"view at {self.root} was seeded with dim_wheres="
                 f"{meta.get('dim_wheres')!r}; constructed with "
                 f"{self.dim_wheres!r} — rebuild instead of mixing filters"
+            )
+        if meta.get("join_where") != self.join_where:
+            raise ValueError(
+                f"view at {self.root} was seeded with join_where="
+                f"{meta.get('join_where')!r}; constructed with "
+                f"{self.join_where!r} — rebuild instead of mixing filters"
             )
         if sF <= aF and all(s <= a for s, a in zip(sDs, aDs)):
             return (aF, *aDs)
@@ -853,6 +910,10 @@ class MaintainedStarAggregate:
                 _join_eq(jcs, dim_pks[i]),
                 "inner",
             )
+        if self.join_where:
+            # σ_J judges each joined delta row independently, so it
+            # commutes with the term decomposition (see __init__)
+            t0 = t0.filter(F.expr(self.join_where))
         terms.append(self._delta_rows(t0, F.col("f.__sign")))
 
         # ---- term i (1-indexed): F_new(reaching ΔDi) ⋈ D_j<i NEW ⋈
@@ -1013,8 +1074,39 @@ class MaintainedStarAggregate:
                         _join_eq(jcs_j, dim_pks[j]),
                         "inner",
                     )
+            if self.join_where:
+                ti = ti.filter(F.expr(self.join_where))
             terms.append(self._delta_rows(ti, F.col("d.__sign")))
 
+        self._fold_and_commit(
+            spark, terms, meta, sF, sDs,
+            {
+                "fact": fact, "mF": mF, "mDs": mDs, "f_state": f_state,
+                "dim_full_state": dim_full_state,
+                "fact_filter_for": fact_filter_for, "dim_pks": dim_pks,
+            },
+        )
+        # GC superseded versions (state is tiny, but unbounded dirs decay
+        # listing like any other versioned store)
+        for p in self.root.glob("v=*"):
+            if int(p.name.split("=", 1)[1]) < meta["version"]:
+                shutil.rmtree(p, ignore_errors=True)
+        return (sF, *sDs)
+
+    def _fold_and_commit(
+        self,
+        spark: SparkSession,
+        terms: list[DataFrame],
+        meta: dict,
+        sF: int,
+        sDs: list[int],
+        ctx: dict,
+    ) -> None:
+        """Fold the signed delta *terms* (each one ``_delta_rows``
+        output) into the stored rollup and commit the advanced version —
+        the subclass hook where the distinct view folds its support
+        store instead.  *ctx* carries the refresh's pinned closures for
+        the min/max dirty rescan."""
         # ---- fold: one union → groupBy on the group key, zero-count
         # groups dropped (they no longer exist in the joined view)
         stored = self.read(spark)
@@ -1112,18 +1204,13 @@ class MaintainedStarAggregate:
             else:
                 folded = self._rescan_override(
                     spark, folded, dirty_keys, dirty_rows, tightened,
-                    out_cols, fact, mF, mDs, meta, f_state,
-                    dim_full_state, fact_filter_for, dim_pks,
+                    out_cols, ctx["fact"], ctx["mF"], ctx["mDs"], meta,
+                    ctx["f_state"], ctx["dim_full_state"],
+                    ctx["fact_filter_for"], ctx["dim_pks"],
                 )
         meta["version"] += 1
         meta["applied_fact"], meta["applied_dims"] = sF, sDs
         self._commit(folded, meta)
-        # GC superseded versions (state is tiny, but unbounded dirs decay
-        # listing like any other versioned store)
-        for p in self.root.glob("v=*"):
-            if int(p.name.split("=", 1)[1]) < meta["version"]:
-                shutil.rmtree(p, ignore_errors=True)
-        return (sF, *sDs)
 
 
 class MaintainedJoinAggregate(MaintainedStarAggregate):
@@ -1159,3 +1246,243 @@ class MaintainedJoinAggregate(MaintainedStarAggregate):
     ) -> tuple[int, int]:
         sF, sD = self.refresh_star(spark, fact, [dim])
         return sF, sD
+
+
+class MaintainedDistinctStarAggregate(MaintainedStarAggregate):
+    """Exact ``COUNT(DISTINCT fact_col)`` maintained THROUGH the join —
+    the composition the TPC-H Q16 shape needs (distinct suppliers per
+    part attribute group, where the group key lives on a DIM).
+
+    The algebra is the two pieces this engine already maintains, glued
+    at their shared contract: the star view's signed delta terms are an
+    EXACT multiset delta of the joined view's rows (that is what makes
+    SUM/COUNT foldable), and a multiset delta keyed by (group, value)
+    is precisely the ± stream the distinct view's SUPPORT store
+    (:class:`~.distinct_matview.SupportStore`) folds — so each term row
+    contributes ``sign`` to ``H(group, value)`` and
+    ``COUNT(DISTINCT) = |{v : H(g, v) > 0}|`` stays exact under churn
+    on ANY feed (fact row removed, dim attribute moved across groups,
+    dim row leaving its σ): a dim-side change rewrites the joined rows
+    it touches as remove+add pairs, which the support fold nets out.
+
+    Refresh cost: the star terms (O(changes) with bucket-pruned dim
+    probes) + O(touched support buckets) + a groups-sized rollup
+    rewrite — never O(table), never O(all support).  Distinct sources
+    must be FACT columns (they ride :meth:`_extra_cols` through the
+    feed projection / field-id pinning / rename translation); MIN/MAX
+    outputs are not supported here (compose a plain
+    :class:`MaintainedStarAggregate` next to it instead — mixing the
+    extrema dirty-rescan with support recounts in one fold buys nothing
+    but coupling).
+
+    Reference parity: the reference replicates base rows and leaves
+    COUNT(DISTINCT) queries to the warehouse engine (Snowflake/BQ
+    recompute per query, e.g. the merge pipelines in
+    pkg/snowsql/sql.go); this keeps the answer fresh at O(changes)
+    instead."""
+
+    def __init__(
+        self,
+        root,
+        dims: Sequence[tuple[str, Sequence[str]]],
+        fact_group_cols: Sequence[str],
+        sum_cols: dict[str, str],
+        distinct_cols: dict[str, str],
+        fact_where: str | None = None,
+        fact_where_cols: Sequence[str] | None = None,
+        dim_wheres: Sequence[str | None] | None = None,
+        dim_where_cols: Sequence[Sequence[str]] | None = None,
+        join_where: str | None = None,
+        n_buckets: int = 32,
+    ):
+        super().__init__(
+            root, dims, fact_group_cols, sum_cols, None, None,
+            fact_where, fact_where_cols, dim_wheres, dim_where_cols,
+            join_where,
+        )
+        from .distinct_matview import SupportStore
+
+        self.distinct_cols = dict(distinct_cols)
+        if not self.distinct_cols:
+            raise ValueError("distinct_cols must name at least one output")
+        outs = ["n_rows", *self.group_cols, *self.sum_cols]
+        clash = set(self.distinct_cols) & set(outs)
+        if clash:
+            raise ValueError(f"distinct output names collide: {sorted(clash)}")
+        self.n_buckets = int(n_buckets)
+        self._support = SupportStore(self.root, self.group_cols, self.n_buckets)
+
+    # -- star-algebra hooks -------------------------------------------------
+    def _extra_cols(self) -> list[str]:
+        return list(dict.fromkeys(self.distinct_cols.values()))
+
+    def _delta_rows(self, joined: DataFrame, sign: F.Column) -> DataFrame:
+        """Base projection + the raw distinct source value per row (the
+        support fold needs (group, value, ±1), not a pre-aggregate)."""
+        return joined.select(
+            *[F.col(g) for g in self.group_cols],
+            *[
+                (sign * F.coalesce(F.col(src), F.lit(0))).alias(out)
+                for out, src in self.sum_cols.items()
+            ],
+            sign.alias("n_rows"),
+            *[
+                F.col(src).alias(f"__v_{out}")
+                for out, src in self.distinct_cols.items()
+            ],
+        )
+
+    def _seed_commit(
+        self,
+        spark: SparkSession,
+        f_seed: DataFrame,
+        d_seeds: list[DataFrame],
+        dim_pks: list[list[str]],
+        meta: dict,
+    ) -> None:
+        joined = _seed_join(
+            f_seed,
+            [
+                (d_seeds[i], self.dims[i][0], dim_pks[i])
+                for i in range(len(self.dims))
+            ],
+        )
+        if self.join_where:
+            joined = joined.filter(F.expr(self.join_where))
+        rollup = joined.groupBy(*[F.col(g) for g in self.group_cols]).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
+                for out, src in self.sum_cols.items()
+            ],
+            *[
+                F.count_distinct(F.col(src)).cast("long").alias(out)
+                for out, src in self.distinct_cols.items()
+            ],
+        )
+        meta["distinct_outs"] = dict(self.distinct_cols)
+        meta["n_buckets"] = self.n_buckets
+        meta["bucket_versions"] = {
+            out: self._support.seed_out(spark, out, joined, src)
+            for out, src in self.distinct_cols.items()
+        }
+        self._commit(rollup, meta)
+
+    def _fold_and_commit(
+        self,
+        spark: SparkSession,
+        terms: list[DataFrame],
+        meta: dict,
+        sF: int,
+        sDs: list[int],
+        ctx: dict,
+    ) -> None:
+        if meta.get("distinct_outs") != self.distinct_cols:
+            raise ValueError(
+                f"view at {self.root} was seeded with distinct_outs="
+                f"{meta.get('distinct_outs')!r}; constructed with "
+                f"{self.distinct_cols!r} — rebuild instead of mixing"
+            )
+        if int(meta.get("n_buckets", -1)) != self.n_buckets:
+            raise ValueError(
+                f"view at {self.root} was seeded with "
+                f"n_buckets={meta.get('n_buckets')}; constructed with "
+                f"{self.n_buckets} — the support hash layout would split"
+            )
+        version = meta["version"] + 1
+        out_cols = ["n_rows", *self.sum_cols]
+        vcols = [f"__v_{out}" for out in self.distinct_cols]
+        u = None
+        for t in terms:
+            sel = t.select(*self.group_cols, *out_cols, *vcols)
+            u = sel if u is None else u.unionByName(sel)
+        # changes-sized; checkpointing keeps the join-heavy term plans
+        # from re-executing once per distinct output + once for the
+        # rollup fold (same reason the mm fold checkpoints its union)
+        u = u.localCheckpoint()
+
+        bucket_versions = {
+            o: dict(bv)
+            for o, bv in (meta.get("bucket_versions") or {}).items()
+        }
+        superseded: list[Path] = []
+        recounts: dict[str, DataFrame] = {}
+        for out in self.distinct_cols:
+            # net per-(group, value) support delta — joined rows a dim
+            # change rewrote in place (same group, same value) cancel
+            # here and touch nothing
+            pairs = (
+                u.filter(F.col(f"__v_{out}").isNotNull())
+                .groupBy(*self.group_cols, F.col(f"__v_{out}").alias("__v"))
+                .agg(F.sum("n_rows").alias("__cnt"))
+                .filter(F.col("__cnt") != 0)
+            )
+            sup, recount, _touched = self._support.fold_out(
+                spark, out, pairs, bucket_versions.setdefault(out, {}),
+                version,
+            )
+            superseded.extend(sup)
+            if recount is not None:
+                recounts[out] = recount
+
+        # ---- rollup: n_rows/sums fold by ±; distinct cols override per
+        # touched group from the recount, untouched groups keep stored
+        # counts, groups born with only-NULL values coalesce to 0
+        stored = self.read(spark)
+        deltas = u.select(
+            *self.group_cols,
+            *[F.col(c).cast("long").alias(c) for c in out_cols],
+            *[
+                F.lit(None).cast("long").alias(out)
+                for out in self.distinct_cols
+            ],
+        )
+        folded = (
+            stored.select(*self.group_cols, *out_cols, *self.distinct_cols)
+            .unionByName(deltas)
+            .groupBy(*self.group_cols)
+            .agg(
+                *[F.sum(c).cast("long").alias(c) for c in out_cols],
+                # the stored row is the only non-NULL contributor
+                *[F.min(out).alias(out) for out in self.distinct_cols],
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        result = folded.alias("__f")
+        sel = [F.col(f"__f.{c}").alias(c) for c in self.group_cols] + [
+            F.col(f"__f.{c}").alias(c) for c in out_cols
+        ]
+        for out, rc in recounts.items():
+            result = result.join(
+                rc.alias(f"__r_{out}"),
+                self._support.nullsafe_eq("__f", f"__r_{out}"),
+                "left",
+            )
+        for out in self.distinct_cols:
+            if out in recounts:
+                sel.append(
+                    F.coalesce(
+                        F.when(
+                            F.col(f"__r_{out}.__dirty_{out}").isNotNull(),
+                            F.col(f"__r_{out}.__rc_{out}"),
+                        ).otherwise(F.col(f"__f.{out}")),
+                        F.lit(0).cast("long"),
+                    ).alias(out)
+                )
+            else:
+                sel.append(
+                    F.coalesce(
+                        F.col(f"__f.{out}"), F.lit(0).cast("long")
+                    ).alias(out)
+                )
+        result = result.select(*sel)
+
+        meta["version"] = version
+        meta["applied_fact"], meta["applied_dims"] = sF, sDs
+        meta["bucket_versions"] = bucket_versions
+        self._commit(result, meta)
+        # GC AFTER the swap (crash → orphans the next refresh overwrites)
+        for p in superseded:
+            shutil.rmtree(p, ignore_errors=True)
+        for out in self.distinct_cols:
+            self._support.gc_out(out, bucket_versions.get(out) or {}, version)
