@@ -124,6 +124,9 @@ PIPELINE_QUERIES = [
     # a liveness proof, not a throughput surface.
     "pipeline_maintained_q16",
     "pipeline_maintained_q5",
+    "pipeline_maintained_q10",
+    "pipeline_maintained_q18",
+    "pipeline_maintained_bm25",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",
     "pipeline_distinct_quantile",

@@ -1468,3 +1468,77 @@ def test_join_where_distinct_star(spark, tmp_path):
     assert {
         r["seg"]: (r["n_rows"], r["n_fk2"]) for r in mv.read(spark).collect()
     } == recompute()
+
+
+def test_join_where_minmax_dirty_rescan(spark, tmp_path):
+    """join_where composes with maintained MIN/MAX: the dirty-group
+    rescan re-derives extrema from the CURRENT join WITH the cross-dim
+    predicate applied — a removal of the stored extremum row via an
+    equality flip must re-derive from the σ_J-filtered join, not the
+    raw one."""
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact = ManagedTable(tmp_path / "mmf").create(
+        spark.createDataFrame(JW_FACT, JW_FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    d1 = ManagedTable(tmp_path / "mmd1").create(
+        spark.createDataFrame(JW_D1, JW_D1_SCHEMA),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    d2 = ManagedTable(tmp_path / "mmd2").create(
+        spark.createDataFrame(JW_D2, JW_D2_SCHEMA),
+        pk_cols=["d2"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedStarAggregate(
+        tmp_path / "mmmv",
+        dims=[("fk1", ["seg"]), ("fk2", [])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        max_cols={"max_cents": "cents"},
+        dim_where_cols=[["a"], ["b"]],
+        join_where="a = b",
+    )
+
+    def recompute():
+        j = (
+            fact.read(spark)
+            .join(d1.read(spark), F.col("fk1") == F.col("d"), "inner")
+            .join(d2.read(spark), F.col("fk2") == F.col("d2"), "inner")
+            .filter(F.col("a") == F.col("b"))
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("total_cents"),
+                F.max("cents").alias("max_cents"),
+            )
+        )
+        return {
+            r["seg"]: (r["n_rows"], r["total_cents"], r["max_cents"])
+            for r in j.collect()
+        }
+
+    def state():
+        return {
+            r["seg"]: (r["n_rows"], r["total_cents"], r["max_cents"])
+            for r in mv.read(spark).collect()
+        }
+
+    # widen the matching set first so group A has two rows (k1 cents=11,
+    # k5 via a(30)=3→2? no — make b(200)=3 so k5 (a=3,b=3) matches)
+    d2.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 4, 200, "W", 3)], JW_D2_ENV
+    ))
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert state() == recompute()
+    assert state()["A"] == (2, 66, 55)  # k1 (11) + k5 (55)
+
+    # k5 is A's stored max; flip its equality OFF from the d1 side
+    # (a(30): 3 → 9) — the dirty rescan must rebuild A's max from the
+    # σ_J-filtered join (leaving only k1 → max 11)
+    d1.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 5, 30, "A", 9)], JW_D1_ENV
+    ))
+    mv.refresh_star(spark, fact, [d1, d2])
+    assert state() == recompute()
+    assert state()["A"] == (1, 11, 11)

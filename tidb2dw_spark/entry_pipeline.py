@@ -2172,6 +2172,412 @@ GROUP BY n.n_name
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q10 as a LIVE view — returned-item revenue per customer: the
+# fact σ (returnflag) and a dim σ (order-date quarter) with the GROUP
+# KEY at customer cardinality supplied entirely by a dim (c_custkey,
+# c_name) — so a customer RENAME is a dim-attribute move that must
+# relocate the group's whole revenue, and churn flipping returnflag /
+# shifting dates crosses both σ boundaries.  Read = top-20 by revenue
+# over the maintained state (TakeOrderedAndProject, groups-sized input).
+# Batch twin: entry_analytics.q10_returned_items.
+# ---------------------------------------------------------------------------
+_Q10VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q10VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+            ).cast("long").alias("revenue_c"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("revenue_c"), F.desc("l_returnflag")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_name"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q10view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        cust = ManagedTable(wh / "customer").create(
+            cust_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[
+                ("l_orderkey", []),
+                ("o_custkey", ["c_custkey", "c_name"]),
+            ],
+            fact_group_cols=[],
+            sum_cols={"revenue_c": "revenue_c"},
+            fact_where="l_returnflag = 'R'",
+            fact_where_cols=["l_returnflag"],
+            dim_wheres=[
+                "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+                "o_orderdate < TIMESTAMP '1997-04-01 00:00:00'",
+                None,
+            ],
+            dim_where_cols=[["o_orderdate"], []],
+        )
+        mv.refresh_star(spark, li, [orders, cust])  # seed
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_returnflag", "revenue_c",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_flip = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            # crosses the fact σ in BOTH directions
+            F.when(F.col("l_returnflag") == "R", F.lit("N"))
+            .otherwise(F.lit("R")).alias("l_returnflag"),
+            (F.col("revenue_c") + 11).alias("revenue_c"),
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            F.lit("R").alias("l_returnflag"),
+            "revenue_c",
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_flip, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+
+        def env(df: DataFrame, tbl: str, cols: list[str]) -> DataFrame:
+            return df.select(
+                F.lit("U").alias("flag"),
+                F.lit(tbl).alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                *cols,
+            )
+
+        orders.merge(spark, env(
+            ord_src.filter(F.col("o_orderkey") % 10 == 8).select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_orderdate") + F.expr("INTERVAL 150 DAY")).alias(
+                    "o_orderdate"
+                ),
+            ),
+            "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        ).unionByName(env(
+            ord_src.filter(F.col("o_orderkey") % 10 == 9).select(
+                "o_orderkey",
+                (F.col("o_custkey") % 100 + 1).alias("o_custkey"),
+                "o_orderdate",
+            ),
+            "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        )))
+        cust.merge(spark, env(
+            cust_src.filter(F.col("c_custkey") % 10 == 2).select(
+                "c_custkey",
+                F.concat(F.lit("R#"), F.col("c_custkey").cast("string"))
+                .alias("c_name"),
+            ),
+            "customer", ["c_custkey", "c_name"],
+        ))
+
+        mv.refresh_star(spark, li, [orders, cust])  # ONE three-feed fold
+        _Q10VIEW_CACHE[sf_dir] = mv
+    mv = _Q10VIEW_CACHE[sf_dir]
+    return (
+        mv.read(spark)
+        .select(
+            "c_custkey", "c_name",
+            F.col("revenue_c").cast("long").alias("revenue_c"),
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, revenue_c FROM (
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)
+             AS revenue_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS BIGINT) DESC,
+                      l_returnflag DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN
+                CASE WHEN l_returnflag = 'R' THEN 'N' ELSE 'R' END
+              ELSE l_returnflag END AS l_returnflag,
+         CASE WHEN l_orderkey % 10 = 4 THEN revenue_c + 11
+              ELSE revenue_c END AS revenue_c
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, 'R', revenue_c FROM li WHERE l_orderkey % 25 = 3
+), curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN (o_custkey % 100) + 1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 10 = 8 THEN o_orderdate + INTERVAL 150 DAY
+              ELSE o_orderdate END AS o_orderdate
+  FROM orders
+), curc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 2 THEN 'R#' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS c_name
+  FROM customer
+)
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(l.revenue_c) AS BIGINT) AS revenue_c
+FROM curl l
+JOIN curo o ON l.l_orderkey = o.o_orderkey
+JOIN curc c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name
+QUALIFY row_number() OVER (
+  ORDER BY SUM(l.revenue_c) DESC, c.c_custkey
+) <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 via COMPOSITION (the Q13 pattern, threshold flavor): the
+# per-order quantity rollup is a maintained keyed aggregate — O(changes)
+# upkeep, order-count-sized state — and the HAVING + joins run at read
+# over the rare big-order survivors.  Churn moves orders ACROSS the
+# threshold in both directions, removes an order's last line (it must
+# leave the state entirely), and inserts lines pushing new orders over.
+# Batch twin: entry_analytics.q_big_order_customers.
+# ---------------------------------------------------------------------------
+_Q18VIEW_CACHE: dict[str, object] = {}
+_Q18_THRESHOLD = 25000
+
+
+def pipeline_maintained_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.matview import MaintainedAggregate
+
+    if sf_dir not in _Q18VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber",
+            F.round(F.col("l_quantity") * 100.0).cast("long").alias("qty_c"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("qty_c")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q18view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        mv = MaintainedAggregate(
+            wh / "mv", ["l_orderkey"], sum_cols={"qty_cents": "qty_c"}
+        )
+        mv.refresh(spark, li)
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "qty_c",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            # big swings cross the 25000 threshold both ways
+            (F.col("qty_c") * 3 % 20000).alias("qty_c"),
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            (F.col("qty_c") + 2000).alias("qty_c"),
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_upd, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+        mv.refresh(spark, li)
+        _Q18VIEW_CACHE[sf_dir] = mv
+    mv = _Q18VIEW_CACHE[sf_dir]
+    big = mv.read(spark).filter(
+        F.col("qty_cents") > _Q18_THRESHOLD
+    ).select("l_orderkey", F.col("qty_cents").cast("long").alias("qty_cents"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+            "totalprice_cents"
+        ),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            "totalprice_cents", "qty_cents",
+        )
+    )
+
+
+_Q18VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, qty_c FROM (
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_quantity * 100.0) AS BIGINT) AS qty_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_quantity * 100.0) AS BIGINT) DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (qty_c * 3) % 20000
+              ELSE qty_c END AS qty_c
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, qty_c + 2000 FROM li WHERE l_orderkey % 25 = 3
+), big AS (
+  SELECT l_orderkey, CAST(SUM(qty_c) AS BIGINT) AS qty_cents
+  FROM curl GROUP BY l_orderkey
+  HAVING SUM(qty_c) > 25000
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS totalprice_cents,
+       b.qty_cents
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Maintained BM25 — the inverted index as DERIVED STATE
+# (operators/inverted_index.py): postings (term→doc, tf) and doc lengths
+# are SupportStore multisets folded ± from the change feed, corpus
+# scalars (N, S) ride the meta, and the query reads O(query terms'
+# buckets).  Churn deletes docs (a term's last posting must vanish),
+# EDITS docs (preimage tokens must subtract — the ghost-posting trap),
+# and inserts new ones; the maintained scores must equal text.bm25_topk's
+# integer-ratio recompute over the churned corpus, score for score.
+# ---------------------------------------------------------------------------
+_BM25VIEW_CACHE: dict[str, object] = {}
+_BM25VIEW_TERMS = ["spark", "join", "scan", "window"]
+
+
+def pipeline_maintained_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inverted_index import MaintainedInvertedIndex
+
+    if sf_dir not in _BM25VIEW_CACHE:
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_bm25view_"))
+        docs = ManagedTable(wh / "documents").create(
+            src, ["doc_id"], pk_buckets=8, cdf=True
+        )
+        idx = MaintainedInvertedIndex(
+            wh / "inv", "doc_id", "text", term_buckets=32, doc_buckets=16
+        )
+        idx.refresh(spark, docs)  # seed
+
+        def env(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("documents").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "doc_id", "text",
+            )
+
+        d_del = src.filter(F.col("doc_id") % 10 == 7)
+        d_upd = src.filter(F.col("doc_id") % 10 == 4).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" spark graft spark")).alias(
+                "text"
+            ),
+        )
+        d_ins = src.filter(F.col("doc_id") % 25 == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("graft spark retrieval join scan").alias("text"),
+        )
+        docs.merge(
+            spark,
+            env(d_del, "D").unionByName(env(d_upd, "U")).unionByName(
+                env(d_ins, "I")
+            ),
+        )
+        idx.refresh(spark, docs)  # ONE fold over the churn
+        _BM25VIEW_CACHE[sf_dir] = idx
+    idx = _BM25VIEW_CACHE[sf_dir]
+    return idx.bm25_topk(spark, _BM25VIEW_TERMS, k=10).select(
+        "doc_id",
+        F.col("score_q").cast("long").alias("score_q"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+    )
+
+
+_BM25VIEW_DOCS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 4 THEN text || ' spark graft spark'
+            ELSE text END AS text
+FROM documents WHERE doc_id % 10 <> 7
+UNION ALL
+SELECT doc_id + 1000000, 'graft spark retrieval join scan'
+FROM documents WHERE doc_id % 25 = 3
+"""
+
+
+def _bm25view_oracle() -> str:
+    from .functions import oracle_sql as O
+
+    return O.bm25_topk_oracle(
+        _BM25VIEW_TERMS, 10, docs_sql=_BM25VIEW_DOCS_SQL
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact COUNT(DISTINCT) maintenance row (operators/distinct_matview.py):
 # customers-and-statuses per order priority, maintained through a churn
 # batch that stresses exactly what signed folding cannot express — the
@@ -2919,6 +3325,9 @@ QUERIES = {
     "pipeline_stream_selfheal": pipeline_stream_selfheal,
     "pipeline_maintained_q16": pipeline_maintained_q16,
     "pipeline_maintained_q5": pipeline_maintained_q5,
+    "pipeline_maintained_q10": pipeline_maintained_q10,
+    "pipeline_maintained_q18": pipeline_maintained_q18,
+    "pipeline_maintained_bm25": pipeline_maintained_bm25,
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
     "pipeline_incremental_agg": pipeline_incremental_agg,
     "pipeline_incremental_join_agg": pipeline_incremental_join_agg,
@@ -2953,6 +3362,9 @@ ORACLES = {
     "pipeline_stream_selfheal": _SELFHEAL_ORACLE,
     "pipeline_maintained_q16": _Q16VIEW_ORACLE,
     "pipeline_maintained_q5": _Q5VIEW_ORACLE,
+    "pipeline_maintained_q10": _Q10VIEW_ORACLE,
+    "pipeline_maintained_q18": _Q18VIEW_ORACLE,
+    "pipeline_maintained_bm25": _bm25view_oracle(),
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),
     "pipeline_incremental_agg": _incremental_agg_oracle(CDF_ROOT),
     "pipeline_incremental_join_agg": _JOINAGG_ORACLE,

@@ -113,6 +113,13 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # TPC-H Q5 live: six-table snowflake at depth 3 with the cross-dim
     # c_nationkey = s_nationkey join_where and the region σ
     "pipeline_maintained_q5": [("n_name", "str"), ("n_rows", "int"), ("revenue_c", "int")],
+    # TPC-H Q10 live: fact σ + dim σ, customer-cardinality dim group key
+    "pipeline_maintained_q10": [("c_custkey", "int"), ("c_name", "str"), ("revenue_c", "int")],
+    # TPC-H Q18 composed: maintained per-order qty rollup + HAVING/joins at read
+    "pipeline_maintained_q18": [("c_name", "str"), ("o_custkey", "int"), ("o_orderkey", "int"), ("o_orderdate", "ts"), ("totalprice_cents", "int"), ("qty_cents", "int")],
+    # maintained BM25: inverted index as derived state (postings + doc
+    # lengths folded ± from the feed; query reads probed term buckets)
+    "pipeline_maintained_bm25": [("doc_id", "int"), ("score_q", "int"), ("n_terms", "int")],
     # self-healing stream supervision: mid-run RENAME + widening barriers
     # healed by same-checkpoint restarts (the query raises if no heal ran)
     "pipeline_stream_selfheal": [("o_orderstatus", "str"), ("n_rows", "int"), ("total_cents", "int")],

@@ -1439,22 +1439,29 @@ SELECT doc_id, term, term_freq, doc_freq, rank FROM (
 """
 
 
-def bm25_topk_oracle(terms: list[str], k: int) -> str:
+def bm25_topk_oracle(
+    terms: list[str],
+    k: int,
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
     """Mirror of text.bm25_topk over documents: every scoring factor is a
     ratio of exactly-representable integers (log-free Robertson idf,
     k1=6/5, b=3/4 folded into integer coefficients), each term
     contribution quantized to BIGINT before the per-doc sum — identical
-    operation order to the Spark expression, so scores hash bit-equal."""
+    operation order to the Spark expression, so scores hash bit-equal.
+    *docs_sql* swaps the corpus relation (must expose doc_id, text) —
+    the maintained-index row scores against a CHURNED corpus CTE."""
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({sql_tokens("text")}) AS term FROM documents
+WITH documents_in AS ({docs_sql}),
+toks AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS term FROM documents_in
 ),
 toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id),
 stats AS (
   SELECT (SELECT SUM(dl) FROM dl) AS s,
-         (SELECT COUNT(*) FROM documents) AS n
+         (SELECT COUNT(*) FROM documents_in) AS n
 ),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks_ne
