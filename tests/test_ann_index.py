@@ -327,3 +327,56 @@ def test_drift_gauges_ride_replicator_registry(spark, tmp_path):
         reg.set_gauge("fqn", f"derived_{kind}_{gname}", round(gval, 6))
     assert f"derived_{kind}_needs_rebuild" in reg.gauges
     assert f"derived_{kind}_skew_factor" in reg.gauges
+
+
+def test_auto_rebuild_closes_the_drift_loop(spark, tmp_path):
+    """auto_rebuild=True turns the drift signal into self-repair on the
+    poll loop: the trip re-trains centroids IN the poll, the fresh
+    baseline un-trips the signal (bounded — one build per trip), and
+    subsequent maintenance is exact under the new centroids."""
+    t = _mk(spark, tmp_path, n=80)
+    ix = IvfVectorIndex(
+        tmp_path / "ivf", id_col="vec_id", vec_col="embedding",
+        n_centroids=4, auto_rebuild=True,
+    )
+
+    def poll() -> bool:
+        # verbatim shape of replicate.py's derived hook incl. the
+        # opt-in self-repair branch
+        if not ix.exists() and hasattr(ix, "build"):
+            ix.build(spark, t)
+        else:
+            ix.refresh(spark, t)
+        if (
+            getattr(ix, "auto_rebuild", False)
+            and callable(getattr(ix, "needs_rebuild", None))
+            and hasattr(ix, "build")
+            and ix.needs_rebuild()
+        ):
+            ix.build(spark, t)
+            return True
+        return False
+
+    assert poll() is False  # seed: fresh baseline, no drift
+
+    far = [1000.0] * DIM
+    t.merge(spark, _batch(spark, [
+        ("U", i, 9, [v + f for v, f in zip(_vec(i), far)])
+        for i in range(0, 80, 2)
+    ]))
+    assert poll() is True  # drift tripped → rebuilt within the poll
+    assert not ix.needs_rebuild()  # new baseline un-trips
+    s = ix.drift_stats()
+    assert s["churn_ratio"] == 0.0 and s["skew_factor"] == 1.0
+
+    # steady state under the NEW centroids: normal churn refreshes
+    # exactly and does not re-trip
+    t.merge(spark, _batch(spark, [
+        ("U", 1, 11, _vec(1, bump=2)),
+        ("D", 4, 11, None),
+        ("I", 99, 11, _vec(99)),
+    ]))
+    assert poll() is False
+    assert _contents(spark, ix) == _contents(
+        spark, _rebuilt(spark, tmp_path, t, ix, "rb_auto")
+    )

@@ -1409,3 +1409,55 @@ def test_incremental_semdedup_store_contract(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "store/kept")).collect()
     )
     assert kept_ids == [1, 10, 20]
+
+
+def test_incremental_semdedup_drift_monitor(spark, tmp_path):
+    """Frozen-centroid drift monitor (the IVF index's contract applied
+    to the survivor store): post-seed batches matching the seed
+    distribution keep needs_rebuild() quiet; a batch collapsed onto a
+    direction the centroids never saw flips it (cluster collapse +
+    centroid-cosine drop) — while the dedup decisions stay
+    deterministic either way."""
+    from tidb2dw_spark.functions.clustering import IncrementalSemDedup
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    store = IncrementalSemDedup(
+        tmp_path / "store", k=2, iters=2, threshold=0.95
+    )
+    store.seed(spark, df([
+        (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+        (10, [0.0, 1.0, 0.0]), (11, [0.1, 0.9, 0.0]),
+    ]))
+    assert store.drift_stats() == {}  # no post-seed rows yet
+    assert not store.needs_rebuild()
+
+    # in-distribution batch: balanced clusters, high centroid cosine
+    store.dedup_batch(spark, df([
+        (20, [1.0, 0.05, 0.0]), (21, [0.05, 1.0, 0.0]),
+    ]))
+    s1 = store.drift_stats()
+    assert s1["cur_n"] == 2.0 and not store.needs_rebuild()
+    assert store.health_gauges()["needs_rebuild"] == 0.0
+
+    # shifted batch: every vector on a FAR direction none of the frozen
+    # centroids represents — one cluster swallows the batch (skew) at
+    # low cosine (sim drop)
+    store.dedup_batch(spark, df([
+        (30 + i, [0.01 * i, 0.0, 1.0]) for i in range(6)
+    ]))
+    s2 = store.drift_stats()
+    assert s2["assign_sim_drop"] > 0.05 or s2["skew_factor"] >= 2.0
+    assert store.needs_rebuild()
+    assert store.health_gauges()["needs_rebuild"] == 1.0
+    # the monitor never blocks operation: another batch still dedups
+    d = {
+        r["id"]: r["kept"]
+        for r in store.dedup_batch(
+            spark, df([(99, [0.0, 0.0, 1.0])])
+        ).collect()
+    }
+    assert d == {99: False}  # dropped against the shifted survivors

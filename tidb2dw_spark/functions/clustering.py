@@ -534,6 +534,76 @@ class IncrementalSemDedup:
             .parquet(str(self.root / "kept"))
         )
 
+    @staticmethod
+    def _cluster_stats(scored: DataFrame) -> dict:
+        """Per-cluster (count, Σ csim) — a k-sized collect over a frame
+        the batch flow already materialized."""
+        rows = (
+            scored.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("csim").alias("s"))
+            .collect()
+        )
+        return {int(r["cluster"]): (int(r["n"]), float(r["s"] or 0.0)) for r in rows}
+
+    # -- drift monitor (frozen-centroid staleness, same contract as the
+    # ANN index's: the monitor guards DEDUP QUALITY — drifted batches
+    # land in wrong clusters and near-dups stop meeting — while the rule
+    # itself stays deterministic either way) ------------------------------
+    def drift_stats(self) -> dict:
+        """Incoming-batch distribution vs the seed fit — a metadata
+        read.  Empty dict for a legacy (pre-monitor) meta or before any
+        post-seed batch.
+
+        - ``batch_max_share`` / ``skew_factor``: the post-seed rows'
+          largest-cluster share vs the seed's (a collapsed assignment
+          inflates the O(cluster²)-bounded work AND mis-blocks dups);
+        - ``assign_sim_drop``: seed mean centroid-cosine minus the
+          post-seed mean — incoming vectors no longer resemble what the
+          centroids were fit on;
+        - ``processed_ratio``: post-seed rows / seed rows (exposure
+          odometer; informational, not a trip condition — a store is
+          SUPPOSED to outlive its seed many times over)."""
+        d = self.meta().get("drift")
+        if not d:
+            return {}
+        cur_n = int(d.get("cur_n", 0))
+        if cur_n <= 0:
+            return {}
+        counts = [n for n in d.get("cur_cluster_counts", {}).values() if n > 0]
+        cur_share = (max(counts) / cur_n) if counts else 0.0
+        built_share = d.get("built_max_share") or 0.0
+        return {
+            "cur_n": float(cur_n),
+            "batch_max_share": cur_share,
+            "skew_factor": cur_share / built_share if built_share else 0.0,
+            "assign_sim_drop": (
+                d.get("built_mean_sim", 0.0)
+                - d.get("cur_sim_sum", 0.0) / cur_n
+            ),
+            "processed_ratio": (
+                cur_n / d["built_n"] if d.get("built_n") else 0.0
+            ),
+        }
+
+    def needs_rebuild(
+        self, skew_factor: float = 2.0, sim_drop: float = 0.05
+    ) -> bool:
+        """True when the incoming distribution has left the frozen fit
+        (cluster collapse or centroid-cosine drop) — re-seed a fresh
+        store and re-dedup forward from it.  Never trips on volume
+        alone."""
+        s = self.drift_stats()
+        if not s:
+            return False
+        return (
+            s["skew_factor"] >= skew_factor
+            or s["assign_sim_drop"] >= sim_drop
+        )
+
+    def health_gauges(self) -> dict:
+        s = self.drift_stats()
+        return {**s, "needs_rebuild": 1.0 if self.needs_rebuild() else 0.0}
+
     def seed(self, spark, batch: DataFrame) -> DataFrame:
         """Fit centroids on the first batch, run the one-shot rule, and
         persist the survivors.  Returns (id, cluster, csim, kept) for
@@ -546,6 +616,14 @@ class IncrementalSemDedup:
             scored, None, self.threshold, self.cluster_cap, self.block
         ).localCheckpoint()
         self._append_kept(decisions)
+        # drift baseline: the seed batch's per-cluster shares + mean
+        # centroid-cosine under the just-fit centroids (k-sized collect
+        # over the checkpointed decisions — no extra corpus pass); the
+        # "cur" side starts EMPTY and accumulates post-seed batches, so
+        # the monitor measures incoming drift, not the seed against
+        # itself
+        stats = self._cluster_stats(decisions)
+        built_n = sum(n for n, _ in stats.values())
         self._write_meta(
             {
                 "centroids": cents,
@@ -553,6 +631,23 @@ class IncrementalSemDedup:
                 "iters": self.iters,
                 "threshold": self.threshold,
                 "batches": 1,
+                "drift": {
+                    "built_n": built_n,
+                    "built_max_share": (
+                        max((n for n, _ in stats.values()), default=0)
+                        / built_n
+                        if built_n
+                        else 0.0
+                    ),
+                    "built_mean_sim": (
+                        sum(s for _, s in stats.values()) / built_n
+                        if built_n
+                        else 0.0
+                    ),
+                    "cur_cluster_counts": {},
+                    "cur_n": 0,
+                    "cur_sim_sum": 0.0,
+                },
             }
         )
         return decisions.drop("qv")
@@ -583,6 +678,19 @@ class IncrementalSemDedup:
         ).localCheckpoint()
         self._append_kept(decisions)
         meta["batches"] += 1
+        # drift bookkeeping (legacy pre-monitor metas carry no baseline
+        # — skipped, needs_rebuild stays silent until a re-seed)
+        d = meta.get("drift")
+        if d is not None:
+            stats = self._cluster_stats(scored)
+            counts = d.get("cur_cluster_counts", {})
+            for c, (n, _) in stats.items():
+                counts[str(c)] = counts.get(str(c), 0) + n
+            d["cur_cluster_counts"] = counts
+            d["cur_n"] = d.get("cur_n", 0) + sum(n for n, _ in stats.values())
+            d["cur_sim_sum"] = d.get("cur_sim_sum", 0.0) + sum(
+                s for _, s in stats.values()
+            )
         self._write_meta(meta)
         return decisions.drop("qv")
 

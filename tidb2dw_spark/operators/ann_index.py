@@ -131,12 +131,18 @@ class IvfVectorIndex:
         vec_col: str = "embedding",
         n_centroids: int = 16,
         kernel: str = "arrow",
+        auto_rebuild: bool = False,
     ):
         self.root = Path(root)
         self.id_col = id_col
         self.vec_col = vec_col
         self.n_centroids = n_centroids
         self.kernel = kernel
+        # opt-in self-repair: TableReplicator re-trains the index (one
+        # build per trip — build resets the drift baseline that tripped)
+        # when needs_rebuild() fires; default False because a rebuild is
+        # an O(corpus) job the operator may want to schedule off-peak
+        self.auto_rebuild = bool(auto_rebuild)
         self.centroids: list = []
 
     # -- meta (same crash contract as SecondaryIndex) ---------------------
@@ -528,8 +534,11 @@ class IvfPqVectorIndex(IvfVectorIndex):
         iters: int = 2,
         residual: bool = True,
         kernel: str = "arrow",
+        auto_rebuild: bool = False,
     ):
-        super().__init__(root, id_col, vec_col, n_centroids, kernel)
+        super().__init__(
+            root, id_col, vec_col, n_centroids, kernel, auto_rebuild
+        )
         self.n_sub = n_sub
         self.k_codes = k_codes
         self.iters = iters

@@ -187,6 +187,26 @@ class TableReplicator:
                     self.registry.set_gauge(
                         self.fqn, f"derived_{kind}_{gname}", round(gval, 6)
                     )
+            # opt-in self-repair: an index that declares auto_rebuild
+            # re-trains when its OWN drift monitor trips.  Bounded by
+            # construction — build() resets the baseline that tripped —
+            # and it rides the poll loop so maintenance stays exact
+            # between trips (refresh is rebuild-equivalent; the rebuild
+            # guards RECALL, not correctness)
+            if (
+                getattr(d, "auto_rebuild", False)
+                and callable(getattr(d, "needs_rebuild", None))
+                and hasattr(d, "build")
+                and d.needs_rebuild()
+            ):
+                t1 = time.monotonic()
+                d.build(self.spark, self.table)
+                self.registry.add(self.fqn, f"derived_{kind}_rebuilds", 1)
+                self.registry.set_gauge(
+                    self.fqn,
+                    f"derived_{kind}_last_rebuild_seconds",
+                    round(time.monotonic() - t1, 6),
+                )
         if self.derived:
             self.registry.add(self.fqn, "derived_refreshed", len(self.derived))
 
