@@ -288,3 +288,61 @@ def test_distinct_star_rejects_mismatched_construction(spark, tmp_path):
     rebucketed = _mk_view(tmp_path, n_buckets=8)
     with pytest.raises(ValueError, match="n_buckets"):
         rebucketed.refresh_star(spark, fact, [dim])
+
+
+def test_distinct_star_store_probes(spark, tmp_path):
+    """top_values / quantile_values answer THROUGH the join from the
+    maintained support store — equal to a window over the joined
+    current state, with no base scan, after churn on both feeds."""
+    import pytest
+    from pyspark.sql import Window
+
+    fact, dim = _mk_tables(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = _mk_view(tmp_path)
+    mv.refresh_star(spark, fact, [dim])
+    fact.merge(spark, _fb(spark, [
+        ("I", 20, 5, 10, 7, "HI", 10), ("I", 21, 5, 10, 7, "HI", 10),
+        ("I", 22, 5, 10, 8, "HI", 10), ("D", 4, 5, None, None, None, None),
+    ]))
+    dim.merge(spark, _db(spark, [("U", 30, 6, "B")]))
+    mv.refresh_star(spark, fact, [dim])
+
+    joined = (
+        fact.read(spark)
+        .join(dim.read(spark), F.col("fk") == F.col("d"), "inner")
+        .filter(F.col("sup").isNotNull())
+        .groupBy("pri", "seg", "sup")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("pri", "seg").orderBy(
+        F.col("n").desc(), F.col("sup").asc()
+    )
+    want_top = {
+        (r["pri"], r["seg"], r["sup"], r["n"], r["rk"])
+        for r in joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2).collect()
+    }
+    got_top = {
+        (r["pri"], r["seg"], r["__v"], r["__cnt"], r["rank"])
+        for r in mv.top_values(spark, "n_sup", 2).collect()
+    }
+    assert got_top == want_top
+
+    # exact p50 of the support-weighted value multiset per group
+    got_q = {
+        (r["pri"], r["seg"], r["q_label"]): r["__v"]
+        for r in mv.quantile_values(spark, "n_sup", {"p50": (1, 2)}).collect()
+    }
+    rows = joined.collect()
+    import math
+    groups = {}
+    for r in rows:
+        groups.setdefault((r["pri"], r["seg"]), []).extend([r["sup"]] * r["n"])
+    want_q = {}
+    for g, vals in groups.items():
+        vals.sort()
+        want_q[(g[0], g[1], "p50")] = vals[math.ceil(len(vals) / 2) - 1]
+    assert got_q == want_q
+
+    with pytest.raises(KeyError, match="not a maintained"):
+        mv.top_values(spark, "nope", 2)

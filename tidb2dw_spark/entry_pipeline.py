@@ -1949,6 +1949,71 @@ GROUP BY p.p_brand, p.p_size
 """
 
 
+def pipeline_q16_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters THROUGH the join, free from the maintained Q16
+    store: the top-2 suppliers by qualifying-lineitem count per
+    (brand, size) — the support multiset H(group, supplier) already
+    holds exactly these counts, so the probe is a window over the
+    distinct-pairs-sized store with no base, dim, or joined scan."""
+    pipeline_maintained_q16(spark, sf_dir)  # ensure seeded + churned
+    mv = _Q16VIEW_CACHE[sf_dir]
+    return mv.top_values(spark, "supplier_cnt", k=2).select(
+        "p_brand", "p_size",
+        F.col("__v").cast("long").alias("l_suppkey"),
+        F.col("__cnt").cast("long").alias("n_rows_v"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_Q16TOP_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_partkey DESC, l_suppkey DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_suppkey % 50) + 1
+              ELSE l_suppkey END AS l_suppkey
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_partkey, (l_suppkey % 97) + 1
+  FROM li WHERE l_orderkey % 25 = 3
+), curp AS (
+  SELECT p_partkey, p_brand,
+         CAST(CASE WHEN p_partkey % 10 = 2 THEN 9 ELSE p_size END AS BIGINT)
+           AS p_size,
+         CASE WHEN p_partkey % 10 = 5 THEN 'PROMO' ELSE p_type END AS p_type
+  FROM part
+), curs AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 10 = 3 THEN s_nationkey + 10
+              WHEN s_suppkey % 10 = 6 THEN s_nationkey % 5
+              ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+), counts AS (
+  SELECT p.p_brand, p.p_size, l.l_suppkey, COUNT(*) AS n
+  FROM curl l
+  JOIN curp p ON l.l_partkey = p.p_partkey
+  JOIN curs s ON l.l_suppkey = s.s_suppkey
+  WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 9, 19, 29, 39, 49)
+    AND s.s_nationkey >= 10
+  GROUP BY p.p_brand, p.p_size, l.l_suppkey
+)
+SELECT p_brand, p_size, l_suppkey,
+       CAST(n AS BIGINT) AS n_rows_v, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_brand, p_size ORDER BY n DESC, l_suppkey ASC
+  ) AS rank FROM counts
+) WHERE rank <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q5 as a LIVE view — the DEEP snowflake: lineitem ⋈ orders ⋈
 # customer ⋈ supplier ⋈ nation ⋈ region with the cross-dim equality
@@ -3324,6 +3389,7 @@ QUERIES = {
     "pipeline_rename_continuity": pipeline_rename_continuity,
     "pipeline_stream_selfheal": pipeline_stream_selfheal,
     "pipeline_maintained_q16": pipeline_maintained_q16,
+    "pipeline_q16_top_suppliers": pipeline_q16_top_suppliers,
     "pipeline_maintained_q5": pipeline_maintained_q5,
     "pipeline_maintained_q10": pipeline_maintained_q10,
     "pipeline_maintained_q18": pipeline_maintained_q18,
@@ -3361,6 +3427,7 @@ ORACLES = {
     ),
     "pipeline_stream_selfheal": _SELFHEAL_ORACLE,
     "pipeline_maintained_q16": _Q16VIEW_ORACLE,
+    "pipeline_q16_top_suppliers": _Q16TOP_ORACLE,
     "pipeline_maintained_q5": _Q5VIEW_ORACLE,
     "pipeline_maintained_q10": _Q10VIEW_ORACLE,
     "pipeline_maintained_q18": _Q18VIEW_ORACLE,

@@ -110,6 +110,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # TPC-H Q16 live: COUNT(DISTINCT supplier) THROUGH the join, support
     # multiset maintained from the signed star delta terms
     "pipeline_maintained_q16": [("p_brand", "str"), ("p_size", "int"), ("n_rows", "int"), ("supplier_cnt", "int")],
+    # heavy hitters through the join, probed from the SAME Q16 store
+    "pipeline_q16_top_suppliers": [("p_brand", "str"), ("p_size", "int"), ("l_suppkey", "int"), ("n_rows_v", "int"), ("rank", "int")],
     # TPC-H Q5 live: six-table snowflake at depth 3 with the cross-dim
     # c_nationkey = s_nationkey join_where and the region σ
     "pipeline_maintained_q5": [("n_name", "str"), ("n_rows", "int"), ("revenue_c", "int")],

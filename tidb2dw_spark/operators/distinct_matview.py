@@ -249,6 +249,73 @@ class SupportStore:
                 if ver not in live and ver != version:
                     shutil.rmtree(rd, ignore_errors=True)
 
+    # -- probes (shared: every owner's store answers these for free) ------
+    def top_values(
+        self, spark: SparkSession, out: str, bv: dict, k: int
+    ) -> DataFrame | None:
+        """Heavy hitters per group from the live buckets under pointer
+        map *bv*: top-*k* values by occurrence count (ties by value),
+        as (group…, __v, __cnt, rank) — ``None`` when the store is
+        empty (the owner shapes its own typed empty frame).  Reads the
+        distinct-pairs-sized store, never a base table; the per-group
+        window bounds task work at any corpus size."""
+        from pyspark.sql import Window
+
+        paths = self.live_paths(out, bv)
+        if not paths:
+            return None
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col("__cnt").desc(), F.col("__v").asc()
+        )
+        return (
+            spark.read.parquet(*paths)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*self.group_cols, "__v", "__cnt", "rank")
+        )
+
+    def quantile_values(
+        self,
+        spark: SparkSession,
+        out: str,
+        bv: dict,
+        quantiles: dict[str, tuple[int, int]],
+    ) -> DataFrame | None:
+        """EXACT per-group quantiles from the live buckets: H(g, v) is
+        the row multiset projected onto v, so its cnt-weighted lower
+        quantile IS the per-group quantile of the source column.
+        Integer ceil-division thresholds; (group…, q_label, __v);
+        ``None`` when the store is empty."""
+        from pyspark.sql import Window
+
+        qdf = spark.createDataFrame(
+            [(lbl, int(n), int(d)) for lbl, (n, d) in quantiles.items()],
+            "q_label string, __qn long, __qd long",
+        )
+        paths = self.live_paths(out, bv)
+        if not paths:
+            return None
+        wq = (
+            Window.partitionBy(*self.group_cols)
+            .orderBy(F.col("__v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy(*self.group_cols)
+        cum = (
+            spark.read.parquet(*paths)
+            .withColumn("__cum", F.sum("__cnt").over(wq))
+            .withColumn("__tot", F.sum("__cnt").over(wt))
+        )
+        th = F.expr("(__tot * __qn + __qd - 1) div __qd")
+        return (
+            cum.crossJoin(F.broadcast(qdf))
+            .filter(
+                (F.col("__cum") >= th)
+                & (F.col("__cum") - F.col("__cnt") < th)
+            )
+            .select(*self.group_cols, "q_label", "__v")
+        )
+
 
 def init_distinct_agg(
     df: DataFrame, group_cols: Sequence[str], distinct_cols: dict[str, str]

@@ -1486,3 +1486,51 @@ class MaintainedDistinctStarAggregate(MaintainedStarAggregate):
             shutil.rmtree(p, ignore_errors=True)
         for out in self.distinct_cols:
             self._support.gc_out(out, bucket_versions.get(out) or {}, version)
+
+    # -- probes: the maintained support store answers MORE than distinct
+    # counts, with no base or joined scan — through the JOIN (the group
+    # key may live entirely dim-side): per-group heavy hitters and exact
+    # quantiles of the distinct source column, same contract as the
+    # single-table view's probes
+    def _bv(self, out: str) -> dict:
+        if out not in self.distinct_cols:
+            raise KeyError(f"{out!r} is not a maintained distinct column")
+        return (self.meta().get("bucket_versions") or {}).get(out, {})
+
+    def top_values(self, spark: SparkSession, out: str, k: int) -> DataFrame:
+        got = self._support.top_values(spark, out, self._bv(out), k)
+        if got is not None:
+            return got
+        return (
+            self.read(spark)
+            .select(*self.group_cols)
+            .limit(0)
+            .select(
+                *self.group_cols,
+                F.lit(None).alias("__v"),
+                F.lit(0).cast("long").alias("__cnt"),
+                F.lit(0).alias("rank"),
+            )
+        )
+
+    def quantile_values(
+        self,
+        spark: SparkSession,
+        out: str,
+        quantiles: dict[str, tuple[int, int]],
+    ) -> DataFrame:
+        got = self._support.quantile_values(
+            spark, out, self._bv(out), quantiles
+        )
+        if got is not None:
+            return got
+        qdf = spark.createDataFrame(
+            [(lbl,) for lbl in quantiles], "q_label string"
+        )
+        return (
+            self.read(spark)
+            .select(*self.group_cols)
+            .limit(0)
+            .crossJoin(qdf)
+            .select(*self.group_cols, "q_label", F.lit(None).alias("__v"))
+        )
