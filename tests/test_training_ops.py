@@ -1461,3 +1461,77 @@ def test_incremental_semdedup_drift_monitor(spark, tmp_path):
         ).collect()
     }
     assert d == {99: False}  # dropped against the shifted survivors
+
+
+def test_semdedup_zero_norm_blocked_equals_plain(spark):
+    """A zero-norm embedding's cosine is NaN — both kernels must treat
+    it as never-a-duplicate.  The blocked path's Spark-side max fold
+    ordered NaN greatest (mass false drops) before the scrub; now the
+    capped and uncapped keep-sets are identical with a zero vector in
+    an over-cap cluster."""
+    from tidb2dw_spark.functions.clustering import semantic_dedup
+
+    rows = (
+        [(i, [1.0, 0.0]) for i in range(6)]  # identical family
+        + [(99, [0.0, 0.0])]                 # zero-norm: NaN cosine
+        + [(100, [0.0, 1.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def keep(cap):
+        return {
+            r["id"]: r["kept"]
+            for r in semantic_dedup(
+                df, k=2, iters=2, threshold=0.9,
+                cluster_cap=cap, block=2,
+            ).collect()
+        }
+
+    capped, plain = keep(3), keep(None)
+    assert capped == plain
+    assert capped[99] is True  # zero vector is never anyone's duplicate
+    assert sum(capped.values()) == 3  # one of the family + 99 + 100
+
+
+def test_incremental_semdedup_sizes_clusters_with_store(spark, tmp_path):
+    """The skew guard must count batch AND stored rows: a small batch
+    probing a store that accumulated an over-cap cluster routes through
+    the blocked kernel (stored side cut into bounded negative blocks)
+    with decisions identical to the unbounded plain path."""
+    import math
+
+    from tidb2dw_spark.functions.clustering import IncrementalSemDedup
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    # 6 distinct directions in one angular neighborhood: same k-means
+    # cluster, pairwise cosine < 0.999 → all survive the seed
+    seed_rows = [(i, vec(5 * i)) for i in range(6)]
+    batch_rows = [(50, vec(12)), (51, vec(200))]  # 12° dups nothing @0.999?
+    outs = {}
+    for name, cap in [("capped", 4), ("plain", None)]:
+        store = IncrementalSemDedup(
+            tmp_path / name, k=2, iters=2, threshold=0.999,
+            cluster_cap=cap, block=2,
+        )
+        d0 = store.seed(spark, df(seed_rows))
+        assert all(r["kept"] for r in d0.collect()), name
+        outs[name] = {
+            r["id"]: r["kept"]
+            for r in store.dedup_batch(spark, df(batch_rows)).collect()
+        }
+    assert outs["capped"] == outs["plain"]
+    # 50 at 12° is within 3° of the stored 10°/15° survivors
+    # (cos 3° ≈ 0.9986 ≥ ... < 0.999) — compute expectation from math:
+    import itertools
+    drop_50 = any(
+        math.cos(math.radians(12 - 5 * i)) >= 0.999 for i in range(6)
+    )
+    assert outs["capped"][50] == (not drop_50)

@@ -194,10 +194,14 @@ def _assign_score(
         F.lit(0).cast("long"),
         lambda acc, z: acc + z,
     )
+    # zero-norm guard (same convention as ann_index._cell_sim): a
+    # degenerate vector scores csim 0, not NaN — under ANSI SQL the bare
+    # 0/0 would otherwise ABORT the whole job, and NaN would poison the
+    # (csim, id) survivor order
+    denom = F.sqrt(nq.cast("double")) * F.sqrt(m["nn"].cast("double"))
     return assigned.withColumn(
         "csim",
-        dot.cast("double")
-        / (F.sqrt(nq.cast("double")) * F.sqrt(m["nn"].cast("double"))),
+        dot.cast("double") / F.when(denom > 0, denom).otherwise(F.lit(1.0)),
     )
 
 
@@ -223,7 +227,12 @@ def _blocked_semdedup(
     exhaustive partition of the same pair set).
 
     *stored* rows (the incremental store's survivors) are "earlier than
-    everything" by contract and ride as block −1.  Output matches
+    everything" by contract and ride as NEGATIVE blocks — also cut to
+    ≤ *block* rows each (−1, −2, …), so a store that has accumulated a
+    huge cluster still yields bounded (stored-block, batch-block) pair
+    tasks, never one task holding the whole stored cluster.  Their
+    internal order is irrelevant (all stored rows are earlier than every
+    batch row, and stored-stored pairs are excluded).  Output matches
     :func:`_semdedup_kernel`: one row per batch member with ``qv``
     retained."""
     import numpy as np
@@ -246,9 +255,21 @@ def _blocked_semdedup(
         ranked, on="id"
     )
     if stored is not None:
+        ws = Window.partitionBy("cluster").orderBy("id")
+        s_ranked = (
+            stored.select("cluster", "id")
+            .withColumn(
+                "__b",
+                (
+                    -1
+                    - ((F.row_number().over(ws) - F.lit(1)) / F.lit(block))
+                ).cast("int"),
+            )
+            .select("id", "__b")
+        )
         blocked = blocked.unionByName(
-            stored.select("id", "qv", "cluster", "csim").withColumn(
-                "__b", F.lit(-1)
+            stored.select("id", "qv", "cluster", "csim").join(
+                s_ranked, on="id"
             )
         )
     packed = blocked.groupBy("cluster", "__b").agg(
@@ -291,6 +312,11 @@ def _blocked_semdedup(
                     q = dots.astype(np.float64) / (
                         lnorm[:, None] * rnorm[None, :]
                     )
+                # NaN (zero-norm cosine) = never-a-duplicate, BEFORE the
+                # max: Spark's F.max/>= order NaN greatest, numpy's
+                # propagate it — scrubbing here keeps the folded verdict
+                # identical to the single-task kernels
+                q = np.where(np.isnan(q), -np.inf, q)
                 if lb == rb:
                     lcs = np.asarray([m["csim"] for m in lmem])
                     lid = np.asarray([m["id"] for m in lmem])
@@ -393,7 +419,9 @@ def semantic_dedup(
     cents = centroids if centroids is not None else kmeans_fit(
         corpus, id_col, vec_col, k, iters
     )
-    scored = _assign_score(corpus, cents, id_col, vec_col)
+    # checkpoint: the scored frame feeds the size guard's count AND the
+    # kernel branch(es) — one assignment pass, not one per consumer
+    scored = _assign_score(corpus, cents, id_col, vec_col).localCheckpoint()
     t = threshold
     chunk = 4096
     # skew guard (round-7 finding): clusters above *cluster_cap* route
@@ -426,7 +454,10 @@ def semantic_dedup(
                 earlier = (
                     np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
                 )
-                q = np.where(earlier, q, -np.inf)
+                # a zero-norm vector's cosine is NaN (0/0) — define it as
+                # never-a-duplicate (-inf) so it can't poison the max and
+                # every kernel (plain / blocked / incremental) agrees
+                q = np.where(earlier & ~np.isnan(q), q, -np.inf)
                 if q.size:
                     max_prior[j0:j1] = np.maximum(max_prior[j0:j1], q.max(axis=0))
         return pd.DataFrame(
@@ -611,7 +642,9 @@ class IncrementalSemDedup:
         if self.exists():
             raise ValueError(f"store at {self.root} is already seeded")
         cents = kmeans_fit(batch, self.id_col, self.vec_col, self.k, self.iters)
-        scored = _assign_score(batch, cents, self.id_col, self.vec_col)
+        scored = _assign_score(
+            batch, cents, self.id_col, self.vec_col
+        ).localCheckpoint()  # feeds the size guard + the kernel once each
         decisions = _semdedup_kernel(
             scored, None, self.threshold, self.cluster_cap, self.block
         ).localCheckpoint()
@@ -703,10 +736,17 @@ def _semdedup_kernel(
     block: int = 8192,
 ) -> DataFrame:
     """Cluster-local survivor rule over (batch ∪ stored) with the same
-    skew guard as :func:`semantic_dedup`: batch-oversized clusters (and
-    their stored survivors) route through the blocked pair kernel —
-    exact keep-set, bounded task size."""
-    big = _oversized_clusters(scored, cluster_cap)
+    skew guard as :func:`semantic_dedup`: oversized clusters route
+    through the blocked pair kernel — exact keep-set, bounded task
+    size.  Sizing counts batch AND stored rows (a small batch against a
+    store that has accumulated a collapsed cluster must still block —
+    the plain kernel's task holds both sides)."""
+    sized = (
+        scored
+        if stored is None
+        else scored.select("cluster").unionByName(stored.select("cluster"))
+    )
+    big = _oversized_clusters(sized, cluster_cap)
     if not big:
         return _plain_semdedup_kernel(scored, stored, threshold)
     in_big = F.col("cluster").isin(big)
@@ -768,6 +808,7 @@ def _plain_semdedup_kernel(
                         q = dots.astype(np.float64) / (
                             snorms[i0:i1, None] * norms[None, j0:j1]
                         )
+                    q = np.where(np.isnan(q), -np.inf, q)  # zero-norm ≠ dup
                     if q.size:
                         max_prior[j0:j1] = np.maximum(
                             max_prior[j0:j1], q.max(axis=0)
@@ -784,7 +825,10 @@ def _plain_semdedup_kernel(
                 earlier = (
                     np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
                 )
-                q = np.where(earlier, q, -np.inf)
+                # a zero-norm vector's cosine is NaN (0/0) — define it as
+                # never-a-duplicate (-inf) so it can't poison the max and
+                # every kernel (plain / blocked / incremental) agrees
+                q = np.where(earlier & ~np.isnan(q), q, -np.inf)
                 if q.size:
                     max_prior[j0:j1] = np.maximum(max_prior[j0:j1], q.max(axis=0))
         return pd.DataFrame(

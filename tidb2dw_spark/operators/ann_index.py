@@ -304,9 +304,12 @@ class IvfVectorIndex:
                 & F.col(self.vec_col).isNotNull()
             ),
             m["centroids"], self.id_col, self.vec_col, self.kernel,
-        ).select("neighbor_id", "cell", "qv")
+        ).select("neighbor_id", "cell", "qv").localCheckpoint()
         # ADDITIONS: per-id FINAL image only (postimage outranks its own
-        # preimage within a commit) — intermediates never land
+        # preimage within a commit) — intermediates never land.  Both
+        # slice-derived frames are checkpointed: each feeds the touched
+        # collect, the drift stats, AND the rewrite, and the Arrow
+        # assignment kernel should run once per frame, not per consumer.
         w = Window.partitionBy(self.id_col).orderBy(
             F.desc(COMMIT_SEQ_COL),
             F.desc(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES).cast("int")),
@@ -322,7 +325,7 @@ class IvfVectorIndex:
                 & F.col(self.vec_col).isNotNull()
             ),
             m["centroids"], self.id_col, self.vec_col, self.kernel,
-        )
+        ).localCheckpoint()
         touched = sorted(
             r["cell"]
             for r in removals.select("cell")
@@ -341,7 +344,33 @@ class IvfVectorIndex:
         # stays silent until the next build().
         d = m.get("drift")
         if d is not None:
-            rm = _cell_stats(removals, m["centroids"])
+            # the monitor mirrors the index's NET effect per id: subtract
+            # each id's PRE-SLICE image (the earliest event's preimage —
+            # an id whose earliest event is an insert had no pre-slice
+            # row) and add its FINAL image.  Counting EVERY intermediate
+            # preimage (as `removals` does — a harmless superset for the
+            # touched-cell rewrite) would skew cur_n/cur_sim_sum whenever
+            # one id carries several events in a slice.
+            w_first = Window.partitionBy(self.id_col).orderBy(
+                F.asc(COMMIT_SEQ_COL),
+                F.asc(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES).cast("int")),
+            )
+            pre = (
+                ch.withColumn("__rn", F.row_number().over(w_first))
+                .filter(
+                    (F.col("__rn") == 1)
+                    & F.col(CHANGE_TYPE_COL).isin(*_REMOVE_TYPES)
+                    & F.col(self.vec_col).isNotNull()
+                )
+                .drop("__rn")
+            )
+            rm = _cell_stats(
+                _assign_cells(
+                    pre, m["centroids"], self.id_col, self.vec_col,
+                    self.kernel,
+                ),
+                m["centroids"],
+            )
             ad = _cell_stats(additions, m["centroids"])
             counts = d.get("cur_cell_counts", {})
             for c, (n, _) in rm.items():

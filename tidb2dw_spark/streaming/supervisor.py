@@ -169,6 +169,13 @@ class StreamSupervisor:
                     processing_interval=self.processing_interval,
                 )
                 self._query = q
+                if self._stop_evt.is_set():
+                    # a stop() that ran between the loop check and the
+                    # assignment above stopped the PREVIOUS (or no)
+                    # query — this run would otherwise be orphaned,
+                    # still writing and holding the checkpoint dir
+                    q.stop()
+                    return
                 q.awaitTermination()
                 # a continuous trigger only terminates cleanly when
                 # something called stop() on it
@@ -200,6 +207,13 @@ class StreamSupervisor:
                 pass  # already dead — the thread loop classified it
         if self._thread is not None:
             self._thread.join(timeout)
+            if self._thread.is_alive():
+                # never discard a live handle as if shut down — the
+                # caller must know the stream may still be writing
+                raise RuntimeError(
+                    f"{self.name}: supervisor thread did not stop "
+                    f"within {timeout}s"
+                )
             self._thread = None
         if self.error is not None:
             raise self.error
