@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "dedup_incremental_semdedup",
     "sim_ivf_derived_refresh",
     "sim_ivfpq_derived_refresh",
+    # round 8: cross-engine-exact HLL (batch tier)
+    "approx_distinct_hll",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is
@@ -126,6 +128,13 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_q5",
     "pipeline_maintained_q10",
     "pipeline_maintained_q18",
+    # round 8: expression measures / derived grain keys / HLL tier
+    "pipeline_maintained_q7",
+    "pipeline_maintained_q12",
+    "pipeline_maintained_q14",
+    "pipeline_maintained_q15",
+    "pipeline_maintained_hll",
+    "pipeline_maintained_monthly",
     "pipeline_maintained_bm25",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",

@@ -1892,3 +1892,111 @@ def test_matview_legacy_meta_idle_feed_backfills_and_guards_extrema(
     )
     with pytest.raises(ValueError, match="seeded with min/max"):
         strict.refresh(spark, t)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: expression measures + derived grain keys on the SINGLE-table
+# maintained aggregate (the symmetry of the join view's algebra — a
+# row-local expression commutes with ± folding exactly as a column).
+# ---------------------------------------------------------------------------
+def test_matview_expr_measures_and_derived_group(spark, tmp_path):
+    """Sum-of-squares (second moment) and a conditional count maintained
+    as expression measures; the group key is a DERIVED band the rollup
+    never stores the dependency of.  Churn moves rows across derived
+    bands and flips the CASE arm — always bit-equal to a recompute."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedAggregate(
+        tmp_path / "mv",
+        ["band"],
+        sum_cols={
+            "total": "val",
+            "total_sq": "val * val",
+            "n_a": "CASE WHEN grp = 'a' THEN 1 ELSE 0 END",
+        },
+        measure_cols=["grp"],
+        derived_cols={"band": ("CAST(val / 25 AS INT)", ["val"])},
+    )
+    mv.refresh(spark, t)
+
+    def recompute():
+        df = (
+            t.read(spark)
+            .withColumn("band", F.expr("CAST(val / 25 AS INT)"))
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("val").alias("total"),
+                F.sum(F.expr("val * val")).alias("total_sq"),
+                F.sum(F.expr("CASE WHEN grp = 'a' THEN 1 ELSE 0 END")).alias("n_a"),
+            )
+        )
+        return {
+            r["band"]: (r["n_rows"], r["total"], r["total_sq"], r["n_a"])
+            for r in df.collect()
+        }
+
+    def state():
+        return {
+            r["band"]: (r["n_rows"], r["total"], r["total_sq"], r["n_a"])
+            for r in mv.read(spark).collect()
+        }
+
+    assert state() == recompute()
+    assert "val" not in mv.read(spark).columns  # dependency never stored
+    # val 10→60 crosses band 0→2; grp flip moves the CASE; delete + insert
+    t.merge(spark, _batch(spark, [
+        ("U", 1, 5, "b", 60),
+        ("U", 3, 5, "a", 30),
+        ("D", 4, 5, None, None),
+        ("I", 9, 5, "a", 77),
+    ]))
+    mv.refresh(spark, t)
+    assert state() == recompute()
+
+
+def test_matview_derived_minmax_rescan(spark, tmp_path):
+    """MIN/MAX over an expression measure: removing a group's extremum
+    routes through the dirty rescan, which must evaluate the SAME
+    expression over the (derived-injected) base."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedAggregate(
+        tmp_path / "mv",
+        ["grp"],
+        sum_cols={"total": "val"},
+        max_cols={"max_neg": "0 - val"},
+        measure_cols=["val"],
+    )
+    mv.refresh(spark, t)
+    got = {r["grp"]: r["max_neg"] for r in mv.read(spark).collect()}
+    assert got["a"] == -10  # max(-10, -20)
+    t.merge(spark, _batch(spark, [("D", 1, 5, None, None)]))  # removes -10
+    mv.refresh(spark, t)
+    got = {r["grp"]: r["max_neg"] for r in mv.read(spark).collect()}
+    assert got["a"] == -20
+
+
+def test_matview_derived_definition_drift_rejected(spark, tmp_path):
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    t = _mk(spark, tmp_path, "t", BASE)
+
+    def mk(expr):
+        return MaintainedAggregate(
+            tmp_path / "mv", ["band"], {"total": "val"},
+            derived_cols={"band": (expr, ["val"])},
+        )
+
+    mk("CAST(val / 25 AS INT)").refresh(spark, t)
+    t.merge(spark, _batch(spark, [("U", 1, 5, "a", 11)]))
+    with pytest.raises(ValueError, match="derived columns"):
+        mk("CAST(val / 10 AS INT)").refresh(spark, t)
+    # shadowing a physical column is refused at seed
+    with pytest.raises(ValueError, match="shadow"):
+        MaintainedAggregate(
+            tmp_path / "mv2", ["grp"], {"total": "val"},
+            derived_cols={"val": ("val + 1", ["val"])},
+        ).refresh(spark, t)

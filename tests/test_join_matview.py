@@ -1278,7 +1278,10 @@ def test_overlapping_names_rejected(spark, tmp_path):
         dim_group_cols=["seg"],
         sum_cols={"total_cents": "cents"},
     )
-    with pytest.raises(ValueError, match="overlap"):
+    # since round 8 the misdeclared fact group col is caught by the
+    # schema-membership check (more pointed than the downstream
+    # consumed-columns overlap it used to fall through to)
+    with pytest.raises(ValueError, match="neither fact columns"):
         mv.refresh(spark, fact, dim)
 
 
@@ -1542,3 +1545,212 @@ def test_join_where_minmax_dirty_rescan(spark, tmp_path):
     mv.refresh_star(spark, fact, [d1, d2])
     assert state() == recompute()
     assert state()["A"] == (1, 11, 11)
+
+
+# ---------------------------------------------------------------------------
+# Expression measures + fact-derived columns.  sum/min/max sources are
+# row-local SQL expressions over the JOINED row (CASE over a dim
+# attribute = TPC-H Q12's conditional count through the join), and
+# fact_derived_cols synthesizes fact-side columns (year()-style grain
+# keys, quantized measures) at every fact materialization point.
+# ---------------------------------------------------------------------------
+def _mk_expr_view(tmp_path):
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    return MaintainedStarAggregate(
+        tmp_path / "mv",
+        dims=[("fk", [])],            # dim supplies NO group key
+        fact_group_cols=["pri"],
+        sum_cols={
+            "total_cents": "cents",
+            # conditional sum over the DIM attribute — rides measure_cols
+            "b_cents": "CASE WHEN seg = 'B' THEN cents ELSE 0 END",
+            # conditional count over a FACT attribute already consumed
+            "n_hi": "CASE WHEN pri = 'HI' THEN 1 ELSE 0 END",
+        },
+        measure_cols=["seg"],
+    )
+
+
+def _expr_recompute(spark, fact, dim):
+    j = fact.read(spark).join(
+        dim.read(spark), F.col("fk") == F.col("d"), "inner"
+    )
+    rows = j.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.expr("CASE WHEN seg = 'B' THEN cents ELSE 0 END")).alias("b_cents"),
+        F.sum(F.expr("CASE WHEN pri = 'HI' THEN 1 ELSE 0 END")).alias("n_hi"),
+    ).collect()
+    return {
+        r["pri"]: (r["n_rows"], r["total_cents"], r["b_cents"], r["n_hi"])
+        for r in rows
+    }
+
+
+def _expr_state(mv, spark):
+    return {
+        r["pri"]: (r["n_rows"], r["total_cents"], r["b_cents"], r["n_hi"])
+        for r in mv.read(spark).collect()
+    }
+
+
+def test_expr_measures_through_join(spark, tmp_path):
+    """Conditional SUMs over dim and fact attributes stay exact under
+    churn on both feeds — measure columns resolve by schema membership
+    and the CASE rides the signed delta rows."""
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = _mk_expr_view(tmp_path)
+    mv.refresh_star(spark, fact, [dim])
+    assert _expr_state(mv, spark) == _expr_recompute(spark, fact, dim)
+
+    # dim attribute move flips the CASE arm for every joined row on d=20;
+    # fact churn moves rows across the fact-side CASE and the join
+    dim.merge(spark, _db(spark, [("U", 20, 5, "B2"), ("U", 10, 5, "B")]))
+    fact.merge(spark, _fb(spark, [
+        ("U", 1, 6, 20, "LO", 150),
+        ("D", 3, 6, None, None, None),
+        ("I", 8, 6, 30, "HI", 800),
+    ]))
+    mv.refresh_star(spark, fact, [dim])
+    assert _expr_state(mv, spark) == _expr_recompute(spark, fact, dim)
+
+
+def test_fact_derived_group_and_measure(spark, tmp_path):
+    """A derived column is a first-class group key AND measure source:
+    the rollup never stores the dependency column, and churn that moves
+    rows across derived-group boundaries folds exactly."""
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = MaintainedStarAggregate(
+        tmp_path / "mv",
+        dims=[("fk", ["seg"])],
+        fact_group_cols=["band"],
+        sum_cols={"half_total": "half_cents"},
+        fact_derived_cols={
+            "band": ("CAST(cents / 300 AS INT)", ["cents"]),
+            "half_cents": ("CAST(cents / 2 AS LONG)", ["cents"]),
+        },
+    )
+    mv.refresh_star(spark, fact, [dim])
+
+    def recompute():
+        j = (
+            fact.read(spark)
+            .withColumn("band", F.expr("CAST(cents / 300 AS INT)"))
+            .withColumn("half_cents", F.expr("CAST(cents / 2 AS LONG)"))
+            .join(dim.read(spark), F.col("fk") == F.col("d"), "inner")
+        )
+        return {
+            (r["band"], r["seg"]): (r["n_rows"], r["half_total"])
+            for r in j.groupBy("band", "seg").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("half_cents").alias("half_total"),
+            ).collect()
+        }
+
+    def state():
+        return {
+            (r["band"], r["seg"]): (r["n_rows"], r["half_total"])
+            for r in mv.read(spark).collect()
+        }
+
+    assert state() == recompute()
+    # cents updates move rows ACROSS derived bands (100→950 crosses
+    # band 0→3); dim churn relabels a segment under a derived group
+    fact.merge(spark, _fb(spark, [
+        ("U", 1, 5, 10, "HI", 950),
+        ("U", 5, 5, 30, "LO", 10),
+        ("I", 8, 5, 20, "HI", 601),
+    ]))
+    dim.merge(spark, _db(spark, [("U", 20, 6, "B9")]))
+    mv.refresh_star(spark, fact, [dim])
+    assert state() == recompute()
+    # the persisted rollup must NOT carry the dependency column
+    assert "cents" not in mv.read(spark).columns
+
+
+def test_expr_minmax_dirty_rescan(spark, tmp_path):
+    """MIN/MAX over an expression measure: deleting the stored extremum
+    row forces the dirty-group rescan, which must re-derive the group's
+    extremum by evaluating the SAME expression over the current join."""
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = MaintainedStarAggregate(
+        tmp_path / "mv",
+        dims=[("fk", ["seg"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        max_cols={"max_eff": "cents + CASE WHEN seg = 'A' THEN 0 ELSE 1000 END"},
+        measure_cols=["seg"],
+    )
+    mv.refresh_star(spark, fact, [dim])
+
+    def recompute():
+        j = fact.read(spark).join(
+            dim.read(spark), F.col("fk") == F.col("d"), "inner"
+        )
+        return {
+            r["seg"]: (r["n_rows"], r["max_eff"])
+            for r in j.groupBy("seg").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max(
+                    F.expr("cents + CASE WHEN seg = 'A' THEN 0 ELSE 1000 END")
+                ).alias("max_eff"),
+            ).collect()
+        }
+
+    def state():
+        return {
+            r["seg"]: (r["n_rows"], r["max_eff"])
+            for r in mv.read(spark).collect()
+        }
+
+    assert state() == recompute()
+    assert state()["B"] == (2, 1400)  # k4: 400 + 1000
+    # delete the extremum row — group B goes dirty, rescan re-evaluates
+    fact.merge(spark, _fb(spark, [("D", 4, 5, None, None, None)]))
+    mv.refresh_star(spark, fact, [dim])
+    assert state() == recompute()
+    assert state()["B"] == (1, 1300)  # k3: 300 + 1000
+
+
+def test_expr_measure_unknown_column_rejected(spark, tmp_path):
+    """A bare-name measure source on neither table fails at seed with a
+    pointed error, not at plan time."""
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = MaintainedStarAggregate(
+        tmp_path / "mv",
+        dims=[("fk", ["seg"])],
+        fact_group_cols=[],
+        sum_cols={"t": "no_such_col"},
+    )
+    with pytest.raises(ValueError, match="neither the fact nor any dim"):
+        mv.refresh_star(spark, fact, [dim])
+
+
+def test_derived_definition_drift_rejected(spark, tmp_path):
+    """Refreshing a view whose fact_derived_cols differ from the seeded
+    definition is refused (silent definition mixing would corrupt the
+    fold)."""
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+
+    def mk(expr):
+        return MaintainedStarAggregate(
+            tmp_path / "mv",
+            dims=[("fk", ["seg"])],
+            fact_group_cols=["band"],
+            sum_cols={"total_cents": "cents"},
+            fact_derived_cols={"band": (expr, ["cents"])},
+        )
+
+    mk("CAST(cents / 300 AS INT)").refresh_star(spark, fact, [dim])
+    fact.merge(spark, _fb(spark, [("U", 1, 5, 10, "HI", 950)]))
+    with pytest.raises(ValueError, match="derived columns"):
+        mk("CAST(cents / 100 AS INT)").refresh_star(spark, fact, [dim])

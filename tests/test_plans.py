@@ -280,3 +280,30 @@ def test_maintained_q3_read_is_distributed_take_ordered(spark, sf_dir):
     plan = audit(PQ["pipeline_maintained_q3"](spark, sf_dir)).plan
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_hll_single_fact_scan_two_register_exchanges(spark, sf_dir):
+    """The HLL batch query reads the fact ONCE per leg (sketch + exact),
+    pre-aggregates registers map-side before each exchange, and joins
+    the 5-row sketch side by broadcast — the APPROX_COUNT_DISTINCT
+    shape whose state stays 2^p·groups at any corpus size."""
+    from tidb2dw_spark.plans import audit
+
+    a = audit(QUERIES["approx_distinct_hll"](spark, sf_dir))
+    plan = a.plan
+    assert plan.count("orders.parquet") == 2  # sketch leg + exact leg
+    assert "BroadcastHashJoin" in plan        # 5-row agg side broadcast
+    # map-side combine on both legs: partial agg precedes every exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_maintained_q7_read_is_broadcast_only(spark, sf_dir):
+    """Reading the year-grain Q7 cube joins two 2-row nation broadcasts
+    and re-groups the tiny state — no sort-merge join, no fact scan."""
+    from tidb2dw_spark.entry_pipeline import QUERIES as PQ
+    from tidb2dw_spark.plans import audit
+
+    a = audit(PQ["pipeline_maintained_q7"](spark, sf_dir))
+    assert "SortMergeJoin" not in a.plan
+    assert "BroadcastHashJoin" in a.plan
+    assert "lineitem.parquet" not in a.plan  # serves from view state only

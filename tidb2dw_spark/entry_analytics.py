@@ -2551,3 +2551,97 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate COUNT(DISTINCT): cross-engine-exact HyperLogLog (the
+# APPROX tier next to events_distinct_users_by_type's exact counts).
+# The sketch state AND the raw estimate are bit-reproducible in DuckDB
+# (md5-hex→int hashing, integer-exact rho via bin(), harmonic sum as a
+# scaled BIGINT, one IEEE divide) — see operators/sketch.py.
+# ---------------------------------------------------------------------------
+def _hll_oracle() -> str:
+    from .operators.sketch import hll_numerator, hll_register_sql
+
+    p = 10
+    m = 1 << p
+    wp1 = 61 - p
+    bucket, rho = hll_register_sql("o_custkey", p)
+    a = hll_numerator(p)
+    return f"""
+WITH regs AS (
+  SELECT o_orderpriority, {bucket} AS bucket, MAX({rho}) AS rho
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY 1, 2
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS used_buckets,
+         CAST(SUM(CAST(1 AS BIGINT) << ({wp1} - rho)) AS BIGINT) AS present
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY 1
+)
+SELECT e.o_orderpriority, e.n_exact, a.used_buckets,
+       CAST(a.present + ({m} - a.used_buckets)
+            * (CAST(1 AS BIGINT) << {wp1}) AS BIGINT) AS hsum_scaled,
+       {a!r} / CAST(a.present + ({m} - a.used_buckets)
+                    * (CAST(1 AS BIGINT) << {wp1}) AS BIGINT) AS est_raw
+FROM ex e JOIN agg a USING (o_orderpriority)
+"""
+
+
+@register("approx_distinct_hll", _hll_oracle())
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority approximate distinct customers via HLL (p=10, 1024
+    registers/group) next to the exact count — both the register layout
+    (used_buckets, hsum_scaled: exact BIGINTs) and the raw estimator
+    (one IEEE divide of two exactly-computed numbers) are bit-equal to
+    the DuckDB recompute; the engine-local small-range correction lives
+    in MaintainedHLLSketch.estimate (operators/sketch.py docstring).
+    One fact scan + a registers-sized shuffle per group — the shape
+    APPROX_COUNT_DISTINCT takes at 100 TB, with state 2^p rows per
+    group instead of O(distinct)."""
+    from .operators.sketch import hll_numerator, hll_register_cols
+
+    p = 10
+    m = 1 << p
+    wp1 = 61 - p
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_custkey"
+    )
+    bucket, rho = hll_register_cols("o_custkey", p)
+    regs = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select("o_orderpriority", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = (
+        regs.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("used_buckets"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wp1} - rho)"))
+            .cast("long")
+            .alias("__present"),
+        )
+        .select(
+            "o_orderpriority",
+            "used_buckets",
+            (
+                F.col("__present")
+                + (F.lit(m) - F.col("used_buckets"))
+                * F.lit(1 << wp1).cast("long")
+            )
+            .cast("long")
+            .alias("hsum_scaled"),
+        )
+        .withColumn("est_raw", F.lit(hll_numerator(p)) / F.col("hsum_scaled"))
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return exact.join(F.broadcast(agg), "o_orderpriority").select(
+        "o_orderpriority", "n_exact", "used_buckets", "hsum_scaled", "est_raw"
+    )

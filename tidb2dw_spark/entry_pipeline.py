@@ -3381,6 +3381,905 @@ FROM final GROUP BY st
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q12 as a LIVE view — EXPRESSION MEASURES through the join: the
+# high/low conditional counts are row-local CASE expressions over the
+# DIM attribute (o_orderpriority), maintained exactly because a signed
+# joined-delta row evaluates the CASE exactly as the full join would.
+# A dim-side priority flip rewrites every joined row it touches as a
+# remove+add pair whose CASE arms differ — the fold nets the move with
+# no rescan.  Batch twin: entry_analytics.q12_linestatus_priority.
+# ---------------------------------------------------------------------------
+_Q12VIEW_CACHE: dict[str, object] = {}
+_Q12_HIGH = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+def pipeline_maintained_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q12VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_linestatus", "l_shipdate"
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("l_shipdate"), F.desc("l_linestatus")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q12view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[("l_orderkey", [])],
+            fact_group_cols=["l_linestatus"],
+            sum_cols={
+                "high_lines": f"CASE WHEN {_Q12_HIGH} THEN 1 ELSE 0 END",
+                "low_lines": f"CASE WHEN {_Q12_HIGH} THEN 0 ELSE 1 END",
+            },
+            measure_cols=["o_orderpriority"],
+            fact_where=(
+                "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+                "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+            ),
+            fact_where_cols=["l_shipdate"],
+        )
+        mv.refresh_star(spark, li, [orders])  # seed
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_linestatus", "l_shipdate",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            # status move WITHIN the view + date move ACROSS the fact σ
+            F.when(F.col("l_linestatus") == "O", F.lit("F"))
+            .otherwise(F.lit("O")).alias("l_linestatus"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 300 DAY")).alias(
+                "l_shipdate"
+            ),
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            F.lit("O").alias("l_linestatus"),
+            F.lit("1997-06-15 00:00:00").cast("timestamp").alias("l_shipdate"),
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_upd, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+        # priority flips CROSS the CASE boundary through the join
+        orders.merge(spark, ord_src.filter(F.col("o_orderkey") % 10 == 9).select(
+            F.lit("U").alias("flag"),
+            F.lit("orders").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "o_orderkey",
+            F.when(F.expr(_Q12_HIGH), F.lit("5-LOW"))
+            .otherwise(F.lit("1-URGENT")).alias("o_orderpriority"),
+        ))
+        mv.refresh_star(spark, li, [orders])  # ONE two-feed fold
+        _Q12VIEW_CACHE[sf_dir] = mv
+    mv = _Q12VIEW_CACHE[sf_dir]
+    return mv.read(spark).select(
+        "l_linestatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("high_lines").cast("long").alias("high_lines"),
+        F.col("low_lines").cast("long").alias("low_lines"),
+    )
+
+
+_Q12VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_linestatus, l_shipdate FROM (
+    SELECT l_orderkey, l_linenumber, l_linestatus, l_shipdate,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_shipdate DESC, l_linestatus DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN
+                CASE WHEN l_linestatus = 'O' THEN 'F' ELSE 'O' END
+              ELSE l_linestatus END AS l_linestatus,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate + INTERVAL 300 DAY
+              ELSE l_shipdate END AS l_shipdate
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, 'O', TIMESTAMP '1997-06-15 00:00:00'
+  FROM li WHERE l_orderkey % 25 = 3
+), curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN
+                CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN '5-LOW' ELSE '1-URGENT' END
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+)
+SELECT l.l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+FROM curl l JOIN curo o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 as a LIVE view — DERIVED GROUP KEY at year grain: ship_year
+# is a fact_derived_cols expression (year(l_shipdate)), so the
+# maintained state is a (year × cust_nation × supp_nation) cube —
+# ~25·25·7 groups instead of date-grain, the cardinality that matters
+# at 100 TB — and a shipdate update that crosses a year boundary folds
+# as a derived-group move.  The nation-pair σ and names resolve at
+# READ over the tiny static nation dim (the maintained cube keeps ALL
+# pairs, so the analyst can re-point the pair without a reseed).
+# Batch twin: entry_analytics.q_volume_shipping.
+# ---------------------------------------------------------------------------
+_Q7VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q7VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+            ).cast("long").alias("revenue_c"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("revenue_c"), F.desc("l_suppkey"), F.desc("l_shipdate")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        supp_src = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q7view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        cust = ManagedTable(wh / "customer").create(
+            cust_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        supp = ManagedTable(wh / "supplier").create(
+            supp_src, ["s_suppkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[
+                ("l_orderkey", []),              # orders (carries o_custkey)
+                ("o_custkey", ["c_nationkey"]),  # customer, chained
+                ("l_suppkey", ["s_nationkey"]),  # supplier
+            ],
+            fact_group_cols=["ship_year"],
+            sum_cols={"revenue_cents": "revenue_c"},
+            fact_derived_cols={
+                "ship_year": ("CAST(year(l_shipdate) AS BIGINT)", ["l_shipdate"])
+            },
+        )
+        mv.refresh_star(spark, li, [orders, cust, supp])  # seed
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+                "revenue_c",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        # +400 days crosses a YEAR boundary — a derived-group move
+        l_mv = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_suppkey",
+            (F.col("l_shipdate") + F.expr("INTERVAL 400 DAY")).alias(
+                "l_shipdate"
+            ),
+            (F.col("revenue_c") + 7).alias("revenue_c"),
+        )
+        l_re = li_src.filter(F.col("l_orderkey") % 10 == 5).select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_suppkey") % 97 + 1).alias("l_suppkey"),
+            "l_shipdate", "revenue_c",
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            (F.col("l_suppkey") % 89 + 1).alias("l_suppkey"),
+            "l_shipdate", "revenue_c",
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_mv, "U"))
+            .unionByName(lbatch(l_re, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+
+        def env(df: DataFrame, tbl: str, cols: list[str]) -> DataFrame:
+            return df.select(
+                F.lit("U").alias("flag"),
+                F.lit(tbl).alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                *cols,
+            )
+
+        orders.merge(spark, env(
+            ord_src.filter(F.col("o_orderkey") % 10 == 9).select(
+                "o_orderkey", (F.col("o_custkey") % 100 + 1).alias("o_custkey")
+            ),
+            "orders", ["o_orderkey", "o_custkey"],
+        ))
+        cust.merge(spark, env(
+            cust_src.filter(F.col("c_custkey") % 10 == 2).select(
+                "c_custkey",
+                ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+            ),
+            "customer", ["c_custkey", "c_nationkey"],
+        ))
+        supp.merge(spark, env(
+            supp_src.filter(F.col("s_suppkey") % 10 == 3).select(
+                "s_suppkey",
+                ((F.col("s_nationkey") + 3) % 25).alias("s_nationkey"),
+            ),
+            "supplier", ["s_suppkey", "s_nationkey"],
+        ))
+        mv.refresh_star(spark, li, [orders, cust, supp])  # ONE 4-feed fold
+        _Q7VIEW_CACHE[sf_dir] = mv
+    mv = _Q7VIEW_CACHE[sf_dir]
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    ).filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        mv.read(spark)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_lineitems"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_Q7VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate, revenue_c FROM (
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)
+             AS revenue_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS BIGINT) DESC,
+                      l_suppkey DESC, l_shipdate DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 5 THEN (l_suppkey % 97) + 1
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate + INTERVAL 400 DAY
+              ELSE l_shipdate END AS l_shipdate,
+         CASE WHEN l_orderkey % 10 = 4 THEN revenue_c + 7
+              ELSE revenue_c END AS revenue_c
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, (l_suppkey % 89) + 1, l_shipdate, revenue_c
+  FROM li WHERE l_orderkey % 25 = 3
+), curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN (o_custkey % 100) + 1
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+), curc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 2 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer
+), curs AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 10 = 3 THEN (s_nationkey + 3) % 25
+              ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+)
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(l.revenue_c) AS BIGINT) AS revenue_cents
+FROM curl l
+JOIN curo o ON l.l_orderkey = o.o_orderkey
+JOIN curc c ON o.o_custkey = c.c_custkey
+JOIN curs s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 as a LIVE view — both round-8 features at once: the revenue
+# measure is a fact_derived_cols expression (cents quantization of
+# l_extendedprice·(1−l_discount), so the managed table replicates the
+# source's RAW columns), and the promo split is a CASE over the DIM's
+# p_type.  A part flipping PROMO↔STANDARD moves its entire joined
+# revenue between the measures in one fold; the maintained state is
+# brand-grain (25 rows), the scalar (promo, total) pair is the read.
+# Batch twin: entry_analytics.q14_promo_revenue.
+# ---------------------------------------------------------------------------
+_Q14VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q14VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("l_extendedprice"), F.desc("l_discount"),
+            F.desc("l_partkey"), F.desc("l_shipdate"),
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        part_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_brand", "p_type"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q14view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        part = ManagedTable(wh / "part").create(
+            part_src, ["p_partkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[("l_partkey", ["p_brand"])],
+            fact_group_cols=[],
+            sum_cols={
+                "promo_cents": (
+                    "CASE WHEN p_type = 'PROMO' THEN disc_cents ELSE 0 END"
+                ),
+                "total_cents": "disc_cents",
+            },
+            measure_cols=["p_type"],
+            fact_derived_cols={
+                "disc_cents": (
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100.0) "
+                    "AS BIGINT)",
+                    ["l_extendedprice", "l_discount"],
+                )
+            },
+            fact_where=(
+                "l_shipdate >= TIMESTAMP '1997-03-01 00:00:00' AND "
+                "l_shipdate < TIMESTAMP '1997-06-01 00:00:00'"
+            ),
+            fact_where_cols=["l_shipdate"],
+        )
+        mv.refresh_star(spark, li, [part])  # seed
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
+                "l_extendedprice", "l_discount",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            # crosses the σ window; price change re-derives the measure
+            (F.col("l_shipdate") + F.expr("INTERVAL 100 DAY")).alias(
+                "l_shipdate"
+            ),
+            (F.col("l_extendedprice") + 1.5).alias("l_extendedprice"),
+            "l_discount",
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            "l_partkey",
+            F.lit("1997-04-10 00:00:00").cast("timestamp").alias("l_shipdate"),
+            "l_extendedprice", "l_discount",
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_upd, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+        # PROMO↔STANDARD flips move revenue between the CASE arms
+        part.merge(spark, part_src.filter(F.col("p_partkey") % 7 == 1).select(
+            F.lit("U").alias("flag"),
+            F.lit("part").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "p_partkey", "p_brand",
+            F.when(F.col("p_type") == "PROMO", F.lit("STANDARD"))
+            .otherwise(F.lit("PROMO")).alias("p_type"),
+        ))
+        mv.refresh_star(spark, li, [part])  # ONE two-feed fold
+        _Q14VIEW_CACHE[sf_dir] = mv
+    mv = _Q14VIEW_CACHE[sf_dir]
+    return mv.read(spark).agg(
+        F.sum("n_rows").cast("long").alias("n_lines"),
+        F.coalesce(F.sum("promo_cents"), F.lit(0)).cast("long").alias(
+            "promo_revenue_cents"
+        ),
+        F.coalesce(F.sum("total_cents"), F.lit(0)).cast("long").alias(
+            "total_revenue_cents"
+        ),
+    )
+
+
+_Q14VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate,
+         l_extendedprice, l_discount FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate,
+           l_extendedprice, l_discount,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_extendedprice DESC, l_discount DESC,
+                      l_partkey DESC, l_shipdate DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey, l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate + INTERVAL 100 DAY
+              ELSE l_shipdate END AS l_shipdate,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_extendedprice + 1.5
+              ELSE l_extendedprice END AS l_extendedprice,
+         l_discount
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, l_partkey, TIMESTAMP '1997-04-10 00:00:00',
+         l_extendedprice, l_discount
+  FROM li WHERE l_orderkey % 25 = 3
+), curp AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 1 THEN
+                CASE WHEN p_type = 'PROMO' THEN 'STANDARD' ELSE 'PROMO' END
+              ELSE p_type END AS p_type
+  FROM part
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+                   AS BIGINT) ELSE 0 END), 0) AS BIGINT)
+         AS promo_revenue_cents,
+       CAST(COALESCE(SUM(
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+              AS BIGINT)), 0) AS BIGINT) AS total_revenue_cents
+FROM curl l JOIN curp p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-06-01 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 COMPOSED — the per-supplier quarter-revenue rollup is a
+# single-table maintained WHERE-view (matview.py) at supplier grain;
+# the argmax (rank-1, spec tie semantics) and the name join run at READ
+# over supplier-count-sized state.  Churn deletes the leader's rows,
+# re-ranks by revenue updates, and moves rows across the σ window.
+# Batch twin: entry_analytics.q15_top_supplier.
+# ---------------------------------------------------------------------------
+_Q15VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.matview import MaintainedAggregate
+
+    if sf_dir not in _Q15VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+            ).cast("long").alias("revenue_c"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("revenue_c"), F.desc("l_suppkey"), F.desc("l_shipdate")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q15view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        mv = MaintainedAggregate(
+            wh / "mv",
+            group_cols=["l_suppkey"],
+            sum_cols={"total_revenue_cents": "revenue_c"},
+            where=(
+                "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+                "l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
+            ),
+            where_cols=["l_shipdate"],
+        )
+        mv.refresh(spark, li)  # seed
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+                "revenue_c",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_suppkey",
+            (F.col("l_shipdate") + F.expr("INTERVAL 120 DAY")).alias(
+                "l_shipdate"
+            ),
+            (F.col("revenue_c") + 1000).alias("revenue_c"),
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            (F.col("l_suppkey") % 89 + 1).alias("l_suppkey"),
+            F.lit("1997-02-14 00:00:00").cast("timestamp").alias("l_shipdate"),
+            "revenue_c",
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_upd, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+        mv.refresh(spark, li)  # fold the churn
+        _Q15VIEW_CACHE[sf_dir] = mv
+    mv = _Q15VIEW_CACHE[sf_dir]
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    wr = Window.orderBy(F.desc("total_revenue_cents"))
+    return (
+        mv.read(spark)
+        .withColumn("__rk", F.rank().over(wr))
+        .filter(F.col("__rk") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue_cents").cast("long").alias(
+                "total_revenue_cents"
+            ),
+        )
+    )
+
+
+_Q15VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate, revenue_c FROM (
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)
+             AS revenue_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS BIGINT) DESC,
+                      l_suppkey DESC, l_shipdate DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate + INTERVAL 120 DAY
+              ELSE l_shipdate END AS l_shipdate,
+         CASE WHEN l_orderkey % 10 = 4 THEN revenue_c + 1000
+              ELSE revenue_c END AS revenue_c
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT (l_suppkey % 89) + 1, TIMESTAMP '1997-02-14 00:00:00', revenue_c
+  FROM li WHERE l_orderkey % 25 = 3
+), rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(revenue_c) AS BIGINT) AS total_revenue_cents
+  FROM curl
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+QUALIFY rank() OVER (ORDER BY r.total_revenue_cents DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch as DERIVED STATE — the approximate-distinct tier
+# maintained from the feed: an insert-only commit folds the registers
+# by max in O(changes + registers); a delete-bearing commit triggers
+# the documented register recount (HLL cannot subtract), asserted here
+# so a green row proves BOTH paths ran.  Registers, harmonic sum, and
+# the raw estimate are bit-equal to a DuckDB recompute over the folded
+# state.  Exact sibling: pipeline_incremental_distinct.
+# ---------------------------------------------------------------------------
+_HLLVIEW_CACHE: dict[str, object] = {}
+_HLL_P = 10
+
+
+def pipeline_maintained_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import MaintainedHLLSketch, hll_numerator
+
+    if sf_dir not in _HLLVIEW_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_hllview_"))
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        sk = MaintainedHLLSketch(
+            wh / "sk", ["o_orderpriority"], "o_custkey", p=_HLL_P
+        )
+        sk.refresh(spark, orders)  # seed
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_orderpriority",
+            )
+
+        # commit 1: INSERT-ONLY → the max-fold path
+        orders.merge(spark, batch(
+            ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                (F.col("o_custkey") + 500_000).alias("o_custkey"),
+                "o_orderpriority",
+            ),
+            "I",
+        ))
+        sk.refresh(spark, orders)
+        if int(sk.meta()["recounts"]) != 0:
+            raise RuntimeError(
+                "insert-only commit took the recount path — the "
+                "monotone fold is broken"
+            )
+        # commit 2: DELETES → the recount path (registers must drop)
+        orders.merge(spark, batch(
+            ord_src.filter(F.col("o_orderkey") % 10 == 7), "D"
+        ))
+        sk.refresh(spark, orders)
+        if int(sk.meta()["recounts"]) != 1:
+            raise RuntimeError(
+                "delete-bearing commit did not trigger the register "
+                "recount — the sketch would silently overestimate"
+            )
+        _HLLVIEW_CACHE[sf_dir] = sk
+    sk = _HLLVIEW_CACHE[sf_dir]
+    return (
+        sk.estimate(spark)
+        .select(
+            "o_orderpriority",
+            F.col("used_buckets").cast("long").alias("used_buckets"),
+            F.col("hsum_scaled").cast("long").alias("hsum_scaled"),
+            "est_raw",
+        )
+    )
+
+
+def _hllview_oracle() -> str:
+    from .operators.sketch import hll_numerator, hll_register_sql
+
+    p = _HLL_P
+    m = 1 << p
+    wp1 = 61 - p
+    bucket, rho = hll_register_sql("o_custkey", p)
+    a = hll_numerator(p)
+    return f"""
+WITH cur AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey + 500000, o_orderpriority
+  FROM orders WHERE o_orderkey % 25 = 3
+), regs AS (
+  SELECT o_orderpriority, {bucket} AS bucket, MAX({rho}) AS rho
+  FROM cur WHERE o_custkey IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS used_buckets,
+       CAST(SUM(CAST(1 AS BIGINT) << ({wp1} - rho))
+            + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {wp1})
+            AS BIGINT) AS hsum_scaled,
+       {a!r} / CAST(SUM(CAST(1 AS BIGINT) << ({wp1} - rho))
+            + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {wp1})
+            AS BIGINT) AS est_raw
+FROM regs GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed LIVE rollup — the "streaming windowed aggregation"
+# shape maintained EXACTLY from the CDC feed: the month bucket is a
+# single-table derived_cols expression (date_trunc), so the maintained
+# state is month-grain (≤ ~80 rows here, ~1200 rows over a century)
+# while the base churns at row grain; an order-date edit crossing a
+# month boundary folds as a derived-group move, and the second-moment
+# measure (sum of squared dollars) rides as an expression sum —
+# mean/variance per month are the reader's two integer divides.
+# Batch twin: entry_analytics.q_monthly_order_stats.
+# ---------------------------------------------------------------------------
+_MONTHLY_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.matview import MaintainedAggregate
+
+    if sf_dir not in _MONTHLY_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+                "o_total_cents"
+            ),
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_monthly_"))
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        mv = MaintainedAggregate(
+            wh / "mv",
+            ["month"],
+            sum_cols={
+                "revenue_cents": "o_total_cents",
+                # dollars² keeps Σx² under 2^63 through sf100
+                "rev_dollars_sq": (
+                    "(o_total_cents DIV 100) * (o_total_cents DIV 100)"
+                ),
+            },
+            derived_cols={
+                "month": ("date_trunc('month', o_orderdate)", ["o_orderdate"])
+            },
+        )
+        mv.refresh(spark, orders)  # seed
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_orderdate", "o_total_cents",
+            )
+
+        o_del = ord_src.filter(F.col("o_orderkey") % 10 == 7)
+        # +40 days crosses a MONTH boundary — a derived-group move
+        o_mv = ord_src.filter(F.col("o_orderkey") % 10 == 4).select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 40 DAY")).alias(
+                "o_orderdate"
+            ),
+            (F.col("o_total_cents") + 250).alias("o_total_cents"),
+        )
+        o_ins = ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+            (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+            "o_orderdate",
+            (F.col("o_total_cents") + 9).alias("o_total_cents"),
+        )
+        orders.merge(
+            spark,
+            batch(o_del, "D")
+            .unionByName(batch(o_mv, "U"))
+            .unionByName(batch(o_ins, "I")),
+        )
+        mv.refresh(spark, orders)  # fold the churn
+        _MONTHLY_CACHE[sf_dir] = mv
+    mv = _MONTHLY_CACHE[sf_dir]
+    return mv.read(spark).select(
+        F.col("month").cast("timestamp").alias("month"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.col("rev_dollars_sq").cast("long").alias("rev_dollars_sq"),
+    )
+
+
+_MONTHLY_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS o_total_cents
+  FROM orders
+), cur AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 4 THEN o_orderdate + INTERVAL 40 DAY
+              ELSE o_orderdate END AS o_orderdate,
+         CASE WHEN o_orderkey % 10 = 4 THEN o_total_cents + 250
+              ELSE o_total_cents END AS o_total_cents
+  FROM base WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderdate, o_total_cents + 9
+  FROM base WHERE o_orderkey % 25 = 3
+)
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_total_cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM((o_total_cents // 100) * (o_total_cents // 100)) AS BIGINT)
+         AS rev_dollars_sq
+FROM cur GROUP BY 1
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
@@ -3391,7 +4290,13 @@ QUERIES = {
     "pipeline_maintained_q16": pipeline_maintained_q16,
     "pipeline_q16_top_suppliers": pipeline_q16_top_suppliers,
     "pipeline_maintained_q5": pipeline_maintained_q5,
+    "pipeline_maintained_q7": pipeline_maintained_q7,
     "pipeline_maintained_q10": pipeline_maintained_q10,
+    "pipeline_maintained_q12": pipeline_maintained_q12,
+    "pipeline_maintained_q14": pipeline_maintained_q14,
+    "pipeline_maintained_q15": pipeline_maintained_q15,
+    "pipeline_maintained_hll": pipeline_maintained_hll,
+    "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q18": pipeline_maintained_q18,
     "pipeline_maintained_bm25": pipeline_maintained_bm25,
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
@@ -3429,7 +4334,13 @@ ORACLES = {
     "pipeline_maintained_q16": _Q16VIEW_ORACLE,
     "pipeline_q16_top_suppliers": _Q16TOP_ORACLE,
     "pipeline_maintained_q5": _Q5VIEW_ORACLE,
+    "pipeline_maintained_q7": _Q7VIEW_ORACLE,
     "pipeline_maintained_q10": _Q10VIEW_ORACLE,
+    "pipeline_maintained_q12": _Q12VIEW_ORACLE,
+    "pipeline_maintained_q14": _Q14VIEW_ORACLE,
+    "pipeline_maintained_q15": _Q15VIEW_ORACLE,
+    "pipeline_maintained_hll": _hllview_oracle(),
+    "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q18": _Q18VIEW_ORACLE,
     "pipeline_maintained_bm25": _bm25view_oracle(),
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),

@@ -115,6 +115,27 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # TPC-H Q5 live: six-table snowflake at depth 3 with the cross-dim
     # c_nationkey = s_nationkey join_where and the region σ
     "pipeline_maintained_q5": [("n_name", "str"), ("n_rows", "int"), ("revenue_c", "int")],
+    # TPC-H Q7 live: DERIVED year-grain group key (fact_derived_cols)
+    # over a chained 4-feed star; nation-pair σ + names resolve at read
+    "pipeline_maintained_q7": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
+    # TPC-H Q12 live: conditional-count EXPRESSION measures over the
+    # dim attribute, maintained exactly through priority flips
+    "pipeline_maintained_q12": [("l_linestatus", "str"), ("n_rows", "int"), ("high_lines", "int"), ("low_lines", "int")],
+    # TPC-H Q14 live: derived cents measure + dim-attr CASE split;
+    # PROMO flips move revenue between the maintained measures
+    "pipeline_maintained_q14": [("n_lines", "int"), ("promo_revenue_cents", "int"), ("total_revenue_cents", "int")],
+    # TPC-H Q15 composed: maintained per-supplier σ-window revenue +
+    # rank-1 argmax and name join at read
+    "pipeline_maintained_q15": [("s_suppkey", "int"), ("s_name", "str"), ("total_revenue_cents", "int")],
+    # cross-engine-exact HyperLogLog (registers + scaled harmonic sum
+    # are BIGINTs; est_raw is one IEEE divide — bit-identical doubles)
+    "approx_distinct_hll": [("o_orderpriority", "str"), ("n_exact", "int"), ("used_buckets", "int"), ("hsum_scaled", "int"), ("est_raw", "dbl")],
+    # HLL as derived state: insert-only max-fold + delete-triggered
+    # register recount, both asserted in-row
+    "pipeline_maintained_hll": [("o_orderpriority", "str"), ("used_buckets", "int"), ("hsum_scaled", "int"), ("est_raw", "dbl")],
+    # time-bucketed live rollup: derived month grain + second-moment
+    # expression measure on the single-table maintained aggregate
+    "pipeline_maintained_monthly": [("month", "ts"), ("n_rows", "int"), ("revenue_cents", "int"), ("rev_dollars_sq", "int")],
     # TPC-H Q10 live: fact σ + dim σ, customer-cardinality dim group key
     "pipeline_maintained_q10": [("c_custkey", "int"), ("c_name", "str"), ("revenue_c", "int")],
     # TPC-H Q18 composed: maintained per-order qty rollup + HAVING/joins at read

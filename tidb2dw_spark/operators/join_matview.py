@@ -76,6 +76,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import threading
@@ -99,6 +100,11 @@ _SUB = ("delete", "update_preimage")
 # replaced by a broadcast semi-join — the SAME cap as matview's dirty
 # rescan so the literal-vs-broadcast trade can't drift between the two
 _FK_LITERAL_CAP = DIRTY_LITERAL_CAP
+
+# a measure source that is a bare identifier resolves as a column by
+# schema membership; anything else is a row-local SQL expression whose
+# dependencies must be declared (measure_cols / fact_derived_cols deps)
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 def _join_eq(
@@ -188,11 +194,11 @@ def init_star_agg(
     if join_where:
         joined = joined.filter(F.expr(join_where))
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
+        F.coalesce(F.sum(F.expr(src)), F.lit(0)).alias(out)
         for out, src in sum_cols.items()
     ]
-    aggs += [F.min(F.col(src)).alias(out) for out, src in (min_cols or {}).items()]
-    aggs += [F.max(F.col(src)).alias(out) for out, src in (max_cols or {}).items()]
+    aggs += [F.min(F.expr(src)).alias(out) for out, src in (min_cols or {}).items()]
+    aggs += [F.max(F.expr(src)).alias(out) for out, src in (max_cols or {}).items()]
     return joined.groupBy(*[F.col(g) for g in group_cols]).agg(*aggs)
 
 
@@ -250,10 +256,28 @@ class MaintainedStarAggregate:
     dim supplies (may be empty).  ``fact_group_cols`` name the
     fact-supplied group keys; together (in order: fact, then each dim)
     they form the output group key.  ``sum_cols`` maps output name →
-    FACT column.  Each dim joins on its (possibly composite) primary
-    key — arity must match its fk tuple (the partsupp-style dim the
-    reference replicates via multi-column PK discovery,
-    tidbsql/ddl.go)."""
+    a ROW-LOCAL SQL expression over the JOINED row (a bare column name
+    is the common case; ``CASE WHEN o_orderpriority IN (…) THEN 1 ELSE
+    0 END`` maintains a conditional count through the join — TPC-H
+    Q12's shape).  Row-locality is what keeps the delta algebra exact:
+    SUM/MIN/MAX of a per-row expression commute with the signed
+    multiset delta exactly as a raw column does.  Columns an
+    EXPRESSION consumes must be declared in ``measure_cols`` (plain
+    names, auto-resolved to the fact or the single dim that owns
+    them); bare-name measures resolve themselves the same way.
+
+    ``fact_derived_cols`` maps name → ``(row-local SQL expr over FACT
+    columns, [dependency columns])``; derived names behave as ordinary
+    fact columns downstream — usable as ``fact_group_cols`` members
+    (e.g. ``year(l_shipdate)`` keeps a maintained rollup at year grain
+    instead of date grain — the cardinality lever that matters at
+    100 TB) and as measure sources.  They are computed at every fact
+    materialization point (seed, change slices, pinned state reads),
+    so the persisted view never stores the dependency columns.
+
+    Each dim joins on its (possibly composite) primary key — arity
+    must match its fk tuple (the partsupp-style dim the reference
+    replicates via multi-column PK discovery, tidbsql/ddl.go)."""
 
     @staticmethod
     def _cols(x) -> list[str]:
@@ -272,6 +296,8 @@ class MaintainedStarAggregate:
         dim_wheres: Sequence[str | None] | None = None,
         dim_where_cols: Sequence[Sequence[str]] | None = None,
         join_where: str | None = None,
+        measure_cols: Sequence[str] | None = None,
+        fact_derived_cols: dict[str, tuple[str, Sequence[str]]] | None = None,
     ):
         self.root = Path(root)
         self.dims = [(self._cols(fk), list(gc)) for fk, gc in dims]
@@ -332,6 +358,24 @@ class MaintainedStarAggregate:
         if clash or len(set(self.mm_outs)) != len(self.mm_outs):
             raise ValueError(
                 f"min/max output names collide: {sorted(clash) or self.mm_outs}"
+            )
+        self.measure_cols = list(measure_cols or [])
+        bad = [c for c in self.measure_cols if not _IDENT.fullmatch(c)]
+        if bad:
+            raise ValueError(
+                f"measure_cols must be plain column names, got {bad!r} — "
+                "put expressions in sum_cols/min_cols/max_cols values"
+            )
+        self.fact_derived = {
+            n: (expr, list(deps))
+            for n, (expr, deps) in (fact_derived_cols or {}).items()
+        }
+        dclash = set(self.fact_derived) & (
+            set(self.mm_outs) | {"n_rows", *self.sum_cols}
+        )
+        if dclash:
+            raise ValueError(
+                f"fact_derived_cols names collide with outputs: {sorted(dclash)}"
             )
 
     def bind(
@@ -449,6 +493,62 @@ class MaintainedStarAggregate:
                         "the topology is explicit"
                     )
                 owners.append(cand[-1])
+        # measures: bare-name sources resolve by schema membership (fact
+        # first, else the single dim that owns them); expression sources
+        # contribute nothing here — their dependencies arrive via
+        # measure_cols (resolved the same way) or fact_derived deps.
+        # Derived names are synthesized post-projection, never read.
+        derived_names = set(self.fact_derived)
+        measure_srcs = [
+            s
+            for s in (
+                list(self.sum_cols.values())
+                + list(self.min_cols.values())
+                + list(self.max_cols.values())
+            )
+            if _IDENT.fullmatch(s)
+        ]
+        fact_measures: list[str] = []
+        dim_measures: list[list[str]] = [[] for _ in self.dims]
+        for s in dict.fromkeys(measure_srcs + self.measure_cols):
+            if s in derived_names:
+                continue
+            owner_dims = [j for j, sch in enumerate(dim_schemas) if s in sch]
+            if s in fact_schema:
+                if owner_dims:
+                    raise ValueError(
+                        f"measure column {s!r} is ambiguous: it exists on "
+                        f"the fact AND on dim(s) {owner_dims} — rename one "
+                        "side"
+                    )
+                fact_measures.append(s)
+            elif len(owner_dims) == 1:
+                dim_measures[owner_dims[0]].append(s)
+            elif owner_dims:
+                raise ValueError(
+                    f"measure column {s!r} is ambiguous across dims "
+                    f"{owner_dims} — rename so the owner is explicit"
+                )
+            else:
+                raise ValueError(
+                    f"measure column {s!r} exists on neither the fact nor "
+                    "any dim (expressions must declare their columns via "
+                    "measure_cols, or compute them via fact_derived_cols)"
+                )
+        for n, (expr, deps) in self.fact_derived.items():
+            missing = [c for c in deps if c not in fact_schema]
+            if missing:
+                raise ValueError(
+                    f"fact_derived_cols[{n!r}] depends on {missing!r} "
+                    "which are not fact columns (derived columns are "
+                    "fact-side by contract — dim-attribute expressions "
+                    "belong in the measure expressions themselves)"
+                )
+            if n in fact_schema:
+                raise ValueError(
+                    f"fact_derived_cols name {n!r} shadows a physical "
+                    "fact column — rename the derived column"
+                )
         fact_cols = list(
             dict.fromkeys(
                 [
@@ -457,20 +557,34 @@ class MaintainedStarAggregate:
                     if owners[i] == -1
                     for c in self.dims[i][0]
                 ]
-                + self.fact_group_cols
-                + list(self.sum_cols.values())
-                + list(self.min_cols.values())
-                + list(self.max_cols.values())
+                + [g for g in self.fact_group_cols if g not in derived_names]
+                + fact_measures
+                + [
+                    c
+                    for _, deps in self.fact_derived.values()
+                    for c in deps
+                ]
                 + self.fact_where_cols
                 + self._extra_cols()
             )
         )
+        bad_group = [
+            g
+            for g in self.fact_group_cols
+            if g not in derived_names and g not in fact_schema
+        ]
+        if bad_group:
+            raise ValueError(
+                f"fact_group_cols {bad_group!r} are neither fact columns "
+                "nor fact_derived_cols names"
+            )
         dim_cols = [
             list(
                 dict.fromkeys(
                     dim_pks[j]
                     + self.dims[j][1]
                     + self.dim_where_cols[j]
+                    + dim_measures[j]
                     + [
                         c
                         for i in range(len(self.dims))
@@ -499,6 +613,16 @@ class MaintainedStarAggregate:
             for n in names
         ]
 
+    def _with_derived(self, df: DataFrame) -> DataFrame:
+        """Synthesize the fact-derived columns onto a fact-side frame —
+        applied at EVERY fact materialization (seed, change slice,
+        pinned state reads) so downstream machinery sees them as
+        ordinary columns.  Definition order allows later derived
+        columns to reference earlier ones."""
+        for n, (expr, _) in self.fact_derived.items():
+            df = df.withColumn(n, F.expr(expr))
+        return df
+
     # -- signed delta projections ----------------------------------------
     @staticmethod
     def _signed(ch: DataFrame, cols: list) -> DataFrame:
@@ -519,16 +643,16 @@ class MaintainedStarAggregate:
         return joined.select(
             *[F.col(g) for g in self.group_cols],
             *[
-                (sign * F.coalesce(F.col(src), F.lit(0))).alias(out)
+                (sign * F.coalesce(F.expr(src), F.lit(0))).alias(out)
                 for out, src in self.sum_cols.items()
             ],
             sign.alias("n_rows"),
             *[
-                F.when(sign > 0, F.col(src)).alias(f"__add_{out}")
+                F.when(sign > 0, F.expr(src)).alias(f"__add_{out}")
                 for out, src in {**self.min_cols, **self.max_cols}.items()
             ],
             *[
-                F.when(sign < 0, F.col(src)).alias(f"__rem_{out}")
+                F.when(sign < 0, F.expr(src)).alias(f"__rem_{out}")
                 for out, src in {**self.min_cols, **self.max_cols}.items()
             ],
         )
@@ -577,9 +701,11 @@ class MaintainedStarAggregate:
             return nullsafe_group_eq(left, right, self.group_cols)
 
         if f_state is None:
-            f_state = fact._read_state(spark, mF).select(
-                *self._translated(
-                    meta["fact_cols"], meta.get("fact_field_ids", {}), mF
+            f_state = self._with_derived(
+                fact._read_state(spark, mF).select(
+                    *self._translated(
+                        meta["fact_cols"], meta.get("fact_field_ids", {}), mF
+                    )
                 )
             )
             if self.fact_where:
@@ -627,11 +753,11 @@ class MaintainedStarAggregate:
             joined.groupBy(*self.group_cols)
             .agg(
                 *[
-                    F.min(F.col(src)).alias(f"__rs_{o}")
+                    F.min(F.expr(src)).alias(f"__rs_{o}")
                     for o, src in self.min_cols.items()
                 ],
                 *[
-                    F.max(F.col(src)).alias(f"__rs_{o}")
+                    F.max(F.expr(src)).alias(f"__rs_{o}")
                     for o, src in self.max_cols.items()
                 ],
             )
@@ -693,7 +819,9 @@ class MaintainedStarAggregate:
             dim_pks, owners, fact_cols, dim_cols = self._resolve(
                 spark, fact, dim_tables, mF, mDs
             )
-            seen: set[str] = set()
+            # derived names join the disjointness domain: they become
+            # real columns on the fact frame before any dim joins
+            seen: set[str] = set(self.fact_derived)
             for cols in [fact_cols, *dim_cols]:
                 overlap = seen & set(cols)
                 if overlap:
@@ -703,7 +831,9 @@ class MaintainedStarAggregate:
                         "unqualified group/measure references stay unambiguous"
                     )
                 seen |= set(cols)
-            f_seed = fact._read_state(spark, mF).select(*fact_cols)
+            f_seed = self._with_derived(
+                fact._read_state(spark, mF).select(*fact_cols)
+            )
             if self.fact_where:
                 f_seed = f_seed.filter(F.expr(self.fact_where))
 
@@ -723,6 +853,10 @@ class MaintainedStarAggregate:
                 "fact_where": self.fact_where,
                 "dim_wheres": self.dim_wheres,
                 "join_where": self.join_where,
+                "derived": {
+                    n: [expr, deps]
+                    for n, (expr, deps) in self.fact_derived.items()
+                },
                 "mm_outs": self.mm_outs,
                 "dim_pks": dim_pks,
                 "owners": owners,
@@ -770,17 +904,36 @@ class MaintainedStarAggregate:
                 f"{self.mm_outs} — a mismatched refresh would silently "
                 "drop or corrupt the maintained extrema; rebuild instead"
             )
+        # bare-name min/max sources must be consumed somewhere (fact,
+        # derived, or a dim); expression sources fail loudly at plan
+        # time if a dependency is missing, so no static check here
+        consumed = (
+            set(fact_cols)
+            | set(self.fact_derived)
+            | {c for cols in dim_cols for c in cols}
+        )
         missing_srcs = sorted(
             {
                 s
                 for s in {**self.min_cols, **self.max_cols}.values()
-                if s not in fact_cols
+                if _IDENT.fullmatch(s) and s not in consumed
             }
         )
         if missing_srcs:
             raise ValueError(
                 f"view at {self.root} was seeded without min/max source "
                 f"columns {missing_srcs}; rebuild it to add them"
+            )
+        meta_derived = {
+            n: (v[0], list(v[1]))
+            for n, v in (meta.get("derived") or {}).items()
+        }
+        if meta_derived != self.fact_derived:
+            raise ValueError(
+                f"view at {self.root} was seeded with derived columns "
+                f"{meta_derived!r}; constructed with "
+                f"{self.fact_derived!r} — rebuild instead of mixing "
+                "definitions"
             )
         if meta.get("fact_where") != self.fact_where:
             raise ValueError(
@@ -804,15 +957,22 @@ class MaintainedStarAggregate:
             return (aF, *aDs)
 
         meta_keep = [CHANGE_TYPE_COL, COMMIT_SEQ_COL]
-        f_slice = fact.changes(spark, since=aF, until=sF).select(
-            *self._translated(fact_cols, meta.get("fact_field_ids", {}), mF),
-            *meta_keep,
+        f_slice = self._with_derived(
+            fact.changes(spark, since=aF, until=sF).select(
+                *self._translated(
+                    fact_cols, meta.get("fact_field_ids", {}), mF
+                ),
+                *meta_keep,
+            )
         )
         if self.fact_where:
             # σ commutes with Δ for a row-local fact predicate: a change
             # row (pre- or post-image) contributes iff it satisfies it
             f_slice = f_slice.filter(F.expr(self.fact_where))
-        dF = self._signed(f_slice, [F.col(c) for c in fact_cols])
+        dF = self._signed(
+            f_slice,
+            [F.col(c) for c in fact_cols + list(self.fact_derived)],
+        )
         d_ids = meta.get("dim_field_ids") or [{}] * len(self.dims)
 
         def _d_slice(i: int) -> DataFrame:
@@ -1023,9 +1183,11 @@ class MaintainedStarAggregate:
             if not key_rows:
                 continue
             if f_state is None:
-                f_state = fact._read_state(spark, mF).select(
-                    *self._translated(
-                        fact_cols, meta.get("fact_field_ids", {}), mF
+                f_state = self._with_derived(
+                    fact._read_state(spark, mF).select(
+                        *self._translated(
+                            fact_cols, meta.get("fact_field_ids", {}), mF
+                        )
                     )
                 )
                 if self.fact_where:
@@ -1322,7 +1484,7 @@ class MaintainedDistinctStarAggregate(MaintainedStarAggregate):
         return joined.select(
             *[F.col(g) for g in self.group_cols],
             *[
-                (sign * F.coalesce(F.col(src), F.lit(0))).alias(out)
+                (sign * F.coalesce(F.expr(src), F.lit(0))).alias(out)
                 for out, src in self.sum_cols.items()
             ],
             sign.alias("n_rows"),
@@ -1352,7 +1514,7 @@ class MaintainedDistinctStarAggregate(MaintainedStarAggregate):
         rollup = joined.groupBy(*[F.col(g) for g in self.group_cols]).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[
-                F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
+                F.coalesce(F.sum(F.expr(src)), F.lit(0)).alias(out)
                 for out, src in self.sum_cols.items()
             ],
             *[

@@ -62,13 +62,13 @@ def init_agg(
     value in the group is NULL) — they are exact order selections, so any
     orderable type works without quantization."""
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(out)
+        F.coalesce(F.sum(F.expr(src)), F.lit(0)).alias(out)
         for out, src in sum_cols.items()
     ]
     for out, src in (min_cols or {}).items():
-        aggs.append(F.min(F.col(src)).alias(out))
+        aggs.append(F.min(F.expr(src)).alias(out))
     for out, src in (max_cols or {}).items():
-        aggs.append(F.max(F.col(src)).alias(out))
+        aggs.append(F.max(F.expr(src)).alias(out))
     return df.groupBy(*group_cols).agg(*aggs)
 
 
@@ -204,13 +204,13 @@ def apply_changes_to_agg(
         *group_cols,
         sign.alias("n_rows"),
         *[
-            (sign * F.coalesce(F.col(src), F.lit(0))).alias(out)
+            (sign * F.coalesce(F.expr(src), F.lit(0))).alias(out)
             for out, src in sum_cols.items()
         ],
         # add-side extrema ride the same union rows: NULL on remove rows,
         # so min/max aggregation ignores them
         *[
-            F.when(is_add, F.col(src)).alias(f"__add_{out}")
+            F.when(is_add, F.expr(src)).alias(f"__add_{out}")
             for out, src in {**min_cols, **max_cols}.items()
         ],
     )
@@ -262,7 +262,7 @@ def apply_changes_to_agg(
         .groupBy(*group_cols)
         .agg(
             *[
-                (F.min if out in min_cols else F.max)(F.col(src)).alias(
+                (F.min if out in min_cols else F.max)(F.expr(src)).alias(
                     f"__rem_{out}"
                 )
                 for out, src in {**min_cols, **max_cols}.items()
@@ -327,8 +327,8 @@ def apply_changes_to_agg(
     rescan = (
         scan.groupBy(*group_cols)
         .agg(
-            *[F.min(F.col(src)).alias(f"__rs_{out}") for out, src in min_cols.items()],
-            *[F.max(F.col(src)).alias(f"__rs_{out}") for out, src in max_cols.items()],
+            *[F.min(F.expr(src)).alias(f"__rs_{out}") for out, src in min_cols.items()],
+            *[F.max(F.expr(src)).alias(f"__rs_{out}") for out, src in max_cols.items()],
         )
         .withColumn("__dirty", F.lit(True))
     )
@@ -381,6 +381,8 @@ class MaintainedAggregate:
         max_cols: dict[str, str] | None = None,
         where: str | None = None,
         where_cols: Sequence[str] | None = None,
+        measure_cols: Sequence[str] | None = None,
+        derived_cols: dict[str, tuple[str, Sequence[str]]] | None = None,
     ):
         from pathlib import Path
 
@@ -389,6 +391,22 @@ class MaintainedAggregate:
         self.sum_cols = dict(sum_cols)
         self.min_cols = dict(min_cols or {})
         self.max_cols = dict(max_cols or {})
+        # measure sources may be row-local SQL EXPRESSIONS over the base
+        # row (sum of squares, conditional counts, …) — same contract as
+        # the join view's round-8 algebra: a row-local expression
+        # commutes with ± folding exactly as a raw column does.  Bare
+        # names keep resolving as columns; expression dependencies not
+        # already consumed ride *measure_cols*.  *derived_cols* maps
+        # name → (expr, [deps]): synthesized at every base
+        # materialization (seed, feed slices, dirty-group rescans), so a
+        # derived name is usable as a GROUP key (date_trunc month grain —
+        # the windowed-rollup shape) or measure source, and the rollup
+        # never stores the dependency columns.
+        self.measure_cols = list(measure_cols or [])
+        self.derived = {
+            n: (expr, list(deps))
+            for n, (expr, deps) in (derived_cols or {}).items()
+        }
         # *where* is a row-local SQL predicate over base columns: the view
         # is the aggregate of σ_where(base).  Row-locality makes σ commute
         # with Δ — a change row (pre- or post-image) contributes iff it
@@ -418,7 +436,7 @@ class MaintainedAggregate:
     def _commit(
         self, agg: DataFrame, version: int, applied_seq: int,
         field_ids: dict | None = None, where: str | None = None,
-        mm_outs: list[str] | None = None,
+        mm_outs: list[str] | None = None, derived: dict | None = None,
     ) -> None:
         import json
         import os
@@ -433,6 +451,8 @@ class MaintainedAggregate:
             meta["where"] = where
         if mm_outs is not None:
             meta["mm_outs"] = mm_outs
+        if derived is not None:
+            meta["derived"] = derived
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
@@ -452,16 +472,40 @@ class MaintainedAggregate:
         os.replace(tmp, self._meta_path())
 
     def _source_cols(self) -> list[str]:
-        """Base-table columns this aggregate consumes, deduped in order."""
-        return list(
-            dict.fromkeys(
-                self.group_cols
-                + list(self.sum_cols.values())
+        """PHYSICAL base-table columns this aggregate consumes, deduped
+        in order: derived names are excluded (synthesized after the
+        projection), expression measure sources contribute their
+        declared *measure_cols* instead of themselves."""
+        import re as _re
+
+        ident = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+        meas = [
+            s
+            for s in (
+                list(self.sum_cols.values())
                 + list(self.min_cols.values())
                 + list(self.max_cols.values())
+            )
+            if ident.match(s)
+        ]
+        return [
+            c
+            for c in dict.fromkeys(
+                self.group_cols
+                + meas
+                + self.measure_cols
+                + [d for _, deps in self.derived.values() for d in deps]
                 + self.where_cols
             )
-        )
+            if c not in self.derived
+        ]
+
+    def _with_derived(self, df: DataFrame) -> DataFrame:
+        """Synthesize the derived columns (definition order — later ones
+        may reference earlier ones)."""
+        for n, (expr, _) in self.derived.items():
+            df = df.withColumn(n, F.expr(expr))
+        return df
 
     def _translated_cols(self, m: dict, src_m: dict) -> list:
         """Consumed columns as expressions translating the source's
@@ -478,14 +522,17 @@ class MaintainedAggregate:
         return cols
 
     def _feed_projection(self, ch: DataFrame, m: dict, src_m: dict) -> DataFrame:
-        """Change slice under seed names (+ the change-type column)."""
-        return ch.select(F.col(CHANGE_TYPE_COL), *self._translated_cols(m, src_m))
+        """Change slice under seed names (+ the change-type column),
+        derived columns synthesized."""
+        return self._with_derived(
+            ch.select(F.col(CHANGE_TYPE_COL), *self._translated_cols(m, src_m))
+        )
 
     def _feed_base_projection(self, df: DataFrame, m: dict, src_m: dict) -> DataFrame:
         """Base-table twin of :meth:`_feed_projection` (no change-type
         column): the dirty-group min/max rescan reads the base under the
-        aggregate's seed names."""
-        return df.select(*self._translated_cols(m, src_m))
+        aggregate's seed names (derived columns synthesized)."""
+        return self._with_derived(df.select(*self._translated_cols(m, src_m)))
 
     def refresh(self, spark, source: ManagedTable) -> int:
         """Fold any new change commits into the aggregate; returns the
@@ -502,6 +549,13 @@ class MaintainedAggregate:
         src_seq = src_m.get("cdf_seq", 0)
         if not self.exists():
             src = source._read_state(spark, src_m)
+            shadow = [n for n in self.derived if n in src.columns]
+            if shadow:
+                raise ValueError(
+                    f"derived_cols {shadow!r} shadow physical base "
+                    "columns — rename the derived columns"
+                )
+            src = self._with_derived(src)
             if self.where:
                 src = src.filter(F.expr(self.where))
             seed = init_agg(
@@ -521,9 +575,22 @@ class MaintainedAggregate:
                 },
                 where=self.where,
                 mm_outs=list(self.min_cols) + list(self.max_cols),
+                derived={
+                    n: [e, d] for n, (e, d) in self.derived.items()
+                },
             )
             return src_seq
         m = self.meta()
+        meta_derived = {
+            n: (v[0], list(v[1]))
+            for n, v in (m.get("derived") or {}).items()
+        }
+        if meta_derived != self.derived:
+            raise ValueError(
+                f"aggregate at {self.root} was seeded with derived columns "
+                f"{meta_derived!r}; constructed with {self.derived!r} — "
+                "rebuild instead of mixing definitions"
+            )
         if m.get("where") != self.where:
             raise ValueError(
                 f"aggregate at {self.root} was seeded with where="
@@ -605,7 +672,7 @@ class MaintainedAggregate:
         self._commit(
             updated, new_version, src_seq,
             field_ids=m.get("field_ids"), where=m.get("where"),
-            mm_outs=m.get("mm_outs"),
+            mm_outs=m.get("mm_outs"), derived=m.get("derived"),
         )
         for p in self.root.glob("v=*"):  # committed: old versions removable
             if int(p.name.split("=", 1)[1]) < new_version:

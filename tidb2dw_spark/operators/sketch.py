@@ -1,0 +1,332 @@
+"""Maintained HyperLogLog sketches — the APPROXIMATE tier of the
+COUNT(DISTINCT) family, kept fresh from a change data feed.
+
+:mod:`.distinct_matview` maintains EXACT distinct counts with a
+bucket-partitioned support multiset — O(distinct values) state.  At
+100 TB a per-group support store over a high-cardinality column (user
+ids, document fingerprints) is itself big data; the classic answer is
+a fixed-size register sketch per group (Flajolet et al., HyperLogLog,
+AofA'07 — the estimator every warehouse's APPROX_COUNT_DISTINCT
+implements).  This module maintains per-group HLL registers from the
+feed:
+
+- ``m = 2^p`` registers per group (default p=12 → 4096, ~1.6% rel.
+  error), stored as (group…, bucket, rho) rows — only NON-ZERO
+  registers are materialized, so tiny groups cost rows, not 4096.
+- The hash is the repo's engine-portable md5 idiom (md5 hex → 60-bit
+  int — the same construction functions/dedup.py:55 and
+  entry_suites pin across Spark and DuckDB), so the sketch itself is
+  CROSS-ENGINE EXACT: a DuckDB oracle rebuilds identical registers.
+- ``rho`` (first-one position in the remaining W = 60−p tail bits) is
+  computed with integer-exact ``(W+1) - bit_length(r)`` via
+  ``length(bin(r))`` — no floating log anywhere.
+- The ESTIMATE divides two exactly-computed numbers once:
+  ``E = alpha_m·m²·2^(W+1) / Σ_j 2^(W+1−M_j)`` where the harmonic sum
+  is an exact BIGINT (every term is an integral power of two ≤ 2^W and
+  the total is ≤ m·2^(W+1) = 2^61) and the numerator is a single
+  Python-computed double literal — one IEEE divide, bit-identical in
+  any engine.
+
+Maintenance semantics (the honest part): HLL registers are MONOTONE —
+``max`` folds inserts exactly, but a delete cannot lower a register.
+A refresh whose slice is insert-only folds in O(changes + registers).
+A slice carrying deletes (or update preimages) triggers a REGISTER
+RECOUNT from the current base state (one σ-filtered scan) so the
+maintained sketch equals the sketch of the LIVE rows — never a silent
+overestimate.  The recount count is surfaced in the meta; a workload
+that deletes often should use the exact distinct view instead (its
+support store subtracts natively).
+
+Reference parity: the reference replicates rows and defers
+APPROX_COUNT_DISTINCT to the warehouse (Snowflake HLL / BigQuery
+HLL_COUNT recompute per query); this keeps the registers fresh
+incrementally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..table.managed import CHANGE_TYPE_COL, ManagedTable
+
+_SUB = ("delete", "update_preimage")
+_ADD = ("insert", "update_postimage")
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_numerator(p: int) -> float:
+    """``alpha_m · m² · 2^(W+1)`` (W = 60 − p tail bits) as ONE double —
+    embed ``repr()`` of this value in both engines' expressions so the
+    estimate is a single identical IEEE divide."""
+    m = 1 << p
+    return _alpha(m) * m * m * float(1 << (61 - p))
+
+
+def hll_register_cols(value_col: str, p: int) -> tuple[F.Column, F.Column]:
+    """(bucket, rho) Spark columns for one value — the md5-hex→int
+    idiom splits into a p-bit bucket and a (60−p)-bit tail whose
+    first-one position is ``(61−p) − bit_length`` (integer-exact via
+    bin())."""
+    m = 1 << p
+    wp1 = 61 - p  # tail width (60 − p bits) + 1 = rho's max value
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(m)).cast("int")
+    r = (h / F.lit(m)).cast("long")  # h ≥ 0: truncation == floor
+    rho = (
+        F.when(r > 0, F.lit(wp1) - F.length(F.bin(r)))
+        .otherwise(F.lit(wp1))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def hll_register_sql(value_col: str, p: int) -> tuple[str, str]:
+    """DuckDB twin of :func:`hll_register_cols` (same algebra, same
+    idiom) — for oracle construction."""
+    m = 1 << p
+    wp1 = 61 - p
+    h = f"('0x'||substr(md5(CAST({value_col} AS VARCHAR)),1,15))::BIGINT"
+    bucket = f"CAST({h} % {m} AS INT)"
+    r = f"({h} // {m})"
+    rho = (
+        f"CAST(CASE WHEN {r} > 0 THEN {wp1} - length(bin({r})) "
+        f"ELSE {wp1} END AS INT)"
+    )
+    return bucket, rho
+
+
+class MaintainedHLLSketch:
+    """Per-group HLL registers maintained from a ManagedTable's feed
+    under the single-table derived protocol (``exists()`` /
+    ``refresh(spark, table)``) that :class:`~...replicate.
+    TableReplicator` and ``stream_derived_refresh`` drive."""
+
+    def __init__(
+        self,
+        root,
+        group_cols: Sequence[str],
+        value_col: str,
+        p: int = 12,
+        where: str | None = None,
+        where_cols: Sequence[str] | None = None,
+    ):
+        if not (4 <= p <= 16):
+            raise ValueError(f"p={p} out of range [4, 16]")
+        self.root = Path(root)
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.p = int(p)
+        self.m = 1 << self.p
+        self.where = where
+        self.where_cols = list(where_cols or [])
+        if self.where_cols and not where:
+            raise ValueError("where_cols given without a where predicate")
+
+    # -- meta (same crash contract as MaintainedAggregate) ----------------
+    def _meta_path(self) -> Path:
+        return self.root / "_meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def meta(self) -> dict:
+        return json.loads(self._meta_path().read_text())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The register table: (group…, bucket, rho)."""
+        return spark.read.parquet(str(self.root / f"v={self.meta()['version']}"))
+
+    def _commit(self, regs: DataFrame, meta: dict) -> None:
+        regs.write.mode("overwrite").parquet(
+            str(self.root / f"v={meta['version']}")
+        )
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+        for pth in self.root.glob("v=*"):
+            if int(pth.name.split("=", 1)[1]) < meta["version"]:
+                shutil.rmtree(pth, ignore_errors=True)
+
+    def _source_cols(self) -> list[str]:
+        return list(
+            dict.fromkeys(
+                self.group_cols + [self.value_col] + self.where_cols
+            )
+        )
+
+    def _registers(self, rows: DataFrame) -> DataFrame:
+        bucket, rho = hll_register_cols(self.value_col, self.p)
+        return (
+            rows.filter(F.col(self.value_col).isNotNull())
+            .select(
+                *self.group_cols,
+                bucket.alias("bucket"),
+                rho.alias("rho"),
+            )
+            .groupBy(*self.group_cols, "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+
+    def _sigma(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.expr(self.where)) if self.where else df
+
+    def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
+        """Fold new commits into the registers; returns the applied
+        seq.  Insert-only slices fold by max (O(changes + registers));
+        a slice carrying deletes triggers a register recount from the
+        current state (HLL cannot subtract — see module docstring)."""
+        src_m = source.manifest()
+        src_seq = src_m.get("cdf_seq", 0)
+        if not src_m.get("cdf"):
+            raise ValueError(
+                f"table {source.root} has no change data feed (create(cdf=True))"
+            )
+        if not self.exists():
+            regs = self._registers(
+                self._sigma(
+                    source._read_state(spark, src_m).select(
+                        *self._source_cols()
+                    )
+                )
+            )
+            self._commit(
+                regs,
+                {
+                    "version": 1,
+                    "applied_seq": src_seq,
+                    "p": self.p,
+                    "where": self.where,
+                    "group_cols": self.group_cols,
+                    "value_col": self.value_col,
+                    "recounts": 0,
+                },
+            )
+            return src_seq
+        meta = self.meta()
+        if int(meta.get("p", -1)) != self.p:
+            raise ValueError(
+                f"sketch at {self.root} was seeded with p={meta.get('p')}; "
+                f"constructed with {self.p} — the register layout would "
+                "split; rebuild instead"
+            )
+        if meta.get("where") != self.where:
+            raise ValueError(
+                f"sketch at {self.root} was seeded with where="
+                f"{meta.get('where')!r}; constructed with {self.where!r} — "
+                "rebuild instead of mixing filtered states"
+            )
+        if (
+            meta.get("group_cols") != self.group_cols
+            or meta.get("value_col") != self.value_col
+        ):
+            raise ValueError(
+                f"sketch at {self.root} was seeded over "
+                f"({meta.get('group_cols')}, {meta.get('value_col')}); "
+                f"constructed over ({self.group_cols}, {self.value_col}) — "
+                "rebuild instead"
+            )
+        applied = meta["applied_seq"]
+        if src_seq <= applied:
+            return applied
+        sl = self._sigma(
+            source.changes(spark, since=applied, until=src_seq).select(
+                *self._source_cols(), CHANGE_TYPE_COL
+            )
+        )
+        # monotonicity gate: one changes-sized job decides the fold path
+        has_sub = bool(
+            sl.filter(F.col(CHANGE_TYPE_COL).isin(*_SUB)).limit(1).take(1)
+        )
+        meta = dict(meta)
+        meta["version"] += 1
+        meta["applied_seq"] = src_seq
+        if has_sub:
+            meta["recounts"] = int(meta.get("recounts", 0)) + 1
+            regs = self._registers(
+                self._sigma(
+                    source._read_state(spark, src_m).select(
+                        *self._source_cols()
+                    )
+                )
+            )
+        else:
+            adds = self._registers(
+                sl.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD)).drop(
+                    CHANGE_TYPE_COL
+                )
+            )
+            regs = (
+                self.read(spark)
+                .unionByName(adds)
+                .groupBy(*self.group_cols, "bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+        self._commit(regs, meta)
+        return src_seq
+
+    def estimate(self, spark: SparkSession) -> DataFrame:
+        """(group…, used_buckets, hsum_scaled, est_raw, est) per group.
+
+        ``hsum_scaled = Σ 2^(W+1−rho) + (m − used)·2^(W+1)`` is an exact
+        BIGINT and ``est_raw`` the single IEEE divide of the module
+        docstring — both CROSS-ENGINE EXACT (oracle-checkable).
+        ``est`` applies the standard small-range correction (linear
+        counting ``m·ln(m/V)`` when est_raw ≤ 2.5m and empty buckets
+        exist, Flajolet §4) — the estimator a caller should read; its
+        ``ln`` is engine-local, so exactness contracts pin est_raw and
+        the registers instead."""
+        a = hll_numerator(self.p)
+        m = self.m
+        regs = self.read(spark)
+        base = (
+            regs.groupBy(*self.group_cols)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("used_buckets"),
+                F.sum(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {61 - self.p} - rho)")
+                )
+                .cast("long")
+                .alias("__present"),
+            )
+            .select(
+                *self.group_cols,
+                "used_buckets",
+                (
+                    F.col("__present")
+                    + (F.lit(m) - F.col("used_buckets"))
+                    * F.lit(1 << (61 - self.p)).cast("long")
+                )
+                .cast("long")
+                .alias("hsum_scaled"),
+            )
+            .withColumn("est_raw", F.lit(a) / F.col("hsum_scaled"))
+        )
+        v = F.lit(m) - F.col("used_buckets")
+        return base.withColumn(
+            "est",
+            F.when(
+                (F.col("est_raw") <= F.lit(2.5 * m)) & (v > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+            ).otherwise(F.col("est_raw")),
+        )
