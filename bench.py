@@ -130,11 +130,15 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_q18",
     # round 8: expression measures / derived grain keys / HLL tier
     "pipeline_maintained_q7",
+    "pipeline_maintained_q7_roles",
     "pipeline_maintained_q12",
     "pipeline_maintained_q14",
     "pipeline_maintained_q15",
     "pipeline_maintained_hll",
     "pipeline_maintained_monthly",
+    "pipeline_maintained_q4",
+    "pipeline_maintained_q6",
+    "pipeline_maintained_q19",
     "pipeline_maintained_bm25",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",

@@ -1754,3 +1754,290 @@ def test_derived_definition_drift_rejected(spark, tmp_path):
     fact.merge(spark, _fb(spark, [("U", 1, 5, 10, "HI", 950)]))
     with pytest.raises(ValueError, match="derived columns"):
         mk("CAST(cents / 100 AS INT)").refresh_star(spark, fact, [dim])
+
+
+# ---------------------------------------------------------------------------
+# Role-playing dims: the SAME dim table joined under two roles with
+# per-role renames (nation as supp_nation / cust_nation — the classic
+# date-dim pattern).  One churn on the shared feed fires BOTH roles'
+# delta terms; the telescoped identity holds slot-wise regardless of
+# two slots sharing one relation.
+# ---------------------------------------------------------------------------
+RP_FACT_SCHEMA = "k long, fk1 long, fk2 long, cents long"
+RP_FACT_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "k long, fk1 long, fk2 long, cents long"
+)
+RP_DIM_SCHEMA = "d long, nm string"
+RP_DIM_ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "d long, nm string"
+)
+
+RP_FACT = [
+    (1, 10, 20, 11), (2, 10, 10, 22), (3, 20, 30, 33),
+    (4, 30, 10, 44), (5, 20, 20, 55), (6, 99, 10, 66),  # 99 dangles
+]
+RP_DIM = [(10, "A"), (20, "B"), (30, "C")]
+
+
+def _mk_roleplay(spark, tmp_path):
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact = ManagedTable(tmp_path / "rpf").create(
+        spark.createDataFrame(RP_FACT, RP_FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    dim = ManagedTable(tmp_path / "rpd").create(
+        spark.createDataFrame(RP_DIM, RP_DIM_SCHEMA),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+    mv = MaintainedStarAggregate(
+        tmp_path / "rpmv",
+        dims=[("fk1", ["supp_nm"]), ("fk2", ["cust_nm"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        dim_renames=[
+            {"d": "d1", "nm": "supp_nm"},
+            {"d": "d2", "nm": "cust_nm"},
+        ],
+    )
+    return fact, dim, mv
+
+
+def _rp_recompute(spark, fact, dim):
+    d1 = dim.read(spark).select(
+        F.col("d").alias("d1"), F.col("nm").alias("supp_nm")
+    )
+    d2 = dim.read(spark).select(
+        F.col("d").alias("d2"), F.col("nm").alias("cust_nm")
+    )
+    j = (
+        fact.read(spark)
+        .join(d1, F.col("fk1") == F.col("d1"), "inner")
+        .join(d2, F.col("fk2") == F.col("d2"), "inner")
+        .groupBy("supp_nm", "cust_nm")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    return {
+        (r["supp_nm"], r["cust_nm"]): (r["n_rows"], r["total_cents"])
+        for r in j.collect()
+    }
+
+
+def _rp_state(mv, spark):
+    return {
+        (r["supp_nm"], r["cust_nm"]): (r["n_rows"], r["total_cents"])
+        for r in mv.read(spark).collect()
+    }
+
+
+def test_roleplay_seed_and_shared_feed_churn(spark, tmp_path):
+    """One dim churn must rewrite joined rows through BOTH roles: a
+    rename of nm on d=10 moves groups on the supp side for fk1=10 rows
+    AND on the cust side for fk2=10 rows; a delete dangles both."""
+    fact, dim, mv = _mk_roleplay(spark, tmp_path)
+    mv.refresh_star(spark, fact, [dim, dim])
+    assert _rp_state(mv, spark) == _rp_recompute(spark, fact, dim)
+
+    dim.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 5, 10, "A2"), ("D", "t", "s", 5, 30, None)],
+        RP_DIM_ENV,
+    ))
+    fact.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 6, 1, 20, 10, 111),   # both fks move
+         ("I", "t", "s", 6, 9, 10, 20, 99),
+         ("D", "t", "s", 6, 5, None, None, None)],
+        RP_FACT_ENV,
+    ))
+    mv.refresh_star(spark, fact, [dim, dim])
+    assert _rp_state(mv, spark) == _rp_recompute(spark, fact, dim)
+
+
+def test_roleplay_cadence_invariance(spark, tmp_path):
+    fa, da, mva = _mk_roleplay(spark, tmp_path / "a")
+    fb, db, mvb = _mk_roleplay(spark, tmp_path / "b")
+    mva.refresh_star(spark, fa, [da, da])
+    mvb.refresh_star(spark, fb, [db, db])
+    steps = [
+        ("D", [("U", "t", "s", 5, 20, "B2")]),
+        ("F", [("U", "t", "s", 6, 2, 30, 30, 23)]),
+        ("D", [("I", "t", "s", 7, 99, "Z"), ("D", "t", "s", 7, 10, None)]),
+        ("F", [("I", "t", "s", 8, 10, 99, 99, 10)]),
+    ]
+    for side, ev in steps:
+        for f_, d_, mv_ in ((fa, da, mva), (fb, db, mvb)):
+            if side == "F":
+                f_.merge(spark, spark.createDataFrame(ev, RP_FACT_ENV))
+            else:
+                d_.merge(spark, spark.createDataFrame(ev, RP_DIM_ENV))
+        mva.refresh_star(spark, fa, [da, da])  # per-step cadence
+    mvb.refresh_star(spark, fb, [db, db])      # one spanning slice
+    want = _rp_recompute(spark, fa, da)
+    assert _rp_state(mva, spark) == want
+    assert _rp_state(mvb, spark) == want
+
+
+def test_roleplay_rename_layout_drift_rejected(spark, tmp_path):
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact, dim, mv = _mk_roleplay(spark, tmp_path)
+    mv.refresh_star(spark, fact, [dim, dim])
+    dim.merge(spark, spark.createDataFrame(
+        [("U", "t", "s", 5, 10, "A2")], RP_DIM_ENV,
+    ))
+    other = MaintainedStarAggregate(
+        tmp_path / "rpmv",
+        dims=[("fk1", ["supp_nm"]), ("fk2", ["cust_nm"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        dim_renames=[
+            {"d": "d1", "nm": "supp_nm"},
+            {"d": "dX", "nm": "cust_nm"},  # drifted role layout
+        ],
+    )
+    with pytest.raises(ValueError, match="dim_renames"):
+        other.refresh_star(spark, fact, [dim, dim])
+
+
+def test_roleplay_unknown_physical_column_rejected(spark, tmp_path):
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact, dim, _ = _mk_roleplay(spark, tmp_path)
+    mv = MaintainedStarAggregate(
+        tmp_path / "bad",
+        dims=[("fk1", ["supp_nm"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        dim_renames=[{"no_such": "x", "nm": "supp_nm", "d": "d1"}],
+    )
+    with pytest.raises(ValueError, match="not.*columns of"):
+        mv.refresh_star(spark, fact, [dim])
+
+
+# --- property: role-playing + expression measures under random feeds ---
+
+_rp_f_ev = st.tuples(
+    st.just("F"), st.sampled_from(["I", "U", "D"]), st.integers(0, 7),
+    st.sampled_from([10, 20, 30, None]),
+    st.sampled_from([10, 20, 30, None]), st.integers(0, 50),
+)
+_rp_d_ev = st.tuples(
+    st.just("D"), st.sampled_from(["I", "U", "D"]),
+    st.sampled_from([10, 20, 30]), st.sampled_from(["A", "B", "C"]),
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.one_of(_rp_f_ev, _rp_d_ev), min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_roleplay_expr_matches_recompute_on_random_feeds(spark, batches):
+    """Property: with the SAME dim in two renamed roles and a
+    conditional expression measure over a role attribute, ANY random
+    I/U/D interleaving on the fact and the shared dim feed keeps the
+    maintained rollup equal to a full recompute — per-batch cadence
+    and one spanning refresh alike."""
+    import tempfile as _tf
+    from pathlib import Path as _P
+
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    root = _P(_tf.mkdtemp(prefix="rpprop_"))
+    fact = ManagedTable(root / "f").create(
+        spark.createDataFrame(RP_FACT, RP_FACT_SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    dim = ManagedTable(root / "d").create(
+        spark.createDataFrame(RP_DIM, RP_DIM_SCHEMA),
+        pk_cols=["d"], pk_buckets=2, cdf=True,
+    )
+
+    def mk(name):
+        return MaintainedStarAggregate(
+            root / name,
+            dims=[("fk1", ["supp_nm"]), ("fk2", [])],
+            fact_group_cols=[],
+            sum_cols={
+                "total_cents": "cents",
+                # conditional over ROLE B's renamed attribute
+                "b_cents": "CASE WHEN cust_nm = 'B' THEN cents ELSE 0 END",
+            },
+            measure_cols=["cust_nm"],
+            dim_renames=[
+                {"d": "d1", "nm": "supp_nm"},
+                {"d": "d2", "nm": "cust_nm"},
+            ],
+        )
+
+    mv_each, mv_span = mk("mv_each"), mk("mv_span")
+    mv_each.refresh_star(spark, fact, [dim, dim])
+    mv_span.refresh_star(spark, fact, [dim, dim])
+
+    ts = 100
+    for batch in batches:
+        fe = [e[1:] for e in batch if e[0] == "F"]
+        de = [e[1:] for e in batch if e[0] == "D"]
+        if fe:
+            fact.merge(spark, spark.createDataFrame(
+                [
+                    (f, "t", "s", ts + i, k,
+                     None if f == "D" else a,
+                     None if f == "D" else b,
+                     None if f == "D" else c)
+                    for i, (f, k, a, b, c) in enumerate(fe)
+                ],
+                RP_FACT_ENV,
+            ))
+        if de:
+            dim.merge(spark, spark.createDataFrame(
+                [
+                    (f, "t", "s", ts + 50 + i, d,
+                     None if f == "D" else nm)
+                    for i, (f, d, nm) in enumerate(de)
+                ],
+                RP_DIM_ENV,
+            ))
+        ts += 100
+        mv_each.refresh_star(spark, fact, [dim, dim])
+    mv_span.refresh_star(spark, fact, [dim, dim])
+
+    d1 = dim.read(spark).select(
+        F.col("d").alias("d1"), F.col("nm").alias("supp_nm")
+    )
+    d2 = dim.read(spark).select(
+        F.col("d").alias("d2"), F.col("nm").alias("cust_nm")
+    )
+    want = {
+        r["supp_nm"]: (r["n_rows"], r["total_cents"], r["b_cents"])
+        for r in fact.read(spark)
+        .join(d1, F.col("fk1") == F.col("d1"), "inner")
+        .join(d2, F.col("fk2") == F.col("d2"), "inner")
+        .groupBy("supp_nm")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(
+                F.expr("CASE WHEN cust_nm = 'B' THEN cents ELSE 0 END")
+            ).alias("b_cents"),
+        )
+        .collect()
+    }
+
+    def state(mv):
+        return {
+            r["supp_nm"]: (r["n_rows"], r["total_cents"], r["b_cents"])
+            for r in mv.read(spark).collect()
+        }
+
+    assert state(mv_each) == want
+    assert state(mv_span) == want

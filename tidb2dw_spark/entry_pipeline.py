@@ -3575,6 +3575,9 @@ def pipeline_maintained_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp_src = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
             "s_suppkey", "s_nationkey"
         )
+        nat_src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_name"
+        )
         wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q7view_"))
         li = ManagedTable(wh / "lineitem").create(
             li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
@@ -3587,6 +3590,9 @@ def pipeline_maintained_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         supp = ManagedTable(wh / "supplier").create(
             supp_src, ["s_suppkey"], pk_buckets=4, cdf=True
+        )
+        nation = ManagedTable(wh / "nation").create(
+            nat_src, ["n_nationkey"], pk_buckets=2, cdf=True
         )
         mv = MaintainedStarAggregate(
             wh / "mv",
@@ -3602,6 +3608,31 @@ def pipeline_maintained_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         )
         mv.refresh_star(spark, li, [orders, cust, supp])  # seed
+        # ROLE-PLAYING twin: the SAME nation table chained TWICE (off
+        # customer's and supplier's nationkey) under per-role renames —
+        # the maintained state is the (year × cust_nation × supp_nation)
+        # NAME cube, relabeled live when nation itself churns
+        mv2 = MaintainedStarAggregate(
+            wh / "mv_roles",
+            dims=[
+                ("l_orderkey", []),
+                ("o_custkey", []),               # carries c_nationkey
+                ("l_suppkey", []),               # carries s_nationkey
+                ("c_nationkey", ["cust_nation"]),  # nation ROLE A
+                ("s_nationkey", ["supp_nation"]),  # nation ROLE B
+            ],
+            fact_group_cols=["ship_year"],
+            sum_cols={"revenue_cents": "revenue_c"},
+            fact_derived_cols={
+                "ship_year": ("CAST(year(l_shipdate) AS BIGINT)", ["l_shipdate"])
+            },
+            dim_renames=[
+                {}, {}, {},
+                {"n_nationkey": "cn_key", "n_name": "cust_nation"},
+                {"n_nationkey": "sn_key", "n_name": "supp_nation"},
+            ],
+        )
+        mv2.refresh_star(spark, li, [orders, cust, supp, nation, nation])
 
         def lbatch(df: DataFrame, flag: str) -> DataFrame:
             return df.select(
@@ -3670,9 +3701,19 @@ def pipeline_maintained_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "supplier", ["s_suppkey", "s_nationkey"],
         ))
+        # nation RENAMES relabel the cube's group keys through BOTH roles
+        nation.merge(spark, env(
+            nat_src.filter(F.col("n_nationkey") % 5 == 2).select(
+                "n_nationkey",
+                F.concat(F.col("n_name"), F.lit("_R")).alias("n_name"),
+            ),
+            "nation", ["n_nationkey", "n_name"],
+        ))
         mv.refresh_star(spark, li, [orders, cust, supp])  # ONE 4-feed fold
-        _Q7VIEW_CACHE[sf_dir] = mv
-    mv = _Q7VIEW_CACHE[sf_dir]
+        # ONE fold over all five slots (nation twice) — both roles' terms
+        mv2.refresh_star(spark, li, [orders, cust, supp, nation, nation])
+        _Q7VIEW_CACHE[sf_dir] = (mv, mv2)
+    mv = _Q7VIEW_CACHE[sf_dir][0]
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         "n_nationkey", "n_name"
     ).filter(F.col("n_name").isin("NATION_3", "NATION_7"))
@@ -3695,6 +3736,84 @@ def pipeline_maintained_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+def pipeline_maintained_q7_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q7 NAME cube maintained with nation joined in TWO ROLES
+    (cust_nation chained off customer, supp_nation off supplier — one
+    table, one feed, two join slots under per-role renames).  A nation
+    rename relabels every affected group through BOTH roles in the one
+    fold; the read is the whole cube, so the fingerprint covers every
+    (year, cust_nation, supp_nation) cell."""
+    pipeline_maintained_q7(spark, sf_dir)  # build + churn the fixture
+    mv2 = _Q7VIEW_CACHE[sf_dir][1]
+    return mv2.read(spark).select(
+        "supp_nation", "cust_nation",
+        F.col("ship_year").cast("long").alias("ship_year"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+_Q7ROLES_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate, revenue_c FROM (
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)
+             AS revenue_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS BIGINT) DESC,
+                      l_suppkey DESC, l_shipdate DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 5 THEN (l_suppkey % 97) + 1
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate + INTERVAL 400 DAY
+              ELSE l_shipdate END AS l_shipdate,
+         CASE WHEN l_orderkey % 10 = 4 THEN revenue_c + 7
+              ELSE revenue_c END AS revenue_c
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, (l_suppkey % 89) + 1, l_shipdate, revenue_c
+  FROM li WHERE l_orderkey % 25 = 3
+), curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN (o_custkey % 100) + 1
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+), curc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 2 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer
+), curs AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 10 = 3 THEN (s_nationkey + 3) % 25
+              ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+), curn AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 2 THEN n_name || '_R'
+              ELSE n_name END AS n_name
+  FROM nation
+)
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l.revenue_c) AS BIGINT) AS revenue_cents
+FROM curl l
+JOIN curo o ON l.l_orderkey = o.o_orderkey
+JOIN curc c ON o.o_custkey = c.c_custkey
+JOIN curs s ON l.l_suppkey = s.s_suppkey
+JOIN curn cn ON c.c_nationkey = cn.n_nationkey
+JOIN curn sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2, 3
+"""
 
 
 _Q7VIEW_ORACLE = """
@@ -4280,6 +4399,331 @@ FROM cur GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Maintained TPC-H Q6 / Q19 / Q4 off ONE shared churned fixture —
+# three σ/join shapes over the same replicated trio:
+#   Q6  = single-table σ-view (date window + double-typed discount/qty
+#         bounds) with an expression revenue measure;
+#   Q19 = the THREE-BRANCH DISJUNCTION as a row-local join_where over
+#         (p_brand, p_size, l_quantity) spanning both join sides;
+#   Q4  = EXISTS composed: a maintained per-order returned-line count
+#         (order-count-sized state) + the date-window join at read.
+# Churn crosses every boundary: σ windows, discount/qty envelopes,
+# returnflag flips, part re-points, brand/size moves, orderdate moves.
+# ---------------------------------------------------------------------------
+_MISC_CACHE: dict[str, tuple] = {}
+_Q19_DISJ = (
+    "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+    " AND l_quantity BETWEEN 1 AND 11) OR "
+    "(p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 "
+    " AND l_quantity BETWEEN 10 AND 20) OR "
+    "(p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+    " AND l_quantity BETWEEN 20 AND 30)"
+)
+_Q6_WHERE = (
+    "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+    "l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND "
+    "l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+)
+
+
+def _misc_fixture(spark: SparkSession, sf_dir: str) -> tuple:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+    from .operators.matview import MaintainedAggregate
+
+    if sf_dir in _MISC_CACHE:
+        return _MISC_CACHE[sf_dir]
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_shipdate", "l_extendedprice", "l_discount", "l_returnflag",
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.desc("l_extendedprice"), F.desc("l_partkey"),
+        F.desc("l_shipdate"), F.desc("l_returnflag"),
+    )
+    li_src = (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    part_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    wh = Path(tempfile.mkdtemp(prefix="tidb2dw_miscview_"))
+    li = ManagedTable(wh / "lineitem").create(
+        li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+    )
+    part = ManagedTable(wh / "part").create(
+        part_src, ["p_partkey"], pk_buckets=4, cdf=True
+    )
+    orders = ManagedTable(wh / "orders").create(
+        ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+    )
+    q6v = MaintainedAggregate(
+        wh / "q6v",
+        ["l_returnflag"],
+        sum_cols={
+            "revenue_cents": (
+                "CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT)"
+            )
+        },
+        where=_Q6_WHERE,
+        where_cols=["l_shipdate", "l_discount", "l_quantity"],
+        measure_cols=["l_extendedprice", "l_discount"],
+    )
+    q19v = MaintainedStarAggregate(
+        wh / "q19v",
+        dims=[("l_partkey", ["p_brand"])],
+        fact_group_cols=[],
+        sum_cols={
+            "revenue_cents": "disc_cents",
+        },
+        fact_derived_cols={
+            "disc_cents": (
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100.0) "
+                "AS BIGINT)",
+                ["l_extendedprice", "l_discount"],
+            )
+        },
+        join_where=_Q19_DISJ,
+        fact_where_cols=["l_quantity"],
+        dim_where_cols=[["p_size"]],
+    )
+    q4v = MaintainedAggregate(
+        wh / "q4v",
+        ["l_orderkey"],
+        sum_cols={},
+        where="l_returnflag = 'R'",
+        where_cols=["l_returnflag"],
+    )
+    q6v.refresh(spark, li)
+    q19v.refresh_star(spark, li, [part])
+    q4v.refresh(spark, li)
+
+    def lbatch(df: DataFrame, flag: str) -> DataFrame:
+        return df.select(
+            F.lit(flag).alias("flag"),
+            F.lit("lineitem").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_shipdate", "l_extendedprice", "l_discount", "l_returnflag",
+        )
+
+    l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+    l_u1 = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        (F.col("l_quantity") + 10.0).alias("l_quantity"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 200 DAY")).alias("l_shipdate"),
+        (F.col("l_extendedprice") + 2.0).alias("l_extendedprice"),
+        (F.col("l_discount") + 0.01).alias("l_discount"),
+        "l_returnflag",
+    )
+    l_u2 = li_src.filter(F.col("l_orderkey") % 10 == 5).select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_partkey") % 97 + 1).alias("l_partkey"),
+        "l_quantity", "l_shipdate", "l_extendedprice", "l_discount",
+        F.when(F.col("l_returnflag") == "R", F.lit("N"))
+        .otherwise(F.lit("R")).alias("l_returnflag"),
+    )
+    l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+        "l_orderkey",
+        (F.col("l_linenumber") + 100).alias("l_linenumber"),
+        "l_partkey",
+        F.lit(10.0).alias("l_quantity"),
+        F.lit("1997-05-20 00:00:00").cast("timestamp").alias("l_shipdate"),
+        "l_extendedprice",
+        F.lit(0.05).alias("l_discount"),
+        F.lit("R").alias("l_returnflag"),
+    )
+    li.merge(
+        spark,
+        lbatch(l_del, "D")
+        .unionByName(lbatch(l_u1, "U"))
+        .unionByName(lbatch(l_u2, "U"))
+        .unionByName(lbatch(l_ins, "I")),
+    )
+
+    def env(df: DataFrame, tbl: str, cols: list[str]) -> DataFrame:
+        return df.select(
+            F.lit("U").alias("flag"),
+            F.lit(tbl).alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            *cols,
+        )
+
+    part.merge(spark, env(
+        part_src.filter(F.col("p_partkey") % 7 == 1).select(
+            "p_partkey", "p_brand",
+            (F.col("p_size") % 35 + 1).alias("p_size"),
+        ),
+        "part", ["p_partkey", "p_brand", "p_size"],
+    ).unionByName(env(
+        part_src.filter(
+            (F.col("p_partkey") % 11 == 2) & (F.col("p_partkey") % 7 != 1)
+        ).select(
+            "p_partkey", F.lit("Brand#1").alias("p_brand"), "p_size"
+        ),
+        "part", ["p_partkey", "p_brand", "p_size"],
+    )))
+    orders.merge(spark, env(
+        ord_src.filter(F.col("o_orderkey") % 10 == 9).select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        ),
+        "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ))
+    q6v.refresh(spark, li)
+    q19v.refresh_star(spark, li, [part])
+    q4v.refresh(spark, li)
+    _MISC_CACHE[sf_dir] = (li, part, orders, q6v, q19v, q4v)
+    return _MISC_CACHE[sf_dir]
+
+
+def pipeline_maintained_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 live: the σ-view (date window + double-typed discount /
+    quantity bounds) maintained at returnflag grain; the read sums the
+    3-row state to the spec's scalar."""
+    _, _, _, q6v, _, _ = _misc_fixture(spark, sf_dir)
+    return q6v.read(spark).agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_lineitems"),
+        F.coalesce(F.sum("revenue_cents"), F.lit(0)).cast("long").alias(
+            "revenue_cents"
+        ),
+    )
+
+
+def pipeline_maintained_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 live: the three-branch (brand, size, quantity)
+    disjunction as a row-local join_where — brand-grain maintained
+    state, scalar read."""
+    _, _, _, _, q19v, _ = _misc_fixture(spark, sf_dir)
+    return q19v.read(spark).agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_lineitems"),
+        F.coalesce(F.sum("revenue_cents"), F.lit(0)).cast("long").alias(
+            "revenue_cents"
+        ),
+    )
+
+
+def pipeline_maintained_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 composed: EXISTS(returned line) is a maintained
+    per-order count view (order-count-sized, O(changes) upkeep); the
+    read semi-joins the CURRENT orders state's date window against it —
+    returnflag flips that remove an order's LAST returned line must
+    drop the order."""
+    _, _, orders, _, _, q4v = _misc_fixture(spark, sf_dir)
+    o = orders.read(spark).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    has_ret = q4v.read(spark).filter(F.col("n_rows") > 0).select("l_orderkey")
+    return (
+        o.join(
+            has_ret, o["o_orderkey"] == has_ret["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+_MISC_LI_FOLD = """
+li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate,
+         l_extendedprice, l_discount, l_returnflag FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate,
+           l_extendedprice, l_discount, l_returnflag,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_extendedprice DESC, l_partkey DESC,
+                      l_shipdate DESC, l_returnflag DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 5 THEN (l_partkey % 97) + 1
+              ELSE l_partkey END AS l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_quantity + 10.0
+              ELSE l_quantity END AS l_quantity,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate + INTERVAL 200 DAY
+              ELSE l_shipdate END AS l_shipdate,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_extendedprice + 2.0
+              ELSE l_extendedprice END AS l_extendedprice,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_discount + 0.01
+              ELSE l_discount END AS l_discount,
+         CASE WHEN l_orderkey % 10 = 5 THEN
+                CASE WHEN l_returnflag = 'R' THEN 'N' ELSE 'R' END
+              ELSE l_returnflag END AS l_returnflag
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, l_partkey, 10.0, TIMESTAMP '1997-05-20 00:00:00',
+         l_extendedprice, 0.05, 'R'
+  FROM li WHERE l_orderkey % 25 = 3
+)
+"""
+
+_Q6VIEW_ORACLE = f"""
+WITH {_MISC_LI_FOLD.strip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(COALESCE(SUM(
+         CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT)), 0)
+         AS BIGINT) AS revenue_cents
+FROM curl
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+_Q19VIEW_ORACLE = f"""
+WITH {_MISC_LI_FOLD.strip()}, curp AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 11 = 2 AND p_partkey % 7 <> 1
+              THEN 'Brand#1' ELSE p_brand END AS p_brand,
+         CASE WHEN p_partkey % 7 = 1 THEN (p_size % 35) + 1
+              ELSE p_size END AS p_size
+  FROM part
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(COALESCE(SUM(
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+              AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+FROM curl l JOIN curp p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+_Q4VIEW_ORACLE = f"""
+WITH {_MISC_LI_FOLD.strip()}, curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN o_orderdate + INTERVAL 90 DAY
+              ELSE o_orderdate END AS o_orderdate,
+         o_orderpriority
+  FROM orders
+)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM curo o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM curl l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
@@ -4291,12 +4735,16 @@ QUERIES = {
     "pipeline_q16_top_suppliers": pipeline_q16_top_suppliers,
     "pipeline_maintained_q5": pipeline_maintained_q5,
     "pipeline_maintained_q7": pipeline_maintained_q7,
+    "pipeline_maintained_q7_roles": pipeline_maintained_q7_roles,
     "pipeline_maintained_q10": pipeline_maintained_q10,
     "pipeline_maintained_q12": pipeline_maintained_q12,
     "pipeline_maintained_q14": pipeline_maintained_q14,
     "pipeline_maintained_q15": pipeline_maintained_q15,
     "pipeline_maintained_hll": pipeline_maintained_hll,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
+    "pipeline_maintained_q4": pipeline_maintained_q4,
+    "pipeline_maintained_q6": pipeline_maintained_q6,
+    "pipeline_maintained_q19": pipeline_maintained_q19,
     "pipeline_maintained_q18": pipeline_maintained_q18,
     "pipeline_maintained_bm25": pipeline_maintained_bm25,
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
@@ -4335,12 +4783,16 @@ ORACLES = {
     "pipeline_q16_top_suppliers": _Q16TOP_ORACLE,
     "pipeline_maintained_q5": _Q5VIEW_ORACLE,
     "pipeline_maintained_q7": _Q7VIEW_ORACLE,
+    "pipeline_maintained_q7_roles": _Q7ROLES_ORACLE,
     "pipeline_maintained_q10": _Q10VIEW_ORACLE,
     "pipeline_maintained_q12": _Q12VIEW_ORACLE,
     "pipeline_maintained_q14": _Q14VIEW_ORACLE,
     "pipeline_maintained_q15": _Q15VIEW_ORACLE,
     "pipeline_maintained_hll": _hllview_oracle(),
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
+    "pipeline_maintained_q4": _Q4VIEW_ORACLE,
+    "pipeline_maintained_q6": _Q6VIEW_ORACLE,
+    "pipeline_maintained_q19": _Q19VIEW_ORACLE,
     "pipeline_maintained_q18": _Q18VIEW_ORACLE,
     "pipeline_maintained_bm25": _bm25view_oracle(),
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),

@@ -118,6 +118,9 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # TPC-H Q7 live: DERIVED year-grain group key (fact_derived_cols)
     # over a chained 4-feed star; nation-pair σ + names resolve at read
     "pipeline_maintained_q7": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_lineitems", "int"), ("revenue_cents", "int")],
+    # Q7 name cube with nation in TWO ROLES (one table, one feed, two
+    # renamed join slots); nation renames relabel through both roles
+    "pipeline_maintained_q7_roles": [("supp_nation", "str"), ("cust_nation", "str"), ("ship_year", "int"), ("n_rows", "int"), ("revenue_cents", "int")],
     # TPC-H Q12 live: conditional-count EXPRESSION measures over the
     # dim attribute, maintained exactly through priority flips
     "pipeline_maintained_q12": [("l_linestatus", "str"), ("n_rows", "int"), ("high_lines", "int"), ("low_lines", "int")],
@@ -136,6 +139,14 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # time-bucketed live rollup: derived month grain + second-moment
     # expression measure on the single-table maintained aggregate
     "pipeline_maintained_monthly": [("month", "ts"), ("n_rows", "int"), ("revenue_cents", "int"), ("rev_dollars_sq", "int")],
+    # TPC-H Q6 live: sigma-view with double-typed bounds + expression
+    # revenue measure, scalar read over the 3-row state
+    "pipeline_maintained_q6": [("n_lineitems", "int"), ("revenue_cents", "int")],
+    # TPC-H Q19 live: the three-branch disjunction as a join_where
+    "pipeline_maintained_q19": [("n_lineitems", "int"), ("revenue_cents", "int")],
+    # TPC-H Q4 composed: maintained per-order returned-line counts +
+    # the date-window semi-join at read
+    "pipeline_maintained_q4": [("o_orderpriority", "str"), ("n_orders", "int")],
     # TPC-H Q10 live: fact σ + dim σ, customer-cardinality dim group key
     "pipeline_maintained_q10": [("c_custkey", "int"), ("c_name", "str"), ("revenue_c", "int")],
     # TPC-H Q18 composed: maintained per-order qty rollup + HAVING/joins at read

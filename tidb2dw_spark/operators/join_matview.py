@@ -298,6 +298,7 @@ class MaintainedStarAggregate:
         join_where: str | None = None,
         measure_cols: Sequence[str] | None = None,
         fact_derived_cols: dict[str, tuple[str, Sequence[str]]] | None = None,
+        dim_renames: Sequence[dict[str, str] | None] | None = None,
     ):
         self.root = Path(root)
         self.dims = [(self._cols(fk), list(gc)) for fk, gc in dims]
@@ -359,6 +360,30 @@ class MaintainedStarAggregate:
             raise ValueError(
                 f"min/max output names collide: {sorted(clash) or self.mm_outs}"
             )
+        # ROLE-PLAYING dims: per-dim PHYSICAL→VIEW rename applied to
+        # every column the view consumes from that dim (its pk included
+        # when listed), so the SAME dim table can join under two roles
+        # (nation as supp_nation and cust_nation — the classic date-dim
+        # pattern) with disjoint output names.  The telescoped delta
+        # identity replaces one join slot at a time, so it holds
+        # slot-wise even when two slots are backed by one relation and
+        # one feed; both roles' slices read the same (applied, current]
+        # window, keeping old/new states consistent.  Group cols,
+        # dim_wheres, dim_where_cols, measure references and chain join
+        # cols are all written in VIEW names.
+        self.dim_renames = [dict(r or {}) for r in (
+            dim_renames or [{}] * len(self.dims)
+        )]
+        if len(self.dim_renames) != len(self.dims):
+            raise ValueError(
+                f"dim_renames has {len(self.dim_renames)} entries for "
+                f"{len(self.dims)} dims"
+            )
+        for i, ren in enumerate(self.dim_renames):
+            if len(set(ren.values())) != len(ren):
+                raise ValueError(
+                    f"dim_renames[{i}] maps two columns to one name: {ren}"
+                )
         self.measure_cols = list(measure_cols or [])
         bad = [c for c in self.measure_cols if not _IDENT.fullmatch(c)]
         if bad:
@@ -457,10 +482,26 @@ class MaintainedStarAggregate:
         owner wins.  Returns (dim_pks, owners, fact_cols, dim_cols)
         where the consumed column lists include the chain columns their
         owner must carry through the join."""
-        dim_pks = [list(m["pk"]) for m in mDs]
         fact_schema = set(fact._read_state(spark, mF).columns)
-        dim_schemas = [
+        phys_schemas = [
             set(dim_tables[i]._read_state(spark, mDs[i]).columns)
+            for i in range(len(mDs))
+        ]
+        for i, ren in enumerate(self.dim_renames):
+            missing = [c for c in ren if c not in phys_schemas[i]]
+            if missing:
+                raise ValueError(
+                    f"dim_renames[{i}] renames {missing!r} which are not "
+                    f"columns of {dim_tables[i].root}"
+                )
+        # everything below operates in VIEW names: the pk and schema of
+        # each dim pass through its role rename
+        dim_pks = [
+            [self.dim_renames[i].get(p, p) for p in mDs[i]["pk"]]
+            for i in range(len(mDs))
+        ]
+        dim_schemas = [
+            {self.dim_renames[i].get(c, c) for c in phys_schemas[i]}
             for i in range(len(mDs))
         ]
         owners: list[int] = []
@@ -599,19 +640,28 @@ class MaintainedStarAggregate:
 
     @staticmethod
     def _translated(
-        names: list[str], stored_ids: dict, src_m: dict
+        names: list[str], stored_ids: dict, src_m: dict,
+        phys: dict | None = None,
     ) -> list:
         """Source's CURRENT names (by field id) aliased back to the names
         this view was seeded with — a base RENAME on any table neither
         breaks the fold nor mutates the view's output schema (the same
-        translation MaintainedAggregate/SecondaryIndex perform)."""
+        translation MaintainedAggregate/SecondaryIndex perform).
+        *phys* maps a role-renamed VIEW name to its seed-time PHYSICAL
+        column (identity when absent): field ids are stored per VIEW
+        name, so the role rename composes with base-RENAME survival."""
         inv = {v: k for k, v in (src_m.get("field_ids") or {}).items()}
-        return [
-            F.col(inv.get(stored_ids.get(n), n)).alias(n)
-            if stored_ids and inv.get(stored_ids.get(n), n) != n
-            else F.col(n)
-            for n in names
-        ]
+        cols = []
+        for n in names:
+            base = (phys or {}).get(n, n)
+            cur = inv.get(stored_ids.get(n), base) if stored_ids else base
+            cols.append(F.col(cur).alias(n) if cur != n else F.col(n))
+        return cols
+
+    def _phys_map(self, i: int) -> dict[str, str]:
+        """VIEW name → seed-time PHYSICAL column for dim *i* (inverse of
+        its role rename; identity entries omitted)."""
+        return {v: k for k, v in self.dim_renames[i].items()}
 
     def _with_derived(self, df: DataFrame) -> DataFrame:
         """Synthesize the fact-derived columns onto a fact-side frame —
@@ -839,7 +889,9 @@ class MaintainedStarAggregate:
 
             def _d_seed(i: int) -> DataFrame:
                 d = dim_tables[i]._read_state(spark, mDs[i]).select(
-                    *dim_cols[i]
+                    *self._translated(
+                        dim_cols[i], {}, mDs[i], self._phys_map(i)
+                    )
                 )
                 if self.dim_wheres[i]:
                     d = d.filter(F.expr(self.dim_wheres[i]))
@@ -865,11 +917,17 @@ class MaintainedStarAggregate:
                 "fact_field_ids": {
                     n: f_ids[n] for n in fact_cols if n in f_ids
                 },
+                "dim_renames": self.dim_renames,
+                # field ids keyed by VIEW name (role rename composed):
+                # a later base RENAME translates through them as usual
                 "dim_field_ids": [
                     {
-                        n: mDs[i].get("field_ids", {})[n]
+                        n: mDs[i].get("field_ids", {})[
+                            self._phys_map(i).get(n, n)
+                        ]
                         for n in dim_cols[i]
-                        if n in mDs[i].get("field_ids", {})
+                        if self._phys_map(i).get(n, n)
+                        in mDs[i].get("field_ids", {})
                     }
                     for i in range(len(self.dims))
                 ],
@@ -953,6 +1011,15 @@ class MaintainedStarAggregate:
                 f"{meta.get('join_where')!r}; constructed with "
                 f"{self.join_where!r} — rebuild instead of mixing filters"
             )
+        meta_renames = [
+            dict(r) for r in meta.get("dim_renames", [{}] * len(self.dims))
+        ]
+        if meta_renames != self.dim_renames:
+            raise ValueError(
+                f"view at {self.root} was seeded with dim_renames="
+                f"{meta_renames!r}; constructed with {self.dim_renames!r} "
+                "— rebuild instead of mixing role layouts"
+            )
         if sF <= aF and all(s <= a for s, a in zip(sDs, aDs)):
             return (aF, *aDs)
 
@@ -977,7 +1044,9 @@ class MaintainedStarAggregate:
 
         def _d_slice(i: int) -> DataFrame:
             sl = dim_tables[i].changes(spark, since=aDs[i], until=sDs[i]).select(
-                *self._translated(dim_cols[i], d_ids[i], mDs[i]),
+                *self._translated(
+                    dim_cols[i], d_ids[i], mDs[i], self._phys_map(i)
+                ),
                 *meta_keep,
             )
             if self.dim_wheres[i]:
@@ -1013,7 +1082,11 @@ class MaintainedStarAggregate:
             σ-space end to end)."""
             d = dim_tables[i].read_for_keys(
                 spark, keys, manifest=mDs[i]
-            ).select(*self._translated(dim_cols[i], d_ids[i], mDs[i]))
+            ).select(
+                *self._translated(
+                    dim_cols[i], d_ids[i], mDs[i], self._phys_map(i)
+                )
+            )
             if self.dim_wheres[i]:
                 d = d.filter(F.expr(self.dim_wheres[i]))
             return d
@@ -1023,7 +1096,9 @@ class MaintainedStarAggregate:
             resolve a chain hop's key set; dims are the small side of a
             star/snowflake by construction."""
             d = dim_tables[i]._read_state(spark, mDs[i]).select(
-                *self._translated(dim_cols[i], d_ids[i], mDs[i])
+                *self._translated(
+                    dim_cols[i], d_ids[i], mDs[i], self._phys_map(i)
+                )
             )
             if self.dim_wheres[i]:
                 d = d.filter(F.expr(self.dim_wheres[i]))
@@ -1127,7 +1202,11 @@ class MaintainedStarAggregate:
             inv = {
                 v: k for k, v in (mDs[j].get("field_ids") or {}).items()
             }
-            cur = [inv.get(d_ids[j].get(c), c) for c in self.dims[i][0]]
+            pj = self._phys_map(j)
+            cur = [
+                inv.get(d_ids[j].get(c), pj.get(c, c))
+                for c in self.dims[i][0]
+            ]
             idx = SecondaryIndex(
                 self.root / f"_hopidx{i}", col=cur, pk_cols=cur_pks[j]
             )
@@ -1456,11 +1535,14 @@ class MaintainedDistinctStarAggregate(MaintainedStarAggregate):
         dim_where_cols: Sequence[Sequence[str]] | None = None,
         join_where: str | None = None,
         n_buckets: int = 32,
+        measure_cols: Sequence[str] | None = None,
+        fact_derived_cols: dict[str, tuple[str, Sequence[str]]] | None = None,
+        dim_renames: Sequence[dict[str, str] | None] | None = None,
     ):
         super().__init__(
             root, dims, fact_group_cols, sum_cols, None, None,
             fact_where, fact_where_cols, dim_wheres, dim_where_cols,
-            join_where,
+            join_where, measure_cols, fact_derived_cols, dim_renames,
         )
         from .distinct_matview import SupportStore
 
@@ -1476,7 +1558,12 @@ class MaintainedDistinctStarAggregate(MaintainedStarAggregate):
 
     # -- star-algebra hooks -------------------------------------------------
     def _extra_cols(self) -> list[str]:
-        return list(dict.fromkeys(self.distinct_cols.values()))
+        # a derived name is synthesized post-projection, never selected
+        return [
+            c
+            for c in dict.fromkeys(self.distinct_cols.values())
+            if c not in self.fact_derived
+        ]
 
     def _delta_rows(self, joined: DataFrame, sign: F.Column) -> DataFrame:
         """Base projection + the raw distinct source value per row (the
