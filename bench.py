@@ -139,6 +139,13 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_q4",
     "pipeline_maintained_q6",
     "pipeline_maintained_q19",
+    "pipeline_maintained_q22",
+    "pipeline_maintained_q8",
+    "pipeline_maintained_q17",
+    "pipeline_maintained_q11",
+    "pipeline_maintained_q21",
+    "pipeline_maintained_q2",
+    "pipeline_maintained_q20",
     "pipeline_maintained_bm25",
     "pipeline_incremental_distinct",
     "pipeline_distinct_topk",

@@ -290,3 +290,58 @@ def test_requires_cdf_and_nonempty_spec(spark, tmp_path):
         mv.refresh(spark, t)
     with pytest.raises(ValueError, match="distinct_cols"):
         MaintainedDistinctAggregate(tmp_path / "mv2", ["g"], {})
+
+
+def test_where_filtered_distinct_view(spark, tmp_path):
+    """Round 8: a row-local σ on the distinct view — boundary-crossing
+    updates fold as one-sided ± support deltas, and the maintained
+    counts equal COUNT(DISTINCT) over σ(base) at every step.  Also pins
+    the drift refusal (σ is part of the seeded definition)."""
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(BASE, SCHEMA), pk_cols=["k"], pk_buckets=4,
+        cdf=True,
+    )
+    mv = MaintainedDistinctAggregate(
+        tmp_path / "mv", ["g"], {"n_v": "v"},
+        where="w = 'x'", where_cols=["w"],
+    )
+    mv.refresh(spark, t)
+
+    def recompute():
+        df = (
+            t.read(spark)
+            .filter(F.col("w") == "x")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("v").alias("n_v"),
+            )
+        )
+        return {r["g"]: (r["n_rows"], r["n_v"]) for r in df.collect()}
+
+    def state():
+        return {
+            r["g"]: (r["n_rows"], r["n_v"]) for r in mv.read(spark).collect()
+        }
+
+    assert state() == recompute()
+    # w flips cross the σ in BOTH directions; one crossing removes a
+    # value's LAST in-σ support row (the count must drop), another
+    # brings a previously-excluded value in (the count must rise)
+    t.merge(spark, _b(spark, [
+        ("U", 1, 5, "a", 10, "q"),   # leaves σ; v=10 still backed by k3? no — k3 has v=20; 'a' loses 10
+        ("U", 2, 5, "a", 10, "x"),   # enters σ; restores 10's support
+        ("U", 3, 5, "a", 20, "q"),   # leaves σ; 'a' loses 20 entirely
+        ("I", 9, 5, "b", 77, "x"),   # new in-σ value for 'b'
+        ("D", 6, 5, None, None, None),
+    ]))
+    mv.refresh(spark, t)
+    assert state() == recompute()
+    assert state()["a"] == (1, 1)   # only k2 (v=10) remains in σ
+    # σ drift is refused
+    t.merge(spark, _b(spark, [("U", 9, 6, "b", 78, "x")]))
+    with pytest.raises(ValueError, match="where"):
+        MaintainedDistinctAggregate(
+            tmp_path / "mv", ["g"], {"n_v": "v"},
+        ).refresh(spark, t)

@@ -4724,6 +4724,1172 @@ GROUP BY o.o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q22 COMPOSED — the global-scalar + anti-join shape as two tiny
+# maintained views: (a) the positive-balance population scalar
+# (Σ bal, n) kept as a 2-group rollup on a DERIVED sign flag, and
+# (b) per-customer recent-order counts (σ-filtered, customer-sized).
+# The read filters the CURRENT customer state by the live threshold
+# (bal·n > Σ — integer cross-multiply, no float mean) and anti-joins
+# the recent-order keys.  Churn crosses every boundary: balances flip
+# sign and cross the threshold, order-date moves flip recency, and a
+# customer's LAST recent order deleting must revive them.
+# ---------------------------------------------------------------------------
+_Q22_CACHE: dict[str, tuple] = {}
+_Q22_RECENT = "o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"
+
+
+def pipeline_maintained_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.matview import MaintainedAggregate
+
+    if sf_dir not in _Q22_CACHE:
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey",
+            F.round(F.col("c_acctbal") * 100.0).cast("long").alias("bal_cents"),
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q22view_"))
+        cust = ManagedTable(wh / "customer").create(
+            cust_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        posv = MaintainedAggregate(
+            wh / "posv",
+            ["is_pos"],
+            sum_cols={"total_bal": "bal_cents"},
+            derived_cols={
+                "is_pos": ("CASE WHEN bal_cents > 0 THEN 1 ELSE 0 END",
+                           ["bal_cents"])
+            },
+        )
+        recv = MaintainedAggregate(
+            wh / "recv",
+            ["o_custkey"],
+            sum_cols={},
+            where=_Q22_RECENT,
+            where_cols=["o_orderdate"],
+        )
+        posv.refresh(spark, cust)
+        recv.refresh(spark, orders)
+
+        def cbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("customer").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "c_custkey", "c_nationkey", "bal_cents",
+            )
+
+        c_del = cust_src.filter(F.col("c_custkey") % 10 == 7)
+        c_upd = cust_src.filter(F.col("c_custkey") % 10 == 4).select(
+            "c_custkey", "c_nationkey",
+            # sign flips AND threshold crossings
+            (F.lit(0) - F.col("bal_cents") + 12345).alias("bal_cents"),
+        )
+        c_ins = cust_src.filter(F.col("c_custkey") % 25 == 3).select(
+            (F.col("c_custkey") + 100_000_000).alias("c_custkey"),
+            "c_nationkey",
+            (F.col("bal_cents") + 990_000).alias("bal_cents"),
+        )
+        cust.merge(
+            spark,
+            cbatch(c_del, "D")
+            .unionByName(cbatch(c_upd, "U"))
+            .unionByName(cbatch(c_ins, "I")),
+        )
+
+        def obatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_orderdate",
+            )
+
+        # recency flips in BOTH directions + deletes that may remove a
+        # customer's last recent order.  The update set EXCLUDES the
+        # delete set: both land in one commit at one commit_ts, and a
+        # same-key D+U pair would resolve by the engine's flag tiebreak
+        # while the oracle CTE applies the delete — keep them disjoint
+        # so both engines see the same final state.
+        o_del = ord_src.filter(F.col("o_orderkey") % 9 == 1)
+        o_mv = ord_src.filter(
+            (F.col("o_orderkey") % 10 == 6) & (F.col("o_orderkey") % 9 != 1)
+        ).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 400 DAY")).alias(
+                "o_orderdate"
+            ),
+        )
+        orders.merge(
+            spark,
+            obatch(o_del, "D").unionByName(obatch(o_mv, "U")),
+        )
+        posv.refresh(spark, cust)
+        recv.refresh(spark, orders)
+        _Q22_CACHE[sf_dir] = (cust, posv, recv)
+    cust, posv, recv = _Q22_CACHE[sf_dir]
+    scalar = (
+        posv.read(spark)
+        .filter(F.col("is_pos") == 1)
+        .select(
+            F.col("total_bal").alias("__total"), F.col("n_rows").alias("__n")
+        )
+    )
+    recent = recv.read(spark).filter(F.col("n_rows") > 0).select("o_custkey")
+    c = cust.read(spark)
+    return (
+        c.join(F.broadcast(scalar))
+        .filter(F.col("bal_cents") * F.col("__n") > F.col("__total"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+    )
+
+
+_Q22VIEW_ORACLE = """
+WITH curc AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 10 = 4
+              THEN 0 - CAST(round(c_acctbal * 100.0) AS BIGINT) + 12345
+              ELSE CAST(round(c_acctbal * 100.0) AS BIGINT)
+         END AS bal_cents
+  FROM customer WHERE c_custkey % 10 <> 7
+  UNION ALL
+  SELECT c_custkey + 100000000, c_nationkey,
+         CAST(round(c_acctbal * 100.0) AS BIGINT) + 990000
+  FROM customer WHERE c_custkey % 25 = 3
+), curo AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 6 THEN o_orderdate + INTERVAL 400 DAY
+              ELSE o_orderdate END AS o_orderdate
+  FROM orders WHERE o_orderkey % 9 <> 1
+), pos AS (
+  SELECT CAST(SUM(bal_cents) AS BIGINT) AS total, COUNT(*) AS n
+  FROM curc WHERE bal_cents > 0
+)
+SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(c.bal_cents) AS BIGINT) AS total_bal_cents
+FROM curc c, pos
+WHERE c.bal_cents * pos.n > pos.total
+  AND NOT EXISTS (SELECT 1 FROM curo o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c.c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 as a LIVE view — national market share: a 7-table snowflake
+# (orders→customer→nation→region σ chain + part σ + supplier) kept at
+# (o_orderdate × s_nationkey) grain; the read rolls the cube to years
+# and splits the one-nation numerator with a conditional sum over the
+# ~60k-row state.  Every σ boundary churns: region re-points via
+# nationkey moves, part types flip in/out of 'STANDARD', order dates
+# shift years, suppliers re-nation.
+# ---------------------------------------------------------------------------
+_Q8VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q8VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+            ).cast("long").alias("revenue_c"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("revenue_c"), F.desc("l_partkey"), F.desc("l_suppkey")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        nat_src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_regionkey"
+        )
+        reg_src = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+            "r_regionkey", "r_name"
+        )
+        part_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_type"
+        )
+        supp_src = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q8view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        cust = ManagedTable(wh / "customer").create(
+            cust_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        nation = ManagedTable(wh / "nation").create(
+            nat_src, ["n_nationkey"], pk_buckets=2, cdf=True
+        )
+        region = ManagedTable(wh / "region").create(
+            reg_src, ["r_regionkey"], pk_buckets=2, cdf=True
+        )
+        part = ManagedTable(wh / "part").create(
+            part_src, ["p_partkey"], pk_buckets=4, cdf=True
+        )
+        supp = ManagedTable(wh / "supplier").create(
+            supp_src, ["s_suppkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[
+                ("l_orderkey", ["o_orderdate"]),   # orders (date group)
+                ("o_custkey", []),                 # customer, chained
+                ("c_nationkey", []),               # nation, chained
+                ("n_regionkey", []),               # region, chained (σ)
+                ("l_partkey", []),                 # part (σ)
+                ("l_suppkey", ["s_nationkey"]),    # supplier (group)
+            ],
+            fact_group_cols=[],
+            sum_cols={"revenue_c": "revenue_c"},
+            dim_wheres=[
+                None, None, None, "r_name = 'AMERICA'",
+                "p_type = 'STANDARD'", None,
+            ],
+            dim_where_cols=[[], [], [], ["r_name"], ["p_type"], []],
+        )
+        mv.refresh_star(
+            spark, li, [orders, cust, nation, region, part, supp]
+        )
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "revenue_c",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_partkey") % 89 + 1).alias("l_partkey"),
+            (F.col("l_suppkey") % 97 + 1).alias("l_suppkey"),
+            (F.col("revenue_c") + 3).alias("revenue_c"),
+        )
+        li.merge(spark, lbatch(l_del, "D").unionByName(lbatch(l_upd, "U")))
+
+        def env(df: DataFrame, tbl: str, cols: list[str]) -> DataFrame:
+            return df.select(
+                F.lit("U").alias("flag"),
+                F.lit(tbl).alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                *cols,
+            )
+
+        orders.merge(spark, env(
+            ord_src.filter(F.col("o_orderkey") % 10 == 9).select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_orderdate") + F.expr("INTERVAL 400 DAY")).alias(
+                    "o_orderdate"
+                ),
+            ),
+            "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        ))
+        cust.merge(spark, env(
+            cust_src.filter(F.col("c_custkey") % 10 == 2).select(
+                "c_custkey",
+                ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+            ),
+            "customer", ["c_custkey", "c_nationkey"],
+        ))
+        part.merge(spark, env(
+            part_src.filter(F.col("p_partkey") % 7 == 1).select(
+                "p_partkey",
+                F.when(F.col("p_type") == "STANDARD", F.lit("ECONOMY"))
+                .otherwise(F.lit("STANDARD")).alias("p_type"),
+            ),
+            "part", ["p_partkey", "p_type"],
+        ))
+        supp.merge(spark, env(
+            supp_src.filter(F.col("s_suppkey") % 10 == 3).select(
+                "s_suppkey",
+                ((F.col("s_nationkey") + 3) % 25).alias("s_nationkey"),
+            ),
+            "supplier", ["s_suppkey", "s_nationkey"],
+        ))
+        mv.refresh_star(
+            spark, li, [orders, cust, nation, region, part, supp]
+        )
+        _Q8VIEW_CACHE[sf_dir] = mv
+    mv = _Q8VIEW_CACHE[sf_dir]
+    nat_one = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_name") == "NATION_1")
+        .select("n_nationkey")
+    )
+    key = [r["n_nationkey"] for r in nat_one.collect()][0]
+    return (
+        mv.read(spark)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("s_nationkey") == key, F.col("revenue_c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("nation_rev_cents"),
+            F.sum("revenue_c").cast("long").alias("total_rev_cents"),
+        )
+    )
+
+
+_Q8VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, revenue_c FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)
+             AS revenue_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS BIGINT) DESC,
+                      l_partkey DESC, l_suppkey DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_partkey % 89) + 1
+              ELSE l_partkey END AS l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_suppkey % 97) + 1
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN revenue_c + 3
+              ELSE revenue_c END AS revenue_c
+  FROM li WHERE l_orderkey % 10 <> 7
+), curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN o_custkey ELSE o_custkey END
+           AS o_custkey,
+         CASE WHEN o_orderkey % 10 = 9 THEN o_orderdate + INTERVAL 400 DAY
+              ELSE o_orderdate END AS o_orderdate
+  FROM orders
+), curc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 2 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer
+), curp AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 1 THEN
+                CASE WHEN p_type = 'STANDARD' THEN 'ECONOMY'
+                     ELSE 'STANDARD' END
+              ELSE p_type END AS p_type
+  FROM part
+), curs AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 10 = 3 THEN (s_nationkey + 3) % 25
+              ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+)
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN s.s_nationkey =
+                      (SELECT n_nationkey FROM nation
+                       WHERE n_name = 'NATION_1')
+                     THEN l.revenue_c ELSE 0 END) AS BIGINT)
+         AS nation_rev_cents,
+       CAST(SUM(l.revenue_c) AS BIGINT) AS total_rev_cents
+FROM curl l
+JOIN curo o ON l.l_orderkey = o.o_orderkey
+JOIN curc c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+JOIN curp p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+JOIN curs s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 COMPOSED, INDEX-ACCELERATED — three derived objects on one
+# replicated pair working together: (a) the per-part quantity rollup
+# (MaintainedAggregate — the live correlated-aggregate threshold,
+# integer cross-multiply 5·q·n < Σq), (b) a SecondaryIndex on the
+# fact's l_partkey, and (c) the part replica.  The read resolves the
+# brand σ to part keys (dim-sized), probes the INDEX for their fact
+# PKs (O(probed value buckets)), bucket-prunes the fact read via
+# read_for_keys, and judges each row against the LIVE threshold — no
+# fact scan anywhere on the serving path.
+# ---------------------------------------------------------------------------
+_Q17_CACHE: dict[str, tuple] = {}
+_Q17_BRANDS = ("Brand#1", "Brand#2", "Brand#3")
+
+
+def pipeline_maintained_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.matview import MaintainedAggregate
+    from .operators.secondary_index import SecondaryIndex
+
+    if sf_dir not in _Q17_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias(
+                "cents"
+            ),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("cents"), F.desc("l_partkey"), F.desc("q")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        part_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_brand"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q17view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        part = ManagedTable(wh / "part").create(
+            part_src, ["p_partkey"], pk_buckets=4, cdf=True
+        )
+        statv = MaintainedAggregate(
+            wh / "statv", ["l_partkey"], sum_cols={"sq": "q"}
+        )
+        idx = SecondaryIndex(
+            wh / "ix_partkey", col="l_partkey",
+            pk_cols=["l_orderkey", "l_linenumber"],
+        )
+        statv.refresh(spark, li)
+        idx.build(spark, li)
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "q", "cents",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_u1 = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            (F.col("q") + 20).alias("q"),     # crosses the threshold
+            (F.col("cents") + 5).alias("cents"),
+        )
+        l_u2 = li_src.filter(F.col("l_orderkey") % 10 == 5).select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_partkey") % 89 + 1).alias("l_partkey"),  # index move
+            "q", "cents",
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            "l_partkey", F.lit(1).cast("long").alias("q"), "cents",
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_u1, "U"))
+            .unionByName(lbatch(l_u2, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+        part.merge(spark, part_src.filter(F.col("p_partkey") % 11 == 2).select(
+            F.lit("U").alias("flag"),
+            F.lit("part").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "p_partkey",
+            F.lit("Brand#1").alias("p_brand"),
+        ))
+        statv.refresh(spark, li)
+        idx.refresh(spark, li)
+        _Q17_CACHE[sf_dir] = (li, part, statv, idx)
+    li, part, statv, idx = _Q17_CACHE[sf_dir]
+    brand_rows = (
+        part.read(spark)
+        .filter(F.col("p_brand").isin(*_Q17_BRANDS))
+        .select("p_partkey", "p_brand")
+        .collect()
+    )
+    pks = idx.lookup_pks_in(spark, [r["p_partkey"] for r in brand_rows])
+    li_rows = li.read_for_keys(spark, pks).select("l_partkey", "q", "cents")
+    brands = spark.createDataFrame(
+        [(r["p_partkey"], r["p_brand"]) for r in brand_rows],
+        "p_partkey long, p_brand string",
+    )
+    stats = statv.read(spark).select(
+        "l_partkey", F.col("n_rows").alias("__n"), F.col("sq").alias("__sq")
+    )
+    return (
+        li_rows.join(
+            F.broadcast(brands),
+            li_rows["l_partkey"] == brands["p_partkey"],
+            "inner",
+        )
+        .join(F.broadcast(stats), on="l_partkey", how="inner")
+        .filter(5 * F.col("q") * F.col("__n") < F.col("__sq"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_Q17VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, q, cents FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * 100.0) AS BIGINT) DESC,
+                      l_partkey DESC, CAST(l_quantity AS BIGINT) DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 5 THEN (l_partkey % 89) + 1
+              ELSE l_partkey END AS l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN q + 20 ELSE q END AS q,
+         CASE WHEN l_orderkey % 10 = 4 THEN cents + 5 ELSE cents END AS cents
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, l_partkey, 1, cents FROM li WHERE l_orderkey % 25 = 3
+), curp AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 11 = 2 THEN 'Brand#1' ELSE p_brand END
+           AS p_brand
+  FROM part
+), stats AS (
+  SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS n FROM curl GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(l.cents) AS BIGINT) AS revenue_cents
+FROM curl l
+JOIN stats s ON l.l_partkey = s.l_partkey
+JOIN curp p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND 5 * l.q * s.n < s.sq
+GROUP BY p.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 as a LIVE view — important stock: per-part value sums over
+# one nation's suppliers (the σ rides the supplier→nation chain, so a
+# supplier re-nationing moves its whole value contribution in or out),
+# with the GLOBAL threshold derived from the same maintained state at
+# read (one broadcast of the state's own total — no second view, no
+# base scan).
+# ---------------------------------------------------------------------------
+_Q11VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q11VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias(
+                "value_c"
+            ),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("value_c"), F.desc("l_partkey"), F.desc("l_suppkey")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        supp_src = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        nat_src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_name"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q11view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        supp = ManagedTable(wh / "supplier").create(
+            supp_src, ["s_suppkey"], pk_buckets=4, cdf=True
+        )
+        nation = ManagedTable(wh / "nation").create(
+            nat_src, ["n_nationkey"], pk_buckets=2, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[
+                ("l_suppkey", []),         # supplier (carries s_nationkey)
+                ("s_nationkey", []),       # nation, chained (σ)
+            ],
+            fact_group_cols=["l_partkey"],
+            sum_cols={"value_cents": "value_c"},
+            dim_wheres=[None, "n_name = 'NATION_2'"],
+            dim_where_cols=[[], ["n_name"]],
+        )
+        mv.refresh_star(spark, li, [supp, nation])
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "value_c",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_partkey") % 89 + 1).alias("l_partkey"),
+            (F.col("l_suppkey") % 97 + 1).alias("l_suppkey"),
+            (F.col("value_c") + 7).alias("value_c"),
+        )
+        li.merge(spark, lbatch(l_del, "D").unionByName(lbatch(l_upd, "U")))
+        # supplier re-nations CROSS the chained σ in both directions
+        supp.merge(spark, supp_src.filter(F.col("s_suppkey") % 10 == 3).select(
+            F.lit("U").alias("flag"),
+            F.lit("supplier").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "s_suppkey",
+            ((F.col("s_nationkey") + 1) % 25).alias("s_nationkey"),
+        ))
+        mv.refresh_star(spark, li, [supp, nation])
+        _Q11VIEW_CACHE[sf_dir] = mv
+    mv = _Q11VIEW_CACHE[sf_dir]
+    state = mv.read(spark).select("l_partkey", "value_cents")
+    tot = state.agg(
+        F.coalesce(F.sum("value_cents"), F.lit(0)).alias("__total")
+    )
+    return (
+        state.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 20000 > F.col("__total"))
+        .select(
+            "l_partkey", F.col("value_cents").cast("long").alias("value_cents")
+        )
+    )
+
+
+_Q11VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, value_c FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS value_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * 100.0) AS BIGINT) DESC,
+                      l_partkey DESC, l_suppkey DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_partkey % 89) + 1
+              ELSE l_partkey END AS l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_suppkey % 97) + 1
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN value_c + 7
+              ELSE value_c END AS value_c
+  FROM li WHERE l_orderkey % 10 <> 7
+), curs AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 10 = 3 THEN (s_nationkey + 1) % 25
+              ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+), v AS (
+  SELECT l.l_partkey, CAST(SUM(l.value_c) AS BIGINT) AS value_cents
+  FROM curl l
+  JOIN curs s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_2'
+  GROUP BY l.l_partkey
+), tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM v)
+SELECT v.l_partkey, v.value_cents FROM v, tot
+WHERE v.value_cents * 20000 > tot.total
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 COMPOSED — the double-correlated EXISTS/NOT-EXISTS as two
+# maintained DISTINCT views on one fact: n_supp per order (unfiltered)
+# and n_ret per order (σ l_returnflag='R' — the round-8 σ on the
+# single-table distinct view), whose SUPPORT STORE also answers the
+# waiting supplier's IDENTITY (top_values k=1: for n_ret=1 orders the
+# rank-1 value IS the supplier).  The orders-status σ rides the
+# CURRENT orders state at read.  Churn: returnflag flips move orders
+# across the n_ret boundary and change the culprit; status flips move
+# orders in/out of the σ; deletes remove last returned rows.
+# ---------------------------------------------------------------------------
+_Q21_CACHE: dict[str, tuple] = {}
+
+
+def pipeline_maintained_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.distinct_matview import MaintainedDistinctAggregate
+
+    if sf_dir not in _Q21_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag"
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("l_suppkey"), F.desc("l_returnflag")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q21view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        dv_all = MaintainedDistinctAggregate(
+            wh / "dv_all", ["l_orderkey"], {"n_supp": "l_suppkey"}
+        )
+        dv_ret = MaintainedDistinctAggregate(
+            wh / "dv_ret", ["l_orderkey"], {"n_ret": "l_suppkey"},
+            where="l_returnflag = 'R'", where_cols=["l_returnflag"],
+        )
+        dv_all.refresh(spark, li)
+        dv_ret.refresh(spark, li)
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_flip = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_suppkey",
+            F.when(F.col("l_returnflag") == "R", F.lit("N"))
+            .otherwise(F.lit("R")).alias("l_returnflag"),
+        )
+        l_mv = li_src.filter(F.col("l_orderkey") % 10 == 5).select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_suppkey") % 97 + 1).alias("l_suppkey"),
+            "l_returnflag",
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_flip, "U"))
+            .unionByName(lbatch(l_mv, "U")),
+        )
+        orders.merge(spark, ord_src.filter(F.col("o_orderkey") % 10 == 6).select(
+            F.lit("U").alias("flag"),
+            F.lit("orders").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "F", F.lit("O"))
+            .otherwise(F.lit("F")).alias("o_orderstatus"),
+        ))
+        dv_all.refresh(spark, li)
+        dv_ret.refresh(spark, li)
+        _Q21_CACHE[sf_dir] = (orders, dv_all, dv_ret)
+    orders, dv_all, dv_ret = _Q21_CACHE[sf_dir]
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    f_orders = orders.read(spark).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    nsupp = dv_all.read(spark).select(
+        F.col("l_orderkey").alias("__ok_all"), "n_supp"
+    )
+    nret = dv_ret.read(spark).select("l_orderkey", "n_ret")
+    culprit = dv_ret.top_values(spark, "n_ret", 1).select(
+        F.col("l_orderkey").alias("__ok_top"), F.col("__v").alias("ret_supp")
+    )
+    qual = (
+        nret.filter(F.col("n_ret") == 1)
+        .join(nsupp, nret["l_orderkey"] == nsupp["__ok_all"], "inner")
+        .filter(F.col("n_supp") >= 2)
+        .join(
+            f_orders, nret["l_orderkey"] == f_orders["o_orderkey"],
+            "left_semi",
+        )
+        .join(culprit, nret["l_orderkey"] == culprit["__ok_top"], "inner")
+    )
+    return (
+        qual.join(F.broadcast(supp), qual["ret_supp"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+_Q21VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag FROM (
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_suppkey DESC, l_returnflag DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 5 THEN (l_suppkey % 97) + 1
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN
+                CASE WHEN l_returnflag = 'R' THEN 'N' ELSE 'R' END
+              ELSE l_returnflag END AS l_returnflag
+  FROM li WHERE l_orderkey % 10 <> 7
+), curo AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 6 THEN
+                CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret,
+         MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
+  FROM curl GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order p
+JOIN curo o ON p.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON p.ret_supp = s.s_suppkey
+WHERE p.n_supp >= 2 AND p.n_ret = 1
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 as a LIVE view — widget-part quantity per supplier: fact σ
+# (1997 ship window) + dim σ (p_name LIKE — a predicate the part churn
+# crosses by renaming parts into/out of widget-hood), supplier-grain
+# maintained state, threshold + name join at read.
+# ---------------------------------------------------------------------------
+_Q20VIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_maintained_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q20VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_shipdate",
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("qty"), F.desc("l_partkey"), F.desc("l_suppkey"),
+            F.desc("l_shipdate"),
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        part_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_name"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q20view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        part = ManagedTable(wh / "part").create(
+            part_src, ["p_partkey"], pk_buckets=4, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[("l_partkey", [])],
+            fact_group_cols=["l_suppkey"],
+            sum_cols={"qty_shipped": "qty"},
+            fact_where=(
+                "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND "
+                "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+            ),
+            fact_where_cols=["l_shipdate"],
+            dim_wheres=["p_name LIKE '%widget'"],
+            dim_where_cols=[["p_name"]],
+        )
+        mv.refresh_star(spark, li, [part])
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "l_shipdate", "qty",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            (F.col("l_suppkey") % 97 + 1).alias("l_suppkey"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 200 DAY")).alias(
+                "l_shipdate"
+            ),
+            (F.col("qty") + 5).alias("qty"),
+        )
+        li.merge(spark, lbatch(l_del, "D").unionByName(lbatch(l_upd, "U")))
+        # renames move parts INTO and OUT OF widget-hood (the LIKE σ)
+        part.merge(spark, part_src.filter(F.col("p_partkey") % 6 == 1).select(
+            F.lit("U").alias("flag"),
+            F.lit("part").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "p_partkey",
+            F.when(
+                F.col("p_name").like("%widget"),
+                F.concat(F.col("p_name"), F.lit("_x")),
+            ).otherwise(F.lit("retro widget")).alias("p_name"),
+        ))
+        mv.refresh_star(spark, li, [part])
+        _Q20VIEW_CACHE[sf_dir] = mv
+    mv = _Q20VIEW_CACHE[sf_dir]
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        mv.read(spark)
+        .filter(F.col("qty_shipped") > 100)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("qty_shipped").cast("long").alias("qty_shipped"),
+        )
+    )
+
+
+_Q20VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate, qty
+  FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+           CAST(round(l_quantity) AS BIGINT) AS qty,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_quantity) AS BIGINT) DESC,
+                      l_partkey DESC, l_suppkey DESC, l_shipdate DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey, l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_suppkey % 97) + 1
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN l_shipdate + INTERVAL 200 DAY
+              ELSE l_shipdate END AS l_shipdate,
+         CASE WHEN l_orderkey % 10 = 4 THEN qty + 5 ELSE qty END AS qty
+  FROM li WHERE l_orderkey % 10 <> 7
+), curp AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 6 = 1 THEN
+                CASE WHEN p_name LIKE '%widget' THEN p_name || '_x'
+                     ELSE 'retro widget' END
+              ELSE p_name END AS p_name
+  FROM part
+), shipped AS (
+  SELECT l.l_suppkey, CAST(SUM(l.qty) AS BIGINT) AS qty_shipped
+  FROM curl l JOIN curp p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%widget'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, sh.qty_shipped
+FROM shipped sh JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+WHERE sh.qty_shipped > 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 COMPOSED — min-cost supplier per part: the (part × supplier)
+# cost rollup is maintained (pair-grain state, collapsing repeat trades;
+# O(changes) upkeep), and the read resolves the part σ first (p_size ≤ 5
+# on the CURRENT part state) so the argmin window runs over the matched
+# pairs only — churn re-ranks mins, deletes the current min pair, and
+# moves parts across the σ.
+# ---------------------------------------------------------------------------
+_Q2_CACHE: dict[str, tuple] = {}
+
+
+def pipeline_maintained_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.matview import MaintainedAggregate
+
+    if sf_dir not in _Q2_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias(
+                "cents"
+            ),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("cents"), F.desc("l_partkey"), F.desc("l_suppkey")
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        part_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_brand", "p_size"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q2view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        part = ManagedTable(wh / "part").create(
+            part_src, ["p_partkey"], pk_buckets=4, cdf=True
+        )
+        costv = MaintainedAggregate(
+            wh / "costv", ["l_partkey", "l_suppkey"],
+            sum_cols={"cost_cents": "cents"},
+        )
+        costv.refresh(spark, li)
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "cents",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        l_upd = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            (F.col("l_suppkey") % 97 + 1).alias("l_suppkey"),
+            (F.col("cents") - 500).alias("cents"),   # re-ranks the argmin
+        )
+        li.merge(spark, lbatch(l_del, "D").unionByName(lbatch(l_upd, "U")))
+        part.merge(spark, part_src.filter(F.col("p_partkey") % 9 == 2).select(
+            F.lit("U").alias("flag"),
+            F.lit("part").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "p_partkey", "p_brand",
+            (F.col("p_size") % 10 + 1).alias("p_size"),  # σ crossings
+        ))
+        costv.refresh(spark, li)
+        _Q2_CACHE[sf_dir] = (part, costv)
+    part, costv = _Q2_CACHE[sf_dir]
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    small = part.read(spark).filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    state = costv.read(spark).select("l_partkey", "l_suppkey", "cost_cents")
+    matched = state.join(
+        F.broadcast(small), state["l_partkey"] == small["p_partkey"], "inner"
+    )
+    wmin = Window.partitionBy("l_partkey")
+    return (
+        matched.withColumn("__min", F.min("cost_cents").over(wmin))
+        .filter(F.col("cost_cents") == F.col("__min"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.col("cost_cents").cast("long").alias("cost_cents"),
+        )
+    )
+
+
+_Q2VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, cents FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * 100.0) AS BIGINT) DESC,
+                      l_partkey DESC, l_suppkey DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey, l_partkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_suppkey % 97) + 1
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN cents - 500
+              ELSE cents END AS cents
+  FROM li WHERE l_orderkey % 10 <> 7
+), curp AS (
+  SELECT p_partkey, p_brand,
+         CASE WHEN p_partkey % 9 = 2 THEN (p_size % 10) + 1
+              ELSE p_size END AS p_size
+  FROM part
+), costs AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(cents) AS BIGINT) AS cost_cents
+  FROM curl GROUP BY 1, 2
+), ranked AS (
+  SELECT *, MIN(cost_cents) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM costs
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, r.cost_cents
+FROM ranked r
+JOIN curp p ON r.l_partkey = p.p_partkey AND p.p_size <= 5
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.cost_cents = r.min_cost
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
@@ -4745,6 +5911,13 @@ QUERIES = {
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
     "pipeline_maintained_q19": pipeline_maintained_q19,
+    "pipeline_maintained_q22": pipeline_maintained_q22,
+    "pipeline_maintained_q8": pipeline_maintained_q8,
+    "pipeline_maintained_q17": pipeline_maintained_q17,
+    "pipeline_maintained_q11": pipeline_maintained_q11,
+    "pipeline_maintained_q21": pipeline_maintained_q21,
+    "pipeline_maintained_q2": pipeline_maintained_q2,
+    "pipeline_maintained_q20": pipeline_maintained_q20,
     "pipeline_maintained_q18": pipeline_maintained_q18,
     "pipeline_maintained_bm25": pipeline_maintained_bm25,
     "pipeline_incremental_minmax": pipeline_incremental_minmax,
@@ -4793,6 +5966,13 @@ ORACLES = {
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,
     "pipeline_maintained_q19": _Q19VIEW_ORACLE,
+    "pipeline_maintained_q22": _Q22VIEW_ORACLE,
+    "pipeline_maintained_q8": _Q8VIEW_ORACLE,
+    "pipeline_maintained_q17": _Q17VIEW_ORACLE,
+    "pipeline_maintained_q11": _Q11VIEW_ORACLE,
+    "pipeline_maintained_q21": _Q21VIEW_ORACLE,
+    "pipeline_maintained_q2": _Q2VIEW_ORACLE,
+    "pipeline_maintained_q20": _Q20VIEW_ORACLE,
     "pipeline_maintained_q18": _Q18VIEW_ORACLE,
     "pipeline_maintained_bm25": _bm25view_oracle(),
     "pipeline_incremental_minmax": _minmax_oracle(MINMAX_ROOT),

@@ -147,6 +147,27 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # TPC-H Q4 composed: maintained per-order returned-line counts +
     # the date-window semi-join at read
     "pipeline_maintained_q4": [("o_orderpriority", "str"), ("n_orders", "int")],
+    # TPC-H Q22 composed: live positive-balance scalar (derived sign
+    # flag) + per-customer recent-order counts, anti-joined at read
+    "pipeline_maintained_q22": [("c_nationkey", "int"), ("n_cust", "int"), ("total_bal_cents", "int")],
+    # TPC-H Q8 live: 7-table snowflake cube at (date x supp_nation)
+    # grain, two dim sigmas; year rollup + share split at read
+    "pipeline_maintained_q8": [("o_year", "int"), ("nation_rev_cents", "int"), ("total_rev_cents", "int")],
+    # TPC-H Q17 composed, INDEX-ACCELERATED: live per-part qty rollup +
+    # SecondaryIndex probe + bucket-pruned fact read (no fact scan)
+    "pipeline_maintained_q17": [("p_brand", "str"), ("n_small", "int"), ("revenue_cents", "int")],
+    # TPC-H Q11 live: chained-sigma value rollup; the global threshold
+    # derives from the view's own state at read
+    "pipeline_maintained_q11": [("l_partkey", "int"), ("value_cents", "int")],
+    # TPC-H Q21 composed: two maintained distinct views (one sigma-
+    # filtered) + the culprit identity from the support store's top-1
+    "pipeline_maintained_q21": [("s_suppkey", "int"), ("s_name", "str"), ("numwait", "int")],
+    # TPC-H Q2 composed: pair-grain maintained cost rollup + sigma-part
+    # restricted argmin window at read
+    "pipeline_maintained_q2": [("p_partkey", "int"), ("p_brand", "str"), ("s_name", "str"), ("cost_cents", "int")],
+    # TPC-H Q20 live: fact sigma window + dim LIKE sigma that part
+    # renames cross in both directions
+    "pipeline_maintained_q20": [("s_suppkey", "int"), ("s_name", "str"), ("qty_shipped", "int")],
     # TPC-H Q10 live: fact σ + dim σ, customer-cardinality dim group key
     "pipeline_maintained_q10": [("c_custkey", "int"), ("c_name", "str"), ("revenue_c", "int")],
     # TPC-H Q18 composed: maintained per-order qty rollup + HAVING/joins at read

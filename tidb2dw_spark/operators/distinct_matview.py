@@ -355,6 +355,8 @@ class MaintainedDistinctAggregate:
         group_cols: Sequence[str],
         distinct_cols: dict[str, str],
         n_buckets: int = 32,
+        where: str | None = None,
+        where_cols: Sequence[str] | None = None,
     ):
         self.root = Path(root)
         self.group_cols = list(group_cols)
@@ -362,6 +364,14 @@ class MaintainedDistinctAggregate:
         self.n_buckets = int(n_buckets)
         if not self.distinct_cols:
             raise ValueError("distinct_cols must name at least one output")
+        # row-local σ over base columns — commutes with the ± support
+        # fold exactly as in MaintainedAggregate: a change row (pre- or
+        # post-image) contributes iff it satisfies the predicate, so a
+        # boundary-crossing update folds as a one-sided ± support delta
+        self.where = where
+        self.where_cols = list(where_cols or [])
+        if self.where_cols and not where:
+            raise ValueError("where_cols given without a where predicate")
         self._store = SupportStore(self.root, self.group_cols, self.n_buckets)
 
     # -- meta / io --------------------------------------------------------
@@ -393,7 +403,11 @@ class MaintainedDistinctAggregate:
     # -- field-id translation (same contract as MaintainedAggregate) -----
     def _source_cols(self) -> list[str]:
         return list(
-            dict.fromkeys(self.group_cols + list(self.distinct_cols.values()))
+            dict.fromkeys(
+                self.group_cols
+                + list(self.distinct_cols.values())
+                + self.where_cols
+            )
         )
 
     def _translated(self, m: dict, src_m: dict) -> list:
@@ -537,6 +551,8 @@ class MaintainedDistinctAggregate:
 
         if not self.exists():
             base = source._read_state(spark, src_m).select(*self._source_cols())
+            if self.where:
+                base = base.filter(F.expr(self.where))
             rollup = init_distinct_agg(base, self.group_cols, self.distinct_cols)
             rollup.write.mode("overwrite").parquet(str(self.root / "v=1"))
             bucket_versions = {
@@ -549,6 +565,7 @@ class MaintainedDistinctAggregate:
                     "applied_seq": src_seq,
                     "version": 1,
                     "n_buckets": self.n_buckets,
+                    "where": self.where,
                     "bucket_versions": bucket_versions,
                     "field_ids": {
                         n: src_ids[n] for n in self._source_cols() if n in src_ids
@@ -558,6 +575,12 @@ class MaintainedDistinctAggregate:
             return src_seq
 
         meta = self.meta()
+        if meta.get("where") != self.where:
+            raise ValueError(
+                f"distinct view at {self.root} was seeded with where="
+                f"{meta.get('where')!r}; constructed with {self.where!r} — "
+                "rebuild instead of mixing filtered states"
+            )
         since = meta["applied_seq"]
         if src_seq <= since:
             return since
@@ -565,6 +588,8 @@ class MaintainedDistinctAggregate:
         slice_df = source.changes(spark, since=since, until=src_seq).select(
             F.col(CHANGE_TYPE_COL), *self._translated(meta, src_m)
         )
+        if self.where:
+            slice_df = slice_df.filter(F.expr(self.where))
         sign = (
             F.when(F.col(CHANGE_TYPE_COL).isin(*_ADD), F.lit(1))
             .when(F.col(CHANGE_TYPE_COL).isin(*_SUB), F.lit(-1))
