@@ -1,8 +1,9 @@
 """Checksum suites: one driver row verifying a FAMILY of queries.
 
 The driver's correctness gate checks at most ~50 registry entries, so the
-30-query analytics breadth and the 5-query sampling family are verified
-through two composite entries.  Each member query's full result is folded
+analytics breadth (100 members as of round 8, including every maintained
+TPC-H view), the sampling, similarity, and multimodal families are
+verified through composite entries.  Each member query's full result is folded
 to a single (query, n_rows, checksum) row with an engine-portable integer
 fingerprint, and the suite returns one row per member — a hash mismatch in
 ANY member's rows flips that member's checksum, so the driver row carries
