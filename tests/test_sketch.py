@@ -196,3 +196,27 @@ def test_sketch_rides_the_replicator_poll_loop(spark, tmp_path):
         ref2.read(spark).withColumnRenamed("age", "grp")
     )
     assert int(sk2.meta()["recounts"]) == 1
+
+
+def test_crash_between_data_write_and_meta_swap_self_repairs(spark, tmp_path):
+    """The versioned-parquet + os.replace meta contract: a crash that
+    wrote v=N+1 data but never swapped the meta leaves an orphan dir;
+    the deterministic version numbering overwrites it on retry and the
+    registers equal a clean run's."""
+    import shutil
+
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedHLLSketch(tmp_path / "sk", ["grp"], "v", p=8)
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [("I", 5000, 5, "A", 333)]))
+    # simulate the half-commit: v=2 data exists (garbage), meta still v=1
+    orphan = tmp_path / "sk" / "v=2"
+    orphan.mkdir(parents=True)
+    spark.createDataFrame(
+        [("Z", 9, 9)], "grp string, bucket int, rho int"
+    ).write.mode("overwrite").parquet(str(orphan))
+    assert sk.meta()["version"] == 1
+    sk.refresh(spark, t)  # retry: deterministic overwrite of v=2
+    assert sk.meta()["version"] == 2
+    ref = _rebuild(spark, tmp_path, t, p=8)
+    assert _regs(sk.read(spark)) == _regs(ref.read(spark))
