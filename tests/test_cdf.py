@@ -497,6 +497,31 @@ def test_secondary_index_rejects_unportable_type(spark, tmp_path):
         SecondaryIndex(tmp_path / "ix", col="nope", pk_cols=["k"]).build(spark, t)
 
 
+def test_secondary_index_semi_probe_equals_literal_probe(spark, tmp_path):
+    """lookup_pks_semi (the over-cap fallback: broadcast semi against
+    the whole index, no driver-side value list) returns the same PK set
+    as lookup_pks_in, scans ONLY index paths (never the base table),
+    and broadcasts the key side."""
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
+    from tidb2dw_spark.plans import audit
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    ix = SecondaryIndex(tmp_path / "ix", col="grp", pk_cols=["k"], n_buckets=4)
+    ix.build(spark, t)
+    keys = spark.createDataFrame([("a",), ("b",), ("zzz",)], "grp string")
+    got = ix.lookup_pks_semi(spark, keys)
+    want = sorted(
+        r["k"] for r in ix.lookup_pks_in(spark, ["a", "b", "zzz"]).collect()
+    )
+    assert sorted(r["k"] for r in got.collect()) == want
+    a = audit(got)
+    assert "BroadcastHashJoin" in a.plan and "LeftSemi" in a.plan
+    # every parquet scan in the plan reads the INDEX, not the base table
+    for line in a.plan.splitlines():
+        if "InMemoryFileIndex" in line:
+            assert "/ix/" in line and "/t/" not in line, line
+
+
 def test_stream_changes_and_streaming_refresh(spark, tmp_path):
     """The feed as a Structured Streaming source: an availableNow drain
     yields exactly the manifest-gated changes() rows, and the streaming

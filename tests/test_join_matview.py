@@ -1918,6 +1918,36 @@ def test_roleplay_unknown_physical_column_rejected(spark, tmp_path):
         mv.refresh_star(spark, fact, [dim])
 
 
+def test_roleplay_rename_target_colliding_with_physical_col_rejected(
+    spark, tmp_path
+):
+    """A rename TARGET equal to an un-renamed physical column of the
+    same dim would collapse silently in the view-schema set and invert
+    to the wrong physical column — must fail loudly.  Renaming onto a
+    column that is itself renamed AWAY (a swap) stays legal."""
+    from tidb2dw_spark.operators.join_matview import MaintainedStarAggregate
+
+    fact, dim, _ = _mk_roleplay(spark, tmp_path)
+    bad = MaintainedStarAggregate(
+        tmp_path / "bad",
+        dims=[("fk1", ["d"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        dim_renames=[{"nm": "d"}],  # 'd' is a physical dim column
+    )
+    with pytest.raises(ValueError, match="collide with physical"):
+        bad.refresh_star(spark, fact, [dim])
+    # the swap case: both columns renamed away → no collision
+    ok = MaintainedStarAggregate(
+        tmp_path / "ok",
+        dims=[("fk1", ["nm"])],
+        fact_group_cols=[],
+        sum_cols={"total_cents": "cents"},
+        dim_renames=[{"nm": "d", "d": "nm"}],
+    )
+    ok.refresh_star(spark, fact, [dim])
+
+
 # --- property: role-playing + expression measures under random feeds ---
 
 _rp_f_ev = st.tuples(

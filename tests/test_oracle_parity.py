@@ -17,3 +17,25 @@ def test_query_matches_oracle(name, spark, sf_dir):
         assert_matches_oracle(df, ORACLES[name], sf_dir)
     else:
         assert df.count() >= 0  # rows-only check for non-SQL-expressible ops
+
+
+def test_q17_overcap_sigma_falls_back_semi_join(spark, sf_dir, monkeypatch):
+    """Past _Q17_SIGMA_CAP σ-part keys the Q17 serving path stops
+    collecting keys driver-side: the index is probed by broadcast
+    semi-join and the row stays oracle-green — no giant literal IN, no
+    fact scan (the fact probe still rides read_for_keys)."""
+    import tidb2dw_spark.entry_pipeline as ep
+
+    want = sorted(
+        map(tuple, ep.QUERIES["pipeline_maintained_q17"](spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(ep, "_Q17_SIGMA_CAP", 1)
+    got_df = ep.QUERIES["pipeline_maintained_q17"](spark, sf_dir)
+    assert sorted(map(tuple, got_df.collect())) == want
+    from tidb2dw_spark.plans import audit
+
+    plan = audit(got_df).plan
+    # the index probe is a broadcast semi-join; the part σ is never a
+    # literal IN over p_partkey
+    assert "LeftSemi" in plan
+    assert "ix_partkey" in plan

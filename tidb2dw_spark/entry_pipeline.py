@@ -5145,6 +5145,10 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 _Q17_CACHE: dict[str, tuple] = {}
 _Q17_BRANDS = ("Brand#1", "Brand#2", "Brand#3")
+# serving-path σ-collect cap: past this many σ-part keys the index is
+# probed by broadcast semi-join instead of driver literals (at sf100 a
+# 3-brand σ is ~2.4M keys — never a multi-million literal IN)
+_Q17_SIGMA_CAP = 8192
 
 
 def pipeline_maintained_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5233,18 +5237,28 @@ def pipeline_maintained_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.refresh(spark, li)
         _Q17_CACHE[sf_dir] = (li, part, statv, idx)
     li, part, statv, idx = _Q17_CACHE[sf_dir]
-    brand_rows = (
+    sigma = (
         part.read(spark)
         .filter(F.col("p_brand").isin(*_Q17_BRANDS))
         .select("p_partkey", "p_brand")
-        .collect()
     )
-    pks = idx.lookup_pks_in(spark, [r["p_partkey"] for r in brand_rows])
+    brand_rows = sigma.limit(_Q17_SIGMA_CAP + 1).collect()
+    if len(brand_rows) <= _Q17_SIGMA_CAP:
+        pks = idx.lookup_pks_in(spark, [r["p_partkey"] for r in brand_rows])
+        brands = spark.createDataFrame(
+            [(r["p_partkey"], r["p_brand"]) for r in brand_rows],
+            "p_partkey long, p_brand string",
+        )
+    else:
+        # over-cap σ: the key set stays distributed — the index is
+        # probed by broadcast semi-join (O(index size), never a fact
+        # scan) and the fact probe still rides read_for_keys' bucket
+        # pruning (its internal collects are probe-capped)
+        pks = idx.lookup_pks_semi(
+            spark, sigma.select(F.col("p_partkey").alias("l_partkey"))
+        )
+        brands = sigma
     li_rows = li.read_for_keys(spark, pks).select("l_partkey", "q", "cents")
-    brands = spark.createDataFrame(
-        [(r["p_partkey"], r["p_brand"]) for r in brand_rows],
-        "p_partkey long, p_brand string",
-    )
     stats = statv.read(spark).select(
         "l_partkey", F.col("n_rows").alias("__n"), F.col("sq").alias("__sq")
     )

@@ -494,6 +494,22 @@ class MaintainedStarAggregate:
                     f"dim_renames[{i}] renames {missing!r} which are not "
                     f"columns of {dim_tables[i].root}"
                 )
+            # a rename TARGET colliding with a physical column that is
+            # NOT itself renamed away would collapse silently in the
+            # dim_schemas set and _phys_map would invert the view name
+            # to the wrong physical column — misread data, so fail loud
+            collide = sorted(
+                v
+                for v in ren.values()
+                if v in phys_schemas[i] and v not in ren
+            )
+            if collide:
+                raise ValueError(
+                    f"dim_renames[{i}] rename target(s) {collide!r} "
+                    f"collide with physical columns of "
+                    f"{dim_tables[i].root} that are not themselves "
+                    "renamed away — two columns would share one view name"
+                )
         # everything below operates in VIEW names: the pk and schema of
         # each dim pass through its role rename
         dim_pks = [

@@ -632,6 +632,29 @@ class SecondaryIndex:
                 cond = F.col(c).isin(mem) & cond
         return base.filter(cond).select(*self.pk_cols)
 
+    def lookup_pks_semi(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        """Over-cap twin of :meth:`lookup_pks_in`: when the probe VALUE
+        set is too large to materialize driver-side (a wide σ over the
+        attribute — millions of keys at sf100), semi-join the whole
+        index against the broadcast key frame instead.  O(index size)
+        read — the index holds (value, pk) rows, orders of magnitude
+        smaller than the base table it avoids scanning.  *keys* must
+        carry the indexed column(s) under the index's own names; no
+        driver round-trip means no literal-coercion hazard."""
+        m = self._load_meta()
+        base = self._read_buckets(
+            spark, m, sorted(int(b) for b in m["bucket_versions"])
+        )
+        if base is None:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], schema=StructType())
+        return base.join(
+            F.broadcast(keys.select(*self.cols).distinct()),
+            on=list(self.cols),
+            how="left_semi",
+        ).select(*self.pk_cols)
+
     def _range_buckets(self, lo: tuple, hi: tuple) -> list[int]:
         """Buckets whose ZONE MAP intersects [lo, hi] (typed key tuples) —
         the probe's read set, O(intersecting buckets) by construction."""

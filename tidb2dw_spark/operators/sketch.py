@@ -55,7 +55,9 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dedup import md5_long
 from ..table.managed import CHANGE_TYPE_COL, ManagedTable
+from .matview import DIRTY_LITERAL_CAP, literal_group_box, nullsafe_group_eq
 
 _SUB = ("delete", "update_preimage")
 _ADD = ("insert", "update_postimage")
@@ -84,13 +86,24 @@ def hll_register_cols(value_col: str, p: int) -> tuple[F.Column, F.Column]:
     idiom splits into a p-bit bucket and a (60−p)-bit tail whose
     first-one position is ``(61−p) − bit_length`` (integer-exact via
     bin())."""
-    m = 1 << p
+    # THE one copy of the first-15-md5-hex-digits→long idiom (bloom and
+    # secondary-index hashing pin the same function — bit-identical).
+    return hll_tail_cols(md5_long(F.col(value_col).cast("string")), p)
+
+
+def hll_tail_cols(h: F.Column, p: int) -> tuple[F.Column, F.Column]:
+    """(bucket, rho) from a non-negative ≤60-bit hash column — exposed
+    so the boundary algebra is unit-testable on synthetic hashes.
+
+    m = 2^p, so the bucket/tail split is pure bit surgery: the low p
+    bits and an arithmetic right shift.  Spark's ``/`` is DOUBLE
+    division and a 60-bit h exceeds the 53-bit mantissa — ``h/m`` can
+    round across an integer (and at r = 2^k−1, a power-of-two) boundary
+    and flip rho vs the DuckDB oracle's exact ``//``.  ``shiftright``
+    is integer-exact."""
     wp1 = 61 - p  # tail width (60 − p bits) + 1 = rho's max value
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    bucket = F.pmod(h, F.lit(m)).cast("int")
-    r = (h / F.lit(m)).cast("long")  # h ≥ 0: truncation == floor
+    bucket = (h.bitwiseAND(F.lit((1 << p) - 1))).cast("int")
+    r = F.shiftright(h, p)
     rho = (
         F.when(r > 0, F.lit(wp1) - F.length(F.bin(r)))
         .otherwise(F.lit(wp1))
@@ -263,13 +276,7 @@ class MaintainedHLLSketch:
         meta["applied_seq"] = src_seq
         if has_sub:
             meta["recounts"] = int(meta.get("recounts", 0)) + 1
-            regs = self._registers(
-                self._sigma(
-                    source._read_state(spark, src_m).select(
-                        *self._source_cols()
-                    )
-                )
-            )
+            regs = self._recount(spark, source, src_m, sl)
         else:
             adds = self._registers(
                 sl.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD)).drop(
@@ -285,6 +292,111 @@ class MaintainedHLLSketch:
         self._commit(regs, meta)
         return src_seq
 
+    def _recount(
+        self,
+        spark: SparkSession,
+        source: ManagedTable,
+        src_m: dict,
+        sl: DataFrame,
+    ) -> DataFrame:
+        """GROUP-SCOPED register recount for a delete-bearing slice: the
+        slice names exactly which groups carry ``_SUB`` rows, so only
+        THOSE groups' registers are rebuilt from the σ-base — the base
+        scan is pruned to the dirty groups by literal IN predicates
+        (parquet row-group pruning engages), with a broadcast semi-join
+        fallback past :data:`~.matview.DIRTY_LITERAL_CAP` keys — and
+        every untouched group's registers pass through unchanged.  The
+        slice's ADD rows for non-dirty groups still fold by max (exact:
+        registers are monotone under inserts).  A delete-light workload
+        at 100 TB pays an O(dirty groups' rows) scan, not a full σ-scan.
+        A GLOBAL sketch (no group cols) degenerates to the full recount
+        — one delete anywhere invalidates the single register set."""
+        base = self._sigma(
+            source._read_state(spark, src_m).select(*self._source_cols())
+        )
+        if not self.group_cols:
+            return self._registers(base)
+        sub_keys = (
+            sl.filter(F.col(CHANGE_TYPE_COL).isin(*_SUB))
+            .select(*self.group_cols)
+            .distinct()
+        )
+        adds = self._registers(
+            sl.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD)).drop(
+                CHANGE_TYPE_COL
+            )
+        )
+        cur = self.read(spark)
+        rows = sub_keys.limit(DIRTY_LITERAL_CAP + 1).collect()
+        if len(rows) <= DIRTY_LITERAL_CAP:
+            # literal box is a SUPERSET of the dirty tuple set (per-column
+            # INs) — safe because both sides split on the SAME predicate:
+            # boxed groups are recounted whole from base, non-boxed
+            # registers pass through.  NULL-group registers: the box is
+            # NULL on them unless a dirty key carries NULL, so the kept
+            # side coalesces to keep them.
+            box = literal_group_box(rows, self.group_cols, dict(base.dtypes))
+            kept = cur.filter(~F.coalesce(box, F.lit(False)))
+            recount = self._registers(base.filter(box))
+            add_kept = adds.filter(~F.coalesce(box, F.lit(False)))
+        else:
+            kept = cur.alias("__c").join(
+                F.broadcast(sub_keys.alias("__k")),
+                nullsafe_group_eq("__c", "__k", self.group_cols),
+                "left_anti",
+            )
+            recount = self._registers(
+                base.alias("__b").join(
+                    F.broadcast(sub_keys.alias("__k")),
+                    nullsafe_group_eq("__b", "__k", self.group_cols),
+                    "left_semi",
+                )
+            )
+            add_kept = adds.alias("__a").join(
+                F.broadcast(sub_keys.alias("__k")),
+                nullsafe_group_eq("__a", "__k", self.group_cols),
+                "left_anti",
+            )
+        # recounted groups read their ADDs from the base (src_m is the
+        # post-slice state); non-dirty groups fold the slice's ADDs by max
+        return (
+            kept.unionByName(add_kept)
+            .groupBy(*self.group_cols, "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .unionByName(recount)
+        )
+
+    def rollup(
+        self, spark: SparkSession, group_subset: Sequence[str]
+    ) -> DataFrame:
+        """Registers MAX-MERGED to a coarser grain — answer
+        region-level distinct from nation-level sketches with NO base
+        scan.  Exact: a register is the max over its group's rows, and
+        finer groups partition the σ-base, so the elementwise max of
+        finer registers IS the register a direct coarse-grain build
+        would produce (bit-identical, oracle-checkable).  *group_subset*
+        may be empty → one global register set."""
+        subset = list(group_subset)
+        missing = [g for g in subset if g not in self.group_cols]
+        if missing:
+            raise ValueError(
+                f"rollup cols {missing!r} are not sketch group cols "
+                f"{self.group_cols}"
+            )
+        return (
+            self.read(spark)
+            .groupBy(*subset, "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+
+    def estimate_rollup(
+        self, spark: SparkSession, group_subset: Sequence[str]
+    ) -> DataFrame:
+        """:meth:`estimate` over :meth:`rollup` registers."""
+        return self._estimate_over(
+            self.rollup(spark, group_subset), list(group_subset)
+        )
+
     def estimate(self, spark: SparkSession) -> DataFrame:
         """(group…, used_buckets, hsum_scaled, est_raw, est) per group.
 
@@ -296,11 +408,15 @@ class MaintainedHLLSketch:
         exist, Flajolet §4) — the estimator a caller should read; its
         ``ln`` is engine-local, so exactness contracts pin est_raw and
         the registers instead."""
+        return self._estimate_over(self.read(spark), self.group_cols)
+
+    def _estimate_over(
+        self, regs: DataFrame, group_cols: list[str]
+    ) -> DataFrame:
         a = hll_numerator(self.p)
         m = self.m
-        regs = self.read(spark)
         base = (
-            regs.groupBy(*self.group_cols)
+            regs.groupBy(*group_cols)
             .agg(
                 F.count(F.lit(1)).cast("long").alias("used_buckets"),
                 F.sum(
@@ -310,7 +426,7 @@ class MaintainedHLLSketch:
                 .alias("__present"),
             )
             .select(
-                *self.group_cols,
+                *group_cols,
                 "used_buckets",
                 (
                     F.col("__present")
