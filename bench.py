@@ -135,6 +135,8 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_q14",
     "pipeline_maintained_q15",
     "pipeline_maintained_hll",
+    "pipeline_hll_rollup",
+    "pipeline_quantile_sketch",
     "pipeline_maintained_monthly",
     "pipeline_maintained_q4",
     "pipeline_maintained_q6",
@@ -142,6 +144,7 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_q22",
     "pipeline_maintained_q8",
     "pipeline_maintained_q17",
+    "pipeline_maintained_q9",
     "pipeline_maintained_q11",
     "pipeline_maintained_q21",
     "pipeline_maintained_q2",

@@ -307,3 +307,38 @@ def test_maintained_q7_read_is_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in a.plan
     assert "BroadcastHashJoin" in a.plan
     assert "lineitem.parquet" not in a.plan  # serves from view state only
+
+
+def test_plans_md_is_fresh(spark, tmp_path):
+    """PLANS.md freshness gate: regenerate the audit over the FULL
+    registry (same sf0.01 the committed artifact uses) and fail on any
+    drift — a plan change without `python -m tidb2dw_spark.plans.report`
+    goes red here instead of silently staling for a round.  ~10 min at
+    local[8]; the cost IS the point: every registry query's plan is
+    re-derived and compared.  The report is partition-count invariant
+    (keys are extracted without partition numbers), so the pytest
+    session's config reproduces the standalone artifact byte-for-byte."""
+    import pathlib
+
+    from tidb2dw_spark.plans import report
+
+    out = tmp_path / "PLANS.md"
+    rc = report.generate(str(out))
+    assert rc == 0, "a registry query failed to plan — see the Errors section"
+    committed = pathlib.Path(__file__).resolve().parents[1] / "PLANS.md"
+    if out.read_text() != committed.read_text():
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                committed.read_text().splitlines(),
+                out.read_text().splitlines(),
+                "PLANS.md (committed)",
+                "PLANS.md (regenerated)",
+                lineterm="",
+            )
+        )
+        raise AssertionError(
+            "PLANS.md is stale — regenerate with "
+            "`python -m tidb2dw_spark.plans.report` and commit it.\n" + diff
+        )

@@ -411,3 +411,129 @@ def test_crash_between_data_write_and_meta_swap_self_repairs(spark, tmp_path):
     assert sk.meta()["version"] == 2
     ref = _rebuild(spark, tmp_path, t, p=8)
     assert _regs(sk.read(spark)) == _regs(ref.read(spark))
+
+
+# --------------------------------------------------------------------------
+# MaintainedQuantileHistogram — the approximate-quantile tier
+# --------------------------------------------------------------------------
+def _qh_rebuild(spark, tmp_path, t, **kw):
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    ref = MaintainedQuantileHistogram(tmp_path / "qh_ref", ["grp"], "v", **kw)
+    ref.refresh(spark, t)
+    return ref
+
+
+def _hist(df):
+    return sorted(
+        (r["grp"], r["__bin"], r["n_rows"]) for r in df.collect()
+    )
+
+
+def test_quantile_histogram_folds_deletes_without_recount(spark, tmp_path):
+    """The point of the histogram tier: bin counts are SIGNED
+    aggregates, so a delete-bearing slice folds in O(changes + touched
+    bins) — no recount path exists — and the state equals a rebuild."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    t = _mk_table(spark, tmp_path)
+    qh = MaintainedQuantileHistogram(tmp_path / "qh", ["grp"], "v",
+                                     bin_width=10)
+    qh.refresh(spark, t)
+    t.merge(spark, _batch(spark, (
+        [("D", k, 5, None, None) for k in range(0, 80, 2)]
+        + [("U", 1, 5, "B", 9000), ("I", 9001, 5, "A", -73)]
+    )))
+    qh.refresh(spark, t)
+    ref = _qh_rebuild(spark, tmp_path, t, bin_width=10)
+    assert _hist(qh.read(spark)) == _hist(ref.read(spark))
+    # zero-count bins must not linger as rows (a drained bin disappears)
+    assert all(r["n_rows"] > 0 for r in qh.read(spark).collect())
+
+
+def test_quantile_histogram_negative_values_bin_by_floor(spark, tmp_path):
+    """Spark DIV truncates, DuckDB // floors — the floor_div_sql idiom
+    must make them agree on negatives: bin(-1, W=10) = -1, not 0."""
+    import duckdb
+
+    from tidb2dw_spark.operators.sketch import floor_div_sql
+
+    vals = [-25, -20, -11, -10, -1, 0, 1, 9, 10, 25]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        r["b"]
+        for r in df.select(
+            F.expr(floor_div_sql("v", 10)).alias("b")
+        ).collect()
+    ]
+    want = [v // 10 for v in vals]  # python floor division
+    assert got == want
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT (((v) - (((v) % 10 + 10) % 10))) // 10 "
+            "FROM (SELECT unnest(?::BIGINT[]) v)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert duck == want
+
+
+def test_quantile_read_matches_exact_rank(spark, tmp_path):
+    """quantiles() returns the bin CONTAINING the exact rank-⌈q·n/1000⌉
+    value, per group, pure integers."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    rows = [(i, "AB"[i % 2], (i * 37) % 1000 - 100) for i in range(500)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, "k long, grp string, v long"),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    qh = MaintainedQuantileHistogram(tmp_path / "qh", ["grp"], "v",
+                                     bin_width=50)
+    qh.refresh(spark, t)
+    got = {
+        (r["grp"], r["q_milli"]): (r["rank"], r["total"],
+                                   r["bin_lo"], r["bin_hi"])
+        for r in qh.quantiles(spark, [10, 500, 900, 1000]).collect()
+    }
+    by_grp = {
+        g: sorted(v for _, gg, v in rows if gg == g) for g in ("A", "B")
+    }
+    for g, vs in by_grp.items():
+        n = len(vs)
+        for q in (10, 500, 900, 1000):
+            rank = max(1, (q * n + 999) // 1000)
+            x = vs[rank - 1]
+            lo = (x // 50) * 50
+            assert got[(g, q)] == (rank, n, lo, lo + 50), (g, q)
+    with pytest.raises(ValueError, match="qs_milli"):
+        qh.quantiles(spark, [0])
+    with pytest.raises(ValueError, match="qs_milli"):
+        qh.quantiles(spark, [1001])
+
+
+def test_quantile_histogram_sigma_and_replicator(spark, tmp_path):
+    """σ-filtered variant + the derived protocol: rides
+    TableReplicator(derived=[…]) and stays equal to a rebuild across a
+    restart."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    t = _mk_table(spark, tmp_path)
+    qh = MaintainedQuantileHistogram(
+        tmp_path / "qh", ["grp"], "v", bin_width=10,
+        where="v % 2 = 0",
+    )
+    qh.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("I", 5001, 5, "A", 101), ("I", 5002, 5, "A", 102),
+        ("D", 2, 5, None, None),
+    ]))
+    qh.refresh(spark, t)
+    ref = _qh_rebuild(spark, tmp_path, t, bin_width=10, where="v % 2 = 0")
+    assert _hist(qh.read(spark)) == _hist(ref.read(spark))
+    # only even v counted
+    tot = sum(r["n_rows"] for r in qh.read(spark).collect())
+    want = t.read(spark).filter("v % 2 = 0").count()
+    assert tot == want

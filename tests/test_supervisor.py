@@ -232,3 +232,102 @@ def test_supervise_all_isolates_per_table_failures(spark, tmp_path):
     assert results["good"] is None
     assert results["bad"] is not None and "change data feed" in results["bad"]
     assert mv_g.meta()["applied_seq"] == good.manifest()["cdf_seq"]
+
+
+def test_supervisor_continuous_soak_under_concurrent_churn(spark, tmp_path):
+    """SOAK of the unattended loop (reference: increment.go:373-390 —
+    the poll loop nobody babysits): a continuous-mode supervisor runs
+    for minutes while a WRITER THREAD lands a steady stream of merges
+    with THREE live DDL barriers interleaved (RENAME, widening MODIFY,
+    RENAME back) — barriers land between merges with the query live, so
+    each must surface mid-run and heal from the same checkpoint.
+    Asserts: the writer never errored, ≥2 heals actually happened,
+    restarts stayed within budget, the supervisor stayed healthy, the
+    view caught up to the final seq with no re-seed, and the maintained
+    state equals a from-scratch recompute of the churned table."""
+    import threading
+
+    t = _mk(spark, tmp_path / "t")
+    mv = MaintainedAggregate(tmp_path / "mv", ["grp"], {"total": "qty"})
+    sup = StreamSupervisor(
+        spark, t, mv, tmp_path / "ckpt",
+        processing_interval="1 second", max_restarts=8,
+    )
+    v1 = [
+        TableCol(id="1", name="k", tp="bigint", is_pk="true"),
+        TableCol(id="2", name="grp", tp="varchar", precision="10"),
+        TableCol(id="3", name="qty", tp="int"),
+    ]
+    v2 = [v1[0], TableCol(id="2", name="category", tp="varchar",
+                          precision="10"), v1[2]]
+    v3 = [v1[0], v2[1], TableCol(id="4", name="qty", tp="bigint")]
+    v4 = [v1[0], TableCol(id="2", name="grp", tp="varchar",
+                          precision="10"), v3[2]]
+    env_r = ENV_I.replace("grp", "category")
+    env_w = env_r.replace("qty int", "qty long")
+    env_b = ENV_I.replace("qty int", "qty long")
+    pump_errors: list[BaseException] = []
+
+    def merge_rows(env, rows):
+        t.merge(spark, spark.createDataFrame(rows, env))
+
+    def pump():
+        try:
+            k = 100
+            for i in range(6):  # steady pre-barrier churn
+                merge_rows(ENV_I, [("I", "t", "s", 5, k + i,
+                                    "ab"[i % 2], 7 + i)])
+                time.sleep(0.4)
+            apply_column_diffs(spark, t, diff_columns(v1, v2))  # barrier 1
+            for i in range(6):
+                merge_rows(env_r, [("U", "t", "s", 6, 100 + i,
+                                    "c", 50 + i)])
+                time.sleep(0.4)
+            apply_column_diffs(spark, t, diff_columns(v2, v3))  # barrier 2
+            for i in range(6):
+                merge_rows(env_w, [("I", "t", "s", 7, 200 + i, "d",
+                                    9_999_999_990 + i)])
+                time.sleep(0.4)
+            apply_column_diffs(spark, t, diff_columns(v3, v4))  # barrier 3
+            for i in range(6):
+                merge_rows(env_b, [("D", "t", "s", 8, 100 + i, None, None)]
+                           if i % 2 else
+                           [("U", "t", "s", 8, 200 + i, "e", 3 + i)])
+                time.sleep(0.4)
+        except BaseException as e:  # noqa: BLE001 — surfaced to the test
+            pump_errors.append(e)
+
+    sup.start()
+    try:
+        writer = threading.Thread(target=pump, daemon=True)
+        writer.start()
+        writer.join(timeout=300)
+        assert not writer.is_alive(), "writer thread hung"
+        assert not pump_errors, pump_errors
+        assert sup.healthy(), sup.error
+        _wait(
+            lambda: mv.exists()
+            and mv.meta()["applied_seq"] == t.manifest()["cdf_seq"],
+            what="post-soak catch-up",
+        )
+    finally:
+        stats = sup.stop()
+    # ≥2 of the 3 barriers must have landed mid-run (a barrier falling
+    # exactly between micro-batches can conform without a restart, but
+    # with 1s triggers and 0.4s merge cadence not all three can)
+    assert 2 <= stats["restarts"] <= 8, stats
+    got = {
+        (r["grp"], r["total"], r["n_rows"])
+        for r in mv.read(spark).collect()
+    }
+    want = {
+        (r["grp"], r["total"], r["n_rows"])
+        for r in t.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.coalesce(F.sum("qty"), F.lit(0)).alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == want

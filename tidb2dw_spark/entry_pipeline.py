@@ -4291,6 +4291,166 @@ FROM regs GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# HLL register ROLLUP — the mergeable-sketch payoff: coarser-grain
+# distinct (here the GLOBAL o_custkey cardinality) answered by
+# max-merging the per-priority registers, NO base scan.  Spark rolls
+# the maintained fine-grain sketch up; the DuckDB oracle builds the
+# coarse sketch DIRECTLY from the churned base rows — bit-equal
+# registers prove the merge is exact (a register is a max over its
+# group's rows, and the fine groups partition the base).
+# ---------------------------------------------------------------------------
+def pipeline_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline_maintained_hll(spark, sf_dir)  # share the maintained fixture
+    sk = _HLLVIEW_CACHE[sf_dir]
+    return sk.estimate_rollup(spark, []).select(
+        F.col("used_buckets").cast("long").alias("used_buckets"),
+        F.col("hsum_scaled").cast("long").alias("hsum_scaled"),
+        "est_raw",
+    )
+
+
+def _hll_rollup_oracle() -> str:
+    from .operators.sketch import hll_numerator, hll_register_sql
+
+    p = _HLL_P
+    m = 1 << p
+    wp1 = 61 - p
+    bucket, rho = hll_register_sql("o_custkey", p)
+    a = hll_numerator(p)
+    return f"""
+WITH cur AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey + 500000, o_orderpriority
+  FROM orders WHERE o_orderkey % 25 = 3
+), regs AS (
+  SELECT {bucket} AS bucket, MAX({rho}) AS rho
+  FROM cur WHERE o_custkey IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS used_buckets,
+       CAST(SUM(CAST(1 AS BIGINT) << ({wp1} - rho))
+            + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {wp1})
+            AS BIGINT) AS hsum_scaled,
+       {a!r} / CAST(SUM(CAST(1 AS BIGINT) << ({wp1} - rho))
+            + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {wp1})
+            AS BIGINT) AS est_raw
+FROM regs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate QUANTILES as maintained state — the sketch tier of the
+# quantile family (exact sibling: pipeline_distinct_quantile's support
+# store).  A fixed-width integer histogram per o_orderpriority over
+# order cents: bin counts are SIGNED aggregates, so the delete-bearing
+# churn below folds in O(changes + touched bins) with NO recount path
+# (the HLL sibling's weakness) — and the whole answer (rank, total,
+# bin bounds) is pure integer algebra, hash-verified vs a DuckDB
+# recompute including its own cumulative-walk quantile read.
+# ---------------------------------------------------------------------------
+_QSKETCH_CACHE: dict[str, object] = {}
+_QSKETCH_W = 100_000  # $1000 bins over order cents
+
+
+def pipeline_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import MaintainedQuantileHistogram
+
+    if sf_dir not in _QSKETCH_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+                "cents"
+            ),
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_qsketch_"))
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        qh = MaintainedQuantileHistogram(
+            wh / "qh", ["o_orderpriority"], "cents", bin_width=_QSKETCH_W
+        )
+        qh.refresh(spark, orders)  # seed
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_orderpriority", "cents",
+            )
+
+        # ONE slice carrying deletes, bin-crossing updates AND inserts:
+        # the signed fold must drain bins, move bins, and open bins
+        orders.merge(
+            spark,
+            batch(ord_src.filter(F.col("o_orderkey") % 10 == 7), "D")
+            .unionByName(batch(
+                ord_src.filter(F.col("o_orderkey") % 10 == 4).select(
+                    "o_orderkey", "o_orderpriority",
+                    (F.col("cents") + 150_000).alias("cents"),
+                ),
+                "U",
+            ))
+            .unionByName(batch(
+                ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+                    (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                    "o_orderpriority",
+                    (F.col("cents") * 2).alias("cents"),
+                ),
+                "I",
+            )),
+        )
+        qh.refresh(spark, orders)
+        _QSKETCH_CACHE[sf_dir] = qh
+    qh = _QSKETCH_CACHE[sf_dir]
+    return qh.quantiles(spark, [250, 500, 900])
+
+
+_QSKETCH_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), cur AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 4 THEN cents + 150000
+              ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderpriority, cents * 2 FROM base WHERE o_orderkey % 25 = 3
+), hist AS (
+  SELECT o_orderpriority,
+         (((cents) - (((cents) % {_QSKETCH_W} + {_QSKETCH_W})
+            % {_QSKETCH_W}))) // {_QSKETCH_W} AS bin,
+         COUNT(*) AS n
+  FROM cur WHERE cents IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT o_orderpriority, bin, n,
+         SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+  FROM hist
+), q AS (SELECT unnest([250, 500, 900]) AS q_milli)
+SELECT o_orderpriority, CAST(q_milli AS BIGINT) AS q_milli,
+       CAST(rank AS BIGINT) AS rank, CAST(total AS BIGINT) AS total,
+       CAST(bin_lo AS BIGINT) AS bin_lo, CAST(bin_hi AS BIGINT) AS bin_hi
+FROM (
+  SELECT c.o_orderpriority, q.q_milli,
+         GREATEST(1, (q.q_milli * c.total + 999) // 1000) AS rank,
+         c.total, c.bin * {_QSKETCH_W} AS bin_lo,
+         (c.bin + 1) * {_QSKETCH_W} AS bin_hi,
+         row_number() OVER (
+           PARTITION BY c.o_orderpriority, q.q_milli ORDER BY c.bin
+         ) AS rn
+  FROM cum c CROSS JOIN q
+  WHERE c.cum >= GREATEST(1, (q.q_milli * c.total + 999) // 1000)
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-bucketed LIVE rollup — the "streaming windowed aggregation"
 # shape maintained EXACTLY from the CDC feed: the month bucket is a
 # single-table derived_cols expression (date_trunc), so the maintained
@@ -5321,6 +5481,280 @@ GROUP BY p.p_brand
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q9 as a LIVE view — product-type profit: the (nation, o_year)
+# profit cube maintained through the lineitem⋈orders⋈part⋈supplier⋈
+# nation snowflake (reference parity: the warehouse-side Q9 the
+# replicated tables serve).  TESTDATA has no partsupp, so supply cost
+# is a DETERMINISTIC fact_derived_cols expression over
+# (l_partkey, l_suppkey) — integer cents, the same synthetic-on-
+# synthetic move the other fixtures use — making the profit measure
+#   profit_c = revenue_c − sc_c·q
+# pure BIGINT algebra (cross-engine exact).  The part dim contributes
+# only its σ (p_name LIKE 'blue%'); o_year is an orders attribute;
+# nation arrives via the supplier chain hop.  Churn lands on ALL five
+# feeds — lineitem deletes/re-part (σ moves)/re-supplier/inserts, an
+# orders year bump (grain move), part renames that flip σ membership
+# both ways, a supplier re-nation (relocates whole profit slices), and
+# a nation relabel (group-key attribute move) — and the fixture RAISES
+# unless some (nation, o_year) group's profit changed SIGN under churn
+# (the mixed-sign property that makes Q9 maintenance adversarial: ±
+# folds must track through zero, not just shrink magnitudes).
+# Q9 closes the maintained TPC-H set at 22 of 22 (Q9 was the last hole).
+# ---------------------------------------------------------------------------
+_Q9VIEW_CACHE: dict[str, object] = {}
+# supply cost synth: sc ∈ [1, 400000] cents over (partkey, suppkey);
+# with q ∈ [1,50] the cost term spans the revenue scale, so row amounts
+# (and group sums) carry BOTH signs
+_Q9_SC = "(l_partkey * 7919 + l_suppkey * 12553) % 400000 + 1"
+
+
+def pipeline_maintained_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.join_matview import MaintainedStarAggregate
+
+    if sf_dir not in _Q9VIEW_CACHE:
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+            ).cast("long").alias("revenue_c"),
+        )
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.desc("revenue_c"), F.desc("l_partkey"), F.desc("l_suppkey"),
+            F.desc("q"),
+        )
+        li_src = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        part_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_name"
+        )
+        supp_src = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        nat_src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_name"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_q9view_"))
+        li = ManagedTable(wh / "lineitem").create(
+            li_src, ["l_orderkey", "l_linenumber"], pk_buckets=8, cdf=True
+        )
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        part = ManagedTable(wh / "part").create(
+            part_src, ["p_partkey"], pk_buckets=4, cdf=True
+        )
+        supp = ManagedTable(wh / "supplier").create(
+            supp_src, ["s_suppkey"], pk_buckets=4, cdf=True
+        )
+        nation = ManagedTable(wh / "nation").create(
+            nat_src, ["n_nationkey"], pk_buckets=2, cdf=True
+        )
+        mv = MaintainedStarAggregate(
+            wh / "mv",
+            dims=[
+                ("l_orderkey", ["o_year"]),    # orders (grain attribute)
+                ("l_partkey", []),             # part (σ only)
+                ("l_suppkey", []),             # supplier (carries nationkey)
+                ("s_nationkey", ["n_name"]),   # nation, chained off supplier
+            ],
+            fact_group_cols=[],
+            sum_cols={"profit_c": f"revenue_c - ({_Q9_SC}) * q"},
+            measure_cols=["revenue_c", "q", "l_partkey", "l_suppkey"],
+            dim_wheres=[None, "p_name LIKE 'blue%'", None, None],
+            dim_where_cols=[[], ["p_name"], [], []],
+        )
+        mv.refresh_star(spark, li, [orders, part, supp, nation])  # seed
+        before = {
+            (r["n_name"], r["o_year"]): r["profit_c"]
+            for r in mv.read(spark).collect()
+        }
+
+        def lbatch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("lineitem").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "q", "revenue_c",
+            )
+
+        l_del = li_src.filter(F.col("l_orderkey") % 10 == 7)
+        # re-part moves rows across the σ boundary AND re-derives the
+        # supply cost; +40 qty pushes amounts deep negative (sign driver)
+        l_u1 = li_src.filter(F.col("l_orderkey") % 10 == 4).select(
+            "l_orderkey", "l_linenumber",
+            ((F.col("l_partkey") + 3) % 200).alias("l_partkey"),
+            "l_suppkey",
+            (F.col("q") + 40).alias("q"),
+            "revenue_c",
+        )
+        l_u2 = li_src.filter(F.col("l_orderkey") % 10 == 5).select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            ((F.col("l_suppkey") + 3) % 10).alias("l_suppkey"),
+            "q",
+            (F.col("revenue_c") + 13).alias("revenue_c"),
+        )
+        l_ins = li_src.filter(F.col("l_orderkey") % 25 == 3).select(
+            "l_orderkey",
+            (F.col("l_linenumber") + 100).alias("l_linenumber"),
+            "l_partkey", "l_suppkey",
+            F.lit(5).cast("long").alias("q"),
+            "revenue_c",
+        )
+        li.merge(
+            spark,
+            lbatch(l_del, "D")
+            .unionByName(lbatch(l_u1, "U"))
+            .unionByName(lbatch(l_u2, "U"))
+            .unionByName(lbatch(l_ins, "I")),
+        )
+
+        def env(df: DataFrame, tbl: str, cols: list[str]) -> DataFrame:
+            return df.select(
+                F.lit("U").alias("flag"),
+                F.lit(tbl).alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                *cols,
+            )
+
+        orders.merge(spark, env(
+            ord_src.filter(F.col("o_orderkey") % 10 == 9).select(
+                "o_orderkey", (F.col("o_year") + 1).alias("o_year")
+            ),
+            "orders", ["o_orderkey", "o_year"],
+        ))
+        part.merge(spark, env(
+            part_src.filter(F.col("p_partkey") % 4 == 1).select(
+                "p_partkey",
+                F.expr(
+                    "CASE WHEN p_name LIKE 'blue%' "
+                    "THEN concat('red', substring(p_name, 5)) "
+                    "ELSE concat('blue ', p_name) END"
+                ).alias("p_name"),
+            ),
+            "part", ["p_partkey", "p_name"],
+        ))
+        supp.merge(spark, env(
+            supp_src.filter(F.col("s_suppkey") % 3 == 1).select(
+                "s_suppkey",
+                ((F.col("s_nationkey") + 5) % 25).alias("s_nationkey"),
+            ),
+            "supplier", ["s_suppkey", "s_nationkey"],
+        ))
+        nation.merge(spark, env(
+            nat_src.filter(F.col("n_nationkey") % 6 == 2).select(
+                "n_nationkey", F.concat("n_name", F.lit("_X")).alias("n_name")
+            ),
+            "nation", ["n_nationkey", "n_name"],
+        ))
+
+        # ONE five-feed fold
+        mv.refresh_star(spark, li, [orders, part, supp, nation])
+        after = {
+            (r["n_name"], r["o_year"]): r["profit_c"]
+            for r in mv.read(spark).collect()
+        }
+        flips = [
+            k for k, v in after.items()
+            if k in before and before[k] * v < 0
+        ]
+        if not flips:
+            raise RuntimeError(
+                "q9 fixture churn produced no sign-flipping group — the "
+                "± fold through zero went unexercised"
+            )
+        _Q9VIEW_CACHE[sf_dir] = mv
+    mv = _Q9VIEW_CACHE[sf_dir]
+    return mv.read(spark).select(
+        F.col("n_name").alias("nation"),
+        F.col("o_year").cast("long").alias("o_year"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("profit_c").cast("long").alias("profit_c"),
+    )
+
+
+_Q9VIEW_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, q, revenue_c FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT)
+             AS revenue_c,
+           row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY CAST(round(l_extendedprice * (1 - l_discount) * 100.0)
+                           AS BIGINT) DESC,
+                      l_partkey DESC, l_suppkey DESC,
+                      CAST(l_quantity AS BIGINT) DESC
+           ) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+), curl AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN (l_partkey + 3) % 200
+              ELSE l_partkey END AS l_partkey,
+         CASE WHEN l_orderkey % 10 = 5 THEN (l_suppkey + 3) % 10
+              ELSE l_suppkey END AS l_suppkey,
+         CASE WHEN l_orderkey % 10 = 4 THEN q + 40 ELSE q END AS q,
+         CASE WHEN l_orderkey % 10 = 5 THEN revenue_c + 13
+              ELSE revenue_c END AS revenue_c
+  FROM li WHERE l_orderkey % 10 <> 7
+  UNION ALL
+  SELECT l_orderkey, l_partkey, l_suppkey, 5, revenue_c
+  FROM li WHERE l_orderkey % 25 = 3
+), curo AS (
+  SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT)
+           + CASE WHEN o_orderkey % 10 = 9 THEN 1 ELSE 0 END AS o_year
+  FROM orders
+), curp AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 4 = 1 THEN
+              CASE WHEN p_name LIKE 'blue%'
+                   THEN concat('red', substring(p_name, 5))
+                   ELSE concat('blue ', p_name) END
+              ELSE p_name END AS p_name
+  FROM part
+), curs AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 3 = 1 THEN (s_nationkey + 5) % 25
+              ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+), curn AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 6 = 2 THEN concat(n_name, '_X')
+              ELSE n_name END AS n_name
+  FROM nation
+)
+SELECT n.n_name AS nation,
+       o.o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l.revenue_c
+                - ((l.l_partkey * 7919 + l.l_suppkey * 12553) % 400000 + 1)
+                  * l.q) AS BIGINT) AS profit_c
+FROM curl l
+JOIN curo o ON l.l_orderkey = o.o_orderkey
+JOIN curp p ON l.l_partkey = p.p_partkey
+JOIN curs s ON l.l_suppkey = s.s_suppkey
+JOIN curn n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE 'blue%'
+GROUP BY n.n_name, o.o_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q11 as a LIVE view — important stock: per-part value sums over
 # one nation's suppliers (the σ rides the supplier→nation chain, so a
 # supplier re-nationing moves its whole value contribution in or out),
@@ -5921,6 +6355,8 @@ QUERIES = {
     "pipeline_maintained_q14": pipeline_maintained_q14,
     "pipeline_maintained_q15": pipeline_maintained_q15,
     "pipeline_maintained_hll": pipeline_maintained_hll,
+    "pipeline_hll_rollup": pipeline_hll_rollup,
+    "pipeline_quantile_sketch": pipeline_quantile_sketch,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
@@ -5928,6 +6364,7 @@ QUERIES = {
     "pipeline_maintained_q22": pipeline_maintained_q22,
     "pipeline_maintained_q8": pipeline_maintained_q8,
     "pipeline_maintained_q17": pipeline_maintained_q17,
+    "pipeline_maintained_q9": pipeline_maintained_q9,
     "pipeline_maintained_q11": pipeline_maintained_q11,
     "pipeline_maintained_q21": pipeline_maintained_q21,
     "pipeline_maintained_q2": pipeline_maintained_q2,
@@ -5976,6 +6413,8 @@ ORACLES = {
     "pipeline_maintained_q14": _Q14VIEW_ORACLE,
     "pipeline_maintained_q15": _Q15VIEW_ORACLE,
     "pipeline_maintained_hll": _hllview_oracle(),
+    "pipeline_hll_rollup": _hll_rollup_oracle(),
+    "pipeline_quantile_sketch": _QSKETCH_ORACLE,
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,
@@ -5983,6 +6422,7 @@ ORACLES = {
     "pipeline_maintained_q22": _Q22VIEW_ORACLE,
     "pipeline_maintained_q8": _Q8VIEW_ORACLE,
     "pipeline_maintained_q17": _Q17VIEW_ORACLE,
+    "pipeline_maintained_q9": _Q9VIEW_ORACLE,
     "pipeline_maintained_q11": _Q11VIEW_ORACLE,
     "pipeline_maintained_q21": _Q21VIEW_ORACLE,
     "pipeline_maintained_q2": _Q2VIEW_ORACLE,

@@ -137,6 +137,13 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # HLL as derived state: insert-only max-fold + delete-triggered
     # register recount, both asserted in-row
     "pipeline_maintained_hll": [("o_orderpriority", "str"), ("used_buckets", "int"), ("hsum_scaled", "int"), ("est_raw", "dbl")],
+    # registers max-merged to the GLOBAL grain, no base scan; oracle
+    # builds the coarse sketch directly -> bit-equal merge proof
+    "pipeline_hll_rollup": [("used_buckets", "int"), ("hsum_scaled", "int"), ("est_raw", "dbl")],
+    # approximate-quantile tier: maintained integer histogram; the
+    # signed count fold handles deletes with NO recount; rank/total/bin
+    # bounds are pure integers incl. the oracle's cumulative walk
+    "pipeline_quantile_sketch": [("o_orderpriority", "str"), ("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],
     # time-bucketed live rollup: derived month grain + second-moment
     # expression measure on the single-table maintained aggregate
     "pipeline_maintained_monthly": [("month", "ts"), ("n_rows", "int"), ("revenue_cents", "int"), ("rev_dollars_sq", "int")],
@@ -157,6 +164,11 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # TPC-H Q17 composed, INDEX-ACCELERATED: live per-part qty rollup +
     # SecondaryIndex probe + bucket-pruned fact read (no fact scan)
     "pipeline_maintained_q17": [("p_brand", "str"), ("n_small", "int"), ("revenue_cents", "int")],
+    # TPC-H Q9 live (closes the 22): (nation, o_year) profit cube over
+    # the five-feed snowflake; supply cost is a deterministic
+    # fact-derived integer expression (no partsupp in TESTDATA); the
+    # fixture raises unless churn flips some group's profit SIGN
+    "pipeline_maintained_q9": [("nation", "str"), ("o_year", "int"), ("n_rows", "int"), ("profit_c", "int")],
     # TPC-H Q11 live: chained-sigma value rollup; the global threshold
     # derives from the view's own state at read
     "pipeline_maintained_q11": [("l_partkey", "int"), ("value_cents", "int")],

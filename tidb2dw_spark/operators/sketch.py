@@ -127,6 +127,161 @@ def hll_register_sql(value_col: str, p: int) -> tuple[str, str]:
     return bucket, rho
 
 
+def floor_div_sql(value: str, width: int) -> str:
+    """Engine-portable FLOOR division for the bin split.  Spark's
+    ``DIV`` truncates toward zero while DuckDB's ``//`` floors, so
+    negative values would bin differently; subtracting the non-negative
+    mod first makes the numerator exactly divisible — truncation and
+    floor coincide, bit-identical in both engines.  (Spark ``pmod`` ==
+    DuckDB ``((x %% W) + W) %% W``.)"""
+    m = f"((({value}) % {width} + {width}) % {width})"
+    return f"(((({value}) - {m})) DIV {width})"
+
+
+class MaintainedQuantileHistogram:
+    """Approximate QUANTILES as maintained state — the sketch tier of
+    the quantile family, completing the symmetry the distinct family
+    already has (exact support store ↔ HLL registers):
+
+    - :mod:`.distinct_matview` keeps EXACT quantiles with an
+      O(distinct values) support store;
+    - this keeps a fixed-width integer HISTOGRAM per group —
+      O(value range / bin_width) state — and answers any quantile to
+      ±bin_width with a cumulative walk.
+
+    Unlike the mergeable sketches warehouses reach for (KLL, t-digest,
+    REQ), a deterministic binned histogram has two properties that
+    matter here: it is CROSS-ENGINE EXACT (the bin of a value is pure
+    integer algebra — a DuckDB oracle rebuilds the identical state,
+    so the driver can hash-verify it), and it is SUBTRACTABLE — bin
+    counts fold ± from the change feed like any signed aggregate, so
+    deletes and update preimages maintain in O(changes + touched bins)
+    with NO recount path at all (the HLL sibling's one weakness).
+    Merge = add counts; rollup across groups = the same fold.
+
+    Implementation: a thin composition over
+    :class:`~.matview.MaintainedAggregate` with the bin as a
+    ``derived_cols`` group key (floor-division via :func:`floor_div_sql`
+    so negative values bin identically in both engines); quantile reads
+    are one window cumsum over the groups×bins state — never the base.
+
+    Reference parity: the reference defers percentile queries to the
+    warehouse (full recompute per query); this serves them from
+    maintained state."""
+
+    def __init__(
+        self,
+        root,
+        group_cols: Sequence[str],
+        value_col: str,
+        bin_width: int,
+        where: str | None = None,
+        where_cols: Sequence[str] | None = None,
+    ):
+        from .matview import MaintainedAggregate
+
+        if bin_width <= 0:
+            raise ValueError(f"bin_width must be positive, got {bin_width}")
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.bin_width = int(bin_width)
+        self._agg = MaintainedAggregate(
+            root,
+            [*self.group_cols, "__bin"],
+            sum_cols={},
+            where=(
+                f"({value_col} IS NOT NULL)"
+                + (f" AND ({where})" if where else "")
+            ),
+            where_cols=list(
+                dict.fromkeys([value_col, *(where_cols or [])])
+            ),
+            derived_cols={
+                "__bin": (
+                    f"CAST({floor_div_sql(value_col, self.bin_width)} "
+                    "AS BIGINT)",
+                    [value_col],
+                )
+            },
+        )
+
+    # -- derived protocol (rides TableReplicator / stream refresh) --------
+    def exists(self) -> bool:
+        return self._agg.exists()
+
+    def meta(self) -> dict:
+        return self._agg.meta()
+
+    def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
+        """Pure ± count fold — O(changes + touched bins) on EVERY slice
+        shape, deletes included."""
+        return self._agg.refresh(spark, source)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The histogram: (group…, __bin, n_rows); bin b covers
+        ``[b·W, (b+1)·W)``."""
+        return self._agg.read(spark).select(
+            *self.group_cols, "__bin", "n_rows"
+        )
+
+    def quantiles(
+        self, spark: SparkSession, qs_milli: Sequence[int]
+    ) -> DataFrame:
+        """Per group and per q (in thousandths): the rank-⌈q·n/1000⌉
+        value's bin — (group…, q_milli, rank, total, bin_lo, bin_hi),
+        all BIGINT (bin_hi exclusive).  Pure integer algebra over the
+        groups×bins state: one window cumsum, no base read, no floats —
+        the whole answer is oracle-hashable."""
+        from pyspark.sql import Window
+
+        qs = [int(q) for q in qs_milli]
+        if not qs or any(not (0 < q <= 1000) for q in qs):
+            raise ValueError(f"qs_milli must be in (0, 1000], got {qs_milli}")
+        hist = self.read(spark)
+        w = (
+            Window.partitionBy(*self.group_cols)
+            .orderBy("__bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.withColumn(
+            "__cum", F.sum("n_rows").over(w).cast("long")
+        ).withColumn(
+            "__total",
+            F.sum("n_rows")
+            .over(Window.partitionBy(*self.group_cols))
+            .cast("long"),
+        )
+        qdf = spark.createDataFrame([(q,) for q in qs], "q_milli long")
+        j = cum.crossJoin(F.broadcast(qdf)).withColumn(
+            "rank",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(q_milli * __total + 999) DIV 1000").cast("long"),
+            ),
+        )
+        pick = (
+            Window.partitionBy(*self.group_cols, "q_milli")
+            .orderBy("__bin")
+        )
+        return (
+            j.filter(F.col("__cum") >= F.col("rank"))
+            .withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *self.group_cols,
+                "q_milli",
+                "rank",
+                F.col("__total").alias("total"),
+                (F.col("__bin") * self.bin_width)
+                .cast("long")
+                .alias("bin_lo"),
+                ((F.col("__bin") + 1) * self.bin_width)
+                .cast("long")
+                .alias("bin_hi"),
+            )
+        )
+
+
 class MaintainedHLLSketch:
     """Per-group HLL registers maintained from a ManagedTable's feed
     under the single-table derived protocol (``exists()`` /
