@@ -137,6 +137,7 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_hll",
     "pipeline_hll_rollup",
     "pipeline_quantile_sketch",
+    "pipeline_quantile_rollup",
     "pipeline_maintained_monthly",
     "pipeline_maintained_q4",
     "pipeline_maintained_q6",

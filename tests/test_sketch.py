@@ -514,10 +514,9 @@ def test_quantile_read_matches_exact_rank(spark, tmp_path):
         qh.quantiles(spark, [1001])
 
 
-def test_quantile_histogram_sigma_and_replicator(spark, tmp_path):
-    """σ-filtered variant + the derived protocol: rides
-    TableReplicator(derived=[…]) and stays equal to a rebuild across a
-    restart."""
+def test_quantile_histogram_sigma_and_restart(spark, tmp_path):
+    """σ-filtered variant + checkpoint restart: a RECONSTRUCTED object
+    resumes from disk and stays equal to a rebuild."""
     from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
 
     t = _mk_table(spark, tmp_path)
@@ -530,10 +529,91 @@ def test_quantile_histogram_sigma_and_replicator(spark, tmp_path):
         ("I", 5001, 5, "A", 101), ("I", 5002, 5, "A", 102),
         ("D", 2, 5, None, None),
     ]))
-    qh.refresh(spark, t)
+    # restart: a fresh object over the same root resumes the checkpoint
+    qh2 = MaintainedQuantileHistogram(
+        tmp_path / "qh", ["grp"], "v", bin_width=10,
+        where="v % 2 = 0",
+    )
+    qh2.refresh(spark, t)
     ref = _qh_rebuild(spark, tmp_path, t, bin_width=10, where="v % 2 = 0")
-    assert _hist(qh.read(spark)) == _hist(ref.read(spark))
+    assert _hist(qh2.read(spark)) == _hist(ref.read(spark))
     # only even v counted
-    tot = sum(r["n_rows"] for r in qh.read(spark).collect())
+    tot = sum(r["n_rows"] for r in qh2.read(spark).collect())
     want = t.read(spark).filter("v % 2 = 0").count()
     assert tot == want
+
+
+def test_quantile_histogram_rollup_matches_direct_build(spark, tmp_path):
+    """Counts ADD across groups: rolling (r, n)-grain bins to (r) — or
+    to the global grain — equals a direct coarse build, and the rolled
+    quantile read agrees with the direct one."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    rows = [
+        (i, f"R{i % 3}", f"N{i % 12}", (i * 31) % 501 - 50) for i in range(600)
+    ]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, "k long, r string, n string, v long"),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    fine = MaintainedQuantileHistogram(
+        tmp_path / "fine", ["r", "n"], "v", bin_width=25
+    )
+    fine.refresh(spark, t)
+    coarse = MaintainedQuantileHistogram(
+        tmp_path / "coarse", ["r"], "v", bin_width=25
+    )
+    coarse.refresh(spark, t)
+    got = sorted(
+        (row["r"], row["__bin"], row["n_rows"])
+        for row in fine.rollup(spark, ["r"]).collect()
+    )
+    want = sorted(
+        (row["r"], row["__bin"], row["n_rows"])
+        for row in coarse.read(spark).collect()
+    )
+    assert got == want
+    qr = sorted(
+        map(tuple, fine.quantiles_rollup(spark, [500, 900], ["r"]).collect())
+    )
+    qd = sorted(map(tuple, coarse.quantiles(spark, [500, 900]).collect()))
+    assert qr == qd
+    # global rollup == group-free build
+    glob = MaintainedQuantileHistogram(tmp_path / "glob", [], "v",
+                                       bin_width=25)
+    glob.refresh(spark, t)
+    assert sorted(
+        (row["__bin"], row["n_rows"])
+        for row in fine.rollup(spark, []).collect()
+    ) == sorted(
+        (row["__bin"], row["n_rows"]) for row in glob.read(spark).collect()
+    )
+    with pytest.raises(ValueError, match="rollup cols"):
+        fine.rollup(spark, ["nope"])
+
+
+def test_quantile_histogram_definition_drift_rejected(spark, tmp_path):
+    """A changed bin_width changes the derived bin expression, so the
+    underlying aggregate's derived-definition guard refuses the refresh
+    (folding W=20 bins into W=10 state would corrupt silently); a
+    changed σ is refused the same way."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    t = _mk_table(spark, tmp_path)
+    MaintainedQuantileHistogram(
+        tmp_path / "qh", ["grp"], "v", bin_width=10
+    ).refresh(spark, t)
+    t.merge(spark, _batch(spark, [("I", 6001, 5, "A", 7)]))
+    with pytest.raises(ValueError, match="derived columns"):
+        MaintainedQuantileHistogram(
+            tmp_path / "qh", ["grp"], "v", bin_width=20
+        ).refresh(spark, t)
+    with pytest.raises(ValueError, match="where"):
+        MaintainedQuantileHistogram(
+            tmp_path / "qh", ["grp"], "v", bin_width=10, where="v > 0"
+        ).refresh(spark, t)
+    with pytest.raises(ValueError, match="bin_width"):
+        MaintainedQuantileHistogram(
+            tmp_path / "bad", ["grp"], "v", bin_width=0
+        )

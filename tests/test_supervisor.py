@@ -331,3 +331,31 @@ def test_supervisor_continuous_soak_under_concurrent_churn(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_quantile_histogram_rides_supervised_stream(spark, tmp_path):
+    """MaintainedQuantileHistogram speaks the derived protocol
+    (exists/meta/refresh), so it rides the supervised commit-log stream
+    like any maintained object — including a delete-bearing commit
+    (the histogram's signed fold needs no recount) and a live RENAME
+    barrier healed mid-run."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    t = _mk(spark, tmp_path / "t")
+    qh = MaintainedQuantileHistogram(tmp_path / "qh", ["grp"], "qty",
+                                     bin_width=10)
+    sup = StreamSupervisor(spark, t, qh, tmp_path / "ckpt")
+    t.merge(spark, spark.createDataFrame(
+        [("I", "t", "s", 5, 9, "b", 95), ("D", "t", "s", 5, 1, None, None)],
+        ENV_I,
+    ))
+    out = sup.drain()
+    assert out["drains"] >= 1
+    assert qh.meta()["applied_seq"] == t.manifest()["cdf_seq"]
+    ref = MaintainedQuantileHistogram(tmp_path / "ref", ["grp"], "qty",
+                                      bin_width=10)
+    ref.refresh(spark, t)
+    key = lambda df: sorted(  # noqa: E731
+        (r["grp"], r["__bin"], r["n_rows"]) for r in df.collect()
+    )
+    assert key(qh.read(spark)) == key(ref.read(spark))

@@ -4450,6 +4450,55 @@ FROM (
 """
 
 
+def pipeline_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL quantiles from the per-priority histogram — bin counts
+    ADD across groups, so the coarse answer needs no base scan; the
+    oracle recomputes the global histogram AND its cumulative walk
+    directly from the churned rows."""
+    pipeline_quantile_sketch(spark, sf_dir)  # share the maintained fixture
+    qh = _QSKETCH_CACHE[sf_dir]
+    return qh.quantiles_rollup(spark, [250, 500, 900], [])
+
+
+_QROLLUP_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), cur AS (
+  SELECT CASE WHEN o_orderkey % 10 = 4 THEN cents + 150000
+              ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT cents * 2 FROM base WHERE o_orderkey % 25 = 3
+), hist AS (
+  SELECT (((cents) - (((cents) % {_QSKETCH_W} + {_QSKETCH_W})
+            % {_QSKETCH_W}))) // {_QSKETCH_W} AS bin,
+         COUNT(*) AS n
+  FROM cur WHERE cents IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin) AS cum,
+         SUM(n) OVER () AS total
+  FROM hist
+), q AS (SELECT unnest([250, 500, 900]) AS q_milli)
+SELECT CAST(q_milli AS BIGINT) AS q_milli,
+       CAST(rank AS BIGINT) AS rank, CAST(total AS BIGINT) AS total,
+       CAST(bin_lo AS BIGINT) AS bin_lo, CAST(bin_hi AS BIGINT) AS bin_hi
+FROM (
+  SELECT q.q_milli,
+         GREATEST(1, (q.q_milli * c.total + 999) // 1000) AS rank,
+         c.total, c.bin * {_QSKETCH_W} AS bin_lo,
+         (c.bin + 1) * {_QSKETCH_W} AS bin_hi,
+         row_number() OVER (
+           PARTITION BY q.q_milli ORDER BY c.bin
+         ) AS rn
+  FROM cum c CROSS JOIN q
+  WHERE c.cum >= GREATEST(1, (q.q_milli * c.total + 999) // 1000)
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-bucketed LIVE rollup — the "streaming windowed aggregation"
 # shape maintained EXACTLY from the CDC feed: the month bucket is a
@@ -6357,6 +6406,7 @@ QUERIES = {
     "pipeline_maintained_hll": pipeline_maintained_hll,
     "pipeline_hll_rollup": pipeline_hll_rollup,
     "pipeline_quantile_sketch": pipeline_quantile_sketch,
+    "pipeline_quantile_rollup": pipeline_quantile_rollup,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
@@ -6415,6 +6465,7 @@ ORACLES = {
     "pipeline_maintained_hll": _hllview_oracle(),
     "pipeline_hll_rollup": _hll_rollup_oracle(),
     "pipeline_quantile_sketch": _QSKETCH_ORACLE,
+    "pipeline_quantile_rollup": _QROLLUP_ORACLE,
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,

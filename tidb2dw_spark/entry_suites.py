@@ -144,6 +144,9 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # signed count fold handles deletes with NO recount; rank/total/bin
     # bounds are pure integers incl. the oracle's cumulative walk
     "pipeline_quantile_sketch": [("o_orderpriority", "str"), ("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],
+    # global quantiles merged from the per-priority bins (counts add);
+    # oracle recomputes the coarse histogram + walk directly
+    "pipeline_quantile_rollup": [("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],
     # time-bucketed live rollup: derived month grain + second-moment
     # expression measure on the single-table maintained aggregate
     "pipeline_maintained_monthly": [("month", "ts"), ("n_rows", "int"), ("revenue_cents", "int"), ("rev_dollars_sq", "int")],

@@ -224,6 +224,27 @@ class MaintainedQuantileHistogram:
             *self.group_cols, "__bin", "n_rows"
         )
 
+    def rollup(
+        self, spark: SparkSession, group_subset: Sequence[str]
+    ) -> DataFrame:
+        """The histogram merged to a coarser grain — counts ADD (finer
+        groups partition the σ-base), so a region-level histogram falls
+        out of nation-level state with no base scan; ``[]`` gives the
+        global histogram.  Exact, not approximate-on-approximate: the
+        merged bins equal a direct coarse-grain build bit-for-bit."""
+        subset = list(group_subset)
+        missing = [g for g in subset if g not in self.group_cols]
+        if missing:
+            raise ValueError(
+                f"rollup cols {missing!r} are not histogram group cols "
+                f"{self.group_cols}"
+            )
+        return (
+            self.read(spark)
+            .groupBy(*subset, "__bin")
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        )
+
     def quantiles(
         self, spark: SparkSession, qs_milli: Sequence[int]
     ) -> DataFrame:
@@ -232,14 +253,38 @@ class MaintainedQuantileHistogram:
         all BIGINT (bin_hi exclusive).  Pure integer algebra over the
         groups×bins state: one window cumsum, no base read, no floats —
         the whole answer is oracle-hashable."""
+        return self._quantiles_over(
+            spark, self.read(spark), self.group_cols, qs_milli
+        )
+
+    def quantiles_rollup(
+        self,
+        spark: SparkSession,
+        qs_milli: Sequence[int],
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """:meth:`quantiles` over :meth:`rollup` bins."""
+        return self._quantiles_over(
+            spark,
+            self.rollup(spark, group_subset),
+            list(group_subset),
+            qs_milli,
+        )
+
+    def _quantiles_over(
+        self,
+        spark: SparkSession,
+        hist: DataFrame,
+        group_cols: list[str],
+        qs_milli: Sequence[int],
+    ) -> DataFrame:
         from pyspark.sql import Window
 
         qs = [int(q) for q in qs_milli]
         if not qs or any(not (0 < q <= 1000) for q in qs):
             raise ValueError(f"qs_milli must be in (0, 1000], got {qs_milli}")
-        hist = self.read(spark)
         w = (
-            Window.partitionBy(*self.group_cols)
+            Window.partitionBy(*group_cols)
             .orderBy("__bin")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -248,7 +293,7 @@ class MaintainedQuantileHistogram:
         ).withColumn(
             "__total",
             F.sum("n_rows")
-            .over(Window.partitionBy(*self.group_cols))
+            .over(Window.partitionBy(*group_cols))
             .cast("long"),
         )
         qdf = spark.createDataFrame([(q,) for q in qs], "q_milli long")
@@ -260,7 +305,7 @@ class MaintainedQuantileHistogram:
             ),
         )
         pick = (
-            Window.partitionBy(*self.group_cols, "q_milli")
+            Window.partitionBy(*group_cols, "q_milli")
             .orderBy("__bin")
         )
         return (
@@ -268,7 +313,7 @@ class MaintainedQuantileHistogram:
             .withColumn("__rn", F.row_number().over(pick))
             .filter(F.col("__rn") == 1)
             .select(
-                *self.group_cols,
+                *group_cols,
                 "q_milli",
                 "rank",
                 F.col("__total").alias("total"),
