@@ -39,3 +39,13 @@ def test_q17_overcap_sigma_falls_back_semi_join(spark, sf_dir, monkeypatch):
     # literal IN over p_partkey
     assert "LeftSemi" in plan
     assert "ix_partkey" in plan
+    # and NO fact scan: every lineitem read in the plan is a
+    # bucket-pruned read_for_keys path, never the table root
+    li_scans = [
+        line
+        for line in plan.splitlines()
+        if "InMemoryFileIndex" in line and "/lineitem/" in line
+    ]
+    assert li_scans, "expected a bucket-pruned lineitem probe in the plan"
+    for line in li_scans:
+        assert "__pk_bucket=" in line, line
