@@ -342,3 +342,30 @@ def test_plans_md_is_fresh(spark, tmp_path):
             "PLANS.md is stale — regenerate with "
             "`python -m tidb2dw_spark.plans.report` and commit it.\n" + diff
         )
+
+
+def test_sketch_serving_reads_are_state_only(spark, sf_dir):
+    """The round-9 sketch-tier serving reads (maintained Q9 cube, HLL
+    rollup, quantile histogram + its rollup) must read ONLY their
+    maintained state — exactly one parquet scan, never a base table.
+    This is the 100 TB property: the cube/registers/bins are
+    groups-sized, so the serving cost is independent of fact size."""
+    from tidb2dw_spark.plans import audit
+
+    for name in (
+        "pipeline_maintained_q9",
+        "pipeline_hll_rollup",
+        "pipeline_quantile_sketch",
+        "pipeline_quantile_rollup",
+    ):
+        plan = audit(QUERIES[name](spark, sf_dir)).plan
+        scans = [
+            line
+            for line in plan.splitlines()
+            if "InMemoryFileIndex" in line
+        ]
+        assert len(scans) == 1, (name, scans)
+        loc = scans[0]
+        assert "lineitem" not in loc and "orders/v=" not in loc, (name, loc)
+        # the maintained-state roots these rows serve from
+        assert ("/mv/" in loc or "/qh/" in loc or "/sk/" in loc), (name, loc)
