@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "sim_ivfpq_derived_refresh",
     # round 8: cross-engine-exact HLL (batch tier)
     "approx_distinct_hll",
+    # round 9: distributed ANN join (table-sized query side)
+    "sim_ivf_topk_join",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is
@@ -138,6 +140,9 @@ PIPELINE_QUERIES = [
     "pipeline_hll_rollup",
     "pipeline_quantile_sketch",
     "pipeline_quantile_rollup",
+    # round 9: the frequency family's sketch tier (linear Count-Min)
+    "pipeline_maintained_cms",
+    "pipeline_cms_rollup",
     "pipeline_maintained_monthly",
     "pipeline_maintained_q4",
     "pipeline_maintained_q6",

@@ -369,3 +369,39 @@ def test_sketch_serving_reads_are_state_only(spark, sf_dir):
         assert "lineitem" not in loc and "orders/v=" not in loc, (name, loc)
         # the maintained-state roots these rows serve from
         assert ("/mv/" in loc or "/qh/" in loc or "/sk/" in loc), (name, loc)
+
+
+def test_cms_serving_reads_are_state_only(spark, sf_dir):
+    """The Count-Min serving reads touch ONLY the counter state: the
+    per-group row scans it twice (once to enumerate probe groups, once
+    for the counters), the rollup once — never the base table."""
+    from tidb2dw_spark.plans import audit
+
+    for name, max_scans in (
+        ("pipeline_maintained_cms", 2),
+        ("pipeline_cms_rollup", 1),
+    ):
+        plan = audit(QUERIES[name](spark, sf_dir)).plan
+        scans = [
+            line
+            for line in plan.splitlines()
+            if "InMemoryFileIndex" in line
+        ]
+        assert 1 <= len(scans) <= max_scans, (name, scans)
+        for loc in scans:
+            assert "orders/v=" not in loc and "/sk/" in loc, (name, loc)
+
+
+def test_ivf_join_shuffles_both_sides_never_broadcasts(spark, sf_dir):
+    """The distributed ANN join (sim_ivf_topk_join) must be a SHUFFLE
+    join on the cell key with the per-query top-k as an exchange on
+    query_id — and NO broadcast of either data side.  At 100 TB both
+    the index and the query table are data-sized; a planner falling
+    back to broadcast here would OOM the executors."""
+    df = QUERIES["sim_ivf_topk_join"](spark, sf_dir)
+    a = audit(df)
+    plan = a.plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    keys = " ".join(a.hash_shuffles)
+    assert "cell" in keys and "query_id" in keys, a.hash_shuffles

@@ -338,3 +338,79 @@ def test_replicator_maintains_derived_state_per_poll(spark, tmp_path):
             spark, snap, incr, wh, users_def_v1(),
             derived=[ix2],
         )
+
+
+def test_multi_view_poll_shares_one_feed_slice(spark, tmp_path):
+    """N derived objects on one table fold from ONE persisted feed scan
+    per poll (SliceSharingTable): the underlying changes() read runs
+    once for the shared range, the other refreshes are cache hits —
+    and every view still equals a from-scratch rebuild."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+    from tidb2dw_spark.operators.sketch import (
+        MaintainedCountMinSketch,
+        MaintainedHLLSketch,
+    )
+    from tidb2dw_spark.replicate import TableReplicator
+    from tidb2dw_spark.table.managed import ManagedTable
+
+    from .test_consumer import users_def_v1, write
+
+    snap, incr, wh = tmp_path / "snap", tmp_path / "incr", tmp_path / "wh"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",30,1991-02-02\n'
+          '3,"carol",41,1992-03-03\n4,"dan",52,1993-04-04\n')
+    users_def_v1().dump(incr / "tpch/users/1/meta")
+
+    mv = MaintainedAggregate(tmp_path / "mv", ["age"], sum_cols={})
+    hll = MaintainedHLLSketch(tmp_path / "hll", ["age"], "id", p=6)
+    cms = MaintainedCountMinSketch(
+        tmp_path / "cms", ["age"], "id", depth=2, width=32
+    )
+    rep = TableReplicator(
+        spark, snap, incr, wh, users_def_v1(),
+        pk_buckets=4, cdf=True, derived=[mv, hll, cms],
+    )
+    rep.run_once()  # snapshot; refreshes seed from base (no slice reads)
+
+    # count the REAL feed reads under the proxy
+    calls = []
+    orig = ManagedTable.changes
+
+    def counting(self, spark_, since=0, until=None):
+        calls.append((since, until))
+        return orig(self, spark_, since=since, until=until)
+
+    ManagedTable.changes = counting
+    try:
+        write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+              '"I","users","tpch",100,5,"eve",30,1995-05-05\n'
+              '"D","users","tpch",101,2,"bob",30,1991-02-02\n')
+        rep.run_once()
+    finally:
+        ManagedTable.changes = orig
+
+    # all three views requested the same range; ONE real read happened
+    # for it.  (The HLL delete path re-reads base STATE, not the feed.)
+    assert len(calls) == 1, calls
+    m = rep.registry.snapshot()["tables"]["tpch.users"]["counters"]
+    assert m["derived_slice_scans"] == 1, m
+    assert m["derived_slice_hits"] == 2, m
+
+    # correctness: every view equals a rebuild over the final replica
+    ref_mv = MaintainedAggregate(tmp_path / "rmv", ["age"], sum_cols={})
+    ref_mv.refresh(spark, rep.table)
+    assert sorted(map(tuple, mv.read(spark).collect())) == sorted(
+        map(tuple, ref_mv.read(spark).collect())
+    )
+    ref_hll = MaintainedHLLSketch(tmp_path / "rhll", ["age"], "id", p=6)
+    ref_hll.refresh(spark, rep.table)
+    assert sorted(map(tuple, hll.read(spark).collect())) == sorted(
+        map(tuple, ref_hll.read(spark).collect())
+    )
+    ref_cms = MaintainedCountMinSketch(
+        tmp_path / "rcms", ["age"], "id", depth=2, width=32
+    )
+    ref_cms.refresh(spark, rep.table)
+    assert sorted(map(tuple, cms.read(spark).collect())) == sorted(
+        map(tuple, ref_cms.read(spark).collect())
+    )

@@ -617,3 +617,212 @@ def test_quantile_histogram_definition_drift_rejected(spark, tmp_path):
         MaintainedQuantileHistogram(
             tmp_path / "bad", ["grp"], "v", bin_width=0
         )
+
+
+# ---------------------------------------------------------------------------
+# MaintainedCountMinSketch — the frequency family's sketch tier.  The
+# linearity contract: EVERY slice shape (insert / delete / update) folds
+# as signed counter deltas with no recount path, the fold equals a
+# from-scratch rebuild bit-for-bit, rollups add, and the estimate is an
+# integer min that never underestimates.
+# ---------------------------------------------------------------------------
+def _cms(df):
+    return sorted(
+        (r["grp"], r["depth"], r["bucket"], r["cnt"]) for r in df.collect()
+    )
+
+
+def _cms_rebuild(spark, root, table, **kw):
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    ref = MaintainedCountMinSketch(root, ["grp"], "v", **kw)
+    ref.refresh(spark, table)
+    return ref
+
+
+def test_cms_every_slice_shape_folds_no_recount(spark, tmp_path):
+    """Inserts, deletes, AND updates fold as ± deltas in one code path
+    (contrast the HLL recount arm) and equal a fresh rebuild."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedCountMinSketch(
+        tmp_path / "sk", ["grp"], "v", depth=3, width=64
+    )
+    sk.refresh(spark, t)
+    assert "recounts" not in sk.meta()  # no such path exists
+    t.merge(spark, _batch(spark, [
+        ("I", 1000 + i, 5, "AB"[i % 2], 200 + i) for i in range(30)
+    ]))
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("D", k, 5, None, None) for k in range(0, 60, 2)
+    ] + [("U", 3, 5, "B", 9999)]))
+    sk.refresh(spark, t)
+    assert int(sk.meta()["folds"]) == 2
+    ref = _cms_rebuild(spark, tmp_path / "ref", t, depth=3, width=64)
+    assert _cms(sk.read(spark)) == _cms(ref.read(spark))
+
+
+def test_cms_estimate_never_underestimates_and_hh_retained(spark, tmp_path):
+    """est ≥ true frequency for every probe, and heavy_hitters() keeps
+    every TRUE heavy hitter (CM has no false negatives)."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    # group G: value j appears j times, j = 1..20 (210 rows)
+    rows, k = [], 0
+    for j in range(1, 21):
+        for _ in range(j):
+            rows.append((k, "G", j))
+            k += 1
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    sk = MaintainedCountMinSketch(
+        tmp_path / "sk", ["grp"], "v", depth=3, width=256
+    )
+    sk.refresh(spark, t)
+    probes = spark.createDataFrame(
+        [("G", j) for j in range(1, 26)], "grp string, v long"
+    )
+    est = {r["v"]: r["est"] for r in sk.estimate(spark, probes).collect()}
+    for j in range(1, 21):
+        assert est[j] >= j, (j, est[j])
+    for j in range(21, 26):  # never inserted: est may collide but ≥ 0
+        assert est[j] >= 0
+    hh = {
+        r["v"]
+        for r in sk.heavy_hitters(spark, probes, min_count=15).collect()
+    }
+    assert set(range(15, 21)) <= hh  # all true HH retained
+
+
+def test_cms_negative_counter_refused(spark, tmp_path):
+    """A delete for a row the sketch never counted (feed corruption /
+    wrong source) folds to a negative counter and is refused loudly."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    a = _mk_table(spark, tmp_path / "a")
+    sk = MaintainedCountMinSketch(
+        tmp_path / "sk", ["grp"], "v", depth=2, width=32
+    )
+    sk.refresh(spark, a)
+    # a DIFFERENT table whose next commit deletes rows never counted
+    b = ManagedTable(tmp_path / "b")
+    b.create(
+        spark.createDataFrame(
+            [(9000 + i, "Z", 100_000 + i) for i in range(6)], SCHEMA
+        ),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    b.merge(spark, _batch(spark, [
+        ("D", 9000 + i, 5, None, None) for i in range(6)
+    ]))
+    with pytest.raises(ValueError, match="NEGATIVE counter"):
+        sk.refresh(spark, b)
+
+
+def test_cms_rollup_equals_direct_coarse_build(spark, tmp_path):
+    """Counters are add-mergeable: the global rollup of a per-group
+    sketch is bit-identical to a group-free build from the base."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    t = _mk_table(spark, tmp_path)
+    t.merge(spark, _batch(spark, [("D", k, 5, None, None)
+                                  for k in range(0, 30, 3)]))
+    fine = MaintainedCountMinSketch(
+        tmp_path / "fine", ["grp"], "v", depth=3, width=64
+    )
+    fine.refresh(spark, t)
+    coarse = MaintainedCountMinSketch(
+        tmp_path / "coarse", [], "v", depth=3, width=64
+    )
+    coarse.refresh(spark, t)
+    got = sorted(
+        (r["depth"], r["bucket"], r["cnt"])
+        for r in fine.rollup(spark, []).filter(F.col("cnt") != 0).collect()
+    )
+    want = sorted(
+        (r["depth"], r["bucket"], r["cnt"])
+        for r in coarse.read(spark).collect()
+    )
+    assert got == want
+
+
+def test_cms_where_filtered_and_drift_rejected(spark, tmp_path):
+    """σ applies to seed and slices alike; layout/definition drift is
+    refused before any fold."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedCountMinSketch(
+        tmp_path / "sk", ["grp"], "v", depth=2, width=64, where="v % 2 = 0"
+    )
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("I", 2000, 5, "A", 101), ("I", 2001, 5, "A", 102),
+    ]))
+    sk.refresh(spark, t)
+    ref = MaintainedCountMinSketch(
+        tmp_path / "ref", ["grp"], "v", depth=2, width=64, where="v % 2 = 0"
+    )
+    ref.refresh(spark, t)
+    assert _cms(sk.read(spark)) == _cms(ref.read(spark))
+    with pytest.raises(ValueError, match="depth×width"):
+        MaintainedCountMinSketch(
+            tmp_path / "sk", ["grp"], "v", depth=3, width=64,
+            where="v % 2 = 0",
+        ).refresh(spark, t)
+    with pytest.raises(ValueError, match="where"):
+        MaintainedCountMinSketch(
+            tmp_path / "sk", ["grp"], "v", depth=2, width=64
+        ).refresh(spark, t)
+    with pytest.raises(ValueError, match="seeded over"):
+        MaintainedCountMinSketch(
+            tmp_path / "sk", ["grp"], "k", depth=2, width=64,
+            where="v % 2 = 0",
+        ).refresh(spark, t)
+
+
+def test_cms_counters_match_duckdb_oracle(spark):
+    """Cross-engine-exact hash contract: cms_bucket_col vs
+    cms_bucket_sql over a corpus including empty/unicode/long strings."""
+    import duckdb
+    import pandas as pd
+
+    from tidb2dw_spark.operators.sketch import (
+        cms_bucket_col,
+        cms_bucket_sql,
+    )
+
+    vals = [str(i * 37) for i in range(2000)] + ["", "αβγ", "x" * 500]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = sorted(
+        (r["d"], r["bucket"], r["cnt"])
+        for r in df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket_col("v", d, 128).alias("bucket"),
+                    )
+                    for d in range(3)
+                ])
+            ).alias("db")
+        )
+        .select("db.d", "db.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    pdf = pd.DataFrame({"v": vals})
+    bsql = cms_bucket_sql("v", "t.d", 128)
+    want = sorted(
+        duckdb.sql(
+            f"SELECT t.d, {bsql} AS bucket, COUNT(*)::BIGINT AS cnt "
+            f"FROM pdf, range(3) t(d) GROUP BY 1, 2"
+        ).fetchall()
+    )
+    assert got == want

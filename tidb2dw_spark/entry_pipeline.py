@@ -4500,6 +4500,177 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch as DERIVED STATE — the FREQUENCY family's sketch
+# tier, completing the three-way symmetry (distinct→HLL registers,
+# quantiles→binned histogram, frequencies→CM counters).  CM is LINEAR:
+# the churn below (inserts + group-moving updates + deletes) folds as
+# signed counter deltas in ONE code path — no recount arm exists (the
+# meta carries `folds`, never `recounts`) — and the serving read is
+# pure integer algebra over the state (min across depth rows), never
+# the base.  Counters AND estimates are bit-equal to a DuckDB
+# recompute.  Exact sibling: the heavy-hitter support store
+# (pipeline_distinct_topk).
+# ---------------------------------------------------------------------------
+_CMS_CACHE: dict[str, object] = {}
+_CMS_D = 3
+_CMS_W = 1024
+
+
+def pipeline_maintained_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import MaintainedCountMinSketch
+
+    if sf_dir not in _CMS_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_cmsview_"))
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        sk = MaintainedCountMinSketch(
+            wh / "sk", ["o_orderpriority"], "o_custkey",
+            depth=_CMS_D, width=_CMS_W,
+        )
+        sk.refresh(spark, orders)  # seed
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_orderpriority",
+            )
+
+        # commit 1: INSERTS (new keys, shifted custkeys)
+        orders.merge(spark, batch(
+            ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                (F.col("o_custkey") + 500_000).alias("o_custkey"),
+                "o_orderpriority",
+            ),
+            "I",
+        ))
+        sk.refresh(spark, orders)
+        # commit 2: UPDATES moving mass into the probe range + DELETES,
+        # one slice — the ± fold drains and moves counters together
+        orders.merge(
+            spark,
+            batch(
+                ord_src.filter(F.col("o_orderkey") % 10 == 4).select(
+                    "o_orderkey",
+                    (F.col("o_custkey") % 1000 + 1).alias("o_custkey"),
+                    "o_orderpriority",
+                ),
+                "U",
+            ).unionByName(
+                batch(ord_src.filter(F.col("o_orderkey") % 10 == 7), "D")
+            ),
+        )
+        sk.refresh(spark, orders)
+        m = sk.meta()
+        if int(m["folds"]) != 2 or "recounts" in m:
+            raise RuntimeError(
+                "CM maintenance did not take the linear fold path "
+                f"twice (meta: {m}) — the turnstile contract is broken"
+            )
+        _CMS_CACHE[sf_dir] = sk
+    sk = _CMS_CACHE[sf_dir]
+    probes = (
+        sk.read(spark)
+        .select("o_orderpriority")
+        .distinct()
+        .crossJoin(
+            spark.range(1, 41).select(F.col("id").alias("o_custkey"))
+        )
+    )
+    return sk.estimate(spark, probes).select(
+        "o_orderpriority",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def _cms_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    cb = cms_bucket_sql("o_custkey", "t.d", _CMS_W)
+    pb = cms_bucket_sql("p.o_custkey", "p.depth", _CMS_W)
+    return f"""
+WITH cur AS (
+  SELECT CASE WHEN o_orderkey % 10 = 4 THEN o_custkey % 1000 + 1
+              ELSE o_custkey END AS o_custkey,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_custkey + 500000, o_orderpriority
+  FROM orders WHERE o_orderkey % 25 = 3
+), counters AS (
+  SELECT o_orderpriority, t.d AS depth, {cb} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cur, range({_CMS_D}) t(d)
+  WHERE o_custkey IS NOT NULL
+  GROUP BY 1, 2, 3
+), probes AS (
+  SELECT g.o_orderpriority, v.cust AS o_custkey, t.d AS depth
+  FROM (SELECT DISTINCT o_orderpriority FROM cur
+        WHERE o_custkey IS NOT NULL) g,
+       range(1, 41) v(cust), range({_CMS_D}) t(d)
+)
+SELECT p.o_orderpriority, CAST(p.o_custkey AS BIGINT) AS o_custkey,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+FROM probes p
+LEFT JOIN counters c
+  ON c.o_orderpriority = p.o_orderpriority
+ AND c.depth = p.depth AND c.bucket = {pb}
+GROUP BY 1, 2
+"""
+
+
+def pipeline_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL frequency estimates by ADDING the per-priority counters —
+    linearity means the merged sketch IS the sketch of the whole table;
+    the oracle builds the global counters directly from the churned
+    rows, so bit-equal estimates prove the merge exact."""
+    pipeline_maintained_cms(spark, sf_dir)  # share the maintained fixture
+    sk = _CMS_CACHE[sf_dir]
+    probes = spark.range(1, 41).select(F.col("id").alias("o_custkey"))
+    return sk.estimate_rollup(spark, probes, []).select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def _cms_rollup_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    cb = cms_bucket_sql("o_custkey", "t.d", _CMS_W)
+    pb = cms_bucket_sql("p.o_custkey", "p.depth", _CMS_W)
+    return f"""
+WITH cur AS (
+  SELECT CASE WHEN o_orderkey % 10 = 4 THEN o_custkey % 1000 + 1
+              ELSE o_custkey END AS o_custkey
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_custkey + 500000 FROM orders WHERE o_orderkey % 25 = 3
+), counters AS (
+  SELECT t.d AS depth, {cb} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cur, range({_CMS_D}) t(d)
+  WHERE o_custkey IS NOT NULL
+  GROUP BY 1, 2
+), probes AS (
+  SELECT v.cust AS o_custkey, t.d AS depth
+  FROM range(1, 41) v(cust), range({_CMS_D}) t(d)
+)
+SELECT CAST(p.o_custkey AS BIGINT) AS o_custkey,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+FROM probes p
+LEFT JOIN counters c ON c.depth = p.depth AND c.bucket = {pb}
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-bucketed LIVE rollup — the "streaming windowed aggregation"
 # shape maintained EXACTLY from the CDC feed: the month bucket is a
 # single-table derived_cols expression (date_trunc), so the maintained
@@ -6407,6 +6578,8 @@ QUERIES = {
     "pipeline_hll_rollup": pipeline_hll_rollup,
     "pipeline_quantile_sketch": pipeline_quantile_sketch,
     "pipeline_quantile_rollup": pipeline_quantile_rollup,
+    "pipeline_maintained_cms": pipeline_maintained_cms,
+    "pipeline_cms_rollup": pipeline_cms_rollup,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
@@ -6466,6 +6639,8 @@ ORACLES = {
     "pipeline_hll_rollup": _hll_rollup_oracle(),
     "pipeline_quantile_sketch": _QSKETCH_ORACLE,
     "pipeline_quantile_rollup": _QROLLUP_ORACLE,
+    "pipeline_maintained_cms": _cms_oracle(),
+    "pipeline_cms_rollup": _cms_rollup_oracle(),
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,

@@ -144,6 +144,8 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # signed count fold handles deletes with NO recount; rank/total/bin
     # bounds are pure integers incl. the oracle's cumulative walk
     "pipeline_quantile_sketch": [("o_orderpriority", "str"), ("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],
+    "pipeline_maintained_cms": [("o_orderpriority", "str"), ("o_custkey", "int"), ("est", "int")],
+    "pipeline_cms_rollup": [("o_custkey", "int"), ("est", "int")],
     # global quantiles merged from the per-priority bins (counts add);
     # oracle recomputes the coarse histogram + walk directly
     "pipeline_quantile_rollup": [("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],
@@ -256,6 +258,8 @@ SIMILARITY_SPEC: dict[str, list[tuple[str, str]]] = {
     # insert-bearing merge, fingerprinted on ids + rank (float score
     # drives the rank; the rank itself is the cross-engine contract)
     "sim_ivf_derived_refresh": [("query_id", "int"), ("neighbor_id", "int"), ("rank", "int")],
+    # distributed ANN join: table-sized query side, shuffle join on cell
+    "sim_ivf_topk_join": [("query_id", "int"), ("neighbor_id", "int"), ("rank", "int")],
     # SemDeDup: k-means blocking + within-cluster cosine survivor rule
     "sem_dedup_keep": [("vec_id", "int"), ("cluster", "int"), ("csim", "dbl"), ("kept", "bool")],
     # compressed ANN as derived state: PQ codes refreshed from the CDF

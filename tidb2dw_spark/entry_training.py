@@ -489,6 +489,31 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_topk(spark, idx, queries, k=TOPK_K, n_probe=IVF_PROBE)
 
 
+IVF_JOIN_QUERY_MOD = 4  # 25% of the corpus as queries — a table, not a batch
+
+
+@register(
+    "sim_ivf_topk_join",
+    O.ivf_topk_oracle(IVF_JOIN_QUERY_MOD, TOPK_K, IVF_CENTROIDS, IVF_PROBE),
+)
+def sim_ivf_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ANN JOIN: a query TABLE (every 4th corpus vector —
+    too big to treat as a driver batch) against the persisted IVF index
+    via a shuffle join on the cell key — neither side broadcast or
+    collected, per-query top-k as a second exchange on query_id.  Same
+    deterministic quantized math as sim_ivf_index_topk, so the exact
+    value-level oracle applies; the fingerprint pins (query_id,
+    neighbor_id, rank)."""
+    from .functions.similarity import ivf_index_topk_join
+
+    sim_ivf_index_topk(spark, sf_dir)  # ensure the shared index exists
+    emb = _emb(spark, sf_dir, spread=False)
+    queries = emb.filter(F.col("vec_id") % IVF_JOIN_QUERY_MOD == 0)
+    return ivf_index_topk_join(
+        spark, _IVF_INDEX_DIRS[sf_dir], queries, k=TOPK_K, n_probe=IVF_PROBE
+    ).select("query_id", "neighbor_id", "rank")
+
+
 _IVF_DERIVED_CACHE: dict[str, object] = {}
 
 

@@ -745,6 +745,62 @@ def ivf_index_topk(
     return _probe_score_rank(index, probes, k, kernel)
 
 
+def ivf_index_topk_join(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """Batch ANN JOIN — the many-query shape of :func:`ivf_index_topk`,
+    for query sets too big to broadcast (embed a whole table, find each
+    row's neighbors).  Identical results; different physical plan:
+
+    - probe rows and the cell-partitioned index SHUFFLE-join on ``cell``
+      (``shuffle_hash`` hint — neither side is broadcast, collected, or
+      assumed driver-sized; AQE's skew handling splits hot cells);
+    - the per-query top-k is one more exchange on ``query_id``.
+
+    Two shuffles, both on keys the data already needs — the standard
+    distributed ANN-join shape at 100 TB.  Use :func:`ivf_index_topk`
+    when the query set is broadcast-sized; that path also keeps dynamic
+    partition pruning (a shuffle join reads all cells that ANY query
+    probes, which for a table-sized query set is the honest cost)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = _json.load(f)
+
+    probes = _probe_cells(queries, id_col, vec_col, centroids, n_probe, kernel)
+    index = spark.read.parquet(os.path.join(index_dir, "cells"))
+    score_col = _qcos_score_builder(kernel)
+    scored = (
+        index.hint("shuffle_hash")
+        .join(
+            probes.select(
+                "query_id", F.col("qv").alias("pqv"), "cell"
+            ),
+            on="cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            score_col(F.col("qv"), F.col("pqv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sign-bit LSH (random hyperplane) — the scale path
 # ---------------------------------------------------------------------------

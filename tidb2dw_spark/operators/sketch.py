@@ -1,5 +1,13 @@
-"""Maintained HyperLogLog sketches — the APPROXIMATE tier of the
-COUNT(DISTINCT) family, kept fresh from a change data feed.
+"""Maintained sketches — the APPROXIMATE tier of three aggregate
+families, kept fresh from a change data feed: HyperLogLog registers for
+COUNT(DISTINCT) (:class:`MaintainedHLLSketch`), a deterministic binned
+histogram for quantiles (:class:`MaintainedQuantileHistogram`), and
+Count-Min counters for frequencies / heavy hitters
+(:class:`MaintainedCountMinSketch`).  Each has an exact sibling whose
+state is O(distinct values) (distinct_matview's support stores); the
+sketches trade bounded error for fixed-size state.  The HLL docstring
+below details the shared engineering contract (cross-engine-exact md5
+hashing, integer-only algebra, oracle-hashable estimates).
 
 :mod:`.distinct_matview` maintains EXACT distinct counts with a
 bucket-partitioned support multiset — O(distinct values) state.  At
@@ -645,4 +653,359 @@ class MaintainedHLLSketch:
                 (F.col("est_raw") <= F.lit(2.5 * m)) & (v > 0),
                 F.lit(float(m)) * F.log(F.lit(float(m)) / v),
             ).otherwise(F.col("est_raw")),
+        )
+
+
+def cms_bucket_col(value_col: str, depth: int, width: int) -> F.Column:
+    """Count-Min bucket for one hash row: the md5 idiom over the value
+    salted with the depth index (``value || '#d'``), reduced mod the
+    width.  The hash is non-negative (≤60 bits) so ``%`` agrees between
+    engines with no pmod dance."""
+    h = md5_long(
+        F.concat(F.col(value_col).cast("string"), F.lit(f"#{depth}"))
+    )
+    return (h % F.lit(width)).cast("int")
+
+
+def cms_bucket_sql(value_col: str, depth_expr: str, width: int) -> str:
+    """DuckDB twin of :func:`cms_bucket_col` — *depth_expr* may be a
+    literal or a column from a ``range(d)`` lateral, enabling one SQL
+    expression to cover every hash row."""
+    h = (
+        f"('0x'||substr(md5(CAST({value_col} AS VARCHAR) || '#' || "
+        f"CAST({depth_expr} AS VARCHAR)),1,15))::BIGINT"
+    )
+    return f"CAST({h} % {width} AS INT)"
+
+
+class MaintainedCountMinSketch:
+    """Per-group Count-Min counters maintained from a ManagedTable's
+    feed — the APPROXIMATE tier of the FREQUENCY family, completing the
+    sketch-tier symmetry:
+
+    ======== ============================== =============================
+    family   exact tier                     sketch tier
+    ======== ============================== =============================
+    distinct support store (distinct_       :class:`MaintainedHLLSketch`
+             matview)                       (registers, max-mergeable)
+    quantile support store                  :class:`MaintainedQuantile
+                                            Histogram` (±, add-mergeable)
+    frequency heavy-hitter support store    **this** (±, add-mergeable)
+    ======== ============================== =============================
+
+    Count-Min (Cormode & Muthukrishnan, J. Algorithms 2005) keeps
+    ``depth`` hash rows of ``width`` counters per group; a value's
+    frequency estimate is the MIN over its ``depth`` counters — an
+    overestimate by at most ``εN`` w.p. ``1−δ`` (``w=⌈e/ε⌉``,
+    ``d=⌈ln 1/δ⌉``), and NEVER an underestimate, so threshold reads
+    retain every true heavy hitter.
+
+    The property that earns it a place next to HLL: CM is a LINEAR
+    sketch.  Counters fold **±** from the change feed exactly like a
+    maintained SUM — inserts +1, deletes/update-preimages −1 — so EVERY
+    slice shape maintains in O(changes·depth + touched counters) with
+    NO recount path at all (the HLL sibling's one weakness; this is the
+    strict-turnstile model, which the feed's preimage discipline
+    guarantees).  Each refresh asserts no counter went negative — a
+    negative counter means a delete arrived for a row the sketch never
+    counted, i.e. upstream feed corruption, and is refused loudly.
+
+    Cross-engine exact: the per-row hash is the repo's pinned md5-hex→
+    int idiom salted with the hash-row index, and estimates are integer
+    MINs — a DuckDB oracle rebuilds bit-identical counters and
+    estimates, so the driver hash-verifies the whole tier.
+
+    Only NON-ZERO counters are materialized: state is
+    ``O(min(distinct values, depth·width))`` rows per group.  Rollups
+    to a coarser grain ADD counters (linearity again) and equal a
+    direct coarse-grain build bit-for-bit.
+
+    Reference parity: the reference replicates rows and defers frequency
+    queries to the warehouse (full ``GROUP BY value`` recompute per
+    query); this serves them from maintained fixed-size state."""
+
+    def __init__(
+        self,
+        root,
+        group_cols: Sequence[str],
+        value_col: str,
+        depth: int = 3,
+        width: int = 2048,
+        where: str | None = None,
+        where_cols: Sequence[str] | None = None,
+    ):
+        if not (1 <= depth <= 8):
+            raise ValueError(f"depth={depth} out of range [1, 8]")
+        if width < 2:
+            raise ValueError(f"width={width} must be ≥ 2")
+        self.root = Path(root)
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.depth = int(depth)
+        self.width = int(width)
+        self.where = where
+        self.where_cols = list(where_cols or [])
+        if self.where_cols and not where:
+            raise ValueError("where_cols given without a where predicate")
+
+    # -- meta (same crash contract as MaintainedHLLSketch) ----------------
+    def _meta_path(self) -> Path:
+        return self.root / "_meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def meta(self) -> dict:
+        return json.loads(self._meta_path().read_text())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The counter table: (group…, depth, bucket, cnt) — only
+        non-zero counters exist."""
+        return spark.read.parquet(
+            str(self.root / f"v={self.meta()['version']}")
+        )
+
+    def _commit(self, counters: DataFrame, meta: dict) -> None:
+        counters.write.mode("overwrite").parquet(
+            str(self.root / f"v={meta['version']}")
+        )
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+        for pth in self.root.glob("v=*"):
+            if int(pth.name.split("=", 1)[1]) < meta["version"]:
+                shutil.rmtree(pth, ignore_errors=True)
+
+    def _source_cols(self) -> list[str]:
+        return list(
+            dict.fromkeys(
+                self.group_cols + [self.value_col] + self.where_cols
+            )
+        )
+
+    def _sigma(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.expr(self.where)) if self.where else df
+
+    def _depth_buckets(self) -> F.Column:
+        """Array of (depth, bucket) structs — all hash rows for one
+        value computed in ONE projection pass (depth is tiny, so this
+        is a handful of md5s per row, all inside whole-stage codegen)."""
+        return F.array(*[
+            F.struct(
+                F.lit(d).cast("int").alias("depth"),
+                cms_bucket_col(self.value_col, d, self.width).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(self.depth)
+        ])
+
+    def _counters(self, rows: DataFrame, sign: F.Column) -> DataFrame:
+        """Signed counter deltas for a row set: explode the depth
+        structs, sum signs per (group…, depth, bucket).  union→groupBy
+        shape — partial aggregation map-side, one shuffle on the
+        counter key, O(changes·depth + touched counters)."""
+        return (
+            rows.filter(F.col(self.value_col).isNotNull())
+            .select(
+                *self.group_cols,
+                F.explode(self._depth_buckets()).alias("__db"),
+                sign.alias("__s"),
+            )
+            .select(*self.group_cols, "__db.depth", "__db.bucket", "__s")
+            .groupBy(*self.group_cols, "depth", "bucket")
+            .agg(F.sum("__s").cast("long").alias("cnt"))
+        )
+
+    def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
+        """Fold new commits into the counters; returns the applied seq.
+        ONE code path for every slice shape — inserts, deletes, and
+        update pre/postimages are all signed counter deltas (CM is
+        linear; contrast MaintainedHLLSketch.refresh's recount arm)."""
+        src_m = source.manifest()
+        src_seq = src_m.get("cdf_seq", 0)
+        if not src_m.get("cdf"):
+            raise ValueError(
+                f"table {source.root} has no change data feed "
+                "(create(cdf=True))"
+            )
+        if not self.exists():
+            counters = self._counters(
+                self._sigma(
+                    source._read_state(spark, src_m).select(
+                        *self._source_cols()
+                    )
+                ),
+                F.lit(1),
+            ).filter(F.col("cnt") != 0)
+            self._commit(
+                counters,
+                {
+                    "version": 1,
+                    "applied_seq": src_seq,
+                    "depth": self.depth,
+                    "width": self.width,
+                    "where": self.where,
+                    "group_cols": self.group_cols,
+                    "value_col": self.value_col,
+                    "folds": 0,
+                },
+            )
+            return src_seq
+        meta = self.meta()
+        if (
+            int(meta.get("depth", -1)) != self.depth
+            or int(meta.get("width", -1)) != self.width
+        ):
+            raise ValueError(
+                f"sketch at {self.root} was seeded with depth×width = "
+                f"{meta.get('depth')}×{meta.get('width')}; constructed "
+                f"with {self.depth}×{self.width} — the counter layout "
+                "would split; rebuild instead"
+            )
+        if meta.get("where") != self.where:
+            raise ValueError(
+                f"sketch at {self.root} was seeded with where="
+                f"{meta.get('where')!r}; constructed with {self.where!r}"
+                " — rebuild instead of mixing filtered states"
+            )
+        if (
+            meta.get("group_cols") != self.group_cols
+            or meta.get("value_col") != self.value_col
+        ):
+            raise ValueError(
+                f"sketch at {self.root} was seeded over "
+                f"({meta.get('group_cols')}, {meta.get('value_col')}); "
+                f"constructed over ({self.group_cols}, {self.value_col})"
+                " — rebuild instead"
+            )
+        applied = meta["applied_seq"]
+        if src_seq <= applied:
+            return applied
+        sl = self._sigma(
+            source.changes(spark, since=applied, until=src_seq).select(
+                *self._source_cols(), CHANGE_TYPE_COL
+            )
+        )
+        sign = (
+            F.when(F.col(CHANGE_TYPE_COL).isin(*_ADD), F.lit(1))
+            .when(F.col(CHANGE_TYPE_COL).isin(*_SUB), F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        deltas = self._counters(sl, sign)
+        new = (
+            self.read(spark)
+            .unionByName(deltas)
+            .groupBy(*self.group_cols, "depth", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+        meta = dict(meta)
+        meta["version"] += 1
+        meta["applied_seq"] = src_seq
+        meta["folds"] = int(meta.get("folds", 0)) + 1
+        self._commit(new, meta)
+        # turnstile guard AFTER the version is durable: a negative
+        # counter means a delete/preimage the sketch never counted —
+        # upstream feed corruption, never a valid state.  One
+        # state-sized scan of what was just written.
+        neg = (
+            self.read(spark).filter(F.col("cnt") < 0).limit(1).take(1)
+        )
+        if neg:
+            ver = meta["version"]
+            raise ValueError(
+                f"sketch at {self.root} folded to a NEGATIVE counter "
+                f"(e.g. {neg[0].asDict()}) — the feed deleted a row the "
+                "sketch never counted (preimage discipline violated "
+                f"upstream); state version {ver} is tainted"
+            )
+        return src_seq
+
+    def estimate(self, spark: SparkSession, probes: DataFrame) -> DataFrame:
+        """Frequency estimates for probe rows: *probes* carries
+        (group…, value_col) — one estimate per probe, computed as the
+        MIN over the ``depth`` counters (absent counter ⇒ 0).  Pure
+        integer algebra over the state — never reads the base table,
+        and the whole answer is oracle-hashable.  Probe group keys must
+        be non-NULL (the join is plain equality)."""
+        return self._estimate_over(
+            spark, self.read(spark), probes, self.group_cols
+        )
+
+    def rollup(
+        self, spark: SparkSession, group_subset: Sequence[str]
+    ) -> DataFrame:
+        """Counters ADDED to a coarser grain — linearity means the
+        merged counters equal a direct coarse-grain build bit-for-bit
+        (finer groups partition the σ-base and the hash ignores the
+        group).  ``[]`` gives one global sketch."""
+        subset = list(group_subset)
+        missing = [g for g in subset if g not in self.group_cols]
+        if missing:
+            raise ValueError(
+                f"rollup cols {missing!r} are not sketch group cols "
+                f"{self.group_cols}"
+            )
+        return (
+            self.read(spark)
+            .groupBy(*subset, "depth", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    def estimate_rollup(
+        self,
+        spark: SparkSession,
+        probes: DataFrame,
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """:meth:`estimate` against :meth:`rollup` counters — *probes*
+        carries (group_subset…, value_col)."""
+        return self._estimate_over(
+            spark,
+            self.rollup(spark, group_subset),
+            probes,
+            list(group_subset),
+        )
+
+    def heavy_hitters(
+        self,
+        spark: SparkSession,
+        probes: DataFrame,
+        min_count: int,
+    ) -> DataFrame:
+        """Probes whose estimate ≥ *min_count*.  CM never
+        underestimates, so every TRUE heavy hitter among the probes
+        survives (no false negatives); εN-rare false positives are the
+        documented trade."""
+        return self.estimate(spark, probes).filter(
+            F.col("est") >= F.lit(int(min_count))
+        )
+
+    def _estimate_over(
+        self,
+        spark: SparkSession,
+        counters: DataFrame,
+        probes: DataFrame,
+        group_cols: list[str],
+    ) -> DataFrame:
+        probe_rows = probes.select(
+            *group_cols,
+            self.value_col,
+            F.explode(self._depth_buckets()).alias("__db"),
+        ).select(
+            *group_cols, self.value_col, "__db.depth", "__db.bucket"
+        )
+        return (
+            probe_rows.join(
+                counters, [*group_cols, "depth", "bucket"], "left"
+            )
+            .groupBy(*group_cols, self.value_col)
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("long")
+                .alias("est")
+            )
         )

@@ -29,6 +29,58 @@ from .table.managed import ManagedTable
 LOADINFO_SUFFIX = ".loadinfo"
 
 
+class SliceSharingTable:
+    """Proxy over a :class:`ManagedTable` that memoizes ``changes()`` per
+    (since, until) range and PERSISTS the slice — so N derived objects
+    hanging off one table fold from ONE feed scan per poll instead of N.
+
+    In steady state every view's ``applied_seq`` equals the table's
+    previous ``cdf_seq``, so all N refreshes request the identical range
+    and the scan amortizes N×.  Views that lag (crash between merge and
+    refresh) request a different range and simply read it themselves —
+    correctness never depends on the cache.  The trade is columnar: the
+    persisted slice is full-width while each view would have pruned to
+    its own columns; a change slice is O(changes) rows, so at 100 TB one
+    wide O(changes) scan is far cheaper than N narrow ones (and the
+    cache is MEMORY_AND_DISK — a giant catch-up slice spills instead of
+    OOMing).  Call :meth:`release` after the refresh loop; the proxy is
+    single-poll scoped by design (a new commit changes the range anyway).
+
+    Every other attribute forwards to the underlying table, so the
+    derived protocol (``manifest()`` / ``_read_state`` / recount paths)
+    is untouched."""
+
+    def __init__(self, table: ManagedTable):
+        self._table = table
+        self._slices: dict[tuple, DataFrame] = {}
+        self.slice_scans = 0  # distinct ranges actually read
+        self.slice_hits = 0  # refreshes served from the shared slice
+
+    def __getattr__(self, name):
+        return getattr(self._table, name)
+
+    def changes(
+        self, spark: SparkSession, since: int = 0, until: int | None = None
+    ) -> DataFrame:
+        key = (since, until)
+        hit = key in self._slices
+        if not hit:
+            from pyspark.storagelevel import StorageLevel
+
+            self._slices[key] = self._table.changes(
+                spark, since=since, until=until
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self.slice_scans += 1
+        else:
+            self.slice_hits += 1
+        return self._slices[key]
+
+    def release(self) -> None:
+        for df in self._slices.values():
+            df.unpersist()
+        self._slices.clear()
+
+
 class TableReplicator:
     """One table's snapshot → incremental lifecycle."""
 
@@ -156,6 +208,13 @@ class TableReplicator:
         self.registry.set_stage(self.fqn, TableStage.INCREMENTAL)
         self.registry.add(self.fqn, "files_processed", report.files_processed)
         self.registry.add(self.fqn, "ddl_applied", report.ddl_applied)
+        # ≥2 derived objects share one persisted feed slice per poll —
+        # the scan amortizes across views instead of repeating per view
+        shared = (
+            SliceSharingTable(self.table)
+            if len(self.derived) > 1
+            else self.table
+        )
         for d in self.derived:
             # first poll seeds (SecondaryIndex needs an explicit build;
             # MaintainedAggregate seeds inside refresh); after that each
@@ -164,9 +223,9 @@ class TableReplicator:
             # and refresh self-repairs next poll
             t0 = time.monotonic()
             if not d.exists() and hasattr(d, "build"):
-                d.build(self.spark, self.table)
+                d.build(self.spark, shared)
             else:
-                d.refresh(self.spark, self.table)
+                d.refresh(self.spark, shared)
             # per-object upkeep cost rides the registry (metrics.go Add
             # parity): cumulative seconds + a last-refresh gauge, keyed
             # by the object's class so /info and the prometheus text
@@ -200,7 +259,7 @@ class TableReplicator:
                 and d.needs_rebuild()
             ):
                 t1 = time.monotonic()
-                d.build(self.spark, self.table)
+                d.build(self.spark, shared)
                 self.registry.add(self.fqn, f"derived_{kind}_rebuilds", 1)
                 self.registry.set_gauge(
                     self.fqn,
@@ -209,6 +268,12 @@ class TableReplicator:
                 )
         if self.derived:
             self.registry.add(self.fqn, "derived_refreshed", len(self.derived))
+        if isinstance(shared, SliceSharingTable):
+            # surfaced per poll: scans == distinct ranges read, hits ==
+            # refreshes that folded from an already-persisted slice
+            self.registry.add(self.fqn, "derived_slice_scans", shared.slice_scans)
+            self.registry.add(self.fqn, "derived_slice_hits", shared.slice_hits)
+            shared.release()
 
     def run_once(self) -> None:
         try:
