@@ -138,6 +138,7 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_q15",
     "pipeline_maintained_hll",
     "pipeline_hll_rollup",
+    "pipeline_hll_union",
     "pipeline_quantile_sketch",
     "pipeline_quantile_rollup",
     # round 9: the frequency family's sketch tier (linear Count-Min)

@@ -2025,3 +2025,58 @@ def test_matview_derived_definition_drift_rejected(spark, tmp_path):
             tmp_path / "mv2", ["grp"], {"total": "val"},
             derived_cols={"val": ("val + 1", ["val"])},
         ).refresh(spark, t)
+
+
+def test_stream_wake_shares_one_feed_slice(spark, tmp_path):
+    """The streaming wake-up with N derived objects folds from ONE real
+    feed read per drain (SliceSharingTable inside foreachBatch) — same
+    amortization as the replicator poll loop — and both views still
+    equal recomputes."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate, init_agg
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+    from tidb2dw_spark.streaming.stream import stream_derived_refresh
+    from tidb2dw_spark.table.managed import ManagedTable as MT
+
+    t = _mk(spark, tmp_path, "t", BASE)
+    mv = MaintainedAggregate(tmp_path / "mv", ["grp"], {"total": "val"})
+    cms = MaintainedCountMinSketch(
+        tmp_path / "cms", ["grp"], "val", depth=2, width=32
+    )
+    mv.refresh(spark, t)
+    cms.refresh(spark, t)
+
+    t.merge(spark, _batch(spark, [
+        ("I", 8, 5, "c", 80), ("U", 1, 5, "b", 11), ("D", 2, 5, None, None),
+    ]))
+    calls = []
+    orig = MT.changes
+
+    def counting(self, spark_, since=0, until=None):
+        calls.append((since, until))
+        return orig(self, spark_, since=since, until=until)
+
+    MT.changes = counting
+    try:
+        q = stream_derived_refresh(
+            spark, t, [mv, cms], checkpoint_dir=str(tmp_path / "ck")
+        )
+        assert q.awaitTermination(120)
+    finally:
+        MT.changes = orig
+    # the commit-log SOURCE reads no change rows itself (offsets come
+    # from the manifest); the two refreshes shared ONE slice read
+    assert len(calls) == 1, calls
+
+    key = lambda r: tuple(("" if x is None else str(x)) for x in r)  # noqa: E731
+    want_mv = sorted(
+        map(tuple, init_agg(t.read(spark), ["grp"], {"total": "val"}).collect()),
+        key=key,
+    )
+    assert sorted(map(tuple, mv.read(spark).collect()), key=key) == want_mv
+    ref = MaintainedCountMinSketch(
+        tmp_path / "ref", ["grp"], "val", depth=2, width=32
+    )
+    ref.refresh(spark, t)
+    assert sorted(map(tuple, cms.read(spark).collect()), key=key) == sorted(
+        map(tuple, ref.read(spark).collect()), key=key
+    )

@@ -380,6 +380,8 @@ def test_cms_serving_reads_are_state_only(spark, sf_dir):
     for name, max_scans in (
         ("pipeline_maintained_cms", 2),
         ("pipeline_cms_rollup", 1),
+        # cross-table union: two sketches' state parquets, no base
+        ("pipeline_hll_union", 2),
     ):
         plan = audit(QUERIES[name](spark, sf_dir)).plan
         scans = [

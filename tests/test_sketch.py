@@ -826,3 +826,122 @@ def test_cms_counters_match_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_cms_crash_between_data_write_and_meta_swap_self_repairs(
+    spark, tmp_path
+):
+    """CM shares the HLL versioned-parquet + os.replace meta contract:
+    an orphan v=N+1 dir from a half-commit is deterministically
+    overwritten on retry and the counters equal a clean run's."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedCountMinSketch(
+        tmp_path / "sk", ["grp"], "v", depth=2, width=32
+    )
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [("I", 5000, 5, "A", 333)]))
+    orphan = tmp_path / "sk" / "v=2"
+    orphan.mkdir(parents=True)
+    spark.createDataFrame(
+        [("Z", 0, 9, 99)], "grp string, depth int, bucket int, cnt long"
+    ).write.mode("overwrite").parquet(str(orphan))
+    assert sk.meta()["version"] == 1
+    sk.refresh(spark, t)  # retry: deterministic overwrite of v=2
+    assert sk.meta()["version"] == 2
+    ref = _cms_rebuild(spark, tmp_path / "ref", t, depth=2, width=32)
+    assert _cms(sk.read(spark)) == _cms(ref.read(spark))
+
+
+def test_hll_union_across_sketches_equals_direct_union_build(spark, tmp_path):
+    """Cross-TABLE register union: max-merging two maintained sketches'
+    registers is bit-identical to one sketch built over the union of
+    both tables' live rows — distinct-of-union with no base scan."""
+    a = _mk_table(spark, tmp_path / "a")          # v = k % 97
+    rows_b = [(i, "AB"[i % 2], 50 + i % 120) for i in range(300)]
+    b = ManagedTable(tmp_path / "b")
+    b.create(
+        spark.createDataFrame(rows_b, SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    ska = MaintainedHLLSketch(tmp_path / "ska", ["grp"], "v", p=8)
+    skb = MaintainedHLLSketch(tmp_path / "skb", ["grp"], "v", p=8)
+    ska.refresh(spark, a)
+    skb.refresh(spark, b)
+    # churn A so the union reflects maintained (not just seeded) state
+    a.merge(spark, _batch(spark, [("D", k, 5, None, None)
+                                  for k in range(0, 30, 2)]))
+    ska.refresh(spark, a)
+
+    got = sorted(
+        (r["grp"], r["bucket"], r["rho"])
+        for r in ska.union_rollup(spark, skb, ["grp"]).collect()
+    )
+    direct = MaintainedHLLSketch(tmp_path / "direct", ["grp"], "v", p=8)
+    u = ManagedTable(tmp_path / "u")
+    u.create(
+        a.read(spark).unionByName(b.read(spark))
+        .withColumn("k", F.monotonically_increasing_id()),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    direct.refresh(spark, u)
+    want = sorted(
+        (r["grp"], r["bucket"], r["rho"])
+        for r in direct.read(spark).collect()
+    )
+    assert got == want
+    # global union estimate runs too and p-mismatch is refused
+    assert ska.estimate_union(spark, skb, []).count() == 1
+    skc = MaintainedHLLSketch(tmp_path / "skc", ["grp"], "v", p=10)
+    skc.refresh(spark, b)
+    with pytest.raises(ValueError, match="different p"):
+        ska.union_rollup(spark, skc, [])
+
+
+def test_cms_union_across_sketches_equals_direct_union_build(spark, tmp_path):
+    """Cross-TABLE counter union: adding two maintained sketches'
+    counters equals one sketch built over the bag-union of both tables
+    — and estimates against the merged counters match."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    a = _mk_table(spark, tmp_path / "a")
+    rows_b = [(i, "AB"[i % 2], 50 + i % 120) for i in range(300)]
+    b = ManagedTable(tmp_path / "b")
+    b.create(
+        spark.createDataFrame(rows_b, SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    ska = MaintainedCountMinSketch(tmp_path / "ska", ["grp"], "v",
+                                   depth=2, width=64)
+    skb = MaintainedCountMinSketch(tmp_path / "skb", ["grp"], "v",
+                                   depth=2, width=64)
+    ska.refresh(spark, a)
+    skb.refresh(spark, b)
+    a.merge(spark, _batch(spark, [("D", k, 5, None, None)
+                                  for k in range(0, 30, 2)]))
+    ska.refresh(spark, a)
+
+    got = sorted(
+        (r["grp"], r["depth"], r["bucket"], r["cnt"])
+        for r in ska.union_rollup(spark, skb, ["grp"])
+        .filter(F.col("cnt") != 0).collect()
+    )
+    direct = MaintainedCountMinSketch(tmp_path / "direct", ["grp"], "v",
+                                      depth=2, width=64)
+    u = ManagedTable(tmp_path / "u")
+    u.create(
+        a.read(spark).unionByName(b.read(spark))
+        .withColumn("k", F.monotonically_increasing_id()),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    direct.refresh(spark, u)
+    want = sorted(
+        (r["grp"], r["depth"], r["bucket"], r["cnt"])
+        for r in direct.read(spark).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="different layouts"):
+        ska.union_rollup(spark, MaintainedCountMinSketch(
+            tmp_path / "skc", ["grp"], "v", depth=3, width=64
+        ), [])

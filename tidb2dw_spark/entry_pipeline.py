@@ -4341,6 +4341,73 @@ FROM regs
 
 
 # ---------------------------------------------------------------------------
+# HLL CROSS-TABLE union — the sketch-algebra payoff one level up from
+# the rollup: distinct custkeys across TWO tables (the churned orders
+# feed ∪ the customer dimension) answered by max-merging two maintained
+# sketches' registers, scanning NEITHER base.  The oracle builds the
+# union sketch directly from both tables' live rows — bit-equal
+# registers prove the cross-table merge exact (registers are maxes and
+# the two tables partition the bag union).
+# ---------------------------------------------------------------------------
+_HLL_UNION_CACHE: dict[str, object] = {}
+
+
+def pipeline_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import MaintainedHLLSketch
+
+    pipeline_maintained_hll(spark, sf_dir)  # the churned orders sketch
+    sk_orders = _HLLVIEW_CACHE[sf_dir]
+    if sf_dir not in _HLL_UNION_CACHE:
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_hllunion_"))
+        cust = ManagedTable(wh / "cust").create(
+            cust_src, ["c_custkey"], pk_buckets=4, cdf=True
+        )
+        sk_cust = MaintainedHLLSketch(wh / "sk", [], "c_custkey", p=_HLL_P)
+        sk_cust.refresh(spark, cust)
+        _HLL_UNION_CACHE[sf_dir] = sk_cust
+    sk_cust = _HLL_UNION_CACHE[sf_dir]
+    return sk_orders.estimate_union(spark, sk_cust, []).select(
+        F.col("used_buckets").cast("long").alias("used_buckets"),
+        F.col("hsum_scaled").cast("long").alias("hsum_scaled"),
+        "est_raw",
+    )
+
+
+def _hll_union_oracle() -> str:
+    from .operators.sketch import hll_numerator, hll_register_sql
+
+    p = _HLL_P
+    m = 1 << p
+    wp1 = 61 - p
+    bucket, rho = hll_register_sql("ck", p)
+    a = hll_numerator(p)
+    return f"""
+WITH cur AS (
+  SELECT o_custkey AS ck FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_custkey + 500000 FROM orders WHERE o_orderkey % 25 = 3
+  UNION ALL
+  SELECT c_custkey FROM customer
+), regs AS (
+  SELECT {bucket} AS bucket, MAX({rho}) AS rho
+  FROM cur WHERE ck IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS used_buckets,
+       CAST(SUM(CAST(1 AS BIGINT) << ({wp1} - rho))
+            + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {wp1})
+            AS BIGINT) AS hsum_scaled,
+       {a!r} / CAST(SUM(CAST(1 AS BIGINT) << ({wp1} - rho))
+            + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {wp1})
+            AS BIGINT) AS est_raw
+FROM regs
+"""
+
+
+# ---------------------------------------------------------------------------
 # Approximate QUANTILES as maintained state — the sketch tier of the
 # quantile family (exact sibling: pipeline_distinct_quantile's support
 # store).  A fixed-width integer histogram per o_orderpriority over
@@ -6576,6 +6643,7 @@ QUERIES = {
     "pipeline_maintained_q15": pipeline_maintained_q15,
     "pipeline_maintained_hll": pipeline_maintained_hll,
     "pipeline_hll_rollup": pipeline_hll_rollup,
+    "pipeline_hll_union": pipeline_hll_union,
     "pipeline_quantile_sketch": pipeline_quantile_sketch,
     "pipeline_quantile_rollup": pipeline_quantile_rollup,
     "pipeline_maintained_cms": pipeline_maintained_cms,
@@ -6637,6 +6705,7 @@ ORACLES = {
     "pipeline_maintained_q15": _Q15VIEW_ORACLE,
     "pipeline_maintained_hll": _hllview_oracle(),
     "pipeline_hll_rollup": _hll_rollup_oracle(),
+    "pipeline_hll_union": _hll_union_oracle(),
     "pipeline_quantile_sketch": _QSKETCH_ORACLE,
     "pipeline_quantile_rollup": _QROLLUP_ORACLE,
     "pipeline_maintained_cms": _cms_oracle(),

@@ -140,6 +140,7 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # registers max-merged to the GLOBAL grain, no base scan; oracle
     # builds the coarse sketch directly -> bit-equal merge proof
     "pipeline_hll_rollup": [("used_buckets", "int"), ("hsum_scaled", "int"), ("est_raw", "dbl")],
+    "pipeline_hll_union": [("used_buckets", "int"), ("hsum_scaled", "int"), ("est_raw", "dbl")],
     # approximate-quantile tier: maintained integer histogram; the
     # signed count fold handles deletes with NO recount; rank/total/bin
     # bounds are pure integers incl. the oracle's cumulative walk

@@ -605,6 +605,49 @@ class MaintainedHLLSketch:
             self.rollup(spark, group_subset), list(group_subset)
         )
 
+    def union_rollup(
+        self,
+        spark: SparkSession,
+        other: "MaintainedHLLSketch",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """Registers max-merged ACROSS two maintained sketches — the
+        distinct cardinality of the UNION of two tables answered from
+        their sketches alone, no scan of either base.  Exact: HLL
+        registers are max-mergeable across ANY partition of the rows,
+        so max(regs_A, regs_B) IS the register set a direct build over
+        ``A ∪ B`` would produce (bit-identical, oracle-checkable) —
+        the sketch-algebra twin of a cross-table DISTINCT.  Requires
+        identical ``p`` (register layout) and value semantics (the two
+        value columns must describe the same key space — e.g. custkeys
+        seen in orders ∪ registered customers); *group_subset* must be
+        common to both sketches (``[]`` → one global union set)."""
+        if other.p != self.p:
+            raise ValueError(
+                f"cannot union sketches with different p: "
+                f"{self.p} vs {other.p} — the register layouts differ"
+            )
+        a = self.rollup(spark, group_subset)
+        b = other.rollup(spark, group_subset)
+        subset = list(group_subset)
+        return (
+            a.unionByName(b)
+            .groupBy(*subset, "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+
+    def estimate_union(
+        self,
+        spark: SparkSession,
+        other: "MaintainedHLLSketch",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """:meth:`estimate` over :meth:`union_rollup` registers."""
+        return self._estimate_over(
+            self.union_rollup(spark, other, group_subset),
+            list(group_subset),
+        )
+
     def estimate(self, spark: SparkSession) -> DataFrame:
         """(group…, used_buckets, hsum_scaled, est_raw, est) per group.
 
@@ -966,6 +1009,48 @@ class MaintainedCountMinSketch:
         return self._estimate_over(
             spark,
             self.rollup(spark, group_subset),
+            probes,
+            list(group_subset),
+        )
+
+    def union_rollup(
+        self,
+        spark: SparkSession,
+        other: "MaintainedCountMinSketch",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """Counters ADDED across two maintained sketches — frequency
+        estimates over the UNION (bag semantics) of two tables from
+        their sketches alone.  Linearity across tables is the same
+        argument as across groups: the summed counters equal a direct
+        build over ``A ⊎ B`` bit-for-bit.  Requires identical
+        depth×width (and the same hashing, which the shared md5 idiom
+        guarantees); *group_subset* must be common to both."""
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError(
+                f"cannot union sketches with different layouts: "
+                f"{self.depth}×{self.width} vs {other.depth}×{other.width}"
+            )
+        a = self.rollup(spark, group_subset)
+        b = other.rollup(spark, group_subset)
+        subset = list(group_subset)
+        return (
+            a.unionByName(b)
+            .groupBy(*subset, "depth", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    def estimate_union(
+        self,
+        spark: SparkSession,
+        other: "MaintainedCountMinSketch",
+        probes: DataFrame,
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """:meth:`estimate` against :meth:`union_rollup` counters."""
+        return self._estimate_over(
+            spark,
+            self.union_rollup(spark, other, group_subset),
             probes,
             list(group_subset),
         )

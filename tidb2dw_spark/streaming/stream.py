@@ -454,11 +454,15 @@ def stream_derived_refresh(
     the derived objects already conform across those by field id; a
     barrier landing mid-run surfaces the source's restart contract
     (restart with the SAME checkpoint) instead of a silent re-seed."""
+    from ..replicate import SliceSharingTable
     from .cdf_source import stream_changes_commitlog
 
     objs = list(derived) if isinstance(derived, (list, tuple)) else [derived]
 
     def wake(batch_df: DataFrame, batch_id: int) -> None:
+        # same slice amortization as the poll loop: N woken objects at
+        # the same applied_seq fold from ONE persisted feed scan
+        shared = SliceSharingTable(table) if len(objs) > 1 else table
         for d in objs:
             # same bootstrap guard as TableReplicator's poll loop: an
             # index-shaped object (SecondaryIndex / IvfVectorIndex) needs
@@ -466,9 +470,11 @@ def stream_derived_refresh(
             # a missing _meta.json; view-shaped objects seed inside
             # refresh and take the else branch on first wake
             if not d.exists() and hasattr(d, "build"):
-                d.build(batch_df.sparkSession, table)
+                d.build(batch_df.sparkSession, shared)
             else:
-                d.refresh(batch_df.sparkSession, table)
+                d.refresh(batch_df.sparkSession, shared)
+        if isinstance(shared, SliceSharingTable):
+            shared.release()
 
     writer = (
         stream_changes_commitlog(spark, table)
