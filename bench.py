@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "approx_distinct_hll",
     # round 9: distributed ANN join (table-sized query side)
     "sim_ivf_topk_join",
+    # round 9: KMV batch tier (set-algebra distinct)
+    "approx_distinct_kmv",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is
@@ -139,6 +141,12 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_hll",
     "pipeline_hll_rollup",
     "pipeline_hll_union",
+    # round 9: KMV derived state — union + the intersection estimate
+    "pipeline_maintained_kmv",
+    "pipeline_kmv_union",
+    "pipeline_kmv_intersection",
+    # round 9: TSO-consistent cross-table snapshot (metadata-only pin)
+    "pipeline_consistent_snapshot",
     "pipeline_quantile_sketch",
     "pipeline_quantile_rollup",
     # round 9: the frequency family's sketch tier (linear Count-Min)

@@ -1,0 +1,154 @@
+"""TSO-consistent cross-table snapshots (table/consistent.py +
+ManagedTable.source_ts_high / read_as_of_source_ts).
+
+Invariants: (1) merges advance the fence monotonically to the batch's
+max commit_ts, on CoW, MoR, and plain tables alike, and metadata-only
+commits inherit it; (2) a fence read returns the table state as of the
+last commit within the fence; (3) a ConsistentSnapshot over two tables
+churned with interleaved fences yields a join with NO torn read —
+both tables' ≤ts changes visible, both >ts changes invisible; (4) the
+pin is immutable: merges after construction don't move it; (5) a fence
+earlier than the initial load is refused.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb2dw_spark.table.consistent import ConsistentSnapshot
+from tidb2dw_spark.table.managed import ManagedTable
+
+SCHEMA = "k long, v long"
+ENV = (
+    "flag string, tablename string, schemaname string, commit_ts long, "
+    "k long, v long"
+)
+
+
+def _t(spark, path, n=40, **kw):
+    t = ManagedTable(path)
+    t.create(
+        spark.createDataFrame([(i, i * 10) for i in range(n)], SCHEMA),
+        pk_cols=["k"], **kw,
+    )
+    return t
+
+
+def _batch(spark, events):
+    return spark.createDataFrame(
+        [(f, "t", "s", ts, k, v) for f, k, ts, v in events], ENV
+    )
+
+
+@pytest.mark.parametrize(
+    "kw", [{"pk_buckets": 4}, {"pk_buckets": 0}, {"pk_buckets": 4, "merge_mode": "mor"}],
+    ids=["cow-bucketed", "plain", "mor"],
+)
+def test_merge_advances_source_ts_fence(spark, tmp_path, kw):
+    t = _t(spark, tmp_path / "t", **kw)
+    assert t.source_ts_high() == 0
+    t.merge(spark, _batch(spark, [("I", 100, 7, 1), ("U", 0, 5, 2)]))
+    assert t.source_ts_high() == 7
+    # a batch entirely below the fence cannot move it backwards
+    t.merge(spark, _batch(spark, [("I", 101, 3, 3)]))
+    assert t.source_ts_high() == 7
+    # the fence snapshots into the commit log
+    assert [e.get("source_ts_high") for e in t.history()] == [0, 7, 7]
+
+
+def test_fence_survives_metadata_commits(spark, tmp_path):
+    t = _t(spark, tmp_path / "t", pk_buckets=4)
+    t.merge(spark, _batch(spark, [("I", 100, 9, 1)]))
+    t.update_meta(note="x")
+    assert t.source_ts_high() == 9
+    assert int(t.history()[-1]["source_ts_high"]) == 9
+
+
+def test_read_as_of_source_ts_resolves_commits(spark, tmp_path):
+    t = _t(spark, tmp_path / "t", pk_buckets=4)
+    t.merge(spark, _batch(spark, [("I", 100, 10, 1)]))
+    t.merge(spark, _batch(spark, [("D", 0, 20, None), ("I", 101, 20, 2)]))
+    # fence 10: the ts=10 insert is in, the ts=20 delete/insert are not
+    ks = {r["k"] for r in t.read_as_of_source_ts(spark, 10).collect()}
+    assert 100 in ks and 0 in ks and 101 not in ks
+    # fence 15 (between batches): last complete fence is 10
+    assert t.commit_for_source_ts(15) == t.commit_for_source_ts(10)
+    # fence 20: everything
+    ks20 = {r["k"] for r in t.read_as_of_source_ts(spark, 20).collect()}
+    assert 101 in ks20 and 0 not in ks20
+    # a fence before the initial load is refused
+    with pytest.raises(ValueError, match="past the fence"):
+        t.commit_for_source_ts(-1)
+
+
+def test_consistent_snapshot_prevents_torn_reads(spark, tmp_path):
+    """orders+items churned with interleaved fences: the ts=10 changes
+    land on BOTH tables; the snapshot at 15 sees both tables' ts=10
+    state and neither's ts=20 state — the join is transactionally
+    whole."""
+    orders = _t(spark, tmp_path / "orders", n=10, pk_buckets=4)
+    items = ManagedTable(tmp_path / "items")
+    items.create(
+        spark.createDataFrame(
+            [(i, i % 10) for i in range(30)], "ik long, k long"
+        ),
+        pk_cols=["ik"], pk_buckets=4,
+    )
+
+    def ibatch(events):
+        return spark.createDataFrame(
+            [(f, "i", "s", ts, ik, k) for f, ik, ts, k in events],
+            "flag string, tablename string, schemaname string, "
+            "commit_ts long, ik long, k long",
+        )
+
+    # ts=10: order 100 arrives WITH its three items
+    orders.merge(spark, _batch(spark, [("I", 100, 10, 1)]))
+    items.merge(spark, ibatch([("I", 100 + j, 10, 100) for j in range(3)]))
+    # ts=20: order 0 deleted WITH its items; order 101 inserted
+    orders.merge(spark, _batch(spark, [("D", 0, 20, None), ("I", 101, 20, 2)]))
+    items.merge(spark, ibatch([("D", ik, 20, None) for ik in (0, 10, 20)]))
+
+    snap = ConsistentSnapshot({"orders": orders, "items": items}, 15)
+    assert snap.fences() == {"orders": 10, "items": 10}
+    views = snap.register_views(spark)
+    assert sorted(views) == ["snap_items", "snap_orders"]
+    joined = spark.sql(
+        "SELECT o.k, COUNT(i.ik) AS n FROM snap_orders o "
+        "LEFT JOIN snap_items i ON o.k = i.k GROUP BY o.k"
+    ).collect()
+    by_k = {r["k"]: r["n"] for r in joined}
+    assert by_k[100] == 3      # the new order and ALL its items
+    assert by_k[0] == 3        # ts=20 deletes invisible on BOTH sides
+    assert 101 not in by_k     # ts=20 insert invisible
+    # no orphaned items: every item's order exists at the fence
+    orphans = spark.sql(
+        "SELECT COUNT(*) c FROM snap_items i LEFT ANTI JOIN snap_orders o "
+        "ON i.k = o.k"
+    ).collect()[0]["c"]
+    assert orphans == 0
+
+
+def test_snapshot_pin_is_immutable(spark, tmp_path):
+    t = _t(spark, tmp_path / "t", pk_buckets=4)
+    t.merge(spark, _batch(spark, [("I", 100, 10, 1)]))
+    snap = ConsistentSnapshot({"t": t}, 10)
+    t.merge(spark, _batch(spark, [("I", 200, 30, 2)]))
+    ks = {r["k"] for r in snap.read(spark, "t").collect()}
+    assert 100 in ks and 200 not in ks
+    with pytest.raises(KeyError):
+        snap.read(spark, "nope")
+    with pytest.raises(ValueError, match="negative"):
+        ConsistentSnapshot({"t": t}, -5)
+
+
+def test_fence_read_on_mor_resolves_pinned_deltas(spark, tmp_path):
+    """MoR: the fence read resolves the PINNED commit's pending delta
+    lists — a later compact()+merge doesn't leak into the snapshot."""
+    t = _t(spark, tmp_path / "t", pk_buckets=4, merge_mode="mor")
+    t.merge(spark, _batch(spark, [("U", 1, 10, 111)]))
+    snap = ConsistentSnapshot({"t": t}, 10)
+    t.merge(spark, _batch(spark, [("U", 1, 20, 222), ("D", 2, 20, None)]))
+    rows = {r["k"]: r["v"] for r in snap.read(spark, "t").collect()}
+    assert rows[1] == 111 and 2 in rows

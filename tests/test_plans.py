@@ -407,3 +407,43 @@ def test_ivf_join_shuffles_both_sides_never_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan, plan
     keys = " ".join(a.hash_shuffles)
     assert "cell" in keys and "query_id" in keys, a.hash_shuffles
+
+
+def test_kmv_serving_reads_are_state_only(spark, sf_dir):
+    """The KMV tier's serving reads fold ONLY the k-row hash states:
+    the per-priority estimate reads its own state once; union and
+    intersection read the two sigma-states (the intersection needs each
+    side twice: rollup + common-hash join) — never the orders base.
+    At 100 TB the cost is O(k) per group regardless of feed size."""
+    from tidb2dw_spark.plans import audit
+
+    for name, lo, hi in (
+        ("pipeline_maintained_kmv", 1, 1),
+        ("pipeline_kmv_union", 2, 2),
+        ("pipeline_kmv_intersection", 2, 6),
+    ):
+        plan = audit(QUERIES[name](spark, sf_dir)).plan
+        scans = [
+            line for line in plan.splitlines() if "InMemoryFileIndex" in line
+        ]
+        assert lo <= len(scans) <= hi, (name, scans)
+        for loc in scans:
+            assert "orders/v=" not in loc and "orders.parquet" not in loc, (
+                name, loc,
+            )
+            assert "/sk/" in loc or "/lo/" in loc or "/hi/" in loc, (name, loc)
+
+
+def test_consistent_snapshot_reads_are_bucket_resolved(spark, sf_dir):
+    """The TSO-pinned join reads both tables through their pinned
+    commits' bucket maps — two managed-table scans (orders + cust
+    version dirs), no extra state, and the dim side broadcasts."""
+    from tidb2dw_spark.plans import audit
+
+    a = audit(QUERIES["pipeline_consistent_snapshot"](spark, sf_dir))
+    scans = [
+        line for line in a.plan.splitlines() if "InMemoryFileIndex" in line
+    ]
+    assert len(scans) == 2, scans
+    assert any("/orders/v=" in s for s in scans), scans
+    assert any("/cust/v=" in s for s in scans), scans

@@ -945,3 +945,328 @@ def test_cms_union_across_sketches_equals_direct_union_build(spark, tmp_path):
         ska.union_rollup(spark, MaintainedCountMinSketch(
             tmp_path / "skc", ["grp"], "v", depth=3, width=64
         ), [])
+
+
+# ---------------------------------------------------------------------------
+# MaintainedKMVSketch — k-minimum-values: the set-algebra distinct tier
+# ---------------------------------------------------------------------------
+from tidb2dw_spark.operators.sketch import MaintainedKMVSketch  # noqa: E402
+
+
+def _hashes_of(df, grouped=True):
+    if grouped:
+        return sorted((r["grp"], r["h"]) for r in df.collect())
+    return sorted(r["h"] for r in df.collect())
+
+
+def _kmv_rebuild(spark, tmp_path, table, name="ref", **kw):
+    ref = MaintainedKMVSketch(tmp_path / name, ["grp"], "v", **kw)
+    ref.refresh(spark, table)
+    return ref
+
+
+def test_kmv_insert_only_fold_equals_rebuild(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedKMVSketch(tmp_path / "sk", ["grp"], "v", k=16)
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("I", 1000 + i, 5, "AB"[i % 2], 200 + i) for i in range(50)
+    ]))
+    sk.refresh(spark, t)
+    assert int(sk.meta()["recounts"]) == 0  # k-min-merge path, no recount
+    ref = _kmv_rebuild(spark, tmp_path, t, k=16)
+    assert _hashes_of(sk.read(spark)) == _hashes_of(ref.read(spark))
+
+
+def test_kmv_delete_recount_matches_live_rows(spark, tmp_path):
+    """A delete may evict a retained hash whose successor was never
+    kept — the recount must re-derive the k-min from the live rows,
+    bit-equal to a rebuild, and the recount is group-scoped (pushed
+    IN on the dirty group reaches the base scan)."""
+    from tidb2dw_spark.plans import audit
+    from tidb2dw_spark.table.managed import CHANGE_TYPE_COL
+
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedKMVSketch(tmp_path / "sk", ["grp"], "v", k=16)
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("D", k, 5, None, None) for k in range(0, 40, 2)
+    ] + [("I", 7000, 5, "B", 777)]))
+    src_m = t.manifest()
+    sl = sk._sigma(
+        t.changes(spark, since=sk.meta()["applied_seq"],
+                  until=src_m["cdf_seq"]).select(
+            *sk._source_cols(), CHANGE_TYPE_COL
+        )
+    )
+    a = audit(sk._recount(spark, t, src_m, sl))
+    assert any(
+        "EqualTo(grp" in f or "In(grp" in f for f in a.pushed_filters
+    ), a.pushed_filters
+    sk.refresh(spark, t)
+    assert int(sk.meta()["recounts"]) == 1
+    ref = _kmv_rebuild(spark, tmp_path, t, k=16)
+    assert _hashes_of(sk.read(spark)) == _hashes_of(ref.read(spark))
+
+
+def test_kmv_recount_overcap_falls_back_to_semi_join(
+    spark, tmp_path, monkeypatch
+):
+    import tidb2dw_spark.operators.sketch as sketch_mod
+
+    monkeypatch.setattr(sketch_mod, "DIRTY_LITERAL_CAP", 1)
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedKMVSketch(tmp_path / "sk", ["grp"], "v", k=16)
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("D", 0, 5, None, None), ("D", 1, 5, None, None),
+    ]))
+    sk.refresh(spark, t)
+    assert int(sk.meta()["recounts"]) == 1
+    ref = _kmv_rebuild(spark, tmp_path, t, k=16)
+    assert _hashes_of(sk.read(spark)) == _hashes_of(ref.read(spark))
+
+
+def test_kmv_exact_under_k_and_estimator_accuracy(spark, tmp_path):
+    """A group with fewer than k distinct values reports its EXACT
+    count (the sketch holds every hash); a saturated sketch's est_raw
+    lands within the KMV error envelope (~1/sqrt(k−2))."""
+    # 97 distinct v per group, k=128 > 97 → exact branch
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedKMVSketch(tmp_path / "sk", ["grp"], "v", k=128)
+    sk.refresh(spark, t)
+    for r in sk.estimate(spark).collect():
+        assert r["n_hashes"] == 97
+        assert r["est_raw"] == 97.0
+    # saturated: 5000 distinct, k=128
+    big = ManagedTable(tmp_path / "big")
+    big.create(
+        spark.createDataFrame(
+            [(i, "A", i * 13) for i in range(5000)], SCHEMA
+        ),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    sk2 = MaintainedKMVSketch(tmp_path / "sk2", ["grp"], "v", k=128)
+    sk2.refresh(spark, big)
+    [r] = sk2.estimate(spark).collect()
+    assert r["n_hashes"] == 128
+    assert abs(r["est_raw"] - 5000) / 5000 < 4 / math.sqrt(126)
+
+
+def test_kmv_where_filtered_and_drift_rejected(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedKMVSketch(
+        tmp_path / "sk", ["grp"], "v", k=32, where="v < 50",
+        where_cols=["v"],
+    )
+    sk.refresh(spark, t)
+    # σ keeps v ∈ [0, 50): the retained hashes must be the 32 smallest
+    # md5_long hashes of exactly those values (driver-side twin)
+    from tidb2dw_spark.functions.dedup import md5_long_py
+
+    want = sorted(md5_long_py(v) for v in range(50))[:32]
+    for g in ("A", "B"):
+        got = sorted(
+            r["h"] for r in sk.read(spark).collect() if r["grp"] == g
+        )
+        assert got == want
+    with pytest.raises(ValueError, match="k="):
+        MaintainedKMVSketch(tmp_path / "sk", ["grp"], "v", k=64).refresh(
+            spark, t
+        )
+    with pytest.raises(ValueError, match="where"):
+        MaintainedKMVSketch(tmp_path / "sk", ["grp"], "v", k=32).refresh(
+            spark, t
+        )
+    with pytest.raises(ValueError, match="seeded over"):
+        MaintainedKMVSketch(
+            tmp_path / "sk", [], "v", k=32, where="v < 50", where_cols=["v"]
+        ).refresh(spark, t)
+
+
+def test_kmv_global_uses_take_ordered_and_recounts(spark, tmp_path):
+    """group_cols=[]: the k-min compiles to TakeOrderedAndProject (per-
+    task heaps, no single-task funnel) and the delete path recounts."""
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedKMVSketch(tmp_path / "sk", [], "v", k=16)
+    explained = (
+        sk._hashes(t.read(spark).select("grp", "v"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in explained
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [("D", 0, 5, None, None)]))
+    sk.refresh(spark, t)
+    assert int(sk.meta()["recounts"]) == 1
+    ref = MaintainedKMVSketch(tmp_path / "ref", [], "v", k=16)
+    ref.refresh(spark, t)
+    assert _hashes_of(sk.read(spark), grouped=False) == _hashes_of(
+        ref.read(spark), grouped=False
+    )
+
+
+def test_kmv_rollup_equals_direct_coarse_build(spark, tmp_path):
+    """k-min sets merge exactly to a coarser grain: every hash in the
+    true coarse k-min survives its fine group's k-min."""
+    rows = [(i, "AB"[i % 2], (i * 7) % 641) for i in range(600)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    fine = MaintainedKMVSketch(tmp_path / "fine", ["grp"], "v", k=64)
+    fine.refresh(spark, t)
+    coarse = MaintainedKMVSketch(tmp_path / "coarse", [], "v", k=64)
+    coarse.refresh(spark, t)
+    assert sorted(
+        r["h"] for r in fine.rollup(spark, []).collect()
+    ) == sorted(r["h"] for r in coarse.read(spark).collect())
+
+
+def test_kmv_union_equals_direct_build_and_estimates(spark, tmp_path):
+    """Two σ-disjoint sketches over one table union into the sketch a
+    direct build over the combined σ would produce — bit-equal."""
+    rows = [(i, "A", i) for i in range(800)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    lo = MaintainedKMVSketch(
+        tmp_path / "lo", ["grp"], "v", k=64, where="v < 500",
+        where_cols=["v"],
+    )
+    hi = MaintainedKMVSketch(
+        tmp_path / "hi", ["grp"], "v", k=64, where="v >= 300",
+        where_cols=["v"],
+    )
+    lo.refresh(spark, t)
+    hi.refresh(spark, t)
+    direct = MaintainedKMVSketch(tmp_path / "all", ["grp"], "v", k=64)
+    direct.refresh(spark, t)
+    assert _hashes_of(
+        lo.union_rollup(spark, hi, ["grp"])
+    ) == _hashes_of(direct.read(spark))
+    with pytest.raises(ValueError, match="different k"):
+        lo.union_rollup(
+            spark,
+            MaintainedKMVSketch(tmp_path / "k2", ["grp"], "v", k=32),
+            ["grp"],
+        )
+
+
+def test_kmv_intersection_exact_when_complete(spark, tmp_path):
+    """While the union sketch is unsaturated both sketches hold every
+    hash — rho IS the exact overlap and est_raw equals it."""
+    rows = [(i, "A", i) for i in range(60)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    a = MaintainedKMVSketch(
+        tmp_path / "a", ["grp"], "v", k=128, where="v < 40",
+        where_cols=["v"],
+    )
+    b = MaintainedKMVSketch(
+        tmp_path / "b", ["grp"], "v", k=128, where="v >= 25",
+        where_cols=["v"],
+    )
+    a.refresh(spark, t)
+    b.refresh(spark, t)
+    [r] = a.estimate_intersection(spark, b, ["grp"]).collect()
+    assert r["rho"] == 15  # v ∈ [25, 40)
+    assert r["est_raw"] == 15.0
+
+
+def test_kmv_intersection_estimate_accuracy(spark, tmp_path):
+    """Saturated intersection: est within the theta-sketch error
+    envelope of the true overlap."""
+    rows = [(i, "A", i) for i in range(4000)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=8, cdf=True,
+    )
+    a = MaintainedKMVSketch(
+        tmp_path / "a", ["grp"], "v", k=256, where="v < 2500",
+        where_cols=["v"],
+    )
+    b = MaintainedKMVSketch(
+        tmp_path / "b", ["grp"], "v", k=256, where="v >= 1500",
+        where_cols=["v"],
+    )
+    a.refresh(spark, t)
+    b.refresh(spark, t)
+    [r] = a.estimate_intersection(spark, b, ["grp"]).collect()
+    # true overlap 1000 of union 4000; rho/k ≈ 1/4, 4σ tolerance
+    assert abs(r["est_raw"] - 1000) / 1000 < 0.45
+    # disjoint sketches report rho = 0, est 0
+    c = MaintainedKMVSketch(
+        tmp_path / "c", ["grp"], "v", k=256, where="v < 100",
+        where_cols=["v"],
+    )
+    d = MaintainedKMVSketch(
+        tmp_path / "d", ["grp"], "v", k=256, where="v >= 3900",
+        where_cols=["v"],
+    )
+    c.refresh(spark, t)
+    d.refresh(spark, t)
+    [r2] = c.estimate_intersection(spark, d, ["grp"]).collect()
+    assert r2["rho"] == 0 and r2["est_raw"] == 0.0
+
+
+def test_kmv_crash_between_data_write_and_meta_swap_self_repairs(
+    spark, tmp_path
+):
+    """Orphan v=N+1 dir from a half-commit is deterministically
+    overwritten by the next successful refresh (same contract as the
+    HLL/CMS tiers)."""
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedKMVSketch(tmp_path / "sk", ["grp"], "v", k=16)
+    sk.refresh(spark, t)
+    orphan = tmp_path / "sk" / "v=2"
+    orphan.mkdir(parents=True)
+    spark.createDataFrame(
+        [("Z", 123456789)], "grp string, h long"
+    ).write.mode("overwrite").parquet(str(orphan))
+    t.merge(spark, _batch(spark, [("I", 9001, 5, "A", 999)]))
+    sk.refresh(spark, t)
+    assert sk.meta()["version"] == 2
+    ref = _kmv_rebuild(spark, tmp_path, t, name="ref2", k=16)
+    assert _hashes_of(sk.read(spark)) == _hashes_of(ref.read(spark))
+    assert not any(
+        r["grp"] == "Z" for r in sk.read(spark).collect()
+    )
+
+
+def test_kmv_hash_matches_duckdb_oracle(spark):
+    """kmv_hash_sql twin: identical k-min hash sets across engines."""
+    import duckdb
+    import pandas as pd
+
+    from tidb2dw_spark.functions.dedup import md5_long
+    from tidb2dw_spark.operators.sketch import kmv_hash_sql
+
+    vals = [str(i * 37) for i in range(500)] + ["", "αβγ", "x" * 500]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = sorted(
+        r["h"]
+        for r in df.select(
+            md5_long(F.col("v").cast("string")).alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(32)
+        .collect()
+    )
+    pdf = pd.DataFrame({"v": vals})
+    want = sorted(
+        h for (h,) in duckdb.sql(
+            f"SELECT DISTINCT {kmv_hash_sql('v')} AS h FROM pdf "
+            "ORDER BY h LIMIT 32"
+        ).fetchall()
+    )
+    assert got == want

@@ -2645,3 +2645,93 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(F.broadcast(agg), "o_orderpriority").select(
         "o_orderpriority", "n_exact", "used_buckets", "hsum_scaled", "est_raw"
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate COUNT(DISTINCT) via KMV (k-minimum-values) — the
+# SET-ALGEBRA sibling of approx_distinct_hll: the retained k smallest
+# md5 hashes are cross-engine exact, so n_hashes and theta are BIGINTs
+# a DuckDB window-rank recompute reproduces bit-for-bit, and est_raw is
+# one IEEE divide of a literal double numerator.  Unlike HLL registers,
+# two KMV states also answer INTERSECTION questions (see
+# pipeline_kmv_intersection); this row pins the batch build + estimator.
+# ---------------------------------------------------------------------------
+def _kmv_oracle() -> str:
+    from .operators.sketch import kmv_hash_sql, kmv_numerator
+
+    k = 256
+    num = kmv_numerator(k)
+    h = kmv_hash_sql("o_custkey")
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT o_orderpriority, {h} AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+), kmin AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM hs
+  ) WHERE rn <= {k}
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_hashes,
+         CAST(MAX(h) AS BIGINT) AS theta
+  FROM kmin GROUP BY 1
+), ex AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY 1
+)
+SELECT e.o_orderpriority, e.n_exact, a.n_hashes, a.theta,
+       CASE WHEN a.n_hashes < {k} THEN CAST(a.n_hashes AS DOUBLE)
+            ELSE {num!r} / a.theta END AS est_raw
+FROM ex e JOIN agg a USING (o_orderpriority)
+"""
+
+
+@register("approx_distinct_kmv", _kmv_oracle())
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority approximate distinct customers via KMV (k=256,
+    ~6.3% rel. error) next to the exact count.  The k-min state is the
+    same one shuffle + group-partitioned rank an exact COUNT(DISTINCT)
+    pays, but the retained state is k rows/group — and unlike HLL it
+    composes into union AND intersection estimates across sketches
+    (operators/sketch.py MaintainedKMVSketch docstring)."""
+    from .functions.dedup import md5_long
+    from .operators.sketch import kmv_numerator
+    from pyspark.sql import Window
+
+    k = 256
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_custkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    kmin = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select(
+            "o_orderpriority",
+            md5_long(F.col("o_custkey").cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    agg = (
+        kmin.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hashes"),
+            F.max("h").cast("long").alias("theta"),
+        )
+        .withColumn(
+            "est_raw",
+            F.when(
+                F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+            ).otherwise(F.lit(kmv_numerator(k)) / F.col("theta")),
+        )
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return exact.join(F.broadcast(agg), "o_orderpriority").select(
+        "o_orderpriority", "n_exact", "n_hashes", "theta", "est_raw"
+    )

@@ -6625,6 +6625,348 @@ WHERE r.cost_cents = r.min_cost
 """
 
 
+
+# ---------------------------------------------------------------------------
+# KMV sketch as DERIVED STATE — the SET-ALGEBRA distinct tier.  Three
+# sketches maintained from ONE churned orders feed: the per-priority
+# estimate sketch (pipeline_maintained_kmv: insert-only k-min fold,
+# then the delete-triggered group-scoped recount, both asserted
+# in-row), and two GLOBAL sigma-sketches over overlapping priority
+# classes whose k-row states answer cross-set questions with no base
+# scan: pipeline_kmv_union (k-min merge == direct build, bit-equal)
+# and pipeline_kmv_intersection — the row HLL fundamentally cannot
+# express: how many distinct customers the two classes SHARE,
+# estimated from 2·k retained hashes via the theta-sketch overlap
+# (rho/k of the union estimate).  n_hashes/theta/rho are cross-engine
+# exact BIGINTs; est_raw is literal-numerator IEEE arithmetic in the
+# same association order in both engines.
+# ---------------------------------------------------------------------------
+_KMVVIEW_CACHE: dict[str, object] = {}
+_KMV_K = 256
+_KMV_LO_WHERE = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+_KMV_HI_WHERE = "o_orderpriority IN ('2-HIGH', '3-MEDIUM')"
+_KMV_LO_SQL = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+_KMV_HI_SQL = "o_orderpriority IN ('2-HIGH', '3-MEDIUM')"
+
+
+def _kmv_fixture(spark: SparkSession, sf_dir: str):
+    from .operators.sketch import MaintainedKMVSketch
+
+    if sf_dir not in _KMVVIEW_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_kmvview_"))
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        sk = MaintainedKMVSketch(
+            wh / "sk", ["o_orderpriority"], "o_custkey", k=_KMV_K
+        )
+        lo = MaintainedKMVSketch(
+            wh / "lo", [], "o_custkey", k=_KMV_K,
+            where=_KMV_LO_WHERE, where_cols=["o_orderpriority"],
+        )
+        hi = MaintainedKMVSketch(
+            wh / "hi", [], "o_custkey", k=_KMV_K,
+            where=_KMV_HI_WHERE, where_cols=["o_orderpriority"],
+        )
+        for s in (sk, lo, hi):
+            s.refresh(spark, orders)  # seed
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_orderpriority",
+            )
+
+        # commit 1: INSERT-ONLY -> every sketch takes the k-min-merge fold
+        orders.merge(spark, batch(
+            ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                (F.col("o_custkey") + 500_000).alias("o_custkey"),
+                "o_orderpriority",
+            ),
+            "I",
+        ))
+        for s in (sk, lo, hi):
+            s.refresh(spark, orders)
+            if int(s.meta()["recounts"]) != 0:
+                raise RuntimeError(
+                    "insert-only commit took the recount path — the "
+                    "monotone k-min fold is broken"
+                )
+        # commit 2: DELETES -> the recount path (hashes may be evicted)
+        orders.merge(spark, batch(
+            ord_src.filter(F.col("o_orderkey") % 10 == 7), "D"
+        ))
+        for s in (sk, lo, hi):
+            s.refresh(spark, orders)
+            if int(s.meta()["recounts"]) != 1:
+                raise RuntimeError(
+                    "delete-bearing commit did not trigger the k-min "
+                    "recount — the sketch would silently overestimate"
+                )
+        _KMVVIEW_CACHE[sf_dir] = (sk, lo, hi)
+    return _KMVVIEW_CACHE[sf_dir]
+
+
+def pipeline_maintained_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk, _, _ = _kmv_fixture(spark, sf_dir)
+    return sk.estimate(spark).select(
+        "o_orderpriority",
+        F.col("n_hashes").cast("long").alias("n_hashes"),
+        F.col("theta").cast("long").alias("theta"),
+        "est_raw",
+    )
+
+
+def pipeline_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers in EITHER priority class, answered by k-min-
+    merging the two global sigma-sketch states — bit-equal to the sketch a
+    direct build over the OR-predicate would produce (the oracle builds
+    exactly that), no scan of the base."""
+    _, lo, hi = _kmv_fixture(spark, sf_dir)
+    return lo.estimate_union(spark, hi, []).select(
+        F.col("n_hashes").cast("long").alias("n_hashes"),
+        F.col("theta").cast("long").alias("theta"),
+        "est_raw",
+    )
+
+
+def pipeline_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers in BOTH priority classes from the two k-row
+    states alone — the theta-sketch overlap estimate (rho hashes common
+    below the union theta, scaled by the union estimate)."""
+    _, lo, hi = _kmv_fixture(spark, sf_dir)
+    return lo.estimate_intersection(spark, hi, []).select(
+        F.col("n_union").cast("long").alias("n_union"),
+        F.col("theta").cast("long").alias("theta"),
+        F.col("rho").cast("long").alias("rho"),
+        "est_raw",
+    )
+
+
+_KMV_CUR_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey + 500000, o_orderpriority
+  FROM orders WHERE o_orderkey % 25 = 3
+"""
+
+
+def _kmvview_oracle() -> str:
+    from .operators.sketch import kmv_hash_sql, kmv_numerator
+
+    k = _KMV_K
+    num = kmv_numerator(k)
+    h = kmv_hash_sql("o_custkey")
+    return f"""
+WITH cur AS ({_KMV_CUR_SQL}), hs AS (
+  SELECT DISTINCT o_orderpriority, {h} AS h
+  FROM cur WHERE o_custkey IS NOT NULL
+), kmin AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM hs
+  ) WHERE rn <= {k}
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       CAST(MAX(h) AS BIGINT) AS theta,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE {num!r} / CAST(MAX(h) AS BIGINT) END AS est_raw
+FROM kmin GROUP BY 1
+"""
+
+
+def _kmv_union_oracle() -> str:
+    from .operators.sketch import kmv_hash_sql, kmv_numerator
+
+    k = _KMV_K
+    num = kmv_numerator(k)
+    h = kmv_hash_sql("o_custkey")
+    return f"""
+WITH cur AS ({_KMV_CUR_SQL}), hs AS (
+  SELECT DISTINCT {h} AS h
+  FROM cur
+  WHERE o_custkey IS NOT NULL AND (({_KMV_LO_SQL}) OR ({_KMV_HI_SQL}))
+), kmin AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hs
+  ) WHERE rn <= {k}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       CAST(MAX(h) AS BIGINT) AS theta,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE {num!r} / CAST(MAX(h) AS BIGINT) END AS est_raw
+FROM kmin
+"""
+
+
+def _kmv_intersection_oracle() -> str:
+    from .operators.sketch import kmv_hash_sql, kmv_numerator
+
+    k = _KMV_K
+    num = kmv_numerator(k)
+    h = kmv_hash_sql("o_custkey")
+
+    def kmin(pred: str) -> str:
+        return f"""(
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT {h} AS h FROM cur
+      WHERE o_custkey IS NOT NULL AND ({pred})
+    )
+  ) WHERE rn <= {k}
+)"""
+
+    return f"""
+WITH cur AS ({_KMV_CUR_SQL}),
+ka AS {kmin(_KMV_LO_SQL)},
+kb AS {kmin(_KMV_HI_SQL)},
+u AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT h FROM ka UNION SELECT h FROM kb
+    )
+  ) WHERE rn <= {k}
+), ustats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(MAX(h) AS BIGINT) AS theta
+  FROM u
+), rho AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rho
+  FROM (SELECT h FROM ka INTERSECT SELECT h FROM kb) c, ustats
+  WHERE c.h <= ustats.theta
+)
+SELECT u.n_union, u.theta, r.rho,
+       CASE WHEN u.n_union < {k} THEN CAST(r.rho AS DOUBLE)
+            ELSE r.rho * {num!r} / u.theta / {float(k)!r} END AS est_raw
+FROM ustats u, rho r
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# TSO-CONSISTENT CROSS-TABLE SNAPSHOT — the reference's one-TSO
+# consistency (cmd/core.go:45-57: dump + changefeed share StartTSO)
+# carried through to multi-table READS: orders and customer are churned
+# with interleaved fences (ts=10 on both, then ts=20 on both), and the
+# snapshot pinned at ts=15 joins the two tables at their LAST COMPLETE
+# COMMON FENCE — both ts=10 changes visible, both ts=20 changes not,
+# so the join can never see an order without its customer epoch (a
+# torn read).  Resolution is metadata-only (one commit-log scan per
+# table) and the pinned read keeps bucket pruning.  The row also
+# proves the pin is immutable: the ts=20 merges land BEFORE the
+# snapshot is read, yet stay invisible.
+# ---------------------------------------------------------------------------
+_SNAPVIEW_CACHE: dict[str, object] = {}
+
+
+def pipeline_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .table.consistent import ConsistentSnapshot
+
+    if sf_dir not in _SNAPVIEW_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_snapview_"))
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8
+        )
+        cust = ManagedTable(wh / "cust").create(
+            cust_src, ["c_custkey"], pk_buckets=8
+        )
+
+        def obatch(df: DataFrame, flag: str, ts: int) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("orders").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(ts).cast("long").alias("commit_ts"),
+                "o_orderkey", "o_custkey", "o_totalprice",
+            )
+
+        def cbatch(df: DataFrame, flag: str, ts: int) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("cust").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(ts).cast("long").alias("commit_ts"),
+                "c_custkey", "c_mktsegment",
+            )
+
+        # fence 10 on BOTH tables
+        orders.merge(spark, obatch(
+            ord_src.filter(F.col("o_orderkey") % 10 == 7), "D", 10
+        ))
+        cust.merge(spark, cbatch(
+            cust_src.filter(F.col("c_custkey") % 7 == 3).withColumn(
+                "c_mktsegment", F.lit("MOVED")
+            ),
+            "U", 10,
+        ))
+        # fence 20 on BOTH tables — must stay invisible at the pin
+        orders.merge(spark, obatch(
+            ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_custkey", "o_totalprice",
+            ),
+            "I", 20,
+        ))
+        cust.merge(spark, cbatch(
+            cust_src.filter(F.col("c_custkey") % 5 == 1), "D", 20
+        ))
+        snap = ConsistentSnapshot({"orders": orders, "cust": cust}, 15)
+        if snap.fences() != {"orders": 10, "cust": 10}:
+            raise RuntimeError(
+                f"snapshot pinned {snap.fences()}, expected the common "
+                "ts=10 fence — the TSO resolution is broken"
+            )
+        _SNAPVIEW_CACHE[sf_dir] = snap
+    snap = _SNAPVIEW_CACHE[sf_dir]
+    o = snap.read(spark, "orders")
+    c = snap.read(spark, "cust")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+            ).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_SNAPVIEW_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 7
+), c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 3 THEN 'MOVED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM o JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
@@ -6642,6 +6984,9 @@ QUERIES = {
     "pipeline_maintained_q14": pipeline_maintained_q14,
     "pipeline_maintained_q15": pipeline_maintained_q15,
     "pipeline_maintained_hll": pipeline_maintained_hll,
+    "pipeline_maintained_kmv": pipeline_maintained_kmv,
+    "pipeline_kmv_union": pipeline_kmv_union,
+    "pipeline_kmv_intersection": pipeline_kmv_intersection,
     "pipeline_hll_rollup": pipeline_hll_rollup,
     "pipeline_hll_union": pipeline_hll_union,
     "pipeline_quantile_sketch": pipeline_quantile_sketch,
@@ -6675,6 +7020,7 @@ QUERIES = {
     "pipeline_distinct_topk": pipeline_distinct_topk,
     "pipeline_distinct_quantile": pipeline_distinct_quantile,
     "pipeline_time_travel": pipeline_time_travel,
+    "pipeline_consistent_snapshot": pipeline_consistent_snapshot,
     "table_point_lookup": table_point_lookup,
     "table_index_lookup": table_index_lookup,
     "table_index_range_lookup": table_index_range_lookup,
@@ -6704,6 +7050,9 @@ ORACLES = {
     "pipeline_maintained_q14": _Q14VIEW_ORACLE,
     "pipeline_maintained_q15": _Q15VIEW_ORACLE,
     "pipeline_maintained_hll": _hllview_oracle(),
+    "pipeline_maintained_kmv": _kmvview_oracle(),
+    "pipeline_kmv_union": _kmv_union_oracle(),
+    "pipeline_kmv_intersection": _kmv_intersection_oracle(),
     "pipeline_hll_rollup": _hll_rollup_oracle(),
     "pipeline_hll_union": _hll_union_oracle(),
     "pipeline_quantile_sketch": _QSKETCH_ORACLE,
@@ -6737,6 +7086,7 @@ ORACLES = {
     "pipeline_distinct_topk": _DISTINCT_TOPK_ORACLE,
     "pipeline_distinct_quantile": _QUANTILE_ORACLE,
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
+    "pipeline_consistent_snapshot": _SNAPVIEW_ORACLE,
     "table_point_lookup": POINT_LOOKUP_ORACLE,
     "table_index_lookup": _index_lookup_oracle(),
     "table_index_range_lookup": _index_range_lookup_oracle(),

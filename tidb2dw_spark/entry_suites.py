@@ -141,6 +141,17 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # builds the coarse sketch directly -> bit-equal merge proof
     "pipeline_hll_rollup": [("used_buckets", "int"), ("hsum_scaled", "int"), ("est_raw", "dbl")],
     "pipeline_hll_union": [("used_buckets", "int"), ("hsum_scaled", "int"), ("est_raw", "dbl")],
+    # KMV (k-minimum-values): the set-algebra distinct tier — retained
+    # k-min hashes are cross-engine-exact BIGINTs; union merge is
+    # bit-equal to a direct build; intersection is the theta-overlap
+    # estimate neither HLL nor the exact store can answer from state
+    "approx_distinct_kmv": [("o_orderpriority", "str"), ("n_exact", "int"), ("n_hashes", "int"), ("theta", "int"), ("est_raw", "dbl")],
+    "pipeline_maintained_kmv": [("o_orderpriority", "str"), ("n_hashes", "int"), ("theta", "int"), ("est_raw", "dbl")],
+    "pipeline_kmv_union": [("n_hashes", "int"), ("theta", "int"), ("est_raw", "dbl")],
+    "pipeline_kmv_intersection": [("n_union", "int"), ("theta", "int"), ("rho", "int"), ("est_raw", "dbl")],
+    # cross-table snapshot pinned to one source TSO fence: both tables'
+    # ts<=fence changes visible, both later fences not — no torn join
+    "pipeline_consistent_snapshot": [("c_mktsegment", "str"), ("n_orders", "int"), ("revenue_cents", "int")],
     # approximate-quantile tier: maintained integer histogram; the
     # signed count fold handles deletes with NO recount; rank/total/bin
     # bounds are pure integers incl. the oracle's cumulative walk

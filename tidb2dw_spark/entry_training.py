@@ -494,7 +494,12 @@ IVF_JOIN_QUERY_MOD = 4  # 25% of the corpus as queries — a table, not a batch
 
 @register(
     "sim_ivf_topk_join",
-    O.ivf_topk_oracle(IVF_JOIN_QUERY_MOD, TOPK_K, IVF_CENTROIDS, IVF_PROBE),
+    # the join path pins (query_id, neighbor_id, rank) only — its score
+    # is the same quantized integer math, but the column is projected
+    # away Spark-side, so the shared oracle is wrapped to match
+    "SELECT query_id, neighbor_id, rank FROM (\n"
+    + O.ivf_topk_oracle(IVF_JOIN_QUERY_MOD, TOPK_K, IVF_CENTROIDS, IVF_PROBE)
+    + "\n)",
 )
 def sim_ivf_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed ANN JOIN: a query TABLE (every 4th corpus vector —

@@ -1094,3 +1094,442 @@ class MaintainedCountMinSketch:
                 .alias("est")
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — the SET-ALGEBRA member of the
+# approximate-distinct family.  HLL registers merge by max, which is a
+# UNION — they cannot answer "how many values do A and B share".  A KMV
+# sketch keeps the k smallest distinct hash values per group; because
+# the k-min of a union is the k-min of the union of k-mins, two
+# sketches combine into the union sketch exactly, and the classic
+# theta-sketch argument (Beyer et al., SIGMOD'07; Dasgupta et al.,
+# Theta Sketch Framework, 2016) turns the overlap below the union's
+# k-th value into an INTERSECTION estimate — a capability neither the
+# exact support store (which would need both bases co-scanned) nor HLL
+# has.  Same engineering contract as the HLL tier: the state is the
+# md5-hex→60-bit-int idiom (functions/dedup.py:55), so the stored
+# hashes — and therefore n_hashes and theta — are CROSS-ENGINE EXACT,
+# and the estimators divide exactly-computed integers with literal
+# double numerators embedded identically in both engines.
+#
+# Estimator (hash domain [0, 2^60)): with K stored hashes and
+# theta = the K-th smallest,
+#   K < k  → the sketch holds EVERY distinct hash; estimate = K, exact.
+#   K = k  → est_raw = (k−1)·2^60 / theta   (unbiased, Beyer et al. §3)
+# Intersection of sketches A, B (per group): U = k-min of (A ∪ B),
+# theta_u = max(U); rho = |{h : h ∈ A ∩ B, h ≤ theta_u}|;
+#   |U| < k → both sketches are complete sets → rho IS the exact count;
+#   else    → est = (rho/k) · est_union = rho·(k−1)·2^60 / theta_u / k.
+#
+# Maintenance mirrors HLL: the k-min set is MONOTONE under inserts
+# (fold = union ∪ current, keep k smallest — O(changes + k·groups));
+# a delete may evict a stored hash whose successor was discarded, so a
+# delete-bearing slice triggers the GROUP-SCOPED recount (only groups
+# whose slice carries _SUB rows rescan the σ-base; untouched groups'
+# hash sets pass through).
+#
+# Reference parity: the reference defers distinct-set overlap questions
+# to the warehouse entirely (a full double scan per query); this
+# answers them from two maintained k-row states.
+# ---------------------------------------------------------------------------
+_KMV_DOMAIN = 1 << 60  # md5_long(col, 15) is uniform on [0, 2^60)
+
+
+def kmv_numerator(k: int) -> float:
+    """``(k−1)·2^60`` as ONE double — embed ``repr()`` of this value in
+    both engines' expressions so est_raw is the same IEEE arithmetic."""
+    return float((k - 1) * _KMV_DOMAIN)
+
+
+def kmv_hash_sql(value_col: str) -> str:
+    """DuckDB twin of the Spark-side ``md5_long(col.cast("string"))``
+    hash — the shared first-15-md5-hex-digits→BIGINT idiom."""
+    return f"('0x'||substr(md5(CAST({value_col} AS VARCHAR)),1,15))::BIGINT"
+
+
+class MaintainedKMVSketch:
+    """Per-group k-minimum-values sketch maintained from a
+    ManagedTable's feed under the single-table derived protocol
+    (``exists()`` / ``refresh(spark, table)``).  State: (group…, h) —
+    the k smallest distinct 60-bit hashes of *value_col* per group
+    (ALL distinct hashes while a group has fewer than k)."""
+
+    def __init__(
+        self,
+        root,
+        group_cols: Sequence[str],
+        value_col: str,
+        k: int = 256,
+        where: str | None = None,
+        where_cols: Sequence[str] | None = None,
+    ):
+        if k < 2:
+            raise ValueError(f"k={k} out of range (need k >= 2)")
+        self.root = Path(root)
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.k = int(k)
+        self.where = where
+        self.where_cols = list(where_cols or [])
+        if self.where_cols and not where:
+            raise ValueError("where_cols given without a where predicate")
+
+    # -- meta (same crash contract as MaintainedAggregate) ----------------
+    def _meta_path(self) -> Path:
+        return self.root / "_meta.json"
+
+    def exists(self) -> bool:
+        return self._meta_path().exists()
+
+    def meta(self) -> dict:
+        return json.loads(self._meta_path().read_text())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The hash table: (group…, h) — ≤ k rows per group."""
+        return spark.read.parquet(str(self.root / f"v={self.meta()['version']}"))
+
+    def _commit(self, hashes: DataFrame, meta: dict) -> None:
+        hashes.write.mode("overwrite").parquet(
+            str(self.root / f"v={meta['version']}")
+        )
+        self.root.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+        for pth in self.root.glob("v=*"):
+            if int(pth.name.split("=", 1)[1]) < meta["version"]:
+                shutil.rmtree(pth, ignore_errors=True)
+
+    def _source_cols(self) -> list[str]:
+        return list(
+            dict.fromkeys(
+                self.group_cols + [self.value_col] + self.where_cols
+            )
+        )
+
+    def _kmin(self, hashed: DataFrame, group_cols: list[str]) -> DataFrame:
+        """The k smallest DISTINCT h per group.  Grouped: one
+        group-keyed exchange — the distinct collapses map-side
+        (partial aggregate), then a group-partitioned sort ranks (the
+        same shuffle shape an exact COUNT(DISTINCT) pays, k rows/group
+        out).  GLOBAL (no group cols): sort+limit compiles to
+        TakeOrderedAndProject — each task keeps its local k smallest
+        and the driver merges k-sized heaps, so a 100 TB build never
+        funnels the full distinct set through one task."""
+        if not group_cols:
+            return hashed.select("h").distinct().orderBy("h").limit(self.k)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        return (
+            hashed.select(*group_cols, "h")
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .drop("__rn")
+        )
+
+    def _hashes(self, rows: DataFrame) -> DataFrame:
+        return self._kmin(
+            rows.filter(F.col(self.value_col).isNotNull()).select(
+                *self.group_cols,
+                md5_long(F.col(self.value_col).cast("string")).alias("h"),
+            ),
+            self.group_cols,
+        )
+
+    def _sigma(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.expr(self.where)) if self.where else df
+
+    def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
+        """Fold new commits into the k-min sets; returns the applied
+        seq.  Insert-only slices fold by k-min-merge (O(changes +
+        k·groups)); a slice carrying deletes triggers the group-scoped
+        recount (a stored hash may be evicted and its successor was
+        never kept)."""
+        src_m = source.manifest()
+        src_seq = src_m.get("cdf_seq", 0)
+        if not src_m.get("cdf"):
+            raise ValueError(
+                f"table {source.root} has no change data feed (create(cdf=True))"
+            )
+        if not self.exists():
+            hashes = self._hashes(
+                self._sigma(
+                    source._read_state(spark, src_m).select(
+                        *self._source_cols()
+                    )
+                )
+            )
+            self._commit(
+                hashes,
+                {
+                    "version": 1,
+                    "applied_seq": src_seq,
+                    "k": self.k,
+                    "where": self.where,
+                    "group_cols": self.group_cols,
+                    "value_col": self.value_col,
+                    "recounts": 0,
+                },
+            )
+            return src_seq
+        meta = self.meta()
+        if int(meta.get("k", -1)) != self.k:
+            raise ValueError(
+                f"sketch at {self.root} was seeded with k={meta.get('k')}; "
+                f"constructed with {self.k} — the retained-hash contract "
+                "would split; rebuild instead"
+            )
+        if meta.get("where") != self.where:
+            raise ValueError(
+                f"sketch at {self.root} was seeded with where="
+                f"{meta.get('where')!r}; constructed with {self.where!r} — "
+                "rebuild instead of mixing filtered states"
+            )
+        if (
+            meta.get("group_cols") != self.group_cols
+            or meta.get("value_col") != self.value_col
+        ):
+            raise ValueError(
+                f"sketch at {self.root} was seeded over "
+                f"({meta.get('group_cols')}, {meta.get('value_col')}); "
+                f"constructed over ({self.group_cols}, {self.value_col}) — "
+                "rebuild instead"
+            )
+        applied = meta["applied_seq"]
+        if src_seq <= applied:
+            return applied
+        sl = self._sigma(
+            source.changes(spark, since=applied, until=src_seq).select(
+                *self._source_cols(), CHANGE_TYPE_COL
+            )
+        )
+        has_sub = bool(
+            sl.filter(F.col(CHANGE_TYPE_COL).isin(*_SUB)).limit(1).take(1)
+        )
+        meta = dict(meta)
+        meta["version"] += 1
+        meta["applied_seq"] = src_seq
+        if has_sub:
+            meta["recounts"] = int(meta.get("recounts", 0)) + 1
+            hashes = self._recount(spark, source, src_m, sl)
+        else:
+            adds = self._hashes(
+                sl.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD)).drop(
+                    CHANGE_TYPE_COL
+                )
+            )
+            hashes = self._kmin(
+                self.read(spark).unionByName(adds), self.group_cols
+            )
+        self._commit(hashes, meta)
+        return src_seq
+
+    def _recount(
+        self,
+        spark: SparkSession,
+        source: ManagedTable,
+        src_m: dict,
+        sl: DataFrame,
+    ) -> DataFrame:
+        """GROUP-SCOPED k-min recount for a delete-bearing slice — the
+        same discipline as MaintainedHLLSketch._recount: only groups
+        whose slice carries ``_SUB`` rows rebuild from the σ-base
+        (literal-IN pruned, broadcast-semi past DIRTY_LITERAL_CAP);
+        untouched groups' hash sets pass through, with the slice's ADD
+        rows for those groups folded by k-min-merge (exact: the set is
+        monotone under inserts)."""
+        base = self._sigma(
+            source._read_state(spark, src_m).select(*self._source_cols())
+        )
+        if not self.group_cols:
+            return self._hashes(base)
+        sub_keys = (
+            sl.filter(F.col(CHANGE_TYPE_COL).isin(*_SUB))
+            .select(*self.group_cols)
+            .distinct()
+        )
+        adds = self._hashes(
+            sl.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD)).drop(
+                CHANGE_TYPE_COL
+            )
+        )
+        cur = self.read(spark)
+        rows = sub_keys.limit(DIRTY_LITERAL_CAP + 1).collect()
+        if len(rows) <= DIRTY_LITERAL_CAP:
+            box = literal_group_box(rows, self.group_cols, dict(base.dtypes))
+            kept = cur.filter(~F.coalesce(box, F.lit(False)))
+            recount = self._hashes(base.filter(box))
+            add_kept = adds.filter(~F.coalesce(box, F.lit(False)))
+        else:
+            kept = cur.alias("__c").join(
+                F.broadcast(sub_keys.alias("__k")),
+                nullsafe_group_eq("__c", "__k", self.group_cols),
+                "left_anti",
+            )
+            recount = self._hashes(
+                base.alias("__b").join(
+                    F.broadcast(sub_keys.alias("__k")),
+                    nullsafe_group_eq("__b", "__k", self.group_cols),
+                    "left_semi",
+                )
+            )
+            add_kept = adds.alias("__a").join(
+                F.broadcast(sub_keys.alias("__k")),
+                nullsafe_group_eq("__a", "__k", self.group_cols),
+                "left_anti",
+            )
+        return self._kmin(
+            kept.unionByName(add_kept), self.group_cols
+        ).unionByName(recount)
+
+    # -- reads -------------------------------------------------------------
+    def rollup(
+        self, spark: SparkSession, group_subset: Sequence[str]
+    ) -> DataFrame:
+        """Hash sets k-min-MERGED to a coarser grain — no base scan.
+        Exact: finer groups partition the σ-base, every hash among the
+        coarse k-min survives in its fine group's k-min (anything it
+        beats coarsely it also beats within one group), so the k-min of
+        the unioned fine sets IS the set a direct coarse build would
+        produce (bit-identical, oracle-checkable)."""
+        subset = list(group_subset)
+        missing = [g for g in subset if g not in self.group_cols]
+        if missing:
+            raise ValueError(
+                f"rollup cols {missing!r} are not sketch group cols "
+                f"{self.group_cols}"
+            )
+        return self._kmin(self.read(spark), subset)
+
+    def union_rollup(
+        self,
+        spark: SparkSession,
+        other: "MaintainedKMVSketch",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """The UNION sketch of two maintained sketches — k-min of the
+        merged hash sets, bit-identical to a direct build over A ∪ B
+        (same argument as :meth:`rollup`; requires identical k and the
+        same value-key space)."""
+        if other.k != self.k:
+            raise ValueError(
+                f"cannot combine sketches with different k: "
+                f"{self.k} vs {other.k} — the retained-hash contracts differ"
+            )
+        subset = list(group_subset)
+        return self._kmin(
+            self.rollup(spark, subset).unionByName(
+                other.rollup(spark, subset)
+            ),
+            subset,
+        )
+
+    def _estimate_over(
+        self, hashes: DataFrame, group_cols: list[str]
+    ) -> DataFrame:
+        """(group…, n_hashes, theta, est_raw): n_hashes and theta are
+        exact BIGINTs; est_raw is the literal-numerator IEEE divide
+        (or the exact count when the sketch is complete)."""
+        num = kmv_numerator(self.k)
+        return (
+            hashes.groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_hashes"),
+                F.max("h").cast("long").alias("theta"),
+            )
+            .withColumn(
+                "est_raw",
+                F.when(
+                    F.col("n_hashes") < self.k,
+                    F.col("n_hashes").cast("double"),
+                ).otherwise(F.lit(num) / F.col("theta")),
+            )
+        )
+
+    def estimate(self, spark: SparkSession) -> DataFrame:
+        return self._estimate_over(self.read(spark), self.group_cols)
+
+    def estimate_rollup(
+        self, spark: SparkSession, group_subset: Sequence[str]
+    ) -> DataFrame:
+        return self._estimate_over(
+            self.rollup(spark, group_subset), list(group_subset)
+        )
+
+    def estimate_union(
+        self,
+        spark: SparkSession,
+        other: "MaintainedKMVSketch",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        return self._estimate_over(
+            self.union_rollup(spark, other, group_subset),
+            list(group_subset),
+        )
+
+    def estimate_intersection(
+        self,
+        spark: SparkSession,
+        other: "MaintainedKMVSketch",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """(group…, n_union, theta, rho, est_raw) — the distinct
+        cardinality of A ∩ B per group, answered from the two k-row
+        states alone (the capability HLL's max-merge cannot express).
+        ``rho`` counts hashes present in BOTH sketches at or below the
+        union's theta; when the union sketch is complete (n_union < k)
+        both sketches hold every hash, so rho IS the exact count and
+        est_raw = rho; otherwise est_raw = rho·(k−1)·2^60 / theta / k
+        (left-assoc — the identical expression shape in the DuckDB
+        twin makes the doubles bit-equal).  Groups present in only one
+        sketch report rho = 0."""
+        if other.k != self.k:
+            raise ValueError(
+                f"cannot combine sketches with different k: "
+                f"{self.k} vs {other.k} — the retained-hash contracts differ"
+            )
+        subset = list(group_subset)
+        a = self.rollup(spark, subset)
+        b = other.rollup(spark, subset)
+        u = self._estimate_over(
+            self._kmin(a.unionByName(b), subset), subset
+        ).select(*subset, F.col("n_hashes").alias("n_union"), "theta")
+        join_cols = [*subset, "h"]
+        common = a.join(b, join_cols, "inner").select(*subset, "h")
+        num = kmv_numerator(self.k)
+        if subset:
+            rho = (
+                common.join(u.select(*subset, "theta"), subset)
+                .filter(F.col("h") <= F.col("theta"))
+                .groupBy(*subset)
+                .agg(F.count(F.lit(1)).cast("long").alias("rho"))
+            )
+            stats = u.join(rho, subset, "left")
+        else:
+            rho = (
+                common.crossJoin(F.broadcast(u.select("theta")))
+                .filter(F.col("h") <= F.col("theta"))
+                .agg(F.count(F.lit(1)).cast("long").alias("rho"))
+            )
+            stats = u.crossJoin(F.broadcast(rho))
+        return stats.select(
+            *subset,
+            "n_union",
+            "theta",
+            F.coalesce(F.col("rho"), F.lit(0)).cast("long").alias("rho"),
+            F.when(
+                F.col("n_union") < self.k,
+                F.coalesce(F.col("rho"), F.lit(0)).cast("double"),
+            )
+            .otherwise(
+                F.coalesce(F.col("rho"), F.lit(0))
+                * F.lit(num)
+                / F.col("theta")
+                / F.lit(float(self.k))
+            )
+            .alias("est_raw"),
+        )

@@ -112,6 +112,7 @@ class ManagedTable:
         "schema_json", "column_defaults", "bucket_versions",
         "bucket_deltas", "delta_seq", "merge_mode",
         "field_ids", "next_field_id", "field_epochs",
+        "source_ts_high",
     )
 
     def _commit(self, manifest: dict, action: str = "commit") -> None:
@@ -214,6 +215,10 @@ class ManagedTable:
         # a RENAME barrier without re-seeding (see changes()).
         manifest["field_ids"] = {c: i + 1 for i, c in enumerate(columns)}
         manifest["next_field_id"] = len(columns) + 1
+        # SOURCE TSO fence: the initial load is the snapshot at ts 0 (the
+        # consumer's snapshot TSO); every merge advances it to the batch's
+        # max commit_ts — see read_as_of_source_ts / ConsistentSnapshot
+        manifest["source_ts_high"] = 0
         if pk_buckets > 0:
             manifest["bucket_versions"] = {str(b): 1 for b in range(pk_buckets)}
         else:
@@ -289,7 +294,21 @@ class ManagedTable:
 
         m = self.manifest()
         pk_cols, n_buckets = m["pk"], m.get("pk_buckets", 0)
+        # SOURCE TSO fence bookkeeping: each merge advances source_ts_high
+        # to the batch's max commit_ts (monotone under the consumer's O1-O3
+        # ordering), snapshotted into the commit-log entry so
+        # read_as_of_source_ts can resolve a fence to a commit ordinal.
+        has_ts = "commit_ts" in batch.columns
         if n_buckets <= 0:
+            if has_ts:
+                mx = batch.agg(F.max("commit_ts")).collect()[0][0]
+                if mx is not None:
+                    extra_meta = {
+                        **(extra_meta or {}),
+                        "source_ts_high": max(
+                            int(m.get("source_ts_high", 0) or 0), int(mx)
+                        ),
+                    }
             target = self.read(spark)
             final = last_writer_wins(batch, pk_cols)
             merged = merge_changelog(
@@ -303,13 +322,25 @@ class ManagedTable:
             return self.overwrite(merged, extra_meta=extra_meta)
 
         # 1. which buckets does the batch touch?  (distinct over ≤n_buckets
-        #    values — a metadata-sized driver collect)
-        touched = sorted(
-            r["b"]
-            for r in batch.select(
+        #    values — a metadata-sized driver collect; the TSO fence max
+        #    rides the SAME job, not a second batch scan)
+        if has_ts:
+            stats = batch.groupBy(
                 self._bucket_expr(pk_cols, n_buckets).alias("b")
-            ).distinct().collect()
-        )
+            ).agg(F.max("commit_ts").alias("mx")).collect()
+            touched = sorted(r["b"] for r in stats)
+            mxs = [int(r["mx"]) for r in stats if r["mx"] is not None]
+            if mxs:
+                m["source_ts_high"] = max(
+                    int(m.get("source_ts_high", 0) or 0), max(mxs)
+                )
+        else:
+            touched = sorted(
+                r["b"]
+                for r in batch.select(
+                    self._bucket_expr(pk_cols, n_buckets).alias("b")
+                ).distinct().collect()
+            )
         if not touched:
             if extra_meta:
                 self.update_meta(**extra_meta)
@@ -1137,6 +1168,44 @@ class ManagedTable:
             if BUCKET_COL in df.columns:
                 df = df.drop(BUCKET_COL)
         return self._conform(spark, df, m2)
+
+    def source_ts_high(self) -> int:
+        """The SOURCE TSO fence this table has applied: max commit_ts
+        across all merged batches (0 = snapshot only).  A metadata read."""
+        return int(self.manifest().get("source_ts_high", 0) or 0)
+
+    def commit_for_source_ts(self, ts: int) -> int:
+        """Largest commit ordinal whose state contains ONLY source
+        changes at commit_ts ≤ *ts* — i.e. the last commit whose
+        ``source_ts_high`` fence is within the requested one.
+
+        Correctness leans on the consumer's ordering contract (O1-O3:
+        changelog files apply in commit-ts order, DDL barriers
+        inclusive), which makes ``source_ts_high`` NONDECREASING across
+        commits; the scan below still tolerates a plateau (metadata-only
+        commits inherit the fence unchanged).  The requested *ts* should
+        be a batch boundary the producer actually emitted — between
+        fences the table holds the last complete fence ≤ ts, exactly the
+        reference's snapshot-at-TSO semantics (cmd/core.go:45-57: the
+        dump and the changefeed share one StartTSO)."""
+        best = None
+        for i, e in enumerate(self.history()):
+            if "version" not in e:
+                continue
+            if int(e.get("source_ts_high", 0) or 0) <= ts:
+                best = i
+        if best is None:
+            raise ValueError(
+                f"no commit of {self.root} is at or before source ts {ts} "
+                "(the initial load itself is past the fence)"
+            )
+        return best
+
+    def read_as_of_source_ts(self, spark: SparkSession, ts: int) -> DataFrame:
+        """TIME TRAVEL by SOURCE TSO: the table as of the last applied
+        batch whose max commit_ts ≤ *ts* (see commit_for_source_ts).
+        Same retention requirements as :meth:`read_at`."""
+        return self.read_at(spark, self.commit_for_source_ts(ts))
 
     def _read_state(self, spark: SparkSession, m: dict) -> DataFrame:
         """Read the table as described by a GIVEN manifest dict — the
