@@ -103,8 +103,9 @@ BENCH_QUERIES = [
     "approx_distinct_hll",
     # round 9: distributed ANN join (table-sized query side)
     "sim_ivf_topk_join",
-    # round 9: KMV batch tier (set-algebra distinct)
+    # round 9: KMV batch tier (set-algebra distinct) + contamination triage
     "approx_distinct_kmv",
+    "text_contamination_kmv",
 ]
 
 # e2e pipeline rows, timed and reported SEPARATELY: their wall time is

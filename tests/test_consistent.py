@@ -152,3 +152,56 @@ def test_fence_read_on_mor_resolves_pinned_deltas(spark, tmp_path):
     t.merge(spark, _batch(spark, [("U", 1, 20, 222), ("D", 2, 20, None)]))
     rows = {r["k"]: r["v"] for r in snap.read(spark, "t").collect()}
     assert rows[1] == 111 and 2 in rows
+
+
+def test_fleet_consistent_snapshot_uses_min_fence(spark, tmp_path):
+    """consistent_snapshot_all over two replicated tables: the default
+    fence is the min applied source_ts_high, and a table whose only
+    incremental batch is PAST that fence resolves to its snapshot load
+    — lag drags the fence back, it never tears the join."""
+    from tidb2dw_spark.replicate import TableReplicator, consistent_snapshot_all
+    from tidb2dw_spark.schema.table_def import TableCol, TableDefinition
+
+    from .test_consumer import users_def_v1, write
+
+    def items_def():
+        return TableDefinition(
+            schema="tpch", table="items", version=1,
+            columns=[
+                TableCol(id="1", name="ik", tp="int", precision="11",
+                         is_pk="true"),
+                TableCol(id="2", name="uid", tp="int"),
+            ],
+        )
+
+    snap, incr, wh = tmp_path / "snap", tmp_path / "incr", tmp_path / "wh"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",30,1991-02-02\n')
+    users_def_v1().dump(incr / "tpch/users/1/meta")
+    # users applies up to ts=101
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"I","users","tpch",101,5,"eve",30,1995-05-05\n')
+    write(snap / "tpch.items.000000001.csv", '10,1\n11,2\n')
+    items_def().dump(incr / "tpch/items/1/meta")
+    # items' only batch is at ts=200 — PAST users' fence
+    write(incr / "tpch/items/1/2024-01-01/CDC000001.csv",
+          '"I","items","tpch",200,12,5\n')
+
+    ru = TableReplicator(spark, snap, incr, wh, users_def_v1(), pk_buckets=4)
+    ri = TableReplicator(spark, snap, incr, wh, items_def(), pk_buckets=4)
+    ru.run_once()
+    ri.run_once()
+    assert ru.table.source_ts_high() == 101
+    assert ri.table.source_ts_high() == 200
+
+    snapshot = consistent_snapshot_all([ru, ri])  # min fence = 101
+    assert snapshot.source_ts == 101
+    users = {r["id"] for r in snapshot.read(spark, "tpch.users").collect()}
+    items = {r["ik"] for r in snapshot.read(spark, "tpch.items").collect()}
+    assert users == {1, 2, 5}        # the ts=101 insert is in
+    assert items == {10, 11}         # the ts=200 insert is NOT
+    # explicit fence past both: everything visible
+    snap200 = consistent_snapshot_all([ru, ri], source_ts=200)
+    assert {
+        r["ik"] for r in snap200.read(spark, "tpch.items").collect()
+    } == {10, 11, 12}

@@ -1270,3 +1270,98 @@ def test_kmv_hash_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_kmv_difference_exact_and_composes_with_intersection(
+    spark, tmp_path
+):
+    """A\\B on complete sketches is exact; on saturated sketches the
+    three rhos (A∩B, A\\B, B\\A) partition the union's retained set, so
+    est_inter + est_diffs == est_union EXACTLY."""
+    rows = [(i, "A", i) for i in range(60)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    a = MaintainedKMVSketch(
+        tmp_path / "a", ["grp"], "v", k=128, where="v < 40",
+        where_cols=["v"],
+    )
+    b = MaintainedKMVSketch(
+        tmp_path / "b", ["grp"], "v", k=128, where="v >= 25",
+        where_cols=["v"],
+    )
+    a.refresh(spark, t)
+    b.refresh(spark, t)
+    [d] = a.estimate_difference(spark, b, ["grp"]).collect()
+    assert d["rho"] == 25 and d["est_raw"] == 25.0  # v ∈ [0, 25)
+    [d2] = b.estimate_difference(spark, a, ["grp"]).collect()
+    assert d2["rho"] == 20 and d2["est_raw"] == 20.0  # v ∈ [40, 60)
+    # saturated: partition identity
+    big = ManagedTable(tmp_path / "big")
+    big.create(
+        spark.createDataFrame([(i, "A", i) for i in range(3000)], SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    c = MaintainedKMVSketch(
+        tmp_path / "c", ["grp"], "v", k=64, where="v < 2000",
+        where_cols=["v"],
+    )
+    d3 = MaintainedKMVSketch(
+        tmp_path / "d3", ["grp"], "v", k=64, where="v >= 1000",
+        where_cols=["v"],
+    )
+    c.refresh(spark, big)
+    d3.refresh(spark, big)
+    [u] = c.estimate_union(spark, d3, ["grp"]).collect()
+    [i] = c.estimate_intersection(spark, d3, ["grp"]).collect()
+    [cd] = c.estimate_difference(spark, d3, ["grp"]).collect()
+    [dc] = d3.estimate_difference(spark, c, ["grp"]).collect()
+    assert i["rho"] + cd["rho"] + dc["rho"] == 64
+    assert abs(
+        (i["est_raw"] + cd["est_raw"] + dc["est_raw"]) - u["est_raw"]
+    ) < 1e-6 * u["est_raw"]
+
+
+def test_kmv_rides_the_replicator_poll_loop(spark, tmp_path):
+    """MaintainedKMVSketch speaks the derived protocol: seeded on the
+    first poll, folded per slice, recount on delete — equal to a
+    rebuild over the replica across a replicator restart."""
+    from tidb2dw_spark.replicate import TableReplicator
+
+    from .test_consumer import users_def_v1, write
+
+    snap, incr, wh = tmp_path / "snapshot", tmp_path / "increment", tmp_path / "wh"
+    write(snap / "tpch.users.000000001.csv",
+          '1,"alice",30,1990-01-01\n2,"bob",30,1991-02-02\n'
+          '3,"carol",41,1992-03-03\n4,"dan",52,1993-04-04\n')
+    users_def_v1().dump(incr / "tpch/users/1/meta")
+    write(incr / "tpch/users/1/2024-01-01/CDC000001.csv",
+          '"I","users","tpch",100,5,"eve",30,1995-05-05\n'
+          '"I","users","tpch",101,6,"fred",41,1996-06-06\n')
+
+    def mk():
+        sk = MaintainedKMVSketch(tmp_path / "kmv_age", ["age"], "id", k=8)
+        rep = TableReplicator(
+            spark, snap, incr, wh, users_def_v1(),
+            pk_buckets=4, cdf=True, derived=[sk],
+        )
+        return rep, sk
+
+    def hs(s):
+        return sorted((r["age"], r["h"]) for r in s.read(spark).collect())
+
+    rep, sk = mk()
+    rep.run_once()
+    ref = MaintainedKMVSketch(tmp_path / "ref", ["age"], "id", k=8)
+    ref.refresh(spark, rep.table)
+    assert hs(sk) == hs(ref)
+    write(incr / "tpch/users/1/2024-01-01/CDC000002.csv",
+          '"D","users","tpch",200,1,"alice",30,1990-01-01\n')
+    rep2, sk2 = mk()
+    rep2.run_once()
+    ref2 = MaintainedKMVSketch(tmp_path / "ref2", ["age"], "id", k=8)
+    ref2.refresh(spark, rep2.table)
+    assert hs(sk2) == hs(ref2)
+    assert int(sk2.meta()["recounts"]) == 1

@@ -149,6 +149,9 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_maintained_kmv": [("o_orderpriority", "str"), ("n_hashes", "int"), ("theta", "int"), ("est_raw", "dbl")],
     "pipeline_kmv_union": [("n_hashes", "int"), ("theta", "int"), ("est_raw", "dbl")],
     "pipeline_kmv_intersection": [("n_union", "int"), ("theta", "int"), ("rho", "int"), ("est_raw", "dbl")],
+    # contamination triage: train/eval distinct shared-4-gram volume
+    # from two KMV states (theta overlap), next to the exact intersect
+    "text_contamination_kmv": [("n_exact", "int"), ("n_union", "int"), ("theta", "int"), ("rho", "int"), ("est_raw", "dbl")],
     # cross-table snapshot pinned to one source TSO fence: both tables'
     # ts<=fence changes visible, both later fences not — no torn join
     "pipeline_consistent_snapshot": [("c_mktsegment", "str"), ("n_orders", "int"), ("revenue_cents", "int")],

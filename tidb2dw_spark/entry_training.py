@@ -1423,3 +1423,122 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pack_sequences(docs, "doc_id", "n_tokens", PACK_BUDGET, PACK_SHARDS)
     return out.select("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")
+
+
+def _contamination_kmv_oracle() -> str:
+    from .functions.oracle_sql import sql_md5_long, sql_shingles, sql_tokens
+    from .operators.sketch import kmv_numerator
+
+    k = CONTAM_KMV_K
+    num = kmv_numerator(k)
+
+    def kmin(src: str) -> str:
+        return f"""(
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM {src}
+  ) WHERE rn <= {k}
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_shingles(sql_tokens("text"), DECON_N)} AS sh FROM documents
+), ev AS (
+  SELECT DISTINCT {sql_md5_long("g", 15)} AS h
+  FROM (SELECT unnest(sh) AS g FROM base WHERE doc_id % {DECON_EVAL_MOD} = 0)
+), tr AS (
+  SELECT DISTINCT {sql_md5_long("g", 15)} AS h
+  FROM (SELECT unnest(sh) AS g FROM base WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+), ka AS {kmin("ev")}, kb AS {kmin("tr")},
+u AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT h FROM ka UNION SELECT h FROM kb
+    )
+  ) WHERE rn <= {k}
+), ustats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(MAX(h) AS BIGINT) AS theta
+  FROM u
+), rho AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rho
+  FROM (SELECT h FROM ka INTERSECT SELECT h FROM kb) c, ustats
+  WHERE c.h <= ustats.theta
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (SELECT h FROM ev INTERSECT SELECT h FROM tr)
+)
+SELECT e.n_exact, u.n_union, u.theta, r.rho,
+       CASE WHEN u.n_union < {k} THEN CAST(r.rho AS DOUBLE)
+            ELSE r.rho * {num!r} / u.theta / {float(k)!r} END AS est_raw
+FROM ex e, ustats u, rho r
+"""
+
+
+CONTAM_KMV_K = 512
+
+
+@register("text_contamination_kmv", None)
+def text_contamination_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram CONTAMINATION VOLUME from two KMV sketches:
+    how many distinct word 4-grams the train corpus shares with the
+    held-out slice, estimated from 2·k retained hashes (theta overlap)
+    next to the exact intersection count.  At 100 TB this is the triage
+    read before the per-doc decontamination pass (dedup_decontaminate):
+    each corpus folds to k 60-bit hashes — the overlap question costs
+    two k-row states, not a cross-corpus join.  Oracle registered via
+    ORACLES (cross-engine-exact state: same shingle + md5 idiom)."""
+    from .functions.dedup import md5_long, word_shingles
+    from .operators.sketch import kmv_numerator
+
+    k = CONTAM_KMV_K
+    df = _docs(spark, sf_dir, spread=True)
+    grams = df.select(
+        (F.col("doc_id") % DECON_EVAL_MOD == 0).alias("is_eval"),
+        F.explode(word_shingles(F.col("text"), DECON_N)).alias("g"),
+    ).select("is_eval", md5_long(F.col("g")).alias("h"))
+
+    def kmin(side):
+        return side.select("h").distinct().orderBy("h").limit(k)
+
+    ka = kmin(grams.filter("is_eval"))
+    kb = kmin(grams.filter(~F.col("is_eval")))
+    u = (
+        ka.unionByName(kb).distinct().orderBy("h").limit(k)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union"),
+            F.max("h").cast("long").alias("theta"),
+        )
+    )
+    rho = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(u.select("theta")))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("rho"))
+    )
+    ex = (
+        grams.filter("is_eval").select("h").distinct()
+        .join(grams.filter(~F.col("is_eval")).select("h").distinct(), "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    num = kmv_numerator(k)
+    return (
+        ex.crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(rho))
+        .select(
+            "n_exact",
+            "n_union",
+            "theta",
+            "rho",
+            F.when(
+                F.col("n_union") < k, F.col("rho").cast("double")
+            )
+            .otherwise(
+                F.col("rho") * F.lit(num) / F.col("theta")
+                / F.lit(float(k))
+            )
+            .alias("est_raw"),
+        )
+    )
+
+
+ORACLES["text_contamination_kmv"] = _contamination_kmv_oracle()

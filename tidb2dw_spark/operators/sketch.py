@@ -1533,3 +1533,64 @@ class MaintainedKMVSketch:
             )
             .alias("est_raw"),
         )
+
+    def estimate_difference(
+        self,
+        spark: SparkSession,
+        other: "MaintainedKMVSketch",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """(group…, n_union, theta, rho, est_raw) — the distinct
+        cardinality of A \\ B (values in THIS sketch's population but
+        not *other*'s), the third leg of the theta-sketch set algebra.
+        ``rho`` counts hashes retained by A, absent from B, at or below
+        the union theta; complete union (< k) → exact, else the same
+        rho/k scaling as :meth:`estimate_intersection`.  Estimates
+        compose: est_inter + est_diff(A\\B) + est_diff(B\\A) = est_union
+        exactly (the three rhos partition the union's retained set)."""
+        if other.k != self.k:
+            raise ValueError(
+                f"cannot combine sketches with different k: "
+                f"{self.k} vs {other.k} — the retained-hash contracts differ"
+            )
+        subset = list(group_subset)
+        a = self.rollup(spark, subset)
+        b = other.rollup(spark, subset)
+        u = self._estimate_over(
+            self._kmin(a.unionByName(b), subset), subset
+        ).select(*subset, F.col("n_hashes").alias("n_union"), "theta")
+        join_cols = [*subset, "h"]
+        only_a = a.join(b, join_cols, "left_anti").select(*subset, "h")
+        num = kmv_numerator(self.k)
+        if subset:
+            rho = (
+                only_a.join(u.select(*subset, "theta"), subset)
+                .filter(F.col("h") <= F.col("theta"))
+                .groupBy(*subset)
+                .agg(F.count(F.lit(1)).cast("long").alias("rho"))
+            )
+            stats = u.join(rho, subset, "left")
+        else:
+            rho = (
+                only_a.crossJoin(F.broadcast(u.select("theta")))
+                .filter(F.col("h") <= F.col("theta"))
+                .agg(F.count(F.lit(1)).cast("long").alias("rho"))
+            )
+            stats = u.crossJoin(F.broadcast(rho))
+        return stats.select(
+            *subset,
+            "n_union",
+            "theta",
+            F.coalesce(F.col("rho"), F.lit(0)).cast("long").alias("rho"),
+            F.when(
+                F.col("n_union") < self.k,
+                F.coalesce(F.col("rho"), F.lit(0)).cast("double"),
+            )
+            .otherwise(
+                F.coalesce(F.col("rho"), F.lit(0))
+                * F.lit(num)
+                / F.col("theta")
+                / F.lit(float(self.k))
+            )
+            .alias("est_raw"),
+        )

@@ -329,3 +329,28 @@ def replicate_all(replicators: list[TableReplicator]) -> dict[str, str | None]:
     for t in threads:
         t.join()
     return errors
+
+
+def consistent_snapshot_all(
+    replicators: list[TableReplicator], source_ts: int | None = None
+):
+    """A :class:`~..table.consistent.ConsistentSnapshot` over a fleet's
+    replicas — the read-side completion of the reference's shared-TSO
+    model (cmd/core.go:45-57: every table's dump + changefeed share one
+    StartTSO; core.go:263-293 fans the tables out, and the warehouse is
+    expected to supply cross-table snapshot isolation — this supplies
+    it for the managed-table layer).
+
+    *source_ts=None* pins the HIGHEST fence every replica has fully
+    applied (min over the fleet's ``source_ts_high``) — the freshest
+    transactionally-consistent moment; a table that lags simply drags
+    the fence back, it never tears the join.  Resolution is
+    metadata-only (one commit-log scan per table)."""
+    from .table.consistent import ConsistentSnapshot
+
+    tables = {r.fqn: r.table for r in replicators}
+    if not tables:
+        raise ValueError("no replicators given")
+    if source_ts is None:
+        source_ts = min(t.source_ts_high() for t in tables.values())
+    return ConsistentSnapshot(tables, source_ts)
