@@ -148,6 +148,8 @@ PIPELINE_QUERIES = [
     "pipeline_kmv_intersection",
     # round 9: TSO-consistent cross-table snapshot (metadata-only pin)
     "pipeline_consistent_snapshot",
+    # round 9: join-size/F2 planner statistics from CM counter states
+    "pipeline_cms_join_size",
     "pipeline_quantile_sketch",
     "pipeline_quantile_rollup",
     # round 9: the frequency family's sketch tier (linear Count-Min)

@@ -1365,3 +1365,117 @@ def test_kmv_rides_the_replicator_poll_loop(spark, tmp_path):
     ref2.refresh(spark, rep2.table)
     assert hs(sk2) == hs(ref2)
     assert int(sk2.meta()["recounts"]) == 1
+
+
+def test_cms_join_size_never_underestimates_and_is_tight(spark, tmp_path):
+    """CM inner product ≥ true equi-join size, tight at generous width
+    (collision noise ≤ εNA·NB); self-join = F2 detects skew; disjoint
+    key populations estimate 0 (incl. the missing-depth edge); layout
+    mismatch refused."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    # A: keys 0..39 each once + key 7 extra 20 times (skew).  B: keys
+    # 20..59 each twice.  True join on v: keys 20..39 → (1·2)·20 plus
+    # key 7 absent in B; plus nothing else = 40.
+    a_rows = [(i, "A", i % 40) for i in range(40)] + [
+        (1000 + j, "A", 7) for j in range(20)
+    ]
+    b_rows = [(2000 + i, "A", 20 + (i % 40)) for i in range(80)]
+    ta = ManagedTable(tmp_path / "ta")
+    ta.create(spark.createDataFrame(a_rows, SCHEMA),
+              pk_cols=["k"], pk_buckets=4, cdf=True)
+    tb = ManagedTable(tmp_path / "tb")
+    tb.create(spark.createDataFrame(b_rows, SCHEMA),
+              pk_cols=["k"], pk_buckets=4, cdf=True)
+    ska = MaintainedCountMinSketch(
+        tmp_path / "ska", ["grp"], "v", depth=3, width=1024
+    )
+    skb = MaintainedCountMinSketch(
+        tmp_path / "skb", ["grp"], "v", depth=3, width=1024
+    )
+    ska.refresh(spark, ta)
+    skb.refresh(spark, tb)
+    [r] = ska.estimate_join_size(spark, skb, ["grp"]).collect()
+    true_join = 40
+    assert r["est_join_size"] >= true_join
+    assert r["est_join_size"] <= true_join + 8  # generous width → tight
+    # SELF-join = F2 = Σ f(v)²: 39 keys ×1² + key 7 × 21² = 39 + 441
+    [f2] = ska.estimate_join_size(spark, ska, ["grp"]).collect()
+    assert f2["est_join_size"] >= 480
+    assert f2["est_join_size"] <= 480 + 16
+    # disjoint populations → 0 (some depth has no common bucket OR the
+    # common buckets are collisions; the estimate stays ≥ true = 0)
+    tc = ManagedTable(tmp_path / "tc")
+    tc.create(
+        spark.createDataFrame([(i, "A", 10_000 + i) for i in range(5)], SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    skc = MaintainedCountMinSketch(
+        tmp_path / "skc", ["grp"], "v", depth=3, width=1024
+    )
+    skc.refresh(spark, tc)
+    [z] = ska.estimate_join_size(spark, skc, ["grp"]).collect()
+    assert z["est_join_size"] >= 0 and z["est_join_size"] <= 4
+    with pytest.raises(ValueError, match="different layouts"):
+        ska.estimate_join_size(
+            spark,
+            MaintainedCountMinSketch(
+                tmp_path / "skd", ["grp"], "v", depth=2, width=1024
+            ),
+            ["grp"],
+        )
+
+
+def test_cms_join_size_tracks_churn(spark, tmp_path):
+    """The join-size statistic stays correct under feed churn on BOTH
+    sides (the linear ± fold), matching an exact recompute of
+    Σ fA(v)·fB(v) from the live rows."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    ta = _mk_table(spark, tmp_path)
+    tb = ManagedTable(tmp_path / "tb")
+    tb.create(
+        spark.createDataFrame(
+            [(i, "AB"[i % 2], (i * 3) % 97) for i in range(200)], SCHEMA
+        ),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    ska = MaintainedCountMinSketch(
+        tmp_path / "ska", ["grp"], "v", depth=4, width=4096
+    )
+    skb = MaintainedCountMinSketch(
+        tmp_path / "skb", ["grp"], "v", depth=4, width=4096
+    )
+    ska.refresh(spark, ta)
+    skb.refresh(spark, tb)
+    ta.merge(spark, _batch(spark, [("D", k, 5, None, None)
+                                   for k in range(0, 100, 3)]))
+    tb.merge(spark, _batch(spark, [("I", 5000 + i, 5, "A", i % 11)
+                                   for i in range(40)]))
+    ska.refresh(spark, ta)
+    skb.refresh(spark, tb)
+
+    def freq(t):
+        return (
+            t.read(spark).groupBy("grp", "v")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+
+    exact = {
+        r["grp"]: r["j"]
+        for r in freq(ta).alias("a").join(
+            freq(tb).alias("b"),
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.v") == F.col("b.v")),
+        )
+        .groupBy("a.grp")
+        .agg(F.sum(F.col("a.f") * F.col("b.f")).alias("j"))
+        .collect()
+    }
+    got = {
+        r["grp"]: r["est_join_size"]
+        for r in ska.estimate_join_size(spark, skb, ["grp"]).collect()
+    }
+    for g, j in exact.items():
+        assert got[g] >= j, (g, got[g], j)
+        assert got[g] <= j + 32, (g, got[g], j)  # wide sketch → tight

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import csv
 import io
+import os
 import shutil
 import tempfile
 from pathlib import Path
@@ -431,11 +432,16 @@ def pipeline_rename_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = _rename_cdf_table(spark, sf_dir)
     batch = table.changes(spark).withColumn("via", F.lit("batch"))
-    # fixed per-sf root OVERWRITTEN per call (not mkdtemp): the driver
-    # gate and bench invoke this repeatedly, and each drain needs a
-    # fresh checkpoint + sink anyway — an abandoned dir per call would
-    # accrete a feed copy each time
-    out = Path("/tmp/tidb2dw_cdfstream") / Path(sf_dir).name
+    # fixed per-sf, PER-PROCESS root OVERWRITTEN per call (not mkdtemp):
+    # the driver gate and bench invoke this repeatedly, and each drain
+    # needs a fresh checkpoint + sink anyway — an abandoned dir per call
+    # would accrete a feed copy each time.  The pid suffix keeps
+    # CONCURRENT processes (gate + bench + test runs on one box) from
+    # rmtree'ing each other's in-flight checkpoint, which surfaced as
+    # Spark's "Race while writing batch 0"
+    out = (
+        Path("/tmp") / f"tidb2dw_cdfstream_{os.getpid()}" / Path(sf_dir).name
+    )
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True, exist_ok=True)
     q = (
@@ -6967,6 +6973,146 @@ GROUP BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# CM JOIN-SIZE STATISTIC — the planner-facing payoff of the linear
+# sketch: |orders ⋈ customer ON custkey| estimated from the two
+# maintained counter states alone (CM inner product: min over depth of
+# Σ_bucket cntA·cntB — never an underestimate, Cormode & Muthukrishnan
+# §4.2), next to the exact join count recomputed from the live rows,
+# plus the orders-side SELF-join size (F2, Σ f(custkey)² — the skew
+# statistic that says whether the key needs salting before a shuffle).
+# Every output is an exact BIGINT; churn on BOTH feeds folds ± through
+# the linear counters before the read.
+# ---------------------------------------------------------------------------
+_CMSJOIN_CACHE: dict[str, object] = {}
+_CMSJOIN_D, _CMSJOIN_W = 3, 4096
+
+
+def _cmsjoin_fixture(spark: SparkSession, sf_dir: str):
+    from .operators.sketch import MaintainedCountMinSketch
+
+    if sf_dir not in _CMSJOIN_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_cmsjoin_"))
+        orders = ManagedTable(wh / "orders").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        cust = ManagedTable(wh / "cust").create(
+            cust_src, ["c_custkey"], pk_buckets=8, cdf=True
+        )
+        ska = MaintainedCountMinSketch(
+            wh / "ska", [], "o_custkey", depth=_CMSJOIN_D, width=_CMSJOIN_W
+        )
+        skb = MaintainedCountMinSketch(
+            wh / "skb", [], "c_custkey", depth=_CMSJOIN_D, width=_CMSJOIN_W
+        )
+        ska.refresh(spark, orders)
+        skb.refresh(spark, cust)
+        # churn BOTH feeds: orders lose the %10==7 slice and gain +100M
+        # clones; customers %5==1 leave (their orders dangle — the join
+        # size must drop with them)
+        orders.merge(spark, ord_src.filter(
+            F.col("o_orderkey") % 10 == 7
+        ).select(
+            F.lit("D").alias("flag"), F.lit("o").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "o_orderkey", "o_custkey",
+        ))
+        orders.merge(spark, ord_src.filter(
+            F.col("o_orderkey") % 25 == 3
+        ).select(
+            F.lit("I").alias("flag"), F.lit("o").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(2).cast("long").alias("commit_ts"),
+            (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+            "o_custkey",
+        ))
+        cust.merge(spark, cust_src.filter(
+            F.col("c_custkey") % 5 == 1
+        ).select(
+            F.lit("D").alias("flag"), F.lit("c").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "c_custkey", "c_mktsegment",
+        ))
+        ska.refresh(spark, orders)
+        skb.refresh(spark, cust)
+        _CMSJOIN_CACHE[sf_dir] = (orders, cust, ska, skb)
+    return _CMSJOIN_CACHE[sf_dir]
+
+
+def pipeline_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, ska, skb = _cmsjoin_fixture(spark, sf_dir)
+    est = ska.estimate_join_size(spark, skb, []).select(
+        F.col("est_join_size").cast("long").alias("est_join_size")
+    )
+    f2 = ska.estimate_join_size(spark, ska, []).select(
+        F.col("est_join_size").cast("long").alias("est_f2")
+    )
+    exact = (
+        orders.read(spark)
+        .join(
+            cust.read(spark),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_join"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(f2))
+        .select("n_exact_join", "est_join_size", "est_f2")
+    )
+
+
+def _cmsjoin_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    d, w = _CMSJOIN_D, _CMSJOIN_W
+    ob = cms_bucket_sql("o_custkey", "t.d", w)
+    cb = cms_bucket_sql("c_custkey", "t.d", w)
+    return f"""
+WITH ocur AS (
+  SELECT o_custkey FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_orderkey % 25 = 3
+), ccur AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 1
+), ca AS (
+  SELECT t.d AS depth, {ob} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ocur, range({d}) t(d) WHERE o_custkey IS NOT NULL
+  GROUP BY 1, 2
+), cb AS (
+  SELECT t.d AS depth, {cb} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ccur, range({d}) t(d) WHERE c_custkey IS NOT NULL
+  GROUP BY 1, 2
+), j AS (
+  SELECT a.depth, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS s
+  FROM ca a JOIN cb b USING (depth, bucket)
+  GROUP BY 1
+), f2 AS (
+  SELECT a.depth, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS s
+  FROM ca a JOIN ca b USING (depth, bucket)
+  GROUP BY 1
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_join
+  FROM ocur o JOIN ccur c ON o.o_custkey = c.c_custkey
+)
+SELECT ex.n_exact_join,
+       (SELECT CASE WHEN COUNT(*) < {d} THEN 0 ELSE MIN(s) END FROM j)
+         AS est_join_size,
+       (SELECT CASE WHEN COUNT(*) < {d} THEN 0 ELSE MIN(s) END FROM f2)
+         AS est_f2
+FROM ex
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
@@ -6993,6 +7139,7 @@ QUERIES = {
     "pipeline_quantile_rollup": pipeline_quantile_rollup,
     "pipeline_maintained_cms": pipeline_maintained_cms,
     "pipeline_cms_rollup": pipeline_cms_rollup,
+    "pipeline_cms_join_size": pipeline_cms_join_size,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
@@ -7059,6 +7206,7 @@ ORACLES = {
     "pipeline_quantile_rollup": _QROLLUP_ORACLE,
     "pipeline_maintained_cms": _cms_oracle(),
     "pipeline_cms_rollup": _cms_rollup_oracle(),
+    "pipeline_cms_join_size": _cmsjoin_oracle(),
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,

@@ -161,6 +161,9 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     "pipeline_quantile_sketch": [("o_orderpriority", "str"), ("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],
     "pipeline_maintained_cms": [("o_orderpriority", "str"), ("o_custkey", "int"), ("est", "int")],
     "pipeline_cms_rollup": [("o_custkey", "int"), ("est", "int")],
+    # join-cardinality + F2 skew statistics from two maintained CM
+    # counter states (inner product), next to the exact join count
+    "pipeline_cms_join_size": [("n_exact_join", "int"), ("est_join_size", "int"), ("est_f2", "int")],
     # global quantiles merged from the per-priority bins (counts add);
     # oracle recomputes the coarse histogram + walk directly
     "pipeline_quantile_rollup": [("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],

@@ -1069,6 +1069,69 @@ class MaintainedCountMinSketch:
             F.col("est") >= F.lit(int(min_count))
         )
 
+    def estimate_join_size(
+        self,
+        spark: SparkSession,
+        other: "MaintainedCountMinSketch",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """(group…, est_join_size) — the EQUI-JOIN CARDINALITY of the
+        two sketched populations on the sketched key, from the counter
+        states alone: ``min over depth of Σ_bucket cntA·cntB`` (the CM
+        inner-product estimator, Cormode & Muthukrishnan §4.2).  True
+        size Σ_v fA(v)·fB(v) ≤ estimate ≤ true + εNA·NB — never an
+        underestimate, so a broadcast/shuffle planning decision made on
+        it is safe in the expensive direction.  INTEGER-exact (products
+        and sums of exact counters; the min is a BIGINT) — fully
+        oracle-verifiable, unlike sampled join statistics.
+
+        ``other`` may be ``self``: the SELF-join size Σ_v f(v)² is the
+        second frequency moment F2 — the skew statistic that tells a
+        planner whether the key needs salting before it pays for a
+        shuffle (F2 ≫ N²/distinct ⇒ heavy keys dominate).
+
+        Both sketches must share depth×width (bucket alignment comes
+        from the shared md5+salt idiom).  Groups with no common
+        non-zero bucket in some depth estimate 0 — correct, since a
+        shared value would land both counters in its bucket.  At
+        extreme counts mind the BIGINT ceiling: the noise term
+        εNA·NB/width must stay under 2^63, which holds through ~10^10
+        rows per side at the default width."""
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError(
+                f"cannot combine sketches with different layouts: "
+                f"{self.depth}×{self.width} vs {other.depth}×{other.width}"
+            )
+        subset = list(group_subset)
+        a = self.rollup(spark, subset).withColumnRenamed("cnt", "__ca")
+        b = other.rollup(spark, subset).withColumnRenamed("cnt", "__cb")
+        per_depth = (
+            a.join(b, [*subset, "depth", "bucket"])
+            .groupBy(*subset, "depth")
+            .agg(
+                F.sum(F.col("__ca") * F.col("__cb"))
+                .cast("long")
+                .alias("__s")
+            )
+        )
+        # a depth with NO common non-zero bucket contributes sum 0 but
+        # no row — the min must still see it (fewer than `depth` rows
+        # present ⇒ some depth summed to zero ⇒ the estimate is 0)
+        return (
+            per_depth.groupBy(*subset)
+            .agg(
+                F.min("__s").alias("__m"),
+                F.count(F.lit(1)).alias("__nd"),
+            )
+            .select(
+                *subset,
+                F.when(F.col("__nd") < self.depth, F.lit(0))
+                .otherwise(F.col("__m"))
+                .cast("long")
+                .alias("est_join_size"),
+            )
+        )
+
     def _estimate_over(
         self,
         spark: SparkSession,
