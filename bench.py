@@ -150,6 +150,8 @@ PIPELINE_QUERIES = [
     "pipeline_consistent_snapshot",
     # round 9: join-size/F2 planner statistics from CM counter states
     "pipeline_cms_join_size",
+    "pipeline_kmv_difference",
+    "pipeline_quantile_union",
     "pipeline_quantile_sketch",
     "pipeline_quantile_rollup",
     # round 9: the frequency family's sketch tier (linear Count-Min)

@@ -1479,3 +1479,52 @@ def test_cms_join_size_tracks_churn(spark, tmp_path):
     for g, j in exact.items():
         assert got[g] >= j, (g, got[g], j)
         assert got[g] <= j + 32, (g, got[g], j)  # wide sketch → tight
+
+
+def test_quantile_histogram_union_across_tables(spark, tmp_path):
+    """Bins add across two maintained histograms: the union equals a
+    direct build over the bag-union rows bit-for-bit, and the quantile
+    read over it matches; misaligned bin widths refused."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    ta = _mk_table(spark, tmp_path)
+    tb = ManagedTable(tmp_path / "tb")
+    tb.create(
+        spark.createDataFrame(
+            [(i, "AB"[i % 2], (i * 7) % 150) for i in range(300)], SCHEMA
+        ),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    both = ManagedTable(tmp_path / "both")
+    both.create(
+        spark.createDataFrame(
+            [(i, "AB"[i % 2], i % 97) for i in range(400)]
+            + [(10_000 + i, "AB"[i % 2], (i * 7) % 150) for i in range(300)],
+            SCHEMA,
+        ),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    qa = MaintainedQuantileHistogram(tmp_path / "qa", ["grp"], "v", 10)
+    qb = MaintainedQuantileHistogram(tmp_path / "qb", ["grp"], "v", 10)
+    qd = MaintainedQuantileHistogram(tmp_path / "qd", ["grp"], "v", 10)
+    qa.refresh(spark, ta)
+    qb.refresh(spark, tb)
+    qd.refresh(spark, both)
+    got = sorted(
+        (r["grp"], r["__bin"], r["n_rows"])
+        for r in qa.union_rollup(spark, qb, ["grp"]).collect()
+    )
+    want = sorted(
+        (r["grp"], r["__bin"], r["n_rows"])
+        for r in qd.read(spark).collect()
+    )
+    assert got == want
+    assert sorted(
+        tuple(r) for r in qa.quantiles_union(spark, qb, [500], ["grp"]).collect()
+    ) == sorted(tuple(r) for r in qd.quantiles(spark, [500]).collect())
+    with pytest.raises(ValueError, match="bin widths"):
+        qa.union_rollup(
+            spark,
+            MaintainedQuantileHistogram(tmp_path / "qx", ["grp"], "v", 7),
+            ["grp"],
+        )

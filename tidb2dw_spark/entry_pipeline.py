@@ -7113,6 +7113,158 @@ FROM ex
 """
 
 
+
+# ---------------------------------------------------------------------------
+# KMV DIFFERENCE row — the third leg of the set algebra over the same
+# two sigma-sketch states: distinct customers with orders in the LO
+# priority class and NONE in the HI class, from the retained hashes
+# alone.  rho counts hashes retained by LO, absent from HI, at or below
+# the union theta; the three rhos (∩, LO∖HI, HI∖LO) partition the
+# union's retained set, so the estimates compose exactly.
+# ---------------------------------------------------------------------------
+def pipeline_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, lo, hi = _kmv_fixture(spark, sf_dir)
+    return lo.estimate_difference(spark, hi, []).select(
+        F.col("n_union").cast("long").alias("n_union"),
+        F.col("theta").cast("long").alias("theta"),
+        F.col("rho").cast("long").alias("rho"),
+        "est_raw",
+    )
+
+
+def _kmv_difference_oracle() -> str:
+    from .operators.sketch import kmv_hash_sql, kmv_numerator
+
+    k = _KMV_K
+    num = kmv_numerator(k)
+    h = kmv_hash_sql("o_custkey")
+
+    def kmin(pred: str) -> str:
+        return f"""(
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT {h} AS h FROM cur
+      WHERE o_custkey IS NOT NULL AND ({pred})
+    )
+  ) WHERE rn <= {k}
+)"""
+
+    return f"""
+WITH cur AS ({_KMV_CUR_SQL}),
+ka AS {kmin(_KMV_LO_SQL)},
+kb AS {kmin(_KMV_HI_SQL)},
+u AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT h FROM ka UNION SELECT h FROM kb
+    )
+  ) WHERE rn <= {k}
+), ustats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(MAX(h) AS BIGINT) AS theta
+  FROM u
+), rho AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rho
+  FROM (SELECT h FROM ka EXCEPT SELECT h FROM kb) c, ustats
+  WHERE c.h <= ustats.theta
+)
+SELECT u.n_union, u.theta, r.rho,
+       CASE WHEN u.n_union < {k} THEN CAST(r.rho AS DOUBLE)
+            ELSE r.rho * {num!r} / u.theta / {float(k)!r} END AS est_raw
+FROM ustats u, rho r
+"""
+
+
+# ---------------------------------------------------------------------------
+# QUANTILE UNION row — quantiles over TWO tables' bag-union from their
+# maintained histograms alone (bins add; cross-table linearity).  The
+# natural shape: a LIVE and an ARCHIVE orders table (keys split by
+# parity), the live side churned, and the union histogram answering
+# "the p25/p50/p90 order value across both" with no scan of either.
+# ---------------------------------------------------------------------------
+_QUNION_CACHE: dict[str, object] = {}
+
+
+def pipeline_quantile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import MaintainedQuantileHistogram
+
+    if sf_dir not in _QUNION_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+                "cents"
+            ),
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_qunion_"))
+        live = ManagedTable(wh / "live").create(
+            ord_src.filter(F.col("o_orderkey") % 2 == 0),
+            ["o_orderkey"], pk_buckets=8, cdf=True,
+        )
+        archive = ManagedTable(wh / "arch").create(
+            ord_src.filter(F.col("o_orderkey") % 2 == 1),
+            ["o_orderkey"], pk_buckets=8, cdf=True,
+        )
+        qlive = MaintainedQuantileHistogram(
+            wh / "qlive", [], "cents", bin_width=_QSKETCH_W
+        )
+        qarch = MaintainedQuantileHistogram(
+            wh / "qarch", [], "cents", bin_width=_QSKETCH_W
+        )
+        qlive.refresh(spark, live)
+        qarch.refresh(spark, archive)
+        # churn the live side only; the archive histogram stays frozen
+        live.merge(spark, ord_src.filter(
+            (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 10 == 4)
+        ).select(
+            F.lit("D").alias("flag"), F.lit("o").alias("tablename"),
+            F.lit("s").alias("schemaname"),
+            F.lit(1).cast("long").alias("commit_ts"),
+            "o_orderkey", "cents",
+        ))
+        qlive.refresh(spark, live)
+        _QUNION_CACHE[sf_dir] = (qlive, qarch)
+    qlive, qarch = _QUNION_CACHE[sf_dir]
+    return qlive.quantiles_union(spark, qarch, [250, 500, 900], [])
+
+
+_QUNION_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), cur AS (
+  SELECT cents FROM base
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 4
+  UNION ALL
+  SELECT cents FROM base WHERE o_orderkey % 2 = 1
+), hist AS (
+  SELECT (((cents) - (((cents) % {_QSKETCH_W} + {_QSKETCH_W})
+            % {_QSKETCH_W}))) // {_QSKETCH_W} AS bin,
+         COUNT(*) AS n
+  FROM cur WHERE cents IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin) AS cum,
+         SUM(n) OVER () AS total
+  FROM hist
+), q AS (SELECT unnest([250, 500, 900]) AS q_milli)
+SELECT CAST(q_milli AS BIGINT) AS q_milli,
+       CAST(rank AS BIGINT) AS rank, CAST(total AS BIGINT) AS total,
+       CAST(bin_lo AS BIGINT) AS bin_lo, CAST(bin_hi AS BIGINT) AS bin_hi
+FROM (
+  SELECT q.q_milli,
+         GREATEST(1, (q.q_milli * c.total + 999) // 1000) AS rank,
+         c.total, c.bin * {_QSKETCH_W} AS bin_lo,
+         (c.bin + 1) * {_QSKETCH_W} AS bin_hi,
+         row_number() OVER (
+           PARTITION BY q.q_milli ORDER BY c.bin
+         ) AS rn
+  FROM cum c CROSS JOIN q
+  WHERE c.cum >= GREATEST(1, (q.q_milli * c.total + 999) // 1000)
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pipeline_changelog_replay": pipeline_changelog_replay,
     "pipeline_replay_resume": pipeline_replay_resume,
@@ -7133,6 +7285,8 @@ QUERIES = {
     "pipeline_maintained_kmv": pipeline_maintained_kmv,
     "pipeline_kmv_union": pipeline_kmv_union,
     "pipeline_kmv_intersection": pipeline_kmv_intersection,
+    "pipeline_kmv_difference": pipeline_kmv_difference,
+    "pipeline_quantile_union": pipeline_quantile_union,
     "pipeline_hll_rollup": pipeline_hll_rollup,
     "pipeline_hll_union": pipeline_hll_union,
     "pipeline_quantile_sketch": pipeline_quantile_sketch,
@@ -7200,6 +7354,8 @@ ORACLES = {
     "pipeline_maintained_kmv": _kmvview_oracle(),
     "pipeline_kmv_union": _kmv_union_oracle(),
     "pipeline_kmv_intersection": _kmv_intersection_oracle(),
+    "pipeline_kmv_difference": _kmv_difference_oracle(),
+    "pipeline_quantile_union": _QUNION_ORACLE,
     "pipeline_hll_rollup": _hll_rollup_oracle(),
     "pipeline_hll_union": _hll_union_oracle(),
     "pipeline_quantile_sketch": _QSKETCH_ORACLE,

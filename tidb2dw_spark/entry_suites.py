@@ -152,6 +152,10 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # contamination triage: train/eval distinct shared-4-gram volume
     # from two KMV states (theta overlap), next to the exact intersect
     "text_contamination_kmv": [("n_exact", "int"), ("n_union", "int"), ("theta", "int"), ("rho", "int"), ("est_raw", "dbl")],
+    "pipeline_kmv_difference": [("n_union", "int"), ("theta", "int"), ("rho", "int"), ("est_raw", "dbl")],
+    # quantiles over a live+archive bag-union from two maintained
+    # histograms (bins add across tables)
+    "pipeline_quantile_union": [("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],
     # cross-table snapshot pinned to one source TSO fence: both tables'
     # ts<=fence changes visible, both later fences not — no torn join
     "pipeline_consistent_snapshot": [("c_mktsegment", "str"), ("n_orders", "int"), ("revenue_cents", "int")],

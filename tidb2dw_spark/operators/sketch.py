@@ -253,6 +253,49 @@ class MaintainedQuantileHistogram:
             .agg(F.sum("n_rows").cast("long").alias("n_rows"))
         )
 
+    def union_rollup(
+        self,
+        spark: SparkSession,
+        other: "MaintainedQuantileHistogram",
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """Bins ADDED across two maintained histograms — quantiles over
+        the UNION (bag semantics) of two tables from their states alone,
+        completing the cross-table algebra symmetry with the HLL/CM/KMV
+        tiers.  Exact by linearity: the summed bins equal a direct
+        build over ``A ⊎ B`` bit-for-bit.  Requires identical bin_width
+        (bin alignment) and the same value semantics; *group_subset*
+        must be common to both (``[]`` → one global histogram)."""
+        if other.bin_width != self.bin_width:
+            raise ValueError(
+                f"cannot union histograms with different bin widths: "
+                f"{self.bin_width} vs {other.bin_width} — the bins would "
+                "misalign"
+            )
+        a = self.rollup(spark, group_subset)
+        b = other.rollup(spark, group_subset)
+        subset = list(group_subset)
+        return (
+            a.unionByName(b)
+            .groupBy(*subset, "__bin")
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        )
+
+    def quantiles_union(
+        self,
+        spark: SparkSession,
+        other: "MaintainedQuantileHistogram",
+        qs_milli: Sequence[int],
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """:meth:`quantiles` over :meth:`union_rollup` bins."""
+        return self._quantiles_over(
+            spark,
+            self.union_rollup(spark, other, group_subset),
+            list(group_subset),
+            qs_milli,
+        )
+
     def quantiles(
         self, spark: SparkSession, qs_milli: Sequence[int]
     ) -> DataFrame:
