@@ -157,6 +157,8 @@ PIPELINE_QUERIES = [
     # round 9: the frequency family's sketch tier (linear Count-Min)
     "pipeline_maintained_cms",
     "pipeline_cms_rollup",
+    # round 10: dyadic CM heavy-hitter ENUMERATION (turnstile top-k)
+    "pipeline_cms_heavy_hitters",
     "pipeline_maintained_monthly",
     "pipeline_maintained_q4",
     "pipeline_maintained_q6",

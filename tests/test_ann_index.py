@@ -380,3 +380,75 @@ def test_auto_rebuild_closes_the_drift_loop(spark, tmp_path):
     assert _contents(spark, ix) == _contents(
         spark, _rebuilt(spark, tmp_path, t, ix, "rb_auto")
     )
+
+def test_auto_sized_cells_rescale_on_growth(spark, tmp_path):
+    """n_centroids=None (the default) sizes cells to max(16, ceil(√N))
+    at every build: the drift monitor's cell_growth_factor gauge tracks
+    the corpus outgrowing the layout, needs_rebuild trips on it (auto
+    indexes only), and the rebuild the trip schedules RESCALES cells —
+    killing the fixed-cell-count super-linear serving path SCALE.md
+    measured.  A pinned index surfaces the gauge but never trips on
+    growth alone (explicit layout = operator's choice)."""
+    from tidb2dw_spark.functions.similarity import auto_n_centroids
+
+    # integer-exact ceil(sqrt) with the 16-cell floor
+    assert auto_n_centroids(0) == 16
+    assert auto_n_centroids(256) == 16
+    assert auto_n_centroids(257) == 17
+    assert auto_n_centroids(1_000_000) == 1000
+    assert auto_n_centroids(1_000_001) == 1001
+
+    t = _mk(spark, tmp_path, n=60)
+    ix = IvfVectorIndex(
+        tmp_path / "ivf", id_col="vec_id", vec_col="embedding",
+        auto_rebuild=True,
+    )
+    ix.build(spark, t)
+    m = ix.meta()
+    assert m["n_centroids"] == 16 and m["auto_cells"] is True
+    assert len(m["centroids"]) == 16
+    assert ix.drift_stats()["cell_growth_factor"] <= 1.0
+
+    # grow 20×: the corpus outgrows the 16-cell layout
+    t.merge(spark, _batch(spark, [
+        ("I", 10_000 + i, 5, _vec(10_000 + i)) for i in range(1140)
+    ]))
+    ix.refresh(spark, t)
+    s = ix.drift_stats()
+    assert s["cur_n"] == 1200.0
+    assert s["cell_growth_factor"] >= 2.0
+    # the GROWTH trigger alone trips (other thresholds parked at ∞)
+    assert ix.needs_rebuild(
+        skew_factor=1e9, sim_drop=1e9, churn_ratio=1e9, cell_growth=2.0
+    )
+
+    # the rebuild rescales: 1200 rows → ceil(√1200) = 35 cells
+    ix.build(spark, t)
+    m2 = ix.meta()
+    assert m2["n_centroids"] == auto_n_centroids(1200) == 35
+    assert len(m2["centroids"]) == 35
+    assert not ix.needs_rebuild()  # fresh baseline, factor ≈ 1
+
+    # maintenance stays exact under the rescaled layout
+    t.merge(spark, _batch(spark, [
+        ("U", 2, 21, _vec(2, bump=3)),
+        ("D", 6, 21, None),
+        ("I", 20_000, 21, _vec(20_000)),
+    ]))
+    ix.refresh(spark, t)
+    assert _contents(spark, ix) == _contents(
+        spark, _rebuilt(spark, tmp_path, t, ix, "rb_auto_scale")
+    )
+
+    # a PINNED index surfaces the gauge but never trips on growth alone
+    pinned = IvfVectorIndex(
+        tmp_path / "pin", id_col="vec_id", vec_col="embedding",
+        n_centroids=16,
+    )
+    pinned.build(spark, t)
+    sp = pinned.drift_stats()
+    assert sp["cell_growth_factor"] >= 2.0
+    assert pinned.meta()["auto_cells"] is False
+    assert not pinned.needs_rebuild(
+        skew_factor=1e9, sim_drop=1e9, churn_ratio=1e9, cell_growth=2.0
+    )

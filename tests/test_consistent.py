@@ -205,3 +205,104 @@ def test_fleet_consistent_snapshot_uses_min_fence(spark, tmp_path):
     assert {
         r["ik"] for r in snap200.read(spark, "tpch.items").collect()
     } == {10, 11, 12}
+
+@pytest.mark.parametrize(
+    "kw", [{"pk_buckets": 4}, {"pk_buckets": 0},
+           {"pk_buckets": 4, "merge_mode": "mor"}],
+    ids=["cow-bucketed", "plain", "mor"],
+)
+def test_fence_incomplete_refuses_fenced_reads(spark, tmp_path, kw):
+    """A merge whose batch carries no commit_ts POSITION (all-NULL —
+    a column-less batch already fails loudly in last_writer_wins)
+    changes data without moving the fence — from then on the table's
+    fence is INCOMPLETE and fenced resolution must refuse (resolving
+    would claim consistency over a commit that may hide
+    newer-than-fence changes).  Normal reads and further merges keep
+    working; ConsistentSnapshot refuses any set containing the
+    poisoned table."""
+    t = _t(spark, tmp_path / "t", **kw)
+    t.merge(spark, _batch(spark, [("I", 100, 10, 1)]))
+    assert t.commit_for_source_ts(10) is not None  # fence healthy
+    t.merge(spark, _batch(spark, [("I", 200, None, 5)]))
+    assert t.manifest().get("fence_incomplete") is True
+    ks = {r["k"] for r in t.read(spark).collect()}
+    assert 200 in ks  # the merge itself applied
+    with pytest.raises(ValueError, match="fence is incomplete"):
+        t.commit_for_source_ts(10)
+    with pytest.raises(ValueError, match="fence is incomplete"):
+        t.read_as_of_source_ts(spark, 10)
+    # the flag is sticky across later (fenced) merges
+    t.merge(spark, _batch(spark, [("I", 101, 20, 2)]))
+    with pytest.raises(ValueError, match="fence is incomplete"):
+        t.commit_for_source_ts(20)
+    # a snapshot spanning the poisoned table refuses at construction
+    other = _t(spark, tmp_path / "other", pk_buckets=4)
+    other.merge(spark, _batch(spark, [("I", 100, 10, 1)]))
+    with pytest.raises(ValueError, match="fence is incomplete"):
+        ConsistentSnapshot({"t": t, "other": other}, 10)
+
+
+def test_consistent_snapshot_covers_maintained_views(spark, tmp_path):
+    """The fence extends to DERIVED state: a snapshot pinning a table
+    commit serves the maintained view whose fold covers EXACTLY that
+    commit's cdf_seq — so table ⋈ view inside the snapshot cannot tear
+    even after both sides advance.  A view that skipped the pinned seq
+    (batched refresh) refuses at construction; so does a view source
+    missing from the snapshot."""
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame([(i, i * 10) for i in range(20)], SCHEMA),
+        pk_cols=["k"], pk_buckets=4, cdf=True,
+    )
+    view = MaintainedAggregate(
+        tmp_path / "view", [], sum_cols={"sum_v": "v"}, keep_versions=8
+    )
+    view.refresh(spark, t)
+
+    def snap_state(ts):
+        return {
+            (r["n_rows"], r["sum_v"])
+            for r in ConsistentSnapshot(
+                {"t": t}, ts, views={"agg": (view, "t")}
+            ).read(spark, "agg").collect()
+        }
+
+    t.merge(spark, _batch(spark, [("I", 100, 10, 7)]))
+    view.refresh(spark, t)
+    want_at_10 = {(21, sum(i * 10 for i in range(20)) + 7)}
+    assert snap_state(10) == want_at_10
+
+    # both sides advance; the pin still serves the ts=10 state, and the
+    # view at the pin matches a recompute over the PINNED table read
+    t.merge(spark, _batch(spark, [("D", 0, 20, None), ("I", 101, 20, 9)]))
+    view.refresh(spark, t)
+    assert snap_state(10) == want_at_10
+    snap = ConsistentSnapshot({"t": t}, 10, views={"agg": (view, "t")})
+    pinned_table = snap.read(spark, "t")
+    recomputed = pinned_table.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    ).collect()[0]
+    got = snap.read(spark, "agg").collect()[0]
+    assert (got["n_rows"], got["sum_v"]) == (
+        recomputed["n_rows"], recomputed["sum_v"],
+    )
+    # and the CURRENT (ts=20) snapshot sees the advanced pair
+    assert snap_state(20) == {(21, sum(i * 10 for i in range(1, 20)) + 7 + 9)}
+    # register_views exposes the view under the same fence
+    snap.register_views(spark, prefix="s10_")
+    assert spark.sql("SELECT sum_v FROM s10_agg").collect()[0][0] == (
+        sum(i * 10 for i in range(20)) + 7
+    )
+
+    # a view that SKIPPED the pinned seq refuses at construction
+    lazy = MaintainedAggregate(
+        tmp_path / "lazy", [], sum_cols={"sum_v": "v"}, keep_versions=8
+    )
+    lazy.refresh(spark, t)  # folds seeds→current in one hop
+    with pytest.raises(ValueError, match="no state at source seq"):
+        ConsistentSnapshot({"t": t}, 10, views={"lazy": (lazy, "t")})
+    # a view whose source is not pinned refuses
+    with pytest.raises(KeyError, match="not in this snapshot"):
+        ConsistentSnapshot({"t": t}, 10, views={"agg": (view, "other")})

@@ -30,7 +30,20 @@ def test_q17_overcap_sigma_falls_back_semi_join(spark, sf_dir, monkeypatch):
         map(tuple, ep.QUERIES["pipeline_maintained_q17"](spark, sf_dir).collect())
     )
     monkeypatch.setattr(ep, "_Q17_SIGMA_CAP", 1)
+    # spy on the broadcast hint: past the cap the σ frame
+    # (p_partkey, p_brand) was just declared unbounded, so the serving
+    # path must NOT pin a broadcast on it — AQE picks the strategy
+    bc_cols: list[set] = []
+    real_bc = ep.F.broadcast
+
+    def _spy(df):
+        bc_cols.append(set(df.columns))
+        return real_bc(df)
+
+    monkeypatch.setattr(ep.F, "broadcast", _spy)
     got_df = ep.QUERIES["pipeline_maintained_q17"](spark, sf_dir)
+    assert {"p_partkey", "p_brand"} not in bc_cols
+    monkeypatch.setattr(ep.F, "broadcast", real_bc)
     assert sorted(map(tuple, got_df.collect())) == want
     from tidb2dw_spark.plans import audit
 
@@ -49,3 +62,24 @@ def test_q17_overcap_sigma_falls_back_semi_join(spark, sf_dir, monkeypatch):
     assert li_scans, "expected a bucket-pruned lineitem probe in the plan"
     for line in li_scans:
         assert "__pk_bucket=" in line, line
+
+
+def test_cdfstream_root_cleans_up_dead_pid_dirs(tmp_path):
+    """The per-pid stream roots are garbage once their pid exits:
+    _cdfstream_root sweeps dead-pid siblings on first use and registers
+    its own root for atexit removal (no dir leak per process)."""
+    import os
+    from pathlib import Path
+
+    import tidb2dw_spark.entry_pipeline as ep
+
+    dead = Path("/tmp") / "tidb2dw_cdfstream_999999999"  # beyond pid_max
+    dead.mkdir(parents=True, exist_ok=True)
+    (dead / "marker").write_text("x")
+    ep._cdfstream_root._registered = False  # force the first-use sweep
+    root = ep._cdfstream_root()
+    assert root == Path("/tmp") / f"tidb2dw_cdfstream_{os.getpid()}"
+    assert not dead.exists()
+    # our own (live) root is never swept by a second call
+    root.mkdir(parents=True, exist_ok=True)
+    assert ep._cdfstream_root() == root and root.exists()

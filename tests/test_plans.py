@@ -394,6 +394,22 @@ def test_cms_serving_reads_are_state_only(spark, sf_dir):
             assert "orders/v=" not in loc and "/sk/" in loc, (name, loc)
 
 
+def test_cmhh_descent_reads_state_only(spark, sf_dir):
+    """The dyadic heavy-hitter DESCENT touches only the counter state
+    (one scan per probed level + one for the group enumeration — at
+    most LEVELS+1), never the base table, and collects nothing
+    data-sized: candidates stay in DataFrames end to end."""
+    from tidb2dw_spark.plans import audit
+
+    plan = audit(QUERIES["pipeline_cms_heavy_hitters"](spark, sf_dir)).plan
+    scans = [
+        line for line in plan.splitlines() if "InMemoryFileIndex" in line
+    ]
+    assert 1 <= len(scans) <= 9, scans
+    for loc in scans:
+        assert "vals/v=" not in loc and "/hh/" in loc, loc
+
+
 def test_ivf_join_shuffles_both_sides_never_broadcasts(spark, sf_dir):
     """The distributed ANN join (sim_ivf_topk_join) must be a SHUFFLE
     join on the cell key with the per-query top-k as an exchange on

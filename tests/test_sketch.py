@@ -701,7 +701,13 @@ def test_cms_estimate_never_underestimates_and_hh_retained(spark, tmp_path):
 
 def test_cms_negative_counter_refused(spark, tmp_path):
     """A delete for a row the sketch never counted (feed corruption /
-    wrong source) folds to a negative counter and is refused loudly."""
+    wrong source) folds to a negative counter and is refused loudly —
+    AND the last good state survives: the guard runs between the
+    parquet write and the meta swap, so the tainted version is
+    discarded, the meta still points at the pre-fold version, and the
+    old version directory was never GC'd.  A caller that isolates the
+    error (the replicator poll loop does by design) keeps serving good
+    counters, and a subsequent valid fold resumes normally."""
     from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
 
     a = _mk_table(spark, tmp_path / "a")
@@ -709,6 +715,8 @@ def test_cms_negative_counter_refused(spark, tmp_path):
         tmp_path / "sk", ["grp"], "v", depth=2, width=32
     )
     sk.refresh(spark, a)
+    good_state = _cms(sk.read(spark))
+    good_meta = sk.meta()
     # a DIFFERENT table whose next commit deletes rows never counted
     b = ManagedTable(tmp_path / "b")
     b.create(
@@ -722,6 +730,17 @@ def test_cms_negative_counter_refused(spark, tmp_path):
     ]))
     with pytest.raises(ValueError, match="NEGATIVE counter"):
         sk.refresh(spark, b)
+    # crash safety: version/applied_seq did NOT advance, the served
+    # state is byte-identical to pre-fold, and the tainted dir is gone
+    assert sk.meta() == good_meta
+    assert _cms(sk.read(spark)) == good_state
+    assert not (tmp_path / "sk" / f"v={good_meta['version'] + 1}").exists()
+    # recovery: a valid fold from the REAL source still applies
+    a.merge(spark, _batch(spark, [("I", 7777, 5, "A", 41)]))
+    sk.refresh(spark, a)
+    assert sk.meta()["version"] == good_meta["version"] + 1
+    ref = _cms_rebuild(spark, tmp_path / "ref", a, depth=2, width=32)
+    assert _cms(sk.read(spark)) == _cms(ref.read(spark))
 
 
 def test_cms_rollup_equals_direct_coarse_build(spark, tmp_path):
@@ -1424,6 +1443,45 @@ def test_cms_join_size_never_underestimates_and_is_tight(spark, tmp_path):
             ),
             ["grp"],
         )
+    # a group present in only ONE sketch emits an explicit 0 row: the
+    # output covers the UNION of both sketches' group keys
+    tz = ManagedTable(tmp_path / "tz")
+    tz.create(
+        spark.createDataFrame([(i, "Z", i) for i in range(5)], SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    skz = MaintainedCountMinSketch(
+        tmp_path / "skz", ["grp"], "v", depth=3, width=1024
+    )
+    skz.refresh(spark, tz)
+    rows = {
+        r["grp"]: r["est_join_size"]
+        for r in ska.estimate_join_size(spark, skz, ["grp"]).collect()
+    }
+    assert rows == {"A": 0, "Z": 0}
+
+
+def test_cms_join_size_overflow_fails_loudly(spark, tmp_path):
+    """An inner product past the BIGINT ceiling must raise, never wrap
+    into a small/negative 'estimate' (planner safety: CM promises never
+    to underestimate).  Counters that large are unreachable via the
+    feed in a test, so the state parquet is forged directly."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedCountMinSketch(
+        tmp_path / "sk", ["grp"], "v", depth=3, width=32
+    )
+    sk.refresh(spark, t)
+    huge = spark.createDataFrame(
+        [("A", d, 0, 1 << 62) for d in range(3)],
+        "grp string, depth int, bucket int, cnt long",
+    )
+    huge.write.mode("overwrite").parquet(
+        str(tmp_path / "sk" / f"v={sk.meta()['version']}")
+    )
+    with pytest.raises(Exception, match="BIGINT"):
+        sk.estimate_join_size(spark, sk, ["grp"]).collect()
 
 
 def test_cms_join_size_tracks_churn(spark, tmp_path):
@@ -1528,3 +1586,208 @@ def test_quantile_histogram_union_across_tables(spark, tmp_path):
             MaintainedQuantileHistogram(tmp_path / "qx", ["grp"], "v", 7),
             ["grp"],
         )
+
+
+# ---------------------------------------------------------------------------
+# MaintainedCMHeavyHitters — dyadic CM heavy-hitter ENUMERATION (the
+# turnstile answer to "name the heavy values").  Contract: ± linear
+# folds equal a rebuild bit-for-bit; enumeration is a superset of the
+# true heavy hitters (equal, at generous width); a value that decays
+# below threshold via deletes disappears; level 0 serves the plain CM
+# point-frequency API unchanged.
+# ---------------------------------------------------------------------------
+def _cmhh(df):
+    return sorted(
+        (r["grp"], r["level"], r["depth"], r["bucket"], r["cnt"])
+        for r in df.collect()
+    )
+
+
+def _exact_hh(spark, t, min_count):
+    return {
+        (r["grp"], r["v"]): r["n"]
+        for r in t.read(spark)
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .collect()
+    }
+
+
+def test_cmhh_enumerates_heavy_values_through_churn(spark, tmp_path):
+    """Adversarial lifecycle: value 7 is heavy, then DELETES decay it
+    below threshold; value 11 becomes heavy via churn.  After each
+    fold, enumerate_heavy == the exact GROUP BY/HAVING recompute
+    (generous width → no collision false positives at this data), and
+    the maintained counters equal a from-scratch rebuild."""
+    from tidb2dw_spark.operators.sketch import MaintainedCMHeavyHitters
+
+    # group G: value j appears j times for j in 1..12 (78 rows)
+    rows, k = [], 0
+    for j in range(1, 13):
+        for _ in range(j):
+            rows.append((k, "G", j))
+            k += 1
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    hh = MaintainedCMHeavyHitters(
+        tmp_path / "hh", ["grp"], "v", depth=3, width=1024
+    )
+    hh.refresh(spark, t)
+    got = {
+        (r["grp"], r["v"]): r["est"]
+        for r in hh.enumerate_heavy(spark, 8).collect()
+    }
+    assert got == _exact_hh(spark, t, 8)  # {8..12}, est exact here
+
+    # churn: delete 8 of value 7's 7... (7 has 7 rows; delete 5 of v=10's
+    # rows so 10 decays below 8), and insert 9 rows of value 11
+    v10_keys = [r["k"] for r in t.read(spark).filter("v = 10").collect()][:5]
+    t.merge(spark, _batch(
+        spark,
+        [("D", kk, 5, None, None) for kk in v10_keys]
+        + [("I", 9000 + i, 5, "G", 11) for i in range(9)],
+    ))
+    hh.refresh(spark, t)
+    got2 = {
+        (r["grp"], r["v"]): r["est"]
+        for r in hh.enumerate_heavy(spark, 8).collect()
+    }
+    exact2 = _exact_hh(spark, t, 8)
+    assert ("G", 10) not in got2          # decayed below threshold
+    assert got2[("G", 11)] == 11 + 9      # grew past it
+    assert got2 == exact2
+
+    # maintained == rebuild, bit for bit
+    ref = MaintainedCMHeavyHitters(
+        tmp_path / "ref", ["grp"], "v", depth=3, width=1024
+    )
+    ref.refresh(spark, t)
+    assert _cmhh(hh.read(spark)) == _cmhh(ref.read(spark))
+
+    # level 0 serves the plain CM point API (never underestimates)
+    probes = spark.createDataFrame(
+        [("G", j) for j in range(1, 13)], "grp string, v long"
+    )
+    est = {r["v"]: r["est"] for r in hh.estimate(spark, probes).collect()}
+    live = {
+        r["v"]: r["n"]
+        for r in t.read(spark).groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for v, n in live.items():
+        assert est[v] >= n
+
+    # global rollup enumeration ([] = one population)
+    glob = {
+        r["v"]: r["est"]
+        for r in hh.enumerate_heavy(spark, 8, group_subset=[]).collect()
+    }
+    assert set(glob) == {v for (_, v) in exact2}
+
+
+def test_cmhh_guards(spark, tmp_path):
+    """Negative values are refused at fold time (the dyadic domain is
+    [0, 2^63)); a plain-CMS state cannot be folded into as dyadic;
+    min_count < 1 is refused."""
+    from tidb2dw_spark.operators.sketch import (
+        MaintainedCMHeavyHitters,
+        MaintainedCountMinSketch,
+    )
+
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame([(1, "G", -5)], SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    hh = MaintainedCMHeavyHitters(tmp_path / "hh", ["grp"], "v")
+    with pytest.raises(Exception, match="non-negative"):
+        hh.refresh(spark, t)
+
+    t2 = _mk_table(spark, tmp_path / "t2")
+    plain = MaintainedCountMinSketch(
+        tmp_path / "sk", ["grp"], "v", depth=3, width=2048
+    )
+    plain.refresh(spark, t2)
+    t2.merge(spark, _batch(spark, [("I", 7000, 5, "A", 3)]))
+    with pytest.raises(ValueError, match="levels"):
+        MaintainedCMHeavyHitters(
+            tmp_path / "sk", ["grp"], "v", depth=3, width=2048
+        ).refresh(spark, t2)
+    hh2 = MaintainedCMHeavyHitters(tmp_path / "hh2", ["grp"], "v")
+    hh2.refresh(spark, t2)
+    with pytest.raises(ValueError, match="min_count"):
+        hh2.enumerate_heavy(spark, 0)
+
+
+def test_quantile_histogram_max_bins_caps_state(spark, tmp_path):
+    """Heavy-tailed domain (values spanning ~6 decades) with a small
+    initial bin_width: without a cap the state would hold one bin per
+    distinct W-bucket; with max_bins the width doubles until the state
+    fits, the widened state equals a DIRECT build at the final width
+    bit-for-bit (rebinning is exact count folding), quantile error
+    stays ≤ the current width, and later folds keep maintaining at the
+    adopted width — including from a FRESH instance constructed with
+    the original width."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    # heavy tail: v = 2^(k mod 20) + k → ~1000 distinct bins at W=1
+    rows = [(k, "G", (1 << (k % 20)) + k) for k in range(1000)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    capped = MaintainedQuantileHistogram(
+        tmp_path / "h", ["grp"], "v", bin_width=1, max_bins=64
+    )
+    capped.refresh(spark, t)
+    n_state = capped.read(spark).count()
+    assert n_state <= 64
+    w = capped.bin_width
+    assert w > 1 and (w & (w - 1)) == 0  # power-of-two widening
+    assert capped.meta()["hist_bin_width"] == w
+    # widened state == direct build at the final width (exact rebin)
+    direct = MaintainedQuantileHistogram(
+        tmp_path / "d", ["grp"], "v", bin_width=w
+    )
+    direct.refresh(spark, t)
+    assert sorted(
+        (r["__bin"], r["n_rows"]) for r in capped.read(spark).collect()
+    ) == sorted(
+        (r["__bin"], r["n_rows"]) for r in direct.read(spark).collect()
+    )
+    # quantile error stays ≤ current width
+    [q] = capped.quantiles(spark, [500]).collect()
+    vals = sorted(v for _, _, v in rows)
+    true_median = vals[(len(vals) + 1) // 2 - 1]
+    assert q["bin_lo"] <= true_median < q["bin_hi"]
+    assert q["bin_hi"] - q["bin_lo"] == w
+
+    # a FRESH instance constructed at the ORIGINAL width adopts the
+    # widened width and keeps folding (deletes included)
+    again = MaintainedQuantileHistogram(
+        tmp_path / "h", ["grp"], "v", bin_width=1, max_bins=64
+    )
+    t.merge(spark, _batch(spark, [
+        ("D", k, 5, None, None) for k in range(0, 1000, 3)
+    ] + [("I", 5000, 5, "G", 123_456)]))
+    again.refresh(spark, t)
+    assert again.bin_width >= w
+    direct2 = MaintainedQuantileHistogram(
+        tmp_path / "d2", ["grp"], "v", bin_width=again.bin_width
+    )
+    direct2.refresh(spark, t)
+    assert sorted(
+        (r["__bin"], r["n_rows"]) for r in again.read(spark).collect()
+    ) == sorted(
+        (r["__bin"], r["n_rows"]) for r in direct2.read(spark).collect()
+    )
+    # an incompatible constructed width is refused
+    with pytest.raises(ValueError, match="widening"):
+        MaintainedQuantileHistogram(
+            tmp_path / "h", ["grp"], "v", bin_width=3
+        ).read(spark)

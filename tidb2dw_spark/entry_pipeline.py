@@ -415,6 +415,39 @@ def _rename_cdf_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
     return table
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _cdfstream_root() -> Path:
+    """This process's stream sink/checkpoint root.  The pid suffix
+    isolates CONCURRENT processes (gate + bench + pytest on one box);
+    so a dir is garbage the moment its pid exits — an atexit hook
+    removes ours, and stale siblings whose pid is no longer alive are
+    swept on first use (covers processes that died before their own
+    atexit ran)."""
+    root = Path("/tmp") / f"tidb2dw_cdfstream_{os.getpid()}"
+    if not getattr(_cdfstream_root, "_registered", False):
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        for p in Path("/tmp").glob("tidb2dw_cdfstream_*"):
+            try:
+                pid = int(p.name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if pid != os.getpid() and not _pid_alive(pid):
+                shutil.rmtree(p, ignore_errors=True)
+        _cdfstream_root._registered = True
+    return root
+
+
 def pipeline_rename_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full change feed ACROSS the rename barrier, through BOTH
     surfaces: batch ``changes()`` AND the commit-log STREAMING source
@@ -438,10 +471,9 @@ def pipeline_rename_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would accrete a feed copy each time.  The pid suffix keeps
     # CONCURRENT processes (gate + bench + test runs on one box) from
     # rmtree'ing each other's in-flight checkpoint, which surfaced as
-    # Spark's "Race while writing batch 0"
-    out = (
-        Path("/tmp") / f"tidb2dw_cdfstream_{os.getpid()}" / Path(sf_dir).name
-    )
+    # Spark's "Race while writing batch 0"; _cdfstream_root cleans up
+    # at exit and sweeps dirs left by dead pids
+    out = _cdfstream_root() / Path(sf_dir).name
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True, exist_ok=True)
     q = (
@@ -4744,6 +4776,170 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Dyadic CM heavy-hitter ENUMERATION (operators/sketch.py
+# MaintainedCMHeavyHitters — Cormode & Muthukrishnan, TODS 2005): the
+# turnstile "NAME the heavy values" answer the plain CMS cannot give.
+# Lifecycle: a value carrying ~1/3 of the mass DECAYS below threshold
+# via deletes, a new value GROWS past it via inserts, and an update
+# wave concentrates mass on a ~3·10^12 value so the descent exercises
+# deep prefix levels.  The oracle rebuilds the ENTIRE dyadic structure
+# (8 levels of counters) and replays the 8-step descent as chained
+# CTEs — bit-equal output proves fold, levels, and descent exact.
+# ---------------------------------------------------------------------------
+_CMHH_CACHE: dict[str, tuple[object, int]] = {}
+_CMHH_D = 3
+_CMHH_W = 2048
+_CMHH_BIG = 3_000_000_000_007
+
+
+def pipeline_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import MaintainedCMHeavyHitters
+
+    if sf_dir not in _CMHH_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(50))
+            .otherwise(F.col("o_custkey") % 97)
+            .cast("long")
+            .alias("v"),
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_cmhh_"))
+        t = ManagedTable(wh / "vals").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        hh = MaintainedCMHeavyHitters(
+            wh / "hh", ["prio"], "v", depth=_CMHH_D, width=_CMHH_W
+        )
+        hh.refresh(spark, t)  # seed
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("vals").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "prio", "v",
+            )
+
+        # commit 1: INSERTS concentrate fresh mass on v=61 (grows heavy)
+        t.merge(spark, batch(
+            ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "prio",
+                F.lit(61).cast("long").alias("v"),
+            ),
+            "I",
+        ))
+        hh.refresh(spark, t)
+        # commit 2: DELETE every v=50 carrier (the heavy value DECAYS
+        # below threshold) + UPDATES concentrating mass on a ~3·10^12
+        # value (deep prefix levels); update keys disjoint from deletes
+        t.merge(
+            spark,
+            batch(ord_src.filter(F.col("o_orderkey") % 3 == 0), "D")
+            .unionByName(batch(
+                ord_src.filter(
+                    (F.col("o_orderkey") % 10 == 4)
+                    & (F.col("o_orderkey") % 3 != 0)
+                ).select(
+                    "o_orderkey", "prio",
+                    F.lit(_CMHH_BIG).cast("long").alias("v"),
+                ),
+                "U",
+            )),
+        )
+        hh.refresh(spark, t)
+        m = hh.meta()
+        if int(m["folds"]) != 2 or "recounts" in m:
+            raise RuntimeError(
+                "dyadic CM maintenance did not take the linear fold "
+                f"path twice (meta: {m})"
+            )
+        n_live = t.read(spark).filter(F.col("v").isNotNull()).count()
+        thr = max(1, n_live // 250)
+        # fixture sanity: the decay/growth story must actually happen
+        live = {
+            r["v"]: r["n"]
+            for r in t.read(spark).groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if live.get(61, 0) < thr or live.get(_CMHH_BIG, 0) < thr:
+            raise RuntimeError(
+                f"fixture lost its grown heavy values (thr={thr})"
+            )
+        _CMHH_CACHE[sf_dir] = (hh, thr)
+    hh, thr = _CMHH_CACHE[sf_dir]
+    return hh.enumerate_heavy(spark, thr).select(
+        "prio",
+        F.col("v").cast("long").alias("v"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def _cmhh_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    # counters over every dyadic level: prefix = v // 2^(8·level)
+    # (non-negative domain, so DuckDB // == Spark shiftright)
+    cb = cms_bucket_sql(
+        "(v // (CAST(1 AS BIGINT) << (8 * l.lv)))", "t.d", _CMHH_W
+    )
+    descent = []
+    for lv in range(7, -1, -1):
+        if lv == 7:
+            base = (
+                "SELECT g.prio, p.p AS pfx, t.d AS depth\n"
+                "        FROM (SELECT DISTINCT prio FROM cur WHERE v IS "
+                "NOT NULL) g,\n"
+                f"             range(128) p(p), range({_CMHH_D}) t(d)"
+            )
+        else:
+            base = (
+                f"SELECT s.prio, s.pfx * 256 + o.o AS pfx, t.d AS depth\n"
+                f"        FROM lvl{lv + 1} s, range(256) o(o), "
+                f"range({_CMHH_D}) t(d)"
+            )
+        pb = cms_bucket_sql("b.pfx", "b.depth", _CMHH_W)
+        descent.append(
+            f"lvl{lv} AS (\n"
+            f"  SELECT b.prio, b.pfx,\n"
+            f"         CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est\n"
+            f"  FROM ({base}) b\n"
+            f"  LEFT JOIN counters c ON c.prio = b.prio "
+            f"AND c.level = {lv}\n"
+            f"       AND c.depth = b.depth AND c.bucket = {pb}\n"
+            f"  GROUP BY 1, 2\n"
+            f"  HAVING MIN(COALESCE(c.cnt, 0)) >= (SELECT t FROM thr)\n"
+            f")"
+        )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CAST(CASE WHEN o_orderkey % 3 = 0 THEN 50
+                   ELSE o_custkey % 97 END AS BIGINT) AS v
+  FROM orders
+), cur AS (
+  SELECT prio,
+         CASE WHEN o_orderkey % 10 = 4 AND o_orderkey % 3 <> 0
+              THEN CAST({_CMHH_BIG} AS BIGINT) ELSE v END AS v
+  FROM base WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT prio, CAST(61 AS BIGINT) FROM base WHERE o_orderkey % 25 = 3
+), thr AS (
+  SELECT GREATEST(1, COUNT(*) // 250) AS t FROM cur WHERE v IS NOT NULL
+), counters AS (
+  SELECT prio, l.lv AS level, t.d AS depth, {cb} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cur, range(8) l(lv), range({_CMHH_D}) t(d)
+  WHERE v IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+), {", ".join(descent)}
+SELECT prio, CAST(pfx AS BIGINT) AS v, est FROM lvl0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-bucketed LIVE rollup — the "streaming windowed aggregation"
 # shape maintained EXACTLY from the CDC feed: the month bucket is a
 # single-table derived_cols expression (date_trunc), so the maintained
@@ -5698,15 +5894,19 @@ def pipeline_maintained_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_rows = sigma.limit(_Q17_SIGMA_CAP + 1).collect()
     if len(brand_rows) <= _Q17_SIGMA_CAP:
         pks = idx.lookup_pks_in(spark, [r["p_partkey"] for r in brand_rows])
-        brands = spark.createDataFrame(
+        # under the cap the σ frame is proven driver-sized — broadcast
+        brands = F.broadcast(spark.createDataFrame(
             [(r["p_partkey"], r["p_brand"]) for r in brand_rows],
             "p_partkey long, p_brand string",
-        )
+        ))
     else:
         # over-cap σ: the key set stays distributed — the index is
         # probed by broadcast semi-join (O(index size), never a fact
         # scan) and the fact probe still rides read_for_keys' bucket
-        # pruning (its internal collects are probe-capped)
+        # pruning (its internal collects are probe-capped).  NO
+        # broadcast hint here: the cap just declared this frame
+        # unbounded, so AQE picks the join strategy from its measured
+        # size (it will still broadcast when the σ happens to be small)
         pks = idx.lookup_pks_semi(
             spark, sigma.select(F.col("p_partkey").alias("l_partkey"))
         )
@@ -5717,7 +5917,7 @@ def pipeline_maintained_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li_rows.join(
-            F.broadcast(brands),
+            brands,
             li_rows["l_partkey"] == brands["p_partkey"],
             "inner",
         )
@@ -6861,7 +7061,8 @@ FROM ustats u, rho r
 
 # ---------------------------------------------------------------------------
 # TSO-CONSISTENT CROSS-TABLE SNAPSHOT — the reference's one-TSO
-# consistency (cmd/core.go:45-57: dump + changefeed share StartTSO)
+# consistency (cmd/core.go:183-220: dump + changefeed share one
+# startTSO fetched by tidbsql.GetCurrentTSO)
 # carried through to multi-table READS: orders and customer are churned
 # with interleaved fences (ts=10 on both, then ts=20 on both), and the
 # snapshot pinned at ts=15 joins the two tables at their LAST COMPLETE
@@ -7294,6 +7495,7 @@ QUERIES = {
     "pipeline_maintained_cms": pipeline_maintained_cms,
     "pipeline_cms_rollup": pipeline_cms_rollup,
     "pipeline_cms_join_size": pipeline_cms_join_size,
+    "pipeline_cms_heavy_hitters": pipeline_cms_heavy_hitters,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
@@ -7363,6 +7565,7 @@ ORACLES = {
     "pipeline_maintained_cms": _cms_oracle(),
     "pipeline_cms_rollup": _cms_rollup_oracle(),
     "pipeline_cms_join_size": _cmsjoin_oracle(),
+    "pipeline_cms_heavy_hitters": _cmhh_oracle(),
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,

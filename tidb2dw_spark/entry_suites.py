@@ -168,6 +168,10 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # join-cardinality + F2 skew statistics from two maintained CM
     # counter states (inner product), next to the exact join count
     "pipeline_cms_join_size": [("n_exact_join", "int"), ("est_join_size", "int"), ("est_f2", "int")],
+    # turnstile heavy-hitter ENUMERATION from the dyadic CM state: the
+    # descent NAMES every value >= threshold (decay + growth exercised);
+    # the oracle replays all 8 levels and the descent as chained CTEs
+    "pipeline_cms_heavy_hitters": [("prio", "str"), ("v", "int"), ("est", "int")],
     # global quantiles merged from the per-priority bins (counts add);
     # oracle recomputes the coarse histogram + walk directly
     "pipeline_quantile_rollup": [("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],

@@ -348,6 +348,22 @@ def _quantize_py(x: float, scale: int = 1_000_000) -> int:
     return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
 
 
+def auto_n_centroids(n_rows: int) -> int:
+    """Corpus-scaled IVF cell count: ``max(16, ceil(sqrt(N)))``.
+
+    The classic IVF sizing rule — with √N cells, expected cell size is
+    also √N, so probe cost (n_probe cells) and per-cell scan cost grow
+    together as √N instead of one of them absorbing ALL corpus growth.
+    A FIXED cell count makes every cell O(N): measured in SCALE.md as
+    the one super-linear serving row (7.9× at 10× data under 16 cells;
+    2.8× with √N cells).  Integer-exact ceil via isqrt — no float sqrt,
+    so build sizing is deterministic cross-platform."""
+    import math
+
+    n = max(0, int(n_rows))
+    return max(16, math.isqrt(n - 1) + 1 if n > 1 else 1)
+
+
 def ivf_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> list[list[int]]:
@@ -614,7 +630,7 @@ def build_ivf_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     kernel: str = "arrow",
     refine_iters: int = 0,
 ) -> list[list[int]]:
@@ -633,10 +649,17 @@ def build_ivf_index(
     smallest-id init before assigning: refined centroids track the data
     distribution, tightening cells so a fixed n_probe recalls more.  Each
     iteration is one extra corpus pass at build time — amortized over
-    every search the index ever serves."""
+    every search the index ever serves.
+
+    ``n_centroids=None`` (the default) auto-sizes cells to
+    :func:`auto_n_centroids` — ``max(16, ceil(sqrt(N)))`` — so cell size
+    and probe fan-out both grow as √N; pass an explicit count only when
+    reproducing a pinned layout (the oracle-checked registry rows do)."""
     import json as _json
     import os
 
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
     if refine_iters > 0:
         from .clustering import kmeans_fit
 

@@ -61,6 +61,7 @@ from ..functions.similarity import (
     _assign_cells,
     _probe_cells,
     _probe_score_rank,
+    auto_n_centroids,
     ivf_centroids,
 )
 from ..table.managed import CHANGE_TYPE_COL, COMMIT_SEQ_COL, ManagedTable
@@ -129,13 +130,19 @@ class IvfVectorIndex:
         root,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        n_centroids: int = 16,
+        n_centroids: int | None = None,
         kernel: str = "arrow",
         auto_rebuild: bool = False,
     ):
         self.root = Path(root)
         self.id_col = id_col
         self.vec_col = vec_col
+        # None (default) = AUTO: every build() sizes cells to
+        # max(16, ceil(sqrt(N))) of the corpus it scans, so a rebuild on
+        # a grown table rescales cells instead of keeping the seed-time
+        # count (the one measured super-linear serving path in SCALE.md);
+        # an explicit int pins the layout (the oracle registry rows do)
+        self._auto_cells = n_centroids is None
         self.n_centroids = n_centroids
         self.kernel = kernel
         # opt-in self-repair: TableReplicator re-trains the index (one
@@ -224,11 +231,20 @@ class IvfVectorIndex:
         df = source._read_state(spark, src_m).filter(
             F.col(self.vec_col).isNotNull()
         )
-        self.centroids = (
-            centroids
-            if centroids is not None
-            else ivf_centroids(df, self.id_col, self.vec_col, self.n_centroids)
-        )
+        if centroids is not None:
+            self.n_centroids = len(centroids)
+            self.centroids = centroids
+        else:
+            if self._auto_cells:
+                # re-sized on EVERY build from the corpus this build
+                # scans — the rebuild a tripped drift monitor schedules
+                # therefore rescales cells as the table grows (√N), the
+                # count itself is one extra job on a path that is
+                # already a full scan
+                self.n_centroids = auto_n_centroids(df.count())
+            self.centroids = ivf_centroids(
+                df, self.id_col, self.vec_col, self.n_centroids
+            )
         assigned = _assign_cells(
             df, self.centroids, self.id_col, self.vec_col, self.kernel
         )
@@ -262,6 +278,7 @@ class IvfVectorIndex:
             "id_col": self.id_col,
             "vec_col": self.vec_col,
             "n_centroids": self.n_centroids,
+            "auto_cells": self._auto_cells,
             "centroids": self.centroids,
             "cell_versions": {
                 str(c): 1 for c in range(len(self.centroids))
@@ -428,7 +445,12 @@ class IvfVectorIndex:
           the current mean — vectors drifting away from the frozen
           centroids land in increasingly wrong cells.
         - ``churn_ratio``: cumulative churned rows / built size — the
-          coarse "how stale is the freeze" odometer."""
+          coarse "how stale is the freeze" odometer.
+        - ``cell_growth_factor``: what :func:`auto_n_centroids` would
+          size the CURRENT corpus to, over the cell count the index
+          actually has — the rows-per-cell gauge.  2.0 means the corpus
+          grew ~4× past the layout (cells are 2× their target size and
+          a fixed n_probe covers half the intended corpus share)."""
         m = self.meta()
         d = m.get("drift")
         if not d:
@@ -438,6 +460,7 @@ class IvfVectorIndex:
         cur_max_share = (max(counts) / cur_n) if cur_n and counts else 0.0
         cur_mean_sim = (d.get("cur_sim_sum", 0.0) / cur_n) if cur_n else 0.0
         built_share = d.get("built_max_share") or 0.0
+        n_cells = int(m.get("n_centroids") or 0) or 1
         return {
             "cur_n": float(cur_n),
             "cell_max_share": cur_max_share,
@@ -454,6 +477,9 @@ class IvfVectorIndex:
                 if d.get("built_n")
                 else 0.0
             ),
+            "cell_growth_factor": (
+                auto_n_centroids(cur_n) / n_cells if cur_n else 0.0
+            ),
         }
 
     def needs_rebuild(
@@ -461,13 +487,22 @@ class IvfVectorIndex:
         skew_factor: float = 2.0,
         sim_drop: float = 0.05,
         churn_ratio: float = 2.0,
+        cell_growth: float = 2.0,
     ) -> bool:
         """True when any drift gauge crosses its threshold — the signal
         that the frozen centroids no longer fit the corpus and a
         ``build()`` is worth scheduling.  Maintenance itself stays EXACT
         either way (refresh is rebuild-equivalent under the frozen
         centroids); this guards RECALL, which the exactness oracle
-        cannot see.  Always False for a legacy meta without a baseline."""
+        cannot see.  Always False for a legacy meta without a baseline.
+
+        ``cell_growth`` trips when the corpus has outgrown the cell
+        LAYOUT (``cell_growth_factor`` — √N target cells over actual
+        cells); it guards serving COST rather than recall, and applies
+        only to auto-sized indexes, where the ``build()`` it schedules
+        actually rescales — a pinned cell count is an explicit operator
+        choice this monitor must not overrule (the gauge still surfaces
+        for alerting)."""
         s = self.drift_stats()
         if not s:
             return False
@@ -475,6 +510,10 @@ class IvfVectorIndex:
             s["skew_factor"] >= skew_factor
             or s["assign_sim_drop"] >= sim_drop
             or s["churn_ratio"] >= churn_ratio
+            or (
+                self._auto_cells
+                and s["cell_growth_factor"] >= cell_growth
+            )
         )
 
     def health_gauges(self) -> dict:
@@ -557,7 +596,7 @@ class IvfPqVectorIndex(IvfVectorIndex):
         root,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        n_centroids: int = 16,
+        n_centroids: int | None = None,
         n_sub: int = 8,
         k_codes: int = 64,
         iters: int = 2,

@@ -383,9 +383,16 @@ class MaintainedAggregate:
         where_cols: Sequence[str] | None = None,
         measure_cols: Sequence[str] | None = None,
         derived_cols: dict[str, tuple[str, Sequence[str]]] | None = None,
+        keep_versions: int = 1,
     ):
         from pathlib import Path
 
+        # >1 retains that many recent state versions (plus the meta's
+        # seq_versions map from applied_seq → version), so
+        # ConsistentSnapshot can serve THIS view at a pinned source
+        # commit via read_at_seq; 1 (default) keeps today's
+        # newest-only GC
+        self.keep_versions = max(1, int(keep_versions))
         self.root = Path(root)
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols)
@@ -437,6 +444,7 @@ class MaintainedAggregate:
         self, agg: DataFrame, version: int, applied_seq: int,
         field_ids: dict | None = None, where: str | None = None,
         mm_outs: list[str] | None = None, derived: dict | None = None,
+        extra: dict | None = None,
     ) -> None:
         import json
         import os
@@ -444,7 +452,28 @@ class MaintainedAggregate:
 
         agg.write.mode("overwrite").parquet(str(self.root / f"v={version}"))
         self.root.mkdir(parents=True, exist_ok=True)
-        meta = {"applied_seq": applied_seq, "version": version}
+        # custom keys owners piggyback on this meta (e.g. the quantile
+        # histogram's adaptive bin width) survive every fold commit
+        known = {"applied_seq", "version", "field_ids", "where",
+                 "mm_outs", "derived"}
+        meta = (
+            {k: v for k, v in self.meta().items() if k not in known}
+            if self.exists()
+            else {}
+        )
+        meta.update({"applied_seq": applied_seq, "version": version})
+        # applied_seq → version map for the RETAINED versions: the hook
+        # ConsistentSnapshot uses to read this view as of a pinned
+        # source commit.  A re-commit at the same seq (e.g. the
+        # histogram's rebin) points the seq at its newest version.
+        sv = {
+            str(k): int(v) for k, v in (meta.get("seq_versions") or {}).items()
+        }
+        sv[str(int(applied_seq))] = int(version)
+        keep = sorted(set(sv.values()), reverse=True)[: self.keep_versions]
+        meta["seq_versions"] = {
+            s: v for s, v in sv.items() if v in set(keep)
+        }
         if field_ids:
             meta["field_ids"] = field_ids
         if where is not None:
@@ -453,6 +482,8 @@ class MaintainedAggregate:
             meta["mm_outs"] = mm_outs
         if derived is not None:
             meta["derived"] = derived
+        if extra:
+            meta.update(extra)
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
@@ -674,7 +705,36 @@ class MaintainedAggregate:
             field_ids=m.get("field_ids"), where=m.get("where"),
             mm_outs=m.get("mm_outs"), derived=m.get("derived"),
         )
+        retained = {
+            int(v) for v in (self.meta().get("seq_versions") or {}).values()
+        }
         for p in self.root.glob("v=*"):  # committed: old versions removable
-            if int(p.name.split("=", 1)[1]) < new_version:
+            v = int(p.name.split("=", 1)[1])
+            if v < new_version and v not in retained:
                 shutil.rmtree(p, ignore_errors=True)
         return src_seq
+
+    def version_for_seq(self, seq: int) -> int:
+        """The RETAINED state version whose fold covers the source feed
+        exactly through *seq* — the derived half of a consistent pin.
+        Raises when the view never materialized that seq (a batched
+        refresh folded past it) or retention (``keep_versions``) has
+        GC'd it: serving the nearest other version would be precisely
+        the torn read the fence exists to prevent."""
+        sv = self.meta().get("seq_versions") or {}
+        v = sv.get(str(int(seq)))
+        if v is None:
+            raise ValueError(
+                f"view at {self.root} holds no state at source seq "
+                f"{seq} (retained seqs: {sorted(int(s) for s in sv)}); "
+                "refresh once per source commit and/or raise "
+                "keep_versions to cover the pin window"
+            )
+        return int(v)
+
+    def read_at_seq(self, spark, seq: int) -> DataFrame:
+        """This view's state as of source feed seq *seq* (exact match —
+        see :meth:`version_for_seq`)."""
+        return spark.read.parquet(
+            str(self.root / f"v={self.version_for_seq(seq)}")
+        )

@@ -173,6 +173,16 @@ class MaintainedQuantileHistogram:
     so negative values bin identically in both engines); quantile reads
     are one window cumsum over the groups×bins state — never the base.
 
+    State is O(value range / bin_width) — unbounded on a heavy-tailed
+    domain.  Pass ``max_bins`` to cap it: whenever a refresh leaves
+    more than *max_bins* state rows, the bin width DOUBLES (repeatedly,
+    power-of-two) and the state REBINS from itself — exact count
+    folding (``floor_div(v, 2W) == floor_div(floor_div(v, W), 2)``, so
+    the widened state is bit-identical to a direct build at the wider
+    width; no base rescan, still cross-engine reproducible).  Error
+    stays ≤ the CURRENT bin width, which the meta records
+    (``hist_bin_width``) and later instances adopt on attach.
+
     Reference parity: the reference defers percentile queries to the
     warehouse (full recompute per query); this serves them from
     maintained state."""
@@ -185,14 +195,18 @@ class MaintainedQuantileHistogram:
         bin_width: int,
         where: str | None = None,
         where_cols: Sequence[str] | None = None,
+        max_bins: int | None = None,
     ):
         from .matview import MaintainedAggregate
 
         if bin_width <= 0:
             raise ValueError(f"bin_width must be positive, got {bin_width}")
+        if max_bins is not None and max_bins < 1:
+            raise ValueError(f"max_bins must be ≥ 1, got {max_bins}")
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.bin_width = int(bin_width)
+        self.max_bins = int(max_bins) if max_bins is not None else None
         self._agg = MaintainedAggregate(
             root,
             [*self.group_cols, "__bin"],
@@ -204,14 +218,80 @@ class MaintainedQuantileHistogram:
             where_cols=list(
                 dict.fromkeys([value_col, *(where_cols or [])])
             ),
-            derived_cols={
-                "__bin": (
-                    f"CAST({floor_div_sql(value_col, self.bin_width)} "
-                    "AS BIGINT)",
-                    [value_col],
-                )
-            },
+            derived_cols=self._bin_derived(self.bin_width),
         )
+
+    def _bin_derived(self, width: int) -> dict:
+        return {
+            "__bin": (
+                f"CAST({floor_div_sql(self.value_col, width)} AS BIGINT)",
+                [self.value_col],
+            )
+        }
+
+    def _set_width(self, width: int) -> None:
+        self.bin_width = int(width)
+        self._agg.derived = {
+            n: (expr, list(deps))
+            for n, (expr, deps) in self._bin_derived(width).items()
+        }
+
+    def _sync_width(self) -> None:
+        """Adopt a WIDER stored bin width (a past widening) before any
+        read or fold — the constructed width is the initial/minimum.
+        A stored width the constructed one doesn't divide is a
+        different histogram and is refused (the underlying aggregate's
+        derived-definition guard would refuse it anyway, less
+        legibly)."""
+        if not self._agg.exists():
+            return
+        w = int(self._agg.meta().get("hist_bin_width", 0) or 0)
+        if not w or w == self.bin_width:
+            return
+        if w < self.bin_width or w % self.bin_width != 0:
+            raise ValueError(
+                f"histogram at {self._agg.root} has bin_width {w}, not a "
+                f"power-of-two widening of the constructed "
+                f"{self.bin_width} — rebuild instead"
+            )
+        self._set_width(w)
+
+    def _maybe_widen(self, spark: SparkSession) -> None:
+        """Double the bin width (rebinning the state from itself —
+        exact) until ≤ max_bins state rows remain.  Each step is one
+        state-sized job; widening is rare (each halves the bins), so
+        the amortized upkeep stays O(changes)."""
+        while True:
+            m = self._agg.meta()
+            state = self._agg.read(spark).select(
+                *self.group_cols, "__bin", "n_rows"
+            )
+            if state.count() <= self.max_bins:
+                return
+            new_w = self.bin_width * 2
+            rebinned = (
+                state
+                # arithmetic shift = floor division by 2, negatives too
+                .groupBy(
+                    *self.group_cols,
+                    F.shiftright(F.col("__bin"), 1).alias("__bin"),
+                )
+                .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+            )
+            self._set_width(new_w)
+            self._agg._commit(
+                rebinned,
+                version=m["version"] + 1,
+                applied_seq=m["applied_seq"],
+                field_ids=m.get("field_ids"),
+                where=m.get("where"),
+                mm_outs=m.get("mm_outs"),
+                derived={
+                    n: [e, d]
+                    for n, (e, d) in self._agg.derived.items()
+                },
+                extra={"hist_bin_width": new_w},
+            )
 
     # -- derived protocol (rides TableReplicator / stream refresh) --------
     def exists(self) -> bool:
@@ -222,12 +302,18 @@ class MaintainedQuantileHistogram:
 
     def refresh(self, spark: SparkSession, source: ManagedTable) -> int:
         """Pure ± count fold — O(changes + touched bins) on EVERY slice
-        shape, deletes included."""
-        return self._agg.refresh(spark, source)
+        shape, deletes included; widens afterwards if a cap is set."""
+        self._sync_width()
+        seq = self._agg.refresh(spark, source)
+        if self.max_bins is not None:
+            self._maybe_widen(spark)
+        return seq
 
     def read(self, spark: SparkSession) -> DataFrame:
         """The histogram: (group…, __bin, n_rows); bin b covers
-        ``[b·W, (b+1)·W)``."""
+        ``[b·W, (b+1)·W)`` at the CURRENT width (see ``bin_width``
+        after :meth:`refresh`/:meth:`_sync_width`)."""
+        self._sync_width()
         return self._agg.read(spark).select(
             *self.group_cols, "__bin", "n_rows"
         )
@@ -266,6 +352,8 @@ class MaintainedQuantileHistogram:
         build over ``A ⊎ B`` bit-for-bit.  Requires identical bin_width
         (bin alignment) and the same value semantics; *group_subset*
         must be common to both (``[]`` → one global histogram)."""
+        self._sync_width()
+        other._sync_width()
         if other.bin_width != self.bin_width:
             raise ValueError(
                 f"cannot union histograms with different bin widths: "
@@ -742,14 +830,17 @@ class MaintainedHLLSketch:
         )
 
 
-def cms_bucket_col(value_col: str, depth: int, width: int) -> F.Column:
+def cms_bucket_col(
+    value_col: str | F.Column, depth: int, width: int
+) -> F.Column:
     """Count-Min bucket for one hash row: the md5 idiom over the value
     salted with the depth index (``value || '#d'``), reduced mod the
     width.  The hash is non-negative (≤60 bits) so ``%`` agrees between
-    engines with no pmod dance."""
-    h = md5_long(
-        F.concat(F.col(value_col).cast("string"), F.lit(f"#{depth}"))
-    )
+    engines with no pmod dance.  *value_col* may be a column name or an
+    arbitrary expression (the dyadic heavy-hitter tier hashes prefix
+    expressions)."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = md5_long(F.concat(c.cast("string"), F.lit(f"#{depth}")))
     return (h % F.lit(width)).cast("int")
 
 
@@ -810,6 +901,10 @@ class MaintainedCountMinSketch:
     queries to the warehouse (full ``GROUP BY value`` recompute per
     query); this serves them from maintained fixed-size state."""
 
+    # the non-group columns that key a counter row; the dyadic
+    # heavy-hitter subclass prepends "level"
+    _COUNTER_KEYS: tuple[str, ...] = ("depth", "bucket")
+
     def __init__(
         self,
         root,
@@ -851,10 +946,23 @@ class MaintainedCountMinSketch:
             str(self.root / f"v={self.meta()['version']}")
         )
 
-    def _commit(self, counters: DataFrame, meta: dict) -> None:
-        counters.write.mode("overwrite").parquet(
-            str(self.root / f"v={meta['version']}")
-        )
+    def _commit(self, counters: DataFrame, meta: dict, validate=None) -> None:
+        """Write → validate → swap → GC, in that order.  *validate*
+        (if given) runs against the freshly written version directory
+        BEFORE the meta swap: if it raises, the tainted directory is
+        removed, the meta still points at the previous version, and
+        older versions were never GC'd — the sketch keeps serving the
+        last good state and the caller sees the error.  (Validating
+        after the swap — the original shape — destroyed the only good
+        version before discovering the new one was corrupt.)"""
+        vdir = self.root / f"v={meta['version']}"
+        counters.write.mode("overwrite").parquet(str(vdir))
+        if validate is not None:
+            try:
+                validate(vdir)
+            except Exception:
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise
         self.root.mkdir(parents=True, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
@@ -863,6 +971,22 @@ class MaintainedCountMinSketch:
         for pth in self.root.glob("v=*"):
             if int(pth.name.split("=", 1)[1]) < meta["version"]:
                 shutil.rmtree(pth, ignore_errors=True)
+
+    def _extra_meta(self) -> dict:
+        """Layout keys beyond depth×width that the subclass seeds (e.g.
+        the dyadic level count) — checked on every later refresh."""
+        return {}
+
+    def _check_extra_meta(self, meta: dict) -> None:
+        """Refuse to fold into a state whose extra layout keys differ
+        from this instance's (base CMS has none)."""
+        for k, v in self._extra_meta().items():
+            if meta.get(k) != v:
+                raise ValueError(
+                    f"sketch at {self.root} was seeded with {k}="
+                    f"{meta.get(k)!r}; constructed with {v!r} — the "
+                    "counter layout would split; rebuild instead"
+                )
 
     def _source_cols(self) -> list[str]:
         return list(
@@ -888,20 +1012,36 @@ class MaintainedCountMinSketch:
             for d in range(self.depth)
         ])
 
+    def _fold_structs(self) -> F.Column:
+        """The (counter-key…) structs one row folds into — the subclass
+        hook that turns this sketch dyadic."""
+        return self._depth_buckets()
+
+    def _value_grain(self, counters: DataFrame) -> DataFrame:
+        """The VALUE-grain slice of a counter frame — identity here;
+        the dyadic subclass narrows to its level-0 rows so every
+        point-frequency read (estimate / heavy_hitters / join-size)
+        stays a plain CM over the raw values."""
+        return counters
+
     def _counters(self, rows: DataFrame, sign: F.Column) -> DataFrame:
-        """Signed counter deltas for a row set: explode the depth
-        structs, sum signs per (group…, depth, bucket).  union→groupBy
+        """Signed counter deltas for a row set: explode the key
+        structs, sum signs per (group…, counter key).  union→groupBy
         shape — partial aggregation map-side, one shuffle on the
         counter key, O(changes·depth + touched counters)."""
         return (
             rows.filter(F.col(self.value_col).isNotNull())
             .select(
                 *self.group_cols,
-                F.explode(self._depth_buckets()).alias("__db"),
+                F.explode(self._fold_structs()).alias("__db"),
                 sign.alias("__s"),
             )
-            .select(*self.group_cols, "__db.depth", "__db.bucket", "__s")
-            .groupBy(*self.group_cols, "depth", "bucket")
+            .select(
+                *self.group_cols,
+                *[f"__db.{k}" for k in self._COUNTER_KEYS],
+                "__s",
+            )
+            .groupBy(*self.group_cols, *self._COUNTER_KEYS)
             .agg(F.sum("__s").cast("long").alias("cnt"))
         )
 
@@ -937,10 +1077,12 @@ class MaintainedCountMinSketch:
                     "group_cols": self.group_cols,
                     "value_col": self.value_col,
                     "folds": 0,
+                    **self._extra_meta(),
                 },
             )
             return src_seq
         meta = self.meta()
+        self._check_extra_meta(meta)
         if (
             int(meta.get("depth", -1)) != self.depth
             or int(meta.get("width", -1)) != self.width
@@ -984,7 +1126,7 @@ class MaintainedCountMinSketch:
         new = (
             self.read(spark)
             .unionByName(deltas)
-            .groupBy(*self.group_cols, "depth", "bucket")
+            .groupBy(*self.group_cols, *self._COUNTER_KEYS)
             .agg(F.sum("cnt").cast("long").alias("cnt"))
             .filter(F.col("cnt") != 0)
         )
@@ -992,22 +1134,33 @@ class MaintainedCountMinSketch:
         meta["version"] += 1
         meta["applied_seq"] = src_seq
         meta["folds"] = int(meta.get("folds", 0)) + 1
-        self._commit(new, meta)
-        # turnstile guard AFTER the version is durable: a negative
-        # counter means a delete/preimage the sketch never counted —
-        # upstream feed corruption, never a valid state.  One
-        # state-sized scan of what was just written.
-        neg = (
-            self.read(spark).filter(F.col("cnt") < 0).limit(1).take(1)
-        )
-        if neg:
-            ver = meta["version"]
-            raise ValueError(
-                f"sketch at {self.root} folded to a NEGATIVE counter "
-                f"(e.g. {neg[0].asDict()}) — the feed deleted a row the "
-                "sketch never counted (preimage discipline violated "
-                f"upstream); state version {ver} is tainted"
+
+        # turnstile guard BETWEEN the parquet write and the meta swap:
+        # a negative counter means a delete/preimage the sketch never
+        # counted — upstream feed corruption, never a valid state.  One
+        # state-sized scan of what was just written, same cost as the
+        # old post-commit scan, but the tainted version is discarded
+        # and the last GOOD version keeps serving (applied_seq does not
+        # advance), so a caller that isolates the error — the
+        # replicator poll loop does by design — never reads garbage.
+        def _turnstile_guard(vdir) -> None:
+            neg = (
+                spark.read.parquet(str(vdir))
+                .filter(F.col("cnt") < 0)
+                .limit(1)
+                .take(1)
             )
+            if neg:
+                raise ValueError(
+                    f"sketch at {self.root} folded to a NEGATIVE "
+                    f"counter (e.g. {neg[0].asDict()}) — the feed "
+                    "deleted a row the sketch never counted (preimage "
+                    "discipline violated upstream); the fold was "
+                    "DISCARDED and the sketch still serves version "
+                    f"{meta['version'] - 1}"
+                )
+
+        self._commit(new, meta, validate=_turnstile_guard)
         return src_seq
 
     def estimate(self, spark: SparkSession, probes: DataFrame) -> DataFrame:
@@ -1018,7 +1171,10 @@ class MaintainedCountMinSketch:
         and the whole answer is oracle-hashable.  Probe group keys must
         be non-NULL (the join is plain equality)."""
         return self._estimate_over(
-            spark, self.read(spark), probes, self.group_cols
+            spark,
+            self._value_grain(self.read(spark)),
+            probes,
+            self.group_cols,
         )
 
     def rollup(
@@ -1037,7 +1193,7 @@ class MaintainedCountMinSketch:
             )
         return (
             self.read(spark)
-            .groupBy(*subset, "depth", "bucket")
+            .groupBy(*subset, *self._COUNTER_KEYS)
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
 
@@ -1051,7 +1207,7 @@ class MaintainedCountMinSketch:
         carries (group_subset…, value_col)."""
         return self._estimate_over(
             spark,
-            self.rollup(spark, group_subset),
+            self._value_grain(self.rollup(spark, group_subset)),
             probes,
             list(group_subset),
         )
@@ -1079,7 +1235,7 @@ class MaintainedCountMinSketch:
         subset = list(group_subset)
         return (
             a.unionByName(b)
-            .groupBy(*subset, "depth", "bucket")
+            .groupBy(*subset, *self._COUNTER_KEYS)
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
 
@@ -1093,7 +1249,7 @@ class MaintainedCountMinSketch:
         """:meth:`estimate` against :meth:`union_rollup` counters."""
         return self._estimate_over(
             spark,
-            self.union_rollup(spark, other, group_subset),
+            self._value_grain(self.union_rollup(spark, other, group_subset)),
             probes,
             list(group_subset),
         )
@@ -1107,7 +1263,15 @@ class MaintainedCountMinSketch:
         """Probes whose estimate ≥ *min_count*.  CM never
         underestimates, so every TRUE heavy hitter among the probes
         survives (no false negatives); εN-rare false positives are the
-        documented trade."""
+        documented trade.
+
+        This answers "is this value heavy?" — it cannot NAME the heavy
+        values.  Candidate sources, by need: to enumerate WITHOUT any
+        candidate set, maintain :class:`MaintainedCMHeavyHitters`
+        (dyadic descent, non-negative BIGINT values); for arbitrary
+        value types, the exact frequency tier's support store already
+        names them (``distinct_matview`` ``top_values`` — O(distinct)
+        state) and its output is a valid *probes* frame here."""
         return self.estimate(spark, probes).filter(
             F.col("est") >= F.lit(int(min_count))
         )
@@ -1136,43 +1300,84 @@ class MaintainedCountMinSketch:
         Both sketches must share depth×width (bucket alignment comes
         from the shared md5+salt idiom).  Groups with no common
         non-zero bucket in some depth estimate 0 — correct, since a
-        shared value would land both counters in its bucket.  At
-        extreme counts mind the BIGINT ceiling: the noise term
-        εNA·NB/width must stay under 2^63, which holds through ~10^10
-        rows per side at the default width."""
+        shared value would land both counters in its bucket — and a
+        group present in only ONE sketch emits an explicit
+        ``est_join_size = 0`` row (its join contributes nothing), so
+        the output covers the UNION of both sketches' group keys.
+
+        The inner product runs in ``decimal(38,0)`` (a product of two
+        BIGINT counters can reach ~8.5×10³⁷, just inside 38 digits) and
+        the result is guarded back into BIGINT with a runtime
+        ``assert_true`` — an extreme-count sketch FAILS LOUDLY instead
+        of wrapping into a small/negative estimate, preserving the
+        never-an-underestimate planner-safety property."""
         if (other.depth, other.width) != (self.depth, self.width):
             raise ValueError(
                 f"cannot combine sketches with different layouts: "
                 f"{self.depth}×{self.width} vs {other.depth}×{other.width}"
             )
         subset = list(group_subset)
-        a = self.rollup(spark, subset).withColumnRenamed("cnt", "__ca")
-        b = other.rollup(spark, subset).withColumnRenamed("cnt", "__cb")
+        a = self._value_grain(
+            self.rollup(spark, subset)
+        ).withColumnRenamed("cnt", "__ca")
+        b = other._value_grain(
+            other.rollup(spark, subset)
+        ).withColumnRenamed("cnt", "__cb")
         per_depth = (
             a.join(b, [*subset, "depth", "bucket"])
             .groupBy(*subset, "depth")
             .agg(
-                F.sum(F.col("__ca") * F.col("__cb"))
-                .cast("long")
-                .alias("__s")
+                F.sum(
+                    F.col("__ca").cast("decimal(38,0)") * F.col("__cb")
+                ).alias("__s")
             )
         )
         # a depth with NO common non-zero bucket contributes sum 0 but
         # no row — the min must still see it (fewer than `depth` rows
-        # present ⇒ some depth summed to zero ⇒ the estimate is 0)
-        return (
-            per_depth.groupBy(*subset)
-            .agg(
-                F.min("__s").alias("__m"),
-                F.count(F.lit(1)).alias("__nd"),
-            )
-            .select(
-                *subset,
-                F.when(F.col("__nd") < self.depth, F.lit(0))
-                .otherwise(F.col("__m"))
-                .cast("long")
-                .alias("est_join_size"),
-            )
+        # present ⇒ some depth summed to zero ⇒ the estimate is 0).
+        # __ovf: a per-depth decimal sum that overflowed 38 digits is
+        # NULL (min would silently skip it) — asserted against below.
+        per_group = per_depth.groupBy(*subset).agg(
+            F.min("__s").alias("__m"),
+            F.count(F.lit(1)).alias("__nd"),
+            # coalesce: the GLOBAL aggregation of an empty per_depth
+            # still emits its row (max of nothing = NULL, not overflow)
+            F.coalesce(
+                F.max(F.col("__s").isNull().cast("int")), F.lit(0)
+            ).alias("__ovf"),
+        )
+        zero = F.lit(0).cast("long")
+        # assert_true returns NULL on success and raises on violation;
+        # referencing it inside the output expression keeps Catalyst
+        # from pruning the check away
+        chk = F.assert_true(
+            (F.col("__ovf") == 0)
+            & (
+                (F.col("__nd") < self.depth)
+                | (F.col("__m") <= F.lit((1 << 63) - 1).cast("decimal(38,0)"))
+            ),
+            F.lit(
+                "CM join-size inner product exceeds BIGINT — the "
+                "estimate would wrap; use wider/deeper sketches or "
+                "estimate at a finer grain"
+            ),
+        )
+        est = per_group.select(
+            *subset,
+            F.when(chk.isNull() & (F.col("__nd") < self.depth), zero)
+            .otherwise(F.col("__m").cast("long"))
+            .alias("est_join_size"),
+        )
+        if not subset:
+            # the global aggregation always yields its one row (0 when
+            # no bucket is shared)
+            return est
+        keys = (
+            a.select(*subset).unionByName(b.select(*subset)).distinct()
+        )
+        return keys.join(est, subset, "left").select(
+            *subset,
+            F.coalesce(F.col("est_join_size"), zero).alias("est_join_size"),
         )
 
     def _estimate_over(
@@ -1200,6 +1405,188 @@ class MaintainedCountMinSketch:
                 .alias("est")
             )
         )
+
+
+class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
+    """Turnstile heavy-hitter ENUMERATION from maintained state — the
+    capability the plain :class:`MaintainedCountMinSketch` is missing:
+    its ``heavy_hitters(probes, T)`` answers "is this value heavy?" but
+    cannot NAME the heavy values without a caller-supplied candidate
+    set.  This subclass maintains the textbook turnstile answer — the
+    DYADIC (hierarchical) Count-Min structure of Cormode &
+    Muthukrishnan ("What's hot and what's not: tracking most frequent
+    items dynamically", TODS 2005): one CM sketch per PREFIX LEVEL of
+    the value, here the base-256 digit prefixes of a NON-NEGATIVE
+    BIGINT value (8 levels × 8 bits cover the domain [0, 2^63); level
+    L counts ``value >> 8L``).
+
+    Everything the parent guarantees carries over unchanged, because a
+    level is just one more counter-key column: folds stay LINEAR ±
+    signed deltas (deletes and update preimages maintain exactly, no
+    recount path), the crash-safe turnstile guard validates before the
+    meta swap, rollups/unions add, and level 0 IS a plain CM over the
+    raw values — ``estimate`` / ``heavy_hitters`` /
+    ``estimate_join_size`` serve from it via ``_value_grain``.  State
+    and fold cost are the parent's × LEVELS (8).
+
+    :meth:`enumerate_heavy` then NAMES every value with frequency ≥ T
+    by descending the prefix tree: probe the 128 top-level prefixes,
+    expand each heavy prefix into its 256 children, repeat to level 0.
+    CM never underestimates, and a value's count never exceeds its
+    prefix's, so NO true heavy hitter can be pruned (no false
+    negatives); εN-rare collision-driven false positives are the
+    documented CM trade.  The descent is FULLY DISTRIBUTED — candidate
+    frames live in DataFrames end to end (no driver-side collect of
+    candidates), per-level work is bounded by
+    256 · (prefixes with est ≥ T) ≤ 256 · N/T per group, and every
+    probe reads only the k-counter STATE, never a base table.
+
+    Cross-engine exact like its parent: prefixes are integer shifts
+    (``//`` on a non-negative domain), buckets the shared md5+salt
+    idiom — a DuckDB oracle rebuilds the whole dyadic structure and the
+    descent bit-for-bit (eight chained CTEs; see
+    entry_pipeline's ``pipeline_cms_heavy_hitters`` oracle).
+
+    Reference parity: the reference defers "top values" questions to
+    the warehouse (full GROUP BY per query); this answers them from
+    O(levels·depth·width) maintained state per group."""
+
+    _COUNTER_KEYS = ("level", "depth", "bucket")
+    BRANCH_BITS = 8
+    LEVELS = 8  # 8 × 8 bits = the full non-negative BIGINT domain
+    _FANOUT = 1 << BRANCH_BITS
+
+    def _extra_meta(self) -> dict:
+        return {"levels": self.LEVELS, "branch_bits": self.BRANCH_BITS}
+
+    def _checked_value(self) -> F.Column:
+        """The value as a guarded non-negative BIGINT: the dyadic
+        domain is [0, 2^63), so a negative value raises at fold time
+        (assert_true — referenced inside the projection so Catalyst
+        keeps it) instead of silently shifting into a wrong prefix."""
+        v = F.col(self.value_col).cast("long")
+        return F.when(
+            F.assert_true(
+                v >= 0,
+                F.lit(
+                    f"{self.value_col} must be a non-negative BIGINT "
+                    "for dyadic heavy-hitter enumeration"
+                ),
+            ).isNull(),
+            v,
+        )
+
+    def _fold_structs(self) -> F.Column:
+        v = self._checked_value()
+        structs = []
+        for lv in range(self.LEVELS):
+            pfx = F.shiftright(v, self.BRANCH_BITS * lv) if lv else v
+            for d in range(self.depth):
+                structs.append(
+                    F.struct(
+                        F.lit(lv).cast("int").alias("level"),
+                        F.lit(d).cast("int").alias("depth"),
+                        cms_bucket_col(pfx, d, self.width).alias("bucket"),
+                    )
+                )
+        return F.array(*structs)
+
+    def _value_grain(self, counters: DataFrame) -> DataFrame:
+        return counters.filter(F.col("level") == 0).drop("level")
+
+    def _probe_prefixes(
+        self, lvl_counters: DataFrame, cand: DataFrame, subset: list[str]
+    ) -> DataFrame:
+        """(group…, __pfx, est) — CM min-over-depth estimate of each
+        candidate prefix against ONE level's counters."""
+        db = F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("int").alias("depth"),
+                    cms_bucket_col(F.col("__pfx"), d, self.width).alias(
+                        "bucket"
+                    ),
+                )
+                for d in range(self.depth)
+            ]
+        )
+        rows = cand.select(
+            *subset, "__pfx", F.explode(db).alias("__db")
+        ).select(*subset, "__pfx", "__db.depth", "__db.bucket")
+        return (
+            rows.join(lvl_counters, [*subset, "depth", "bucket"], "left")
+            .groupBy(*subset, "__pfx")
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("long")
+                .alias("est")
+            )
+        )
+
+    def enumerate_heavy(
+        self,
+        spark: SparkSession,
+        min_count: int,
+        group_subset: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """(group…, value, est) — every value whose CM estimate ≥
+        *min_count*, named by top-down dyadic descent.  Pass
+        *group_subset* to enumerate against rolled-up counters
+        (``[]`` = one global population).  Superset guarantee: every
+        value with TRUE frequency ≥ min_count appears; est is its CM
+        (never-under) estimate at level 0."""
+        if int(min_count) < 1:
+            raise ValueError(
+                f"min_count must be ≥ 1, got {min_count} — every value "
+                "would enumerate"
+            )
+        if group_subset is None:
+            subset = list(self.group_cols)
+            counters = self.read(spark)
+        else:
+            subset = list(group_subset)
+            counters = self.rollup(spark, subset)
+        # seed: every (group, top-level prefix).  The top level's
+        # prefix domain is 63 − 8·7 = 7 bits → 128 candidates.
+        top_bits = 63 - self.BRANCH_BITS * (self.LEVELS - 1)
+        prefixes = spark.range(1 << top_bits).select(
+            F.col("id").cast("long").alias("__pfx")
+        )
+        cand = (
+            counters.select(*subset).distinct().crossJoin(
+                F.broadcast(prefixes)
+            )
+            if subset
+            else prefixes
+        )
+        for lv in range(self.LEVELS - 1, -1, -1):
+            est = self._probe_prefixes(
+                counters.filter(F.col("level") == lv).drop("level"),
+                cand,
+                subset,
+            )
+            surv = est.filter(F.col("est") >= F.lit(int(min_count)))
+            if lv == 0:
+                return surv.select(
+                    *subset,
+                    F.col("__pfx").alias(self.value_col),
+                    "est",
+                )
+            # expand each heavy prefix into its 256 children — the
+            # whole descent stays ONE lazy plan (8 state-sized
+            # join+agg hops, never a base scan); levels are few and
+            # bounded, so no checkpointing is needed to keep it flat
+            cand = surv.select(
+                *subset,
+                F.explode(
+                    F.sequence(
+                        F.col("__pfx") * F.lit(self._FANOUT).cast("long"),
+                        F.col("__pfx") * F.lit(self._FANOUT).cast("long")
+                        + F.lit(self._FANOUT - 1).cast("long"),
+                    )
+                ).alias("__pfx"),
+            )
+        raise AssertionError("unreachable: LEVELS ≥ 1")
 
 
 # ---------------------------------------------------------------------------

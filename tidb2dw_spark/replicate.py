@@ -336,8 +336,9 @@ def consistent_snapshot_all(
 ):
     """A :class:`~..table.consistent.ConsistentSnapshot` over a fleet's
     replicas — the read-side completion of the reference's shared-TSO
-    model (cmd/core.go:45-57: every table's dump + changefeed share one
-    StartTSO; core.go:263-293 fans the tables out, and the warehouse is
+    model (cmd/core.go:183-220: Run fetches one startTSO via
+    tidbsql.GetCurrentTSO and every table's dump + changefeed share it;
+    core.go:263-293 fans the tables out, and the warehouse is
     expected to supply cross-table snapshot isolation — this supplies
     it for the managed-table layer).
 

@@ -2,8 +2,9 @@
 
 The reference's core consistency construct is a single TSO shared by
 the snapshot dump and the changefeed of every replicated table
-(cmd/core.go:45-57: Dumpling dumps at StartTSO and TiCDC starts at the
-same StartTSO; pkg/tidbsql fetches the TSO once).  Downstream, that
+(cmd/core.go:183-220: ``Run`` fetches one startTSO via
+``tidbsql.GetCurrentTSO`` and hands the SAME value to the changefeed
+create and the Dumpling dump).  Downstream, that
 guarantee is what makes a multi-table warehouse query transactionally
 meaningful: joining `orders` against `lineitem` is only correct if both
 sides reflect the SAME source moment — otherwise an order committed at
@@ -54,9 +55,25 @@ class ConsistentSnapshot:
     Resolution is EAGER: the constructor maps each table to its commit
     ordinal (raising if any table's initial load is already past the
     fence), so a snapshot object is an immutable, serializable pin —
-    later merges on the live tables cannot move it."""
+    later merges on the live tables cannot move it.
 
-    def __init__(self, tables: Mapping[str, ManagedTable], source_ts: int):
+    *views* extends the pin to DERIVED state: each entry maps a name to
+    ``(view, source_table_name)`` where *view* implements the derived
+    seq protocol (``version_for_seq`` / a versioned ``root`` —
+    :class:`~..operators.matview.MaintainedAggregate` with
+    ``keep_versions > 1`` does).  The pinned table commit's recorded
+    ``cdf_seq`` selects the view version whose fold covers EXACTLY the
+    same source changes, so a table ⋈ view join inside the snapshot
+    cannot tear (view ahead of or behind the pinned table commit — the
+    gap a per-table fence alone leaves open).  Resolution raises when
+    the view never materialized that seq or retention has dropped it."""
+
+    def __init__(
+        self,
+        tables: Mapping[str, ManagedTable],
+        source_ts: int,
+        views: Mapping[str, tuple[object, str]] | None = None,
+    ):
         if source_ts < 0:
             raise ValueError(f"source_ts {source_ts} is negative")
         self.source_ts = int(source_ts)
@@ -65,6 +82,31 @@ class ConsistentSnapshot:
             name: t.commit_for_source_ts(self.source_ts)
             for name, t in self.tables.items()
         }
+        self.views = dict(views or {})
+        overlap = set(self.views) & set(self.tables)
+        if overlap:
+            raise ValueError(
+                f"names {sorted(overlap)} are both tables and views"
+            )
+        self._view_paths: dict[str, object] = {}
+        for name, (view, src_name) in self.views.items():
+            if src_name not in self.tables:
+                raise KeyError(
+                    f"view {name!r} declares source {src_name!r}, which "
+                    f"is not in this snapshot (tables: "
+                    f"{sorted(self.tables)})"
+                )
+            entry = self.tables[src_name].history()[self._commits[src_name]]
+            seq = entry.get("cdf_seq")
+            if seq is None:
+                raise ValueError(
+                    f"pinned commit of {src_name!r} records no cdf_seq "
+                    "(no change feed, or history predating the derived "
+                    "fence) — the snapshot cannot place derived state "
+                    f"for view {name!r}"
+                )
+            ver = view.version_for_seq(int(seq))
+            self._view_paths[name] = view.root / f"v={ver}"
 
     def commits(self) -> dict[str, int]:
         """The per-table commit ordinals this snapshot pinned."""
@@ -82,22 +124,36 @@ class ConsistentSnapshot:
         return out
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        """*name*'s state as of the pinned fence (time-travel read)."""
+        """*name*'s state as of the pinned fence — a table (time-travel
+        read) or a pinned derived view (retained-version read; fails
+        loudly if retention dropped the pinned version AFTER
+        construction — raise ``keep_versions`` to cover the window a
+        pin must stay readable)."""
+        if name in self._view_paths:
+            p = self._view_paths[name]
+            if not p.exists():
+                raise ValueError(
+                    f"view {name!r}'s pinned state ({p}) was GC'd after "
+                    "the pin — raise keep_versions on the view to cover "
+                    "the snapshot's lifetime"
+                )
+            return spark.read.parquet(str(p))
         if name not in self.tables:
             raise KeyError(
                 f"{name!r} is not part of this snapshot "
-                f"(tables: {sorted(self.tables)})"
+                f"(tables: {sorted(self.tables)}, views: "
+                f"{sorted(self.views)})"
             )
         return self.tables[name].read_at(spark, self._commits[name])
 
     def register_views(
         self, spark: SparkSession, prefix: str = "snap_"
     ) -> list[str]:
-        """Register every table as a temp view ``{prefix}{name}`` so a
-        whole SQL statement runs against the one fence; returns the view
-        names."""
+        """Register every table AND pinned derived view as a temp view
+        ``{prefix}{name}`` so a whole SQL statement runs against the
+        one fence; returns the view names."""
         out = []
-        for name in self.tables:
+        for name in (*self.tables, *self._view_paths):
             view = f"{prefix}{name}"
             self.read(spark, name).createOrReplaceTempView(view)
             out.append(view)

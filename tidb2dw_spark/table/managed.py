@@ -113,6 +113,10 @@ class ManagedTable:
         "bucket_deltas", "delta_seq", "merge_mode",
         "field_ids", "next_field_id", "field_epochs",
         "source_ts_high",
+        # cdf_seq per commit lets ConsistentSnapshot map a pinned table
+        # commit to the DERIVED state (matview/sketch applied_seq) that
+        # reflects exactly the same source changes
+        "cdf_seq",
     )
 
     def _commit(self, manifest: dict, action: str = "commit") -> None:
@@ -301,7 +305,9 @@ class ManagedTable:
         has_ts = "commit_ts" in batch.columns
         if n_buckets <= 0:
             if has_ts:
-                mx = batch.agg(F.max("commit_ts")).collect()[0][0]
+                mx, n_batch = batch.agg(
+                    F.max("commit_ts"), F.count(F.lit(1))
+                ).collect()[0]
                 if mx is not None:
                     extra_meta = {
                         **(extra_meta or {}),
@@ -309,6 +315,14 @@ class ManagedTable:
                             int(m.get("source_ts_high", 0) or 0), int(mx)
                         ),
                     }
+                elif n_batch:
+                    # rows changed but carried no fence position — the
+                    # fence is now INCOMPLETE for this table's lifetime:
+                    # fenced reads must refuse rather than serve a
+                    # commit that may hide newer-than-fence changes
+                    extra_meta = {**(extra_meta or {}), "fence_incomplete": True}
+            else:
+                extra_meta = {**(extra_meta or {}), "fence_incomplete": True}
             target = self.read(spark)
             final = last_writer_wins(batch, pk_cols)
             merged = merge_changelog(
@@ -334,6 +348,10 @@ class ManagedTable:
                 m["source_ts_high"] = max(
                     int(m.get("source_ts_high", 0) or 0), max(mxs)
                 )
+            elif touched:
+                # data moved with no fence position — see the unbucketed
+                # branch: fenced reads must refuse from now on
+                m["fence_incomplete"] = True
         else:
             touched = sorted(
                 r["b"]
@@ -341,6 +359,8 @@ class ManagedTable:
                     self._bucket_expr(pk_cols, n_buckets).alias("b")
                 ).distinct().collect()
             )
+            if touched:
+                m["fence_incomplete"] = True
         if not touched:
             if extra_meta:
                 self.update_meta(**extra_meta)
@@ -1186,8 +1206,24 @@ class ManagedTable:
         commits inherit the fence unchanged).  The requested *ts* should
         be a batch boundary the producer actually emitted — between
         fences the table holds the last complete fence ≤ ts, exactly the
-        reference's snapshot-at-TSO semantics (cmd/core.go:45-57: the
-        dump and the changefeed share one StartTSO)."""
+        reference's snapshot-at-TSO semantics (the dump and the
+        changefeed share one StartTSO fetched by GetCurrentTSO in the
+        reference's Run, cmd/core.go:183-220).
+
+        Refuses when the fence is INCOMPLETE: any merge that changed
+        data without a commit_ts position (flagged at merge time) means
+        some commit may contain changes NEWER than its recorded fence —
+        resolving would silently serve a torn read while claiming
+        consistency, the one failure mode this primitive exists to
+        prevent."""
+        if self.manifest().get("fence_incomplete"):
+            raise ValueError(
+                f"table {self.root} applied at least one merge without "
+                "commit_ts — its source-TSO fence is incomplete, so a "
+                "fenced read could include changes newer than the "
+                "requested ts; re-snapshot the table (or replay with "
+                "commit_ts) to restore fenced reads"
+            )
         best = None
         for i, e in enumerate(self.history()):
             if "version" not in e:
