@@ -147,7 +147,9 @@ PIPELINE_QUERIES = [
     "pipeline_kmv_union",
     "pipeline_kmv_intersection",
     # round 9: TSO-consistent cross-table snapshot (metadata-only pin)
+    # round 10: + derived state (maintained view) pinned at the fence
     "pipeline_consistent_snapshot",
+    "pipeline_consistent_snapshot_view",
     # round 9: join-size/F2 planner statistics from CM counter states
     "pipeline_cms_join_size",
     "pipeline_kmv_difference",
@@ -158,7 +160,9 @@ PIPELINE_QUERIES = [
     "pipeline_maintained_cms",
     "pipeline_cms_rollup",
     # round 10: dyadic CM heavy-hitter ENUMERATION (turnstile top-k)
+    # + range selectivity from the same maintained dyadic state
     "pipeline_cms_heavy_hitters",
+    "pipeline_cms_range_count",
     "pipeline_maintained_monthly",
     "pipeline_maintained_q4",
     "pipeline_maintained_q6",

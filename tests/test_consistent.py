@@ -306,3 +306,57 @@ def test_consistent_snapshot_covers_maintained_views(spark, tmp_path):
     # a view whose source is not pinned refuses
     with pytest.raises(KeyError, match="not in this snapshot"):
         ConsistentSnapshot({"t": t}, 10, views={"agg": (view, "other")})
+
+
+def test_consistent_snapshot_covers_sketches(spark, tmp_path):
+    """The derived-seq protocol extends to the sketch tier
+    (SeqVersionedState): a CM sketch with keep_versions retains the
+    per-commit states, and a snapshot pins the one matching the pinned
+    table commit — frequency estimates inside the snapshot reflect
+    exactly the fenced rows.  Default keep_versions=1 keeps the
+    newest-only GC."""
+    from tidb2dw_spark.operators.sketch import MaintainedCountMinSketch
+
+    t = _t(spark, tmp_path / "t", n=30, pk_buckets=4, cdf=True)
+    sk = MaintainedCountMinSketch(
+        tmp_path / "sk", [], "v", depth=2, width=64, keep_versions=8
+    )
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [("I", 100, 10, 70), ("I", 101, 10, 70)]))
+    sk.refresh(spark, t)
+    t.merge(spark, _batch(spark, [("D", 100, 20, None), ("I", 102, 20, 70)]))
+    sk.refresh(spark, t)
+
+    snap = ConsistentSnapshot({"t": t}, 10, views={"freq": (sk, "t")})
+    pinned = snap.read(spark, "freq")
+    probe_est = (
+        pinned.filter(
+            "depth = 0"
+        ).count()  # sanity: the pinned state is the seq-10 version
+    )
+    assert probe_est > 0
+    # the pinned counters equal a rebuild over the fenced table read
+    ref = MaintainedCountMinSketch(
+        tmp_path / "ref", [], "v", depth=2, width=64
+    )
+    fenced = ManagedTable(tmp_path / "fenced")
+    fenced.create(snap.read(spark, "t"), pk_cols=["k"], pk_buckets=2,
+                  cdf=True)
+    ref.refresh(spark, fenced)
+    assert sorted(
+        (r["depth"], r["bucket"], r["cnt"]) for r in pinned.collect()
+    ) == sorted(
+        (r["depth"], r["bucket"], r["cnt"])
+        for r in ref.read(spark).collect()
+    )
+    # default retention: only the newest version dir survives
+    lone = MaintainedCountMinSketch(
+        tmp_path / "lone", [], "v", depth=2, width=64
+    )
+    lone.refresh(spark, t)
+    t.merge(spark, _batch(spark, [("I", 200, 30, 5)]))
+    lone.refresh(spark, t)
+    vs = sorted(p.name for p in (tmp_path / "lone").glob("v=*"))
+    assert len(vs) == 1
+    with pytest.raises(ValueError, match="no version at source seq"):
+        lone.version_for_seq(1)

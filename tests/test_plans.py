@@ -401,13 +401,19 @@ def test_cmhh_descent_reads_state_only(spark, sf_dir):
     data-sized: candidates stay in DataFrames end to end."""
     from tidb2dw_spark.plans import audit
 
-    plan = audit(QUERIES["pipeline_cms_heavy_hitters"](spark, sf_dir)).plan
-    scans = [
-        line for line in plan.splitlines() if "InMemoryFileIndex" in line
-    ]
-    assert 1 <= len(scans) <= 9, scans
-    for loc in scans:
-        assert "vals/v=" not in loc and "/hh/" in loc, loc
+    for name, cap in (
+        ("pipeline_cms_heavy_hitters", 9),   # 8 level probes + groups
+        ("pipeline_cms_range_count", 2),     # node probe + groups
+    ):
+        plan = audit(QUERIES[name](spark, sf_dir)).plan
+        scans = [
+            line
+            for line in plan.splitlines()
+            if "InMemoryFileIndex" in line
+        ]
+        assert 1 <= len(scans) <= cap, (name, scans)
+        for loc in scans:
+            assert "vals/v=" not in loc and "/hh/" in loc, (name, loc)
 
 
 def test_ivf_join_shuffles_both_sides_never_broadcasts(spark, sf_dir):

@@ -1791,3 +1791,113 @@ def test_quantile_histogram_max_bins_caps_state(spark, tmp_path):
         MaintainedQuantileHistogram(
             tmp_path / "h", ["grp"], "v", bin_width=3
         ).read(spark)
+
+
+def test_dyadic_cover_is_exact_partition():
+    """The canonical cover is a DISJOINT union equal to [lo, hi], for
+    adversarial ranges (aligned, misaligned, singletons, cross-level,
+    huge) — verified by expanding every node."""
+    from tidb2dw_spark.operators.sketch import dyadic_cover
+
+    def expand(nodes, bits=8):
+        out = []
+        for lvl, pfx in nodes:
+            sz = 1 << (bits * lvl)
+            out.append((pfx * sz, pfx * sz + sz - 1))
+        return sorted(out)
+
+    cases = [
+        (0, 0), (5, 5), (0, 255), (1, 256), (255, 256), (0, 65535),
+        (7, 70000), (1234, 5678), (0, (1 << 62)), (3, 3 + (1 << 40)),
+        ((1 << 55) - 3, (1 << 55) + 7),
+    ]
+    for lo, hi in cases:
+        iv = expand(dyadic_cover(lo, hi))
+        # disjoint, contiguous, exactly [lo, hi]
+        assert iv[0][0] == lo and iv[-1][1] == hi, (lo, hi, iv[:3])
+        for (a1, b1), (a2, b2) in zip(iv, iv[1:]):
+            assert a2 == b1 + 1, (lo, hi, (a1, b1), (a2, b2))
+        # bounded node count: ≤ 2*255 per level * 8
+        assert len(iv) <= 2 * 255 * 8
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="invalid range"):
+        dyadic_cover(-1, 5)
+    with _pytest.raises(ValueError, match="invalid range"):
+        dyadic_cover(9, 3)
+
+
+def test_cmhh_range_estimates_never_underestimate(spark, tmp_path):
+    """estimate_range ≥ the true BETWEEN count for every probed range
+    (sum of per-node overestimates), tight at generous width; exercises
+    leaf-only, cross-level, and huge-value ranges after churn."""
+    from tidb2dw_spark.operators.sketch import MaintainedCMHeavyHitters
+
+    rows = [(k, "G", (k * 13) % 500 + (0 if k % 7 else 3_000_000_000))
+            for k in range(400)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    hh = MaintainedCMHeavyHitters(
+        tmp_path / "hh", ["grp"], "v", depth=3, width=2048
+    )
+    hh.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("D", k, 5, None, None) for k in range(0, 400, 5)
+    ] + [("I", 9000 + i, 5, "G", 250 + i) for i in range(30)]))
+    hh.refresh(spark, t)
+
+    ranges = [(0, 99), (100, 499), (37, 38), (2_999_999_999, 3_000_000_600),
+              (0, 1 << 62)]
+    est = {
+        (r["lo"], r["hi"]): r["est"]
+        for r in hh.estimate_range(spark, ranges).collect()
+    }
+    live = [r["v"] for r in t.read(spark).select("v").collect()]
+    for lo, hi in ranges:
+        true = sum(1 for v in live if lo <= v <= hi)
+        assert est[(lo, hi)] >= true, (lo, hi, est[(lo, hi)], true)
+        assert est[(lo, hi)] <= true + 64, (lo, hi, est[(lo, hi)], true)
+    # the full-domain range counts everything exactly (top-level nodes)
+    assert est[(0, 1 << 62)] >= len(live)
+    with pytest.raises(ValueError, match="non-empty"):
+        hh.estimate_range(spark, [])
+
+
+def test_cmhh_union_enumeration_across_tables(spark, tmp_path):
+    """enumerate_heavy_union names values heavy across A ⊎ B even when
+    heavy in NEITHER alone (counters add by linearity, bit-equal to a
+    direct build over the union)."""
+    from tidb2dw_spark.operators.sketch import MaintainedCMHeavyHitters
+
+    def mk(path, n_each):
+        t = ManagedTable(path)
+        t.create(
+            spark.createDataFrame(
+                [(k, "G", 42) for k in range(n_each)]
+                + [(1000 + k, "G", k + 100) for k in range(20)],
+                SCHEMA,
+            ),
+            pk_cols=["k"], pk_buckets=2, cdf=True,
+        )
+        return t
+
+    ta, tb = mk(tmp_path / "a", 6), mk(tmp_path / "b", 6)
+    ha = MaintainedCMHeavyHitters(
+        tmp_path / "ha", ["grp"], "v", depth=3, width=1024
+    )
+    hb = MaintainedCMHeavyHitters(
+        tmp_path / "hb", ["grp"], "v", depth=3, width=1024
+    )
+    ha.refresh(spark, ta)
+    hb.refresh(spark, tb)
+    # 42 appears 6 times in each table: below a threshold of 10 alone,
+    # above it in the union
+    assert ha.enumerate_heavy(spark, 10).count() == 0
+    assert hb.enumerate_heavy(spark, 10).count() == 0
+    got = {
+        (r["grp"], r["v"]): r["est"]
+        for r in ha.enumerate_heavy_union(spark, hb, 10, ["grp"]).collect()
+    }
+    assert got == {("G", 42): 12}

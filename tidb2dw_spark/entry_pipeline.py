@@ -4877,6 +4877,80 @@ def pipeline_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planner-facing range selectivity from the same dyadic state: each
+# BETWEEN predicate decomposes into its canonical cover and the answer
+# is the sum of per-node CM estimates — never an underestimate.  The
+# oracle embeds the IDENTICAL node set (the builder calls the same
+# dyadic_cover), so the whole read is hash-verified.
+_CMHH_RANGES = [
+    (40, 70),                                      # straddles 50 + 61
+    (2_999_999_999_900, 3_000_000_000_100),        # the deep huge value
+    (0, 1 << 62),                                  # full domain (top nodes)
+]
+
+
+def pipeline_cms_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline_cms_heavy_hitters(spark, sf_dir)  # share the maintained fixture
+    hh, _thr = _CMHH_CACHE[sf_dir]
+    return hh.estimate_range(spark, _CMHH_RANGES).select(
+        "prio",
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def _cmhh_range_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql, dyadic_cover
+
+    cb = cms_bucket_sql(
+        "(v // (CAST(1 AS BIGINT) << (8 * l.lv)))", "t.d", _CMHH_W
+    )
+    pb = cms_bucket_sql("p.pfx", "p.depth", _CMHH_W)
+    vals = ", ".join(
+        f"({lo}, {hi}, {lvl}, {pfx})"
+        for lo, hi in _CMHH_RANGES
+        for lvl, pfx in dyadic_cover(lo, hi)
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CAST(CASE WHEN o_orderkey % 3 = 0 THEN 50
+                   ELSE o_custkey % 97 END AS BIGINT) AS v
+  FROM orders
+), cur AS (
+  SELECT prio,
+         CASE WHEN o_orderkey % 10 = 4 AND o_orderkey % 3 <> 0
+              THEN CAST({_CMHH_BIG} AS BIGINT) ELSE v END AS v
+  FROM base WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT prio, CAST(61 AS BIGINT) FROM base WHERE o_orderkey % 25 = 3
+), counters AS (
+  SELECT prio, l.lv AS level, t.d AS depth, {cb} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cur, range(8) l(lv), range({_CMHH_D}) t(d)
+  WHERE v IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+), nodes(lo, hi, level, pfx) AS (
+  VALUES {vals}
+), node_probe AS (
+  SELECT g.prio, n.lo, n.hi, n.level, n.pfx, t.d AS depth
+  FROM (SELECT DISTINCT prio FROM cur WHERE v IS NOT NULL) g,
+       nodes n, range({_CMHH_D}) t(d)
+), node_est AS (
+  SELECT p.prio, p.lo, p.hi, p.level, p.pfx,
+         CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
+  FROM node_probe p
+  LEFT JOIN counters c ON c.prio = p.prio AND c.level = p.level
+       AND c.depth = p.depth AND c.bucket = {pb}
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT prio, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+       CAST(SUM(e) AS BIGINT) AS est
+FROM node_est GROUP BY 1, 2, 3
+"""
+
+
 def _cmhh_oracle() -> str:
     from .operators.sketch import cms_bucket_sql
 
@@ -7086,13 +7160,34 @@ def pipeline_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust_src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
             "c_custkey", "c_mktsegment"
         )
+        from .operators.matview import MaintainedAggregate
+
         wh = Path(tempfile.mkdtemp(prefix="tidb2dw_snapview_"))
+        # cdf on orders feeds the maintained view the DERIVED-state pin
+        # (pipeline_consistent_snapshot_view) covers at the same fence
         orders = ManagedTable(wh / "orders").create(
-            ord_src, ["o_orderkey"], pk_buckets=8
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
         )
         cust = ManagedTable(wh / "cust").create(
             cust_src, ["c_custkey"], pk_buckets=8
         )
+        rev = MaintainedAggregate(
+            wh / "rev",
+            ["ckbucket"],
+            sum_cols={
+                "revenue_cents": (
+                    "CAST(round(o_totalprice * 100.0) AS BIGINT)"
+                )
+            },
+            measure_cols=["o_totalprice"],
+            derived_cols={
+                "ckbucket": (
+                    "CAST(o_custkey % 100 AS BIGINT)", ["o_custkey"]
+                )
+            },
+            keep_versions=4,
+        )
+        rev.refresh(spark, orders)  # seed
 
         def obatch(df: DataFrame, flag: str, ts: int) -> DataFrame:
             return df.select(
@@ -7116,6 +7211,7 @@ def pipeline_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.merge(spark, obatch(
             ord_src.filter(F.col("o_orderkey") % 10 == 7), "D", 10
         ))
+        rev.refresh(spark, orders)  # view state covering the ts=10 commit
         cust.merge(spark, cbatch(
             cust_src.filter(F.col("c_custkey") % 7 == 3).withColumn(
                 "c_mktsegment", F.lit("MOVED")
@@ -7130,10 +7226,14 @@ def pipeline_consistent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "I", 20,
         ))
+        rev.refresh(spark, orders)  # view advances PAST the pin
         cust.merge(spark, cbatch(
             cust_src.filter(F.col("c_custkey") % 5 == 1), "D", 20
         ))
-        snap = ConsistentSnapshot({"orders": orders, "cust": cust}, 15)
+        snap = ConsistentSnapshot(
+            {"orders": orders, "cust": cust}, 15,
+            views={"rev": (rev, "orders")},
+        )
         if snap.fences() != {"orders": 10, "cust": 10}:
             raise RuntimeError(
                 f"snapshot pinned {snap.fences()}, expected the common "
@@ -7170,6 +7270,39 @@ SELECT c.c_mktsegment,
        CAST(SUM(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
          AS revenue_cents
 FROM o JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def pipeline_consistent_snapshot_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DERIVED state at the fence: the snapshot pins the maintained
+    per-custkey-bucket revenue view to the version whose fold covers
+    EXACTLY the pinned orders commit (cdf_seq mapping), even though the
+    live view has since folded the ts=20 inserts — the oracle
+    recomputes the aggregate relationally from the fenced rows, so a
+    view served ahead of or behind the pin (the tear a per-table fence
+    alone allows) breaks the hash."""
+    pipeline_consistent_snapshot(spark, sf_dir)  # share the pinned fixture
+    snap = _SNAPVIEW_CACHE[sf_dir]
+    return snap.read(spark, "rev").select(
+        F.col("ckbucket").cast("long").alias("ckbucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+_SNAPVIEW_VIEW_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 7
+)
+SELECT CAST(o_custkey % 100 AS BIGINT) AS ckbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM o
 GROUP BY 1
 """
 
@@ -7496,6 +7629,7 @@ QUERIES = {
     "pipeline_cms_rollup": pipeline_cms_rollup,
     "pipeline_cms_join_size": pipeline_cms_join_size,
     "pipeline_cms_heavy_hitters": pipeline_cms_heavy_hitters,
+    "pipeline_cms_range_count": pipeline_cms_range_count,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
@@ -7524,6 +7658,7 @@ QUERIES = {
     "pipeline_distinct_quantile": pipeline_distinct_quantile,
     "pipeline_time_travel": pipeline_time_travel,
     "pipeline_consistent_snapshot": pipeline_consistent_snapshot,
+    "pipeline_consistent_snapshot_view": pipeline_consistent_snapshot_view,
     "table_point_lookup": table_point_lookup,
     "table_index_lookup": table_index_lookup,
     "table_index_range_lookup": table_index_range_lookup,
@@ -7566,6 +7701,7 @@ ORACLES = {
     "pipeline_cms_rollup": _cms_rollup_oracle(),
     "pipeline_cms_join_size": _cmsjoin_oracle(),
     "pipeline_cms_heavy_hitters": _cmhh_oracle(),
+    "pipeline_cms_range_count": _cmhh_range_oracle(),
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,
@@ -7594,6 +7730,7 @@ ORACLES = {
     "pipeline_distinct_quantile": _QUANTILE_ORACLE,
     "pipeline_time_travel": _time_travel_oracle(CDF_ROOT),
     "pipeline_consistent_snapshot": _SNAPVIEW_ORACLE,
+    "pipeline_consistent_snapshot_view": _SNAPVIEW_VIEW_ORACLE,
     "table_point_lookup": POINT_LOOKUP_ORACLE,
     "table_index_lookup": _index_lookup_oracle(),
     "table_index_range_lookup": _index_range_lookup_oracle(),

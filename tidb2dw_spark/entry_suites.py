@@ -159,6 +159,9 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # cross-table snapshot pinned to one source TSO fence: both tables'
     # ts<=fence changes visible, both later fences not — no torn join
     "pipeline_consistent_snapshot": [("c_mktsegment", "str"), ("n_orders", "int"), ("revenue_cents", "int")],
+    # derived state AT the fence: the pinned view version covers exactly
+    # the pinned orders commit even though the live view folded past it
+    "pipeline_consistent_snapshot_view": [("ckbucket", "int"), ("n_rows", "int"), ("revenue_cents", "int")],
     # approximate-quantile tier: maintained integer histogram; the
     # signed count fold handles deletes with NO recount; rank/total/bin
     # bounds are pure integers incl. the oracle's cumulative walk
@@ -172,6 +175,10 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # descent NAMES every value >= threshold (decay + growth exercised);
     # the oracle replays all 8 levels and the descent as chained CTEs
     "pipeline_cms_heavy_hitters": [("prio", "str"), ("v", "int"), ("est", "int")],
+    # range selectivity (BETWEEN counts) from the same dyadic state:
+    # canonical-cover node sums, never an underestimate; the oracle
+    # embeds the identical node set
+    "pipeline_cms_range_count": [("prio", "str"), ("lo", "int"), ("hi", "int"), ("est", "int")],
     # global quantiles merged from the per-priority bins (counts add);
     # oracle recomputes the coarse histogram + walk directly
     "pipeline_quantile_rollup": [("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],

@@ -71,6 +71,56 @@ _SUB = ("delete", "update_preimage")
 _ADD = ("insert", "update_postimage")
 
 
+class SeqVersionedState:
+    """Mixin for ``root/_meta.json`` + ``v=N`` derived objects: retain
+    the last ``keep_versions`` state versions plus a seq→version map in
+    the meta, so :class:`~..table.consistent.ConsistentSnapshot` can
+    pin this object at a source commit — the same
+    ``version_for_seq`` / ``read_at_seq`` protocol
+    :class:`~.matview.MaintainedAggregate` implements.  Default
+    ``keep_versions = 1`` keeps the existing newest-only GC."""
+
+    keep_versions: int = 1
+
+    def _record_seq_version(self, meta: dict) -> None:
+        sv = {
+            str(k): int(v)
+            for k, v in (meta.get("seq_versions") or {}).items()
+        }
+        sv[str(int(meta["applied_seq"]))] = int(meta["version"])
+        keep = sorted(set(sv.values()), reverse=True)[
+            : max(1, int(self.keep_versions))
+        ]
+        meta["seq_versions"] = {
+            s: v for s, v in sv.items() if v in set(keep)
+        }
+
+    def _retained_versions(self, meta: dict) -> set:
+        return {int(v) for v in (meta.get("seq_versions") or {}).values()}
+
+    def version_for_seq(self, seq: int) -> int:
+        """The RETAINED state version whose fold covers the source feed
+        exactly through *seq*; raises when that seq was never
+        materialized (batched refresh) or retention dropped it —
+        serving a neighboring version would be a torn read."""
+        sv = self.meta().get("seq_versions") or {}
+        v = sv.get(str(int(seq)))
+        if v is None:
+            raise ValueError(
+                f"state at {self.root} holds no version at source seq "
+                f"{seq} (retained seqs: {sorted(int(s) for s in sv)}); "
+                "refresh once per source commit and/or raise "
+                "keep_versions to cover the pin window"
+            )
+        return int(v)
+
+    def read_at_seq(self, spark: SparkSession, seq: int) -> DataFrame:
+        """This state as of source feed seq *seq* (exact match)."""
+        return spark.read.parquet(
+            str(self.root / f"v={self.version_for_seq(seq)}")
+        )
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -196,6 +246,7 @@ class MaintainedQuantileHistogram:
         where: str | None = None,
         where_cols: Sequence[str] | None = None,
         max_bins: int | None = None,
+        keep_versions: int = 1,
     ):
         from .matview import MaintainedAggregate
 
@@ -219,6 +270,20 @@ class MaintainedQuantileHistogram:
                 dict.fromkeys([value_col, *(where_cols or [])])
             ),
             derived_cols=self._bin_derived(self.bin_width),
+            keep_versions=keep_versions,
+        )
+        # protocol compatibility: ConsistentSnapshot reads pinned state
+        # through <root>/v=N
+        self.root = self._agg.root
+
+    def version_for_seq(self, seq: int) -> int:
+        """Consistent-pin protocol, delegated to the backing aggregate
+        (construct with keep_versions > 1 to retain pinnable state)."""
+        return self._agg.version_for_seq(seq)
+
+    def read_at_seq(self, spark: SparkSession, seq: int) -> DataFrame:
+        return self._agg.read_at_seq(spark, seq).select(
+            *self.group_cols, "__bin", "n_rows"
         )
 
     def _bin_derived(self, width: int) -> dict:
@@ -466,7 +531,7 @@ class MaintainedQuantileHistogram:
         )
 
 
-class MaintainedHLLSketch:
+class MaintainedHLLSketch(SeqVersionedState):
     """Per-group HLL registers maintained from a ManagedTable's feed
     under the single-table derived protocol (``exists()`` /
     ``refresh(spark, table)``) that :class:`~...replicate.
@@ -480,9 +545,11 @@ class MaintainedHLLSketch:
         p: int = 12,
         where: str | None = None,
         where_cols: Sequence[str] | None = None,
+        keep_versions: int = 1,
     ):
         if not (4 <= p <= 16):
             raise ValueError(f"p={p} out of range [4, 16]")
+        self.keep_versions = max(1, int(keep_versions))
         self.root = Path(root)
         self.group_cols = list(group_cols)
         self.value_col = value_col
@@ -512,12 +579,15 @@ class MaintainedHLLSketch:
             str(self.root / f"v={meta['version']}")
         )
         self.root.mkdir(parents=True, exist_ok=True)
+        self._record_seq_version(meta)
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
+        retained = self._retained_versions(meta)
         for pth in self.root.glob("v=*"):
-            if int(pth.name.split("=", 1)[1]) < meta["version"]:
+            v = int(pth.name.split("=", 1)[1])
+            if v < meta["version"] and v not in retained:
                 shutil.rmtree(pth, ignore_errors=True)
 
     def _source_cols(self) -> list[str]:
@@ -855,7 +925,7 @@ def cms_bucket_sql(value_col: str, depth_expr: str, width: int) -> str:
     return f"CAST({h} % {width} AS INT)"
 
 
-class MaintainedCountMinSketch:
+class MaintainedCountMinSketch(SeqVersionedState):
     """Per-group Count-Min counters maintained from a ManagedTable's
     feed — the APPROXIMATE tier of the FREQUENCY family, completing the
     sketch-tier symmetry:
@@ -914,11 +984,13 @@ class MaintainedCountMinSketch:
         width: int = 2048,
         where: str | None = None,
         where_cols: Sequence[str] | None = None,
+        keep_versions: int = 1,
     ):
         if not (1 <= depth <= 8):
             raise ValueError(f"depth={depth} out of range [1, 8]")
         if width < 2:
             raise ValueError(f"width={width} must be ≥ 2")
+        self.keep_versions = max(1, int(keep_versions))
         self.root = Path(root)
         self.group_cols = list(group_cols)
         self.value_col = value_col
@@ -964,12 +1036,15 @@ class MaintainedCountMinSketch:
                 shutil.rmtree(vdir, ignore_errors=True)
                 raise
         self.root.mkdir(parents=True, exist_ok=True)
+        self._record_seq_version(meta)
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
+        retained = self._retained_versions(meta)
         for pth in self.root.glob("v=*"):
-            if int(pth.name.split("=", 1)[1]) < meta["version"]:
+            v = int(pth.name.split("=", 1)[1])
+            if v < meta["version"] and v not in retained:
                 shutil.rmtree(pth, ignore_errors=True)
 
     def _extra_meta(self) -> dict:
@@ -1407,6 +1482,40 @@ class MaintainedCountMinSketch:
         )
 
 
+def dyadic_cover(
+    lo: int, hi: int, bits: int = 8, levels: int = 8
+) -> list[tuple[int, int]]:
+    """The canonical base-``2^bits`` dyadic cover of ``[lo, hi]``
+    (inclusive, non-negative): the minimal list of (level, prefix)
+    nodes — node (l, p) spans ``[p·2^(bits·l), (p+1)·2^(bits·l) − 1]``
+    — whose DISJOINT union is exactly the range.  ≤ 2·(2^bits − 1)
+    nodes per level: driver-sized for any range.  Pure integer
+    algebra, reproduced verbatim by the SQL-oracle builder so both
+    engines probe the identical node set."""
+    if lo < 0 or hi < lo:
+        raise ValueError(f"invalid range [{lo}, {hi}]")
+    out: list[tuple[int, int]] = []
+    lvl = 0
+    while lo <= hi and lvl < levels - 1:
+        sz = 1 << (bits * lvl)
+        step = sz << bits
+        while lo % step != 0 and lo + sz - 1 <= hi:
+            out.append((lvl, lo >> (bits * lvl)))
+            lo += sz
+        while (hi + 1) % step != 0 and hi - sz + 1 >= lo:
+            out.append((lvl, hi >> (bits * lvl)))
+            hi -= sz
+        if lo > hi:
+            return out
+        lvl += 1
+    sz = 1 << (bits * lvl)
+    p = lo
+    while p <= hi:
+        out.append((lvl, p >> (bits * lvl)))
+        p += sz
+    return out
+
+
 class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
     """Turnstile heavy-hitter ENUMERATION from maintained state — the
     capability the plain :class:`MaintainedCountMinSketch` is missing:
@@ -1523,11 +1632,109 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
             )
         )
 
+    def estimate_range(
+        self,
+        spark: SparkSession,
+        ranges: Sequence[tuple[int, int]],
+        group_subset: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """(group…, lo, hi, est) — approximate COUNT of rows with
+        ``lo ≤ value ≤ hi`` per group, from the dyadic state alone: the
+        range decomposes into its canonical cover (:func:`dyadic_cover`,
+        ≤ 2·255 nodes per level) and the answer is the SUM of each
+        node's CM min-estimate at its level.  Never an underestimate
+        (a sum of per-node overestimates), so a range-selectivity
+        planning decision fails safe — the classic turnstile
+        range-count read (Cormode & Muthukrishnan, TODS 2005 §4).
+        *ranges* is driver-supplied (planner predicates); the node set
+        is integer-exact, so a SQL oracle probing the same nodes
+        hash-matches."""
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        subset = (
+            list(self.group_cols)
+            if group_subset is None
+            else list(group_subset)
+        )
+        counters = (
+            self.read(spark)
+            if group_subset is None
+            else self.rollup(spark, subset)
+        )
+        rows = []
+        for lo, hi in ranges:
+            for lvl, pfx in dyadic_cover(
+                int(lo), int(hi), self.BRANCH_BITS, self.LEVELS
+            ):
+                rows.append((int(lo), int(hi), lvl, pfx))
+        nodes = spark.createDataFrame(
+            rows, "lo long, hi long, level int, __pfx long"
+        )
+        cand = (
+            counters.select(*subset).distinct().crossJoin(
+                F.broadcast(nodes)
+            )
+            if subset
+            else nodes
+        )
+        db = F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("int").alias("depth"),
+                    cms_bucket_col(F.col("__pfx"), d, self.width).alias(
+                        "bucket"
+                    ),
+                )
+                for d in range(self.depth)
+            ]
+        )
+        probe = cand.select(
+            *subset, "lo", "hi", "level", "__pfx",
+            F.explode(db).alias("__db"),
+        ).select(
+            *subset, "lo", "hi", "level", "__pfx",
+            "__db.depth", "__db.bucket",
+        )
+        node_est = (
+            probe.join(
+                counters, [*subset, "level", "depth", "bucket"], "left"
+            )
+            .groupBy(*subset, "lo", "hi", "level", "__pfx")
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("long")
+                .alias("__node_est")
+            )
+        )
+        return node_est.groupBy(*subset, "lo", "hi").agg(
+            F.sum("__node_est").cast("long").alias("est")
+        )
+
+    def enumerate_heavy_union(
+        self,
+        spark: SparkSession,
+        other: "MaintainedCMHeavyHitters",
+        min_count: int,
+        group_subset: Sequence[str],
+    ) -> DataFrame:
+        """:meth:`enumerate_heavy` over the BAG UNION of two maintained
+        populations, from their states alone — linearity again: the
+        summed dyadic counters equal a direct build over ``A ⊎ B``, so
+        the descent names every value heavy ACROSS the two tables even
+        when it is heavy in neither alone."""
+        return self.enumerate_heavy(
+            spark,
+            min_count,
+            group_subset,
+            _counters=self.union_rollup(spark, other, group_subset),
+        )
+
     def enumerate_heavy(
         self,
         spark: SparkSession,
         min_count: int,
         group_subset: Sequence[str] | None = None,
+        _counters: DataFrame | None = None,
     ) -> DataFrame:
         """(group…, value, est) — every value whose CM estimate ≥
         *min_count*, named by top-down dyadic descent.  Pass
@@ -1540,7 +1747,10 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
                 f"min_count must be ≥ 1, got {min_count} — every value "
                 "would enumerate"
             )
-        if group_subset is None:
+        if _counters is not None:
+            subset = list(group_subset or [])
+            counters = _counters
+        elif group_subset is None:
             subset = list(self.group_cols)
             counters = self.read(spark)
         else:
@@ -1641,7 +1851,7 @@ def kmv_hash_sql(value_col: str) -> str:
     return f"('0x'||substr(md5(CAST({value_col} AS VARCHAR)),1,15))::BIGINT"
 
 
-class MaintainedKMVSketch:
+class MaintainedKMVSketch(SeqVersionedState):
     """Per-group k-minimum-values sketch maintained from a
     ManagedTable's feed under the single-table derived protocol
     (``exists()`` / ``refresh(spark, table)``).  State: (group…, h) —
@@ -1656,9 +1866,11 @@ class MaintainedKMVSketch:
         k: int = 256,
         where: str | None = None,
         where_cols: Sequence[str] | None = None,
+        keep_versions: int = 1,
     ):
         if k < 2:
             raise ValueError(f"k={k} out of range (need k >= 2)")
+        self.keep_versions = max(1, int(keep_versions))
         self.root = Path(root)
         self.group_cols = list(group_cols)
         self.value_col = value_col
@@ -1687,12 +1899,15 @@ class MaintainedKMVSketch:
             str(self.root / f"v={meta['version']}")
         )
         self.root.mkdir(parents=True, exist_ok=True)
+        self._record_seq_version(meta)
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
+        retained = self._retained_versions(meta)
         for pth in self.root.glob("v=*"):
-            if int(pth.name.split("=", 1)[1]) < meta["version"]:
+            v = int(pth.name.split("=", 1)[1])
+            if v < meta["version"] and v not in retained:
                 shutil.rmtree(pth, ignore_errors=True)
 
     def _source_cols(self) -> list[str]:
