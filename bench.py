@@ -163,6 +163,7 @@ PIPELINE_QUERIES = [
     # + range selectivity from the same maintained dyadic state
     "pipeline_cms_heavy_hitters",
     "pipeline_cms_range_count",
+    "pipeline_cms_quantile",
     "pipeline_maintained_monthly",
     "pipeline_maintained_q4",
     "pipeline_maintained_q6",

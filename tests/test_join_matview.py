@@ -2071,3 +2071,64 @@ def test_roleplay_expr_matches_recompute_on_random_feeds(spark, batches):
 
     assert state(mv_each) == want
     assert state(mv_span) == want
+
+
+def test_join_view_pins_at_multi_source_checkpoint(spark, tmp_path):
+    """ConsistentSnapshot covers a MULTI-SOURCE join view: the pin
+    resolves the (fact_seq, dim_seq) vector the two pinned table
+    commits record, and serves the retained version folded at EXACTLY
+    that checkpoint — equal to a recompute over the two fenced table
+    reads even after both feeds advance past the fence.  A checkpoint
+    the view never materialized refuses."""
+    from tidb2dw_spark.table.consistent import ConsistentSnapshot
+
+    fact, dim = _mk_pair(spark, tmp_path, BASE_FACT, BASE_DIM)
+    mv = _mk_view(tmp_path)
+    mv.keep_versions = 8
+    mv.refresh(spark, fact, dim)  # seed checkpoint
+
+    # fence 10 on both feeds, view folds the pair
+    fact.merge(spark, _fb(spark, [("I", 50, 10, 10, "HI", 111)]))
+    dim.merge(spark, _db(spark, [("U", 20, 10, "C")]))
+    mv.refresh(spark, fact, dim)
+    want_at_10 = _recompute(spark, fact, dim)
+
+    # fence 20 on both feeds — the live view advances PAST the pin
+    fact.merge(spark, _fb(spark, [("D", 3, 20, None, None, None)]))
+    dim.merge(spark, _db(spark, [("I", 99, 20, "Z")]))
+    mv.refresh(spark, fact, dim)
+    assert _state(spark, mv.read(spark)) != want_at_10  # really moved
+
+    snap = ConsistentSnapshot(
+        {"fact": fact, "dim": dim}, 15,
+        views={"mv": (mv, ["fact", "dim"])},
+    )
+    assert _state(spark, snap.read(spark, "mv")) == want_at_10
+    # and the pinned view matches a recompute over the PINNED tables
+    pinned = _state(
+        spark,
+        init_join_agg(
+            snap.read(spark, "fact"), snap.read(spark, "dim"), "fk", "d",
+            ["pri", "seg"], {"total_cents": "cents"},
+        ),
+    )
+    assert _state(spark, snap.read(spark, "mv")) == pinned
+
+    # a view that SKIPPED the checkpoint (refreshed only after both
+    # fences) refuses at construction
+    lazy = MaintainedJoinAggregate(
+        tmp_path / "lazy", fk_col="fk", fact_group_cols=["pri"],
+        dim_group_cols=["seg"], sum_cols={"total_cents": "cents"},
+    )
+    lazy.keep_versions = 8
+    lazy.refresh(spark, fact, dim)
+    with pytest.raises(ValueError, match="no state at feed checkpoint"):
+        ConsistentSnapshot(
+            {"fact": fact, "dim": dim}, 15,
+            views={"lazy": (lazy, ["fact", "dim"])},
+        )
+    # a missing source name refuses
+    with pytest.raises(KeyError, match="not in this snapshot"):
+        ConsistentSnapshot(
+            {"fact": fact}, 15, views={"mv": (mv, ["fact", "dim"])}
+        )

@@ -404,6 +404,7 @@ def test_cmhh_descent_reads_state_only(spark, sf_dir):
     for name, cap in (
         ("pipeline_cms_heavy_hitters", 9),   # 8 level probes + groups
         ("pipeline_cms_range_count", 2),     # node probe + groups
+        ("pipeline_cms_quantile", 11),       # totals + 8 walk hops + groups
     ):
         plan = audit(QUERIES[name](spark, sf_dir)).plan
         scans = [

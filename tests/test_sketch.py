@@ -1901,3 +1901,50 @@ def test_cmhh_union_enumeration_across_tables(spark, tmp_path):
         for r in ha.enumerate_heavy_union(spark, hb, 10, ["grp"]).collect()
     }
     assert got == {("G", 42): 12}
+
+
+def test_cmhh_quantile_walk_matches_exact(spark, tmp_path):
+    """The dyadic rank walk returns the EXACT rank-R value when the
+    counters are collision-free (generous width, few distinct values) —
+    verified against a direct sort of the live rows for several
+    quantiles, per group, through delete/insert churn and with values
+    spanning 40 bits (no bin-width parameter to get wrong)."""
+    from tidb2dw_spark.operators.sketch import MaintainedCMHeavyHitters
+
+    rows = [
+        (k, "AB"[k % 2], (k * 37) % 200 + (1 << 40 if k % 9 == 0 else 0))
+        for k in range(300)
+    ]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    hh = MaintainedCMHeavyHitters(
+        tmp_path / "hh", ["grp"], "v", depth=3, width=4096
+    )
+    hh.refresh(spark, t)
+    t.merge(spark, _batch(spark, [
+        ("D", k, 5, None, None) for k in range(0, 300, 4)
+    ] + [("I", 9000 + i, 5, "A", 77) for i in range(25)]))
+    hh.refresh(spark, t)
+
+    qs = [10, 250, 500, 900, 1000]
+    got = {
+        (r["grp"], r["q_milli"]): (r["value"], r["rank"], r["total"])
+        for r in hh.quantile_values(spark, qs).collect()
+    }
+    live = {}
+    for r in t.read(spark).collect():
+        live.setdefault(r["grp"], []).append(r["v"])
+    for g, vals in live.items():
+        vals.sort()
+        n = len(vals)
+        for q in qs:
+            rank = max(1, (q * n + 999) // 1000)
+            value, grank, gtotal = got[(g, q)]
+            assert gtotal == n, (g, q, gtotal, n)
+            assert grank == rank
+            assert value == vals[rank - 1], (g, q, value, vals[rank - 1])
+    with pytest.raises(ValueError, match="qs_milli"):
+        hh.quantile_values(spark, [0])

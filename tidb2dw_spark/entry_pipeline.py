@@ -4951,6 +4951,116 @@ FROM node_est GROUP BY 1, 2, 3
 """
 
 
+# the third read family from the same dyadic state: per-group
+# quantiles by rank WALK down the prefix tree (no bin-width parameter,
+# state independent of the value range).  The oracle replays the walk —
+# totals, rank clamps, per-level cumsum pick — as chained CTEs.
+_CMHH_QS = [250, 500, 900]
+
+
+def pipeline_cms_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline_cms_heavy_hitters(spark, sf_dir)  # share the maintained fixture
+    hh, _thr = _CMHH_CACHE[sf_dir]
+    return hh.quantile_values(spark, _CMHH_QS).select(
+        "prio",
+        F.col("q_milli").cast("long").alias("q_milli"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("total").cast("long").alias("total"),
+        F.col("value").cast("long").alias("value"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def _cmhh_quantile_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    cb = cms_bucket_sql(
+        "(v // (CAST(1 AS BIGINT) << (8 * l.lv)))", "t.d", _CMHH_W
+    )
+    tb = cms_bucket_sql("b.pfx", "b.depth", _CMHH_W)
+    qs_vals = ", ".join(f"({q})" for q in _CMHH_QS)
+    walk = []
+    for lv in range(6, -1, -1):
+        walk.append(f"""e{lv} AS (
+  SELECT b.prio, b.q_milli, b.rank, b.total, b.R, b.pfx,
+         CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
+  FROM (SELECT s.prio, s.q_milli, s.rank, s.total, s.R,
+               s.pfx * 256 + o.o AS pfx, t.d AS depth
+        FROM w{lv + 1} s, range(256) o(o), range({_CMHH_D}) t(d)) b
+  LEFT JOIN counters c ON c.prio = b.prio AND c.level = {lv}
+       AND c.depth = b.depth AND c.bucket = {tb}
+  GROUP BY 1, 2, 3, 4, 5, 6
+), w{lv} AS (
+  SELECT prio, q_milli, rank, total, pfx, e,
+         CASE WHEN tc > 0 THEN LEAST(R, tc) - cum + e
+              ELSE 1 END AS R
+  FROM (
+    SELECT *,
+           SUM(e) OVER (PARTITION BY prio, q_milli ORDER BY pfx) AS cum,
+           SUM(e) OVER (PARTITION BY prio, q_milli) AS tc
+    FROM e{lv}
+  )
+  QUALIFY row_number() OVER (PARTITION BY prio, q_milli
+      ORDER BY CASE WHEN tc > 0 AND cum >= LEAST(R, tc) THEN 0 ELSE 1 END,
+               pfx) = 1
+)""")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CAST(CASE WHEN o_orderkey % 3 = 0 THEN 50
+                   ELSE o_custkey % 97 END AS BIGINT) AS v
+  FROM orders
+), cur AS (
+  SELECT prio,
+         CASE WHEN o_orderkey % 10 = 4 AND o_orderkey % 3 <> 0
+              THEN CAST({_CMHH_BIG} AS BIGINT) ELSE v END AS v
+  FROM base WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT prio, CAST(61 AS BIGINT) FROM base WHERE o_orderkey % 25 = 3
+), counters AS (
+  SELECT prio, l.lv AS level, t.d AS depth, {cb} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cur, range(8) l(lv), range({_CMHH_D}) t(d)
+  WHERE v IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+), tops AS (
+  SELECT b.prio, b.pfx, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
+  FROM (SELECT g.prio, p.p AS pfx, t.d AS depth
+        FROM (SELECT DISTINCT prio FROM cur WHERE v IS NOT NULL) g,
+             range(128) p(p), range({_CMHH_D}) t(d)) b
+  LEFT JOIN counters c ON c.prio = b.prio AND c.level = 7
+       AND c.depth = b.depth AND c.bucket = {tb}
+  GROUP BY 1, 2
+), totals AS (
+  SELECT prio, CAST(SUM(e) AS BIGINT) AS total FROM tops GROUP BY 1
+), qs(q_milli) AS (
+  VALUES {qs_vals}
+), st AS (
+  SELECT t.prio, q.q_milli, t.total,
+         GREATEST(1, (q.q_milli * t.total + 999) // 1000) AS rank
+  FROM totals t, qs q
+), w7 AS (
+  SELECT prio, q_milli, rank, total, pfx, e,
+         CASE WHEN tc > 0 THEN LEAST(R, tc) - cum + e
+              ELSE 1 END AS R
+  FROM (
+    SELECT s.prio, s.q_milli, s.rank, s.total, s.rank AS R, n.pfx, n.e,
+           SUM(n.e) OVER (PARTITION BY s.prio, s.q_milli
+                          ORDER BY n.pfx) AS cum,
+           SUM(n.e) OVER (PARTITION BY s.prio, s.q_milli) AS tc
+    FROM st s JOIN tops n ON n.prio = s.prio
+  )
+  QUALIFY row_number() OVER (PARTITION BY prio, q_milli
+      ORDER BY CASE WHEN tc > 0 AND cum >= LEAST(R, tc) THEN 0 ELSE 1 END,
+               pfx) = 1
+), {", ".join(walk)}
+SELECT prio, CAST(q_milli AS BIGINT) AS q_milli,
+       CAST(rank AS BIGINT) AS rank, CAST(total AS BIGINT) AS total,
+       CAST(pfx AS BIGINT) AS value, CAST(e AS BIGINT) AS est
+FROM w0
+"""
+
+
 def _cmhh_oracle() -> str:
     from .operators.sketch import cms_bucket_sql
 
@@ -7630,6 +7740,7 @@ QUERIES = {
     "pipeline_cms_join_size": pipeline_cms_join_size,
     "pipeline_cms_heavy_hitters": pipeline_cms_heavy_hitters,
     "pipeline_cms_range_count": pipeline_cms_range_count,
+    "pipeline_cms_quantile": pipeline_cms_quantile,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
@@ -7702,6 +7813,7 @@ ORACLES = {
     "pipeline_cms_join_size": _cmsjoin_oracle(),
     "pipeline_cms_heavy_hitters": _cmhh_oracle(),
     "pipeline_cms_range_count": _cmhh_range_oracle(),
+    "pipeline_cms_quantile": _cmhh_quantile_oracle(),
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,

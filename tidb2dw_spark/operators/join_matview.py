@@ -277,7 +277,17 @@ class MaintainedStarAggregate:
 
     Each dim joins on its (possibly composite) primary key — arity
     must match its fk tuple (the partsupp-style dim the reference
-    replicates via multi-column PK discovery, tidbsql/ddl.go)."""
+    replicates via multi-column PK discovery, tidbsql/ddl.go).
+
+    Consistent pins: set ``keep_versions`` (attribute, default 1) to
+    retain that many recent state versions plus a seq-VECTOR → version
+    map in the meta, so :class:`~..table.consistent.ConsistentSnapshot`
+    can pin this multi-source view at the exact
+    (fact_seq, dim_seq…) checkpoint its pinned tables resolve to
+    (:meth:`version_for_seqs` / :meth:`read_at_seqs` — the join-view
+    analogue of the single-table ``version_for_seq`` protocol)."""
+
+    keep_versions: int = 1
 
     @staticmethod
     def _cols(x) -> list[str]:
@@ -425,15 +435,62 @@ class MaintainedStarAggregate:
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(str(self.root / f"v={self.meta()['version']}"))
 
+    @staticmethod
+    def _seqvec_key(fact_seq: int, dim_seqs: Sequence[int]) -> str:
+        return "|".join(str(int(s)) for s in [fact_seq, *dim_seqs])
+
     def _commit(self, agg: DataFrame, meta: dict) -> None:
         agg.write.mode("overwrite").parquet(
             str(self.root / f"v={meta['version']}")
         )
         self.root.mkdir(parents=True, exist_ok=True)
+        # seq-vector → version map for the retained versions (the
+        # consistent-pin hook); keep_versions=1 keeps newest-only
+        sv = {
+            str(k): int(v)
+            for k, v in (meta.get("seqvec_versions") or {}).items()
+        }
+        sv[self._seqvec_key(meta["applied_fact"], meta["applied_dims"])] = (
+            int(meta["version"])
+        )
+        keep = sorted(set(sv.values()), reverse=True)[
+            : max(1, int(self.keep_versions))
+        ]
+        meta["seqvec_versions"] = {
+            k: v for k, v in sv.items() if v in set(keep)
+        }
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
+
+    def version_for_seqs(
+        self, fact_seq: int, dim_seqs: Sequence[int]
+    ) -> int:
+        """The RETAINED version whose fold covers EXACTLY
+        (fact_seq, dim_seq…) — the multi-source half of a consistent
+        pin.  Raises when the view never materialized that checkpoint
+        (feeds refreshed in a different interleaving) or retention has
+        dropped it: any other version is a torn read by definition."""
+        sv = self.meta().get("seqvec_versions") or {}
+        key = self._seqvec_key(fact_seq, dim_seqs)
+        v = sv.get(key)
+        if v is None:
+            raise ValueError(
+                f"view at {self.root} holds no state at feed checkpoint "
+                f"({key}) (retained: {sorted(sv)}); refresh once per "
+                "source commit round and/or raise keep_versions to "
+                "cover the pin window"
+            )
+        return int(v)
+
+    def read_at_seqs(
+        self, spark: SparkSession, fact_seq: int, dim_seqs: Sequence[int]
+    ) -> DataFrame:
+        """This view's state as of the (fact, dims…) feed checkpoint."""
+        return spark.read.parquet(
+            str(self.root / f"v={self.version_for_seqs(fact_seq, dim_seqs)}")
+        )
 
     def _seed_commit(
         self,
@@ -1344,9 +1401,15 @@ class MaintainedStarAggregate:
             },
         )
         # GC superseded versions (state is tiny, but unbounded dirs decay
-        # listing like any other versioned store)
+        # listing like any other versioned store); keep_versions retains
+        # recent ones for consistent pins
+        retained = {
+            int(v)
+            for v in (self.meta().get("seqvec_versions") or {}).values()
+        }
         for p in self.root.glob("v=*"):
-            if int(p.name.split("=", 1)[1]) < meta["version"]:
+            v = int(p.name.split("=", 1)[1])
+            if v < meta["version"] and v not in retained:
                 shutil.rmtree(p, ignore_errors=True)
         return (sF, *sDs)
 

@@ -1710,6 +1710,148 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
             F.sum("__node_est").cast("long").alias("est")
         )
 
+    def quantile_values(
+        self,
+        spark: SparkSession,
+        qs_milli: Sequence[int],
+        group_subset: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """(group…, q_milli, rank, total, value, est) — approximate
+        per-group quantiles from the dyadic state, with NO bin-width
+        choice and state independent of the value range (the complement
+        of :class:`MaintainedQuantileHistogram`'s capped bins): the
+        rank-R value is found by WALKING the prefix tree — at each
+        level, a prefix-ordered cumulative sum over the (≤256) children
+        picks the child containing the remaining rank, 8 hops to a
+        leaf.  ``total`` is the top-level estimate sum, ``rank =
+        max(1, ⌈q·total/1000⌉)``.  Collision-free counters give the
+        EXACT rank-R value; collisions shift mass by the usual εN.
+        Deterministic clamp rules (rank clamps into each level's child
+        total; an empty subtree descends leftmost) are mirrored by the
+        SQL oracle, so the whole walk is hash-verifiable.  One lazy
+        plan of 8 state-sized hops per call — never a base scan."""
+        from pyspark.sql import Window
+
+        qs = [int(q) for q in qs_milli]
+        if not qs or any(not (0 < q <= 1000) for q in qs):
+            raise ValueError(
+                f"qs_milli must be in (0, 1000], got {qs_milli}"
+            )
+        if group_subset is None:
+            subset = list(self.group_cols)
+            counters = self.read(spark)
+        else:
+            subset = list(group_subset)
+            counters = self.rollup(spark, subset)
+        top = self.LEVELS - 1
+        top_n = 1 << (63 - self.BRANCH_BITS * top)
+        prefixes = spark.range(top_n).select(
+            F.col("id").cast("long").alias("__pfx")
+        )
+        groups = (
+            counters.select(*subset).distinct()
+            if subset
+            else spark.range(1).select(F.lit(1).alias("__one")).drop("__one")
+        )
+        top_cand = (
+            groups.crossJoin(F.broadcast(prefixes)) if subset else prefixes
+        )
+        top_est = self._probe_prefixes(
+            counters.filter(F.col("level") == top).drop("level"),
+            top_cand,
+            subset,
+        )
+        totals = top_est.groupBy(*subset).agg(
+            F.sum("est").cast("long").alias("total")
+        )
+        qdf = spark.createDataFrame([(q,) for q in qs], "q_milli long")
+        state = totals.crossJoin(F.broadcast(qdf)).select(
+            *subset, "q_milli", "total",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(q_milli * total + 999) DIV 1000").cast("long"),
+            ).alias("rank"),
+        ).withColumn("__R", F.col("rank"))
+
+        def probe_with_q(cand: DataFrame, lvl: int) -> DataFrame:
+            db = F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("depth"),
+                        cms_bucket_col(
+                            F.col("__pfx"), d, self.width
+                        ).alias("bucket"),
+                    )
+                    for d in range(self.depth)
+                ]
+            )
+            keep = [*subset, "q_milli", "rank", "total", "__R"]
+            rows = cand.select(
+                *keep, "__pfx", F.explode(db).alias("__db")
+            ).select(*keep, "__pfx", "__db.depth", "__db.bucket")
+            return (
+                rows.join(
+                    counters.filter(F.col("level") == lvl).drop("level"),
+                    [*subset, "depth", "bucket"],
+                    "left",
+                )
+                .groupBy(*keep, "__pfx")
+                .agg(
+                    F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                    .cast("long")
+                    .alias("__e")
+                )
+            )
+
+        cand = state.crossJoin(F.broadcast(prefixes))
+        for lv in range(top, -1, -1):
+            est = probe_with_q(cand, lv)
+            part = Window.partitionBy(*subset, "q_milli")
+            cum_w = part.orderBy("__pfx").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            scored = est.withColumn(
+                "__cum", F.sum("__e").over(cum_w).cast("long")
+            ).withColumn("__tc", F.sum("__e").over(part).cast("long"))
+            eff = F.least(F.col("__R"), F.col("__tc"))
+            crossing = (F.col("__tc") > 0) & (F.col("__cum") >= eff)
+            pick = Window.partitionBy(*subset, "q_milli").orderBy(
+                F.when(crossing, F.lit(0)).otherwise(F.lit(1)),
+                F.asc("__pfx"),
+            )
+            chosen = (
+                scored.withColumn("__rn", F.row_number().over(pick))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    *subset, "q_milli", "rank", "total",
+                    "__pfx", "__e",
+                    F.when(
+                        F.col("__tc") > 0,
+                        eff - F.col("__cum") + F.col("__e"),
+                    )
+                    .otherwise(F.lit(1))
+                    .cast("long")
+                    .alias("__R"),
+                )
+            )
+            if lv == 0:
+                return chosen.select(
+                    *subset, "q_milli", "rank", "total",
+                    F.col("__pfx").alias("value"),
+                    F.col("__e").cast("long").alias("est"),
+                )
+            cand = chosen.select(
+                *subset, "q_milli", "rank", "total", "__R",
+                F.explode(
+                    F.sequence(
+                        F.col("__pfx") * F.lit(self._FANOUT).cast("long"),
+                        F.col("__pfx") * F.lit(self._FANOUT).cast("long")
+                        + F.lit(self._FANOUT - 1).cast("long"),
+                    )
+                ).alias("__pfx"),
+            )
+        raise AssertionError("unreachable: LEVELS ≥ 1")
+
     def enumerate_heavy_union(
         self,
         spark: SparkSession,

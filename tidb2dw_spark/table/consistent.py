@@ -58,21 +58,23 @@ class ConsistentSnapshot:
     later merges on the live tables cannot move it.
 
     *views* extends the pin to DERIVED state: each entry maps a name to
-    ``(view, source_table_name)`` where *view* implements the derived
-    seq protocol (``version_for_seq`` / a versioned ``root`` —
-    :class:`~..operators.matview.MaintainedAggregate` with
-    ``keep_versions > 1`` does).  The pinned table commit's recorded
-    ``cdf_seq`` selects the view version whose fold covers EXACTLY the
-    same source changes, so a table ⋈ view join inside the snapshot
-    cannot tear (view ahead of or behind the pinned table commit — the
-    gap a per-table fence alone leaves open).  Resolution raises when
-    the view never materialized that seq or retention has dropped it."""
+    ``(view, source_table_name)`` — or, for a MULTI-SOURCE join/star
+    view, ``(view, [fact_name, dim_name, …])`` — where *view*
+    implements the derived seq protocol (``version_for_seq`` for one
+    source, ``version_for_seqs`` for a (fact, dims…) vector; the
+    maintained aggregates and sketches do with ``keep_versions > 1``).
+    Each pinned table commit's recorded ``cdf_seq`` selects the view
+    version whose fold covers EXACTLY the same source changes, so a
+    table ⋈ view join inside the snapshot cannot tear (view ahead of
+    or behind the pinned table commit — the gap a per-table fence
+    alone leaves open).  Resolution raises when the view never
+    materialized that checkpoint or retention has dropped it."""
 
     def __init__(
         self,
         tables: Mapping[str, ManagedTable],
         source_ts: int,
-        views: Mapping[str, tuple[object, str]] | None = None,
+        views: Mapping[str, tuple[object, object]] | None = None,
     ):
         if source_ts < 0:
             raise ValueError(f"source_ts {source_ts} is negative")
@@ -89,23 +91,32 @@ class ConsistentSnapshot:
                 f"names {sorted(overlap)} are both tables and views"
             )
         self._view_paths: dict[str, object] = {}
-        for name, (view, src_name) in self.views.items():
-            if src_name not in self.tables:
-                raise KeyError(
-                    f"view {name!r} declares source {src_name!r}, which "
-                    f"is not in this snapshot (tables: "
-                    f"{sorted(self.tables)})"
-                )
-            entry = self.tables[src_name].history()[self._commits[src_name]]
-            seq = entry.get("cdf_seq")
-            if seq is None:
-                raise ValueError(
-                    f"pinned commit of {src_name!r} records no cdf_seq "
-                    "(no change feed, or history predating the derived "
-                    "fence) — the snapshot cannot place derived state "
-                    f"for view {name!r}"
-                )
-            ver = view.version_for_seq(int(seq))
+        for name, (view, src) in self.views.items():
+            src_names = [src] if isinstance(src, str) else list(src)
+            seqs = []
+            for src_name in src_names:
+                if src_name not in self.tables:
+                    raise KeyError(
+                        f"view {name!r} declares source {src_name!r}, "
+                        f"which is not in this snapshot (tables: "
+                        f"{sorted(self.tables)})"
+                    )
+                entry = self.tables[src_name].history()[
+                    self._commits[src_name]
+                ]
+                seq = entry.get("cdf_seq")
+                if seq is None:
+                    raise ValueError(
+                        f"pinned commit of {src_name!r} records no "
+                        "cdf_seq (no change feed, or history predating "
+                        "the derived fence) — the snapshot cannot place "
+                        f"derived state for view {name!r}"
+                    )
+                seqs.append(int(seq))
+            if isinstance(src, str):
+                ver = view.version_for_seq(seqs[0])
+            else:
+                ver = view.version_for_seqs(seqs[0], seqs[1:])
             self._view_paths[name] = view.root / f"v={ver}"
 
     def commits(self) -> dict[str, int]:
