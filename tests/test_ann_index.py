@@ -452,3 +452,20 @@ def test_auto_sized_cells_rescale_on_growth(spark, tmp_path):
     assert not pinned.needs_rebuild(
         skew_factor=1e9, sim_drop=1e9, churn_ratio=1e9, cell_growth=2.0
     )
+
+
+def test_pq_subclass_inherits_auto_sizing(spark, tmp_path):
+    """IvfPqVectorIndex (the compressed layout) inherits the auto
+    cell sizing: default constructor auto-sizes at build and records
+    auto_cells in the meta."""
+    from tidb2dw_spark.operators.ann_index import IvfPqVectorIndex
+
+    t = _mk(spark, tmp_path, n=40)
+    ix = IvfPqVectorIndex(
+        tmp_path / "pq", id_col="vec_id", vec_col="embedding",
+        n_sub=2, k_codes=8, iters=1,
+    )
+    ix.build(spark, t)
+    m = ix.meta()
+    assert m["auto_cells"] is True and m["n_centroids"] == 16
+    assert "codebooks" in m  # PQ payload still trained

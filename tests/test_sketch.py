@@ -1948,3 +1948,34 @@ def test_cmhh_quantile_walk_matches_exact(spark, tmp_path):
             assert value == vals[rank - 1], (g, q, value, vals[rank - 1])
     with pytest.raises(ValueError, match="qs_milli"):
         hh.quantile_values(spark, [0])
+
+
+def test_hll_recount_versions_stay_pinnable(spark, tmp_path):
+    """SeqVersionedState holds through the HLL RECOUNT arm too: a
+    delete-bearing fold (group-scoped recount, a different code path
+    from the monotone insert fold) still records its seq→version entry,
+    and keep_versions retains the pre-delete version for pins."""
+    from tidb2dw_spark.operators.sketch import MaintainedHLLSketch
+
+    t = _mk_table(spark, tmp_path)
+    sk = MaintainedHLLSketch(
+        tmp_path / "sk", ["grp"], "v", p=8, keep_versions=4
+    )
+    sk.refresh(spark, t)
+    seq1 = sk.meta()["applied_seq"]
+    v1 = sk.version_for_seq(seq1)
+    pre = sorted(
+        (r["grp"], r["bucket"], r["rho"])
+        for r in sk.read_at_seq(spark, seq1).collect()
+    )
+    t.merge(spark, _batch(spark, [("D", k, 5, None, None)
+                                  for k in range(0, 30, 2)]))
+    sk.refresh(spark, t)  # recount arm
+    assert int(sk.meta().get("recounts", 0)) >= 1
+    seq2 = sk.meta()["applied_seq"]
+    assert sk.version_for_seq(seq2) > v1
+    # the pre-delete version is still served at its seq, unchanged
+    assert sorted(
+        (r["grp"], r["bucket"], r["rho"])
+        for r in sk.read_at_seq(spark, seq1).collect()
+    ) == pre
