@@ -469,3 +469,55 @@ def test_pq_subclass_inherits_auto_sizing(spark, tmp_path):
     m = ix.meta()
     assert m["auto_cells"] is True and m["n_centroids"] == 16
     assert "codebooks" in m  # PQ payload still trained
+
+
+def test_reattach_preserves_pinned_sizing_policy(spark, tmp_path):
+    """A fresh DEFAULT-constructed handle over an index built with an
+    explicitly pinned cell count adopts the STORED sizing policy on
+    attach: needs_rebuild must not trip on cell_growth (the pin is the
+    operator's layout choice, and a tripped auto-rebuild would rescale
+    it), and a rebuild through the attached handle keeps the pinned
+    count.  A handle that explicitly pins keeps pinning; a default
+    handle over an auto index stays auto."""
+    t = _mk(spark, tmp_path, n=60)
+    pinned = IvfVectorIndex(
+        tmp_path / "pin", id_col="vec_id", vec_col="embedding",
+        n_centroids=16,
+    )
+    pinned.build(spark, t)
+
+    # grow the corpus well past the 16-cell layout
+    t.merge(spark, _batch(spark, [
+        ("I", 10_000 + i, 5, _vec(10_000 + i)) for i in range(1140)
+    ]))
+
+    attached = IvfVectorIndex(
+        tmp_path / "pin", id_col="vec_id", vec_col="embedding",
+    )
+    attached.refresh(spark, t)
+    assert attached.meta()["auto_cells"] is False  # policy survived
+    assert attached.drift_stats()["cell_growth_factor"] >= 2.0
+    assert not attached.needs_rebuild(
+        skew_factor=1e9, sim_drop=1e9, churn_ratio=1e9, cell_growth=2.0
+    )
+    attached.build(spark, t)  # an explicit rebuild keeps the pin
+    assert attached.meta()["n_centroids"] == 16
+    assert attached.meta()["auto_cells"] is False
+
+    # and the converse: a default handle over an AUTO index stays auto
+    auto = IvfVectorIndex(
+        tmp_path / "auto", id_col="vec_id", vec_col="embedding",
+    )
+    auto.build(spark, t)
+    re_auto = IvfVectorIndex(
+        tmp_path / "auto", id_col="vec_id", vec_col="embedding",
+    )
+    re_auto._load_meta()
+    assert re_auto._auto_cells is True
+    # while an explicitly pinning handle over an auto index pins
+    re_pin = IvfVectorIndex(
+        tmp_path / "auto", id_col="vec_id", vec_col="embedding",
+        n_centroids=len(auto.meta()["centroids"]),
+    )
+    re_pin._load_meta()
+    assert re_pin._auto_cells is False

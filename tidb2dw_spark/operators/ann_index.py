@@ -143,6 +143,9 @@ class IvfVectorIndex:
         # count (the one measured super-linear serving path in SCALE.md);
         # an explicit int pins the layout (the oracle registry rows do)
         self._auto_cells = n_centroids is None
+        # constructor-level pin: an explicit count must keep pinning the
+        # layout even after _load_meta adopts a stored auto flag
+        self._cells_pinned = n_centroids is not None
         self.n_centroids = n_centroids
         self.kernel = kernel
         # opt-in self-repair: TableReplicator re-trains the index (one
@@ -189,6 +192,13 @@ class IvfVectorIndex:
         self.id_col, self.vec_col = m["id_col"], m["vec_col"]
         self.n_centroids = m["n_centroids"]
         self.centroids = m["centroids"]
+        # attach adopts the STORED sizing policy when this handle's
+        # constructor did not pin one: a fresh default-constructed handle
+        # over an index built with an explicit cell count must not flip
+        # it to auto (needs_rebuild would trip on cell_growth and the
+        # next build would rescale the operator-pinned layout)
+        if not self._cells_pinned:
+            self._auto_cells = bool(m.get("auto_cells", self._auto_cells))
         return m
 
     def _cur_names(self, m: dict, src_m: dict) -> dict[str, str]:
@@ -511,10 +521,21 @@ class IvfVectorIndex:
             or s["assign_sim_drop"] >= sim_drop
             or s["churn_ratio"] >= churn_ratio
             or (
-                self._auto_cells
+                self._sizing_auto()
                 and s["cell_growth_factor"] >= cell_growth
             )
         )
+
+    def _sizing_auto(self) -> bool:
+        """The EFFECTIVE sizing policy: a constructor pin always wins;
+        otherwise the stored index's policy (so a default-constructed
+        handle attached to a pinned index never auto-rescales it, even
+        before any _load_meta call)."""
+        if self._cells_pinned:
+            return False
+        if self.exists():
+            return bool(self.meta().get("auto_cells", self._auto_cells))
+        return self._auto_cells
 
     def health_gauges(self) -> dict:
         """Gauges for the replicator's metrics registry (surfaced as

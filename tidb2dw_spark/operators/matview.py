@@ -33,6 +33,7 @@ a DuckDB full-recompute oracle.
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -488,6 +489,15 @@ class MaintainedAggregate:
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
+        # retained-aware GC at EVERY commit site (refresh, the quantile
+        # histogram's multi-step widening, …) — without it a commit path
+        # that bypasses refresh() leaves superseded v=N dirs on disk
+        # until the next refresh happens to run
+        retained = {int(v) for v in meta["seq_versions"].values()}
+        for p in self.root.glob("v=*"):
+            v = int(p.name.split("=", 1)[1])
+            if v < version and v not in retained:
+                shutil.rmtree(p, ignore_errors=True)
 
     def _rewrite_meta(self, m: dict) -> None:
         """Atomically rewrite ``_meta.json`` WITHOUT a data commit — used
@@ -569,8 +579,6 @@ class MaintainedAggregate:
         """Fold any new change commits into the aggregate; returns the
         applied change seq (the checkpoint).  No-op when the feed has
         nothing new."""
-        import shutil
-
         # ONE manifest read pins both the seed's data and its cdf_seq: a
         # merge landing between "read seq" and "read table" would bake its
         # effects into the seed yet replay through the feed on the next
@@ -705,13 +713,6 @@ class MaintainedAggregate:
             field_ids=m.get("field_ids"), where=m.get("where"),
             mm_outs=m.get("mm_outs"), derived=m.get("derived"),
         )
-        retained = {
-            int(v) for v in (self.meta().get("seq_versions") or {}).values()
-        }
-        for p in self.root.glob("v=*"):  # committed: old versions removable
-            v = int(p.name.split("=", 1)[1])
-            if v < new_version and v not in retained:
-                shutil.rmtree(p, ignore_errors=True)
         return src_seq
 
     def version_for_seq(self, seq: int) -> int:

@@ -321,7 +321,16 @@ class ManagedTable:
                     # fenced reads must refuse rather than serve a
                     # commit that may hide newer-than-fence changes
                     extra_meta = {**(extra_meta or {}), "fence_incomplete": True}
+            elif not batch.take(1):
+                # same semantics as the bucketed arm's `if not touched:`
+                # no-op — an empty ts-less batch changes nothing, so it
+                # must neither poison the fence nor rewrite the table
+                if extra_meta:
+                    self.update_meta(**extra_meta)
+                return m["version"]
             else:
+                # rows changed with no fence position at all (the batch
+                # lacks commit_ts): fenced reads must refuse from now on
                 extra_meta = {**(extra_meta or {}), "fence_incomplete": True}
             target = self.read(spark)
             final = last_writer_wins(batch, pk_cols)
