@@ -156,6 +156,8 @@ PIPELINE_QUERIES = [
     "pipeline_quantile_union",
     "pipeline_quantile_sketch",
     "pipeline_quantile_rollup",
+    # round 11: bracketed BETWEEN selectivity from the binned state
+    "pipeline_quantile_range",
     # round 9: the frequency family's sketch tier (linear Count-Min)
     "pipeline_maintained_cms",
     "pipeline_cms_rollup",
@@ -164,6 +166,8 @@ PIPELINE_QUERIES = [
     "pipeline_cms_heavy_hitters",
     "pipeline_cms_range_count",
     "pipeline_cms_quantile",
+    # round 11: string-domain heavy hitters via the maintained dictionary
+    "pipeline_cms_string_topk",
     "pipeline_maintained_monthly",
     "pipeline_maintained_q4",
     "pipeline_maintained_q6",
@@ -241,7 +245,7 @@ def main() -> None:
     pipe_timings.update(entry_pipeline.index_bench_phases(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
@@ -253,7 +257,17 @@ def main() -> None:
             "queries": pipe_timings,
         },
         "sf": sf,
-    }))
+    }
+    # the driver records only the stdout TAIL of this run; the full
+    # payload lands in-repo so round-over-round headline comparison
+    # never depends on a truncation window (committed per round)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full.json"), "w"
+    ) as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -404,7 +404,9 @@ def test_cmhh_descent_reads_state_only(spark, sf_dir):
     for name, cap in (
         ("pipeline_cms_heavy_hitters", 9),   # 8 level probes + groups
         ("pipeline_cms_range_count", 2),     # node probe + groups
-        ("pipeline_cms_quantile", 11),       # totals + 8 walk hops + groups
+        # top probe appears twice (totals + first pick) + 3 hops +
+        # 2× group enumeration — down from 11 under the 1-byte walk
+        ("pipeline_cms_quantile", 7),
     ):
         plan = audit(QUERIES[name](spark, sf_dir)).plan
         scans = [
@@ -415,6 +417,16 @@ def test_cmhh_descent_reads_state_only(spark, sf_dir):
         assert 1 <= len(scans) <= cap, (name, scans)
         for loc in scans:
             assert "vals/v=" not in loc and "/hh/" in loc, (name, loc)
+    # string-domain variant: 4 level probes + groups + the dictionary
+    # DECODE join — every scan is sketch state or dict state, never the
+    # base table, and the descent still collects nothing data-sized
+    plan = audit(QUERIES["pipeline_cms_string_topk"](spark, sf_dir)).plan
+    scans = [
+        line for line in plan.splitlines() if "InMemoryFileIndex" in line
+    ]
+    assert 1 <= len(scans) <= 8, scans
+    for loc in scans:
+        assert "vals/v=" not in loc and "/shh/" in loc, loc
 
 
 def test_ivf_join_shuffles_both_sides_never_broadcasts(spark, sf_dir):

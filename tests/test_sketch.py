@@ -594,10 +594,11 @@ def test_quantile_histogram_rollup_matches_direct_build(spark, tmp_path):
 
 
 def test_quantile_histogram_definition_drift_rejected(spark, tmp_path):
-    """A changed bin_width changes the derived bin expression, so the
-    underlying aggregate's derived-definition guard refuses the refresh
-    (folding W=20 bins into W=10 state would corrupt silently); a
-    changed σ is refused the same way."""
+    """A changed bin_width is a different histogram definition —
+    _sync_width refuses it up front (a constructed width the stored one
+    is not a power-of-two widening of can never be adopted; folding
+    W=20 bins into W=10 state would corrupt silently); a changed σ is
+    refused by the underlying aggregate's definition guard."""
     from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
 
     t = _mk_table(spark, tmp_path)
@@ -605,7 +606,7 @@ def test_quantile_histogram_definition_drift_rejected(spark, tmp_path):
         tmp_path / "qh", ["grp"], "v", bin_width=10
     ).refresh(spark, t)
     t.merge(spark, _batch(spark, [("I", 6001, 5, "A", 7)]))
-    with pytest.raises(ValueError, match="derived columns"):
+    with pytest.raises(ValueError, match="rebuild instead"):
         MaintainedQuantileHistogram(
             tmp_path / "qh", ["grp"], "v", bin_width=20
         ).refresh(spark, t)
@@ -1979,3 +1980,350 @@ def test_hll_recount_versions_stay_pinnable(spark, tmp_path):
         (r["grp"], r["bucket"], r["rho"])
         for r in sk.read_at_seq(spark, seq1).collect()
     ) == pre
+
+
+def test_histogram_pinned_reads_carry_bin_width(spark, tmp_path):
+    """Widening re-commits at a WIDER width, so retained pre-widen
+    versions are binned narrower than the live state: the meta must
+    record width per version (hist_width_history), bin_width_for_seq
+    must decode a pinned version's __bin, and read_at_seq must refuse
+    to serve a pre-widen pin until the caller acknowledges its width —
+    otherwise a consumer decoding with the live width reads silently
+    wrong bin ranges.  Widening commits also GC superseded unretained
+    versions (previously they lingered until the next refresh)."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(
+            [(i, "G", i % 8) for i in range(32)], SCHEMA
+        ),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    h = MaintainedQuantileHistogram(
+        tmp_path / "h", ["grp"], "v", bin_width=1, max_bins=8,
+        keep_versions=3,
+    )
+    seq_a = h.refresh(spark, t)  # 8 bins at w=1: no widening yet
+    assert h.bin_width == 1
+    assert h.meta()["hist_width_history"] == [[1, 1]]
+
+    # push past max_bins: 16 distinct w=1 bins → ONE doubling to w=2
+    t.merge(spark, _batch(spark, [
+        ("I", 1000 + i, 5, "G", 8 + (i % 8)) for i in range(16)
+    ]))
+    seq_b = h.refresh(spark, t)
+    assert h.bin_width == 2
+    assert h.bin_width_for_seq(seq_a) == 1   # pre-widen pin decodes
+    assert h.bin_width_for_seq(seq_b) == 2   # re-pointed to the rebin
+
+    # live-width pin serves plainly; pre-widen pin must be acknowledged
+    assert h.read_at_seq(spark, seq_b).count() > 0
+    with pytest.raises(ValueError, match="widened"):
+        h.read_at_seq(spark, seq_a)
+    with pytest.raises(ValueError, match="binned at"):
+        h.read_at_seq(spark, seq_a, bin_width=2)
+    pinned = h.read_at_seq(spark, seq_a, bin_width=h.bin_width_for_seq(seq_a))
+    # decoded at ITS width, the pinned state is the exact seq_a histogram
+    assert sorted(
+        (r["__bin"], r["n_rows"]) for r in pinned.collect()
+    ) == [(b, 4) for b in range(8)]
+
+    # widen-commit GC: the superseded fold version (v2: seq_b at w=1,
+    # re-pointed to v3) is gone; the retained pin versions remain
+    vdirs = sorted(
+        int(p.name.split("=", 1)[1]) for p in (tmp_path / "h").glob("v=*")
+    )
+    retained = sorted(
+        int(v) for v in h.meta()["seq_versions"].values()
+    )
+    assert vdirs == retained
+    assert 2 not in vdirs
+
+
+def test_histogram_sync_width_requires_power_of_two_ratio(spark, tmp_path):
+    """_sync_width must refuse a stored width whose ratio to the
+    constructed width is merely DIVISIBLE but not a power of two
+    (e.g. stored 12 over constructed 4): no doubling sequence produces
+    it, so it is a genuinely different histogram definition."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(
+            [(i, "G", i) for i in range(64)], SCHEMA
+        ),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    # initial width 3 widens 3 → 6 → 12 under a tight cap
+    h = MaintainedQuantileHistogram(
+        tmp_path / "h", ["grp"], "v", bin_width=3, max_bins=6
+    )
+    h.refresh(spark, t)
+    assert h.bin_width == 12
+    # constructed 4 divides stored 12, but 12/4 = 3 is not a power of
+    # two — refuse instead of silently adopting a mixed definition
+    with pytest.raises(ValueError, match="power-of-two"):
+        MaintainedQuantileHistogram(
+            tmp_path / "h", ["grp"], "v", bin_width=4
+        ).read(spark)
+    # a true doubling ancestor (6) still adopts
+    again = MaintainedQuantileHistogram(
+        tmp_path / "h", ["grp"], "v", bin_width=6
+    )
+    assert again.read(spark).count() > 0
+    assert again.bin_width == 12
+
+
+def test_cmhh_domain_bounded_levels(spark, tmp_path):
+    """A constructor domain bound trims the dyadic tree: levels=2 (or
+    max_value < 2^16) folds 2 counter levels instead of 8 — the state
+    carries only levels {0, 1}, every read family (enumerate / range /
+    quantile walk) serves unchanged, a value past the bound is refused
+    at fold time, and a mismatched level count refuses the layout like
+    depth×width."""
+    from tidb2dw_spark.operators.sketch import MaintainedCMHeavyHitters
+
+    rows = [(k, "AB"[k % 2], (k * 13) % 900) for k in range(300)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    assert MaintainedCMHeavyHitters(
+        tmp_path / "x", ["grp"], "v", max_value=65535
+    ).LEVELS == 2
+    assert MaintainedCMHeavyHitters(
+        tmp_path / "x", ["grp"], "v", max_value=65536
+    ).LEVELS == 3
+    with pytest.raises(ValueError, match="not both"):
+        MaintainedCMHeavyHitters(
+            tmp_path / "x", ["grp"], "v", levels=2, max_value=10
+        )
+
+    # width 65536 keeps EVERY probe collision-free (65,536 level-0
+    # candidates would pick up phantom mass at narrower widths, and the
+    # trees would legitimately disagree on totals)
+    hh2 = MaintainedCMHeavyHitters(
+        tmp_path / "hh2", ["grp"], "v", depth=3, width=65536, levels=2
+    )
+    hh8 = MaintainedCMHeavyHitters(
+        tmp_path / "hh8", ["grp"], "v", depth=3, width=65536
+    )
+    hh2.refresh(spark, t)
+    hh8.refresh(spark, t)
+    assert hh2.meta()["levels"] == 2
+    lvls = {r["level"] for r in hh2.read(spark).select("level").distinct().collect()}
+    assert lvls == {0, 1}
+    # level-0 counters are IDENTICAL (the bound only trims upper levels)
+    c2 = sorted(map(tuple, hh2.read(spark).filter("level = 0").collect()))
+    c8 = sorted(map(tuple, hh8.read(spark).filter("level = 0").collect()))
+    assert c2 == c8
+    # fold cost: 2 levels × depth vs 8 levels × depth counter rows
+    assert hh2.read(spark).count() < hh8.read(spark).count()
+
+    # churn folds ± through the bounded tree too
+    t.merge(spark, _batch(spark, [
+        ("D", k, 5, None, None) for k in range(0, 300, 3)
+    ] + [("I", 9000 + i, 5, "A", 777) for i in range(40)]))
+    hh2.refresh(spark, t)
+    hh8.refresh(spark, t)
+
+    # all three read families agree with the full tree (collision-free)
+    e2 = {(r["grp"], r["v"]): r["est"]
+          for r in hh2.enumerate_heavy(spark, 20).collect()}
+    e8 = {(r["grp"], r["v"]): r["est"]
+          for r in hh8.enumerate_heavy(spark, 20).collect()}
+    assert e2 == e8 and ("A", 777) in e2
+    r2 = {(r["grp"], r["lo"], r["hi"]): r["est"]
+          for r in hh2.estimate_range(spark, [(700, 800), (0, 1 << 62)]).collect()}
+    r8 = {(r["grp"], r["lo"], r["hi"]): r["est"]
+          for r in hh8.estimate_range(spark, [(700, 800), (0, 1 << 62)]).collect()}
+    assert r2 == r8  # the (0, 2^62) cover clamps to the bounded domain
+    q2 = {(r["grp"], r["q_milli"]): r["value"]
+          for r in hh2.quantile_values(spark, [500]).collect()}
+    q8 = {(r["grp"], r["q_milli"]): r["value"]
+          for r in hh8.quantile_values(spark, [500]).collect()}
+    assert q2 == q8
+    # 1-byte and 2-byte walks agree on collision-free counters
+    q2b = {(r["grp"], r["q_milli"]): r["value"]
+           for r in hh2.quantile_values(spark, [500], hop_levels=1).collect()}
+    assert q2b == q2
+
+    # a range entirely past the bound is refused
+    with pytest.raises(ValueError, match="past the domain bound"):
+        hh2.estimate_range(spark, [(1 << 20, 1 << 30)])
+    # a VALUE past the bound is refused at fold time
+    t.merge(spark, _batch(spark, [("I", 9999, 7, "A", 1 << 20)]))
+    with pytest.raises(Exception, match="non-negative BIGINT"):
+        hh2.refresh(spark, t)
+    # layout guard: a different level count refuses the stored state
+    with pytest.raises(ValueError, match="levels"):
+        MaintainedCMHeavyHitters(
+            tmp_path / "hh2", ["grp"], "v", depth=3, width=65536, levels=3
+        ).refresh(spark, t)
+
+
+def test_cmhh_enumerate_candidate_cap(spark, tmp_path):
+    """enumerate_heavy(max_candidates=…) fails fast with the measured
+    frontier size when a tiny min_count would explode the candidate
+    expansion; a sane threshold passes under the same cap, and the
+    default (None) stays uncapped."""
+    from tidb2dw_spark.operators.sketch import MaintainedCMHeavyHitters
+
+    rows = [(k, "G", k) for k in range(600)]  # 600 distinct values
+    t = ManagedTable(tmp_path / "t")
+    t.create(
+        spark.createDataFrame(rows, SCHEMA),
+        pk_cols=["k"], pk_buckets=2, cdf=True,
+    )
+    hh = MaintainedCMHeavyHitters(
+        tmp_path / "hh", ["grp"], "v", depth=3, width=4096, levels=2
+    )
+    hh.refresh(spark, t)
+    # min_count=1 survives ~600/256 ≥ 2 level-1 prefixes → 512+ children
+    with pytest.raises(ValueError, match="max_candidates"):
+        hh.enumerate_heavy(spark, 1, max_candidates=256)
+    with pytest.raises(ValueError, match="≥ fanout"):
+        hh.enumerate_heavy(spark, 1, max_candidates=10)
+    # an uncapped tiny threshold still enumerates everything
+    assert hh.enumerate_heavy(spark, 1).count() == 600
+    # a generous cap passes
+    assert hh.enumerate_heavy(spark, 1, max_candidates=10_000).count() == 600
+
+
+def test_string_heavy_hitters_lifecycle(spark, tmp_path):
+    """MaintainedStringHeavyHitters: the value↔dense-id dictionary is
+    deterministic (max_id + rank-by-value per slice), APPEND-ONLY (ids
+    stable across churn, so counters folded at any version stay valid),
+    the dyadic descent over ids names heavy STRINGS through decay/growth
+    churn, probes outside the dictionary estimate exactly 0, and a
+    dictionary that would outgrow the level bound refuses loudly."""
+    from tidb2dw_spark.operators.sketch import MaintainedStringHeavyHitters
+
+    S = "k long, grp string, v string"
+    E = ("flag string, tablename string, schemaname string, "
+         "commit_ts long, k long, grp string, v string")
+    rows = [
+        (k, "AB"[k % 2], "url://hot" if k % 5 == 0 else f"tok:{k % 37}")
+        for k in range(400)
+    ]
+    t = ManagedTable(tmp_path / "t")
+    t.create(spark.createDataFrame(rows, S), pk_cols=["k"],
+             pk_buckets=4, cdf=True)
+    hh = MaintainedStringHeavyHitters(
+        tmp_path / "hh", ["grp"], "v", depth=3, width=65536, levels=2
+    )
+    hh.refresh(spark, t)
+
+    # dictionary: ids 1..n in binary value order, exactly the distincts
+    d = {r["__dict_value"]: r["__vid"]
+         for r in hh.read_dict(spark).collect()}
+    vals = sorted({r[2] for r in rows})
+    assert d == {v: i + 1 for i, v in enumerate(vals)}
+    assert hh.dict_meta()["max_id"] == len(vals)
+
+    got = {(r["grp"], r["v"]): r["est"]
+           for r in hh.enumerate_heavy_values(spark, 40).collect()}
+    assert got == {("A", "url://hot"): 40, ("B", "url://hot"): 40}
+
+    # churn: hot decays via deletes; a NEW url grows past the threshold
+    t.merge(spark, spark.createDataFrame(
+        [("D", "t", "s", 5, k, None, None) for k in range(0, 400, 5)], E))
+    t.merge(spark, spark.createDataFrame(
+        [("I", "t", "s", 6, 9000 + i, "A", "url://rising")
+         for i in range(60)], E))
+    hh.refresh(spark, t)
+    # append-only: old ids unchanged, the new value got max_id + 1
+    d2 = {r["__dict_value"]: r["__vid"]
+          for r in hh.read_dict(spark).collect()}
+    assert all(d2[v] == i for v, i in d.items())
+    assert d2["url://rising"] == len(vals) + 1
+    got = {(r["grp"], r["v"]): r["est"]
+           for r in hh.enumerate_heavy_values(spark, 40).collect()}
+    assert got == {("A", "url://rising"): 60}
+
+    # estimates: in-dict exact (collision-free width), out-of-dict 0
+    probes = spark.createDataFrame(
+        [("A", "url://rising"), ("A", "never-seen"), ("B", "tok:3")],
+        "grp string, v string",
+    )
+    est = {(r["grp"], r["v"]): r["est"]
+           for r in hh.estimate_values(spark, probes).collect()}
+    assert est[("A", "url://rising")] == 60
+    assert est[("A", "never-seen")] == 0
+    assert est[("B", "tok:3")] > 0
+
+    # a fresh handle attaches and keeps folding (layout from meta)
+    again = MaintainedStringHeavyHitters(
+        tmp_path / "hh", ["grp"], "v", depth=3, width=65536, levels=2
+    )
+    t.merge(spark, spark.createDataFrame(
+        [("I", "t", "s", 7, 10_000, "B", "tok:3")], E))
+    again.refresh(spark, t)
+    assert again.meta()["string_col"] == "v"
+    # a different source column refuses the stored layout
+    with pytest.raises(ValueError, match="string_col"):
+        MaintainedStringHeavyHitters(
+            tmp_path / "hh", ["grp"], "grp", depth=3, width=65536, levels=2
+        ).refresh(spark, t)
+
+    # levels=1 bounds ids to 255: a 38-value dictionary fits, but a
+    # growth wave past the bound refuses at the dict commit
+    tiny = MaintainedStringHeavyHitters(
+        tmp_path / "tiny", ["grp"], "v", depth=3, width=65536, levels=1
+    )
+    tiny.refresh(spark, t)
+    t.merge(spark, spark.createDataFrame(
+        [("I", "t", "s", 8, 20_000 + i, "A", f"fresh:{i}")
+         for i in range(300)], E))
+    with pytest.raises(ValueError, match="rebuild with more levels"):
+        tiny.refresh(spark, t)
+
+
+def test_histogram_estimate_range_brackets_truth(spark, tmp_path):
+    """estimate_range brackets the true BETWEEN count from the binned
+    state: est_lo (full bins only) ≤ true ≤ est_hi (+edge bins), the
+    bracket collapses on bin-aligned ranges, sub-bin ranges give
+    est_lo = 0, no-overlap (group, range) pairs emit explicit zeros,
+    and the rollup variant answers at a coarser grain."""
+    from tidb2dw_spark.operators.sketch import MaintainedQuantileHistogram
+
+    rows = [(k, "AB"[k % 2], (k * 7) % 1000) for k in range(500)]
+    t = ManagedTable(tmp_path / "t")
+    t.create(spark.createDataFrame(rows, SCHEMA),
+             pk_cols=["k"], pk_buckets=2, cdf=True)
+    h = MaintainedQuantileHistogram(
+        tmp_path / "h", ["grp"], "v", bin_width=100
+    )
+    h.refresh(spark, t)
+    ranges = [(0, 999), (150, 449), (210, 260), (5000, 6000)]
+    got = {
+        (r["grp"], r["lo"], r["hi"]): (r["est_lo"], r["est_hi"])
+        for r in h.estimate_range(spark, ranges).collect()
+    }
+    live = {}
+    for _, g, v in rows:
+        live.setdefault(g, []).append(v)
+    for g, vals in live.items():
+        for lo, hi in ranges:
+            true = sum(lo <= v <= hi for v in vals)
+            est_lo, est_hi = got[(g, lo, hi)]
+            assert est_lo <= true <= est_hi, (g, lo, hi, est_lo, true, est_hi)
+    for g in ("A", "B"):
+        # bin-aligned: bracket collapses to the exact count
+        assert got[(g, 0, 999)][0] == got[(g, 0, 999)][1] == len(live[g])
+        # sub-bin: fully inside one bin -> no full bin
+        assert got[(g, 210, 260)][0] == 0 and got[(g, 210, 260)][1] > 0
+        # no overlap: explicit zeros
+        assert got[(g, 5000, 6000)] == (0, 0)
+    # rollup to the global grain: brackets add
+    glob = {
+        (r["lo"], r["hi"]): (r["est_lo"], r["est_hi"])
+        for r in h.estimate_range(spark, ranges, group_subset=[]).collect()
+    }
+    assert glob[(0, 999)] == (500, 500)
+    with pytest.raises(ValueError, match="invalid range"):
+        h.estimate_range(spark, [(10, 5)])
+    with pytest.raises(ValueError, match="non-empty"):
+        h.estimate_range(spark, [])

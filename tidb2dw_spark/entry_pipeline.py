@@ -4555,6 +4555,68 @@ FROM (
 """
 
 
+# BETWEEN-selectivity from the SAME maintained bins, bracketed both
+# sides: est_lo sums fully-contained bins, est_hi adds the edge bins —
+# the binned tier's twin of the dyadic pipeline_cms_range_count (which
+# can only overestimate).  Ranges chosen to exercise all three edge
+# shapes: bin-aligned (bracket collapses, est_lo == est_hi),
+# misaligned edges, and a sub-bin range (est_lo = 0).
+_QRANGE_RANGES = [
+    (0, 9_999_999),          # 100 whole bins: est_lo == est_hi
+    (150_000, 5_000_000),    # misaligned lo edge
+    (33_333, 77_777),        # inside one bin: est_lo = 0
+]
+
+
+def pipeline_quantile_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipeline_quantile_sketch(spark, sf_dir)  # share the maintained fixture
+    qh = _QSKETCH_CACHE[sf_dir]
+    return qh.estimate_range(spark, _QRANGE_RANGES).select(
+        "o_orderpriority",
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.col("est_lo").cast("long").alias("est_lo"),
+        F.col("est_hi").cast("long").alias("est_hi"),
+    )
+
+
+_QRANGE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+), cur AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 4 THEN cents + 150000
+              ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT o_orderpriority, cents * 2 FROM base WHERE o_orderkey % 25 = 3
+), hist AS (
+  SELECT o_orderpriority,
+         (((cents) - (((cents) % {_QSKETCH_W} + {_QSKETCH_W})
+            % {_QSKETCH_W}))) // {_QSKETCH_W} AS bin,
+         COUNT(*) AS n
+  FROM cur WHERE cents IS NOT NULL GROUP BY 1, 2
+), ranges(lo, hi) AS (
+  VALUES {", ".join(f"({lo}, {hi})" for lo, hi in _QRANGE_RANGES)}
+), groups AS (
+  SELECT DISTINCT o_orderpriority FROM hist
+)
+SELECT g.o_orderpriority, CAST(r.lo AS BIGINT) AS lo,
+       CAST(r.hi AS BIGINT) AS hi,
+       CAST(COALESCE(SUM(CASE WHEN h.bin * {_QSKETCH_W} >= r.lo
+            AND (h.bin + 1) * {_QSKETCH_W} - 1 <= r.hi
+            THEN h.n END), 0) AS BIGINT) AS est_lo,
+       CAST(COALESCE(SUM(CASE WHEN h.bin * {_QSKETCH_W} <= r.hi
+            AND (h.bin + 1) * {_QSKETCH_W} - 1 >= r.lo
+            THEN h.n END), 0) AS BIGINT) AS est_hi
+FROM groups g CROSS JOIN ranges r
+LEFT JOIN hist h ON h.o_orderpriority = g.o_orderpriority
+GROUP BY 1, 2, 3
+"""
+
+
 def pipeline_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL quantiles from the per-priority histogram — bin counts
     ADD across groups, so the coarse answer needs no base scan; the
@@ -4972,6 +5034,10 @@ def pipeline_cms_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cmhh_quantile_oracle() -> str:
+    # mirrors quantile_values' DEFAULT hop_levels=2 walk: the top probe
+    # level is 6 (all 2^15 level-6 prefixes, doubling as the totals
+    # read), then 16-bit hops 6 → 4 → 2 → 0 with 65,536 children per
+    # chosen prefix — the same clamp rules at every hop
     from .operators.sketch import cms_bucket_sql
 
     cb = cms_bucket_sql(
@@ -4980,13 +5046,13 @@ def _cmhh_quantile_oracle() -> str:
     tb = cms_bucket_sql("b.pfx", "b.depth", _CMHH_W)
     qs_vals = ", ".join(f"({q})" for q in _CMHH_QS)
     walk = []
-    for lv in range(6, -1, -1):
+    for lv in (4, 2, 0):
         walk.append(f"""e{lv} AS (
   SELECT b.prio, b.q_milli, b.rank, b.total, b.R, b.pfx,
          CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
   FROM (SELECT s.prio, s.q_milli, s.rank, s.total, s.R,
-               s.pfx * 256 + o.o AS pfx, t.d AS depth
-        FROM w{lv + 1} s, range(256) o(o), range({_CMHH_D}) t(d)) b
+               s.pfx * 65536 + o.o AS pfx, t.d AS depth
+        FROM w{lv + 2} s, range(65536) o(o), range({_CMHH_D}) t(d)) b
   LEFT JOIN counters c ON c.prio = b.prio AND c.level = {lv}
        AND c.depth = b.depth AND c.bucket = {tb}
   GROUP BY 1, 2, 3, 4, 5, 6
@@ -5027,8 +5093,8 @@ WITH base AS (
   SELECT b.prio, b.pfx, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
   FROM (SELECT g.prio, p.p AS pfx, t.d AS depth
         FROM (SELECT DISTINCT prio FROM cur WHERE v IS NOT NULL) g,
-             range(128) p(p), range({_CMHH_D}) t(d)) b
-  LEFT JOIN counters c ON c.prio = b.prio AND c.level = 7
+             range(32768) p(p), range({_CMHH_D}) t(d)) b
+  LEFT JOIN counters c ON c.prio = b.prio AND c.level = 6
        AND c.depth = b.depth AND c.bucket = {tb}
   GROUP BY 1, 2
 ), totals AS (
@@ -5039,7 +5105,7 @@ WITH base AS (
   SELECT t.prio, q.q_milli, t.total,
          GREATEST(1, (q.q_milli * t.total + 999) // 1000) AS rank
   FROM totals t, qs q
-), w7 AS (
+), w6 AS (
   SELECT prio, q_milli, rank, total, pfx, e,
          CASE WHEN tc > 0 THEN LEAST(R, tc) - cum + e
               ELSE 1 END AS R
@@ -5058,6 +5124,189 @@ SELECT prio, CAST(q_milli AS BIGINT) AS q_milli,
        CAST(rank AS BIGINT) AS rank, CAST(total AS BIGINT) AS total,
        CAST(pfx AS BIGINT) AS value, CAST(e AS BIGINT) AS est
 FROM w0
+"""
+
+
+# ---------------------------------------------------------------------------
+# STRING-domain heavy-hitter enumeration (operators/sketch.py
+# MaintainedStringHeavyHitters): the dyadic tree only counts BIGINTs,
+# but the LLM-pipeline's heavy-hitter asks are strings — tokens, URLs,
+# fingerprints.  A value↔dense-id DICTIONARY is maintained as derived
+# state from the same feed (append-only, ids assigned max_id +
+# rank-by-value per slice — deterministic, so DuckDB replays it), the
+# 4-level dyadic sketch counts the dense ids, and the descent's named
+# ids decode back through the dictionary.  Lifecycle mirrors the BIGINT
+# row: a heavy URL DECAYS below threshold via deletes, a new URL GROWS
+# past it via inserts, an update wave concentrates mass on a third
+# late-arriving string.
+# ---------------------------------------------------------------------------
+_SHH_CACHE: dict[str, tuple[object, int]] = {}
+
+
+def pipeline_cms_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import MaintainedStringHeavyHitters
+
+    if sf_dir not in _SHH_CACHE:
+        ord_src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("url://hot"))
+            .otherwise(
+                F.concat(
+                    F.lit("tok:"), (F.col("o_custkey") % 97).cast("string")
+                )
+            )
+            .alias("v"),
+        )
+        wh = Path(tempfile.mkdtemp(prefix="tidb2dw_shh_"))
+        t = ManagedTable(wh / "vals").create(
+            ord_src, ["o_orderkey"], pk_buckets=8, cdf=True
+        )
+        hh = MaintainedStringHeavyHitters(
+            wh / "shh", ["prio"], "v", depth=_CMHH_D, width=_CMHH_W,
+            levels=4,
+        )
+        hh.refresh(spark, t)  # seed: dict ids 1..n0 in value order
+
+        def batch(df: DataFrame, flag: str) -> DataFrame:
+            return df.select(
+                F.lit(flag).alias("flag"),
+                F.lit("vals").alias("tablename"),
+                F.lit("s").alias("schemaname"),
+                F.lit(1).cast("long").alias("commit_ts"),
+                "o_orderkey", "prio", "v",
+            )
+
+        # commit 1: INSERTS grow a NEW url past the threshold (first
+        # slice-time dictionary extension: id = n0 + 1)
+        t.merge(spark, batch(
+            ord_src.filter(F.col("o_orderkey") % 25 == 3).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "prio",
+                F.lit("url://rising").alias("v"),
+            ),
+            "I",
+        ))
+        hh.refresh(spark, t)
+        # commit 2: DELETE every url://hot carrier (decays below the
+        # threshold) + UPDATES concentrating mass on a third new string
+        # (id = n0 + 2); update keys disjoint from deletes
+        t.merge(
+            spark,
+            batch(ord_src.filter(F.col("o_orderkey") % 3 == 0), "D")
+            .unionByName(batch(
+                ord_src.filter(
+                    (F.col("o_orderkey") % 10 == 4)
+                    & (F.col("o_orderkey") % 3 != 0)
+                ).select(
+                    "o_orderkey", "prio",
+                    F.lit("deep://fingerprint").alias("v"),
+                ),
+                "U",
+            )),
+        )
+        hh.refresh(spark, t)
+        m = hh.meta()
+        if int(m["folds"]) != 2 or "recounts" in m:
+            raise RuntimeError(
+                "string dyadic maintenance did not take the linear "
+                f"fold path twice (meta: {m})"
+            )
+        n_live = t.read(spark).filter(F.col("v").isNotNull()).count()
+        thr = max(1, n_live // 250)
+        live = {
+            r["v"]: r["n"]
+            for r in t.read(spark).groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if (
+            live.get("url://rising", 0) < thr
+            or live.get("deep://fingerprint", 0) < thr
+            or live.get("url://hot", 0) >= thr
+        ):
+            raise RuntimeError(
+                f"fixture lost its decay/growth story (thr={thr})"
+            )
+        _SHH_CACHE[sf_dir] = (hh, thr)
+    hh, thr = _SHH_CACHE[sf_dir]
+    return hh.enumerate_heavy_values(spark, thr).select(
+        "prio",
+        F.col("v").cast("string").alias("v"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def _shh_oracle() -> str:
+    # rebuilds the dictionary (slice-ordered dense ids), the 4-level
+    # dyadic counters over the ids, the 4-hop descent, and the decode
+    # join — bit-equal output proves dict fold + tree + descent exact
+    from .operators.sketch import cms_bucket_sql
+
+    cb = cms_bucket_sql(
+        "(vid // (CAST(1 AS BIGINT) << (8 * l.lv)))", "t.d", _CMHH_W
+    )
+    descent = []
+    for lv in range(3, -1, -1):
+        if lv == 3:
+            base = (
+                "SELECT g.prio, p.p AS pfx, t.d AS depth\n"
+                "        FROM (SELECT DISTINCT prio FROM mapped) g,\n"
+                f"             range(256) p(p), range({_CMHH_D}) t(d)"
+            )
+        else:
+            base = (
+                f"SELECT s.prio, s.pfx * 256 + o.o AS pfx, t.d AS depth\n"
+                f"        FROM lvl{lv + 1} s, range(256) o(o), "
+                f"range({_CMHH_D}) t(d)"
+            )
+        pb = cms_bucket_sql("b.pfx", "b.depth", _CMHH_W)
+        descent.append(
+            f"lvl{lv} AS (\n"
+            f"  SELECT b.prio, b.pfx,\n"
+            f"         CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est\n"
+            f"  FROM ({base}) b\n"
+            f"  LEFT JOIN counters c ON c.prio = b.prio "
+            f"AND c.level = {lv}\n"
+            f"       AND c.depth = b.depth AND c.bucket = {pb}\n"
+            f"  GROUP BY 1, 2\n"
+            f"  HAVING MIN(COALESCE(c.cnt, 0)) >= (SELECT t FROM thr)\n"
+            f")"
+        )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'url://hot'
+              ELSE 'tok:' || CAST(o_custkey % 97 AS VARCHAR) END AS v
+  FROM orders
+), cur AS (
+  SELECT prio,
+         CASE WHEN o_orderkey % 10 = 4 AND o_orderkey % 3 <> 0
+              THEN 'deep://fingerprint' ELSE v END AS v
+  FROM base WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT prio, 'url://rising' FROM base WHERE o_orderkey % 25 = 3
+), thr AS (
+  SELECT GREATEST(1, COUNT(*) // 250) AS t FROM cur WHERE v IS NOT NULL
+), d0 AS (
+  -- seed slice: first-seen values ranked by value (binary collation)
+  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS vid
+  FROM (SELECT DISTINCT v FROM base WHERE v IS NOT NULL)
+), dict AS (
+  SELECT * FROM d0
+  UNION ALL  -- slice 1: one new value -> id n0 + 1
+  SELECT 'url://rising', (SELECT COUNT(*) FROM d0) + 1
+  UNION ALL  -- slice 2: one new value -> id n0 + 2
+  SELECT 'deep://fingerprint', (SELECT COUNT(*) FROM d0) + 2
+), mapped AS (
+  SELECT c.prio, d.vid FROM cur c JOIN dict d ON d.v = c.v
+), counters AS (
+  SELECT prio, l.lv AS level, t.d AS depth, {cb} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM mapped, range(4) l(lv), range({_CMHH_D}) t(d)
+  GROUP BY 1, 2, 3, 4
+), {", ".join(descent)}
+SELECT l.prio, d.v AS v, l.est
+FROM lvl0 l JOIN dict d ON d.vid = l.pfx
 """
 
 
@@ -7735,12 +7984,14 @@ QUERIES = {
     "pipeline_hll_union": pipeline_hll_union,
     "pipeline_quantile_sketch": pipeline_quantile_sketch,
     "pipeline_quantile_rollup": pipeline_quantile_rollup,
+    "pipeline_quantile_range": pipeline_quantile_range,
     "pipeline_maintained_cms": pipeline_maintained_cms,
     "pipeline_cms_rollup": pipeline_cms_rollup,
     "pipeline_cms_join_size": pipeline_cms_join_size,
     "pipeline_cms_heavy_hitters": pipeline_cms_heavy_hitters,
     "pipeline_cms_range_count": pipeline_cms_range_count,
     "pipeline_cms_quantile": pipeline_cms_quantile,
+    "pipeline_cms_string_topk": pipeline_cms_string_topk,
     "pipeline_maintained_monthly": pipeline_maintained_monthly,
     "pipeline_maintained_q4": pipeline_maintained_q4,
     "pipeline_maintained_q6": pipeline_maintained_q6,
@@ -7808,12 +8059,14 @@ ORACLES = {
     "pipeline_hll_union": _hll_union_oracle(),
     "pipeline_quantile_sketch": _QSKETCH_ORACLE,
     "pipeline_quantile_rollup": _QROLLUP_ORACLE,
+    "pipeline_quantile_range": _QRANGE_ORACLE,
     "pipeline_maintained_cms": _cms_oracle(),
     "pipeline_cms_rollup": _cms_rollup_oracle(),
     "pipeline_cms_join_size": _cmsjoin_oracle(),
     "pipeline_cms_heavy_hitters": _cmhh_oracle(),
     "pipeline_cms_range_count": _cmhh_range_oracle(),
     "pipeline_cms_quantile": _cmhh_quantile_oracle(),
+    "pipeline_cms_string_topk": _shh_oracle(),
     "pipeline_maintained_monthly": _MONTHLY_ORACLE,
     "pipeline_maintained_q4": _Q4VIEW_ORACLE,
     "pipeline_maintained_q6": _Q6VIEW_ORACLE,

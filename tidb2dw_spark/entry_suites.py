@@ -179,10 +179,17 @@ ANALYTICS_SPEC: dict[str, list[tuple[str, str]]] = {
     # canonical-cover node sums, never an underestimate; the oracle
     # embeds the identical node set
     "pipeline_cms_range_count": [("prio", "str"), ("lo", "int"), ("hi", "int"), ("est", "int")],
+    # STRING-domain heavy hitters: value<->dense-id dictionary as
+    # derived state feeding a 4-level dyadic tree; the oracle replays
+    # the dictionary slices, counters, descent, and decode join
+    "pipeline_cms_string_topk": [("prio", "str"), ("v", "str"), ("est", "int")],
     # quantiles by rank WALK down the same dyadic prefix tree (no
     # bin-width parameter); the oracle replays totals, clamps, and the
     # per-level cumsum pick as chained CTEs
     "pipeline_cms_quantile": [("prio", "str"), ("q_milli", "int"), ("rank", "int"), ("total", "int"), ("value", "int"), ("est", "int")],
+    # BETWEEN selectivity bracketed from the maintained bins: full-bin
+    # sum (est_lo) vs +edge-bins (est_hi); oracle recomputes both sums
+    "pipeline_quantile_range": [("o_orderpriority", "str"), ("lo", "int"), ("hi", "int"), ("est_lo", "int"), ("est_hi", "int")],
     # global quantiles merged from the per-priority bins (counts add);
     # oracle recomputes the coarse histogram + walk directly
     "pipeline_quantile_rollup": [("q_milli", "int"), ("rank", "int"), ("total", "int"), ("bin_lo", "int"), ("bin_hi", "int")],

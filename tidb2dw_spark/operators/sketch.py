@@ -281,7 +281,52 @@ class MaintainedQuantileHistogram:
         (construct with keep_versions > 1 to retain pinnable state)."""
         return self._agg.version_for_seq(seq)
 
-    def read_at_seq(self, spark: SparkSession, seq: int) -> DataFrame:
+    def bin_width_for_version(self, version: int) -> int:
+        """The bin width version *version* was committed at — widening
+        re-commits at a wider width, so RETAINED pre-widen versions
+        carry ``__bin`` values a reader must decode with THEIR width,
+        not the live one.  Resolved from ``hist_width_history`` in the
+        meta ([[version, width], …], appended at every widening): the
+        width of the latest entry at or before *version*.  Versions
+        predating the earliest entry (a legacy store seeded before
+        history existed) fall back to that entry's width."""
+        hist = self.meta().get("hist_width_history") or [
+            [1, self.bin_width]
+        ]
+        w = int(hist[0][1])
+        for v, hw in hist:
+            if int(v) <= int(version):
+                w = int(hw)
+        return w
+
+    def bin_width_for_seq(self, seq: int) -> int:
+        """The bin width decoding :meth:`read_at_seq`'s ``__bin``."""
+        return self.bin_width_for_version(self.version_for_seq(seq))
+
+    def read_at_seq(
+        self, spark: SparkSession, seq: int, bin_width: int | None = None
+    ) -> DataFrame:
+        """Pinned state at source seq *seq*.  A pinned version committed
+        BEFORE a widening is binned at a narrower width than the live
+        one; decoding it with the live width would be a silently-torn
+        interpretation, so when the widths differ the caller must pass
+        the pinned width explicitly (``bin_width_for_seq``) to prove it
+        will decode correctly."""
+        self._sync_width()
+        w = self.bin_width_for_seq(seq)
+        if bin_width is None and w != self.bin_width:
+            raise ValueError(
+                f"histogram state pinned at seq {seq} was binned at "
+                f"width {w}, but the live width is {self.bin_width} "
+                "(a later refresh widened the bins) — pass "
+                "bin_width=bin_width_for_seq(seq) to acknowledge the "
+                "pinned width"
+            )
+        if bin_width is not None and int(bin_width) != w:
+            raise ValueError(
+                f"histogram state pinned at seq {seq} was binned at "
+                f"width {w}, not {bin_width}"
+            )
         return self._agg.read_at_seq(spark, seq).select(
             *self.group_cols, "__bin", "n_rows"
         )
@@ -313,7 +358,11 @@ class MaintainedQuantileHistogram:
         w = int(self._agg.meta().get("hist_bin_width", 0) or 0)
         if not w or w == self.bin_width:
             return
-        if w < self.bin_width or w % self.bin_width != 0:
+        ratio = w // self.bin_width if w % self.bin_width == 0 else 0
+        if w < self.bin_width or ratio <= 0 or (ratio & (ratio - 1)) != 0:
+            # divisibility alone would accept e.g. stored 12 over
+            # constructed 4 (ratio 3) — a width no doubling sequence
+            # could produce, i.e. a genuinely different histogram
             raise ValueError(
                 f"histogram at {self._agg.root} has bin_width {w}, not a "
                 f"power-of-two widening of the constructed "
@@ -344,6 +393,13 @@ class MaintainedQuantileHistogram:
                 .agg(F.sum("n_rows").cast("long").alias("n_rows"))
             )
             self._set_width(new_w)
+            hist = [
+                [int(v), int(hw)]
+                for v, hw in (
+                    m.get("hist_width_history")
+                    or [[1, m.get("hist_bin_width") or new_w // 2]]
+                )
+            ]
             self._agg._commit(
                 rebinned,
                 version=m["version"] + 1,
@@ -355,7 +411,13 @@ class MaintainedQuantileHistogram:
                     n: [e, d]
                     for n, (e, d) in self._agg.derived.items()
                 },
-                extra={"hist_bin_width": new_w},
+                extra={
+                    "hist_bin_width": new_w,
+                    # version → width provenance so retained pre-widen
+                    # versions stay decodable (bin_width_for_version)
+                    "hist_width_history": hist
+                    + [[int(m["version"]) + 1, int(new_w)]],
+                },
             )
 
     # -- derived protocol (rides TableReplicator / stream refresh) --------
@@ -370,6 +432,15 @@ class MaintainedQuantileHistogram:
         shape, deletes included; widens afterwards if a cap is set."""
         self._sync_width()
         seq = self._agg.refresh(spark, source)
+        m = self._agg.meta()
+        if "hist_width_history" not in m:
+            # seed width provenance at the width every version so far
+            # was binned at (no widening has happened yet — _sync_width
+            # would have adopted one); metadata-only rewrite, preserved
+            # by later commits
+            m["hist_width_history"] = [[1, int(self.bin_width)]]
+            m["hist_bin_width"] = int(self.bin_width)
+            self._agg._rewrite_meta(m)
         if self.max_bins is not None:
             self._maybe_widen(spark)
         return seq
@@ -473,6 +544,65 @@ class MaintainedQuantileHistogram:
             self.rollup(spark, group_subset),
             list(group_subset),
             qs_milli,
+        )
+
+    def estimate_range(
+        self,
+        spark: SparkSession,
+        ranges: Sequence[tuple[int, int]],
+        group_subset: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """(group…, lo, hi, est_lo, est_hi) — per group, the COUNT of
+        rows with ``lo ≤ value ≤ hi`` BRACKETED from the binned state:
+        ``est_lo`` sums bins fully inside the range, ``est_hi`` adds
+        the partially-overlapping edge bins the histogram cannot see
+        into, so ``est_lo ≤ true ≤ est_hi`` always and the bracket
+        width is ≤ 2·bin_width rows' worth of mass — the binned tier's
+        answer to the BETWEEN-selectivity read the dyadic tier serves
+        via :meth:`MaintainedCMHeavyHitters.estimate_range` (which
+        never underestimates but can only overestimate; this one
+        brackets both sides).  Explicit zero rows for every (group,
+        range) with no overlapping bins.  Pure integer algebra over the
+        groups×bins state — oracle-hashable, never a base scan."""
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        for lo, hi in ranges:
+            if int(hi) < int(lo):
+                raise ValueError(f"invalid range [{lo}, {hi}]")
+        self._sync_width()
+        w = self.bin_width
+        if group_subset is None:
+            subset = list(self.group_cols)
+            hist = self.read(spark)
+        else:
+            subset = list(group_subset)
+            hist = self.rollup(spark, group_subset)
+        rngdf = spark.createDataFrame(
+            [(int(lo), int(hi)) for lo, hi in ranges], "lo long, hi long"
+        )
+        base = (
+            hist.select(*subset).distinct().crossJoin(F.broadcast(rngdf))
+            if subset
+            else rngdf
+        )
+        j = base.join(hist, subset, "left") if subset else base.crossJoin(
+            hist
+        )
+        bin_lo = F.col("__bin") * F.lit(w)
+        bin_hi = (F.col("__bin") + 1) * F.lit(w) - 1  # inclusive
+        overlap = (bin_lo <= F.col("hi")) & (bin_hi >= F.col("lo"))
+        full = (bin_lo >= F.col("lo")) & (bin_hi <= F.col("hi"))
+        return j.groupBy(*subset, "lo", "hi").agg(
+            F.coalesce(
+                F.sum(F.when(overlap & full, F.col("n_rows"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("est_lo"),
+            F.coalesce(
+                F.sum(F.when(overlap, F.col("n_rows"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("est_hi"),
         )
 
     def _quantiles_over(
@@ -1565,21 +1695,78 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
     LEVELS = 8  # 8 × 8 bits = the full non-negative BIGINT domain
     _FANOUT = 1 << BRANCH_BITS
 
+    def __init__(
+        self,
+        root,
+        group_cols: Sequence[str],
+        value_col: str,
+        depth: int = 3,
+        width: int = 2048,
+        where: str | None = None,
+        where_cols: Sequence[str] | None = None,
+        keep_versions: int = 1,
+        levels: int | None = None,
+        max_value: int | None = None,
+    ):
+        """*levels* (or a *max_value* domain bound it is derived from)
+        trims the dyadic tree to the value domain: a column known to
+        stay below ``2^(8·levels)`` pays ``levels`` counter rows and
+        hash evaluations per change instead of the full 8 — at 100 TB
+        ingest the per-merge fold cost scales LINEARLY with levels, so
+        a quantity-like column (< 2^16) folds 4× cheaper at levels=2.
+        The bound is persisted in the meta and layout-guarded like
+        depth×width (mixing trees of different height would mis-shift
+        every prefix); values past the bound are refused at fold time
+        by the same assert that guards negatives."""
+        super().__init__(
+            root, group_cols, value_col, depth=depth, width=width,
+            where=where, where_cols=where_cols,
+            keep_versions=keep_versions,
+        )
+        if levels is not None and max_value is not None:
+            raise ValueError("pass levels or max_value, not both")
+        if max_value is not None:
+            if int(max_value) < 0:
+                raise ValueError(f"max_value must be ≥ 0, got {max_value}")
+            levels = max(
+                1,
+                -(-int(max_value).bit_length() // self.BRANCH_BITS),
+            )
+        if levels is None:
+            levels = type(self).LEVELS
+        if not (1 <= int(levels) <= 8):
+            raise ValueError(f"levels={levels} out of range [1, 8]")
+        self.LEVELS = int(levels)  # instance bound shadows the class cap
+
+    def _domain_bits(self) -> int:
+        """Bits the dyadic tree covers: 8·levels, capped at 63 (the
+        sign bit is excluded — the domain is non-negative)."""
+        return min(63, self.BRANCH_BITS * self.LEVELS)
+
+    def _top_bits(self) -> int:
+        """The top level's prefix width: domain bits minus the bits the
+        lower levels consume (7 for the full 8-level tree, 8 for any
+        bounded tree)."""
+        return self._domain_bits() - self.BRANCH_BITS * (self.LEVELS - 1)
+
     def _extra_meta(self) -> dict:
         return {"levels": self.LEVELS, "branch_bits": self.BRANCH_BITS}
 
     def _checked_value(self) -> F.Column:
-        """The value as a guarded non-negative BIGINT: the dyadic
-        domain is [0, 2^63), so a negative value raises at fold time
-        (assert_true — referenced inside the projection so Catalyst
-        keeps it) instead of silently shifting into a wrong prefix."""
+        """The value as a guarded non-negative BIGINT inside the
+        constructed domain bound [0, 2^(8·levels)): a negative or
+        over-bound value raises at fold time (assert_true — referenced
+        inside the projection so Catalyst keeps it) instead of silently
+        shifting into a wrong prefix."""
         v = F.col(self.value_col).cast("long")
+        hi = (1 << self._domain_bits()) - 1
         return F.when(
             F.assert_true(
-                v >= 0,
+                (v >= 0) & (v <= F.lit(hi)),
                 F.lit(
                     f"{self.value_col} must be a non-negative BIGINT "
-                    "for dyadic heavy-hitter enumeration"
+                    f"≤ {hi} (levels={self.LEVELS}) for dyadic "
+                    "heavy-hitter enumeration"
                 ),
             ).isNull(),
             v,
@@ -1662,11 +1849,22 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
             else self.rollup(spark, subset)
         )
         rows = []
+        bound = (1 << self._domain_bits()) - 1
         for lo, hi in ranges:
+            lo_i, hi_i = int(lo), int(hi)
+            if lo_i > bound:
+                raise ValueError(
+                    f"range [{lo_i}, {hi_i}] lies entirely past the "
+                    f"domain bound {bound} (levels={self.LEVELS}) — "
+                    "no value can exist there"
+                )
+            # mass past the bound is structurally zero (the fold guard
+            # refuses such values), so the cover CLAMPS to the bound —
+            # without it a bounded tree would enumerate a huge top level
             for lvl, pfx in dyadic_cover(
-                int(lo), int(hi), self.BRANCH_BITS, self.LEVELS
+                lo_i, min(hi_i, bound), self.BRANCH_BITS, self.LEVELS
             ):
-                rows.append((int(lo), int(hi), lvl, pfx))
+                rows.append((lo_i, hi_i, lvl, pfx))
         nodes = spark.createDataFrame(
             rows, "lo long, hi long, level int, __pfx long"
         )
@@ -1715,21 +1913,30 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         spark: SparkSession,
         qs_milli: Sequence[int],
         group_subset: Sequence[str] | None = None,
+        hop_levels: int = 2,
     ) -> DataFrame:
         """(group…, q_milli, rank, total, value, est) — approximate
         per-group quantiles from the dyadic state, with NO bin-width
         choice and state independent of the value range (the complement
         of :class:`MaintainedQuantileHistogram`'s capped bins): the
-        rank-R value is found by WALKING the prefix tree — at each
-        level, a prefix-ordered cumulative sum over the (≤256) children
-        picks the child containing the remaining rank, 8 hops to a
-        leaf.  ``total`` is the top-level estimate sum, ``rank =
-        max(1, ⌈q·total/1000⌉)``.  Collision-free counters give the
-        EXACT rank-R value; collisions shift mass by the usual εN.
-        Deterministic clamp rules (rank clamps into each level's child
-        total; an empty subtree descends leftmost) are mirrored by the
-        SQL oracle, so the whole walk is hash-verifiable.  One lazy
-        plan of 8 state-sized hops per call — never a base scan."""
+        rank-R value is found by WALKING the prefix tree — each hop, a
+        prefix-ordered cumulative sum over the children picks the child
+        containing the remaining rank.  ``total`` is the top probe
+        level's estimate sum, ``rank = max(1, ⌈q·total/1000⌉)``.
+        Collision-free counters give the EXACT rank-R value; collisions
+        shift mass by the usual εN.  Deterministic clamp rules (rank
+        clamps into each hop's child total; an empty subtree descends
+        leftmost) are mirrored by the SQL oracle, so the whole walk is
+        hash-verifiable.
+
+        The walk's serving latency is FIXED plan depth, so *hop_levels*
+        is the lever: the default 2 descends 16 bits per hop — 4 probe
+        hops over the full 8-level tree instead of 8, halving the
+        barrier count the 1-byte walk paid, while candidate frames stay
+        state-sized distributed (≤ 2^16 children per chosen prefix per
+        (group, q)).  The top probe doubles as the totals read (one
+        probe, not two).  ``hop_levels=1`` reproduces the byte walk.
+        Never a base scan — every hop joins counter STATE only."""
         from pyspark.sql import Window
 
         qs = [int(q) for q in qs_milli]
@@ -1737,24 +1944,30 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
             raise ValueError(
                 f"qs_milli must be in (0, 1000], got {qs_milli}"
             )
+        s = int(hop_levels)
+        if not (1 <= s <= 2):
+            raise ValueError(
+                f"hop_levels must be 1 or 2, got {hop_levels} — a "
+                "3-byte hop expands 2^24 children per pick"
+            )
         if group_subset is None:
             subset = list(self.group_cols)
             counters = self.read(spark)
         else:
             subset = list(group_subset)
             counters = self.rollup(spark, subset)
-        top = self.LEVELS - 1
-        top_n = 1 << (63 - self.BRANCH_BITS * top)
+        # probe levels ≡ 0 (mod s) so the walk lands exactly on level 0
+        top = ((self.LEVELS - 1) // s) * s
+        top_n = 1 << (self._domain_bits() - self.BRANCH_BITS * top)
         prefixes = spark.range(top_n).select(
             F.col("id").cast("long").alias("__pfx")
         )
-        groups = (
-            counters.select(*subset).distinct()
-            if subset
-            else spark.range(1).select(F.lit(1).alias("__one")).drop("__one")
-        )
         top_cand = (
-            groups.crossJoin(F.broadcast(prefixes)) if subset else prefixes
+            counters.select(*subset).distinct().crossJoin(
+                F.broadcast(prefixes)
+            )
+            if subset
+            else prefixes
         )
         top_est = self._probe_prefixes(
             counters.filter(F.col("level") == top).drop("level"),
@@ -1803,9 +2016,20 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
                 )
             )
 
-        cand = state.crossJoin(F.broadcast(prefixes))
-        for lv in range(top, -1, -1):
-            est = probe_with_q(cand, lv)
+        # first hop reuses the totals probe: attach (q, rank) to the
+        # already-estimated top prefixes instead of probing them again
+        # (state is groups×qs — broadcast it, never shuffle the probe)
+        est = (
+            top_est.join(F.broadcast(state), subset)
+            if subset
+            else top_est.crossJoin(F.broadcast(state))
+        ).select(
+            *subset, "q_milli", "rank", "total", "__R", "__pfx",
+            F.col("est").cast("long").alias("__e"),
+        )
+        expand = F.lit(1 << (self.BRANCH_BITS * s)).cast("long")
+        lv = top
+        while True:
             part = Window.partitionBy(*subset, "q_milli")
             cum_w = part.orderBy("__pfx").rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
@@ -1844,13 +2068,13 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
                 *subset, "q_milli", "rank", "total", "__R",
                 F.explode(
                     F.sequence(
-                        F.col("__pfx") * F.lit(self._FANOUT).cast("long"),
-                        F.col("__pfx") * F.lit(self._FANOUT).cast("long")
-                        + F.lit(self._FANOUT - 1).cast("long"),
+                        F.col("__pfx") * expand,
+                        F.col("__pfx") * expand + expand - F.lit(1),
                     )
                 ).alias("__pfx"),
             )
-        raise AssertionError("unreachable: LEVELS ≥ 1")
+            lv -= s
+            est = probe_with_q(cand, lv)
 
     def enumerate_heavy_union(
         self,
@@ -1877,17 +2101,32 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         min_count: int,
         group_subset: Sequence[str] | None = None,
         _counters: DataFrame | None = None,
+        max_candidates: int | None = None,
     ) -> DataFrame:
         """(group…, value, est) — every value whose CM estimate ≥
         *min_count*, named by top-down dyadic descent.  Pass
         *group_subset* to enumerate against rolled-up counters
         (``[]`` = one global population).  Superset guarantee: every
         value with TRUE frequency ≥ min_count appears; est is its CM
-        (never-under) estimate at level 0."""
+        (never-under) estimate at level 0.
+
+        A tiny *min_count* legitimately expands the frontier toward
+        ``fanout · N/min_count`` candidates per level; *max_candidates*
+        (opt-in) bounds that: each level's surviving-prefix count is
+        checked before expansion and a frontier that would exceed the
+        cap refuses loudly with the measured count, so a bad threshold
+        fails fast instead of exploding a stage.  The check is one
+        state-sized count action per level — default None keeps the
+        descent a single lazy plan."""
         if int(min_count) < 1:
             raise ValueError(
                 f"min_count must be ≥ 1, got {min_count} — every value "
                 "would enumerate"
+            )
+        if max_candidates is not None and int(max_candidates) < self._FANOUT:
+            raise ValueError(
+                f"max_candidates must be ≥ fanout ({self._FANOUT}), "
+                f"got {max_candidates}"
             )
         if _counters is not None:
             subset = list(group_subset or [])
@@ -1899,9 +2138,9 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
             subset = list(group_subset)
             counters = self.rollup(spark, subset)
         # seed: every (group, top-level prefix).  The top level's
-        # prefix domain is 63 − 8·7 = 7 bits → 128 candidates.
-        top_bits = 63 - self.BRANCH_BITS * (self.LEVELS - 1)
-        prefixes = spark.range(1 << top_bits).select(
+        # prefix domain is 7 bits (128 candidates) for the full 8-level
+        # tree, 8 bits (256) for a domain-bounded one.
+        prefixes = spark.range(1 << self._top_bits()).select(
             F.col("id").cast("long").alias("__pfx")
         )
         cand = (
@@ -1924,6 +2163,16 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
                     F.col("__pfx").alias(self.value_col),
                     "est",
                 )
+            if max_candidates is not None:
+                n_surv = surv.count()
+                if n_surv * self._FANOUT > int(max_candidates):
+                    raise ValueError(
+                        f"enumerate_heavy(min_count={min_count}) at "
+                        f"level {lv}: {n_surv} surviving prefixes would "
+                        f"expand to {n_surv * self._FANOUT} candidates "
+                        f"> max_candidates={max_candidates} — raise "
+                        "min_count (or the cap)"
+                    )
             # expand each heavy prefix into its 256 children — the
             # whole descent stays ONE lazy plan (8 state-sized
             # join+agg hops, never a base scan); levels are few and
@@ -1939,6 +2188,235 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
                 ).alias("__pfx"),
             )
         raise AssertionError("unreachable: LEVELS ≥ 1")
+
+
+class MaintainedStringHeavyHitters(MaintainedCMHeavyHitters):
+    """Heavy-hitter ENUMERATION over a STRING column — tokens, URLs,
+    n-grams, document fingerprints: the asks an LLM-data pipeline
+    actually has, which the BIGINT-only dyadic tree cannot serve.
+    The missing piece is an ORDER-preserving numeric embedding of the
+    value domain; this class maintains one as derived state — a
+    value ↔ dense-id DICTIONARY folded from the same change feed —
+    and runs the parent's dyadic Count-Min over the dense id.
+
+    Dictionary contract (the part that keeps everything exact and
+    oracle-reproducible):
+
+    - APPEND-ONLY: a value's id never changes and is never reused, so
+      counters folded against any dict version stay valid forever and
+      a NEWER dictionary decodes any OLDER pinned sketch version.
+    - DETERMINISTIC: each refresh assigns the slice's first-seen values
+      ``max_id + rank-by-value`` (binary string order, the collation
+      Spark and DuckDB share) — a SQL oracle replaying the slices
+      rebuilds the identical mapping, so the whole read is
+      hash-verifiable like the parent's.
+    - DISTRIBUTED assignment: rank-by-value is computed as
+      range-partition → per-partition row_number + driver-side prefix
+      offsets (the offsets collect is ≤ shuffle-partitions rows,
+      metadata-sized) — no single-partition global window, so a
+      100 TB initial fold assigns billions of ids without a hot task.
+    - Dict state is O(distinct values ever seen) (value, id) pairs —
+      the honest cost of NAMING strings; the counters stay fixed-size.
+      Default ``levels=4`` bounds ids to 2^32 and pays 4 fold levels
+      (see the parent's levels knob); the dict commit refuses to cross
+      the bound loudly.
+
+    Crash ordering: the dictionary commits BEFORE the sketch fold.  A
+    crash in between leaves orphan dict entries, which are harmless
+    (append-only; the replayed slice re-finds them via anti-join and
+    assigns nothing new), so the pair needs no cross-commit atomicity.
+
+    Reference parity: the reference defers "top values" questions to
+    the warehouse (full GROUP BY per query, cmd/core.go:183-220 only
+    replicates rows); this answers them from maintained state."""
+
+    _DICT_VALUE = "__dict_value"
+    _ID = "__vid"
+
+    def __init__(
+        self,
+        root,
+        group_cols: Sequence[str],
+        value_col: str,
+        depth: int = 3,
+        width: int = 2048,
+        where: str | None = None,
+        where_cols: Sequence[str] | None = None,
+        keep_versions: int = 1,
+        levels: int = 4,
+    ):
+        super().__init__(
+            root, group_cols, self._ID, depth=depth, width=width,
+            where=where, where_cols=where_cols,
+            keep_versions=keep_versions, levels=levels,
+        )
+        self.string_col = value_col
+        self.dict_root = Path(root) / "dict"
+
+    def _extra_meta(self) -> dict:
+        return {**super()._extra_meta(), "string_col": self.string_col}
+
+    def _source_cols(self) -> list[str]:
+        return list(
+            dict.fromkeys(
+                self.group_cols + [self.string_col] + self.where_cols
+            )
+        )
+
+    # -- the maintained dictionary ----------------------------------------
+    def _dict_meta_path(self) -> Path:
+        return self.dict_root / "_meta.json"
+
+    def dict_meta(self) -> dict:
+        return json.loads(self._dict_meta_path().read_text())
+
+    def read_dict(self, spark: SparkSession) -> DataFrame:
+        """(value, id) — the current dictionary (decodes EVERY sketch
+        version, past and pinned: ids are append-only)."""
+        return spark.read.parquet(
+            str(self.dict_root / f"v={self.dict_meta()['version']}")
+        )
+
+    def _fold_dict(self, spark: SparkSession, rows: DataFrame) -> None:
+        """Assign dense ids to the slice's first-seen values and commit
+        dict v+1; no-op (no commit) when the slice brings nothing new.
+        O(changes) work + one metadata-sized offsets collect."""
+        from pyspark.sql import Window
+
+        vals = (
+            rows.filter(F.col(self.string_col).isNotNull())
+            .select(F.col(self.string_col).alias(self._DICT_VALUE))
+            .distinct()
+        )
+        if self._dict_meta_path().exists():
+            dm = self.dict_meta()
+            cur = self.read_dict(spark)
+            vals = vals.join(cur, [self._DICT_VALUE], "left_anti")
+        else:
+            dm = {"version": 0, "max_id": 0}
+            cur = None
+        # distributed rank-by-value: range partitions are value-ordered,
+        # so global rank = per-partition row_number + the preceding
+        # partitions' counts (a ≤ n_partitions driver collect)
+        n_part = max(2, spark.sparkContext.defaultParallelism)
+        part = vals.repartitionByRange(n_part, self._DICT_VALUE).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        counts = {
+            r["__pid"]: r["n"]
+            for r in part.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_new = sum(counts.values())
+        if not n_new:
+            return
+        offs, acc = [], 0
+        for pid in sorted(counts):
+            offs.append((pid, acc))
+            acc += counts[pid]
+        max_id = int(dm["max_id"])
+        if max_id + n_new > (1 << self._domain_bits()) - 1:
+            raise ValueError(
+                f"dictionary at {self.dict_root} would grow past the "
+                f"dyadic domain bound 2^{self._domain_bits()} "
+                f"({max_id} + {n_new} new values) — rebuild with more "
+                "levels"
+            )
+        offdf = spark.createDataFrame(offs, "__pid int, __off long")
+        w = Window.partitionBy("__pid").orderBy(self._DICT_VALUE)
+        fresh = (
+            part.withColumn("__rn", F.row_number().over(w).cast("long"))
+            .join(F.broadcast(offdf), ["__pid"])
+            .select(
+                self._DICT_VALUE,
+                (F.lit(max_id) + F.col("__off") + F.col("__rn")).alias(
+                    self._ID
+                ),
+            )
+        )
+        new_dict = cur.unionByName(fresh) if cur is not None else fresh
+        version = int(dm["version"]) + 1
+        new_dict.write.mode("overwrite").parquet(
+            str(self.dict_root / f"v={version}")
+        )
+        fd, tmp = tempfile.mkstemp(dir=self.dict_root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "max_id": max_id + n_new}, f)
+        os.replace(tmp, self._dict_meta_path())
+        for pth in self.dict_root.glob("v=*"):
+            if int(pth.name.split("=", 1)[1]) < version:
+                shutil.rmtree(pth, ignore_errors=True)
+
+    def _counters(self, rows: DataFrame, sign: F.Column) -> DataFrame:
+        """Dict fold first (append-only, crash-safe ordering), then the
+        parent's signed dyadic fold over the mapped dense ids."""
+        spark = rows.sparkSession
+        self._fold_dict(spark, rows)
+        mapped = rows.filter(F.col(self.string_col).isNotNull()).join(
+            self.read_dict(spark),
+            rows[self.string_col] == F.col(self._DICT_VALUE),
+        ).drop(self._DICT_VALUE)
+        return super()._counters(mapped, sign)
+
+    # -- reads --------------------------------------------------------------
+    def enumerate_heavy_values(
+        self,
+        spark: SparkSession,
+        min_count: int,
+        group_subset: Sequence[str] | None = None,
+        max_candidates: int | None = None,
+    ) -> DataFrame:
+        """(group…, <value_col>, est) — every STRING value whose CM
+        estimate ≥ *min_count*, named by the parent's dyadic descent
+        over dense ids and decoded through the dictionary (a state ⋈
+        state join; never a base scan).  Same superset guarantee as the
+        parent; a collision-born phantom id that names no dictionary
+        entry drops out of the decode join — the dictionary tightens
+        the false-positive story for free."""
+        subset = (
+            list(self.group_cols)
+            if group_subset is None
+            else list(group_subset)
+        )
+        ids = self.enumerate_heavy(
+            spark, min_count, group_subset, max_candidates=max_candidates
+        )
+        return ids.join(self.read_dict(spark), [self._ID]).select(
+            *subset,
+            F.col(self._DICT_VALUE).alias(self.string_col),
+            "est",
+        )
+
+    def estimate_values(
+        self, spark: SparkSession, probes: DataFrame
+    ) -> DataFrame:
+        """Frequency estimates for STRING probe rows (group…,
+        <value_col>) — probes outside the dictionary were never counted
+        and estimate 0 exactly."""
+        mapped = probes.join(
+            self.read_dict(spark),
+            probes[self.string_col] == F.col(self._DICT_VALUE),
+            "left",
+        ).drop(self._DICT_VALUE)
+        present = mapped.filter(F.col(self._ID).isNotNull())
+        absent = mapped.filter(F.col(self._ID).isNull())
+        est = self.estimate(
+            spark, present.drop(self.string_col)
+        ).join(
+            self.read_dict(spark), [self._ID]
+        ).select(
+            *self.group_cols,
+            F.col(self._DICT_VALUE).alias(self.string_col),
+            "est",
+        )
+        return est.unionByName(
+            absent.select(
+                *self.group_cols,
+                self.string_col,
+                F.lit(0).cast("long").alias("est"),
+            )
+        )
 
 
 # ---------------------------------------------------------------------------
