@@ -360,3 +360,91 @@ def test_consistent_snapshot_covers_sketches(spark, tmp_path):
     assert len(vs) == 1
     with pytest.raises(ValueError, match="no version at source seq"):
         lone.version_for_seq(1)
+
+
+def test_empty_ts_less_batch_never_poisons_fence(spark, tmp_path):
+    """An EMPTY batch that lacks the commit_ts column changes nothing
+    and must not set fence_incomplete — the bucketed layout already
+    no-ops (`if not touched:`); the plain layout must agree instead of
+    permanently refusing fenced reads over a no-op input."""
+    no_ts = spark.createDataFrame(
+        [], "flag string, tablename string, schemaname string, "
+        "k long, v long"
+    )
+    for name, kw in [("plain", {"pk_buckets": 0}),
+                     ("bucketed", {"pk_buckets": 4})]:
+        t = _t(spark, tmp_path / name, **kw)
+        t.merge(spark, _batch(spark, [("I", 100, 10, 1)]))
+        v_before = t.manifest()["version"]
+        assert t.merge(spark, no_ts) == v_before  # clean no-op
+        assert t.manifest().get("fence_incomplete") is not True
+        assert t.commit_for_source_ts(10) is not None  # fence healthy
+
+
+class _Rep:
+    """Minimal replicator surface for consistent_snapshot_all (the
+    TableReplicator integration is covered above; this isolates the
+    fence-walk resolver)."""
+
+    def __init__(self, fqn, table):
+        self.fqn, self.table = fqn, table
+
+
+def test_fleet_snapshot_walks_back_to_view_served_fence(spark, tmp_path):
+    """View-aware fleet pins: with views attached and no explicit
+    source_ts, consistent_snapshot_all walks BACK through the fleet's
+    recorded fences to the freshest one EVERY member — tables and
+    views — holds: a lagging view drags the fence like a lagging table
+    instead of failing the snapshot.  An explicit fresher fence still
+    refuses (strict mode), and a fleet with no common fence raises with
+    the freshest refusal."""
+    from pyspark.sql import functions as F
+
+    from tidb2dw_spark.operators.matview import MaintainedAggregate
+    from tidb2dw_spark.replicate import consistent_snapshot_all
+
+    orders = _t(spark, tmp_path / "orders", n=10, cdf=True)
+    items = _t(spark, tmp_path / "items", n=10, cdf=True)
+    view = MaintainedAggregate(
+        tmp_path / "view", [], sum_cols={"sum_v": "v"}, keep_versions=8
+    )
+
+    orders.merge(spark, _batch(spark, [("I", 100, 10, 1)]))
+    view.refresh(spark, orders)          # holds the ts=10 checkpoint
+    orders.merge(spark, _batch(spark, [("I", 101, 20, 2)]))
+    view.refresh(spark, orders)          # holds the ts=20 checkpoint
+    orders.merge(spark, _batch(spark, [("I", 102, 30, 3)]))
+    # view NOT refreshed at ts=30 — it lags the freshest fleet fence
+    items.merge(spark, _batch(spark, [("I", 200, 30, 9)]))
+
+    fleet = [_Rep("orders", orders), _Rep("items", items)]
+    # without views: freshest common fence (min source_ts_high) = 30
+    assert consistent_snapshot_all(fleet).source_ts == 30
+    # with the lagging view: walks back to 20, the freshest fence the
+    # view holds, and serves table + view consistently there
+    snap = consistent_snapshot_all(fleet, views={"agg": (view, "orders")})
+    assert snap.source_ts == 20
+    got = snap.read(spark, "agg").collect()[0]
+    rec = snap.read(spark, "orders").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    assert (got["n_rows"], got["sum_v"]) == (rec["n"], rec["s"])
+    # explicit fresher fence stays strict
+    with pytest.raises(ValueError, match="no state at source seq"):
+        consistent_snapshot_all(
+            fleet, source_ts=30, views={"agg": (view, "orders")}
+        )
+
+    # exhaustion: a thin-retention view that batch-folded past every
+    # fence ≤ the fleet minimum leaves NO common fence
+    thin = MaintainedAggregate(
+        tmp_path / "thin", [], sum_cols={"sum_v": "v"}, keep_versions=1
+    )
+    thin.refresh(spark, orders)  # only the ts=30 checkpoint retained
+    lag = _t(spark, tmp_path / "lag", n=5, cdf=True)
+    lag.merge(spark, _batch(spark, [("I", 300, 20, 4)]))  # fence 20
+    with pytest.raises(ValueError, match="no fence every fleet member"):
+        consistent_snapshot_all(
+            [_Rep("orders", orders), _Rep("lag", lag)],
+            views={"agg": (thin, "orders")},
+        )

@@ -332,7 +332,9 @@ def replicate_all(replicators: list[TableReplicator]) -> dict[str, str | None]:
 
 
 def consistent_snapshot_all(
-    replicators: list[TableReplicator], source_ts: int | None = None
+    replicators: list[TableReplicator],
+    source_ts: int | None = None,
+    views=None,
 ):
     """A :class:`~..table.consistent.ConsistentSnapshot` over a fleet's
     replicas — the read-side completion of the reference's shared-TSO
@@ -346,12 +348,55 @@ def consistent_snapshot_all(
     applied (min over the fleet's ``source_ts_high``) — the freshest
     transactionally-consistent moment; a table that lags simply drags
     the fence back, it never tears the join.  Resolution is
-    metadata-only (one commit-log scan per table)."""
+    metadata-only (one commit-log scan per table).
+
+    *views* (same mapping :class:`ConsistentSnapshot` takes: name →
+    ``(view, source_fqn)`` or ``(view, [fact_fqn, dim_fqn, …])``)
+    extends the pin to DERIVED state fleet-wide.  With an explicit
+    *source_ts* the construction is strict — a view that cannot serve
+    exactly that fence refuses (serving a neighbor would be the torn
+    read the fence exists to prevent).  With *source_ts=None* the
+    resolver WALKS BACK through the fleet's recorded fences (newest
+    first) to the freshest one EVERY member — tables and views — holds
+    a retained version for: a lagging or thin-retention view drags the
+    fence back exactly like a lagging table, instead of failing the
+    snapshot.  Raises (with the freshest fence's refusal) when no
+    common fence exists — raise ``keep_versions`` on the views to
+    widen the window.  Each attempt is metadata-only; the walk is
+    bounded by the commit logs' recorded fence count."""
     from .table.consistent import ConsistentSnapshot
 
     tables = {r.fqn: r.table for r in replicators}
     if not tables:
         raise ValueError("no replicators given")
-    if source_ts is None:
-        source_ts = min(t.source_ts_high() for t in tables.values())
-    return ConsistentSnapshot(tables, source_ts)
+    if source_ts is not None:
+        return ConsistentSnapshot(tables, source_ts, views=views)
+    top = min(t.source_ts_high() for t in tables.values())
+    if not views:
+        return ConsistentSnapshot(tables, top)
+    # candidate fences: every fence any table recorded, ≤ the fleet
+    # minimum, tried newest-first.  Distinct fences are ≤ total commit
+    # count — a metadata-sized walk.
+    fences = sorted(
+        {
+            int(e.get("source_ts_high", 0) or 0)
+            for t in tables.values()
+            for e in t.history()
+            if int(e.get("source_ts_high", 0) or 0) <= top
+        },
+        reverse=True,
+    )
+    first_err = None
+    for ts in fences:
+        try:
+            return ConsistentSnapshot(tables, ts, views=views)
+        except ValueError as exc:
+            if first_err is None:
+                first_err = (ts, exc)
+    ts0, exc0 = first_err if first_err else (top, None)
+    raise ValueError(
+        "no fence every fleet member (tables AND views) can serve — "
+        f"freshest candidate {ts0} refused with: {exc0}; raise "
+        "keep_versions on the views (and refresh them once per source "
+        "commit) to cover a pin window"
+    )
