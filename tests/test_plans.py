@@ -404,9 +404,11 @@ def test_cmhh_descent_reads_state_only(spark, sf_dir):
     for name, cap in (
         ("pipeline_cms_heavy_hitters", 9),   # 8 level probes + groups
         ("pipeline_cms_range_count", 2),     # node probe + groups
-        # top probe appears twice (totals + first pick) + 3 hops +
-        # 2× group enumeration — down from 11 under the 1-byte walk
-        ("pipeline_cms_quantile", 7),
+        # one-statement walk: top probe (reused for totals + first
+        # pick) + 7 hop probes + group enumeration — all state parquet;
+        # the round-11 win is EXCHANGES (16 → 2, window partitioning
+        # reused across hops), not scan count
+        ("pipeline_cms_quantile", 11),
     ):
         plan = audit(QUERIES[name](spark, sf_dir)).plan
         scans = [

@@ -67,6 +67,7 @@ from ..functions.dedup import md5_long
 from ..table.managed import CHANGE_TYPE_COL, ManagedTable
 from .matview import DIRTY_LITERAL_CAP, literal_group_box, nullsafe_group_eq
 
+_WALK_VIEW_SEQ = 0  # unique temp-view names for concurrent rank walks
 _SUB = ("delete", "update_preimage")
 _ADD = ("insert", "update_postimage")
 
@@ -1913,7 +1914,7 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         spark: SparkSession,
         qs_milli: Sequence[int],
         group_subset: Sequence[str] | None = None,
-        hop_levels: int = 2,
+        hop_levels: int = 1,
     ) -> DataFrame:
         """(group…, q_milli, rank, total, value, est) — approximate
         per-group quantiles from the dyadic state, with NO bin-width
@@ -1929,16 +1930,18 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         leftmost) are mirrored by the SQL oracle, so the whole walk is
         hash-verifiable.
 
-        The walk's serving latency is FIXED plan depth, so *hop_levels*
-        is the lever: the default 2 descends 16 bits per hop — 4 probe
-        hops over the full 8-level tree instead of 8, halving the
-        barrier count the 1-byte walk paid, while candidate frames stay
-        state-sized distributed (≤ 2^16 children per chosen prefix per
-        (group, q)).  The top probe doubles as the totals read (one
-        probe, not two).  ``hop_levels=1`` reproduces the byte walk.
+        Execution: the whole walk is emitted as ONE Spark-SQL statement
+        over a temp view of the counter state.  The round-10 DataFrame
+        loop paid ~2× the walk's execution time in per-call plan
+        CONSTRUCTION alone (eager analysis of each of ~50 operators on
+        a growing 8-hop tree); a single statement is parsed and
+        analyzed once, and the executed plan is the same
+        join+window-per-hop shape (probe frames stay distributed and
+        state-sized — ≤ fanout·qs·groups rows per hop — and the top
+        probe doubles as the totals read).  ``hop_levels=2`` descends
+        16 bits per hop — fewer hops but 2^16-child expansions; the
+        measured trade at sf0.1 was 3× worse, so 1 is the default.
         Never a base scan — every hop joins counter STATE only."""
-        from pyspark.sql import Window
-
         qs = [int(q) for q in qs_milli]
         if not qs or any(not (0 < q <= 1000) for q in qs):
             raise ValueError(
@@ -1956,125 +1959,128 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         else:
             subset = list(group_subset)
             counters = self.rollup(spark, subset)
-        # probe levels ≡ 0 (mod s) so the walk lands exactly on level 0
+        global _WALK_VIEW_SEQ
+        _WALK_VIEW_SEQ += 1
+        cv = f"cmhh_walk_counters_{_WALK_VIEW_SEQ}"
+        counters.createOrReplaceTempView(cv)
+        # the analyzer's fixed-point Resolution batch needs a few
+        # passes PER chained-window CTE; the default 100 caps out
+        # around 6 hops — one statement-sized bump, cheap and local
+        spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
+        return spark.sql(self._walk_sql(cv, subset, qs, s))
+
+    def _bucket_sql(self, value_expr: str, depth_expr: str) -> str:
+        """Spark-SQL twin of :func:`cms_bucket_col` — the pinned
+        md5-hex→long idiom (functions/dedup.py:65), salted with the
+        hash-row index, mod width."""
+        h = (
+            f"CAST(conv(substring(md5(CAST({value_expr} AS STRING) || "
+            f"'#' || CAST({depth_expr} AS STRING)), 1, 15), 16, 10) "
+            f"AS BIGINT)"
+        )
+        return f"CAST({h} % {self.width} AS INT)"
+
+    def _walk_sql(self, cv: str, subset: list, qs: list, s: int) -> str:
+        """The rank-walk as one SQL statement (see quantile_values)."""
         top = ((self.LEVELS - 1) // s) * s
         top_n = 1 << (self._domain_bits() - self.BRANCH_BITS * top)
-        prefixes = spark.range(top_n).select(
-            F.col("id").cast("long").alias("__pfx")
+        fanout = 1 << (self.BRANCH_BITS * s)
+        g = lambda a: "".join(f"{a}.`{c}`, " for c in subset)  # noqa: E731
+        gp = "".join(f"`{c}`, " for c in subset)
+        gjoin = "".join(f" AND c.`{c}` = b.`{c}`" for c in subset)
+        part = (gp + "q_milli").rstrip()
+        pick = (
+            "CASE WHEN tc > 0 AND cum >= LEAST(R, tc) THEN 0 ELSE 1 END"
         )
-        top_cand = (
-            counters.select(*subset).distinct().crossJoin(
-                F.broadcast(prefixes)
-            )
+        seed = (
+            f"SELECT {g('gr')}p.id AS pfx, t.id AS depth,\n"
+            f"               {self._bucket_sql('p.id', 't.id')} AS bucket\n"
+            f"        FROM (SELECT DISTINCT {gp.rstrip(', ') or '1 AS one'}"
+            f" FROM {cv}) gr, range({top_n}) p, range({self.depth}) t"
             if subset
-            else prefixes
+            else
+            f"SELECT p.id AS pfx, t.id AS depth,\n"
+            f"               {self._bucket_sql('p.id', 't.id')} AS bucket\n"
+            f"        FROM range({top_n}) p, range({self.depth}) t"
         )
-        top_est = self._probe_prefixes(
-            counters.filter(F.col("level") == top).drop("level"),
-            top_cand,
-            subset,
-        )
-        totals = top_est.groupBy(*subset).agg(
-            F.sum("est").cast("long").alias("total")
-        )
-        qdf = spark.createDataFrame([(q,) for q in qs], "q_milli long")
-        state = totals.crossJoin(F.broadcast(qdf)).select(
-            *subset, "q_milli", "total",
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.expr("(q_milli * total + 999) DIV 1000").cast("long"),
-            ).alias("rank"),
-        ).withColumn("__R", F.col("rank"))
-
-        def probe_with_q(cand: DataFrame, lvl: int) -> DataFrame:
-            db = F.array(
-                *[
-                    F.struct(
-                        F.lit(d).cast("int").alias("depth"),
-                        cms_bucket_col(
-                            F.col("__pfx"), d, self.width
-                        ).alias("bucket"),
-                    )
-                    for d in range(self.depth)
-                ]
-            )
-            keep = [*subset, "q_milli", "rank", "total", "__R"]
-            rows = cand.select(
-                *keep, "__pfx", F.explode(db).alias("__db")
-            ).select(*keep, "__pfx", "__db.depth", "__db.bucket")
-            return (
-                rows.join(
-                    counters.filter(F.col("level") == lvl).drop("level"),
-                    [*subset, "depth", "bucket"],
-                    "left",
-                )
-                .groupBy(*keep, "__pfx")
-                .agg(
-                    F.min(F.coalesce(F.col("cnt"), F.lit(0)))
-                    .cast("long")
-                    .alias("__e")
-                )
-            )
-
-        # first hop reuses the totals probe: attach (q, rank) to the
-        # already-estimated top prefixes instead of probing them again
-        # (state is groups×qs — broadcast it, never shuffle the probe)
-        est = (
-            top_est.join(F.broadcast(state), subset)
-            if subset
-            else top_est.crossJoin(F.broadcast(state))
-        ).select(
-            *subset, "q_milli", "rank", "total", "__R", "__pfx",
-            F.col("est").cast("long").alias("__e"),
-        )
-        expand = F.lit(1 << (self.BRANCH_BITS * s)).cast("long")
-        lv = top
-        while True:
-            part = Window.partitionBy(*subset, "q_milli")
-            cum_w = part.orderBy("__pfx").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-            scored = est.withColumn(
-                "__cum", F.sum("__e").over(cum_w).cast("long")
-            ).withColumn("__tc", F.sum("__e").over(part).cast("long"))
-            eff = F.least(F.col("__R"), F.col("__tc"))
-            crossing = (F.col("__tc") > 0) & (F.col("__cum") >= eff)
-            pick = Window.partitionBy(*subset, "q_milli").orderBy(
-                F.when(crossing, F.lit(0)).otherwise(F.lit(1)),
-                F.asc("__pfx"),
-            )
-            chosen = (
-                scored.withColumn("__rn", F.row_number().over(pick))
-                .filter(F.col("__rn") == 1)
-                .select(
-                    *subset, "q_milli", "rank", "total",
-                    "__pfx", "__e",
-                    F.when(
-                        F.col("__tc") > 0,
-                        eff - F.col("__cum") + F.col("__e"),
-                    )
-                    .otherwise(F.lit(1))
-                    .cast("long")
-                    .alias("__R"),
-                )
-            )
-            if lv == 0:
-                return chosen.select(
-                    *subset, "q_milli", "rank", "total",
-                    F.col("__pfx").alias("value"),
-                    F.col("__e").cast("long").alias("est"),
-                )
-            cand = chosen.select(
-                *subset, "q_milli", "rank", "total", "__R",
-                F.explode(
-                    F.sequence(
-                        F.col("__pfx") * expand,
-                        F.col("__pfx") * expand + expand - F.lit(1),
-                    )
-                ).alias("__pfx"),
-            )
-            lv -= s
-            est = probe_with_q(cand, lv)
+        hops = []
+        for lv in range(top - s, -1, -s):
+            child = f"w{lv + s}.pfx * {fanout} + o.id"
+            # min-over-depth as a WINDOW over (part, pfx) instead of a
+            # GROUP BY: (part) hash-partitioning from the previous
+            # hop's pick window SATISFIES it (superset keys), so with
+            # the counter slice broadcast every hop below the first is
+            # partition-local sorts — no per-hop exchange
+            hops.append(f"""e{lv} AS (
+  SELECT {gp}q_milli, rank, total, R, pfx, e
+  FROM (
+    SELECT {g('b')}b.q_milli, b.rank, b.total, b.R, b.pfx, b.depth,
+           MIN(CAST(COALESCE(c.cnt, 0) AS BIGINT)) OVER (
+             PARTITION BY {g('b')}b.q_milli, b.pfx) AS e
+    FROM (SELECT {g(f'w{lv + s}')}w{lv + s}.q_milli, w{lv + s}.rank,
+                 w{lv + s}.total, w{lv + s}.R,
+                 {child} AS pfx, t.id AS depth,
+                 {self._bucket_sql(f'({child})', 't.id')} AS bucket
+          FROM w{lv + s}, range({fanout}) o, range({self.depth}) t) b
+    LEFT JOIN {cv} c ON c.level = {lv} AND c.depth = b.depth
+         AND c.bucket = b.bucket{gjoin}
+  ) WHERE depth = 0
+), w{lv} AS (
+  SELECT {gp}q_milli, rank, total, pfx, e,
+         CASE WHEN tc > 0 THEN CAST(LEAST(R, tc) - cum + e AS BIGINT)
+              ELSE CAST(1 AS BIGINT) END AS R
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY {part}
+        ORDER BY {pick}, pfx) AS rn
+    FROM (
+      SELECT *,
+             SUM(e) OVER (PARTITION BY {part} ORDER BY pfx) AS cum,
+             SUM(e) OVER (PARTITION BY {part}) AS tc
+      FROM e{lv}
+    )
+  ) WHERE rn = 1
+)""")
+        return f"""
+WITH tops AS (
+  SELECT {g('b')}b.pfx, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
+  FROM ({seed}) b
+  LEFT JOIN {cv} c ON c.level = {top} AND c.depth = b.depth
+       AND c.bucket = b.bucket{gjoin}
+  GROUP BY {g('b')}b.pfx
+), totals AS (
+  SELECT {gp}CAST(SUM(e) AS BIGINT) AS total FROM tops
+  {('GROUP BY ' + gp.rstrip(', ')) if subset else ''}
+), qsv (q_milli) AS (
+  VALUES {", ".join(f"(CAST({q} AS BIGINT))" for q in qs)}
+), st AS (
+  SELECT {g('t')}q.q_milli, t.total,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST((q.q_milli * t.total + 999) DIV 1000 AS BIGINT))
+           AS rank
+  FROM totals t, qsv q
+), w{top} AS (
+  SELECT {gp}q_milli, rank, total, pfx, e,
+         CASE WHEN tc > 0 THEN CAST(LEAST(R, tc) - cum + e AS BIGINT)
+              ELSE CAST(1 AS BIGINT) END AS R
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY {part}
+        ORDER BY {pick}, pfx) AS rn
+    FROM (
+      SELECT /*+ BROADCAST(s) */
+             {g('s')}s.q_milli, s.rank, s.total, s.rank AS R,
+             n.pfx, n.e,
+             SUM(n.e) OVER (PARTITION BY {g('s')}s.q_milli
+                            ORDER BY n.pfx) AS cum,
+             SUM(n.e) OVER (PARTITION BY {g('s')}s.q_milli) AS tc
+      FROM st s JOIN tops n
+        ON {" AND ".join(f"n.`{c}` = s.`{c}`" for c in subset) or "true"}
+    )
+  ) WHERE rn = 1
+){(", " + ", ".join(hops)) if hops else ""}
+SELECT {gp}q_milli, rank, total, CAST(pfx AS BIGINT) AS value,
+       CAST(e AS BIGINT) AS est
+FROM w0
+"""
 
     def enumerate_heavy_union(
         self,
