@@ -122,10 +122,14 @@ def test_salted_join_scatters_hot_keys(spark, sf_dir):
 
 def test_ivf_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
     """Cell assignment must be a narrow map (literal matrix math) and the
-    probe side broadcast — the corpus side of the candidate join must not
-    exchange before the join."""
+    corpus side must not exchange before scoring.  Round 11: the arrow
+    path scores via ONE mapInPandas stage against the driver-held probe
+    batch (each corpus vector crosses the Python boundary once, never
+    once per candidate pair) — no join node at all, and the corpus is
+    never shuffled or broadcast."""
     a = audit(QUERIES["sim_ivf_topk"](spark, sf_dir))
-    assert any(j.startswith("Broadcast") for j in a.joins), a.joins
+    assert "MapInPandas" in a.plan, a.plan
+    assert not a.joins, a.joins  # probe scoring needs no join anymore
     # only the final top-k window may shuffle BY KEY (hash on query_id);
     # round-robin spreads from spread_for_compute are load-balancing only
     assert len(a.hash_shuffles) <= 1, a.exchanges
@@ -440,10 +444,15 @@ def test_ivf_join_shuffles_both_sides_never_broadcasts(spark, sf_dir):
     df = QUERIES["sim_ivf_topk_join"](spark, sf_dir)
     a = audit(df)
     plan = a.plan
-    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    # round 11: the candidate scoring is a cogroup-on-cell matmul
+    # (FlatMapCoGroupsInPandas) — still a shuffle of BOTH data sides on
+    # the cell key (each vector crosses the Python boundary once per
+    # cell instead of once per candidate pair), never a broadcast
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     keys = " ".join(a.hash_shuffles)
     assert "cell" in keys and "query_id" in keys, a.hash_shuffles
+    assert keys.count("cell") >= 2, a.hash_shuffles  # both sides exchange
 
 
 def test_kmv_serving_reads_are_state_only(spark, sf_dir):

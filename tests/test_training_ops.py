@@ -280,8 +280,11 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
 
 def test_ivf_index_matches_on_the_fly_and_prunes(spark, sf_dir, tmp_path):
     """The persisted cell-partitioned index returns bit-identical results
-    to ivf_topk, and the probe join dynamically prunes the cell
-    partitions (the scan must carry a dynamicpruning partition filter)."""
+    to ivf_topk, and the probe scan prunes the cell partitions.  Round
+    11: the arrow path knows the probed cells driver-side, so the prune
+    is a STATIC partition filter on the scan (planning-time directory
+    pruning — strictly earlier than the round-10 dynamicpruning
+    subquery, which had to wait for the probe side's broadcast)."""
     from tidb2dw_spark.functions.similarity import (
         build_ivf_index,
         ivf_index_topk,
@@ -297,7 +300,8 @@ def test_ivf_index_matches_on_the_fly_and_prunes(spark, sf_dir, tmp_path):
 
     searched = ivf_index_topk(spark, idx, queries, k=5, n_probe=4)
     plan = formatted_plan(searched)
-    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    assert "cell#" in plan.split("PartitionFilters", 1)[1][:200], plan
     key = lambda rows: sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], round(r["score"], 12))
         for r in rows

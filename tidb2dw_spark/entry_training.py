@@ -1497,11 +1497,28 @@ def text_contamination_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(word_shingles(F.col("text"), DECON_N)).alias("g"),
     ).select("is_eval", md5_long(F.col("g")).alias("h"))
 
-    def kmin(side):
-        return side.select("h").distinct().orderBy("h").limit(k)
+    # ONE pass over the gram stream serves all four consumers: the
+    # per-hash side-membership aggregate replaces four separate
+    # evaluations of the full shingle→md5→explode lineage (ka, kb, and
+    # both sides of the exact intersection each re-derived the corpus —
+    # measured 4 full 65-task corpus passes; guide §2.3 "aggregate
+    # before you shuffle" + §2.4 shared exchange).  The persisted frame
+    # is O(distinct grams) — the same magnitude the exact branch already
+    # shuffles, and exactly what every branch below needs.
+    sides = (
+        grams.groupBy("h")
+        .agg(
+            F.max(F.col("is_eval")).alias("in_eval"),
+            F.max(~F.col("is_eval")).alias("in_train"),
+        )
+        .persist()
+    )
 
-    ka = kmin(grams.filter("is_eval"))
-    kb = kmin(grams.filter(~F.col("is_eval")))
+    def kmin(side):
+        return side.select("h").orderBy("h").limit(k)
+
+    ka = kmin(sides.filter("in_eval"))
+    kb = kmin(sides.filter("in_train"))
     u = (
         ka.unionByName(kb).distinct().orderBy("h").limit(k)
         .agg(
@@ -1516,8 +1533,7 @@ def text_contamination_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("rho"))
     )
     ex = (
-        grams.filter("is_eval").select("h").distinct()
-        .join(grams.filter(~F.col("is_eval")).select("h").distinct(), "h")
+        sides.filter(F.col("in_eval") & F.col("in_train"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
     num = kmv_numerator(k)

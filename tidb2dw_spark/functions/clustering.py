@@ -77,11 +77,20 @@ def kmeans_fit(
     smallest-id vectors, quantized).  Returns the final integer centroid
     matrix.  An empty cluster keeps its previous centroid (the standard
     determinism-preserving choice)."""
+    from .compute import spread_for_compute
+
     cents = ivf_centroids(corpus, id_col, vec_col, k)
     qv = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
     )
-    base = corpus.select(F.col(id_col).alias("id"), qv.alias("qv")).persist()
+    # the per-iteration argmin + posexplode + partial agg is interpreted
+    # expression work over every row; a single-split input (tiny file, or
+    # one unsplittable row group) would run every Lloyd iteration on one
+    # core — spread first (no-op on an already-parallel scan), the
+    # exchange moves only (id, qv) rows and is paid once for all iters
+    base = spread_for_compute(
+        corpus.select(F.col(id_col).alias("id"), qv.alias("qv"))
+    ).persist()
     try:
         dim = len(cents[0])
         for _ in range(iters):
@@ -416,12 +425,19 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    from .compute import spread_for_compute
+
     cents = centroids if centroids is not None else kmeans_fit(
         corpus, id_col, vec_col, k, iters
     )
     # checkpoint: the scored frame feeds the size guard's count AND the
-    # kernel branch(es) — one assignment pass, not one per consumer
-    scored = _assign_score(corpus, cents, id_col, vec_col).localCheckpoint()
+    # kernel branch(es) — one assignment pass, not one per consumer.
+    # The assignment itself is interpreted per-row expression work —
+    # spread a single-split input across cores before paying it (the
+    # checkpoint keeps the downstream plan the pinned one-exchange shape)
+    scored = _assign_score(
+        spread_for_compute(corpus), cents, id_col, vec_col
+    ).localCheckpoint()
     t = threshold
     chunk = 4096
     # skew guard (round-7 finding): clusters above *cluster_cap* route

@@ -750,10 +750,18 @@ def incremental_minhash_pairs(
     (loudly, with a missing-path error — never silently wrong).  Without
     auto-compaction the store is append-only and returned frames stay
     recomputable indefinitely."""
+    from .compute import spread_for_compute
+
     spark = new_docs.sparkSession
     if auto_compact_dirs is not None:
         compact_signature_store(spark, store_dir, max_batch_dirs=auto_compact_dirs)
     rows_per_band = num_hashes // bands
+    # a micro-batch typically arrives as a handful of CDC files — far
+    # fewer splits than cores — while the per-row shingle→md5→fold chain
+    # below is the operator's dominant compute; spread the batch before
+    # it (factor 2 so skewed doc lengths load-balance), a no-op whenever
+    # the feed is already at least core-parallel (guide §2.5 input skew)
+    new_docs = spread_for_compute(new_docs, min_factor=2)
     sh = new_docs.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
@@ -889,6 +897,13 @@ def incremental_minhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .persist()
     )
+    # materialize the signature cache with its OWN count first: the pairs
+    # job's two branches over the not-yet-materialized InMemoryRelation
+    # were measured recomputing the fold (the whole batch's md5 chain) a
+    # second time; counting new_sigs first pins the cache, every later
+    # consumer (pairs join, store write) reads it, and the count doubles
+    # as the store-write size estimate below
+    n_new = new_sigs.count()
     pairs.count()  # materialize before the store mutates
     # each batch lands in its OWN subdirectory: appending into the shared
     # root would recacheByPath-invalidate every cached plan reading the
@@ -900,7 +915,7 @@ def incremental_minhash_pairs(
     # read-side predicate above prunes at row-group granularity.
     import uuid as _uuid
 
-    est_bytes = new_sigs.count() * (num_hashes + 1) * 16 * bands
+    est_bytes = n_new * (num_hashes + 1) * 16 * bands
     n_files = int(max(1, -(-est_bytes // (128 << 20))))
     banded_new.repartition(n_files, F.col("band"), F.col("kb")).sortWithinPartitions(
         "band", "kb"

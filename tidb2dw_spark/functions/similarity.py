@@ -575,20 +575,90 @@ def _qcos_score_builder(kernel: str):
 def _probe_score_rank(
     assigned: DataFrame, probes: DataFrame, k: int, kernel: str
 ) -> DataFrame:
-    """Join cell-assigned corpus to broadcast probes, score, top-k."""
-    score_col = _qcos_score_builder(kernel)
-    scored = (
-        assigned.join(
-            F.broadcast(probes.select("query_id", F.col("qv").alias("pqv"), "cell")),
-            on="cell",
+    """Score the cell-assigned corpus against a broadcast-sized probe
+    batch, per-query top-k.
+
+    ``kernel='arrow'`` materializes the probe batch driver-side (the
+    same rows the previous broadcast join shipped to every executor —
+    queries×n_probe rows, broadcast-sized by this path's contract) and
+    scores each corpus batch against its cells' probe matrices as exact
+    int64 matmuls inside ONE mapInPandas stage: each corpus vector
+    crosses the Python boundary once, instead of once per candidate
+    pair through the join-then-per-pair-UDF shape (guide §4.1: control
+    how many columns/rows cross; §8: decide with small rows, move big
+    rows once).  The corpus side still never shuffles — the cell filter
+    is a static IN over the partition column (prunes cell directories
+    at planning time on the persisted-index path), and the only
+    exchange left is the per-query top-k window.  ``kernel='expr'``
+    keeps the zero-Python broadcast-join shape."""
+    if kernel == "arrow":
+        rows = probes.select("query_id", "qv", "cell").collect()
+        cell_map: dict[int, tuple] = {}
+        for r in rows:
+            cell_map.setdefault(r["cell"], []).append(
+                (r["query_id"], r["qv"])
+            )
+        for c, qs in cell_map.items():
+            qids = np.array([q for q, _ in qs], dtype=np.int64)
+            Q = np.array([v for _, v in qs], dtype=np.int64)
+            nq = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            cell_map[c] = (qids, Q, nq)
+        spark = assigned.sparkSession
+        bc = spark.sparkContext.broadcast(cell_map)
+
+        def score(batches):
+            m = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for cell, grp in pdf.groupby("cell", sort=False):
+                    entry = m.get(cell)
+                    if entry is None:
+                        continue
+                    qids, Q, nq = entry
+                    V = np.stack(grp["qv"].to_numpy()).astype(
+                        np.int64, copy=False
+                    )
+                    dot = (V @ Q.T).astype(np.float64)
+                    nv = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+                    S = dot / (nv[:, None] * nq[None, :])
+                    nid = grp["neighbor_id"].to_numpy()
+                    nids = np.repeat(nid, len(qids))
+                    qids = np.tile(qids, len(nid))
+                    mask = nids != qids
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qids[mask],
+                            "neighbor_id": nids[mask],
+                            "score": S.ravel()[mask],
+                        }
+                    )
+
+        scored = (
+            assigned.filter(
+                F.col("cell").isin([int(c) for c in cell_map])
+                if cell_map
+                else F.lit(False)
+            )
+            .select("cell", "neighbor_id", "qv")
+            .mapInPandas(score, "query_id long, neighbor_id long, score double")
         )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            score_col(F.col("qv"), F.col("pqv")).alias("score"),
+    else:
+        score_col = _qcos_score_builder(kernel)
+        scored = (
+            assigned.join(
+                F.broadcast(
+                    probes.select("query_id", F.col("qv").alias("pqv"), "cell")
+                ),
+                on="cell",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                score_col(F.col("qv"), F.col("pqv")).alias("score"),
+            )
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -800,27 +870,90 @@ def ivf_index_topk_join(
 
     probes = _probe_cells(queries, id_col, vec_col, centroids, n_probe, kernel)
     index = spark.read.parquet(os.path.join(index_dir, "cells"))
-    score_col = _qcos_score_builder(kernel)
-    scored = (
-        index.hint("shuffle_hash")
-        .join(
-            probes.select(
-                "query_id", F.col("qv").alias("pqv"), "cell"
-            ),
-            on="cell",
+    if kernel == "arrow":
+        # per-CELL matmul instead of per-PAIR scoring: the join-then-UDF
+        # shape shipped BOTH 64-int64 vectors across the Python boundary
+        # once per candidate pair (cell_size × probes-per-cell pairs →
+        # ~d×pairs×16 B of Arrow traffic); cogrouping on the cell key
+        # ships each vector ONCE per cell and scores the whole
+        # (vectors × probes) block as one exact int64 matmul.  Same
+        # distributed shape as before — both sides exchange on `cell`
+        # (no broadcast, no collect; AQE still splits skewed cells), the
+        # per-query top-k is the same second exchange on query_id — and
+        # bit-identical scores: integer dots, then the identical
+        # (norm·norm) multiply and one IEEE divide (guide §4.2/§8:
+        # shuffle/ship keys + payload once, compute on whole batches).
+        scored = _cogroup_cell_scores(
+            index.select("cell", "neighbor_id", "qv"),
+            probes.select("cell", "query_id", F.col("qv").alias("pqv")),
         )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            score_col(F.col("qv"), F.col("pqv")).alias("score"),
+    else:
+        score_col = _qcos_score_builder(kernel)
+        scored = (
+            index.hint("shuffle_hash")
+            .join(
+                probes.select(
+                    "query_id", F.col("qv").alias("pqv"), "cell"
+                ),
+                on="cell",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                score_col(F.col("qv"), F.col("pqv")).alias("score"),
+            )
         )
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def _cogroup_cell_scores(index: DataFrame, probes: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, score) for every same-cell candidate pair
+    with query ≠ neighbor, via one exact int64 matmul per cell block.
+
+    Bit-identical to the per-pair ``qcos_vec`` kernel: the integer dot
+    matrix is exact (|dot| ≤ d·(scale)² ≪ 2⁶³), the norms are sqrt of
+    exact integer self-dots, and the score divides the f64 dot by the
+    (norm·norm) product — the same two IEEE ops per pair in the same
+    order."""
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        V = np.stack(left["qv"].to_numpy()).astype(np.int64, copy=False)
+        Q = np.stack(right["pqv"].to_numpy()).astype(np.int64, copy=False)
+        dot = (V @ Q.T).astype(np.float64)                      # (n, m)
+        nv = np.sqrt((V * V).sum(axis=1).astype(np.float64))    # (n,)
+        nq = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))    # (m,)
+        S = dot / (nv[:, None] * nq[None, :])
+        nid = left["neighbor_id"].to_numpy()
+        qid = right["query_id"].to_numpy()
+        nids = np.repeat(nid, len(qid))
+        qids = np.tile(qid, len(nid))
+        mask = nids != qids
+        return pd.DataFrame(
+            {
+                "query_id": qids[mask],
+                "neighbor_id": nids[mask],
+                "score": S.ravel()[mask],
+            }
+        )
+
+    return (
+        index.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(score, "query_id long, neighbor_id long, score double")
     )
 
 

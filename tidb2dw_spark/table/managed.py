@@ -1053,6 +1053,18 @@ class ManagedTable:
         if probes is not None:
             touched = sorted(probes)
             m = self._prune_delta_seqs(m, probes)
+            # the pruning collect just materialized the COMPLETE distinct
+            # key set driver-side — joining the original (lazy) keys frame
+            # would re-execute its whole lineage (e.g. a secondary-index
+            # probe) a second time; a LocalRelation over the collected
+            # tuples is the identical key set with zero recompute
+            keys = spark.createDataFrame(
+                [
+                    tuple(r[f"k{i}"] for i in range(len(pk_cols)))
+                    for r in key_rows
+                ],
+                schema=keys.select(*pk_cols).schema,
+            )
         else:
             touched = sorted(
                 r["b"]
