@@ -752,6 +752,33 @@ def test_rebucket_preserves_state_and_merges(spark, tmp_path):
     assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 7}
 
 
+def test_read_for_keys_collects_keys_once_under_cap(spark, tmp_path, monkeypatch):
+    """read_for_keys materializes the key set with ONE capped collect and
+    semi-joins against the resulting LocalRelation — the lazy keys
+    lineage must not re-execute inside the final plan.  Past
+    READ_PROBE_CAP the keys frame stays distributed (lazy lineage in the
+    plan) and the result is identical."""
+    import tidb2dw_spark.table.managed as mg
+
+    t = _mk(spark, tmp_path, "t", BASE, buckets=2)
+    # a keys frame with a recognizable lazy lineage (Range scan)
+    keys = spark.range(1, 3).select(F.col("id").alias("k"))
+
+    under = t.read_for_keys(spark, keys)
+    assert {r["k"] for r in under.collect()} == {1, 2}
+    assert "Range" not in under._jdf.queryExecution().toString(), (
+        "under the cap the keys lineage must be replaced by the "
+        "collected LocalRelation, not re-executed in the semi-join"
+    )
+
+    monkeypatch.setattr(mg, "READ_PROBE_CAP", 1)
+    over = t.read_for_keys(spark, keys)
+    assert {r["k"] for r in over.collect()} == {1, 2}
+    assert "Range" in over._jdf.queryExecution().toString(), (
+        "past the cap the keys frame must stay distributed"
+    )
+
+
 def test_count_rows_metadata_fast_path(spark, tmp_path):
     """count_rows(): parquet-footer sum equals a real count for CoW state
     at every stage; MoR with pending deltas resolves through the read."""

@@ -21,10 +21,15 @@ def test_query_matches_oracle(name, spark, sf_dir):
 
 def test_q17_overcap_sigma_falls_back_semi_join(spark, sf_dir, monkeypatch):
     """Past _Q17_SIGMA_CAP σ-part keys the Q17 serving path stops
-    collecting keys driver-side: the index is probed by broadcast
-    semi-join and the row stays oracle-green — no giant literal IN, no
-    fact scan (the fact probe still rides read_for_keys)."""
+    collecting σ driver-side: the index is probed by DISTRIBUTED
+    semi-join (lookup_pks_semi — never a giant literal IN over
+    p_partkey) and the row stays oracle-green.  The fact probe still
+    rides read_for_keys, whose own key collect is READ_PROBE_CAP-bounded
+    (at this fixture scale the post-index PK set fits under the cap, so
+    the serving plan's semi-join keys side is the capped LocalRelation —
+    the index lineage executes exactly once, in the capped collect)."""
     import tidb2dw_spark.entry_pipeline as ep
+    from tidb2dw_spark.operators.secondary_index import SecondaryIndex
 
     want = sorted(
         map(tuple, ep.QUERIES["pipeline_maintained_q17"](spark, sf_dir).collect())
@@ -41,17 +46,26 @@ def test_q17_overcap_sigma_falls_back_semi_join(spark, sf_dir, monkeypatch):
         return real_bc(df)
 
     monkeypatch.setattr(ep.F, "broadcast", _spy)
+    # spy on the index probe: the over-cap arm must resolve σ→PKs
+    # through the distributed semi probe, never via literal lookups
+    semi_calls: list[int] = []
+    real_semi = SecondaryIndex.lookup_pks_semi
+
+    def _semi_spy(self, spark_, keys_df):
+        semi_calls.append(1)
+        return real_semi(self, spark_, keys_df)
+
+    monkeypatch.setattr(SecondaryIndex, "lookup_pks_semi", _semi_spy)
     got_df = ep.QUERIES["pipeline_maintained_q17"](spark, sf_dir)
     assert {"p_partkey", "p_brand"} not in bc_cols
+    assert semi_calls, "over-cap arm must probe the index via lookup_pks_semi"
     monkeypatch.setattr(ep.F, "broadcast", real_bc)
     assert sorted(map(tuple, got_df.collect())) == want
     from tidb2dw_spark.plans import audit
 
     plan = audit(got_df).plan
-    # the index probe is a broadcast semi-join; the part σ is never a
-    # literal IN over p_partkey
+    # the fact probe is a semi-join against the capped key relation
     assert "LeftSemi" in plan
-    assert "ix_partkey" in plan
     # and NO fact scan: every lineitem read in the plan is a
     # bucket-pruned read_for_keys path, never the table root
     li_scans = [

@@ -804,6 +804,22 @@ def incremental_minhash_pairs(
         (F.col("band") * SIG_STORE_KEY_BUCKETS + F.col("kb")).cast("long"),
     )
 
+    # ONE driver action materializes the signature cache AND yields both
+    # driver-side facts this call needs: the batch size (store-write file
+    # sizing) and the touched (band, kb) set (store-read pruning).  The
+    # previous shape paid two actions — a distinct-collect whose first
+    # execution ran BEFORE the cache was pinned (measured re-running the
+    # whole shingle→md5→fold chain), then a separate new_sigs.count().
+    # collect_set is bounded by bands × SIG_STORE_KEY_BUCKETS entries;
+    # count(*) is exactly bands rows per signature (lsh_band_keys always
+    # emits `bands` structs, null-text signatures included).
+    _stats = banded_new.agg(
+        F.count(F.lit(1)).alias("n_banded"),
+        F.collect_set(F.struct("band", "kb")).alias("touched"),
+    ).collect()[0]
+    n_new = int(_stats["n_banded"]) // bands
+    touched = sorted((t["band"], t["kb"]) for t in _stats["touched"])
+
     # store read as ONE scan over a snapshot of the batch directories
     # (enumerating them BEFORE the append below pins the read set — the
     # new batch can never leak into its own read), PRUNED to the (band,
@@ -843,10 +859,6 @@ def incremental_minhash_pairs(
                     "before appending banded batches"
                 )
             all_bkb = all_bkb and "bkb" in names
-        touched = sorted(
-            (r["band"], r["kb"])
-            for r in banded_new.select("band", "kb").distinct().collect()
-        )
         # an empty batch touches nothing and can match nothing — skip the
         # store read entirely instead of building an empty filter
         if touched:
@@ -897,13 +909,6 @@ def incremental_minhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .persist()
     )
-    # materialize the signature cache with its OWN count first: the pairs
-    # job's two branches over the not-yet-materialized InMemoryRelation
-    # were measured recomputing the fold (the whole batch's md5 chain) a
-    # second time; counting new_sigs first pins the cache, every later
-    # consumer (pairs join, store write) reads it, and the count doubles
-    # as the store-write size estimate below
-    n_new = new_sigs.count()
     pairs.count()  # materialize before the store mutates
     # each batch lands in its OWN subdirectory: appending into the shared
     # root would recacheByPath-invalidate every cached plan reading the

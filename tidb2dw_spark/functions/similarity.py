@@ -573,7 +573,11 @@ def _qcos_score_builder(kernel: str):
 
 
 def _probe_score_rank(
-    assigned: DataFrame, probes: DataFrame, k: int, kernel: str
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int,
+    kernel: str,
+    probe_rows=None,
 ) -> DataFrame:
     """Score the cell-assigned corpus against a broadcast-sized probe
     batch, per-query top-k.
@@ -590,9 +594,15 @@ def _probe_score_rank(
     is a static IN over the partition column (prunes cell directories
     at planning time on the persisted-index path), and the only
     exchange left is the per-query top-k window.  ``kernel='expr'``
-    keeps the zero-Python broadcast-join shape."""
+    keeps the zero-Python broadcast-join shape.  A caller that already
+    collected the probe rows (e.g. to derive the probed-cell set)
+    passes them via *probe_rows* so the probe lineage executes once."""
     if kernel == "arrow":
-        rows = probes.select("query_id", "qv", "cell").collect()
+        rows = (
+            probe_rows
+            if probe_rows is not None
+            else probes.select("query_id", "qv", "cell").collect()
+        )
         cell_map: dict[int, tuple] = {}
         for r in rows:
             cell_map.setdefault(r["cell"], []).append(

@@ -551,10 +551,15 @@ class IvfVectorIndex:
 
     # -- probe ------------------------------------------------------------
     def _read_cells(self, spark, m: dict, cells) -> DataFrame | None:
-        """Union of the probed cells' CURRENT partition dirs, each
-        re-labeled with its cell id (reading the leaf dirs directly drops
-        the partition column)."""
-        parts = []
+        """ONE scan over the probed cells' CURRENT partition dirs.  The
+        per-cell ``spark.read.parquet`` + union shape paid a sequential
+        driver-side schema-inference job PER probed cell (measured: 16
+        single-task jobs per search); passing every dir to a single read
+        with ``basePath`` recovers the ``cell`` id from the directory
+        name via partition discovery instead — one job, and the probed
+        set still prunes at planning time (only the listed dirs exist in
+        the scan's file index)."""
+        paths = []
         for c in cells:
             p = (
                 self.root
@@ -562,15 +567,15 @@ class IvfVectorIndex:
                 / f"cell={c}"
             )
             if p.exists():
-                parts.append(
-                    spark.read.parquet(str(p)).withColumn("cell", F.lit(int(c)))
-                )
-        if not parts:
+                paths.append(str(p))
+        if not paths:
             return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return (
+            spark.read.option("basePath", str(self.root))
+            .parquet(*paths)
+            .drop("v")
+            .withColumn("cell", F.col("cell").cast("int"))
+        )
 
     def topk(
         self,
@@ -588,15 +593,27 @@ class IvfVectorIndex:
             queries, self.id_col, self.vec_col, m["centroids"], n_probe,
             self.kernel,
         )
-        cells = sorted(
-            r["cell"] for r in probes.select("cell").distinct().collect()
-        )
+        if self.kernel == "arrow":
+            # ONE probe materialization: the arrow scorer needs the full
+            # (query_id, qv, cell) rows driver-side anyway — collecting
+            # them here (instead of a distinct-cells collect now and the
+            # scorer's own collect later) executes the probe lineage
+            # once instead of twice per search
+            probe_rows = probes.select("query_id", "qv", "cell").collect()
+            cells = sorted({r["cell"] for r in probe_rows})
+        else:
+            probe_rows = None
+            cells = sorted(
+                r["cell"] for r in probes.select("cell").distinct().collect()
+            )
         index = self._read_cells(spark, m, cells)
         if index is None:
             return spark.createDataFrame(
                 [], "query_id long, neighbor_id long, score double, rank int"
             )
-        return _probe_score_rank(index, probes, k, self.kernel)
+        return _probe_score_rank(
+            index, probes, k, self.kernel, probe_rows=probe_rows
+        )
 
 
 class IvfPqVectorIndex(IvfVectorIndex):

@@ -498,7 +498,13 @@ class SecondaryIndex:
         # intermediate states never touch the index.
         from pyspark.sql import Window
 
-        removals = self._entries(ch)
+        # persist both changes-sized frames: each is consumed by the
+        # touched-bucket collect AND the rewrite below — without the
+        # cache the feed slice (CDF read + the net-effect window) would
+        # re-execute once per consumer (measured 3 slice reads per
+        # refresh); the cached rows are O(changes), exactly what the
+        # broadcast below assumes fits
+        removals = self._entries(ch).persist()
         w = Window.partitionBy(*self.pk_cols).orderBy(
             F.desc(COMMIT_SEQ_COL),
             F.desc(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES).cast("int")),
@@ -508,50 +514,60 @@ class SecondaryIndex:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        additions = self._entries(final.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES)))
-        delta = removals.unionByName(additions)
-        touched = sorted(
-            r["b"]
-            for r in delta.select(self._bucket_col().alias("b")).distinct().collect()
-        )
-        if not touched:
-            m["applied_seq"] = src_seq
-            self._commit(m)
-            return src_seq
-        new_version = m["version"] + 1
-        base = self._read_buckets(spark, m, touched)
-        # an entry is keyed by (value(s), pk): anti-join the removals,
-        # union the additions; both sides are changes-sized → broadcast
-        keyed = [*self.cols, *self.pk_cols]
-        survivors = (
-            base.join(F.broadcast(removals), on=keyed, how="left_anti")
-            if base is not None
-            else additions.limit(0)
-        )
-        out = (
-            survivors.unionByName(additions)
-            .dropDuplicates(keyed)
-            .withColumn(VAL_BUCKET_COL, self._bucket_col())
-        )
-        out.write.mode("overwrite").partitionBy(VAL_BUCKET_COL).parquet(
-            str(self.root / f"v={new_version}")
-        )
-        m["version"] = new_version
-        for b in touched:
-            m["bucket_versions"][str(b)] = new_version
-        m["applied_seq"] = src_seq
-        if self.layout == "range":
-            # zone maps of the rewritten buckets (others untouched) — a
-            # bucket emptied by this refresh loses its zone and range
-            # probes skip it
-            zone = dict(m.get("zone", {}))
-            new_zone = self._zone_of(out)
+        additions = self._entries(
+            final.filter(F.col(CHANGE_TYPE_COL).isin(*_ADD_TYPES))
+        ).persist()
+        try:
+            delta = removals.unionByName(additions)
+            touched = sorted(
+                r["b"]
+                for r in delta.select(self._bucket_col().alias("b")).distinct().collect()
+            )
+            if not touched:
+                m["applied_seq"] = src_seq
+                self._commit(m)
+                return src_seq
+            new_version = m["version"] + 1
+            base = self._read_buckets(spark, m, touched)
+            # an entry is keyed by (value(s), pk): anti-join the removals,
+            # union the additions; both sides are changes-sized → broadcast
+            keyed = [*self.cols, *self.pk_cols]
+            survivors = (
+                base.join(F.broadcast(removals), on=keyed, how="left_anti")
+                if base is not None
+                else additions.limit(0)
+            )
+            out = (
+                survivors.unionByName(additions)
+                .dropDuplicates(keyed)
+                .withColumn(VAL_BUCKET_COL, self._bucket_col())
+            )
+            out.write.mode("overwrite").partitionBy(VAL_BUCKET_COL).parquet(
+                str(self.root / f"v={new_version}")
+            )
+            m["version"] = new_version
             for b in touched:
-                if str(b) in new_zone:
-                    zone[str(b)] = new_zone[str(b)]
-                else:
-                    zone.pop(str(b), None)
-            m["zone"] = zone
+                m["bucket_versions"][str(b)] = new_version
+            m["applied_seq"] = src_seq
+            if self.layout == "range":
+                # zone maps of the rewritten buckets (others untouched) — a
+                # bucket emptied by this refresh loses its zone and range
+                # probes skip it (computed from the JUST-WRITTEN version
+                # dir: a columnar min/max scan of the rewritten buckets,
+                # instead of re-executing the whole rewrite lineage)
+                zone = dict(m.get("zone", {}))
+                new_zone = self._zone_of(
+                    spark.read.parquet(str(self.root / f"v={new_version}"))
+                )
+                for b in touched:
+                    if str(b) in new_zone:
+                        zone[str(b)] = new_zone[str(b)]
+                    else:
+                        zone.pop(str(b), None)
+                m["zone"] = zone
+        finally:
+            removals.unpersist()
+            additions.unpersist()
         self._commit(m)
         for p in self.root.glob("v=*"):
             v = int(p.name.split("=", 1)[1])

@@ -48,6 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__pk_bucket"
+# read_for_keys' driver-side key-collect cap: at or under this many
+# distinct key tuples the probe materializes once (LocalRelation keys);
+# past it the key frame stays distributed (module-level for tests)
+READ_PROBE_CAP = 8192
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_SEQ_COL = "_commit_seq"
 COMMIT_VERSION_COL = "_commit_version"
@@ -1019,45 +1023,43 @@ class ManagedTable:
         pk_cols, n = m["pk"], m.get("pk_buckets", 0)
         if n <= 0:
             return self.read(spark).join(F.broadcast(keys), on=pk_cols, how="left_semi")
-        # delta-stats pruning needs the per-bucket probe VALUES — collect
-        # them only when pending deltas carry stats (MoR probe path), and
-        # only up to a cap: a huge key set makes the per-value collect
-        # O(#keys) driver memory for pruning that saves little relative to
-        # the probe itself, so past the cap we fall back to the bucket-only
-        # collect (bounded by bucket count) and read every pending delta.
-        # The over-cap case runs two jobs over the key set; accepted —
-        # the first stops early at the LocalLimit, and the truncated rows
-        # cannot seed the bucket list (a bucket whose keys all sort past
-        # the cap would be silently dropped from the read set)
+        # ONE probe-capped collect of the distinct key tuples serves every
+        # driver-side need of this read: the touched-bucket list, MoR
+        # delta-stats pruning (when pending deltas carry stats), AND the
+        # semi-join's key side as a LocalRelation — joining the original
+        # (lazy) keys frame would re-execute its whole lineage (e.g. a
+        # secondary-index probe) a second time; the collected tuples are
+        # the identical key set with zero recompute.  Past the cap a huge
+        # key set would make the per-value collect O(#keys) driver
+        # memory, so we fall back to the bucket-only collect (bounded by
+        # bucket count), read every pending delta, and keep the lazy keys
+        # frame distributed.  The over-cap case runs two jobs over the
+        # key set; accepted — the first stops early at the LocalLimit,
+        # and the truncated rows cannot seed the bucket list (a bucket
+        # whose keys all sort past the cap would be silently dropped from
+        # the read set)
         has_stats = bool(m.get("delta_stats")) and any(
             m.get("bucket_deltas", {}).values()
         )
-        probe_cap = 8192
-        probes: dict[int, set] | None = None
-        if has_stats:
-            key_rows = (
-                keys.select(
-                    self._bucket_expr(pk_cols, n).alias("b"),
-                    *[F.col(c).alias(f"k{i}") for i, c in enumerate(pk_cols)],
-                )
-                .distinct()
-                .limit(probe_cap + 1)
-                .collect()
+        probe_cap = READ_PROBE_CAP
+        key_rows = (
+            keys.select(
+                self._bucket_expr(pk_cols, n).alias("b"),
+                *[F.col(c).alias(f"k{i}") for i, c in enumerate(pk_cols)],
             )
-            if len(key_rows) <= probe_cap:
-                probes = {}
-                for r in key_rows:
-                    probes.setdefault(r["b"], set()).add(
-                        tuple(r[f"k{i}"] for i in range(len(pk_cols)))
-                    )
-        if probes is not None:
+            .distinct()
+            .limit(probe_cap + 1)
+            .collect()
+        )
+        if len(key_rows) <= probe_cap:
+            probes: dict[int, set] = {}
+            for r in key_rows:
+                probes.setdefault(r["b"], set()).add(
+                    tuple(r[f"k{i}"] for i in range(len(pk_cols)))
+                )
             touched = sorted(probes)
-            m = self._prune_delta_seqs(m, probes)
-            # the pruning collect just materialized the COMPLETE distinct
-            # key set driver-side — joining the original (lazy) keys frame
-            # would re-execute its whole lineage (e.g. a secondary-index
-            # probe) a second time; a LocalRelation over the collected
-            # tuples is the identical key set with zero recompute
+            if has_stats:
+                m = self._prune_delta_seqs(m, probes)
             keys = spark.createDataFrame(
                 [
                     tuple(r[f"k{i}"] for i in range(len(pk_cols)))
