@@ -1023,21 +1023,25 @@ class ManagedTable:
         pk_cols, n = m["pk"], m.get("pk_buckets", 0)
         if n <= 0:
             return self.read(spark).join(F.broadcast(keys), on=pk_cols, how="left_semi")
-        # ONE probe-capped collect of the distinct key tuples serves every
+        # ONE probe-capped collect of the key rows serves every
         # driver-side need of this read: the touched-bucket list, MoR
         # delta-stats pruning (when pending deltas carry stats), AND the
         # semi-join's key side as a LocalRelation — joining the original
         # (lazy) keys frame would re-execute its whole lineage (e.g. a
         # secondary-index probe) a second time; the collected tuples are
-        # the identical key set with zero recompute.  Past the cap a huge
-        # key set would make the per-value collect O(#keys) driver
-        # memory, so we fall back to the bucket-only collect (bounded by
-        # bucket count), read every pending delta, and keep the lazy keys
-        # frame distributed.  The over-cap case runs two jobs over the
-        # key set; accepted — the first stops early at the LocalLimit,
-        # and the truncated rows cannot seed the bucket list (a bucket
-        # whose keys all sort past the cap would be silently dropped from
-        # the read set)
+        # the identical key set with zero recompute.  The attempt is a
+        # plain LIMIT (CollectLimit stops after probe_cap+1 ROWS — no
+        # distinct shuffle, so a huge key frame pays only an
+        # early-stopped partial scan, measured ~free vs the full
+        # distinct a previous shape ran); at or under the cap the
+        # multiset is complete, so driver-side dedup yields the exact
+        # distinct key set.  Past the cap (by raw rows, duplicates
+        # included — conservative) we fall back to the bucket-only
+        # collect (bounded by bucket count), read every pending delta,
+        # and keep the lazy keys frame distributed.  The over-cap case
+        # runs two jobs over the key set; accepted — the truncated rows
+        # cannot seed the bucket list (a bucket whose keys all arrive
+        # past the cap would be silently dropped from the read set)
         has_stats = bool(m.get("delta_stats")) and any(
             m.get("bucket_deltas", {}).values()
         )
@@ -1047,7 +1051,6 @@ class ManagedTable:
                 self._bucket_expr(pk_cols, n).alias("b"),
                 *[F.col(c).alias(f"k{i}") for i, c in enumerate(pk_cols)],
             )
-            .distinct()
             .limit(probe_cap + 1)
             .collect()
         )
@@ -1060,13 +1063,29 @@ class ManagedTable:
             touched = sorted(probes)
             if has_stats:
                 m = self._prune_delta_seqs(m, probes)
-            keys = spark.createDataFrame(
-                [
+            distinct_keys = list(
+                dict.fromkeys(
                     tuple(r[f"k{i}"] for i in range(len(pk_cols)))
                     for r in key_rows
-                ],
-                schema=keys.select(*pk_cols).schema,
+                )
             )
+            key_schema = keys.select(*pk_cols).schema
+            try:
+                # pandas + Arrow: the relation lands in the JVM as Arrow
+                # batches, so executing the semi-join never spins up a
+                # Python worker; the plain list-of-tuples path backs the
+                # frame with a pickled Python RDD that re-pays a Python
+                # evaluation on every action (measured ~0.4 s per probe)
+                import pandas as _pd
+
+                pdf = _pd.DataFrame(
+                    distinct_keys, columns=pk_cols, dtype=object
+                )
+                keys = spark.createDataFrame(pdf, schema=key_schema)
+            except Exception:
+                # exotic pk types the arrow path can't convert: the
+                # pickled path is slower but always correct
+                keys = spark.createDataFrame(distinct_keys, schema=key_schema)
         else:
             touched = sorted(
                 r["b"]
