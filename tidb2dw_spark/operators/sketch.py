@@ -71,6 +71,19 @@ _WALK_VIEW_SEQ = 0  # unique temp-view names for concurrent rank walks
 _SUB = ("delete", "update_preimage")
 _ADD = ("insert", "update_postimage")
 
+# Serving-side state localization cap: when a sketch's pinned version is
+# under this many bytes ON DISK, serving reads collect the counter state
+# once into an Arrow-backed LocalRelation, so every probe join in the
+# read builds its broadcast from driver memory — no per-hop parquet scan
+# or broadcast-build JOB (the dyadic descent paid up to 22 of them per
+# call).  The counter relation was ALREADY broadcast-joined by these
+# reads, so "driver-sized" is not a new constraint — the cap only makes
+# it explicit and scale-adaptive: a state past the cap keeps the
+# distributed shapes unchanged.  Parameterised for production tuning.
+_SERVE_LOCAL_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SKETCH_LOCAL_MAX_BYTES", str(64 << 20))
+)
+
 
 class SeqVersionedState:
     """Mixin for ``root/_meta.json`` + ``v=N`` derived objects: retain
@@ -1149,6 +1162,46 @@ class MaintainedCountMinSketch(SeqVersionedState):
             str(self.root / f"v={self.meta()['version']}")
         )
 
+    def _state_bytes(self) -> int:
+        """On-disk footprint of the pinned version — a driver-side
+        stat() sum, no Spark job.  Upper-bounds any rollup of it (a
+        rollup only merges counter rows)."""
+        vdir = self.root / f"v={self.meta()['version']}"
+        return sum(
+            f.stat().st_size for f in vdir.rglob("*") if f.is_file()
+        )
+
+    def _serve_pdf(self, subset: list | None):
+        """Driver-side snapshot of the pinned counter state for a
+        serving read, or None.  Under ``_SERVE_LOCAL_MAX_BYTES`` (an
+        on-disk stat, no job) the version dir — it is by construction
+        metadata-sized then — is read DIRECTLY with pandas, so state
+        access costs zero Spark jobs; *subset* (when it differs from
+        the stored grain) applies the linear rollup as an exact
+        integer groupby-sum, mirroring :meth:`rollup`.  None above the
+        cap or on any read failure: callers keep the distributed
+        shapes, so production-sized states are untouched."""
+        try:
+            if self._state_bytes() > _SERVE_LOCAL_MAX_BYTES:
+                return None
+            import pandas as pd
+
+            vdir = self.root / f"v={self.meta()['version']}"
+            files = sorted(vdir.glob("*.parquet"))
+            if not files:
+                return None
+            pdf = pd.concat(
+                [pd.read_parquet(f) for f in files], ignore_index=True
+            )
+            if subset is not None and set(subset) != set(self.group_cols):
+                keys = [*subset, *self._COUNTER_KEYS]
+                pdf = pdf.groupby(
+                    keys, dropna=False, sort=False, as_index=False
+                )["cnt"].sum()
+            return pdf
+        except Exception:
+            return None
+
     def _commit(self, counters: DataFrame, meta: dict, validate=None) -> None:
         """Write → validate → swap → GC, in that order.  *validate*
         (if given) runs against the freshly written version directory
@@ -1675,11 +1728,15 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
     CM never underestimates, and a value's count never exceeds its
     prefix's, so NO true heavy hitter can be pruned (no false
     negatives); εN-rare collision-driven false positives are the
-    documented CM trade.  The descent is FULLY DISTRIBUTED — candidate
-    frames live in DataFrames end to end (no driver-side collect of
-    candidates), per-level work is bounded by
-    256 · (prefixes with est ≥ T) ≤ 256 · N/T per group, and every
-    probe reads only the k-counter STATE, never a base table.
+    documented CM trade.  Candidate frames live in DataFrames end to
+    end (no driver-side collect of candidates), per-level work is
+    bounded by 256 · (prefixes with est ≥ T) ≤ 256 · N/T per group,
+    and every probe reads only the k-counter STATE, never a base
+    table.  The counter STATE itself — which every probe join already
+    broadcast — is localized once per read under
+    ``_SERVE_LOCAL_MAX_BYTES`` (see :meth:`_serve_counters`) so the
+    descent plans as one exchange-free broadcast-join chain; past the
+    cap the fully distributed shuffle shape serves unchanged.
 
     Cross-engine exact like its parent: prefixes are integer shifts
     (``//`` on a non-negative domain), buckets the shared md5+salt
@@ -1820,6 +1877,59 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
             )
         )
 
+    def _descent_sql(
+        self, texts: dict, groups_sql: str | None, subset: list,
+        min_count: int,
+    ) -> str:
+        """The whole :meth:`enumerate_heavy` descent as ONE SQL
+        statement over a localized state: per level, est is the
+        constant-folded map-lookup LEAST (see _map_least_sql) computed
+        while expanding the surviving prefixes — no join, no groupBy,
+        no state scan, no per-level py4j plan assembly.  The statement
+        is a narrow LocalRelation-seeded codegen chain: one parse, one
+        job.  Semantics are the loop's, bit for bit: est = min over
+        depth of COALESCE(cnt, 0); survive iff est ≥ min_count; expand
+        each survivor into its fanout children."""
+        g = lambda a: "".join(f"{a}.`{c}`, " for c in subset)  # noqa: E731
+        gp = "".join(f"`{c}`, " for c in subset)
+        lv0 = self.LEVELS - 1
+        seed_from = (
+            f"{groups_sql}, range({1 << self._top_bits()}) p, m"
+            if subset
+            else f"range({1 << self._top_bits()}) p, m"
+        )
+        ctes = [self._map_cte_sql(texts)]
+        ctes.append(
+            f"""s{lv0} AS (
+  SELECT * FROM (
+    SELECT {g('gr') if subset else ''}p.id AS pfx,
+           {self._map_least_sql(lv0, 'p.id', 'gr' if subset else '', subset)} AS est
+    FROM {seed_from}
+  ) WHERE est >= {int(min_count)}
+)"""
+        )
+        for lv in range(lv0 - 1, -1, -1):
+            up = f"s{lv + 1}"
+            child = f"{up}.pfx * {self._FANOUT} + o.id"
+            ctes.append(
+                f"""s{lv} AS (
+  SELECT * FROM (
+    SELECT {g(up)}{child} AS pfx,
+           {self._map_least_sql(lv, f'({child})', up, subset)} AS est
+    FROM {up}, range({self._FANOUT}) o, m
+  ) WHERE est >= {int(min_count)}
+)"""
+            )
+        return (
+            "WITH "
+            + ", ".join(ctes)
+            + f"""
+SELECT {gp}CAST(pfx AS BIGINT) AS `{self.value_col}`,
+       CAST(est AS BIGINT) AS est
+FROM s0
+"""
+        )
+
     def estimate_range(
         self,
         spark: SparkSession,
@@ -1849,6 +1959,9 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
             if group_subset is None
             else self.rollup(spark, subset)
         )
+        local_pdf = self._serve_pdf(
+            None if group_subset is None else subset
+        )
         rows = []
         bound = (1 << self._domain_bits()) - 1
         for lo, hi in ranges:
@@ -1866,6 +1979,49 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
                 lo_i, min(hi_i, bound), self.BRANCH_BITS, self.LEVELS
             ):
                 rows.append((lo_i, hi_i, lvl, pfx))
+        # a repeated (lo, hi) range replays its identical cover; the
+        # grouped-min shape collapsed such duplicates, the flat SUM
+        # below must not see them twice — dedupe once for both shapes
+        rows = list(dict.fromkeys(rows))
+        if local_pdf is not None:
+            # localized state (see _serve_pdf): ONE SQL statement —
+            # (groups × cover nodes) as VALUES, est per node as the
+            # constant-folded map-lookup LEAST (see _map_least_sql),
+            # one exchange for the final per-range sum — instead of a
+            # distinct+crossJoin+explode+double-groupBy over repeated
+            # state scans.  Identical algebra: min over depth of
+            # COALESCE(cnt, 0), summed over the cover nodes.
+            texts = self._counters_map_text(counters, local_pdf, subset)
+            groups_sql = self._group_values_sql(
+                counters, local_pdf, subset
+            )
+            if texts is not None and (not subset or groups_sql):
+                g = lambda a: "".join(  # noqa: E731
+                    f"{a}.`{c}`, " for c in subset
+                )
+                gp = "".join(f"`{c}`, " for c in subset)
+                ndvals = ", ".join(
+                    f"(CAST({lo} AS BIGINT), CAST({hi} AS BIGINT), "
+                    f"CAST({lvl} AS INT), CAST({pfx} AS BIGINT))"
+                    for lo, hi, lvl, pfx in rows
+                )
+                frm = (
+                    f"{groups_sql}, (VALUES {ndvals})"
+                    " AS nd(lo, hi, level, pfx), m"
+                    if subset
+                    else f"(VALUES {ndvals}) AS nd(lo, hi, level, pfx), m"
+                )
+                e = self._map_least_sql(
+                    "nd.level", "nd.pfx", "gr" if subset else "", subset
+                )
+                return spark.sql(f"""
+WITH {self._map_cte_sql(texts)}
+SELECT {gp}lo, hi, CAST(SUM(e) AS BIGINT) AS est
+FROM (
+  SELECT {g('gr') if subset else ''}nd.lo, nd.hi, {e} AS e
+  FROM {frm}
+) GROUP BY {gp}lo, hi
+""")
         nodes = spark.createDataFrame(
             rows, "lo long, hi long, level int, __pfx long"
         )
@@ -1959,6 +2115,27 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         else:
             subset = list(group_subset)
             counters = self.rollup(spark, subset)
+        # localized state (see _serve_pdf): the walk's 22 counter-view
+        # references collapse into ONE map literal + a VALUES group
+        # seed — no scan, no join, no broadcast of state anywhere
+        local_pdf = self._serve_pdf(
+            None if group_subset is None else subset
+        )
+        local_map = (
+            self._counters_map_text(counters, local_pdf, subset)
+            if local_pdf is not None
+            else None
+        )
+        groups_sql = (
+            self._group_values_sql(counters, local_pdf, subset)
+            if local_map is not None
+            else None
+        )
+        if subset and local_map is not None and groups_sql is None:
+            # a group tuple without a literal form (or an empty state)
+            # would force a state-scan seed under a map-lookup walk —
+            # mixed shape, keep the relational one instead
+            local_map = None
         global _WALK_VIEW_SEQ
         _WALK_VIEW_SEQ += 1
         cv = f"cmhh_walk_counters_{_WALK_VIEW_SEQ}"
@@ -1967,7 +2144,12 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         # passes PER chained-window CTE; the default 100 caps out
         # around 6 hops — one statement-sized bump, cheap and local
         spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
-        return spark.sql(self._walk_sql(cv, subset, qs, s))
+        return spark.sql(
+            self._walk_sql(
+                cv, subset, qs, s,
+                local_map=local_map, groups_sql=groups_sql,
+            )
+        )
 
     def _bucket_sql(self, value_expr: str, depth_expr: str) -> str:
         """Spark-SQL twin of :func:`cms_bucket_col` — the pinned
@@ -1980,8 +2162,192 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         )
         return f"CAST({h} % {self.width} AS INT)"
 
-    def _walk_sql(self, cv: str, subset: list, qs: list, s: int) -> str:
-        """The rank-walk as one SQL statement (see quantile_values)."""
+    def _counters_map_text(
+        self, counters: DataFrame, local_pdf, subset: list
+    ):
+        """The localized counter state rendered for ``str_to_map`` SQL
+        literals: a dict keyed (level, depth) of
+        ``bucket|hex(group)…:cnt`` pairs joined by ','.  One SMALL map
+        per (level, depth) matters: Catalyst map literals answer
+        ``element_at`` by LINEAR scan, so one flat map pays
+        O(total counters) string compares per probe while the split
+        pays O(counters at that level×depth) — 24× less for the full
+        dyadic tree.  Group values are hex-of-UTF-8 so the text is
+        pure ``[0-9A-F|,:]`` — no escaping, no delimiter collisions —
+        and the probe side rebuilds the identical key with
+        ``hex(CAST(CAST(g AS STRING) AS BINARY))``.  Returns None when
+        a group column's type has no bit-stable Python↔Spark string
+        form (only STRING and integer types are embedded — e.g. a
+        boolean renders 'True' in Python but 'true' in Spark); the
+        caller then keeps the relational shape.  NULL group values are
+        omitted: an equality join never matched them, and the probe
+        key is null-propagating, so both shapes agree."""
+        from pyspark.sql.types import (
+            ByteType, IntegerType, LongType, ShortType, StringType,
+        )
+
+        int_types = (ByteType, IntegerType, LongType, ShortType)
+        kinds = {}
+        for f in counters.schema.fields:
+            if f.name not in subset:
+                continue
+            if isinstance(f.dataType, int_types):
+                kinds[f.name] = "int"
+            elif isinstance(f.dataType, StringType):
+                kinds[f.name] = "str"
+            else:
+                return None
+        parts: dict[tuple[int, int], list[str]] = {}
+        for rd in local_pdf.to_dict("records"):
+            gs = []
+            skip = False
+            for c in subset:
+                v = rd[c]
+                if v is None or (isinstance(v, float) and v != v):
+                    skip = True
+                    break
+                s = str(int(v)) if kinds[c] == "int" else str(v)
+                gs.append(s.encode("utf-8").hex().upper())
+            if skip:
+                continue
+            key = str(int(rd["bucket"]))
+            for h in gs:
+                key += "|" + h
+            parts.setdefault(
+                (int(rd["level"]), int(rd["depth"])), []
+            ).append(f"{key}:{int(rd['cnt'])}")
+        return {k: ",".join(v) for k, v in parts.items()}
+
+    def _group_values_sql(
+        self, counters: DataFrame, local_pdf, subset: list
+    ) -> str | None:
+        """The distinct group tuples of a localized state rendered as
+        an inline VALUES table (``(VALUES …) gr(cols…)``) so the walk's
+        seed needs no state scan.  String values ride as
+        ``CAST(unhex('…') AS STRING)`` — exact bytes, no escaping;
+        integer types as plain literals.  None when empty, when a
+        group carries NULL, or when a type has no literal form — the
+        caller then seeds from the counter view as before."""
+        from pyspark.sql.types import (
+            ByteType, IntegerType, LongType, ShortType, StringType,
+        )
+
+        if not subset or local_pdf is None or len(local_pdf) == 0:
+            return None
+        sql_t = {
+            ByteType: "TINYINT", ShortType: "SMALLINT",
+            IntegerType: "INT", LongType: "BIGINT",
+        }
+        kinds = {}
+        for f in counters.schema.fields:
+            if f.name not in subset:
+                continue
+            if isinstance(f.dataType, StringType):
+                kinds[f.name] = "str"
+            elif type(f.dataType) in sql_t:
+                kinds[f.name] = sql_t[type(f.dataType)]
+            else:
+                return None
+        rows = []
+        for t in (
+            local_pdf[subset].drop_duplicates().itertuples(index=False)
+        ):
+            vals = []
+            for c, v in zip(subset, t):
+                if v is None or (isinstance(v, float) and v != v):
+                    return None
+                if kinds[c] == "str":
+                    vals.append(
+                        "CAST(unhex('"
+                        + str(v).encode("utf-8").hex().upper()
+                        + "') AS STRING)"
+                    )
+                else:
+                    vals.append(f"CAST({int(v)} AS {kinds[c]})")
+            rows.append("(" + ", ".join(vals) + ")")
+        cols = ", ".join(f"`{c}`" for c in subset)
+        return f"(VALUES {', '.join(rows)}) AS gr({cols})"
+
+    def _map_cte_sql(self, texts: dict) -> str:
+        """The counter maps as one one-row CTE ``m`` with a
+        ``mp_<level>_<depth>`` column per (level, depth) slice — each
+        a small ``str_to_map`` literal (see _counters_map_text for why
+        the split matters)."""
+        cols = []
+        for lv in range(self.LEVELS):
+            for d in range(self.depth):
+                t = texts.get((lv, d))
+                lit = (
+                    f"str_to_map('{t}', ',', ':')"
+                    if t
+                    else "map('', '')"
+                )
+                cols.append(f"{lit} AS mp_{lv}_{d}")
+        return f"m AS (SELECT {', '.join(cols)})"
+
+    def _map_key_sql(self, d: int, pfx_expr: str, qual: str,
+                     subset: list) -> str:
+        """The lookup key one probe row builds against a (level, depth)
+        counter map slice (see _counters_map_text — same field order
+        and encoding): bucket|hex(group)… .  ``||`` is
+        null-propagating concat, so a NULL group key yields a NULL key
+        → NULL lookup → COALESCE 0, exactly the join-on-null miss the
+        relational shape produced."""
+        q = f"{qual}." if qual else ""
+        key = f"CAST({self._bucket_sql(pfx_expr, str(d))} AS STRING)"
+        for c in subset:
+            key += (
+                f" || '|' || hex(CAST(CAST({q}`{c}` AS STRING)"
+                " AS BINARY))"
+            )
+        return key
+
+    def _map_least_sql(self, lv_sql, pfx_expr: str, qual: str,
+                       subset: list) -> str:
+        """est = min over depth of COALESCE(cnt, 0), as a pure
+        expression over the counter map slices — no join, no window.
+        *lv_sql*: an int picks the slice statically (the descent knows
+        its hop's level); a string is a per-row level column and
+        dispatches over the ≤8 slices with a CASE."""
+        parts = []
+        for d in range(self.depth):
+            if isinstance(lv_sql, int):
+                mp = f"m.mp_{lv_sql}_{d}"
+            else:
+                arms = "".join(
+                    f"WHEN {lv} THEN m.mp_{lv}_{d} "
+                    for lv in range(self.LEVELS)
+                )
+                mp = f"CASE {lv_sql} {arms}END"
+            parts.append(
+                "COALESCE(CAST(element_at("
+                f"{mp}, {self._map_key_sql(d, pfx_expr, qual, subset)}"
+                ") AS BIGINT), 0)"
+            )
+        return f"LEAST({', '.join(parts)})" if self.depth > 1 else parts[0]
+
+    def _walk_sql(
+        self,
+        cv: str,
+        subset: list,
+        qs: list,
+        s: int,
+        local_map: dict | None = None,
+        groups_sql: str | None = None,
+    ) -> str:
+        """The rank-walk as one SQL statement (see quantile_values).
+
+        *local_map* (set when the state passed the localization cap —
+        see _serve_counters) is the counter state rendered as a
+        ``str_to_map`` literal: every hop's min-over-depth estimate
+        becomes a constant-folded MAP LOOKUP expression instead of a
+        LEFT JOIN + min-window against the counter view — the
+        statement loses all 22 state references, every broadcast
+        exchange, and a third of its window operators, which is where
+        the walk's wall-time actually went (driver-side planning and
+        broadcast orchestration of a ~60-exchange plan; the executed
+        work was milliseconds).  None keeps the relational shape: a
+        distributed state wants per-level pushed scans."""
         top = ((self.LEVELS - 1) // s) * s
         top_n = 1 << (self._domain_bits() - self.BRANCH_BITS * top)
         fanout = 1 << (self.BRANCH_BITS * s)
@@ -1992,26 +2358,62 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
         pick = (
             "CASE WHEN tc > 0 AND cum >= LEAST(R, tc) THEN 0 ELSE 1 END"
         )
-        seed = (
-            f"SELECT {g('gr')}p.id AS pfx, t.id AS depth,\n"
-            f"               {self._bucket_sql('p.id', 't.id')} AS bucket\n"
-            f"        FROM (SELECT DISTINCT {gp.rstrip(', ') or '1 AS one'}"
-            f" FROM {cv}) gr, range({top_n}) p, range({self.depth}) t"
-            if subset
-            else
-            f"SELECT p.id AS pfx, t.id AS depth,\n"
-            f"               {self._bucket_sql('p.id', 't.id')} AS bucket\n"
-            f"        FROM range({top_n}) p, range({self.depth}) t"
-        )
+        if local_map is not None:
+            # the map literals live in ONE one-row CTE (a column per
+            # (level, depth) slice); every hop cross-joins it (a
+            # jobless 1-row broadcast) and looks its slice up by name
+            mcte = f"{self._map_cte_sql(local_map)}, "
+            seed = (
+                f"SELECT {g('gr')}p.id AS pfx\n"
+                f"        FROM {groups_sql}, range({top_n}) p"
+                if subset
+                else f"SELECT p.id AS pfx FROM range({top_n}) p"
+            )
+            tops = f"""{mcte}tops AS (
+  SELECT {g('b')}b.pfx,
+         {self._map_least_sql(top, 'b.pfx', 'b', subset)} AS e
+  FROM ({seed}) b, m
+)"""
+        else:
+            seed = (
+                f"SELECT {g('gr')}p.id AS pfx, t.id AS depth,\n"
+                f"               {self._bucket_sql('p.id', 't.id')} AS bucket\n"
+                f"        FROM (SELECT DISTINCT"
+                f" {gp.rstrip(', ') or '1 AS one'}"
+                f" FROM {cv}) gr, range({top_n}) p, range({self.depth}) t"
+                if subset
+                else
+                f"SELECT p.id AS pfx, t.id AS depth,\n"
+                f"               {self._bucket_sql('p.id', 't.id')} AS bucket\n"
+                f"        FROM range({top_n}) p, range({self.depth}) t"
+            )
+            tops = f"""tops AS (
+  SELECT {g('b')}b.pfx, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
+  FROM ({seed}) b
+  LEFT JOIN {cv} c ON c.level = {top} AND c.depth = b.depth
+       AND c.bucket = b.bucket{gjoin}
+  GROUP BY {g('b')}b.pfx
+)"""
         hops = []
         for lv in range(top - s, -1, -s):
             child = f"w{lv + s}.pfx * {fanout} + o.id"
-            # min-over-depth as a WINDOW over (part, pfx) instead of a
-            # GROUP BY: (part) hash-partitioning from the previous
-            # hop's pick window SATISFIES it (superset keys), so with
-            # the counter slice broadcast every hop below the first is
-            # partition-local sorts — no per-hop exchange
-            hops.append(f"""e{lv} AS (
+            if local_map is not None:
+                e_blk = f"""e{lv} AS (
+  SELECT {g('b')}b.q_milli, b.rank, b.total, b.R, b.pfx,
+         {self._map_least_sql(lv, 'b.pfx', 'b', subset)} AS e
+  FROM (SELECT {g(f'w{lv + s}')}w{lv + s}.q_milli, w{lv + s}.rank,
+               w{lv + s}.total, w{lv + s}.R,
+               {child} AS pfx
+        FROM w{lv + s}, range({fanout}) o) b, m
+)"""
+            else:
+                # min-over-depth as a WINDOW over (part, pfx) instead
+                # of a GROUP BY: (part) hash-partitioning from the
+                # previous hop's pick window SATISFIES it (superset
+                # keys), so with the counter slice broadcast every hop
+                # below the first is partition-local sorts — no
+                # per-hop exchange
+                e_blk = f"""e{lv} AS (
   SELECT {gp}q_milli, rank, total, R, pfx, e
   FROM (
     SELECT {g('b')}b.q_milli, b.rank, b.total, b.R, b.pfx, b.depth,
@@ -2025,7 +2427,8 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
     LEFT JOIN {cv} c ON c.level = {lv} AND c.depth = b.depth
          AND c.bucket = b.bucket{gjoin}
   ) WHERE depth = 0
-), w{lv} AS (
+)"""
+            hops.append(f"""{e_blk}, w{lv} AS (
   SELECT {gp}q_milli, rank, total, pfx, e,
          CASE WHEN tc > 0 THEN CAST(LEAST(R, tc) - cum + e AS BIGINT)
               ELSE CAST(1 AS BIGINT) END AS R
@@ -2041,13 +2444,7 @@ class MaintainedCMHeavyHitters(MaintainedCountMinSketch):
   ) WHERE rn = 1
 )""")
         return f"""
-WITH tops AS (
-  SELECT {g('b')}b.pfx, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
-  FROM ({seed}) b
-  LEFT JOIN {cv} c ON c.level = {top} AND c.depth = b.depth
-       AND c.bucket = b.bucket{gjoin}
-  GROUP BY {g('b')}b.pfx
-), totals AS (
+WITH {tops}, totals AS (
   SELECT {gp}CAST(SUM(e) AS BIGINT) AS total FROM tops
   {('GROUP BY ' + gp.rstrip(', ')) if subset else ''}
 ), qsv (q_milli) AS (
@@ -2134,15 +2531,32 @@ FROM w0
                 f"max_candidates must be ≥ fanout ({self._FANOUT}), "
                 f"got {max_candidates}"
             )
+        local_pdf = None
         if _counters is not None:
             subset = list(group_subset or [])
             counters = _counters
         elif group_subset is None:
             subset = list(self.group_cols)
             counters = self.read(spark)
+            local_pdf = self._serve_pdf(None)
         else:
             subset = list(group_subset)
             counters = self.rollup(spark, subset)
+            local_pdf = self._serve_pdf(subset)
+        # localized state + no candidate cap: the whole descent is ONE
+        # SQL statement over map literals + a VALUES seed (_descent_sql)
+        if local_pdf is not None and max_candidates is None:
+            texts = self._counters_map_text(counters, local_pdf, subset)
+            groups_sql = self._group_values_sql(
+                counters, local_pdf, subset
+            )
+            if texts is not None and (not subset or groups_sql):
+                return spark.sql(
+                    self._descent_sql(
+                        texts, groups_sql, subset, int(min_count)
+                    )
+                )
+        # distributed shape: per-level state-sized join+agg hops
         # seed: every (group, top-level prefix).  The top level's
         # prefix domain is 7 bits (128 candidates) for the full 8-level
         # tree, 8 bits (256) for a domain-bounded one.
